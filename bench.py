@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "total_headline_sec", "value": N, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1}
+
+Materialization uses the noop datasource (full execution, zero
+driver-side collection) so timings measure the distributed plan, not
+result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "filter_project",
+    "region_revenue",
+    "topk_per_group",
+    "semi_join_orders",
+    "upsert_orders",
+    "dedupe_events_by_user",
+    "except_all",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as ent
+    from databridge_etl_tools_spark.session import get_session
+
+    spark = get_session("bench")
+    qs = ent.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warmup: JVM + codegen + parquet footers, not counted
+    materialize(qs[names[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    out = {
+        "metric": "total_headline_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Merge-family queries (SURVEY §2.4 J1-J4, §2.5 A7/A9/A10) backed by
+``operators.merge``. Prod/staging splits are derived deterministically
+from ``orders``/``events`` so the DuckDB oracle can reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import merge as M
+from ..registry import query, table
+
+ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+_UPSERT_ORACLE = f"""
+    WITH prod AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         staging AS (
+           SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT {ORDER_COLS} FROM staging
+    UNION ALL
+    SELECT {ORDER_COLS} FROM prod p
+    WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = p.o_orderkey)
+"""
+
+
+def _prod_staging(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = table(spark, sf_dir, "orders")
+    prod = orders.where(F.col("o_orderkey") % 2 == 0)
+    staging = orders.where(F.col("o_orderkey") % 3 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") * 2,
+        }
+    )
+    return prod, staging
+
+
+@query("upsert_orders", oracle=_UPSERT_ORACLE)
+def upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 upsert: staging overlays prod on the PK.
+
+    Reference: ON CONFLICT DO UPDATE (postgres/postgres.py:1092-1180).
+    """
+    prod, staging = _prod_staging(spark, sf_dir)
+    return M.upsert(prod, staging, ["o_orderkey"])
+
+
+@query(
+    "delete_stale",
+    oracle=f"""
+    WITH prod AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         staging AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT {ORDER_COLS} FROM prod p
+    WHERE EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = p.o_orderkey)
+    """,
+)
+def delete_stale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 delete-stale applied: prod rows surviving the staging sync
+    (reference: DELETE ... USING (... EXCEPT ...),
+    postgres/postgres.py:1034-1090)."""
+    orders = table(spark, sf_dir, "orders")
+    prod = orders.where(F.col("o_orderkey") % 2 == 0)
+    staging = orders.where(F.col("o_orderkey") % 3 == 0)
+    return M.delete_stale(prod, staging, ["o_orderkey"])
+
+
+@query(
+    "stale_rows",
+    oracle=f"""
+    WITH prod AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         staging AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT {ORDER_COLS} FROM prod p
+    WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = p.o_orderkey)
+    """,
+)
+def stale_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 stale-row identification (anti-join on the PK)."""
+    orders = table(spark, sf_dir, "orders")
+    prod = orders.where(F.col("o_orderkey") % 2 == 0)
+    staging = orders.where(F.col("o_orderkey") % 3 == 0)
+    return M.stale_rows(prod, staging, ["o_orderkey"])
+
+
+@query(
+    "dedupe_events_by_user",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedupe_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 dedupe-by-key keep-first (reference ago/ago.py:820-828)."""
+    ev = table(spark, sf_dir, "events")
+    return M.dedupe_by_key(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+
+
+@query(
+    "record_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey % 5 <> 0),
+         b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey % 7 <> 0),
+         added AS (SELECT * FROM b EXCEPT ALL SELECT * FROM a),
+         subtracted AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    SELECT 'added' AS side, o_orderkey, o_totalprice FROM added
+    UNION ALL
+    SELECT 'subtracted' AS side, o_orderkey, o_totalprice FROM subtracted
+    """,
+)
+def record_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 recorddiff test oracle (tests/test_postgres.py:70-93):
+    multiset added/subtracted sides, tagged and unioned."""
+    a = table(spark, sf_dir, "orders").where(F.col("o_custkey") % 5 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = table(spark, sf_dir, "orders").where(F.col("o_custkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    added, subtracted = M.record_diff(a, b)
+    return added.select(F.lit("added").alias("side"), "*").unionByName(
+        subtracted.select(F.lit("subtracted").alias("side"), "*")
+    )

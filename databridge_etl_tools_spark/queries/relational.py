@@ -1,0 +1,233 @@
+"""Relational core queries: scans, projections, filters, aggregates,
+joins, windows, set ops (SURVEY §2.1 S1-S2, §2.3 P1-P4, §2.4, §2.5).
+
+Oracle-parity conventions (see registry docstring): decimal-cast every
+SUM, CAST DuckDB's HUGEINT sums to BIGINT, derive averages from exact
+decimal sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query, table
+
+DEC2 = "decimal(38,2)"
+DEC6 = "decimal(38,6)"
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(38,2)))                         AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,2)))                    AS sum_base_price,
+           SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))     AS sum_disc_price,
+           SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)/COUNT(*)       AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)/COUNT(*)  AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE)/COUNT(*)       AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped flagship: filter + 8-agg groupBy.
+
+    Plan: parquet scan with shipdate filter pushed down, partial
+    (map-side) aggregation, single shuffle on the 6-value group key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC2)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).alias("sum_base_price"),
+            F.sum(disc_price.cast(DEC6)).alias("sum_disc_price"),
+            F.sum(charge.cast(DEC6)).alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC2)).cast("double") / n).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(DEC2)).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(DEC2)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_extendedprice > 50000
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 projection + predicate; both push into the parquet scan."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .where(
+            (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_extendedprice") > 50000)
+        )
+    )
+
+
+@query(
+    "count_by_status",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 count(*) parity checks, grouped."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC2)).alias("total"),
+        )
+    )
+
+
+@query(
+    "max_key",
+    oracle="SELECT MAX(o_orderkey) AS max_orderkey, MIN(o_orderkey) AS min_orderkey FROM orders",
+)
+def max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 max(objectid)-style id-counter probe (postgres.py:760-768)."""
+    return table(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.min("o_orderkey").alias("min_orderkey"),
+    )
+
+
+@query(
+    "distinct_flags",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 SELECT DISTINCT (geometry-type probe shape)."""
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "ordered_collect",
+    oracle="""
+    SELECT c_nationkey, STRING_AGG(c_name, ',' ORDER BY c_name) AS customer_names
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 array_agg(col ORDER BY col) (db2/db2.py:368-379) as
+    array_sort∘collect_list, joined to a string for stable hashing."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("customer_names"))
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 5
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (SURVEY §2.5 extension)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(38,6))) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact-fact shuffle join on orderkey,
+    then broadcast joins up the dimension chain (customer, nation,
+    region are all below the broadcast threshold at any sane SF for
+    dims; Catalyst picks broadcast from stats, we hint the tiny ones).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "semi_join_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > TIMESTAMP '2000-01-01')
+    """,
+)
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (EXISTS) — shuffles only the key column of the
+    probe side after pushdown of the shipdate filter."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "except_all",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    EXCEPT ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 EXCEPT ALL — the relational core of delete-stale (J3)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    return o.exceptAll(o.where(F.col("o_orderstatus") == "F"))

@@ -1,0 +1,94 @@
+"""Query registry: the driver-facing catalog of implemented operators.
+
+Each operator from SURVEY.md §2 (plus the training-data operators) is
+demonstrated by a named query: a callable ``(spark, sf_dir) ->
+DataFrame`` and, where SQL-expressible, a DuckDB oracle SQL string
+producing identical (column-name-aligned) results on the same parquet
+tables.
+
+Determinism rules for oracle parity (Spark vs DuckDB must hash equal):
+- never SUM raw doubles (partial-agg order differs) — cast to
+  DECIMAL first; scalar double arithmetic (x*y) is IEEE-deterministic
+  and safe.
+- DuckDB SUM(BIGINT) returns HUGEINT — always CAST(... AS BIGINT).
+- avg: exact DECIMAL sum, then CAST to DOUBLE and divide by count
+  (deterministic scalar ops on identical operands).
+- alias every computed column identically on both sides.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_QUERY_MODULES = (
+    "databridge_etl_tools_spark.queries.relational",
+    "databridge_etl_tools_spark.queries.merge",
+    "databridge_etl_tools_spark.queries.prepare",
+    "databridge_etl_tools_spark.queries.geometry",
+    "databridge_etl_tools_spark.queries.datetime_policies",
+    "databridge_etl_tools_spark.queries.textops",
+    "databridge_etl_tools_spark.queries.dedup",
+    "databridge_etl_tools_spark.queries.similarity",
+    "databridge_etl_tools_spark.queries.analytics",
+    "databridge_etl_tools_spark.queries.qa",
+)
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and optional DuckDB oracle SQL) under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registrations run."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table (columnar parquet scan → pushdown-able).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as raw nanos (legacy conf) and truncate to
+    a micro-precision TIMESTAMP_NTZ — exactly what DuckDB does
+    implicitly. Integer `DIV` keeps full precision (nanos exceed 2^53,
+    so float division would corrupt timestamps).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
