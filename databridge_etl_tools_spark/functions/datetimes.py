@@ -1,0 +1,60 @@
+"""Timezone-policy scalar functions (SURVEY §2.7 F7-F9).
+
+The reference carries three distinct policies that must not be
+unified away (SURVEY §7.3b):
+
+- extract: naive timestamps are *US/Eastern wall clock*
+  (postgres/postgres.py:837-857)
+- Carto: dates become Eastern-midnight tz-aware values
+  (carto/carto_.py:338-351)
+- Esri/AGO: dates are epoch **milliseconds UTC**, naive assumed
+  Eastern (ago/ago.py:460-476 — the reference's ``timezone.est``
+  attribute is a latent bug; we implement the intent).
+
+All implementations are session-timezone-independent: they operate on
+TIMESTAMP_NTZ via ``convert_timezone`` + ``timestamp_diff``, so
+results don't shift under a driver session in a different local zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EASTERN = "America/New_York"
+
+
+def _ntz(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ntz")
+
+
+def _epoch_ms(ntz: Column) -> Column:
+    # pure integer arithmetic on the NTZ microsecond value; no
+    # session-tz involvement.
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MILLISECOND", epoch, ntz)
+
+
+def localize_naive_eastern(col: Column | str) -> Column:
+    """F7: interpret a naive timestamp as US/Eastern wall clock and
+    return the equivalent UTC wall clock (TIMESTAMP_NTZ)."""
+    return F.convert_timezone(F.lit(EASTERN), F.lit("UTC"), _ntz(col))
+
+
+def date_to_eastern_midnight_utc(col: Column | str) -> Column:
+    """F8: calendar date → Eastern midnight, expressed as UTC wall
+    clock (Carto upload policy, carto/carto_.py:338-351)."""
+    midnight = F.date_trunc("DAY", _ntz(col))
+    return F.convert_timezone(F.lit(EASTERN), F.lit("UTC"), midnight)
+
+
+def to_epoch_ms_utc(col: Column | str) -> Column:
+    """Epoch milliseconds (BIGINT) of a TIMESTAMP_NTZ already in UTC."""
+    return _epoch_ms(_ntz(col))
+
+
+def naive_eastern_to_epoch_ms(col: Column | str) -> Column:
+    """F9: Esri date policy — naive value assumed Eastern → epoch ms
+    UTC as BIGINT (ago/ago.py:460-476)."""
+    return _epoch_ms(localize_naive_eastern(col))

@@ -1,1 +1,99 @@
-"""Placeholder — populated in later milestones."""
+"""Timezone-policy queries (SURVEY §2.7 F7-F9, §2.8 batch windows).
+
+The oracles use DuckDB's instant-based ``timezone()`` nesting —
+independent of either engine's session timezone, matching the
+engine's ``convert_timezone``-on-NTZ implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import datetimes as DT
+from ..registry import query, table
+
+DEC2 = "decimal(38,2)"
+
+
+@query(
+    "tz_localize_extract",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate AS naive_ts,
+           timezone('UTC', timezone('America/New_York', o_orderdate)) AS utc_ts
+    FROM orders
+    """,
+)
+def tz_localize_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: the extract policy — naive timestamps are Eastern wall
+    clock; render the UTC equivalent (postgres/postgres.py:837-857).
+    Spans EST and EDT (orderdates cover 1995-2001), so DST handling
+    is actually exercised."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("naive_ts"),
+        DT.localize_naive_eastern("o_orderdate").alias("utc_ts"),
+    )
+
+
+@query(
+    "tz_esri_epoch_ms",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_ms(timezone('America/New_York', o_orderdate)) AS esri_ms
+    FROM orders
+    """,
+)
+def tz_esri_epoch_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the Esri/AGO date policy — epoch milliseconds UTC, naive
+    assumed Eastern (ago/ago.py:460-476)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", DT.naive_eastern_to_epoch_ms("o_orderdate").alias("esri_ms")
+    )
+
+
+@query(
+    "tz_carto_midnight",
+    oracle="""
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+           timezone('UTC', timezone('America/New_York', date_trunc('day', o_orderdate))) AS eastern_midnight_utc
+    FROM orders
+    """,
+)
+def tz_carto_midnight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: the Carto date policy — date → Eastern midnight rendered
+    in UTC (carto/carto_.py:338-351)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        DT.date_to_eastern_midnight_utc("o_orderdate").alias("eastern_midnight_utc"),
+    ).distinct()
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(38,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time hourly rollup — the batch shape of the streaming
+    windowed aggregation (same plan Structured Streaming would run
+    incrementally with a watermark; see streaming/)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC2)).alias("total_value"),
+        )
+    )
