@@ -36,6 +36,19 @@ def _epoch_ms(ntz: Column) -> Column:
     return F.timestamp_diff("MILLISECOND", epoch, ntz)
 
 
+def truncate_ntz(col: Column | str, unit: str = "HOUR") -> Column:
+    """Session-tz-independent truncation of a TIMESTAMP_NTZ.
+
+    Spark's ``date_trunc`` returns a session-zone TIMESTAMP (values
+    shift under a non-UTC driver session); integer bucket arithmetic
+    (``timestamp_diff``/``timestamp_add`` against the epoch) stays in
+    NTZ space. Valid units: HOUR, MINUTE, DAY, etc.
+    """
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    n = F.timestamp_diff(unit, epoch, _ntz(col))
+    return F.timestamp_add(unit, n, epoch)
+
+
 def localize_naive_eastern(col: Column | str) -> Column:
     """F7: interpret a naive timestamp as US/Eastern wall clock and
     return the equivalent UTC wall clock (TIMESTAMP_NTZ)."""

@@ -1,0 +1,257 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+All variants are expressed as DataFrame plans over deterministic
+md5-derived hash functions, so they are reproducible across engines
+(the DuckDB oracles recompute them independently) and across cluster
+sizes (no RNG, no driver state).
+
+Scale design:
+- exact dedup: one hash-shuffle on the fingerprint.
+- n-gram Jaccard: inverted-index self-join (explode shingles → join
+  on shingle → count intersections). Never materializes the n²
+  pair space; hot shingles can be frequency-capped (stopword-like
+  shingles contribute nothing to high-Jaccard pairs).
+- MinHash+LSH: k=16 signatures, 4 bands × 4 rows; candidate pairs
+  come from equi-joins on (band, band_key) — the classic
+  shingle→minhash→band→bucket-join pipeline. O(n·k) work + a
+  bucket join instead of O(n²).
+- SimHash: 60-bit signatures; near-pair search uses 5 bands × 12
+  bits, which by pigeonhole is EXACT for hamming distance ≤ 4 (a
+  pair differing in ≤4 bits must agree on ≥1 of 5 bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import textstats as TS
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed int64
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (docs with <n tokens → empty)."""
+    toks = TS.tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _md5_hash64(s: Column, salt: str | None = None, hex_chars: int = 8) -> Column:
+    """Deterministic integer hash: leading ``hex_chars`` of md5 → bigint.
+
+    8 hex chars → 32-bit range (minhash); 15 → 60-bit (simhash).
+    """
+    payload = F.concat(F.lit(f"{salt}:"), s) if salt is not None else s
+    return F.conv(F.substring(F.md5(payload), 1, hex_chars), 16, 10).cast("bigint")
+
+
+def _salted_hash_fn(i: int):
+    # NB: must return a ONE-argument lambda — F.transform treats a
+    # two-parameter lambda as (element, index) and would pass the
+    # array index into the second slot.
+    return lambda s: _md5_hash64(s, str(i))
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """MinHash signature: array of k minima over salted md5 hashes."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, _salted_hash_fn(i))) for i in range(k)]
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via normalized-content fingerprint: one row per
+    distinct content with the representative (min id) and copy count."""
+    return (
+        df.groupBy(TS.fingerprint(text_col).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity ≥ threshold via inverted index.
+
+    explode(shingles) → self-join on shingle (id_a < id_b) →
+    intersection counts → |A∪B| from per-doc sizes. Only pairs that
+    share ≥1 shingle are ever materialized.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    ex = sh.select("doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("a.n_sh").alias("n_a"),
+            F.min("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated Jaccard.
+
+    Pipeline: shingle → k-wide signature → band keys → bucket
+    equi-join → distinct candidate pairs → signature agreement /k.
+    """
+    rows = k // bands
+    # Explode → 16 min-aggs: each shingle is hashed exactly once per
+    # hash function. (The array formulation looks natural but Catalyst's
+    # CollapseProject inlines the shingle construction into every
+    # array_min, recomputing it k times per row.) Map-side partial
+    # aggregation keeps the shuffle at one row per (doc, 16 mins).
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("s")
+    )
+    sig = (
+        ex.groupBy("doc")
+        .agg(*[F.min(_md5_hash64(F.col("s"), str(i))).alias(f"_m{i}") for i in range(k)])
+        .select("doc", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig"))
+    )
+
+    band_rows = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice("sig", bi * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        ).cast("double")
+        / k
+    )
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b").select(
+            "doc_a", "doc_b", est.alias("est_jaccard")
+        )
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document: per-token md5-derived hashes,
+    bitwise ±1 voting, sign → bit. Token multiplicity counts (standard
+    SimHash weighting by term frequency)."""
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(TS.tokens(text_col)).alias("tok")
+    ).withColumn("h", _md5_hash64(F.col("tok"), hex_chars=15))
+    votes = ex.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sh = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sh = term if sh is None else sh + term
+    return votes.select("doc", sh.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 4, bands: int = 5
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ ``max_hamming`` via banded
+    LSH join — EXACT (not approximate) for max_hamming < bands, by
+    pigeonhole: a pair within distance d < bands must agree on at
+    least one of the ``bands`` bit-bands."""
+    assert max_hamming < bands, "pigeonhole exactness requires max_hamming < bands"
+    width = SIMHASH_BITS // bands
+    sig = simhash_signatures(df, id_col, text_col)
+    band_rows = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.band", "bk.key")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers:
+
+- ``cosine_topk``: brute-force exact top-k, pure column expressions
+  (zip_with product + left-fold sum → bit-reproducible across
+  engines; this is the correctness baseline).
+- ``ivf_topk``: IVF-style cell-restricted search — probe only rows
+  whose coarse cell matches the query's. Turns the O(n·q) scan into
+  a co-partitioned join on the cell id; at 100 TB the embedding table
+  is bucketed/partitioned by cell so the probe is partition-pruned.
+- ``cosine_topk_vectorized``: Arrow-batched pandas UDF (numpy GEMM)
+  — the throughput path. BLAS reassociates the float sums, so
+  results can differ from the fold in the last ulp; it is checked
+  rows-only, not hash-compared.
+
+The left-fold formulation matters: ``F.aggregate`` folds the array
+left-to-right from an explicit 0.0, which DuckDB's ``list_reduce``
+over ``list_prepend(0.0, …)`` reproduces exactly — IEEE doubles are
+deterministic under identical operation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Left-fold dot product of two float arrays in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_fold(a: Column) -> Column:
+    return F.sqrt(dot_fold(a, a))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", norm_fold(F.col(vec_col)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query row.
+
+    ``query_pred`` selects the query subset (default: all rows);
+    ``cell_col`` restricts candidates to the query's cell (IVF mode).
+    Excludes self-pairs. Deterministic tie-break on neighbor id.
+    """
+    base = with_norm(emb, vec_col)
+    q = base.where(query_pred) if query_pred is not None else base
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        *([F.col(cell_col).alias("_qc")] if cell_col else []),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        *([F.col(cell_col).alias("_cc")] if cell_col else []),
+    )
+    cond = F.col("query_id") != F.col("neighbor_id")
+    joined = (
+        q.join(c, F.col("_qc") == F.col("_cc"), "inner").where(cond)
+        if cell_col
+        else q.crossJoin(c).where(cond)
+    )
+    cos = dot_fold(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a<b) with cosine ≥ threshold (embedding near-dup)."""
+    base = with_norm(emb, vec_col)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    cos = dot_fold(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_topk_vectorized(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput ANN path: broadcast the candidate matrix, numpy GEMM
+    per Arrow batch of queries, exact top-k per query.
+
+    At 100 TB this shape becomes: candidates bucketed by IVF cell →
+    ``mapInPandas`` per query partition against the (broadcast or
+    cell-local) matrix. Checked rows-only (BLAS sum order ≠ fold).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cand = emb.select(id_col, vec_col).toPandas()
+    ids = np.asarray(cand[id_col].values)
+    mat = np.vstack(cand[vec_col].values).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    q = emb.where(query_pred) if query_pred is not None else emb
+
+    def topk_batches(batches):
+        ids_l, mat_l, norms_l = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            qm = np.vstack(pdf[vec_col].values).astype(np.float64)
+            qn = np.linalg.norm(qm, axis=1)
+            sims = (qm @ mat_l.T) / np.outer(qn, norms_l)
+            out = []
+            for row_i, qid in enumerate(pdf[id_col].values):
+                s = sims[row_i]
+                mask = ids_l != qid
+                idx = np.argsort(np.where(mask, -s, np.inf), kind="stable")[:k]
+                for rank, j in enumerate(idx, start=1):
+                    out.append((int(qid), int(ids_l[j]), float(s[j]), rank))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "cosine", "rank"]
+            )
+
+    schema = "query_id bigint, neighbor_id bigint, cosine double, rank int"
+    return q.select(id_col, vec_col).mapInPandas(topk_batches, schema)

@@ -90,7 +90,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"), F.col("event_type")
+            DT.truncate_ntz("ts", "HOUR").alias("hour_bucket"), F.col("event_type")
         )
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -1,1 +1,136 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication queries over ``documents`` (exact, n-gram Jaccard,
+MinHash+LSH, SimHash), backed by ``operators.dedup``. Oracles
+recompute every hash family independently in DuckDB SQL (md5-derived
+integer hashes are engine-agnostic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..registry import query, table
+
+# shared DuckDB fragments ------------------------------------------------
+_TOKS = "list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')"
+_TOK_CTE = f"tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"
+_SH_CTE = (
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),"
+    " i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS shingles"
+    " FROM tok WHERE len(toks) >= 3)"
+)
+_H8 = "CAST('0x'||substr(md5({salt}||':'||{v}),1,8) AS BIGINT)"
+_SIG_CTE = (
+    "sig AS (SELECT doc_id, list_transform(range(0,16), i -> list_min("
+    "list_transform(shingles, s -> "
+    + _H8.format(salt="i::VARCHAR", v="s")
+    + "))) AS sig FROM sh)"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS representative,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized content fingerprint
+    (one shuffle on the fingerprint; representative = min id)."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.exact_duplicates(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter / (n_a + n_b - inter) AS jaccard
+    FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.5 via inverted-index self-join —
+    never materializes the n² pair space."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    bands AS (
+      SELECT doc_id, b,
+             sig[4*b+1]::VARCHAR||'-'||sig[4*b+2]::VARCHAR||'-'||
+             sig[4*b+3]::VARCHAR||'-'||sig[4*b+4]::VARCHAR AS key
+      FROM sig, (SELECT unnest(range(0,4)) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b,
+           len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(4 bands × 4 rows): candidate pairs from
+    band-bucket equi-joins, scored by signature agreement."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=16, bands=4)
+
+
+def _simhash_sql() -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    bits = "\n         + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_TOK_CTE},
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+    hs AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS h FROM ex),
+    votes AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id)
+    SELECT doc_id AS doc, {bits} AS simhash FROM votes
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document (term-frequency-weighted
+    bit voting over md5-derived token hashes)."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.simhash_signatures(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sim AS ({_simhash_sql()})
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs (hamming ≤ 4) via 5×12-bit banded LSH join —
+    exact by pigeonhole, so the brute-force oracle must agree."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.simhash_near_pairs(docs, "doc_id", "text", max_hamming=4, bands=5)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))

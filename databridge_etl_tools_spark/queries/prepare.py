@@ -35,7 +35,7 @@ def prepare_header_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "prepare_synthetic_objectid",
     oracle="""
-    SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS objectid, doc_id, source
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INTEGER) AS objectid, doc_id, source
     FROM documents
     """,
 )
@@ -93,7 +93,7 @@ def prepare_cell_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "prepare_list_to_json",
     oracle="""
-    SELECT doc_id, to_json(string_split(text, ' ')[1:5]) AS first_words_json
+    SELECT doc_id, CAST(to_json(string_split(text, ' ')[1:5]) AS VARCHAR) AS first_words_json
     FROM documents
     """,
 )

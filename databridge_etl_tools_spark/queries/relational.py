@@ -143,8 +143,8 @@ def ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
       FROM orders) t
     WHERE rn <= 5
     """,

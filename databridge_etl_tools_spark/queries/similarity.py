@@ -1,1 +1,99 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search queries over ``embeddings``: exact brute-force
+cosine top-k, IVF-style cell-restricted top-k, near-dup pairs, and
+the vectorized (numpy GEMM) throughput path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as SIM
+from ..registry import query, table
+
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1,65),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x,y) -> x+y)"
+)
+_BASE_CTE = (
+    "base AS (SELECT vec_id, label, embedding, sqrt("
+    + _DOT.format(a="embedding", b="embedding")
+    + ") AS nrm FROM embeddings)"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_BASE_CTE},
+    q AS (SELECT * FROM base WHERE vec_id % 50 = 0),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN base c ON q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p) t
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for every 50th vector — the correctness
+    baseline (left-fold double arithmetic, bit-reproducible)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, k=5, query_pred=F.col("vec_id") % 50 == 0)
+
+
+@query(
+    "ann_ivf_label",
+    oracle=f"""
+    WITH {_BASE_CTE},
+    q AS (SELECT * FROM base WHERE vec_id % 50 = 0),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN base c ON q.label = c.label AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p) t
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell (here the
+    ``label`` column stands in for the IVF centroid assignment). The
+    cross join becomes a co-partitioned equi-join on the cell id —
+    the 100 TB-scale path (cell-bucketed layout → partition-pruned
+    probes)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(
+        emb, k=5, query_pred=F.col("vec_id") % 50 == 0, cell_col="label"
+    )
+
+
+@query(
+    "emb_neardup_pairs",
+    oracle=f"""
+    WITH {_BASE_CTE},
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) AS cosine
+      FROM base a JOIN base b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45
+    """,
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.45 on this synthetic
+    distribution; production near-dup uses ≥0.95 on real embeddings)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.neardup_pairs(emb, threshold=0.45)
+
+
+@query("ann_topk_vectorized")  # no oracle: BLAS sum order ≠ fold (rows-only check)
+def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput ANN: broadcast candidate matrix + numpy GEMM per
+    Arrow batch. Same task as ann_cosine_topk; checked rows-only
+    because BLAS reassociates the float sums."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_vectorized(emb, k=5, query_pred=F.col("vec_id") % 50 == 0)

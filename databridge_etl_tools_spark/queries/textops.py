@@ -23,9 +23,9 @@ _TOK = "list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')"
     "text_token_stats",
     oracle=f"""
     SELECT doc_id,
-           len({_TOK}) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
-           length(text) AS n_chars_measured,
+           CAST(len({_TOK}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_ish,
+           CAST(length(text) AS INTEGER) AS n_chars_measured,
            length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS avg_word_len
     FROM documents
     """,

@@ -1,0 +1,104 @@
+"""Unit tests for dedup + similarity operators on planted cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databridge_etl_tools_spark.operators import dedup as DD
+from databridge_etl_tools_spark.operators import similarity as SIM
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different words entirely here now today friend"),
+    (5, "  The  quick brown fox jumps over the lazy dog "),  # ws/case-normalized dup
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_duplicates(spark):
+    out = DD.exact_duplicates(_docs(spark), "text", "doc_id").collect()
+    by_rep = {r.representative: r.n_copies for r in out}
+    assert by_rep[1] == 3  # 1, 2, and the normalized 5
+    assert by_rep[3] == 1 and by_rep[4] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recovers_exact_dups(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in DD.minhash_lsh_pairs(_docs(spark), "doc_id", "text").collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical shingle sets → identical signatures
+    assert all(0.0 <= v <= 1.0 for v in pairs.values())
+
+
+def test_simhash_near_pairs(spark):
+    sig = {
+        r.doc: r.simhash
+        for r in DD.simhash_signatures(_docs(spark), "doc_id", "text").collect()
+    }
+    assert sig[1] == sig[2]  # same token multiset
+    ham_1_3 = bin(sig[1] ^ sig[3]).count("1")
+    ham_1_4 = bin(sig[1] ^ sig[4]).count("1")
+    assert ham_1_3 < ham_1_4  # near-dup closer than unrelated
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.simhash_near_pairs(
+            _docs(spark), "doc_id", "text", max_hamming=4, bands=5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0], 0),
+    (2, [0.9, 0.1, 0.0, 0.0], 0),
+    (3, [0.0, 1.0, 0.0, 0.0], 0),
+    (4, [0.0, 0.0, 1.0, 0.0], 1),
+    (5, [0.0, 0.1, 0.9, 0.0], 1),
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id int, embedding array<float>, label int")
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    out = SIM.cosine_topk(_emb(spark), k=2, query_pred=F.col("vec_id") == 1)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert rows[0].cosine > 0.99
+
+
+def test_ivf_restricts_to_cell(spark):
+    out = SIM.cosine_topk(
+        _emb(spark), k=3, query_pred=F.col("vec_id") == 4, cell_col="label"
+    ).collect()
+    assert {r.neighbor_id for r in out} == {5}  # only same-label candidates
+
+
+def test_neardup_pairs_threshold(spark):
+    got = {(r.id_a, r.id_b) for r in SIM.neardup_pairs(_emb(spark), 0.95).collect()}
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_vectorized_topk_matches_exact(spark):
+    exact = SIM.cosine_topk(_emb(spark), k=2, query_pred=F.col("vec_id") == 1)
+    fast = SIM.cosine_topk_vectorized(_emb(spark), k=2, query_pred=F.col("vec_id") == 1)
+    e = [(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()]
+    f = [(r.query_id, r.neighbor_id, r.rank) for r in fast.collect()]
+    assert sorted(e) == sorted(f)

@@ -51,6 +51,35 @@ def rows_to_multiset(rows, colnames):
     return Counter(tuple(canon_cell(r[i]) for i in order) for r in rows)
 
 
+def norm_spark_type(t: str) -> str:
+    t = t.lower()
+    for pre, out in [
+        ("decimal", None), ("bigint", "i64"), ("int", "i32"), ("smallint", "i16"),
+        ("double", "f64"), ("float", "f32"), ("string", "str"),
+        ("timestamp_ntz", "ts"), ("timestamp", "tstz"), ("date", "date"),
+        ("boolean", "bool"), ("array", None), ("binary", "bytes"),
+    ]:
+        if t.startswith(pre):
+            return t if out is None else out
+    return t
+
+
+def norm_duck_type(t: str) -> str:
+    t = t.upper()
+    m = {
+        "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+        "HUGEINT": "i128", "DOUBLE": "f64", "FLOAT": "f32", "REAL": "f32",
+        "VARCHAR": "str", "TIMESTAMP": "ts",
+        "TIMESTAMP WITH TIME ZONE": "tstz", "DATE": "date", "BOOLEAN": "bool",
+        "BLOB": "bytes",
+    }
+    if t.startswith("DECIMAL"):
+        return t.replace(" ", "").lower()
+    if t.endswith("[]"):
+        return "array<" + norm_duck_type(t[:-2]) + ">"
+    return m.get(t, t.lower())
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -88,9 +117,10 @@ def main() -> int:
             n_weak += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -100,6 +130,12 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            stypes = {f.name: norm_spark_type(f.dataType.simpleString()) for f in sdf.schema.fields}
+            for dc, dt in zip(dcols, dtypes):
+                ndt = norm_duck_type(dt)
+                if stypes[dc] != ndt:
+                    problems.append(f"type[{dc}] spark={stypes[dc]} duck={ndt}")
         if not problems:
             ms, md = rows_to_multiset(srows, scols), rows_to_multiset(drows, dcols)
             if ms != md:
