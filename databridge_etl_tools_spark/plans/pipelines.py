@@ -1,0 +1,245 @@
+"""End-to-end pipelines (SURVEY §3): load, extract, upsert —
+the reference's three top entry points as single DataFrame lineages
+with the QA layer woven through.
+
+Transactionality (V8): the TableStore only flips its manifest pointer
+after a full successful write, so any failure leaves the previous
+version visible — the reference's commit-on-success / rollback-on-
+error context manager (postgres/postgres.py:113-149) without explicit
+rollback code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import datetimes as DTF
+from ..functions import geometry as G
+from ..functions.text import normalize_headers
+from ..operators import merge as M
+from ..qa import QAReport
+from ..schema import TableSchema
+from ..sources.csv_io import read_csv, write_csv
+from ..sources.table_store import TableStore
+
+
+# ---------------------------------------------------------------------
+# prepare (§3.1 step 4: postgres/postgres.py:280-447 as column exprs)
+# ---------------------------------------------------------------------
+
+def prepare_for_load(
+    df: DataFrame,
+    schema: TableSchema,
+    column_mapping: dict[str, str] | None = None,
+    exclude_fields: list[str] | None = None,
+) -> DataFrame:
+    """The reference's ``prepare_file`` petl pipeline, declaratively:
+
+    fromcsv → header normalize/mapping → cutout → geometry fixes
+    (NaN repair → force_2d when the target isn't Z → MULTI promotion
+    toward the schema's geometry_type) → typed cast per schema.
+    """
+    df = normalize_headers(df, column_mapping)
+    if exclude_fields:
+        df = df.drop(*[c.lower() for c in exclude_fields])
+    geo = schema.geometry_fields
+    for col, meta in geo.items():
+        if col not in df.columns:
+            continue
+        target = (meta.get("geometry_type") or "Geometry").upper()
+        expr = G.repair_nan(F.col(col))
+        if "Z" not in target.split() and not target.endswith(("Z", "ZM", "M")):
+            expr = G.force_2d(expr)
+        if target.startswith("MULTI"):
+            expr = G.promote_to_multi(expr, target)
+        df = df.withColumn(col, expr)
+    # typed cast toward the schema (CSV arrives all-string when read
+    # schemaless); geometry columns stay strings by construction.
+    casts = {}
+    for f in schema.struct.fields:
+        if f.name in df.columns and f.name not in geo:
+            casts[f.name] = F.col(f.name).cast(f.dataType)
+    return df.withColumns(casts) if casts else df
+
+
+# ---------------------------------------------------------------------
+# load (§3.1)
+# ---------------------------------------------------------------------
+
+@dataclass
+class LoadResult:
+    rows_loaded: int
+    recreated: bool
+    qa: QAReport
+
+
+def load_pipeline(
+    spark: SparkSession,
+    csv_path: str,
+    schema: TableSchema,
+    store: TableStore,
+    table: str,
+    mode: str = "truncate",  # append | truncate | rename_replace
+    column_mapping: dict[str, str] | None = None,
+    exclude_fields: list[str] | None = None,
+    indexes: list[list[str]] | None = None,
+) -> LoadResult:
+    """S3-CSV → table load (postgres load, §3.1): schema-driven create
+    with drift handling, prepare transforms, geometry precheck before
+    the destructive step, atomic write, count parity, index + analyze
+    post-hooks."""
+    qa = QAReport()
+    raw = read_csv(spark, csv_path)
+    prepared = prepare_for_load(raw, schema, column_mapping, exclude_fields)
+
+    recreated = store.create_table(table, schema) if mode in ("truncate", "rename_replace") or not store.exists(table) else False
+    target_cols = [f.name for f in store.read(table).schema.fields]
+    qa.schema_fields_match(prepared.columns, target_cols)
+
+    for col, meta in schema.geometry_fields.items():
+        if col in prepared.columns:
+            qa.geometry_precheck(
+                prepared, col,
+                expected_kind=meta.get("geometry_type"),
+                expected_srid=meta.get("srid"),
+            )
+
+    n_in = qa.nonzero_count(prepared, "prepared_csv")
+    ordered = prepared.select(*[c for c in target_cols if c in prepared.columns])
+    if mode in ("truncate", "rename_replace"):
+        before = 0
+        store.overwrite(table, ordered)
+    else:
+        before = store.read(table).count()
+        store.append(table, ordered)
+
+    after = store.read(table).count()
+    qa.count_parity(before + n_in, after, name=f"{mode} load")
+    qa.smoke_select(store.read(table), table)
+
+    for cols in indexes or []:
+        store.register_index(table, cols)
+    store.analyze(table)
+    qa.raise_if_failed()
+    return LoadResult(rows_loaded=n_in, recreated=recreated, qa=qa)
+
+
+# ---------------------------------------------------------------------
+# extract (§3.2)
+# ---------------------------------------------------------------------
+
+def eastern_offset_rendered(col: str) -> F.Column:
+    """Render a naive-Eastern timestamp as ISO text with the UTC
+    offset — the visible effect of the reference's tz localization on
+    extracted CSVs (postgres/postgres.py:841-857)."""
+    ntz = F.col(col).cast("timestamp_ntz")
+    utc = DTF.localize_naive_eastern(ntz)
+    off_min = F.timestamp_diff("MINUTE", utc, ntz)  # -300 (EST) / -240 (EDT)
+    sign = F.when(off_min < 0, F.lit("-")).otherwise(F.lit("+"))
+    hh = F.lpad((F.abs(off_min) / 60).cast("int").cast("string"), 2, "0")
+    mm = F.lpad((F.abs(off_min) % 60).cast("string"), 2, "0")
+    return F.when(
+        F.col(col).isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(F.date_format(ntz, "yyyy-MM-dd HH:mm:ss"), sign, hh, F.lit(":"), mm)
+    )
+
+
+@dataclass
+class ExtractResult:
+    rows: int
+    csv_path: str
+    schema_json: str
+    qa: QAReport
+
+
+def extract_pipeline(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    out_csv: str,
+    exclude_fields: list[str] | None = None,
+    localize_timestamps: bool = True,
+) -> ExtractResult:
+    """Table → CSV + JSON schema extract (§3.2): count asserts before
+    and after the write (guards concurrent writers), Eastern
+    localization of naive timestamps, exclusion drops, schema JSON
+    sidecar (the extract-json-schema command)."""
+    qa = QAReport()
+    df = store.read(table)
+    n_before = qa.nonzero_count(df, table)
+    if localize_timestamps:
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                df = df.withColumn(f.name, eastern_offset_rendered(f.name))
+    if exclude_fields:
+        df = df.drop(*exclude_fields)
+    write_csv(df, out_csv)
+    n_after = store.read(table).count()
+    qa.count_parity(n_before, n_after, name="post-extract recount")
+
+    props = store.properties(table)
+    geo_props = props.get("geometry", {})
+    fields = []
+    for f in store.read(table).schema.fields:
+        if f.name not in df.columns:
+            continue
+        # withColumn/parquet round-trips drop StructField metadata;
+        # geometry facts live in table properties — re-attach them so
+        # the schema sidecar keeps geometry_type/srid.
+        if f.name in geo_props:
+            meta = {k: v for k, v in geo_props[f.name].items() if v is not None}
+            f = T.StructField(f.name, f.dataType, f.nullable, metadata=meta)
+        fields.append(f)
+    tschema = TableSchema(struct=T.StructType(fields), primary_key=props.get("primaryKey", []))
+    qa.raise_if_failed()
+    return ExtractResult(rows=n_before, csv_path=out_csv, schema_json=tschema.to_json(), qa=qa)
+
+
+# ---------------------------------------------------------------------
+# upsert + delete-stale (§3.3 / J1-J3)
+# ---------------------------------------------------------------------
+
+@dataclass
+class UpsertResult:
+    staged: int
+    final_count: int
+    qa: QAReport
+
+
+def upsert_pipeline(
+    spark: SparkSession,
+    csv_path: str,
+    schema: TableSchema,
+    store: TableStore,
+    table: str,
+    delete_stale_rows: bool = False,
+    column_mapping: dict[str, str] | None = None,
+) -> UpsertResult:
+    """CSV → staging → set-based merge on the primary key (J2+J1),
+    optional delete-stale (J3). One bulk join replaces the reference's
+    per-row AGO queries (ago/ago.py:760-885) — same observable
+    semantics: add new, update matched, drop staging duplicates,
+    optionally delete rows missing from staging."""
+    if not schema.primary_key:
+        raise ValueError("upsert requires a primaryKey in the schema")
+    qa = QAReport()
+    raw = read_csv(spark, csv_path)
+    staging = prepare_for_load(raw, schema, column_mapping)
+    n_staged = qa.nonzero_count(staging, "staging")
+    prod = store.read(table)
+    staging = staging.select(*[c for c in prod.columns if c in staging.columns])
+    merged = M.upsert(prod, staging, schema.primary_key, staging_order=[F.lit(1)])
+    if delete_stale_rows:
+        merged = M.delete_stale(merged, staging, schema.primary_key)
+    store.overwrite(table, merged)
+    final = store.read(table).count()
+    if delete_stale_rows:
+        qa.count_parity(staging.select(*schema.primary_key).distinct().count(), final, "stale-deleted")
+    qa.smoke_select(store.read(table), table)
+    qa.raise_if_failed()
+    return UpsertResult(staged=n_staged, final_count=final, qa=qa)

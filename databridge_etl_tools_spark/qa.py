@@ -1,0 +1,146 @@
+"""QA layer (SURVEY §2.9 V1-V8): the reference's scattered fail-fast
+asserts become a structured, collectable report (SURVEY §7.3e).
+
+Each check records pass/fail + measured values; ``QAError`` is raised
+at the end of a pipeline (or immediately for ``precondition`` checks
+that guard destructive steps, mirroring the reference's
+validate-before-truncate ordering, ago/ago.py:542-583).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.geometry import geometry_kind, srid_of
+
+
+class QAError(AssertionError):
+    def __init__(self, report: "QAReport"):
+        super().__init__("; ".join(f.describe() for f in report.failures))
+        self.report = report
+
+
+@dataclass
+class CheckResult:
+    name: str
+    passed: bool
+    detail: str = ""
+
+    def describe(self) -> str:
+        return f"{name if (name := self.name) else '?'}: {'ok' if self.passed else 'FAIL'} {self.detail}"
+
+
+@dataclass
+class QAReport:
+    checks: list[CheckResult] = field(default_factory=list)
+
+    def _add(self, name: str, passed: bool, detail: str, precondition: bool) -> bool:
+        self.checks.append(CheckResult(name, passed, detail))
+        if precondition and not passed:
+            raise QAError(self)
+        return passed
+
+    @property
+    def failures(self) -> list[CheckResult]:
+        return [c for c in self.checks if not c.passed]
+
+    def raise_if_failed(self) -> "QAReport":
+        if self.failures:
+            raise QAError(self)
+        return self
+
+    # -- V1: nonzero source count -------------------------------------
+    def nonzero_count(self, df: DataFrame, name: str = "source", precondition: bool = True) -> int:
+        n = df.count()
+        self._add(f"V1 nonzero[{name}]", n > 0, f"count={n}", precondition)
+        return n
+
+    # -- V2/V3: count parity -------------------------------------------
+    def count_parity(self, expected: int, actual: int, name: str = "load", precondition: bool = False) -> None:
+        self._add(
+            f"V2/V3 count_parity[{name}]",
+            expected == actual,
+            f"expected={expected} actual={actual}",
+            precondition,
+        )
+
+    # -- V4: truncate produced zero ------------------------------------
+    def is_empty(self, df: DataFrame, name: str = "truncated", precondition: bool = False) -> None:
+        n = df.limit(1).count()
+        self._add(f"V4 empty[{name}]", n == 0, f"rows={n}", precondition)
+
+    # -- V5: header ⊆/≡ target fields ----------------------------------
+    def schema_fields_match(
+        self,
+        incoming: list[str],
+        target: list[str],
+        exempt: tuple[str, ...] = ("objectid", "esri_oid"),
+        precondition: bool = True,
+    ) -> None:
+        """Both-direction field diff with the reference's objectid
+        exemption (postgres.py:481-488, ago/ago.py:508-535)."""
+        a = {c.lower() for c in incoming} - set(exempt)
+        b = {c.lower() for c in target} - set(exempt)
+        diff = a ^ b
+        self._add("V5 fields_match", not diff, f"diff={sorted(diff)}", precondition)
+
+    # -- V6: geometry precheck before destructive ops -------------------
+    def geometry_precheck(
+        self,
+        df: DataFrame,
+        geom_col: str,
+        expected_kind: str | None = None,
+        expected_srid: int | None = None,
+        sample: int = 500,
+        precondition: bool = True,
+    ) -> None:
+        """Bounded-sample EWKT validation before truncate/overwrite
+        (ago/ago.py:542-583: ≤500 rows, type must match the target
+        layer). Accepts the MULTI form of the expected kind and
+        EMPTY geometries."""
+        rows = (
+            df.select(
+                geometry_kind(geom_col).alias("kind"), srid_of(geom_col).alias("srid")
+            )
+            .where(F.col("kind") != "")
+            .limit(sample)
+            .collect()
+        )
+        bad: list[str] = []
+        for r in rows:
+            if expected_kind:
+                want = expected_kind.upper()
+                if r["kind"] not in (want, want.replace("MULTI", ""), "MULTI" + want):
+                    bad.append(f"kind={r['kind']}")
+            if expected_srid is not None and r["srid"] is not None and r["srid"] != expected_srid:
+                bad.append(f"srid={r['srid']}")
+        self._add(
+            "V6 geometry_precheck",
+            not bad,
+            f"sampled={len(rows)} bad={bad[:5]}",
+            precondition,
+        )
+
+    # -- V7: post-load smoke -------------------------------------------
+    def smoke_select(self, df: DataFrame, name: str = "table", precondition: bool = False) -> None:
+        try:
+            df.limit(1).collect()
+            ok = True
+            detail = ""
+        except Exception as e:  # pragma: no cover - defensive
+            ok, detail = False, str(e)[:200]
+        self._add(f"V7 smoke[{name}]", ok, detail, precondition)
+
+    # -- A9: record diff (round-trip oracle) ---------------------------
+    def record_diff_empty(self, a: DataFrame, b: DataFrame, name: str = "roundtrip", precondition: bool = False) -> None:
+        added = b.exceptAll(a).limit(1).count()
+        subtracted = a.exceptAll(b).limit(1).count()
+        self._add(
+            f"A9 recorddiff[{name}]",
+            added == 0 and subtracted == 0,
+            f"added>0={bool(added)} subtracted>0={bool(subtracted)}",
+            precondition,
+        )

@@ -1,0 +1,169 @@
+"""Parquet-backed table store with the reference's lifecycle
+semantics (SURVEY §2.6 D1-D6, §2.9 V8).
+
+The reference manages Postgres tables: create-from-JSON-schema with
+drift-driven drop/recreate (D1), temp empty clones (D2), drop (D3),
+truncate (D4/D5), blue/green rename swap (D6), all inside one
+transaction per load (postgres/postgres.py:113-149). Here a "table"
+is a versioned parquet directory; every mutation writes a NEW
+version directory and flips a manifest pointer last — the atomic-swap
+pattern (what Delta's CREATE OR REPLACE does transactionally on a
+real lakehouse; this store is the dependency-free local analogue and
+the unit under test for the pipelines).
+
+Scale notes: version directories are plain parquet datasets —
+readers at any parallelism scan them directly; the manifest flip is
+one tiny file rename, never a data rewrite of the old version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schema import TableSchema, schema_drift
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths / manifest ------------------------------------------------
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest(self, table: str) -> str:
+        return os.path.join(self._dir(table), "MANIFEST.json")
+
+    def _read_manifest(self, table: str) -> dict:
+        with open(self._manifest(table)) as f:
+            return json.load(f)
+
+    def _current_data_dir(self, table: str) -> str:
+        return os.path.join(self._dir(table), self._read_manifest(table)["current"])
+
+    def _write_version(self, table: str, df: DataFrame) -> str:
+        version = f"v-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self._dir(table), version)
+        df.write.mode("errorifexists").parquet(path)
+        return version
+
+    def _flip(self, table: str, version: str, props: dict | None = None) -> None:
+        """Atomic pointer flip: write manifest to a temp name, rename
+        over the old one (rename is atomic on POSIX; on a real
+        lakehouse this is the Delta/Iceberg commit)."""
+        os.makedirs(self._dir(table), exist_ok=True)
+        old = {}
+        if os.path.exists(self._manifest(table)):
+            old = self._read_manifest(table)
+        doc = {
+            "current": version,
+            "properties": {**old.get("properties", {}), **(props or {})},
+        }
+        tmp = self._manifest(table) + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._manifest(table))
+
+    # -- lifecycle (D1-D6) ----------------------------------------------
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._manifest(table))
+
+    def create_table(
+        self,
+        table: str,
+        schema: TableSchema | T.StructType,
+        recreate_on_drift: bool = True,
+    ) -> bool:
+        """D1: create an empty table from a schema. If it exists and
+        the live schema drifted, drop + recreate (the reference's
+        policy, postgres/postgres.py:454-488). Returns True when a
+        (re)create happened."""
+        struct = schema.struct if isinstance(schema, TableSchema) else schema
+        props = {}
+        if isinstance(schema, TableSchema):
+            props = {
+                "primaryKey": schema.primary_key,
+                "geometry": schema.geometry_fields,
+            }
+        if self.exists(table):
+            drift = schema_drift(struct, self.read(table).schema)
+            if not drift:
+                return False
+            if not recreate_on_drift:
+                raise ValueError(f"schema drift on {table}: {drift}")
+            self.drop(table)
+        empty = self.spark.createDataFrame([], struct)
+        v = self._write_version(table, empty)
+        self._flip(table, v, props)
+        return True
+
+    def drop(self, table: str, if_exists: bool = True) -> None:
+        """D3: drop table (log-or-error policy, postgres.py:921-946)."""
+        if not self.exists(table):
+            if if_exists:
+                return
+            raise ValueError(f"table {table} does not exist")
+        shutil.rmtree(self._dir(table))
+
+    def truncate(self, table: str) -> None:
+        """D4/D5: keep schema, remove rows — a new empty version
+        (joins the 'transaction' in the sense that readers see either
+        the old version or the new one, never a half state)."""
+        schema = self.read(table).schema
+        v = self._write_version(table, self.spark.createDataFrame([], schema))
+        self._flip(table, v)
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        """D6: blue/green replace — write the full new version, flip
+        the pointer (reference: _temp table + rename swap,
+        carto/carto_.py:443-457, postgres/postgres.py:750-756)."""
+        v = self._write_version(table, df)
+        self._flip(table, v)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        """K1 append: union with the current version into a new
+        version (copy-on-write; an incremental store would add a
+        second data dir to the manifest instead)."""
+        cur = self.read(table)
+        v = self._write_version(table, cur.unionByName(df))
+        self._flip(table, v)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._current_data_dir(table))
+
+    def empty_clone_view(self, table: str, view_name: str) -> DataFrame:
+        """D2: CREATE TEMPORARY TABLE … WHERE 1=0
+        (postgres/postgres.py:903-919) as a limit(0) temp view."""
+        df = self.read(table).limit(0)
+        df.createOrReplaceTempView(view_name)
+        return df
+
+    def properties(self, table: str) -> dict:
+        return self._read_manifest(table).get("properties", {})
+
+    def set_properties(self, table: str, **props) -> None:
+        m = self._read_manifest(table)
+        self._flip(table, m["current"], props)
+
+    def register_index(self, table: str, columns: list[str], kind: str = "btree") -> None:
+        """D8 analogue: indexes become layout hints in properties
+        (on a lakehouse: bucketBy/Z-ORDER); recorded, never failing
+        the load (reference policy, postgres/postgres.py:190-229)."""
+        idx = self.properties(table).get("indexes", [])
+        idx.append({"columns": columns, "kind": kind})
+        self.set_properties(table, indexes=idx)
+
+    def analyze(self, table: str) -> dict:
+        """D9 VACUUM ANALYZE analogue: recompute row count stats."""
+        n = self.read(table).count()
+        self.set_properties(table, rowcount=n)
+        return {"rowcount": n}

@@ -1,0 +1,147 @@
+"""End-to-end pipeline tests reproducing the reference's round-trip
+oracle (tests/test_postgres.py:70-93): load a fixture CSV modeled on
+point_table_2272 (empty geometry, NULLs, special characters, QNAN
+Z-coords), extract it, load it back, assert recorddiff is empty."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databridge_etl_tools_spark.plans import pipelines as P
+from databridge_etl_tools_spark.qa import QAError, QAReport
+from databridge_etl_tools_spark.schema import TableSchema
+from databridge_etl_tools_spark.sources.csv_io import read_csv
+from databridge_etl_tools_spark.sources.table_store import TableStore
+
+SCHEMA = TableSchema.from_json(
+    {
+        "primaryKey": ["objectid"],
+        "fields": [
+            {"name": "objectid", "type": "integer", "constraints": {"required": True}},
+            {"name": "textfield", "type": "string"},
+            {"name": "datefield", "type": "datetime"},
+            {"name": "numericfield", "type": "numeric"},
+            {"name": "shape", "type": "geometry", "geometry_type": "point", "srid": 2272},
+        ],
+    }
+)
+
+CSV = """objectid,textfield,datefield,numericfield,shape
+1,,,,SRID=2272;MULTIPOINT EMPTY
+2,ab#$%c,2019-05-14 09:06:07,12.54,SRID=2272;POINT(2712205.71100539 259685.27615705)
+3,"d!@^&*?-=+ef",2019-05-14 09:06:07,9.99,SRID=2272;POINT(2712205.71 259685.27)
+4,"quoted, comma",2020-01-01 00:00:00,-1.5,SRID=2272;POINT Z (2712205.71 259685.27 1.#QNAN000)
+5,unicode-é,2020-06-01 12:30:00,0,SRID=2272;POINT(0 0)
+"""
+
+
+@pytest.fixture()
+def staged_csv(tmp_path):
+    p = tmp_path / "staging" / "point_table.csv"
+    p.parent.mkdir(parents=True)
+    p.write_text(CSV, encoding="utf-8")
+    return str(p)
+
+
+def test_load_extract_roundtrip(spark, tmp_path, staged_csv):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    res = P.load_pipeline(spark, staged_csv, SCHEMA, store, "point_table", mode="truncate")
+    assert res.rows_loaded == 5
+    loaded = store.read("point_table")
+    assert loaded.count() == 5
+
+    rows = {r.objectid: r for r in loaded.collect()}
+    # QNAN Z-coordinate repaired and flattened to 2D
+    assert rows[4].shape == "SRID=2272;POINT (2712205.71 259685.27)"
+    # empty geometry preserved
+    assert rows[1].shape == "SRID=2272;MULTIPOINT EMPTY"
+    # typed columns
+    assert str(rows[2].numericfield) == "12.54000000"
+    assert rows[2].datefield.year == 2019
+
+    # extract to CSV + schema sidecar
+    out = str(tmp_path / "extract_out")
+    eres = P.extract_pipeline(spark, store, "point_table", out, localize_timestamps=False)
+    assert eres.rows == 5
+    assert '"primaryKey"' in eres.schema_json
+
+    # round-trip: load the extracted CSV into a second table → no diff
+    res2 = P.load_pipeline(spark, out, SCHEMA, store, "point_table_rt", mode="truncate")
+    assert res2.rows_loaded == 5
+    a, b = store.read("point_table"), store.read("point_table_rt")
+    qa = QAReport()
+    qa.record_diff_empty(a, b)
+    qa.raise_if_failed()
+
+
+def test_extract_localizes_timestamps(spark, tmp_path, staged_csv):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    P.load_pipeline(spark, staged_csv, SCHEMA, store, "pt", mode="truncate")
+    out = str(tmp_path / "loc_out")
+    P.extract_pipeline(spark, store, "pt", out, localize_timestamps=True)
+    back = read_csv(spark, out)
+    vals = {r.objectid: r.datefield for r in back.collect()}
+    assert vals["2"] == "2019-05-14 09:06:07-04:00"  # EDT
+    assert vals["4"] == "2020-01-01 00:00:00-05:00"  # EST
+
+
+def test_load_append_mode_accumulates(spark, tmp_path, staged_csv):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    P.load_pipeline(spark, staged_csv, SCHEMA, store, "pt", mode="truncate")
+    P.load_pipeline(spark, staged_csv, SCHEMA, store, "pt", mode="append")
+    assert store.read("pt").count() == 10
+
+
+def test_load_field_mismatch_fails_before_write(spark, tmp_path):
+    bad = tmp_path / "bad.csv"
+    bad.write_text("objectid,unknown_col\n1,x\n")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    with pytest.raises(QAError) as ei:
+        P.load_pipeline(spark, str(bad), SCHEMA, store, "pt_bad", mode="truncate")
+    assert "V5" in str(ei.value)
+    # destructive step never ran: table exists but stayed empty
+    assert store.read("pt_bad").count() == 0
+
+
+def test_geometry_precheck_blocks_wrong_kind(spark, tmp_path):
+    wrong = tmp_path / "wrong_geom.csv"
+    wrong.write_text(
+        "objectid,textfield,datefield,numericfield,shape\n"
+        "1,a,2020-01-01 00:00:00,1,SRID=2272;LINESTRING(0 0, 1 1)\n"
+    )
+    store = TableStore(spark, str(tmp_path / "wh"))
+    with pytest.raises(QAError) as ei:
+        P.load_pipeline(spark, str(wrong), SCHEMA, store, "pt_geom", mode="truncate")
+    assert "V6" in str(ei.value)
+
+
+def test_upsert_pipeline_updates_and_inserts(spark, tmp_path, staged_csv):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    P.load_pipeline(spark, staged_csv, SCHEMA, store, "pt", mode="truncate")
+    delta = tmp_path / "delta.csv"
+    delta.write_text(
+        "objectid,textfield,datefield,numericfield,shape\n"
+        "2,UPDATED,2021-01-01 00:00:00,99.9,SRID=2272;POINT(1 1)\n"
+        "6,NEW,2021-01-01 00:00:00,1,SRID=2272;POINT(2 2)\n"
+    )
+    res = P.upsert_pipeline(spark, str(delta), SCHEMA, store, "pt")
+    assert res.final_count == 6
+    rows = {r.objectid: r for r in store.read("pt").collect()}
+    assert rows[2].textfield == "UPDATED"
+    assert rows[6].textfield == "NEW"
+    assert rows[1].shape == "SRID=2272;MULTIPOINT EMPTY"  # untouched
+
+
+def test_upsert_delete_stale(spark, tmp_path, staged_csv):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    P.load_pipeline(spark, staged_csv, SCHEMA, store, "pt", mode="truncate")
+    delta = tmp_path / "delta.csv"
+    delta.write_text(
+        "objectid,textfield,datefield,numericfield,shape\n"
+        "2,KEEP,2021-01-01 00:00:00,1,SRID=2272;POINT(1 1)\n"
+        "3,KEEP,2021-01-01 00:00:00,1,SRID=2272;POINT(1 1)\n"
+    )
+    res = P.upsert_pipeline(spark, str(delta), SCHEMA, store, "pt", delete_stale_rows=True)
+    assert res.final_count == 2
+    assert {r.objectid for r in store.read("pt").collect()} == {2, 3}

@@ -1,0 +1,136 @@
+"""Schema layer + table-store lifecycle tests (SURVEY §1.2-1.3, §2.6)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from databridge_etl_tools_spark.schema import TableSchema, schema_drift
+from databridge_etl_tools_spark.sources.table_store import TableStore
+
+POINT_SCHEMA = {
+    "primaryKey": ["objectid"],
+    "fields": [
+        {"name": "objectid", "constraints": {"required": True}, "type": "numeric"},
+        {"name": "textfield", "type": "text"},
+        {"name": "datefield", "format": "fmt:%Y-%m-%d %H:%M:%S", "type": "date"},
+        {"name": "numericfield", "type": "numeric"},
+        {"name": "shape", "type": "geometry", "geometry_type": "point", "srid": 2272},
+    ],
+}
+
+
+def test_from_json_types_and_metadata():
+    ts = TableSchema.from_json(json.dumps(POINT_SCHEMA))
+    by_name = {f.name: f for f in ts.struct.fields}
+    assert by_name["objectid"].dataType == T.DecimalType(38, 8)
+    assert not by_name["objectid"].nullable
+    assert by_name["textfield"].dataType == T.StringType()
+    assert by_name["datefield"].dataType == T.DateType()
+    assert by_name["shape"].dataType == T.StringType()
+    assert ts.primary_key == ["objectid"]
+    assert ts.geometry_fields == {"shape": {"geometry_type": "Point", "srid": 2272}}
+
+
+def test_polygon_promotes_to_multipolygon():
+    doc = {"fields": [{"name": "shape", "type": "geometry", "geometry_type": "polygon", "srid": 2272}]}
+    ts = TableSchema.from_json(doc)
+    assert ts.geometry_fields["shape"]["geometry_type"] == "MultiPolygon"
+
+
+def test_new_schema_pg_types():
+    doc = {
+        "fields": [
+            {"name": "a", "type": "character varying(255)"},
+            {"name": "b", "type": "numeric(38,8)"},
+            {"name": "c", "type": "timestamp without time zone"},
+            {"name": "d", "type": "timestamp with time zone"},
+            {"name": "e", "type": "bigint"},
+        ]
+    }
+    ts = TableSchema.from_json(doc)
+    got = [f.dataType for f in ts.struct.fields]
+    assert got == [
+        T.StringType(),
+        T.DecimalType(38, 8),
+        T.TimestampNTZType(),
+        T.TimestampType(),
+        T.LongType(),
+    ]
+
+
+def test_roundtrip_to_json():
+    ts = TableSchema.from_json(POINT_SCHEMA)
+    doc = json.loads(ts.to_json())
+    assert doc["primaryKey"] == ["objectid"]
+    shape = [f for f in doc["fields"] if f["name"] == "shape"][0]
+    assert shape == {"name": "shape", "type": "geometry", "geometry_type": "multipoint", "srid": 2272} or shape["geometry_type"] == "point"
+
+
+def test_schema_drift_normalizes_varchar_and_ignores_shape():
+    expected = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("shape", T.StringType())]
+    )
+    actual = T.StructType([T.StructField("a", T.StringType())])
+    assert schema_drift(expected, actual) == []
+    actual2 = T.StructType([T.StructField("a", T.IntegerType())])
+    assert any("type drift" in p for p in schema_drift(expected, actual2))
+
+
+def test_store_lifecycle(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ts = TableSchema.from_json(POINT_SCHEMA)
+    assert store.create_table("t1", ts) is True
+    assert store.exists("t1")
+    assert store.read("t1").count() == 0
+    # idempotent create without drift
+    assert store.create_table("t1", ts) is False
+
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal(1), "a", None, None, "SRID=2272;POINT(1 2)")], ts.struct
+    )
+    store.append("t1", df)
+    assert store.read("t1").count() == 1
+
+    # truncate keeps schema, empties rows
+    store.truncate("t1")
+    assert store.read("t1").count() == 0
+    # parquet reads back nullable=True; names+types are the contract
+    got = [(f.name, f.dataType) for f in store.read("t1").schema.fields]
+    assert got == [(f.name, f.dataType) for f in ts.struct.fields]
+
+    # atomic overwrite flips versions
+    store.overwrite("t1", df)
+    assert store.read("t1").count() == 1
+
+    # drift → recreate drops rows
+    drifted = TableSchema(
+        struct=T.StructType(
+            [T.StructField("objectid", T.StringType())]
+        ),
+        primary_key=["objectid"],
+    )
+    assert store.create_table("t1", drifted) is True
+    assert store.read("t1").columns == ["objectid"]
+
+    store.drop("t1")
+    assert not store.exists("t1")
+    store.drop("t1", if_exists=True)
+    with pytest.raises(ValueError):
+        store.drop("t1", if_exists=False)
+
+
+def test_store_properties_and_indexes(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh2"))
+    ts = TableSchema.from_json(POINT_SCHEMA)
+    store.create_table("t2", ts)
+    assert store.properties("t2")["primaryKey"] == ["objectid"]
+    store.register_index("t2", ["objectid"], "btree")
+    store.register_index("t2", ["shape"], "gist")
+    assert len(store.properties("t2")["indexes"]) == 2
+    stats = store.analyze("t2")
+    assert stats == {"rowcount": 0}
