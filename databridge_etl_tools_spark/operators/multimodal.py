@@ -1,0 +1,183 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched
+``mapInPandas``.
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the
+decode seam is explicit: real bytes route to the library if present,
+else raise; a deterministic FAKE container format (``FAKEIMG:`` /
+``FAKEAUD:`` headers) exercises the full Spark-side plumbing —
+binary schema, batch iteration, per-partition decoder reuse, feature
+schema — which is the part that must be right at 100 TB.
+
+Layout guidance for scale: media tables should be written with the
+binary column LAST in the schema and row groups sized so metadata-
+only scans (parquet column pruning) never touch the blob pages;
+feature extraction repartitions by size so decode work balances.
+
+FAKE formats (deterministic, self-describing):
+- image: b"FAKEIMG:<width>:<height>:" + width*height pixel bytes
+- audio: b"FAKEAUD:<sample_rate>:<n_samples>:" + n_samples bytes
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = "width int, height int, format string"
+IMAGE_FEATURE_SCHEMA = "mean_pixel double, std_pixel double, n_pixels long"
+
+
+def pack_fake_image(width: int, height: int, seed: int = 0) -> bytes:
+    px = bytes((seed + i) % 256 for i in range(width * height))
+    return f"FAKEIMG:{width}:{height}:".encode() + px
+
+
+def pack_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    data = bytes((seed * 7 + i * 3) % 256 for i in range(n_samples))
+    return f"FAKEAUD:{sample_rate}:{n_samples}:".encode() + data
+
+
+def _decode_fake(content: bytes) -> tuple[str, dict, bytes]:
+    head, rest = content.split(b":", 1)
+    if head == b"FAKEIMG":
+        w, h, px = rest.split(b":", 2)
+        return "fakeimg", {"width": int(w), "height": int(h)}, px
+    if head == b"FAKEAUD":
+        sr, n, data = rest.split(b":", 2)
+        return "fakeaud", {"sample_rate": int(sr), "n_samples": int(n)}, data
+    raise ValueError("not a FAKE container")
+
+
+def _decode_image(content: bytes):
+    """Decode seam: PIL when available, FAKE container otherwise."""
+    if content.startswith(b"FAKEIMG:"):
+        _, meta, px = _decode_fake(content)
+        return meta["width"], meta["height"], px
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode requires Pillow (not in this container); "
+            "only the FAKEIMG container is supported here"
+        ) from e
+    raise NotImplementedError("PIL decode path not wired in this build")
+
+
+def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Header-only metadata extraction (no full decode) — the cheap
+    pass that runs before any pixel work."""
+    id_cols = [c for c in df.columns if c != content_col]
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes if c != content_col] + [IMAGE_META_SCHEMA.replace("format", "`format`")]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            ws, hs, fmts = [], [], []
+            for content in pdf[content_col]:
+                try:
+                    kind, meta, _ = _decode_fake(bytes(content))
+                    ws.append(meta.get("width"))
+                    hs.append(meta.get("height"))
+                    fmts.append(kind)
+                except Exception:  # noqa: BLE001 - unknown container
+                    ws.append(None), hs.append(None), fmts.append(None)
+            out["width"], out["height"], out["format"] = ws, hs, fmts
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Full-decode feature extraction (mean/std pixel) — the expensive
+    pass; one decoder per partition, Arrow-batched."""
+    id_cols = [c for c in df.columns if c != content_col]
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes if c != content_col] + [IMAGE_FEATURE_SCHEMA]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            means, stds, ns = [], [], []
+            for content in pdf[content_col]:
+                w, h, px = _decode_image(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+                means.append(float(arr.mean()))
+                stds.append(float(arr.std()))
+                ns.append(len(arr))
+            out["mean_pixel"], out["std_pixel"], out["n_pixels"] = means, stds, ns
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def resize_images(df: DataFrame, new_width: int, new_height: int, content_col: str = "content") -> DataFrame:
+    """Resize (nearest-neighbor on the FAKE container) — shows the
+    binary-in/binary-out transform shape."""
+    schema = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            out = pdf.copy()
+            resized = []
+            for content in pdf[content_col]:
+                w, h, px = _decode_image(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                yi = (np.arange(new_height) * h // new_height)
+                xi = (np.arange(new_width) * w // new_width)
+                small = arr[np.ix_(yi, xi)]
+                resized.append(
+                    f"FAKEIMG:{new_width}:{new_height}:".encode() + small.tobytes()
+                )
+            out[content_col] = resized
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def audio_frame_sample(df: DataFrame, every_n: int, content_col: str = "content") -> DataFrame:
+    """Frame sampling for audio/video: keep every ``every_n``-th
+    sample (the video-frame-sampling shape on the FAKEAUD container)."""
+    id_cols = [c for c in df.columns if c != content_col]
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes if c != content_col]
+        + ["sample_rate int, n_kept int, kept binary"]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            srs, ns, kept = [], [], []
+            for content in pdf[content_col]:
+                kind, meta, data = _decode_fake(bytes(content))
+                assert kind == "fakeaud", "audio container expected"
+                k = data[::every_n]
+                srs.append(meta["sample_rate"] // every_n)
+                ns.append(len(k))
+                kept.append(bytes(k))
+            out["sample_rate"], out["n_kept"], out["kept"] = srs, ns, kept
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def binary_stats(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Metadata-pass statistics that never leave the JVM: byte length
+    + md5 over the binary column (pure column expressions)."""
+    c = F.col(content_col)
+    return df.select(
+        F.col(id_col),
+        F.octet_length(c).alias("n_bytes"),
+        F.md5(c).alias("content_md5"),
+    )

@@ -1,0 +1,117 @@
+"""Local HTTP stub emulating the reference's REST services (Knack
+pages, Airtable offsets, AGO feature query + edits, AIS geocoder) for
+source/sink tests."""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+KNACK_FIELDS = [
+    {"label": "Record ID", "type": "auto_increment"},
+    {"label": "Date Opened", "type": "date_time"},
+    {"label": "Status", "type": "multiple_choice"},
+]
+KNACK_RECORDS = [
+    {"id": f"k{i}", "record_id": i, "date_opened": None, "status": {"v": i % 2}}
+    for i in range(25)
+]
+
+AIR_RECORDS = [{"id": f"rec{i}", "fields": {"Name": f"n{i}", "Value": i}} for i in range(30)]
+
+AGO_FEATURES = [
+    {"attributes": {"objectid": i, "pk": f"p{i % 8}", "val": i * 10}} for i in range(20)
+]
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_version = "Stub/1.0"
+    posted: list[dict] = []  # class-level capture of POST bodies
+    fail_batches: set[str] = set()  # batch ids to reject (once each)
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def _json(self, doc, code=200):
+        body = json.dumps(doc).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        u = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        if u.path.endswith("/fields"):
+            return self._json({"fields": KNACK_FIELDS})
+        if u.path.endswith("/records"):  # knack pagination
+            page = int(q.get("page", 1))
+            per = int(q.get("rows_per_page", 10))
+            total_pages = (len(KNACK_RECORDS) + per - 1) // per
+            recs = KNACK_RECORDS[(page - 1) * per : page * per]
+            return self._json(
+                {"records": recs, "current_page": page, "total_pages": total_pages}
+            )
+        if u.path.endswith("/airtable"):  # offset pagination
+            per = int(q.get("pageSize", 10))
+            off = int(q.get("offset", 0))
+            recs = AIR_RECORDS[off : off + per]
+            doc = {"records": recs}
+            if off + per < len(AIR_RECORDS):
+                doc["offset"] = off + per
+            return self._json(doc)
+        if u.path.endswith("/query"):  # AGO feature query
+            if q.get("returnCountOnly") == "true":
+                return self._json({"count": len(AGO_FEATURES)})
+            off = int(q.get("resultOffset", 0))
+            per = int(q.get("resultRecordCount", 1000))
+            where = q.get("where", "1=1")
+            feats = AGO_FEATURES
+            m = re.match(r"objectid >= (\d+) AND objectid < (\d+)", where)
+            if m:
+                lo, hi = int(m.group(1)), int(m.group(2))
+                feats = [f for f in feats if lo <= f["attributes"]["objectid"] < hi]
+            return self._json({"features": feats[off : off + per]})
+        if "/search/" in u.path:  # AIS geocoder
+            addr = unquote(u.path.rsplit("/", 1)[-1])
+            if addr.startswith("bad"):
+                return self._json({"features": []})
+            return self._json(
+                {
+                    "features": [
+                        {
+                            "properties": {
+                                "lon": "-75.16",
+                                "lat": "39.95",
+                                "shape": f"SRID=4326;POINT (-75.16 39.95)",
+                                "match_type": "exact",
+                                "normalized": addr.upper(),
+                            }
+                        }
+                    ]
+                }
+            )
+        return self._json({"error": "not found"}, 404)
+
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers.get("Content-Length", 0))
+        doc = json.loads(self.rfile.read(n) or b"{}")
+        bid = doc.get("batch_id", "")
+        if bid in Handler.fail_batches:
+            Handler.fail_batches.discard(bid)  # fail only once → retry succeeds
+            return self._json({"error": "transient"}, 500)
+        if bid.endswith("-permfail"):
+            return self._json({"error": "permanent"}, 500)
+        Handler.posted.append(doc)
+        return self._json({"ok": True, "n": len(doc.get("rows", []))})
+
+
+def start_stub() -> tuple[ThreadingHTTPServer, str]:
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"

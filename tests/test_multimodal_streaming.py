@@ -1,0 +1,112 @@
+"""Multimodal binary-column plumbing + Structured Streaming tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databridge_etl_tools_spark.operators import multimodal as MM
+from databridge_etl_tools_spark.streaming import events as SE
+
+
+@pytest.fixture()
+def images(spark):
+    rows = [
+        (1, MM.pack_fake_image(4, 3, seed=0)),
+        (2, MM.pack_fake_image(8, 2, seed=5)),
+    ]
+    return spark.createDataFrame(rows, "img_id int, content binary")
+
+
+def test_image_metadata_header_only(spark, images):
+    out = {r.img_id: r for r in MM.image_metadata(images).collect()}
+    assert (out[1].width, out[1].height, out[1].format) == (4, 3, "fakeimg")
+    assert (out[2].width, out[2].height) == (8, 2)
+
+
+def test_image_features_full_decode(spark, images):
+    out = {r.img_id: r for r in MM.image_features(images).collect()}
+    # image 1: pixels 0..11 → mean 5.5
+    assert out[1].n_pixels == 12 and abs(out[1].mean_pixel - 5.5) < 1e-9
+    assert out[2].n_pixels == 16
+
+
+def test_resize_roundtrip(spark, images):
+    small = MM.resize_images(images, 2, 2)
+    meta = {r.img_id: r for r in MM.image_metadata(small).collect()}
+    assert (meta[1].width, meta[1].height) == (2, 2)
+    feats = MM.image_features(small).first()
+    assert feats.n_pixels == 4
+
+
+def test_real_image_bytes_raise_not_implemented(spark):
+    df = spark.createDataFrame([(1, b"\x89PNG\r\n...")], "img_id int, content binary")
+    with pytest.raises(Exception) as ei:
+        MM.image_features(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+def test_audio_frame_sample(spark):
+    df = spark.createDataFrame(
+        [(1, MM.pack_fake_audio(16000, 100, seed=1))], "aud_id int, content binary"
+    )
+    out = MM.audio_frame_sample(df, every_n=4).first()
+    assert out.sample_rate == 4000 and out.n_kept == 25
+    assert len(out.kept) == 25
+
+
+def test_binary_stats_jvm_only(spark):
+    df = spark.createDataFrame([(1, b"abc")], "id int, content binary")
+    r = MM.binary_stats(df, "content", "id").first()
+    assert r.n_bytes == 3
+    assert r.content_md5 == "900150983cd24fb0d6963f7d28e17f72"
+
+
+# ---------------- streaming ----------------
+
+
+def test_available_now_drain_matches_batch(spark, tmp_path):
+    # stage as micro-batch files (events.parquet is NANOS; re-stage as
+    # ntz so the file stream source can read it)
+    from databridge_etl_tools_spark.registry import table as load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    staging = str(tmp_path / "staging")
+    ev.repartition(3).write.parquet(staging)
+
+    stream = SE.read_event_stream(spark, staging)
+    agg = SE.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    # append mode only emits closed windows; count totals instead via
+    # a complete-mode drain of the raw stream
+    out = SE.run_available_now(stream, "drained_events")
+    assert out.count() == ev.count()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    from databridge_etl_tools_spark.registry import table as load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    staging = str(tmp_path / "sess_staging")
+    ev.write.parquet(staging)
+
+    batch_sessions = SE.sessionize_batch(ev, gap_minutes=30)
+    b = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in batch_sessions.collect()
+    }
+
+    stream = SE.read_event_stream(spark, staging)
+    q = (
+        SE.sessionize_stream(stream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    s = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert b == s

@@ -1,0 +1,112 @@
+"""REST source/sink tests against the local stub server."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databridge_etl_tools_spark.sinks.rest_sink import (
+    ago_upsert_plan,
+    post_batches,
+    quarantine_failures,
+)
+from databridge_etl_tools_spark.sources.geocode import geocode_enrich
+from databridge_etl_tools_spark.sources.rest import (
+    AGOFeatureSource,
+    AirtableSource,
+    KnackSource,
+)
+
+from rest_stub import Handler, start_stub
+
+
+@pytest.fixture(scope="module")
+def stub():
+    srv, url = start_stub()
+    yield url
+    srv.shutdown()
+
+
+def test_knack_schema_and_extract(spark, stub):
+    src = KnackSource(stub, rows_per_page=10)
+    schema = src.schema("obj_1")
+    assert [f.name for f in schema.fields] == ["id", "record_id", "date_opened", "status"]
+    assert schema["record_id"].dataType == T.LongType()
+    df = src.extract(spark, "obj_1", schema)
+    assert df.count() == 25  # 3 pages of 10
+    # dict cells JSON-serialized
+    row = df.where(F.col("record_id") == 1).first()
+    assert row["status"] == '{"v": 1}'
+
+
+def test_airtable_offset_pagination_and_objectid(spark, stub):
+    schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("value", T.LongType())]
+    )
+    src = AirtableSource(f"{stub}", rows_per_page=12)
+    df = src.extract(spark, "airtable", schema, add_objectid=True)
+    assert df.count() == 30
+    assert df.select("objectid").distinct().count() == 30
+
+
+def test_ago_count_extract_and_partitioned(spark, stub):
+    schema = T.StructType(
+        [
+            T.StructField("objectid", T.LongType()),
+            T.StructField("pk", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    src = AGOFeatureSource(stub, batch=7)
+    assert src.count() == 20
+    df = src.extract(spark, schema)
+    assert df.count() == 20
+    dfp = src.extract_partitioned(spark, schema, "objectid", [(0, 10), (10, 30)])
+    assert dfp.count() == 20
+    assert set(r.objectid for r in dfp.collect()) == set(range(20))
+
+
+def test_post_batches_and_quarantine(spark, stub, tmp_path):
+    Handler.posted.clear()
+    df = spark.range(0, 23).withColumn("v", F.col("id") * 2).repartition(2)
+    status = post_batches(df, f"{stub}/edits", batch_size=10).cache()
+    rows = status.collect()
+    assert sum(r.n_rows for r in rows) == 23
+    assert all(r.ok for r in rows)
+    assert sum(len(d["rows"]) for d in Handler.posted) == 23
+    assert quarantine_failures(status, str(tmp_path / "errs")) == 0
+
+
+def test_post_batches_transient_retry(spark, stub):
+    Handler.posted.clear()
+    # every first POST of batch id '<pid>-0' fails once, then succeeds
+    Handler.fail_batches = {f"{p}-0" for p in range(4)}
+    df = spark.range(0, 8).repartition(1)
+    status = post_batches(df, f"{stub}/edits", batch_size=100).collect()
+    assert all(r.ok for r in status)
+
+
+def test_ago_upsert_plan_splits(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "b", 30)], "objectid int, pk string, val int"
+    )
+    staged = spark.createDataFrame(
+        [(99, "a", 11), (98, "c", 12)], "objectid int, pk string, val int"
+    )
+    adds, updates, dups = ago_upsert_plan(staged, existing, "pk")
+    assert [(r.pk, r.val) for r in adds.collect()] == [("c", 12)]
+    urow = updates.first()
+    assert urow.pk == "a" and urow.objectid == 1  # existing oid swapped in
+    assert [(r.objectid, r.pk) for r in dups.collect()] == [(3, "b")]
+
+
+def test_geocode_enrich_hit_and_miss(spark, stub):
+    df = spark.createDataFrame(
+        [(1, "100 Market St"), (2, "bad address zzz")], "id int, addr string"
+    )
+    out = geocode_enrich(df, "addr", stub).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].geocoded and by_id[1].lat == "39.95"
+    assert by_id[1].normalized == "100 MARKET ST"
+    assert not by_id[2].geocoded and by_id[2].lat is None
