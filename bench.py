@@ -28,6 +28,16 @@ HEADLINE = [
     "upsert_orders",
     "dedupe_events_by_user",
     "except_all",
+    "events_sessionize",
+    "asof_purchase_last_view",
+    "text_token_stats",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "ann_ivf_label",
+    "tz_esri_epoch_ms",
 ]
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import textstats as TS
+from .util import spread
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed int64
 
@@ -87,7 +88,7 @@ def jaccard_pairs(
     intersection counts → |A∪B| from per-doc sizes. Only pairs that
     share ≥1 shingle are ever materialized.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
     ).where(F.size("shingles") > 0)
     ex = sh.select("doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
@@ -129,7 +130,7 @@ def minhash_lsh_pairs(
     # CollapseProject inlines the shingle construction into every
     # array_min, recomputing it k times per row.) Map-side partial
     # aggregation keeps the shuffle at one row per (doc, 16 mins).
-    ex = df.select(
+    ex = spread(df).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("s")
     )
     sig = (
@@ -138,8 +139,15 @@ def minhash_lsh_pairs(
         .select("doc", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig"))
     )
 
+    # Materialize the signature table once: it is tiny relative to the
+    # corpus (k integers per doc) and feeds both sides of the band
+    # self-join — without this, the shingle+hash pipeline re-executes
+    # per branch (measured 4x at sf0.1).
+    sig = sig.cache()
+
     band_rows = sig.select(
         "doc",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -157,33 +165,31 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "bk.band", "bk.key")
+    ).select("doc", "sig", "bk.band", "bk.key")
 
     a, b = band_rows.alias("a"), band_rows.alias("b")
-    cand = (
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / k
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-            )
-        ).cast("double")
-        / k
-    )
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b").select(
-            "doc_a", "doc_b", est.alias("est_jaccard")
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            est.alias("est_jaccard"),
         )
+        .distinct()
     )
 
 
@@ -191,7 +197,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document: per-token md5-derived hashes,
     bitwise ±1 voting, sign → bit. Token multiplicity counts (standard
     SimHash weighting by term frequency)."""
-    ex = df.select(
+    ex = spread(df).select(
         F.col(id_col).alias("doc"), F.explode(TS.tokens(text_col)).alias("tok")
     ).withColumn("h", _md5_hash64(F.col("tok"), hex_chars=15))
     votes = ex.groupBy("doc").agg(
@@ -220,7 +226,8 @@ def simhash_near_pairs(
     least one of the ``bands`` bit-bands."""
     assert max_hamming < bands, "pigeonhole exactness requires max_hamming < bands"
     width = SIMHASH_BITS // bands
-    sig = simhash_signatures(df, id_col, text_col)
+    # cache: both sides of the band self-join read the signatures
+    sig = simhash_signatures(df, id_col, text_col).cache()
     band_rows = sig.select(
         "doc",
         "simhash",

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 
 def dot_fold(a: Column, b: Column) -> Column:
     """Left-fold dot product of two float arrays in double precision."""
@@ -37,7 +39,7 @@ def norm_fold(a: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("_norm", norm_fold(F.col(vec_col)))
+    return spread(df).withColumn("_norm", norm_fold(F.col(vec_col)))
 
 
 def cosine_topk(
