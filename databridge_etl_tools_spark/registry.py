@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "databridge_etl_tools_spark.queries.merge",
     "databridge_etl_tools_spark.queries.prepare",
     "databridge_etl_tools_spark.queries.geometry",
+    "databridge_etl_tools_spark.queries.geoproj_queries",
     "databridge_etl_tools_spark.queries.datetime_policies",
     "databridge_etl_tools_spark.queries.textops",
     "databridge_etl_tools_spark.queries.dedup",

@@ -162,6 +162,18 @@ class TableStore:
         idx.append({"columns": columns, "kind": kind})
         self.set_properties(table, indexes=idx)
 
+    def reset_objectid_counter(self, table: str, objectid_col: str = "objectid") -> int:
+        """D11 semantics: after a load into an id-managed table, the
+        reference resets the SDE objectid sequence to max(objectid)
+        (postgres/postgres.py:758-777). Here the next id is a table
+        property consumers read before assigning new ids."""
+        from pyspark.sql import functions as F
+
+        row = self.read(table).agg(F.max(objectid_col).alias("m")).first()
+        nxt = int(row["m"] or 0) + 1
+        self.set_properties(table, next_objectid=nxt)
+        return nxt
+
     def analyze(self, table: str) -> dict:
         """D9 VACUUM ANALYZE analogue: recompute row count stats."""
         n = self.read(table).count()
