@@ -110,6 +110,83 @@ def neardup_pairs(
     )
 
 
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — identical in
+    any engine/language, so LSH bucketing is reproducible with no RNG
+    state shipped around."""
+    import hashlib
+
+    out = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"hp:{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def _plane_col(plane: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in plane])
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit j = [dot(v, plane_j) >= 0]."""
+    bucket = F.lit(0).cast("bigint")
+    for j, p in enumerate(planes):
+        bit = F.when(dot_fold(vec, _plane_col(p)) >= 0, F.lit(1 << j)).otherwise(0)
+        bucket = bucket + bit
+    return bucket
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN — the scale path: random-hyperplane signatures
+    put similar vectors in the same bucket; candidates are an
+    equi-join on the bucket id (co-partitioned; at 100 TB the
+    embedding table is written bucketed by this id so probes are
+    shuffle-free), then exact cosine rerank within the bucket.
+
+    Approximate by construction: recall < 1 vs. brute force (a true
+    neighbor in another bucket is missed) — multi-probe (flipping
+    low-margin bits) is the standard recall knob.
+    """
+    planes = hyperplanes(n_planes, dim)
+    base = with_norm(emb, vec_col).withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    q = base.where(query_pred) if query_pred is not None else base
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.col("_bucket").alias("_qb"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        F.col("_bucket").alias("_cb"),
+    )
+    joined = q.join(c, F.col("_qb") == F.col("_cb")).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = dot_fold(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_vectorized(
     emb: DataFrame,
     k: int = 5,

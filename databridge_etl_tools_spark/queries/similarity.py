@@ -90,6 +90,46 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.neardup_pairs(emb, threshold=0.45)
 
 
+def _lsh_oracle() -> str:
+    planes = SIM.hyperplanes(8, 64)
+    plane_dots = []
+    for j, p in enumerate(planes):
+        lit = "[" + ",".join(repr(v) for v in p) + "]"
+        dot = (
+            "list_reduce(list_prepend(0.0, list_transform(range(1,65),"
+            f" i -> embedding[i]::DOUBLE * ({lit}::DOUBLE[])[i])), (x,y) -> x+y)"
+        )
+        plane_dots.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    bucket = " + ".join(plane_dots)
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings),
+    q AS (SELECT * FROM base WHERE vec_id % 50 = 0),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN base c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p) t
+    WHERE rank <= 5
+    """
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_oracle())
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (8 md5-derived random hyperplanes → sign-bit
+    bucket → in-bucket exact rerank) — the 100 TB scale path: the
+    candidate join co-partitions on the bucket id instead of a cross
+    join. Recall is approximate vs ann_cosine_topk by design."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_lsh(emb, k=5, query_pred=F.col("vec_id") % 50 == 0)
+
+
 @query("ann_topk_vectorized")  # no oracle: BLAS sum order ≠ fold (rows-only check)
 def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput ANN: broadcast candidate matrix + numpy GEMM per

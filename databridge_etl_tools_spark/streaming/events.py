@@ -90,6 +90,48 @@ def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    user, a running (events, value) total carried across micro-batches
+    in state. Emits one row per user per batch that saw that user.
+
+    The shape to note for scale: state is keyed by user_id (hash-
+    distributed), each batch touches only the keys present in it, and
+    the pandas function sees Arrow batches — the Spark-native form of
+    'custom stateful operator' (SURVEY §2.8 is empty in the
+    reference; this is the extension point)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        user_id = key[0]
+        n = 0
+        total = 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        if state.exists:
+            (prev_n, prev_total) = state.get
+        else:
+            prev_n, prev_total = 0, 0.0
+        state.update((prev_n + n, prev_total + total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "batch_events": [n],
+                "cum_events": [prev_n + n],
+                "cum_value": [prev_total + total],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, batch_events long, cum_events long, cum_value double",
+        stateStructType="n long, total double",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def sessionize_stream(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming sessionization via the native session_window —
     state-backed, watermark-bounded (the stream twin of

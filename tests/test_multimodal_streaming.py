@@ -110,3 +110,48 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_out").collect()
     }
     assert b == s
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from databridge_etl_tools_spark.registry import table as load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200).cache()
+    staging = str(tmp_path / "state_staging")
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(staging)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(staging)
+
+    stream = SE.read_event_stream(spark, staging)
+    q = (
+        SE.running_user_totals(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("running_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM running_totals").collect()
+
+    # final cumulative per user == plain batch totals
+    final = {}
+    for r in out:
+        cur = final.get(r.user_id)
+        if cur is None or r.cum_events > cur[0]:
+            final[r.user_id] = (r.cum_events, r.cum_value)
+    expected = {
+        r.user_id: (r.n, r.v)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for u, (n, v) in expected.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - v) < 1e-9
+    # state really carried across batches: some user must appear twice
+    from collections import Counter
+
+    seen = Counter(r.user_id for r in out)
+    assert max(seen.values()) == 2

@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the scalar-function layer and
+merge semantics — the reference has none (SURVEY §5); pure column
+functions make them cheap here."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from databridge_etl_tools_spark.functions import (
+    force_2d,
+    promote_to_multi,
+    srid_of,
+    strip_srid,
+    with_srid,
+)
+from databridge_etl_tools_spark.functions.geometry_udf import (
+    ewkb_to_point_wkt,
+    point_wkt_to_ewkb,
+)
+from databridge_etl_tools_spark.functions.text import snakecase
+from databridge_etl_tools_spark.operators import merge as M
+
+_SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e7, max_value=1e7
+)
+
+
+def _vals(spark, values, fn):
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    return [r.y for r in df.select(fn(F.col("x")).alias("y")).collect()]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=8), st.integers(0, 999999))
+def test_srid_tag_strip_roundtrip(spark, pts, srid):
+    wkts = [f"POINT ({x} {y})" for x, y in pts]
+    df = spark.createDataFrame([(w,) for w in wkts], "x string")
+    out = df.select(
+        srid_of(with_srid(F.col("x"), srid)).alias("s"),
+        strip_srid(with_srid(F.col("x"), srid)).alias("w"),
+    ).collect()
+    assert all(r.s == srid for r in out)
+    assert [r.w for r in out] == wkts
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(finite, finite, finite), min_size=1, max_size=6))
+def test_force_2d_idempotent(spark, pts):
+    wkts = [f"POINT Z ({x} {y} {z})" for x, y, z in pts]
+    once = _vals(spark, wkts, force_2d)
+    twice = _vals(spark, once, force_2d)
+    assert once == twice
+    assert all("Z" not in w.split("(")[0] for w in once)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(finite, finite), min_size=3, max_size=6))
+def test_multi_promotion_idempotent_and_kind(spark, ring):
+    body = ",".join(f"{x} {y}" for x, y in ring)
+    wkt = f"POLYGON(({body}))"
+    once = _vals(spark, [wkt], lambda c: promote_to_multi(c, "MULTIPOLYGON"))[0]
+    twice = _vals(spark, [once], lambda c: promote_to_multi(c, "MULTIPOLYGON"))[0]
+    assert once.startswith("MULTIPOLYGON((")
+    assert once == twice
+
+
+@settings(**_SETTINGS)
+@given(st.tuples(finite, finite), st.one_of(st.none(), st.integers(1, 999999)))
+def test_wkb_codec_roundtrip(pt, srid):
+    x, y = pt
+    wkt = (f"SRID={srid};" if srid else "") + f"POINT ({_f(x)} {_f(y)})"
+    assert ewkb_to_point_wkt(point_wkt_to_ewkb(wkt)) == wkt
+
+
+def _f(v: float) -> str:
+    return str(int(v)) if v == int(v) else repr(v)
+
+
+@settings(**_SETTINGS)
+@given(st.text(min_size=1, max_size=30))
+def test_snakecase_output_is_normalized(label):
+    s = snakecase(label)
+    assert s == s.lower()
+    assert "__" not in s
+    assert not s.startswith("_") and not s.endswith("_")
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.text("ab", max_size=3)), max_size=12),
+    st.lists(st.tuples(st.integers(0, 20), st.text("ab", max_size=3)), max_size=12),
+)
+def test_upsert_invariants(spark, prod_rows, staging_rows):
+    # dedupe inputs by key (prod must be key-unique; staging dedupes
+    # deterministically inside upsert)
+    prod_map = dict(prod_rows)
+    prod = spark.createDataFrame(
+        [(k, v) for k, v in prod_map.items()] or [(None, None)], "k int, v string"
+    ).where(F.col("k").isNotNull())
+    staging = spark.createDataFrame(
+        staging_rows or [(None, None)], "k int, v string"
+    ).where(F.col("k").isNotNull())
+
+    out = {r.k: r.v for r in M.upsert(prod, staging, ["k"], staging_order=[F.col("v")]).collect()}
+    staged = {}
+    for k, v in sorted(staging_rows, key=lambda t: (t[0], t[1])):
+        staged.setdefault(k, v)  # first under (v) order per key
+    expect = {**prod_map, **staged}
+    assert out == expect
