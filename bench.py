@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "proj_webmercator",
     "ann_ivf_label",
     "tz_esri_epoch_ms",
 ]

@@ -124,6 +124,82 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column access (F19/F21 read side): parse the ``props``
+    JSON payload JVM-side (get_json_object) and aggregate a field."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY 1
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based; at scale
+    prefer approx_percentile — t-digest sketch, no global sort — which
+    is deliberately not oracle-checked because sketch internals are
+    engine-specific)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH n AS (SELECT n_nationkey, lower(n_name) AS name FROM nation)
+    SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+    FROM n a JOIN n b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity dedup: edit-distance pairs under a threshold.
+    Quadratic in the entity count — appropriate for dimension-sized
+    tables (here: nations); at corpus scale, pre-bucket by length or
+    LSH first and apply this as the in-bucket verifier."""
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.lower("n_name").alias("name")
+    )
+    a = n.select(F.col("n_nationkey").alias("id_a"), F.col("name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("id_b"), F.col("name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dist <= 4)
+        .select("id_a", "id_b", dist.cast("int").alias("dist"))
+    )
+
+
+@query(
     "mm_binary_stats",
     oracle="""
     SELECT doc_id,
