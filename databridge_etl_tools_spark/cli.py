@@ -1,0 +1,121 @@
+"""CLI surface mirroring the reference's command-group UX
+(databridge_etl_tools/cli.py registers click groups ``postgres,
+carto, ago, …`` with subcommands extract/load/upsert). Here the
+groups collapse onto the engine's store-agnostic pipelines; argparse
+keeps the container dependency-free.
+
+    python -m databridge_etl_tools_spark table extract --store WH --table t --out OUT
+    python -m databridge_etl_tools_spark table load    --store WH --table t --csv IN --schema S.json [--mode truncate|append|rename_replace]
+    python -m databridge_etl_tools_spark table upsert  --store WH --table t --csv IN --schema S.json [--delete-stale]
+    python -m databridge_etl_tools_spark query run --name pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m databridge_etl_tools_spark query list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="databridge_etl_tools_spark")
+    sub = p.add_subparsers(dest="group", required=True)
+
+    t = sub.add_parser("table", help="store-backed table lifecycle")
+    tsub = t.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--store", required=True, help="table-store root dir")
+        sp.add_argument("--table", required=True)
+
+    ext = tsub.add_parser("extract")
+    common(ext)
+    ext.add_argument("--out", required=True, help="output CSV dir")
+    ext.add_argument("--exclude", nargs="*", default=None)
+    ext.add_argument("--no-localize", action="store_true")
+
+    for name in ("load", "upsert"):
+        sp = tsub.add_parser(name)
+        common(sp)
+        sp.add_argument("--csv", required=True)
+        sp.add_argument("--schema", required=True, help="JSON Table Schema file")
+        if name == "load":
+            sp.add_argument(
+                "--mode", default="truncate", choices=["truncate", "append", "rename_replace"]
+            )
+            sp.add_argument("--column-mapping", default=None, help="JSON dict old->new")
+        else:
+            sp.add_argument("--delete-stale", action="store_true")
+
+    q = sub.add_parser("query", help="registry queries")
+    qsub = q.add_subparsers(dest="cmd", required=True)
+    qsub.add_parser("list")
+    run = qsub.add_parser("run")
+    run.add_argument("--name", required=True)
+    run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    run.add_argument("--limit", type=int, default=20)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from .registry import QUERIES, load_all
+
+    if args.group == "query":
+        load_all()
+        if args.cmd == "list":
+            for name in sorted(QUERIES):
+                print(name)
+            return 0
+        from .session import get_session
+
+        spark = get_session("cli")
+        df = QUERIES[args.name](spark, args.sf_dir)
+        out = [r.asDict() for r in df.limit(args.limit).collect()]
+        print(json.dumps(out, default=str, indent=2))
+        return 0
+
+    from .plans import pipelines as P
+    from .schema import TableSchema
+    from .session import get_session
+    from .sources.table_store import TableStore
+
+    spark = get_session("cli")
+    store = TableStore(spark, args.store)
+
+    if args.cmd == "extract":
+        res = P.extract_pipeline(
+            spark,
+            store,
+            args.table,
+            args.out,
+            exclude_fields=args.exclude,
+            localize_timestamps=not args.no_localize,
+        )
+        print(json.dumps({"rows": res.rows, "csv": res.csv_path}))
+        schema_path = args.out.rstrip("/") + ".schema.json"
+        with open(schema_path, "w") as f:
+            f.write(res.schema_json)
+        return 0
+
+    schema = TableSchema.from_json(open(args.schema).read())
+    if args.cmd == "load":
+        mapping = json.loads(args.column_mapping) if args.column_mapping else None
+        res = P.load_pipeline(
+            spark, args.csv, schema, store, args.table, mode=args.mode, column_mapping=mapping
+        )
+        print(json.dumps({"rows_loaded": res.rows_loaded, "recreated": res.recreated}))
+        return 0
+    if args.cmd == "upsert":
+        res = P.upsert_pipeline(
+            spark, args.csv, schema, store, args.table, delete_stale_rows=args.delete_stale
+        )
+        print(json.dumps({"staged": res.staged, "final_count": res.final_count}))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,9 +101,18 @@ class QAReport:
         (ago/ago.py:542-583: ≤500 rows, type must match the target
         layer). Accepts the MULTI form of the expected kind and
         EMPTY geometries."""
+        c = F.col(geom_col)
+        n_open = F.length(c) - F.length(F.replace(c, F.lit("("), F.lit("")))
+        n_close = F.length(c) - F.length(F.replace(c, F.lit(")"), F.lit("")))
+        well_formed = (
+            F.upper(F.trim(c)).endswith("EMPTY")
+            | ((n_open > 0) & (n_open == n_close) & F.trim(c).endswith(")"))
+        )
         rows = (
             df.select(
-                geometry_kind(geom_col).alias("kind"), srid_of(geom_col).alias("srid")
+                geometry_kind(geom_col).alias("kind"),
+                srid_of(geom_col).alias("srid"),
+                well_formed.alias("ok"),
             )
             .where(F.col("kind") != "")
             .limit(sample)
@@ -111,6 +120,11 @@ class QAReport:
         )
         bad: list[str] = []
         for r in rows:
+            if not r["ok"]:
+                # catches truncation from malformed CSV quoting (a cell
+                # split at an unquoted comma) before a destructive load
+                bad.append("malformed wkt")
+                continue
             if expected_kind:
                 want = expected_kind.upper()
                 if r["kind"] not in (want, want.replace("MULTI", ""), "MULTI" + want):

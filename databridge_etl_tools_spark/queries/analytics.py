@@ -200,6 +200,67 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(38,2))) AS qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a hot key (l_returnflag has ~3
+    values → 3 reducers own everything in the naive plan; salting
+    spreads each key over 16 buckets first). Result is bit-identical
+    to the direct plan for exact types — the oracle IS the direct
+    plan."""
+    from ..operators.skew import salted_agg
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("sum", F.count(F.lit(1))),
+            "qty": ("sum", F.sum(F.col("l_quantity").cast("decimal(38,2)"))),
+            "revenue": ("sum", F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))),
+        },
+        salt_buckets=16,
+    )
+
+
+@query(
+    "text_vocabulary_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')) AS tok
+      FROM documents)
+    SELECT tok, n, rank FROM (
+      SELECT tok, COUNT(*) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS INTEGER) AS rank
+      FROM tok GROUP BY tok) t
+    WHERE rank <= 50
+    """,
+)
+def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction: top-50 tokens by frequency
+    (map-side combine → single ordered take; at 100 TB the global
+    ordering is a tree-reduce over per-partition top-Ks, which is
+    exactly what orderBy+limit compiles to — TakeOrderedAndProject)."""
+    from ..operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 50)
+
+
+@query(
     "mm_binary_stats",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,63 @@
+"""CLI surface tests (in-process main(), reusing the test session)."""
+
+from __future__ import annotations
+
+import json
+
+from databridge_etl_tools_spark.cli import main
+
+SCHEMA = {
+    "primaryKey": ["objectid"],
+    "fields": [
+        {"name": "objectid", "type": "integer", "constraints": {"required": True}},
+        {"name": "textfield", "type": "string"},
+        {"name": "shape", "type": "geometry", "geometry_type": "polygon", "srid": 2272},
+    ],
+}
+
+
+def test_cli_load_upsert_extract(spark, tmp_path, capsys):
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps(SCHEMA))
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "objectid,textfield,shape\n"
+        '1,a,"SRID=2272;POLYGON((0 0,1 0,1 1,0 0))"\n'
+        "2,b,SRID=2272;POLYGON EMPTY\n"
+    )
+    delta = tmp_path / "delta.csv"
+    delta.write_text(
+        "objectid,textfield,shape\n"
+        '2,UPDATED,"SRID=2272;POLYGON((5 5,6 5,6 6,5 5))"\n'
+        '3,NEW,"SRID=2272;POLYGON((9 9,9 8,8 8,9 9))"\n'
+    )
+    store = str(tmp_path / "wh")
+
+    assert main(["table", "load", "--store", store, "--table", "poly",
+                 "--csv", str(csv), "--schema", str(schema_file)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"rows_loaded": 2, "recreated": True}
+
+    assert main(["table", "upsert", "--store", store, "--table", "poly",
+                 "--csv", str(delta), "--schema", str(schema_file)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["final_count"] == 3
+
+    out_dir = str(tmp_path / "out_csv")
+    assert main(["table", "extract", "--store", store, "--table", "poly",
+                 "--out", out_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 3
+    sidecar = json.loads((tmp_path / "out_csv.schema.json").read_text())
+    assert sidecar["primaryKey"] == ["objectid"]
+
+
+def test_cli_query_list_and_run(spark, capsys):
+    assert main(["query", "list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "pricing_summary" in names and len(names) >= 50
+
+    assert main(["query", "run", "--name", "max_key",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["max_orderkey"] == 1499

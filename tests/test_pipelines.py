@@ -145,3 +145,17 @@ def test_upsert_delete_stale(spark, tmp_path, staged_csv):
     res = P.upsert_pipeline(spark, str(delta), SCHEMA, store, "pt", delete_stale_rows=True)
     assert res.final_count == 2
     assert {r.objectid for r in store.read("pt").collect()} == {2, 3}
+
+
+def test_geometry_precheck_catches_truncated_wkt(spark, tmp_path):
+    # an unquoted comma inside the WKT cell truncates it at CSV parse
+    # time — V6 must block the load (structural parens check)
+    bad = tmp_path / "trunc.csv"
+    bad.write_text(
+        "objectid,textfield,datefield,numericfield,shape\n"
+        "1,a,2020-01-01 00:00:00,1,SRID=2272;POINT(1\n"
+    )
+    store = TableStore(spark, str(tmp_path / "wh"))
+    with pytest.raises(QAError) as ei:
+        P.load_pipeline(spark, str(bad), SCHEMA, store, "pt_trunc", mode="truncate")
+    assert "V6" in str(ei.value)
