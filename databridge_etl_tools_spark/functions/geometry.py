@@ -159,8 +159,12 @@ def point_to_lon_lat(col: Column | str) -> tuple[Column, Column]:
     """
     c = F.col(col) if isinstance(col, str) else col
     num = r"([-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?)"
-    x = F.regexp_extract(c, rf"POINT\s*\(\s*{num}\s", 1).cast("double")
-    y = F.regexp_extract(c, rf"POINT\s*\(\s*{num}\s+{num}\s*\)", 2).cast("double")
+    # nullif guards non-matches (e.g. EMPTY geometries): ANSI mode
+    # (Spark 4 default) would otherwise throw casting '' to double
+    x = F.nullif(F.regexp_extract(c, rf"POINT\s*\(\s*{num}\s", 1), F.lit("")).cast("double")
+    y = F.nullif(
+        F.regexp_extract(c, rf"POINT\s*\(\s*{num}\s+{num}\s*\)", 2), F.lit("")
+    ).cast("double")
     return x, y
 
 

@@ -193,6 +193,51 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, id_col: str = "id", max_iters: int = 50
+) -> DataFrame:
+    """Duplicate-cluster assignment: min-label propagation to a
+    fixpoint over an undirected pair graph → (id, component) where
+    component is the smallest member id.
+
+    This is how near-dup PAIRS (jaccard/minhash/simhash output) become
+    dedup DECISIONS: one canonical representative per component.
+
+    Scale: each iteration is one hash join on the vertex id; the loop
+    runs until no label changes (≤ graph diameter iterations — dup
+    clusters are shallow). Spark-side iteration materializes each
+    round (localCheckpoint) to keep the plan from growing.
+    """
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+            .select(
+                "v", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document: per-token md5-derived hashes,
     bitwise ±1 voting, sign → bit. Token multiplicity counts (standard

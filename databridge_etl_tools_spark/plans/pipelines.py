@@ -201,6 +201,54 @@ def extract_pipeline(
 
 
 # ---------------------------------------------------------------------
+# opendata publish (SURVEY §7.2 step 9: F17 + F18 + F13 + K6 composed)
+# ---------------------------------------------------------------------
+
+def publish_opendata(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    out_dir: str,
+    geom_col: str = "shape",
+    exclude_fields: list[str] | None = None,
+) -> QAReport:
+    """The opendata publish composition (opendata/opendata.py): repair
+    corrupt SRIDs, reproject point geometry to EPSG:4326, derive
+    lat/lng columns, drop the geometry, write CSV + gzip artifact.
+
+    Reprojection is per-row CASE over the (repaired) SRID — all
+    column expressions, so mixed-SRID tables publish in one pass.
+    """
+    from ..functions import geoproj as GP
+
+    qa = QAReport()
+    df = store.read(table)
+    qa.nonzero_count(df, table)
+    if geom_col in df.columns:
+        srid = G.remap_bad_srid(G.srid_of(geom_col))
+        x, y = G.point_to_lon_lat(F.col(geom_col))
+        lcc_lon, lcc_lat = GP.pa_south_ft_to_lonlat(x, y)
+        merc_lon, merc_lat = GP.webmercator_to_lonlat(x, y)
+        lng = (
+            F.when(srid == 4326, x)
+            .when(srid == 2272, lcc_lon)
+            .when(srid == 3857, merc_lon)
+        )
+        lat = (
+            F.when(srid == 4326, y)
+            .when(srid == 2272, lcc_lat)
+            .when(srid == 3857, merc_lat)
+        )
+        df = df.withColumns({"lng": lng, "lat": lat}).drop(geom_col)
+    if exclude_fields:
+        df = df.drop(*exclude_fields)
+    write_csv(df, out_dir)
+    write_csv(df, out_dir + "_gz", gzip=True)  # K6 artifact copy
+    qa.smoke_select(spark.read.option("header", True).csv(out_dir), "published")
+    return qa.raise_if_failed()
+
+
+# ---------------------------------------------------------------------
 # upsert + delete-stale (§3.3 / J1-J3)
 # ---------------------------------------------------------------------
 

@@ -92,6 +92,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=16, bands=4)
 
 
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.5),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS u FROM documents
+      UNION
+      SELECT r.v, s.dst FROM reach r JOIN sym s ON s.src = r.u)
+    SELECT v AS doc_id, MIN(u) AS component
+    FROM reach GROUP BY v
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup decisions: connected components over the
+    Jaccard ≥ 0.5 pair graph (min-label propagation to fixpoint);
+    component = canonical representative id. Oracle: DuckDB recursive
+    CTE transitive closure."""
+    docs = table(spark, sf_dir, "documents")
+    edges = DD.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return DD.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+
+
 def _simhash_sql() -> str:
     votes = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"

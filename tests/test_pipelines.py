@@ -159,3 +159,21 @@ def test_geometry_precheck_catches_truncated_wkt(spark, tmp_path):
     with pytest.raises(QAError) as ei:
         P.load_pipeline(spark, str(bad), SCHEMA, store, "pt_trunc", mode="truncate")
     assert "V6" in str(ei.value)
+
+
+def test_publish_opendata_reprojects_and_gzips(spark, tmp_path, staged_csv):
+    import glob
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    P.load_pipeline(spark, staged_csv, SCHEMA, store, "pt", mode="truncate")
+    out = str(tmp_path / "pub")
+    P.publish_opendata(spark, store, "pt", out)
+    back = read_csv(spark, out)
+    assert "shape" not in back.columns
+    rows = {r.objectid: r for r in back.collect()}
+    # 2272 fixture points land in/near Philadelphia after reprojection
+    lng, lat = float(rows["2"].lng), float(rows["2"].lat)
+    assert -75.5 < lng < -74.8 and 39.8 < lat < 40.2
+    # empty geometry row → null lat/lng
+    assert rows["1"].lng is None
+    assert glob.glob(out + "_gz/*.csv.gz")
