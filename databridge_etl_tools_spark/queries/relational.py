@@ -220,6 +220,36 @@ def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "intersect_all",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+    INTERSECT ALL
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL multiset semantics (set-op family with A7)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return o.where(F.col("o_orderkey") % 2 == 0).intersectAll(
+        o.where(F.col("o_orderkey") % 3 == 0)
+    )
+
+
+@query("approx_sketches")  # no oracle: HLL/KLL sketch internals are engine-specific
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation scale path: approx_count_distinct (HLL)
+    and approx_percentile (quantile sketch) — no global sort, no exact
+    distinct shuffle. Rows-only check by necessity: sketch estimates
+    are engine-specific (exact twins: max_key / exact_percentiles)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+@query(
     "except_all",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
