@@ -30,7 +30,8 @@ class CheckResult:
     detail: str = ""
 
     def describe(self) -> str:
-        return f"{name if (name := self.name) else '?'}: {'ok' if self.passed else 'FAIL'} {self.detail}"
+        status = "ok" if self.passed else "FAIL"
+        return f"{self.name}: {status} {self.detail}".rstrip()
 
 
 @dataclass
