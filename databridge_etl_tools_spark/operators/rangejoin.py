@@ -1,0 +1,64 @@
+"""Interval/range join — an operator Spark lacks natively
+(SURVEY §4 extension; guide's 'as-of / range join' family).
+
+Joining points to intervals with NO equi-key degenerates to a
+broadcast nested-loop join in Spark (fine only when one side is
+tiny). The scale path bucketizes the range dimension: every interval
+explodes into the fixed-width buckets it overlaps, points map to
+their bucket, and the join becomes an equi-join on the bucket id
+plus a residual containment filter — O(points + intervals·span)
+instead of O(points·intervals), shuffling on a well-distributed key.
+
+Bucket width trades explosion factor (span/width rows per interval)
+against candidate precision (points sharing a bucket but outside the
+interval are filtered post-join). Width ≈ median interval length is
+the standard choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _bucket_of(ts: Column, width_minutes: int) -> Column:
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return (F.timestamp_diff("MINUTE", epoch, ts) / width_minutes).cast("bigint")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    width_minutes: int = 1440,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point < end`` (half-open), via bucketized equi-join.
+
+    Columns from both inputs are preserved (name collisions are the
+    caller's to resolve). ``how='inner'`` only — outer variants of a
+    bucketized join need a post-pass anti-join (documented, not
+    needed by the demo).
+    """
+    if how != "inner":
+        raise NotImplementedError("bucketized interval_join supports inner only")
+    p = points.withColumn("_pb", _bucket_of(F.col(point_ts), width_minutes))
+    iv = intervals.withColumn(
+        "_buckets",
+        F.sequence(
+            _bucket_of(F.col(start_ts), width_minutes),
+            # end is exclusive, but a point in the end's bucket can
+            # still precede it — include the boundary bucket and let
+            # the residual filter decide
+            _bucket_of(F.col(end_ts), width_minutes),
+        ),
+    ).withColumn("_pb", F.explode("_buckets")).drop("_buckets")
+    joined = p.join(iv, "_pb").where(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    return joined.drop("_pb")

@@ -200,6 +200,50 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_interval_counts",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS interval_id,
+             ts_start, ts_start + INTERVAL 2 DAY AS ts_end
+      FROM (SELECT o_orderkey,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + to_days((o_orderkey % 28)::INTEGER) AS ts_start
+            FROM orders WHERE o_orderkey % 97 = 0))
+    SELECT iv.interval_id, COUNT(e.event_id) AS n_events,
+           SUM(CAST(e.value AS DECIMAL(38,2))) AS total_value
+    FROM iv JOIN events e ON e.ts >= iv.ts_start AND e.ts < iv.ts_end
+    GROUP BY 1
+    """,
+)
+def range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (no equi-key): events falling inside 2-day intervals,
+    via the bucketized interval_join operator (equi-join on day
+    buckets + residual containment filter — the scale path; the naive
+    plan is a nested-loop). Oracle: DuckDB native inequality join."""
+    from ..operators.rangejoin import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    iv = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("interval_id"),
+            F.timestamp_add(
+                "DAY",
+                (F.col("o_orderkey") % 28).cast("int"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+            ).alias("ts_start"),
+        )
+        .withColumn("ts_end", F.timestamp_add("DAY", F.lit(2), F.col("ts_start")))
+    )
+    joined = interval_join(ev, iv, "ts", "ts_start", "ts_end", width_minutes=1440)
+    return joined.groupBy("interval_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,2)")).alias("total_value"),
+    )
+
+
+@query(
     "skew_salted_agg",
     oracle="""
     SELECT l_returnflag,

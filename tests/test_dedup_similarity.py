@@ -102,3 +102,36 @@ def test_vectorized_topk_matches_exact(spark):
     e = [(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()]
     f = [(r.query_id, r.neighbor_id, r.rank) for r in fast.collect()]
     assert sorted(e) == sorted(f)
+
+
+def test_interval_join_matches_naive(spark):
+    from databridge_etl_tools_spark.operators.rangejoin import interval_join
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 20:02d} 12:00:00") for i in range(60)],
+        "pid int, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    iv = spark.createDataFrame(
+        [(1, "2024-01-03 00:00:00", "2024-01-06 00:00:00"),
+         (2, "2024-01-05 12:00:00", "2024-01-05 13:00:00"),
+         (3, "2024-02-01 00:00:00", "2024-02-02 00:00:00")],
+        "iid int, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp_ntz").alias("ts_start"),
+        F.col("e").cast("timestamp_ntz").alias("ts_end"),
+    )
+    fast = {
+        (r.pid, r.iid)
+        for r in interval_join(pts, iv, "ts", "ts_start", "ts_end", width_minutes=720).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv)
+        .where((F.col("ts") >= F.col("ts_start")) & (F.col("ts") < F.col("ts_end")))
+        .collect()
+    }
+    assert fast == naive
+    assert any(i == 2 for _, i in fast)  # boundary bucket interval matched
+    assert not any(i == 3 for _, i in fast)  # disjoint interval empty
