@@ -7,9 +7,15 @@ pair there; this module just exposes them in the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the driver may load this module by file path; make the sibling
+# package importable regardless of its CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from databridge_etl_tools_spark import registry
 

@@ -1,0 +1,52 @@
+"""Physical-plan regression tests: the optimization claims
+(pushdown, pruning, broadcast, partial aggregation, single-shuffle
+merges) asserted from the executed/optimized plans, so a refactor
+that silently breaks plan shape fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as ent
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = ent.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_project_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "filter_project")
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    # only the 4 selected columns reach the scan
+    assert "l_quantity" not in read and "l_tax" not in read
+
+
+def test_region_revenue_broadcasts_dimensions(spark):
+    plan = _plan(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(spark, "pricing_summary")
+    # partial (map-side) + final aggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedupe_single_shuffle_on_key(spark):
+    plan = _plan(spark, "dedupe_events_by_user")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1].split(")")[0]
+
+
+def test_semi_join_prunes_probe_columns(spark):
+    plan = _plan(spark, "semi_join_orders")
+    # the lineitem side of the semi join only needs the key column
+    for segment in plan.split("ReadSchema:")[1:]:
+        read = segment.split("\n")[0]
+        if "l_orderkey" in read:
+            assert "l_extendedprice" not in read
