@@ -40,6 +40,8 @@ HEADLINE = [
     "proj_webmercator",
     "ann_ivf_label",
     "tz_esri_epoch_ms",
+    "range_join_interval_counts",
+    "skew_salted_agg",
 ]
 
 
