@@ -80,18 +80,40 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity ≥ threshold via inverted index.
 
     explode(shingles) → self-join on shingle (id_a < id_b) →
     intersection counts → |A∪B| from per-doc sizes. Only pairs that
     share ≥1 shingle are ever materialized.
+
+    ``max_shingle_df`` caps shingle document-frequency: a shingle in
+    more than N docs is dropped from the index before the self-join
+    (the hot-shingle quadratic hazard at corpus scale — stopword-like
+    shingles generate N² candidate rows while contributing almost
+    nothing to high-Jaccard pairs). This makes the result a LOWER
+    bound on true Jaccard (dropped shingles reduce the measured
+    intersection but stay in |A∪B|), so capped mode may miss pairs
+    near the threshold — recall/cost knob, off by default.
     """
     sh = spread(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
     ).where(F.size("shingles") > 0)
     ex = sh.select("doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))

@@ -147,6 +147,7 @@ def cosine_topk_lsh(
     query_pred: Column | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """LSH-bucketed ANN — the scale path: random-hyperplane signatures
     put similar vectors in the same bucket; candidates are an
@@ -161,11 +162,21 @@ def cosine_topk_lsh(
     planes = hyperplanes(n_planes, dim)
     base = with_norm(emb, vec_col).withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     q = base.where(query_pred) if query_pred is not None else base
+    # multi-probe: also search buckets at hamming distance 1 from the
+    # query's (single-bit flips) — the standard recall knob that costs
+    # extra probes instead of extra shuffles/tables
+    probes = F.array(
+        F.col("_bucket"),
+        *[
+            F.col("_bucket").bitwiseXOR(F.lit(1 << j))
+            for j in range(min(max(n_probes - 1, 0), n_planes))
+        ],
+    )
     q = q.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.col("_norm").alias("_qn"),
-        F.col("_bucket").alias("_qb"),
+        F.explode(probes).alias("_qb"),
     )
     c = base.select(
         F.col(id_col).alias("neighbor_id"),

@@ -100,6 +100,8 @@ class Handler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802
         n = int(self.headers.get("Content-Length", 0))
         doc = json.loads(self.rfile.read(n) or b"{}")
+        if self.path.endswith("/always-fail"):
+            return self._json({"error": "permanent"}, 500)
         bid = doc.get("batch_id", "")
         if bid in Handler.fail_batches:
             Handler.fail_batches.discard(bid)  # fail only once → retry succeeds

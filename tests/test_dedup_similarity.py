@@ -135,3 +135,54 @@ def test_interval_join_matches_naive(spark):
     assert fast == naive
     assert any(i == 2 for _, i in fast)  # boundary bucket interval matched
     assert not any(i == 3 for _, i in fast)  # disjoint interval empty
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    from databridge_etl_tools_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pred = F.col("vec_id") % 25 == 0
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, k=5, query_pred=pred).collect()
+    }
+
+    def recall(n_probes, n_planes=4):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_lsh(
+                emb, k=5, n_planes=n_planes, query_pred=pred, n_probes=n_probes
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    # this corpus is LSH-adversarial (uniform random vectors: the true
+    # top-5 sit at cosine ~0.4, i.e. ~66 degrees); measured recall at
+    # 4 planes: ~0.09 single-probe vs ~0.44 probing all hamming-1
+    # buckets — assert the mechanism, with head-room on the numbers
+    r1, r5 = recall(1), recall(5)
+    assert r5 >= r1  # multi-probe can only widen the candidate set
+    assert r5 >= 0.25
+
+
+def test_jaccard_hot_shingle_cap_keeps_planted_dups(spark):
+    from databridge_etl_tools_spark.operators import dedup as DD2
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in DD2.jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in DD2.jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_shingle_df=100
+        ).collect()
+    }
+    # high-Jaccard planted dups survive a generous frequency cap
+    assert uncapped  # planted near-dups exist in this data
+    assert capped <= uncapped  # lower-bound property: no new pairs
+    assert len(capped) >= len(uncapped) * 0.8

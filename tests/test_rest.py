@@ -110,3 +110,22 @@ def test_geocode_enrich_hit_and_miss(spark, stub):
     assert by_id[1].geocoded and by_id[1].lat == "39.95"
     assert by_id[1].normalized == "100 MARKET ST"
     assert not by_id[2].geocoded and by_id[2].lat is None
+
+
+def test_post_batches_permanent_failure_quarantined(spark, stub, tmp_path):
+    df = spark.range(0, 5).repartition(1)
+    import databridge_etl_tools_spark.sinks.rest_sink as RS
+
+    status = RS.post_batches(
+        df.withColumnRenamed("id", "v"),
+        f"{stub}/always-fail",  # stub 500s every attempt
+        batch_size=100,
+        retries=2,
+    ).cache()
+    rows = status.collect()
+    assert len(rows) == 1 and not rows[0].ok
+    assert rows[0].payload_sample is not None  # sample preserved for replay
+    n = RS.quarantine_failures(status, str(tmp_path / "errs"))
+    assert n == 1
+    back = spark.read.json(str(tmp_path / "errs"))
+    assert back.count() == 1 and back.first().n_rows == 1 * 5
