@@ -41,12 +41,20 @@ def truncate_ntz(col: Column | str, unit: str = "HOUR") -> Column:
 
     Spark's ``date_trunc`` returns a session-zone TIMESTAMP (values
     shift under a non-UTC driver session); integer bucket arithmetic
-    (``timestamp_diff``/``timestamp_add`` against the epoch) stays in
-    NTZ space. Valid units: HOUR, MINUTE, DAY, etc.
+    against the epoch stays in NTZ space. Floor semantics (not
+    truncate-toward-zero), so pre-1970 timestamps bucket like
+    ``date_trunc`` would. Valid units: HOUR, MINUTE, DAY, etc.
     """
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    n = F.timestamp_diff(unit, epoch, _ntz(col))
-    return F.timestamp_add(unit, n, epoch)
+    micros = F.timestamp_diff("MICROSECOND", epoch, _ntz(col))
+    width = {
+        "SECOND": 1_000_000,
+        "MINUTE": 60_000_000,
+        "HOUR": 3_600_000_000,
+        "DAY": 86_400_000_000,
+    }[unit.upper()]
+    pmod = ((micros % width) + width) % width
+    return F.timestamp_add("MICROSECOND", -pmod, _ntz(col))
 
 
 def localize_naive_eastern(col: Column | str) -> Column:

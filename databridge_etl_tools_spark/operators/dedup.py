@@ -164,8 +164,11 @@ def minhash_lsh_pairs(
     # Materialize the signature table once: it is tiny relative to the
     # corpus (k integers per doc) and feeds both sides of the band
     # self-join — without this, the shingle+hash pipeline re-executes
-    # per branch (measured 4x at sf0.1).
-    sig = sig.cache()
+    # per branch (measured 4x at sf0.1). localCheckpoint (not cache):
+    # lineage-free and reclaimed by the ContextCleaner when the result
+    # is garbage-collected, so repeated invocations don't accumulate
+    # pinned storage.
+    sig = sig.localCheckpoint(eager=True)
 
     band_rows = sig.select(
         "doc",
@@ -293,8 +296,9 @@ def simhash_near_pairs(
     least one of the ``bands`` bit-bands."""
     assert max_hamming < bands, "pigeonhole exactness requires max_hamming < bands"
     width = SIMHASH_BITS // bands
-    # cache: both sides of the band self-join read the signatures
-    sig = simhash_signatures(df, id_col, text_col).cache()
+    # materialize once: both sides of the band self-join read the
+    # signatures (see minhash note re: localCheckpoint vs cache)
+    sig = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     band_rows = sig.select(
         "doc",
         "simhash",

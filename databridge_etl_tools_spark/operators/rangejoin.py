@@ -25,7 +25,12 @@ _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 def _bucket_of(ts: Column, width_minutes: int) -> Column:
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    return (F.timestamp_diff("MINUTE", epoch, ts) / width_minutes).cast("bigint")
+    micros = F.timestamp_diff("MICROSECOND", epoch, ts)
+    width = width_minutes * 60_000_000
+    # floor (not truncate-toward-zero) so pre-1970 points bucket
+    # consistently with their intervals
+    pmod = ((micros % width) + width) % width
+    return ((micros - pmod) / width).cast("bigint")
 
 
 def interval_join(

@@ -236,8 +236,14 @@ def cosine_topk_vectorized(
             for row_i, qid in enumerate(pdf[id_col].values):
                 s = sims[row_i]
                 mask = ids_l != qid
-                idx = np.argsort(np.where(mask, -s, np.inf), kind="stable")[:k]
-                for rank, j in enumerate(idx, start=1):
+                order = np.argsort(np.where(mask, -s, np.inf), kind="stable")
+                rank = 0
+                for j in order:
+                    if not mask[j]:  # self-pair sentinel region reached
+                        break
+                    rank += 1
+                    if rank > k:
+                        break
                     out.append((int(qid), int(ids_l[j]), float(s[j]), rank))
             yield pd.DataFrame(
                 out, columns=["query_id", "neighbor_id", "cosine", "rank"]

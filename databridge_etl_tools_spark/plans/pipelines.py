@@ -92,14 +92,18 @@ def load_pipeline(
     with drift handling, prepare transforms, geometry precheck before
     the destructive step, atomic write, count parity, index + analyze
     post-hooks."""
+    if mode not in ("truncate", "append", "rename_replace"):
+        raise ValueError(f"unknown load mode: {mode!r}")
     qa = QAReport()
     raw = read_csv(spark, csv_path)
     prepared = prepare_for_load(raw, schema, column_mapping, exclude_fields)
 
-    recreated = store.create_table(table, schema) if mode in ("truncate", "rename_replace") or not store.exists(table) else False
-    target_cols = [f.name for f in store.read(table).schema.fields]
-    qa.schema_fields_match(prepared.columns, target_cols)
-
+    # ALL QA preconditions run against the DECLARED schema before any
+    # destructive step (drift drop/recreate, truncate) — a failing
+    # precheck must leave existing data untouched (V8 transactionality;
+    # the reference's validate-before-truncate ordering).
+    declared_cols = [f.name for f in schema.struct.fields]
+    qa.schema_fields_match(prepared.columns, declared_cols)
     for col, meta in schema.geometry_fields.items():
         if col in prepared.columns:
             qa.geometry_precheck(
@@ -107,8 +111,22 @@ def load_pipeline(
                 expected_kind=meta.get("geometry_type"),
                 expected_srid=meta.get("srid"),
             )
-
     n_in = qa.nonzero_count(prepared, "prepared_csv")
+
+    recreated = store.create_table(table, schema) if mode in ("truncate", "rename_replace") or not store.exists(table) else False
+    target_cols = [f.name for f in store.read(table).schema.fields]
+
+    # the reference's DB auto-generates objectid (SDE-managed); when
+    # the target has one and the CSV doesn't, synthesize it rather
+    # than silently dropping the column / breaking the append union
+    if "objectid" in target_cols and "objectid" not in prepared.columns:
+        oid_type = next(
+            (f.dataType for f in schema.struct.fields if f.name == "objectid"), None
+        )
+        oid = F.monotonically_increasing_id()
+        prepared = prepared.withColumn(
+            "objectid", oid.cast(oid_type) if oid_type is not None else oid
+        )
     ordered = prepared.select(*[c for c in target_cols if c in prepared.columns])
     if mode in ("truncate", "rename_replace"):
         before = 0
@@ -281,7 +299,13 @@ def upsert_pipeline(
     n_staged = qa.nonzero_count(staging, "staging")
     prod = store.read(table)
     staging = staging.select(*[c for c in prod.columns if c in staging.columns])
-    merged = M.upsert(prod, staging, schema.primary_key, staging_order=[F.lit(1)])
+    # deterministic winner among duplicate-PK staging rows: total
+    # order over the non-key column values (identical duplicates tie
+    # harmlessly; differing ones always resolve the same way)
+    tiebreak = [
+        F.col(c) for c in staging.columns if c not in schema.primary_key
+    ] or [F.lit(1)]
+    merged = M.upsert(prod, staging, schema.primary_key, staging_order=tiebreak)
     if delete_stale_rows:
         merged = M.delete_stale(merged, staging, schema.primary_key)
     store.overwrite(table, merged)

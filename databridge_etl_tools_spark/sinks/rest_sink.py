@@ -93,7 +93,12 @@ def post_batches(
             columns=["partition_id", "batch_id", "n_rows", "ok", "error", "payload_sample"],
         )
 
-    return df.mapInPandas(run, STATUS_SCHEMA)
+    # Materialize eagerly, exactly once: callers will run multiple
+    # actions on the status frame (count, write, filters), and a lazy
+    # plan would re-execute mapInPandas — re-POSTing every batch to a
+    # non-idempotent endpoint. localCheckpoint truncates the lineage,
+    # so downstream actions read the materialized result only.
+    return df.mapInPandas(run, STATUS_SCHEMA).localCheckpoint(eager=True)
 
 
 def quarantine_failures(status_df: DataFrame, path: str) -> int:

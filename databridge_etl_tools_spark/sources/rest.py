@@ -96,18 +96,31 @@ def records_to_df(
     """Driver-side pages → distributed DataFrame. Dict/list cells are
     JSON-serialized when the target field is a string (the Knack/
     Airtable convention, knack/knack.py:140-141)."""
-    names = [f.name for f in schema.fields]
-    str_fields = {f.name for f in schema.fields if isinstance(f.dataType, T.StringType)}
+    import datetime as dt
+    import decimal
+
+    def coerce(v, dtype: T.DataType):
+        if v is None:
+            return None
+        if isinstance(dtype, T.StringType):
+            return json.dumps(v, sort_keys=True) if isinstance(v, (dict, list)) else str(v)
+        if isinstance(dtype, T.DecimalType):
+            return decimal.Decimal(str(v))
+        if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+            return int(v)
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
+            return float(v)
+        if isinstance(dtype, T.BooleanType):
+            return bool(v)
+        if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)) and isinstance(v, str):
+            return dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+        return v
+
+    fields = list(schema.fields)
     rows: list[tuple] = []
     for page in pages:
         for rec in page:
-            vals = []
-            for n in names:
-                v = rec.get(n)
-                if n in str_fields and isinstance(v, (dict, list)):
-                    v = json.dumps(v, sort_keys=True)
-                vals.append(v)
-            rows.append(tuple(vals))
+            rows.append(tuple(coerce(rec.get(f.name), f.dataType) for f in fields))
     df = spark.createDataFrame(rows, schema)
     return df.repartition(partitions) if partitions else df
 

@@ -100,8 +100,8 @@ def test_load_field_mismatch_fails_before_write(spark, tmp_path):
     with pytest.raises(QAError) as ei:
         P.load_pipeline(spark, str(bad), SCHEMA, store, "pt_bad", mode="truncate")
     assert "V5" in str(ei.value)
-    # destructive step never ran: table exists but stayed empty
-    assert store.read("pt_bad").count() == 0
+    # QA preconditions run before ANY store mutation: no table created
+    assert not store.exists("pt_bad")
 
 
 def test_geometry_precheck_blocks_wrong_kind(spark, tmp_path):
@@ -177,3 +177,56 @@ def test_publish_opendata_reprojects_and_gzips(spark, tmp_path, staged_csv):
     # empty geometry row → null lat/lng
     assert rows["1"].lng is None
     assert glob.glob(out + "_gz/*.csv.gz")
+
+
+def test_load_rename_replace_recreates_on_drift(spark, tmp_path, staged_csv):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    P.load_pipeline(spark, staged_csv, SCHEMA, store, "pt", mode="truncate")
+    # drifted schema (extra column) → rename_replace drops + recreates
+    drifted = TableSchema.from_json(
+        {
+            "primaryKey": ["objectid"],
+            "fields": [
+                {"name": "objectid", "type": "integer", "constraints": {"required": True}},
+                {"name": "textfield", "type": "string"},
+                {"name": "datefield", "type": "datetime"},
+                {"name": "numericfield", "type": "numeric"},
+                {"name": "extra", "type": "string"},
+                {"name": "shape", "type": "geometry", "geometry_type": "point", "srid": 2272},
+            ],
+        }
+    )
+    csv2 = tmp_path / "staging2.csv"
+    csv2.write_text(
+        "objectid,textfield,datefield,numericfield,extra,shape\n"
+        "9,x,2022-01-01 00:00:00,1,e,SRID=2272;POINT(1 2)\n"
+    )
+    res = P.load_pipeline(spark, str(csv2), drifted, store, "pt", mode="rename_replace")
+    assert res.recreated is True
+    out = store.read("pt")
+    assert "extra" in out.columns and out.count() == 1
+
+
+def test_drift_recreate_blocked_by_failing_precheck(spark, tmp_path, staged_csv):
+    # the severe case from review: drifted schema + malformed geometry
+    # must NOT drop existing data (QA precedes the drift drop)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    P.load_pipeline(spark, staged_csv, SCHEMA, store, "pt", mode="truncate")
+    assert store.read("pt").count() == 5
+
+    drifted = TableSchema.from_json(
+        {
+            "primaryKey": ["objectid"],
+            "fields": [
+                {"name": "objectid", "type": "integer", "constraints": {"required": True}},
+                {"name": "shape", "type": "geometry", "geometry_type": "point", "srid": 2272},
+            ],
+        }
+    )
+    bad = tmp_path / "bad_geom.csv"
+    bad.write_text("objectid,shape\n1,SRID=2272;POINT(1\n")
+    with pytest.raises(QAError):
+        P.load_pipeline(spark, str(bad), drifted, store, "pt", mode="rename_replace")
+    # prior data fully intact — no drop/recreate happened
+    assert store.read("pt").count() == 5
+    assert "textfield" in store.read("pt").columns
