@@ -162,6 +162,25 @@ class TableStore:
         idx.append({"columns": columns, "kind": kind})
         self.set_properties(table, indexes=idx)
 
+    def compact(self, table: str, target_partitions: int | None = None) -> int:
+        """D9/OPTIMIZE analogue: rewrite the current version with a
+        right-sized file count (append mode accretes small files; at
+        scale this is the bin-packing compaction every lakehouse
+        runs). Returns the new partition count."""
+        df = self.read(table)
+        if target_partitions is None:
+            # ~128MB files assuming parquet compresses the in-memory
+            # estimate ~4x; floor of 1
+            nbytes = sum(
+                f.stat().st_size
+                for f in __import__("pathlib").Path(self._current_data_dir(table)).glob("*.parquet")
+            )
+            target_partitions = max(1, nbytes // (128 << 20))
+        out = df.repartition(target_partitions)
+        v = self._write_version(table, out)
+        self._flip(table, v)
+        return target_partitions
+
     def reset_objectid_counter(self, table: str, objectid_col: str = "objectid") -> int:
         """D11 semantics: after a load into an id-managed table, the
         reference resets the SDE objectid sequence to max(objectid)
