@@ -45,16 +45,39 @@ def truncate_ntz(col: Column | str, unit: str = "HOUR") -> Column:
     truncate-toward-zero), so pre-1970 timestamps bucket like
     ``date_trunc`` would. Valid units: HOUR, MINUTE, DAY, etc.
     """
+    width = _UNIT_MICROS.get(unit.upper())
+    if width is None:
+        raise ValueError(
+            f"truncate_ntz supports fixed-width units {sorted(_UNIT_MICROS)}, "
+            f"got {unit!r} (calendar units like MONTH need calendar logic)"
+        )
+    return F.timestamp_add("MICROSECOND", -epoch_floor_offset(_ntz(col), width), _ntz(col))
+
+
+_UNIT_MICROS = {
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+}
+
+
+def epoch_floor_offset(ntz: Column, width_micros: int) -> Column:
+    """Microseconds from the previous width boundary to ``ntz`` —
+    floor semantics via positive modulus (pre-1970 safe). Shared by
+    truncate_ntz and the range-join bucketizer."""
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    micros = F.timestamp_diff("MICROSECOND", epoch, _ntz(col))
-    width = {
-        "SECOND": 1_000_000,
-        "MINUTE": 60_000_000,
-        "HOUR": 3_600_000_000,
-        "DAY": 86_400_000_000,
-    }[unit.upper()]
-    pmod = ((micros % width) + width) % width
-    return F.timestamp_add("MICROSECOND", -pmod, _ntz(col))
+    micros = F.timestamp_diff("MICROSECOND", epoch, ntz)
+    return ((micros % width_micros) + width_micros) % width_micros
+
+
+def epoch_bucket(ntz: Column, width_micros: int) -> Column:
+    """Floor bucket index of an NTZ timestamp for a fixed width."""
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    micros = F.timestamp_diff("MICROSECOND", epoch, ntz)
+    return ((micros - epoch_floor_offset(ntz, width_micros)) / width_micros).cast(
+        "bigint"
+    )
 
 
 def localize_naive_eastern(col: Column | str) -> Column:

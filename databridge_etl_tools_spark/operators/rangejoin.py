@@ -20,17 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+from ..functions.datetimes import epoch_bucket
 
 
 def _bucket_of(ts: Column, width_minutes: int) -> Column:
-    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    micros = F.timestamp_diff("MICROSECOND", epoch, ts)
-    width = width_minutes * 60_000_000
-    # floor (not truncate-toward-zero) so pre-1970 points bucket
-    # consistently with their intervals
-    pmod = ((micros % width) + width) % width
-    return ((micros - pmod) / width).cast("bigint")
+    # floor semantics (pre-1970 safe) via the shared datetimes helper
+    return epoch_bucket(ts, width_minutes * 60_000_000)
 
 
 def interval_join(

@@ -66,6 +66,31 @@ def prepare_for_load(
     return df.withColumns(casts) if casts else df
 
 
+def _synthesize_objectid(
+    df: DataFrame, schema: TableSchema, store: TableStore, table: str, mode: str
+) -> DataFrame:
+    """The reference's DB assigns sequential objectids (SDE-managed);
+    when the target has one and the CSV doesn't, synthesize ids that
+    stay unique ACROSS loads: continue from max(existing)+1 in append
+    mode (D11 counter semantics). Global row_number implies a single-
+    partition sort — acceptable for staged-CSV-sized loads; id-managed
+    tables are dimension-scale in the reference."""
+    from pyspark.sql import Window
+
+    base = 0
+    if mode == "append" and store.exists(table):
+        cur = store.read(table)
+        if "objectid" in cur.columns:
+            row = cur.agg(F.max("objectid").alias("m")).first()
+            base = int(row["m"] or 0)
+    oid_type = next(
+        (f.dataType for f in schema.struct.fields if f.name == "objectid"), None
+    )
+    w = Window.orderBy(F.monotonically_increasing_id())
+    oid = F.row_number().over(w) + F.lit(base)
+    return df.withColumn("objectid", oid.cast(oid_type) if oid_type is not None else oid)
+
+
 # ---------------------------------------------------------------------
 # load (§3.1)
 # ---------------------------------------------------------------------
@@ -120,13 +145,7 @@ def load_pipeline(
     # the target has one and the CSV doesn't, synthesize it rather
     # than silently dropping the column / breaking the append union
     if "objectid" in target_cols and "objectid" not in prepared.columns:
-        oid_type = next(
-            (f.dataType for f in schema.struct.fields if f.name == "objectid"), None
-        )
-        oid = F.monotonically_increasing_id()
-        prepared = prepared.withColumn(
-            "objectid", oid.cast(oid_type) if oid_type is not None else oid
-        )
+        prepared = _synthesize_objectid(prepared, schema, store, table, mode)
     ordered = prepared.select(*[c for c in target_cols if c in prepared.columns])
     if mode in ("truncate", "rename_replace"):
         before = 0
@@ -229,6 +248,7 @@ def publish_opendata(
     out_dir: str,
     geom_col: str = "shape",
     exclude_fields: list[str] | None = None,
+    default_srid: int | None = None,
 ) -> QAReport:
     """The opendata publish composition (opendata/opendata.py): repair
     corrupt SRIDs, reproject point geometry to EPSG:4326, derive
@@ -236,6 +256,11 @@ def publish_opendata(
 
     Reprojection is per-row CASE over the (repaired) SRID — all
     column expressions, so mixed-SRID tables publish in one pass.
+    Covered CRS: 4326 and 4269 (NAD83 lon-lat ≈ WGS84 at the cm level
+    absorbed by the reference's nudge), 2272, 3857; bare WKT assumes
+    ``default_srid``. Rows whose SRID is outside that set publish
+    with NULL coordinates and are COUNTED in the QA report (visible,
+    not silent).
     """
     from ..functions import geoproj as GP
 
@@ -244,16 +269,19 @@ def publish_opendata(
     qa.nonzero_count(df, table)
     if geom_col in df.columns:
         srid = G.remap_bad_srid(G.srid_of(geom_col))
+        if default_srid is not None:
+            srid = F.coalesce(srid, F.lit(default_srid))
         x, y = G.point_to_lon_lat(F.col(geom_col))
         lcc_lon, lcc_lat = GP.pa_south_ft_to_lonlat(x, y)
         merc_lon, merc_lat = GP.webmercator_to_lonlat(x, y)
+        lonlat_passthrough = srid.isin(4326, 4269)
         lng = (
-            F.when(srid == 4326, x)
+            F.when(lonlat_passthrough, x)
             .when(srid == 2272, lcc_lon)
             .when(srid == 3857, merc_lon)
         )
         lat = (
-            F.when(srid == 4326, y)
+            F.when(lonlat_passthrough, y)
             .when(srid == 2272, lcc_lat)
             .when(srid == 3857, merc_lat)
         )
@@ -261,8 +289,21 @@ def publish_opendata(
     if exclude_fields:
         df = df.drop(*exclude_fields)
     write_csv(df, out_dir)
-    write_csv(df, out_dir + "_gz", gzip=True)  # K6 artifact copy
-    qa.smoke_select(spark.read.option("header", True).csv(out_dir), "published")
+    # K6 gzip artifact: re-encode from the already-written CSV so the
+    # reproject lineage runs once, not per artifact
+    published = spark.read.options(header=True).csv(out_dir)
+    write_csv(published, out_dir + "_gz", gzip=True)
+    src = store.read(table)
+    if geom_col in src.columns:
+        # visibility (not fatality): rows with point coordinates that
+        # failed to publish (unsupported SRID) are counted
+        n_geom = src.where(F.col(geom_col).rlike(r"POINT\s*\(")).count()
+        n_coords = published.where(F.col("lng").isNotNull()).count()
+        qa.metric(
+            "published_coordinates",
+            f"points={n_geom} published={n_coords} unsupported_srid={n_geom - n_coords}",
+        )
+    qa.smoke_select(published, "published")
     return qa.raise_if_failed()
 
 
@@ -298,6 +339,34 @@ def upsert_pipeline(
     staging = prepare_for_load(raw, schema, column_mapping)
     n_staged = qa.nonzero_count(staging, "staging")
     prod = store.read(table)
+    if (
+        "objectid" in prod.columns
+        and "objectid" not in staging.columns
+        and "objectid" not in schema.primary_key
+    ):
+        # AGO oid-swap semantics (ago/ago.py:830-838): matched keys
+        # keep their existing objectid; new keys continue the counter
+        from pyspark.sql import Window
+
+        keymap = prod.select(*schema.primary_key, F.col("objectid").alias("_oid"))
+        staging = staging.join(keymap, list(schema.primary_key), "left")
+        base = int(prod.agg(F.max("objectid").alias("m")).first()["m"] or 0)
+        oid_type = next(
+            (f.dataType for f in prod.schema.fields if f.name == "objectid"), None
+        )
+        fresh = (
+            F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+            + F.lit(base)
+        ).cast(oid_type)
+        staging = staging.withColumn(
+            "objectid", F.coalesce(F.col("_oid"), fresh)
+        ).drop("_oid")
+    missing = set(prod.columns) - set(staging.columns)
+    if missing:
+        # fail with a V5-style message instead of an unresolved-column
+        # AnalysisException deep inside the merge plan
+        qa.schema_fields_match(staging.columns, prod.columns)
+        qa.raise_if_failed()
     staging = staging.select(*[c for c in prod.columns if c in staging.columns])
     # deterministic winner among duplicate-PK staging rows: total
     # order over the non-key column values (identical duplicates tie

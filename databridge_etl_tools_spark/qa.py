@@ -59,6 +59,11 @@ class QAReport:
         self._add(f"V1 nonzero[{name}]", n > 0, f"count={n}", precondition)
         return n
 
+    def metric(self, name: str, detail: str) -> None:
+        """Non-fatal observation recorded in the report (visible in
+        logs/results, never fails the pipeline)."""
+        self.checks.append(CheckResult(f"metric[{name}]", True, detail))
+
     # -- V2/V3: count parity -------------------------------------------
     def count_parity(self, expected: int, actual: int, name: str = "load", precondition: bool = False) -> None:
         self._add(

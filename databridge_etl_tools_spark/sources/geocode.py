@@ -77,7 +77,10 @@ def geocode_enrich(
                 props = lookup(q)
                 ok.append(props is not None)
                 for f in fields:
-                    enriched[f].append(None if props is None else props.get(f))
+                    v = None if props is None else props.get(f)
+                    # declared schema types every field string; AIS
+                    # returns lon/lat as JSON numbers — stringify
+                    enriched[f].append(None if v is None else str(v))
             out = pdf[in_cols].copy()
             for f in fields:
                 out[f] = pd.Series(enriched[f], index=pdf.index, dtype="object")

@@ -113,7 +113,12 @@ def records_to_df(
         if isinstance(dtype, T.BooleanType):
             return bool(v)
         if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)) and isinstance(v, str):
-            return dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+            parsed = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            if parsed.tzinfo is not None:
+                # convert to UTC, then drop tzinfo (never just strip an
+                # offset — that silently shifts non-UTC feeds)
+                parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return parsed
         return v
 
     fields = list(schema.fields)
@@ -259,10 +264,16 @@ class AGOFeatureSource:
             if out_statistics:
                 params["outStatistics"] = out_statistics
             r = fetch_with_retry(self.session, f"{self.layer_url}/query", params=params)
-            feats = r.json().get("features", [])
+            doc = r.json()
+            feats = doc.get("features", [])
             rows = [f.get("attributes", {}) for f in feats]
-            nxt = offset + self.batch if len(feats) == self.batch else None
-            return rows, nxt
+            # advance by what the server RETURNED (its maxRecordCount
+            # may cap below our batch); continue while the page was
+            # full or the server flags exceededTransferLimit
+            more = feats and (
+                len(feats) == self.batch or doc.get("exceededTransferLimit")
+            )
+            return rows, (offset + len(feats) if more else None)
 
         return records_to_df(spark, paginate(fetch), schema)
 
@@ -302,6 +313,8 @@ class AGOFeatureSource:
             "token": self.token,
         }
         r = fetch_with_retry(self.session, f"{self.layer_url}/query", params=params)
-        feats = r.json().get("features", [])
+        doc = r.json()
+        feats = doc.get("features", [])
         rows = [f.get("attributes", {}) for f in feats]
-        return rows, (offset + self.batch if len(feats) == self.batch else None)
+        more = feats and (len(feats) == self.batch or doc.get("exceededTransferLimit"))
+        return rows, (offset + len(feats) if more else None)

@@ -14,9 +14,16 @@ KNACK_FIELDS = [
     {"label": "Record ID", "type": "auto_increment"},
     {"label": "Date Opened", "type": "date_time"},
     {"label": "Status", "type": "multiple_choice"},
+    {"label": "Amount", "type": "number"},
 ]
 KNACK_RECORDS = [
-    {"id": f"k{i}", "record_id": i, "date_opened": None, "status": {"v": i % 2}}
+    {
+        "id": f"k{i}",
+        "record_id": i,
+        "date_opened": None if i % 5 == 0 else f"2024-03-{1 + i % 28:02d}T09:30:00Z",
+        "status": {"v": i % 2},
+        "amount": i * 1.5,
+    }
     for i in range(25)
 ]
 
@@ -75,7 +82,14 @@ class Handler(BaseHTTPRequestHandler):
             if m:
                 lo, hi = int(m.group(1)), int(m.group(2))
                 feats = [f for f in feats if lo <= f["attributes"]["objectid"] < hi]
-            return self._json({"features": feats[off : off + per]})
+            # emulate the server's maxRecordCount (9) capping requests
+            # below the client's batch, with the ArcGIS transfer flag
+            capped = min(per, 9)
+            page = feats[off : off + capped]
+            doc = {"features": page}
+            if per > capped and off + capped < len(feats):
+                doc["exceededTransferLimit"] = True
+            return self._json(doc)
         if "/search/" in u.path:  # AIS geocoder
             addr = unquote(u.path.rsplit("/", 1)[-1])
             if addr.startswith("bad"):

@@ -230,3 +230,30 @@ def test_drift_recreate_blocked_by_failing_precheck(spark, tmp_path, staged_csv)
     # prior data fully intact — no drop/recreate happened
     assert store.read("pt").count() == 5
     assert "textfield" in store.read("pt").columns
+
+
+def test_upsert_synthesizes_objectid_with_oid_swap(spark, tmp_path):
+    # PK is textfield-like 'code'; objectid is DB-managed: matched
+    # rows keep their objectid, new rows continue past max(existing)
+    schema = TableSchema.from_json(
+        {
+            "primaryKey": ["code"],
+            "fields": [
+                {"name": "objectid", "type": "integer"},
+                {"name": "code", "type": "string", "constraints": {"required": True}},
+                {"name": "val", "type": "integer"},
+            ],
+        }
+    )
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = tmp_path / "base.csv"
+    base.write_text("objectid,code,val\n10,a,1\n20,b,2\n")
+    P.load_pipeline(spark, str(base), schema, store, "t", mode="truncate")
+
+    delta = tmp_path / "delta.csv"
+    delta.write_text("code,val\nb,99\nc,3\n")  # no objectid column
+    P.upsert_pipeline(spark, str(delta), schema, store, "t")
+    rows = {r.code: r for r in store.read("t").collect()}
+    assert rows["b"].objectid == 20 and rows["b"].val == 99  # oid kept
+    assert rows["a"].objectid == 10 and rows["a"].val == 1
+    assert rows["c"].objectid > 20 and rows["c"].val == 3  # fresh id

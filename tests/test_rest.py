@@ -29,15 +29,25 @@ def stub():
 
 
 def test_knack_schema_and_extract(spark, stub):
+    import datetime as dt
+    from decimal import Decimal
+
     src = KnackSource(stub, rows_per_page=10)
     schema = src.schema("obj_1")
-    assert [f.name for f in schema.fields] == ["id", "record_id", "date_opened", "status"]
+    assert [f.name for f in schema.fields] == [
+        "id", "record_id", "date_opened", "status", "amount",
+    ]
     assert schema["record_id"].dataType == T.LongType()
+    assert schema["amount"].dataType == T.DecimalType(38, 8)
     df = src.extract(spark, "obj_1", schema)
     assert df.count() == 25  # 3 pages of 10
-    # dict cells JSON-serialized
     row = df.where(F.col("record_id") == 1).first()
+    # dict cells JSON-serialized; number coerced to Decimal; ISO
+    # date_time string parsed into TIMESTAMP_NTZ
     assert row["status"] == '{"v": 1}'
+    assert row["amount"] == Decimal("1.50000000")
+    assert row["date_opened"] == dt.datetime(2024, 3, 2, 9, 30)
+    assert df.where(F.col("record_id") == 0).first()["date_opened"] is None
 
 
 def test_airtable_offset_pagination_and_objectid(spark, stub):
@@ -129,3 +139,18 @@ def test_post_batches_permanent_failure_quarantined(spark, stub, tmp_path):
     assert n == 1
     back = spark.read.json(str(tmp_path / "errs"))
     assert back.count() == 1 and back.first().n_rows == 1 * 5
+
+
+def test_ago_server_capped_pages_still_complete(spark, stub):
+    # client asks for 15/page; stub's maxRecordCount is 9 and sets
+    # exceededTransferLimit — pagination must continue to all 20 rows
+    schema = T.StructType(
+        [
+            T.StructField("objectid", T.LongType()),
+            T.StructField("pk", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    src = AGOFeatureSource(stub, batch=15)
+    df = src.extract(spark, schema)
+    assert df.count() == 20
