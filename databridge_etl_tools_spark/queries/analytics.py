@@ -305,6 +305,69 @@ def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "above_customer_average",
+    oracle="""
+    WITH stats AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_custkey)
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, s.avg_price AS cust_avg
+    FROM orders o JOIN stats s ON o.o_custkey = s.o_custkey
+    WHERE o.o_totalprice > 1.5 * s.avg_price
+    """,
+)
+def above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape ('orders above 1.5x their customer's
+    average'), decorrelated into a window aggregate — one shuffle on
+    the correlation key instead of a per-row subquery."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_price = (
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", avg_price)
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: nation subtotals, region subtotals, grand
+    total in one pass (hierarchical complement to cube_flag_status)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.select(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"), "c_acctbal"
+        )
+        .rollup("region_name", "nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).alias("total_balance"),
+        )
+    )
+
+
+@query(
     "mm_binary_stats",
     oracle="""
     SELECT doc_id,
