@@ -32,7 +32,7 @@ def read_csv(
     path: str,
     schema: T.StructType | None = None,
     encoding: str = "utf-8",
-    fallback_encoding: str | None = "latin-1",
+    fallback_encoding: str | None = "iso-8859-1",
     probe_rows: int = 500,
 ) -> DataFrame:
     """Read a staged CSV. The reference retries the whole read with

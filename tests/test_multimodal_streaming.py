@@ -155,3 +155,40 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
 
     seen = Counter(r.user_id for r in out)
     assert max(seen.values()) == 2
+
+
+def test_checkpointed_stream_does_not_reprocess(spark, tmp_path):
+    """Checkpoint recovery: a restarted availableNow query with the
+    same checkpoint dir processes only files added since."""
+    from databridge_etl_tools_spark.registry import table as load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(100).cache()
+    staging = str(tmp_path / "ckpt_staging")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "ckpt_out")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(staging)
+
+    def drain():
+        q = (
+            SE.read_event_stream(spark, staging)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(sink).count()
+    assert first == ev.where(F.col("event_id") % 2 == 0).count()
+
+    # restart with no new files → nothing reprocessed
+    drain()
+    assert spark.read.parquet(sink).count() == first
+
+    # add a second file → only its rows are appended
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(staging)
+    drain()
+    assert spark.read.parquet(sink).count() == ev.count()
