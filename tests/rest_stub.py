@@ -38,6 +38,7 @@ class Handler(BaseHTTPRequestHandler):
     server_version = "Stub/1.0"
     posted: list[dict] = []  # class-level capture of POST bodies
     fail_batches: set[str] = set()  # batch ids to reject (once each)
+    feature_queries: list[dict] = []  # GET /query params, for pushdown asserts
 
     def log_message(self, *a):  # silence
         pass
@@ -74,14 +75,22 @@ class Handler(BaseHTTPRequestHandler):
         if u.path.endswith("/query"):  # AGO feature query
             if q.get("returnCountOnly") == "true":
                 return self._json({"count": len(AGO_FEATURES)})
+            Handler.feature_queries.append(dict(q))
             off = int(q.get("resultOffset", 0))
             per = int(q.get("resultRecordCount", 1000))
             where = q.get("where", "1=1")
             feats = AGO_FEATURES
-            m = re.match(r"objectid >= (\d+) AND objectid < (\d+)", where)
-            if m:
-                lo, hi = int(m.group(1)), int(m.group(2))
-                feats = [f for f in feats if lo <= f["attributes"]["objectid"] < hi]
+            # evaluate simple 'col op value [AND ...]' predicates
+            for pred in where.split(" AND "):
+                m = re.match(r"(\w+) (>=|<=|>|<|=) '?([^']*)'?$", pred.strip())
+                if not m:
+                    continue
+                col, op, raw = m.groups()
+                val = int(raw) if raw.lstrip("-").isdigit() else raw
+                import operator as _op
+
+                fn = {">=": _op.ge, "<=": _op.le, ">": _op.gt, "<": _op.lt, "=": _op.eq}[op]
+                feats = [f for f in feats if fn(f["attributes"].get(col), val)]
             # emulate the server's maxRecordCount (9) capping requests
             # below the client's batch, with the ArcGIS transfer flag
             capped = min(per, 9)

@@ -154,3 +154,36 @@ def test_ago_server_capped_pages_still_complete(spark, stub):
     src = AGOFeatureSource(stub, batch=15)
     df = src.extract(spark, schema)
     assert df.count() == 20
+
+
+def test_python_datasource_executor_side_with_pushdown(spark, stub):
+    """Spark 4 Python Data Source API: range-partitioned executor-side
+    fetch with filter pushdown into the service's where parameter."""
+    from databridge_etl_tools_spark.sources.feature_service_ds import (
+        FeatureServiceDataSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FeatureServiceDataSource)
+    reader = (
+        spark.read.format("feature_service")
+        .schema("objectid bigint, pk string, val bigint")
+        .option("url", stub)
+        .option("id_col", "objectid")
+        .option("lower", 0)
+        .option("upper", 20)
+        .option("num_partitions", 4)
+        .option("batch", 50)
+    )
+
+    df = reader.load()
+    assert df.count() == 20
+    assert set(r.objectid for r in df.collect()) == set(range(20))
+
+    # filter pushdown: the pk predicate must reach the service
+    Handler.feature_queries.clear()
+    filtered = reader.load().where(F.col("pk") == "p3")
+    rows = filtered.collect()
+    assert {r.objectid for r in rows} == {3, 11, 19}
+    wheres = [q["where"] for q in Handler.feature_queries]
+    assert any("pk = 'p3'" in w for w in wheres), wheres
