@@ -187,3 +187,32 @@ def test_python_datasource_executor_side_with_pushdown(spark, stub):
     assert {r.objectid for r in rows} == {3, 11, 19}
     wheres = [q["where"] for q in Handler.feature_queries]
     assert any("pk = 'p3'" in w for w in wheres), wheres
+
+
+def test_rest_to_store_to_csv_integration(spark, stub, tmp_path):
+    """Cross-component flow: REST extract -> TableStore load ->
+    extract pipeline CSV + schema sidecar (the reference's Knack
+    extract-then-load composition, end to end)."""
+    import json as _json
+
+    from databridge_etl_tools_spark.plans.pipelines import extract_pipeline
+    from databridge_etl_tools_spark.schema import TableSchema
+    from databridge_etl_tools_spark.sources.table_store import TableStore
+
+    src = KnackSource(stub, rows_per_page=10)
+    schema = src.schema("obj_1")
+    df = src.extract(spark, "obj_1", schema)
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.create_table("knack_obj", TableSchema(struct=schema, primary_key=["id"]))
+    store.append("knack_obj", df)
+    assert store.read("knack_obj").count() == 25
+
+    out = str(tmp_path / "knack_csv")
+    res = extract_pipeline(spark, store, "knack_obj", out, localize_timestamps=False)
+    assert res.rows == 25
+    sidecar = _json.loads(res.schema_json)
+    assert sidecar["primaryKey"] == ["id"]
+    assert {f["name"] for f in sidecar["fields"]} == {
+        "id", "record_id", "date_opened", "status", "amount",
+    }
