@@ -75,8 +75,6 @@ def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
     def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
             out = pdf[id_cols].copy()
             ws, hs, fmts = [], [], []
