@@ -317,6 +317,72 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT JOIN with an ON-clause filter (customers
+    with zero qualifying orders must survive with count 0), then a
+    distribution over the per-customer counts — two aggregation
+    levels, two shuffles."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "important_nation_stock",
+    oracle="""
+    WITH per_nation AS (
+      SELECT n.n_name AS nation_name,
+             SUM(CAST(s.s_acctbal AS DECIMAL(38,2))) AS total_bal
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    total AS (
+      SELECT SUM(CAST(s_acctbal AS DECIMAL(38,2))) AS grand FROM supplier)
+    SELECT p.nation_name, p.total_bal
+    FROM per_nation p, total t
+    WHERE CAST(p.total_bal AS DOUBLE) > 0.05 * CAST(t.grand AS DOUBLE)
+    """,
+)
+def important_nation_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global scalar aggregate —
+    the scalar side is a one-row broadcast cross join, so the filter
+    evaluates map-side with no extra shuffle."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    per_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(F.col("s_acctbal").cast("decimal(38,2)")).alias("total_bal"))
+    )
+    grand = s.agg(F.sum(F.col("s_acctbal").cast("decimal(38,2)")).alias("grand"))
+    return (
+        per_nation.crossJoin(F.broadcast(grand))
+        .where(F.col("total_bal").cast("double") > 0.05 * F.col("grand").cast("double"))
+        .select("nation_name", "total_bal")
+    )
+
+
+@query(
     "intersect_all",
     oracle="""
     SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
