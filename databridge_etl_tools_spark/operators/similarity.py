@@ -110,6 +110,82 @@ def neardup_pairs(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Deterministic Lloyd's k-means for IVF cell assignment.
+
+    Driver-coordinated: centroids (k×dim floats — tiny) live on the
+    driver and enter each iteration's plan as literals; the data-side
+    work per iteration is one argmin projection + one
+    (cluster, position) mean aggregation. Seeding is deterministic
+    (the k lowest ids), so cell layouts are reproducible — the same
+    no-RNG discipline as the LSH hyperplanes.
+
+    Returns (centroids, assignments df[id, cell]).
+    """
+    seeds = (
+        emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+
+    def assign_expr(cents: list[list[float]]) -> Column:
+        # argmin of squared distance == argmax of dot - ||c||²/2
+        best_cell = F.lit(0)
+        best_score = None
+        for ci, c in enumerate(cents):
+            score = dot_fold(F.col(vec_col), _plane_col(c)) - sum(
+                v * v for v in c
+            ) / 2.0
+            if best_score is None:
+                best_score = score
+            else:
+                cond = score > best_score
+                best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
+                best_score = F.when(cond, score).otherwise(best_score)
+        return best_cell
+
+    assigned = None
+    for _ in range(iters):
+        assigned = emb.withColumn("cell", assign_expr(centroids))
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # keep empty cells put
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            new_centroids[cell] = [dims[p] for p in sorted(dims)]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+    assignments = emb.withColumn("cell", assign_expr(centroids)).select(
+        id_col, "cell"
+    )
+    return centroids, assignments
+
+
+def ivf_build(
+    emb: DataFrame, k: int = 8, iters: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build: k-means cells attached as a ``cell`` column.
+    At scale this DataFrame is what gets written partitioned/bucketed
+    by cell; probes then use ``cosine_topk(..., cell_col='cell')``."""
+    _, assignments = kmeans_fit(emb, k, iters, id_col, vec_col)
+    return emb.join(assignments, id_col)
+
+
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — identical in
     any engine/language, so LSH bucketing is reproducible with no RNG

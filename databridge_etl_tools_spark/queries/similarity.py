@@ -130,6 +130,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh(emb, k=5, query_pred=F.col("vec_id") % 50 == 0)
 
 
+@query("ann_ivf_kmeans")  # no oracle: iterative k-means isn't SQL-expressible
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real IVF: deterministic Lloyd's k-means builds the cells
+    (driver-coordinated centroids, argmin assignment as column
+    expressions), then cell-restricted exact top-k probes. Rows-only
+    check (iterative fixpoint has no DuckDB twin); determinism and
+    recall are pinned by tests/test_dedup_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    indexed = SIM.ivf_build(emb, k=8, iters=3)
+    return SIM.cosine_topk(
+        indexed, k=5, query_pred=F.col("vec_id") % 50 == 0, cell_col="cell"
+    )
+
+
 @query("ann_topk_vectorized")  # no oracle: BLAS sum order ≠ fold (rows-only check)
 def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput ANN: broadcast candidate matrix + numpy GEMM per

@@ -186,3 +186,39 @@ def test_jaccard_hot_shingle_cap_keeps_planted_dups(spark):
     assert uncapped  # planted near-dups exist in this data
     assert capped <= uncapped  # lower-bound property: no new pairs
     assert len(capped) >= len(uncapped) * 0.8
+
+
+def test_kmeans_ivf_build_and_probe(spark):
+    from databridge_etl_tools_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, assignments = kmeans_fit(emb, k=8, iters=4)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    cells = {r.cell for r in assignments.collect()}
+    assert cells <= set(range(8)) and len(cells) >= 2  # non-degenerate
+
+    # determinism: a second fit produces identical assignments
+    _, again = kmeans_fit(emb, k=8, iters=4)
+    a = {r.vec_id: r.cell for r in assignments.collect()}
+    b = {r.vec_id: r.cell for r in again.collect()}
+    assert a == b
+
+    indexed = ivf_build(emb, k=8, iters=4)
+    probe = cosine_topk(
+        indexed, k=5, query_pred=F.col("vec_id") % 50 == 0, cell_col="cell"
+    )
+    rows = probe.collect()
+    assert len(rows) > 0
+    # IVF recall vs brute force: same-cell vectors are the similar
+    # ones by construction, so recall should beat random bucketing
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, k=5, query_pred=F.col("vec_id") % 50 == 0).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.2, recall
