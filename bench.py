@@ -24,14 +24,14 @@ HEADLINE = [
     "filter_project",
     "region_revenue",
     "topk_per_group",
-    "semi_join_orders",
+    "order_priority_check",
     "upsert_orders",
     "dedupe_events_by_user",
-    "except_all",
+    "set_ops",
     "events_sessionize",
     "asof_purchase_last_view",
     "text_token_stats",
-    "text_fingerprints",
+    "text_quality_language",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
@@ -39,7 +39,7 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "proj_webmercator",
     "ann_ivf_label",
-    "tz_esri_epoch_ms",
+    "tz_policies",
     "range_join_interval_counts",
     "skew_salted_agg",
 ]

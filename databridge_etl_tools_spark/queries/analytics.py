@@ -69,7 +69,7 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           SUM(CAST(l_quantity AS DECIMAL(38,2))) AS qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -79,7 +79,7 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty"),
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).cast("double").alias("qty"),
     )
 
 
@@ -210,7 +210,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + to_days((o_orderkey % 28)::INTEGER) AS ts_start
             FROM orders WHERE o_orderkey % 97 = 0))
     SELECT iv.interval_id, COUNT(e.event_id) AS n_events,
-           SUM(CAST(e.value AS DECIMAL(38,2))) AS total_value
+           CAST(SUM(CAST(e.value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
     FROM iv JOIN events e ON e.ts >= iv.ts_start AND e.ts < iv.ts_end
     GROUP BY 1
     """,
@@ -239,7 +239,7 @@ def range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join(ev, iv, "ts", "ts_start", "ts_end", width_minutes=1440)
     return joined.groupBy("interval_id").agg(
         F.count("event_id").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(38,2)")).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
     )
 
 
@@ -248,8 +248,8 @@ def range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(l_quantity AS DECIMAL(38,2))) AS qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS revenue
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
     FROM lineitem GROUP BY 1
     """,
 )
@@ -262,7 +262,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_agg
 
     li = table(spark, sf_dir, "lineitem")
-    return salted_agg(
+    out = salted_agg(
         li,
         ["l_returnflag"],
         {
@@ -271,6 +271,9 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue": ("sum", F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))),
         },
         salt_buckets=16,
+    )
+    return out.withColumns(
+        {"qty": F.col("qty").cast("double"), "revenue": F.col("revenue").cast("double")}
     )
 
 
@@ -339,7 +342,7 @@ def above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            COUNT(*) AS n_customers,
-           SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS total_balance
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total_balance
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -362,7 +365,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("region_name", "nation_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).alias("total_balance"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double").alias("total_balance"),
         )
     )
 

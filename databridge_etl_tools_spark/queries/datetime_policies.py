@@ -17,41 +17,28 @@ DEC2 = "decimal(38,2)"
 
 
 @query(
-    "tz_localize_extract",
+    "tz_policies",
     oracle="""
     SELECT o_orderkey,
            o_orderdate AS naive_ts,
-           timezone('UTC', timezone('America/New_York', o_orderdate)) AS utc_ts
+           timezone('UTC', timezone('America/New_York', o_orderdate)) AS utc_ts,
+           epoch_ms(timezone('America/New_York', o_orderdate)) AS esri_ms
     FROM orders
     """,
 )
-def tz_localize_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7: the extract policy — naive timestamps are Eastern wall
-    clock; render the UTC equivalent (postgres/postgres.py:837-857).
-    Spans EST and EDT (orderdates cover 1995-2001), so DST handling
-    is actually exercised."""
+def tz_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 + F9 in one projection: the extract policy — naive
+    timestamps are Eastern wall clock, rendered as the UTC instant
+    (postgres/postgres.py:837-857) — and the Esri/AGO date policy —
+    the same instant as epoch milliseconds (ago/ago.py:460-476).
+    Orderdates span 1995-2001, so both EST and EDT offsets are
+    actually exercised."""
     orders = table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
         F.col("o_orderdate").alias("naive_ts"),
         DT.localize_naive_eastern("o_orderdate").alias("utc_ts"),
-    )
-
-
-@query(
-    "tz_esri_epoch_ms",
-    oracle="""
-    SELECT o_orderkey,
-           epoch_ms(timezone('America/New_York', o_orderdate)) AS esri_ms
-    FROM orders
-    """,
-)
-def tz_esri_epoch_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9: the Esri/AGO date policy — epoch milliseconds UTC, naive
-    assumed Eastern (ago/ago.py:460-476)."""
-    orders = table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey", DT.naive_eastern_to_epoch_ms("o_orderdate").alias("esri_ms")
+        DT.naive_eastern_to_epoch_ms("o_orderdate").alias("esri_ms"),
     )
 
 
@@ -78,7 +65,7 @@ def tz_carto_midnight(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(38,2))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -94,6 +81,6 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC2)).alias("total_value"),
+            F.sum(F.col("value").cast(DEC2)).cast("double").alias("total_value"),
         )
     )

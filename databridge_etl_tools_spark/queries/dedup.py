@@ -144,14 +144,6 @@ def _simhash_sql() -> str:
     """
 
 
-@query("dedup_simhash", oracle=_simhash_sql())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash signature per document (term-frequency-weighted
-    bit voting over md5-derived token hashes)."""
-    docs = table(spark, sf_dir, "documents")
-    return DD.simhash_signatures(docs, "doc_id", "text")
-
-
 @query(
     "dedup_simhash_pairs",
     oracle=f"""

@@ -22,113 +22,64 @@ _EXPECT_FIX = [2272, 3857, 4326, 4326]
 
 
 @query(
-    "geom_srid_repair",
+    "geom_normalize",
     oracle=f"""
     WITH src AS (
       SELECT p_partkey,
              [{",".join(map(str, _BAD_SRIDS))}][1 + p_partkey % 4] AS raw_srid,
-             printf('POINT(%d %d)', p_partkey, p_size::BIGINT)     AS wkt
+             [{",".join(map(str, _EXPECT_FIX))}][1 + p_partkey % 4] AS fix_srid,
+             printf('POINT Z (%d %d %d)', p_partkey, p_size::BIGINT, p_partkey % 100) AS wkt_3d,
+             printf('POINT (%d %d)', p_partkey, p_size::BIGINT)    AS wkt_2d,
+             printf('MULTIPOLYGON(((0 0,%d 0,%d %d,0 0)))', p_partkey, p_partkey, p_size::BIGINT) AS multi_out,
+             CAST(p_size AS DOUBLE) AS lat_out
       FROM part)
     SELECT p_partkey,
-           printf('SRID=%d;%s', raw_srid, wkt)  AS ewkt,
-           raw_srid                             AS srid_in,
-           [{",".join(map(str, _EXPECT_FIX))}][1 + p_partkey % 4] AS srid_fixed,
-           wkt                                  AS wkt_out,
-           printf('SRID=%d;%s',
-                  [{",".join(map(str, _EXPECT_FIX))}][1 + p_partkey % 4], wkt) AS ewkt_fixed
+           printf('SRID=%d;%s', raw_srid, wkt_3d)  AS ewkt,
+           raw_srid                                AS srid_in,
+           fix_srid                                AS srid_fixed,
+           printf('SRID=%d;%s', fix_srid, wkt_2d)  AS ewkt_fixed,
+           multi_out                               AS wkt_multi,
+           'MULTIPOLYGON'                          AS kind,
+           CAST(p_partkey AS DOUBLE)               AS lon,
+           lat_out                                 AS lat
     FROM src
     """,
 )
-def geom_srid_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12 extract/strip + F18 bad-SRID remap, end to end: parse the
-    SRID prefix, remap corrupt codes, re-prefix the WKT tail."""
+def geom_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole geometry prepare chain in one projection:
+    F12 SRID extract/strip + F18 bad-SRID remap + F1 force_2d + F2
+    MULTI promotion + F24 kind sniff + F17 POINT→lon/lat — applied to
+    synthesized EWKT (POINT Z with a corrupt SRID prefix, plus a
+    POLYGON for the MULTI path). The oracle constructs every expected
+    output string independently."""
     part = table(spark, sf_dir, "part")
-    bad = F.element_at(F.array(*[F.lit(s) for s in _BAD_SRIDS]), (F.col("p_partkey") % 4 + 1).cast("int"))
+    k = F.col("p_partkey")
+    size = F.col("p_size").cast("bigint")
+    bad = F.element_at(
+        F.array(*[F.lit(s) for s in _BAD_SRIDS]), (k % 4 + 1).cast("int")
+    )
+    wkt3d = F.format_string("POINT Z (%d %d %d)", "p_partkey", size, k % 100)
+    poly = F.format_string("POLYGON((0 0,%d 0,%d %d,0 0))", k, k, size)
     src = part.select(
         "p_partkey",
-        bad.alias("raw_srid"),
-        F.format_string("POINT(%d %d)", "p_partkey", F.col("p_size").cast("bigint")).alias("wkt"),
-    ).withColumn("ewkt", F.format_string("SRID=%d;%s", "raw_srid", "wkt"))
+        F.format_string("SRID=%d;%s", bad, wkt3d).alias("ewkt"),
+        poly.alias("poly_in"),
+    )
+    srid_fixed = G.remap_bad_srid(G.srid_of("ewkt"))
+    wkt_2d = G.force_2d(G.strip_srid("ewkt"))
+    ewkt_fixed = G.with_srid(wkt_2d, srid_fixed)
+    promoted = G.promote_to_multi(F.col("poly_in"), "MULTIPOLYGON")
+    lon, lat = G.point_to_lon_lat(wkt_2d)
     return src.select(
         "p_partkey",
         "ewkt",
         G.srid_of("ewkt").alias("srid_in"),
-        G.remap_bad_srid(G.srid_of("ewkt")).alias("srid_fixed"),
-        G.strip_srid("ewkt").alias("wkt_out"),
-        G.with_srid(G.strip_srid("ewkt"), G.remap_bad_srid(G.srid_of("ewkt"))).alias("ewkt_fixed"),
-    )
-
-
-@query(
-    "geom_force_2d",
-    oracle="""
-    SELECT p_partkey,
-           printf('POINT Z (%d %d %d)', p_partkey, p_size::BIGINT, p_partkey % 100) AS wkt_3d,
-           printf('POINT (%d %d)', p_partkey, p_size::BIGINT)                       AS wkt_2d
-    FROM part
-    """,
-)
-def geom_force_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 force_2d: synthesized POINT Z flattened to 2D; the oracle
-    constructs the expected 2D string independently."""
-    part = table(spark, sf_dir, "part")
-    wkt3d = F.format_string(
-        "POINT Z (%d %d %d)", "p_partkey", F.col("p_size").cast("bigint"), F.col("p_partkey") % 100
-    )
-    return part.select(
-        "p_partkey",
-        wkt3d.alias("wkt_3d"),
-        G.force_2d(wkt3d).alias("wkt_2d"),
-    )
-
-
-@query(
-    "geom_multi_promotion",
-    oracle="""
-    SELECT p_partkey,
-           printf('POLYGON((0 0,%d 0,%d %d,0 0))', p_partkey, p_partkey, p_size::BIGINT) AS wkt_in,
-           printf('MULTIPOLYGON(((0 0,%d 0,%d %d,0 0)))', p_partkey, p_partkey, p_size::BIGINT) AS wkt_multi,
-           'MULTIPOLYGON' AS kind
-    FROM part
-    """,
-)
-def geom_multi_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 MULTI promotion + F24 kind sniff on the promoted result."""
-    part = table(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    wkt = F.format_string(
-        "POLYGON((0 0,%d 0,%d %d,0 0))", k, k, F.col("p_size").cast("bigint")
-    )
-    promoted = G.promote_to_multi(wkt, "MULTIPOLYGON")
-    return part.select(
-        "p_partkey",
-        wkt.alias("wkt_in"),
+        srid_fixed.alias("srid_fixed"),
+        ewkt_fixed.alias("ewkt_fixed"),
         promoted.alias("wkt_multi"),
         G.geometry_kind(promoted).alias("kind"),
-    )
-
-
-@query(
-    "geom_point_lon_lat",
-    oracle="""
-    SELECT c_custkey,
-           printf('SRID=4326;POINT (%d %d)', -76 + c_custkey % 10, 39 + c_nationkey % 5) AS ewkt,
-           CAST(-76 + c_custkey % 10 AS DOUBLE) AS lon,
-           CAST(39 + c_nationkey % 5 AS DOUBLE) AS lat
-    FROM customer
-    """,
-)
-def geom_point_lon_lat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F17 POINT → lon/lat double extraction (opendata publish path)."""
-    cust = table(spark, sf_dir, "customer")
-    ewkt = F.format_string(
-        "SRID=4326;POINT (%d %d)",
-        (F.lit(-76) + F.col("c_custkey") % 10).cast("bigint"),
-        (F.lit(39) + F.col("c_nationkey") % 5).cast("bigint"),
-    )
-    lon, lat = G.point_to_lon_lat(ewkt)
-    return cust.select(
-        "c_custkey", ewkt.alias("ewkt"), lon.alias("lon"), lat.alias("lat")
+        lon.alias("lon"),
+        lat.alias("lat"),
     )
 
 

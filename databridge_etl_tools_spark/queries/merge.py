@@ -53,35 +53,26 @@ def upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH prod AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
          staging AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
-    SELECT {ORDER_COLS} FROM prod p
+    SELECT 'kept' AS fate, {ORDER_COLS} FROM prod p
     WHERE EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = p.o_orderkey)
-    """,
-)
-def delete_stale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 delete-stale applied: prod rows surviving the staging sync
-    (reference: DELETE ... USING (... EXCEPT ...),
-    postgres/postgres.py:1034-1090)."""
-    orders = table(spark, sf_dir, "orders")
-    prod = orders.where(F.col("o_orderkey") % 2 == 0)
-    staging = orders.where(F.col("o_orderkey") % 3 == 0)
-    return M.delete_stale(prod, staging, ["o_orderkey"])
-
-
-@query(
-    "stale_rows",
-    oracle=f"""
-    WITH prod AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
-         staging AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
-    SELECT {ORDER_COLS} FROM prod p
+    UNION ALL
+    SELECT 'stale' AS fate, {ORDER_COLS} FROM prod p
     WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = p.o_orderkey)
     """,
 )
-def stale_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 stale-row identification (anti-join on the PK)."""
+def delete_stale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 delete-stale, both sides in one tagged union: 'kept' = prod
+    rows surviving the staging sync (semi join), 'stale' = rows the
+    sync would delete (anti join). Reference: DELETE ... USING
+    (... EXCEPT ...), postgres/postgres.py:1034-1090."""
     orders = table(spark, sf_dir, "orders")
     prod = orders.where(F.col("o_orderkey") % 2 == 0)
     staging = orders.where(F.col("o_orderkey") % 3 == 0)
-    return M.stale_rows(prod, staging, ["o_orderkey"])
+    kept = M.delete_stale(prod, staging, ["o_orderkey"])
+    stale = M.stale_rows(prod, staging, ["o_orderkey"])
+    return kept.select(F.lit("kept").alias("fate"), "*").unionByName(
+        stale.select(F.lit("stale").alias("fate"), "*")
+    )
 
 
 @query(

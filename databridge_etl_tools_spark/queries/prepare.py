@@ -14,7 +14,7 @@ from ..registry import query, table
 @query(
     "prepare_header_normalize",
     oracle="""
-    SELECT c_custkey AS objectid, c_name AS cust_name, c_acctbal AS acct_bal
+    SELECT c_custkey AS objectid, c_name AS cust_name
     FROM customer
     """,
 )
@@ -22,14 +22,16 @@ def prepare_header_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/F6/F22: messy inbound headers (BOM, '#', OBJECTID_1 suffix,
     mixed case) normalized, then an explicit column mapping applied —
     the reference's load-time header pipeline
-    (postgres/postgres.py:399-418, 651-680, 723-728)."""
+    (postgres/postgres.py:399-418, 651-680, 723-728) — followed by
+    the P1 exclude_fields drop (Catalyst prunes the dropped column
+    out of the parquet scan entirely)."""
     cust = table(spark, sf_dir, "customer")
     messy = cust.select(
         F.col("c_custkey").alias("OBJECTID_1"),
         F.col("c_name").alias("﻿Cust#Name"),
         F.col("c_acctbal").alias("Acct#Bal"),
     )
-    return TX.normalize_headers(messy)
+    return TX.normalize_headers(messy).drop("acct_bal")
 
 
 @query(
@@ -56,29 +58,22 @@ def prepare_synthetic_objectid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "prepare_drop_exclude",
-    oracle="SELECT s_suppkey, s_name FROM supplier",
-)
-def prepare_drop_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 exclude_fields drop — Catalyst prunes the dropped columns
-    out of the parquet scan entirely."""
-    return table(spark, sf_dir, "supplier").drop("s_nationkey", "s_acctbal")
-
-
-@query(
     "prepare_cell_cleanup",
     oracle="""
     SELECT doc_id,
            regexp_replace(text, '\\x00', '', 'g')                    AS scrubbed,
            regexp_replace(text, '[^\\x00-\\x7F]|[''"<>]', '', 'g')   AS sanitized,
            CASE WHEN trim(lang) = '' THEN NULL ELSE lang END         AS lang_or_null,
-           '{' || source || ',' || lang || '}'                       AS pg_array
+           '{' || source || ',' || lang || '}'                       AS pg_array,
+           CAST(to_json(string_split(text, ' ')[1:5]) AS VARCHAR)    AS first_words_json
     FROM documents
     """,
 )
 def prepare_cell_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5/F10/F11/F4 cell-level cleanup as one projection: NUL scrub,
-    ASCII sanitize, empty→NULL, JSON-bracket→PG-brace rewrite."""
+    """F5/F10/F11/F4/F19/F21 cell-level cleanup as one projection:
+    NUL scrub, ASCII sanitize, empty→NULL, JSON-bracket→PG-brace
+    rewrite, and array-cell→JSON string (Knack/Airtable extract
+    convention)."""
     docs = table(spark, sf_dir, "documents")
     json_style = F.format_string("[%s,%s]", "source", "lang")
     return docs.select(
@@ -87,22 +82,6 @@ def prepare_cell_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.sanitize_ascii("text").alias("sanitized"),
         TX.empty_to_null("lang").alias("lang_or_null"),
         TX.array_braces(json_style).alias("pg_array"),
-    )
-
-
-@query(
-    "prepare_list_to_json",
-    oracle="""
-    SELECT doc_id, CAST(to_json(string_split(text, ' ')[1:5]) AS VARCHAR) AS first_words_json
-    FROM documents
-    """,
-)
-def prepare_list_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F19/F21: array cell → JSON string (Knack/Airtable extract
-    convention)."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
         TX.list_to_json(F.slice(F.split(F.col("text"), " "), 1, 5)).alias(
             "first_words_json"
         ),

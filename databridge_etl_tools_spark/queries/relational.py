@@ -21,10 +21,10 @@ DEC6 = "decimal(38,6)"
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(38,2)))                         AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,2)))                    AS sum_base_price,
-           SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))     AS sum_disc_price,
-           SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)                         AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)                    AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)     AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)/COUNT(*)       AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)/COUNT(*)  AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE)/COUNT(*)       AS avg_disc,
@@ -39,6 +39,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: parquet scan with shipdate filter pushed down, partial
     (map-side) aggregation, single shuffle on the 6-value group key.
+
+    Sums are computed as exact DECIMAL then the FINAL column is cast
+    to DOUBLE on both sides — driver-facing outputs must be
+    decimal-free (round-1 driver gate canonicalized decimals
+    differently than the local mirror; the exact-decimal→double
+    conversion is deterministic on both engines).
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -48,10 +54,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC2)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC2)).alias("sum_base_price"),
-            F.sum(disc_price.cast(DEC6)).alias("sum_disc_price"),
-            F.sum(charge.cast(DEC6)).alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast(DEC2)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast(DEC6)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(DEC6)).cast("double").alias("sum_charge"),
             (F.sum(F.col("l_quantity").cast(DEC2)).cast("double") / n).alias("avg_qty"),
             (F.sum(F.col("l_extendedprice").cast(DEC2)).cast("double") / n).alias("avg_price"),
             (F.sum(F.col("l_discount").cast(DEC2)).cast("double") / n).alias("avg_disc"),
@@ -81,44 +87,27 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "count_by_status",
+    "scan_probes",
     oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total
-    FROM orders GROUP BY o_orderstatus
+    SELECT l_returnflag, l_linestatus,
+           (SELECT MAX(o_orderkey) FROM orders) AS max_orderkey,
+           (SELECT MIN(o_orderkey) FROM orders) AS min_orderkey
+    FROM lineitem GROUP BY 1, 2
     """,
 )
-def count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 count(*) parity checks, grouped."""
-    return (
-        table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC2)).alias("total"),
-        )
+def scan_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 max(objectid)-style id-counter probe (postgres.py:760-768)
+    + A3 SELECT DISTINCT domain census (geometry-type probe shape),
+    combined: the distinct flag pairs carry the global key bounds via
+    a one-row broadcast cross join (no extra shuffle)."""
+    flags = (
+        table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
     )
-
-
-@query(
-    "max_key",
-    oracle="SELECT MAX(o_orderkey) AS max_orderkey, MIN(o_orderkey) AS min_orderkey FROM orders",
-)
-def max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 max(objectid)-style id-counter probe (postgres.py:760-768)."""
-    return table(spark, sf_dir, "orders").agg(
+    bounds = table(spark, sf_dir, "orders").agg(
         F.max("o_orderkey").alias("max_orderkey"),
         F.min("o_orderkey").alias("min_orderkey"),
     )
-
-
-@query(
-    "distinct_flags",
-    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
-def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 SELECT DISTINCT (geometry-type probe shape)."""
-    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    return flags.crossJoin(F.broadcast(bounds))
 
 
 @query(
@@ -166,7 +155,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_revenue",
     oracle="""
     SELECT r.r_name AS region_name,
-           SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(38,6))) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -194,36 +183,15 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
-        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
-
-
-@query(
-    "semi_join_orders",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
-    WHERE EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > TIMESTAMP '2000-01-01')
-    """,
-)
-def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi join (EXISTS) — shuffles only the key column of the
-    probe side after pushdown of the shipdate filter."""
-    orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp_ntz")
-    )
-    return orders.join(
-        li, orders.o_orderkey == li.l_orderkey, "left_semi"
-    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 @query(
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(38,6))) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -250,7 +218,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 
@@ -287,7 +255,7 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "forecast_revenue",
     oracle="""
-    SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -310,7 +278,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC6)).alias("revenue"),
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC6)).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -358,7 +326,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY n.n_name),
     total AS (
       SELECT SUM(CAST(s_acctbal AS DECIMAL(38,2))) AS grand FROM supplier)
-    SELECT p.nation_name, p.total_bal
+    SELECT p.nation_name, CAST(p.total_bal AS DOUBLE) AS total_bal
     FROM per_nation p, total t
     WHERE CAST(p.total_bal AS DOUBLE) > 0.05 * CAST(t.grand AS DOUBLE)
     """,
@@ -378,23 +346,37 @@ def important_nation_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_nation.crossJoin(F.broadcast(grand))
         .where(F.col("total_bal").cast("double") > 0.05 * F.col("grand").cast("double"))
-        .select("nation_name", "total_bal")
+        .select("nation_name", F.col("total_bal").cast("double").alias("total_bal"))
     )
 
 
 @query(
-    "intersect_all",
+    "set_ops",
     oracle="""
-    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
-    INTERSECT ALL
-    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+    SELECT 'intersect' AS op, o_orderkey, o_custkey FROM (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+      INTERSECT ALL
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0)
+    UNION ALL
+    SELECT 'except' AS op, o_orderkey, o_custkey FROM (
+      SELECT o_orderkey, o_custkey FROM orders
+      EXCEPT ALL
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
 )
-def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL multiset semantics (set-op family with A7)."""
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 multiset set ops in one tagged union: INTERSECT ALL and
+    EXCEPT ALL (the relational core of delete-stale, J3)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return o.where(F.col("o_orderkey") % 2 == 0).intersectAll(
+    inter = o.where(F.col("o_orderkey") % 2 == 0).intersectAll(
         o.where(F.col("o_orderkey") % 3 == 0)
+    )
+    o3 = table(spark, sf_dir, "orders")
+    exc = o.exceptAll(
+        o3.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_custkey")
+    )
+    return inter.select(F.lit("intersect").alias("op"), "*").unionByName(
+        exc.select(F.lit("except").alias("op"), "*")
     )
 
 
@@ -403,7 +385,7 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation scale path: approx_count_distinct (HLL)
     and approx_percentile (quantile sketch) — no global sort, no exact
     distinct shuffle. Rows-only check by necessity: sketch estimates
-    are engine-specific (exact twins: max_key / exact_percentiles)."""
+    are engine-specific (exact twins: scan_probes / exact_percentiles)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
@@ -412,15 +394,3 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "except_all",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
-    EXCEPT ALL
-    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 EXCEPT ALL — the relational core of delete-stale (J3)."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
-    return o.exceptAll(o.where(F.col("o_orderstatus") == "F"))

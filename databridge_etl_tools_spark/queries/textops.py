@@ -26,88 +26,7 @@ _TOK = "list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')"
            CAST(len({_TOK}) AS INTEGER) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_ish,
            CAST(length(text) AS INTEGER) AS n_chars_measured,
-           length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS avg_word_len
-    FROM documents
-    """,
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish subword estimate +
-    exact average word length."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TS.token_count("text").alias("n_tokens"),
-        TS.bpe_ish_token_count("text").alias("n_bpe_ish"),
-        TS.char_count("text").alias("n_chars_measured"),
-        TS.avg_word_len("text").alias("avg_word_len"),
-    )
-
-
-@query(
-    "text_quality_scores",
-    oracle=f"""
-    WITH s AS (
-      SELECT doc_id,
-             length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS wl,
-             len(list_filter({_TOK}, x -> list_contains({_EN}, lower(x))))
-               / CAST(len({_TOK}) AS DOUBLE) AS swr,
-             len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(length(text) AS DOUBLE) AS pr
-      FROM documents)
-    SELECT doc_id,
-           swr AS stopword_ratio,
-           pr  AS punct_ratio,
-           (CASE WHEN wl >= 3.0 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END
-            + least(swr * 4.0, 1.0)
-            + 1.0 - least(pr * 5.0, 1.0)) / 3.0 AS quality
-    FROM s
-    """,
-)
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: stopword/punctuation ratios + composite score
-    (length/punct/stopword heuristic, all codegen'd expressions)."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TS.stopword_ratio("text").alias("stopword_ratio"),
-        TS.punct_ratio("text").alias("punct_ratio"),
-        TS.quality_score("text").alias("quality"),
-    )
-
-
-@query(
-    "text_language_id",
-    oracle=f"""
-    WITH h AS (
-      SELECT doc_id, lang AS lang_labeled,
-             len(list_filter({_TOK}, x -> list_contains({_EN}, lower(x)))) AS h_en,
-             len(list_filter({_TOK}, x -> list_contains({_ES}, lower(x)))) AS h_es,
-             len(list_filter({_TOK}, x -> list_contains({_FR}, lower(x)))) AS h_fr,
-             len(list_filter({_TOK}, x -> list_contains({_DE}, lower(x)))) AS h_de
-      FROM documents)
-    SELECT doc_id, lang_labeled,
-           CASE WHEN greatest(h_en,h_es,h_fr,h_de) = 0 THEN 'und'
-                WHEN h_en = greatest(h_en,h_es,h_fr,h_de) THEN 'en'
-                WHEN h_es = greatest(h_en,h_es,h_fr,h_de) THEN 'es'
-                WHEN h_fr = greatest(h_en,h_es,h_fr,h_de) THEN 'fr'
-                ELSE 'de' END AS lang_guess
-    FROM h
-    """,
-)
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: marker-lexicon hit-count argmax
-    (Cavnar-Trenkle-style profile matching reduced to function words)."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("lang_labeled"),
-        TS.language_guess("text").alias("lang_guess"),
-    )
-
-
-@query(
-    "text_fingerprints",
-    oracle="""
-    SELECT doc_id,
+           length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS avg_word_len,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5,
            list_reduce(
              list_prepend(0::BIGINT,
@@ -116,12 +35,63 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: normalized-md5 content key + polynomial
-    rolling hash (order-sensitive)."""
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document fingerprinting in one per-doc pass:
+    whitespace tokens, BPE-ish subword estimate, exact average word
+    length, normalized-md5 content key, and the order-sensitive
+    polynomial rolling hash."""
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        TS.char_count("text").alias("n_chars_measured"),
+        TS.avg_word_len("text").alias("avg_word_len"),
         TS.fingerprint("text").alias("fp_md5"),
         TS.rolling_hash("text").alias("fp_rolling"),
+    )
+
+
+@query(
+    "text_quality_language",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang AS lang_labeled,
+             length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS wl,
+             len(list_filter({_TOK}, x -> list_contains({_EN}, lower(x))))
+               / CAST(len({_TOK}) AS DOUBLE) AS swr,
+             len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(length(text) AS DOUBLE) AS pr,
+             len(list_filter({_TOK}, x -> list_contains({_EN}, lower(x)))) AS h_en,
+             len(list_filter({_TOK}, x -> list_contains({_ES}, lower(x)))) AS h_es,
+             len(list_filter({_TOK}, x -> list_contains({_FR}, lower(x)))) AS h_fr,
+             len(list_filter({_TOK}, x -> list_contains({_DE}, lower(x)))) AS h_de
+      FROM documents)
+    SELECT doc_id, lang_labeled,
+           swr AS stopword_ratio,
+           pr  AS punct_ratio,
+           (CASE WHEN wl >= 3.0 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END
+            + least(swr * 4.0, 1.0)
+            + 1.0 - least(pr * 5.0, 1.0)) / 3.0 AS quality,
+           CASE WHEN greatest(h_en,h_es,h_fr,h_de) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en,h_es,h_fr,h_de) THEN 'en'
+                WHEN h_es = greatest(h_en,h_es,h_fr,h_de) THEN 'es'
+                WHEN h_fr = greatest(h_en,h_es,h_fr,h_de) THEN 'fr'
+                ELSE 'de' END AS lang_guess
+    FROM s
+    """,
+)
+def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + heuristic language ID in one per-doc pass:
+    stopword/punctuation ratios, the length/punct/stopword composite
+    score, and marker-lexicon hit-count argmax language guessing
+    (Cavnar-Trenkle-style profile matching reduced to function
+    words) — all codegen'd column expressions."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        TS.stopword_ratio("text").alias("stopword_ratio"),
+        TS.punct_ratio("text").alias("punct_ratio"),
+        TS.quality_score("text").alias("quality"),
+        TS.language_guess("text").alias("lang_guess"),
     )

@@ -57,7 +57,7 @@ def test_cli_query_list_and_run(spark, capsys):
     names = capsys.readouterr().out.split()
     assert "pricing_summary" in names and len(names) >= 50
 
-    assert main(["query", "run", "--name", "max_key",
+    assert main(["query", "run", "--name", "scan_probes",
                  "--sf-dir", "/root/testdata/sf0.001"]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert rows[0]["max_orderkey"] == 1499

@@ -44,8 +44,9 @@ def test_dedupe_single_shuffle_on_key(spark):
 
 
 def test_semi_join_prunes_probe_columns(spark):
-    plan = _plan(spark, "semi_join_orders")
-    # the lineitem side of the semi join only needs the key column
+    # order_priority_check's left-semi: the lineitem probe side only
+    # needs the join key + residual column, never the payload columns
+    plan = _plan(spark, "order_priority_check")
     for segment in plan.split("ReadSchema:")[1:]:
         read = segment.split("\n")[0]
         if "l_orderkey" in read:

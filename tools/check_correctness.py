@@ -126,6 +126,16 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        # Round-1 lesson: the driver canonicalizes DECIMAL differently than
+        # this mirror, so any decimal in a driver-facing output schema fails
+        # the driver's hash while passing locally. Enforce the repo rule
+        # (decimal-free final schemas) here so the divergence can't hide.
+        dec_cols = [
+            f.name for f in sdf.schema.fields
+            if f.dataType.simpleString().startswith("decimal")
+        ]
+        if dec_cols:
+            problems.append(f"decimal output columns (driver-hash hazard): {dec_cols}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):

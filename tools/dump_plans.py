@@ -15,7 +15,7 @@ SHOW = [
     "pricing_summary",
     "filter_project",
     "region_revenue",
-    "semi_join_orders",
+    "order_priority_check",
     "upsert_orders",
     "dedupe_events_by_user",
     "events_sessionize",
