@@ -92,19 +92,108 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs (a<b) with cosine ≥ threshold (embedding near-dup)."""
+    """All pairs (a<b) with cosine ≥ threshold (embedding near-dup),
+    exact, via a blocked equi-join (distributed block nested loop).
+
+    Each row gets a block id ``id % n_blocks``; a tiny broadcast table
+    of the n_blocks·(n_blocks+1)/2 unordered block pairs fans the left
+    side out, and the right side arrives through a plain shuffle
+    equi-join on its block id. Every unordered row pair is compared
+    exactly once, the plan contains no CartesianProduct, and per-task
+    memory is bounded by two blocks — at 100 TB raise ``n_blocks`` so
+    a block fits an executor. The O(n²) compare count is inherent to
+    exact low-threshold near-dup on dense vectors (no lossless
+    sub-quadratic prefilter exists — at the demo threshold 0.45 even
+    the best pair is only cos≈0.51, so LSH bucketing would drop true
+    pairs); for production thresholds (≥0.9) use
+    ``neardup_pairs_lsh``, which prunes candidates first.
+    """
     base = with_norm(emb, vec_col)
     a = base.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
-    )
+    ).withColumn("_ga", F.pmod(F.col("id_a").cast("bigint"), F.lit(n_blocks)).cast("int"))
     b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
+    ).withColumn("_gb", F.pmod(F.col("id_b").cast("bigint"), F.lit(n_blocks)).cast("int"))
+    block_pairs = emb.sparkSession.createDataFrame(
+        [(ga, gb) for ga in range(n_blocks) for gb in range(ga, n_blocks)],
+        "bga int, bgb int",
+    )
+    cos = dot_fold(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(F.broadcast(block_pairs), F.col("_ga") == F.col("bga"))
+        .join(b, F.col("bgb") == F.col("_gb"))
+        # same-block pairs appear in both orders — keep one; cross-block
+        # pairs appear exactly once (block pairs are unordered)
+        .where((F.col("_ga") != F.col("_gb")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs for production thresholds (≥~0.9): banded
+    hyperplane LSH candidate generation + exact cosine verification.
+
+    Each vector gets ``n_bands`` bucket keys (``band_bits`` sign bits
+    each); candidates are pairs sharing any band bucket (equi-join on
+    (band, key), the MinHash-LSH shape from operators/dedup.py), then
+    the exact fold verifies cosine ≥ threshold. Recall < 1 by
+    construction — a true pair differing in ≥1 bit of every band is
+    missed; more bands raise recall, more bits per band raise
+    precision. Never materializes the n² pair space.
+    """
+    planes = hyperplanes(n_bands * band_bits, dim)
+    base = with_norm(emb, vec_col)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                lsh_bucket(
+                    F.col(vec_col), planes[j * band_bits : (j + 1) * band_bits]
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    tagged = base.select(
+        F.col(id_col).alias("id"), F.explode(keys).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        tagged.alias("x")
+        .join(
+            tagged.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
+    )
+    vb = base.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
     )
     cos = dot_fold(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
@@ -280,50 +369,75 @@ def cosine_topk_vectorized(
     query_pred: Column | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_col: str | None = None,
+    n_cells: int = 8,
+    iters: int = 3,
 ) -> DataFrame:
-    """Throughput ANN path: broadcast the candidate matrix, numpy GEMM
-    per Arrow batch of queries, exact top-k per query.
+    """Throughput ANN path: IVF-cell-sharded numpy GEMM via cogrouped
+    ``applyInPandas`` — queries and candidates co-shuffle on the cell
+    id, each task does one cell's query×candidate matrix product.
 
-    At 100 TB this shape becomes: candidates bucketed by IVF cell →
-    ``mapInPandas`` per query partition against the (broadcast or
-    cell-local) matrix. Checked rows-only (BLAS sum order ≠ fold).
+    No data ever reaches the driver (the round-1 shape collected the
+    whole candidate table with toPandas — a driver OOM at 100 TB);
+    per-task memory is bounded by one cell, and at scale the candidate
+    side is a cell-partitioned table so the cogroup shuffle on the
+    candidate side disappears. ``cell_col`` names an existing coarse
+    cell (e.g. from ``ivf_build``); when None, a deterministic k-means
+    IVF index with ``n_cells`` cells is built first. Checked rows-only
+    (BLAS sum order ≠ fold).
     """
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    cand = emb.select(id_col, vec_col).toPandas()
-    ids = np.asarray(cand[id_col].values)
-    mat = np.vstack(cand[vec_col].values).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
-
+    if cell_col is None:
+        emb = ivf_build(emb, n_cells, iters, id_col, vec_col)
+        cell_col = "cell"
     q = emb.where(query_pred) if query_pred is not None else emb
+    # distinct column names per side: cogrouping two frames that share
+    # lineage otherwise trips Spark's ambiguous-self-join detection
+    qsel = q.select(
+        F.col(cell_col).alias("_qcell"),
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+    )
+    csel = emb.select(
+        F.col(cell_col).alias("_ccell"),
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+    )
 
-    def topk_batches(batches):
-        ids_l, mat_l, norms_l = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            qm = np.vstack(pdf[vec_col].values).astype(np.float64)
-            qn = np.linalg.norm(qm, axis=1)
-            sims = (qm @ mat_l.T) / np.outer(qn, norms_l)
-            out = []
-            for row_i, qid in enumerate(pdf[id_col].values):
-                s = sims[row_i]
-                mask = ids_l != qid
-                order = np.argsort(np.where(mask, -s, np.inf), kind="stable")
-                rank = 0
-                for j in order:
-                    if not mask[j]:  # self-pair sentinel region reached
-                        break
-                    rank += 1
-                    if rank > k:
-                        break
-                    out.append((int(qid), int(ids_l[j]), float(s[j]), rank))
-            yield pd.DataFrame(
-                out, columns=["query_id", "neighbor_id", "cosine", "rank"]
+    def topk_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64"),
+                 "rank": pd.Series(dtype="int32")}
             )
+        ids = np.asarray(cpdf["_cid"].values)
+        mat = np.vstack(cpdf["_cv"].values).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        qm = np.vstack(qpdf["_qv"].values).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        sims = (qm @ mat.T) / np.outer(qn, norms)
+        out = []
+        for row_i, qid in enumerate(qpdf["_qid"].values):
+            s = sims[row_i]
+            mask = ids != qid
+            order = np.argsort(np.where(mask, -s, np.inf), kind="stable")
+            rank = 0
+            for j in order:
+                if not mask[j]:  # self-pair sentinel region reached
+                    break
+                rank += 1
+                if rank > k:
+                    break
+                out.append((int(qid), int(ids[j]), float(s[j]), rank))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine", "rank"])
 
     schema = "query_id bigint, neighbor_id bigint, cosine double, rank int"
-    return q.select(id_col, vec_col).mapInPandas(topk_batches, schema)
+    return (
+        qsel.groupBy("_qcell")
+        .cogroup(csel.groupBy("_ccell"))
+        .applyInPandas(topk_cell, schema)
+    )

@@ -85,7 +85,10 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.45 on this synthetic
-    distribution; production near-dup uses ≥0.95 on real embeddings)."""
+    distribution; production near-dup uses ≥0.95 on real embeddings
+    via neardup_pairs_lsh). Exact blocked equi-join — all unordered
+    pairs compared exactly once, no CartesianProduct in the plan,
+    per-task memory bounded by two id-blocks."""
     emb = table(spark, sf_dir, "embeddings")
     return SIM.neardup_pairs(emb, threshold=0.45)
 
@@ -146,8 +149,13 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_topk_vectorized")  # no oracle: BLAS sum order ≠ fold (rows-only check)
 def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput ANN: broadcast candidate matrix + numpy GEMM per
-    Arrow batch. Same task as ann_cosine_topk; checked rows-only
-    because BLAS reassociates the float sums."""
+    """Throughput ANN: IVF-cell-sharded numpy GEMM via cogrouped
+    applyInPandas — the vectorized twin of ann_ivf_kmeans (same
+    deterministic k-means cells, k=8/3 iters). Nothing is collected
+    to the driver; each task multiplies one cell's query block against
+    that cell's candidate block. Checked rows-only because BLAS
+    reassociates the float sums."""
     emb = table(spark, sf_dir, "embeddings")
-    return SIM.cosine_topk_vectorized(emb, k=5, query_pred=F.col("vec_id") % 50 == 0)
+    return SIM.cosine_topk_vectorized(
+        emb, k=5, query_pred=F.col("vec_id") % 50 == 0, n_cells=8, iters=3
+    )

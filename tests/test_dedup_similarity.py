@@ -96,12 +96,42 @@ def test_neardup_pairs_threshold(spark):
     assert got == {(1, 2), (4, 5)}
 
 
-def test_vectorized_topk_matches_exact(spark):
-    exact = SIM.cosine_topk(_emb(spark), k=2, query_pred=F.col("vec_id") == 1)
-    fast = SIM.cosine_topk_vectorized(_emb(spark), k=2, query_pred=F.col("vec_id") == 1)
+def test_neardup_pairs_no_cartesian_product(spark):
+    plan = SIM.neardup_pairs(
+        _emb(spark), 0.95
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_lsh_finds_production_threshold_pairs(spark):
+    got = {
+        (r.id_a, r.id_b)
+        for r in SIM.neardup_pairs_lsh(_emb(spark), 0.95, dim=4).collect()
+    }
+    # candidate generation is banded LSH (recall<1 in general); on
+    # these near-identical pairs the deterministic planes must agree
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_vectorized_topk_matches_exact_within_cell(spark):
+    exact = SIM.cosine_topk(
+        _emb(spark), k=2, query_pred=F.col("vec_id") == 1, cell_col="label"
+    )
+    fast = SIM.cosine_topk_vectorized(
+        _emb(spark), k=2, query_pred=F.col("vec_id") == 1, cell_col="label"
+    )
     e = [(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()]
     f = [(r.query_id, r.neighbor_id, r.rank) for r in fast.collect()]
-    assert sorted(e) == sorted(f)
+    assert sorted(e) == sorted(f) and len(f) == 2
+
+
+def test_vectorized_topk_builds_ivf_cells(spark):
+    # default path: deterministic k-means cells; every query returns
+    # its in-cell neighbors, nothing collected to the driver
+    out = SIM.cosine_topk_vectorized(_emb(spark), k=1, n_cells=2, iters=2).collect()
+    assert {r.query_id for r in out} <= {1, 2, 3, 4, 5}
+    assert all(r.rank == 1 for r in out)
 
 
 def test_interval_join_matches_naive(spark):
