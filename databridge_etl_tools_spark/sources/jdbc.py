@@ -7,10 +7,13 @@ postgres/postgres.py:823-831) and loads via COPY
 ``spark.read.jdbc`` with a pushed-down ``ST_AsEWKT`` projection and
 ``df.write.jdbc`` with batched inserts.
 
-No JDBC driver jar or database exists in this container, so these
-helpers build (and unit-test) the exact reader/writer configuration —
-the query strings and option dicts — and execute them when a real
-``url`` + driver are present.
+No Postgres exists in this container, so these helpers build the
+exact reader/writer configuration — the query strings and option
+dicts — and execute against whatever JDBC engine the ``url``/
+``driver`` name. The executed path is integration-tested for real
+against embedded Apache Derby (bundled with Spark's distribution;
+tests/test_jdbc_roundtrip.py): sink append, scan, partitioned scan
+with a database-side WHERE.
 
 Scale notes encoded here:
 - reads partition on a numeric column (``partitionColumn`` +
