@@ -100,6 +100,67 @@ def _coords(text: str) -> list[list[float]]:
     ]
 
 
+def _split_top(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (WKT group separator)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    if s.startswith("(") and s.endswith(")"):
+        return s[1:-1]
+    return s
+
+
+def _ring_points(ring_text: str) -> list[list[float]]:
+    nums = [float(v) for v in re.findall(_NUM, ring_text)]
+    return [[nums[i], nums[i + 1]] for i in range(0, len(nums) - 1, 2)]
+
+
+def _signed_area2(ring: list[list[float]]) -> float:
+    """Twice the shoelace signed area (positive = counterclockwise)."""
+    a = 0.0
+    for i in range(len(ring) - 1):
+        a += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+    return a
+
+
+def _oriented(ring: list[list[float]], clockwise: bool) -> list[list[float]]:
+    ccw = _signed_area2(ring) > 0
+    return ring[::-1] if ccw == clockwise else ring
+
+
+def _polygon_esri_rings(body: str, multi: bool) -> list[list[list[float]]]:
+    """WKT polygon body → Esri rings with holes and winding handled.
+
+    Esri JSON has no exterior/hole nesting — a polygon is a flat ring
+    list where winding IS the semantics: outer rings clockwise, holes
+    counterclockwise. The first WKT ring of each polygon is its
+    exterior (forced CW), the rest are holes (forced CCW). The
+    reference formats only ``poly.exterior`` and silently drops
+    interior rings (ago/ago.py:364-376, 398-412); holes are kept here
+    because AGO itself requires them for donut geometries.
+    """
+    polys = [_strip_parens(g) for g in _split_top(body)] if multi else [body]
+    rings: list[list[list[float]]] = []
+    for poly in polys:
+        for ri, ring_text in enumerate(_split_top(poly)):
+            pts = _ring_points(_strip_parens(ring_text))
+            if pts:
+                rings.append(_oriented(pts, clockwise=(ri == 0)))
+    return rings
+
+
 def wkt_to_esri_json(wkt: str | None, srid: int | None = None) -> str | None:
     """WKT → Esri geometry JSON (reference semantics, ago/ago.py:
     361-433, 674-757): POINT → {x,y,spatialReference}; POLYGON /
@@ -133,15 +194,21 @@ def wkt_to_esri_json(wkt: str | None, srid: int | None = None) -> str | None:
     if srm:
         sr = {"wkid": int(srm.group(1))}
         wkt = srm.group(2)
-    kind = wkt.strip().split("(", 1)[0].strip().upper()
-    rings = _coords(wkt)
-    pts = [
-        [[ring[i], ring[i + 1]] for i in range(0, len(ring) - 1, 2)] for ring in rings
-    ]
+    stripped = wkt.strip()
+    kind = stripped.split("(", 1)[0].strip().upper()
     if kind == "MULTIPOINT":
         raise NotImplementedError("MULTIPOINT is not implemented (reference parity)")
-    key = "paths" if "LINE" in kind else "rings"
-    doc = {key: pts}
+    # body == text inside the outermost paren pair
+    body = _strip_parens("(" + stripped.split("(", 1)[1])
+    if "LINE" in kind:
+        rings = _coords(wkt)
+        pts = [
+            [[ring[i], ring[i + 1]] for i in range(0, len(ring) - 1, 2)]
+            for ring in rings
+        ]
+        doc = {"paths": pts}
+    else:
+        doc = {"rings": _polygon_esri_rings(body, multi=kind == "MULTIPOLYGON")}
     if sr:
         doc["spatialReference"] = sr
     return json.dumps(doc, sort_keys=True)

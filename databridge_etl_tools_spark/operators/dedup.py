@@ -147,19 +147,46 @@ def minhash_lsh_pairs(
     equi-join → distinct candidate pairs → signature agreement /k.
     """
     rows = k // bands
-    # Explode → 16 min-aggs: each shingle is hashed exactly once per
-    # hash function. (The array formulation looks natural but Catalyst's
-    # CollapseProject inlines the shingle construction into every
-    # array_min, recomputing it k times per row.) Map-side partial
-    # aggregation keeps the shuffle at one row per (doc, 16 mins).
-    ex = spread(df).select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("s")
-    )
-    sig = (
-        ex.groupBy("doc")
-        .agg(*[F.min(_md5_hash64(F.col("s"), str(i))).alias(f"_m{i}") for i in range(k)])
-        .select("doc", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig"))
-    )
+    # Per-document signatures in one vectorized Arrow pass — no
+    # explode, no shuffle, no k-wide aggregate codegen (the earlier
+    # explode → k min-aggs formulation spent its wall time compiling
+    # the generated aggregate at bench scale). Hashes stay md5-pinned
+    # so the DuckDB oracle reproduces them exactly.
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    splitter = _re.compile(_WS_SPLIT_RE)
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = [t for t in splitter.split((text or "").strip(" ")) if t]
+                if len(toks) < n:
+                    continue
+                seen = set()
+                shingles = []
+                for i in range(len(toks) - n + 1):
+                    s = " ".join(toks[i : i + n])
+                    if s not in seen:
+                        seen.add(s)
+                        shingles.append(s)
+                sig_row = [
+                    min(
+                        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16)
+                        for s in shingles
+                    )
+                    for i in range(k)
+                ]
+                ids.append(did)
+                sigs.append(sig_row)
+            if ids:
+                yield pd.DataFrame({"doc": ids, "sig": sigs})
+
+    sig = spread(df).mapInPandas(run, f"doc {id_type}, sig array<bigint>")
 
     # Materialize the signature table once: it is tiny relative to the
     # corpus (k integers per doc) and feeds both sides of the band
@@ -263,28 +290,57 @@ def connected_components(
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
 
 
+#: Java \s (ASCII-only), mirroring textstats.tokens()'s split regex
+_WS_SPLIT_RE = r"[ \t\n\x0b\f\r]+"
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document: per-token md5-derived hashes,
     bitwise ±1 voting, sign → bit. Token multiplicity counts (standard
-    SimHash weighting by term frequency)."""
-    ex = spread(df).select(
-        F.col(id_col).alias("doc"), F.explode(TS.tokens(text_col)).alias("tok")
-    ).withColumn("h", _md5_hash64(F.col("tok"), hex_chars=15))
-    votes = ex.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    sh = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sh = term if sh is None else sh + term
-    return votes.select("doc", sh.alias("simhash"))
+    SimHash weighting by term frequency).
+
+    Computed per-document in a vectorized Arrow ``mapInPandas`` pass:
+    tokenize → 60-bit md5 hash per token → numpy bit-column vote
+    matrix → sign bits. Purely map-side (no explode, no shuffle —
+    the earlier expression-tree formulation shipped 60 SUM(CASE)
+    aggregates whose whole-stage codegen compile dominated wall time
+    at bench scale). The hash and vote rule are integer-exact and
+    pinned to md5 so the independent DuckDB oracle reproduces them
+    bit-for-bit; the ±1 vote equals ``2·ones_j > n`` including ties.
+    Docs with zero tokens produce no row (explode semantics kept)."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"doc {id_type}, simhash bigint"
+    splitter = _re.compile(_WS_SPLIT_RE)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = [t for t in splitter.split((text or "").strip(" ")) if t]
+                if not toks:
+                    continue
+                hs = np.array(
+                    [
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                bits = np.nonzero(2 * ones > len(toks))[0]
+                ids.append(did)
+                sigs.append(sum(1 << int(j) for j in bits))
+            if ids:
+                yield pd.DataFrame({"doc": ids, "simhash": sigs})
+
+    return spread(df).mapInPandas(run, schema)
 
 
 def simhash_near_pairs(

@@ -2,7 +2,51 @@
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dense_ids(df: DataFrame, base: int = 0, id_col: str = "objectid") -> DataFrame:
+    """Assign dense sequential ids base+1..base+n with NO global sort
+    and NO shuffle (the zipWithIndex shape, kept in DataFrame/Arrow
+    land): one light job counts rows per partition, the cumulative
+    offsets ride along as a plain closure, and a ``mapInPandas`` pass
+    numbers each partition locally from its offset.
+
+    Replaces ``row_number() OVER (ORDER BY …)`` — whose plan is a
+    single-partition Exchange holding the entire table — for id
+    synthesis where ids must be unique and dense but their assignment
+    order is free. Requires a deterministic input lineage (both passes
+    must see identical partitioning — true for file scans and any
+    checkpointed frame; callers with nondeterministic sources should
+    ``localCheckpoint`` first).
+    """
+    tagged = df.withColumn("_pid", F.spark_partition_id())
+    counts = tagged.groupBy("_pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = base
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+
+    schema_str = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes] + [f"`{id_col}` bigint"]
+    )
+
+    def number(batches: Iterator) -> Iterator:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            start = offsets[int(pdf["_pid"].iloc[0])] + seen
+            out = pdf.drop(columns=["_pid"])
+            out[id_col] = range(start + 1, start + 1 + len(pdf))
+            seen += len(pdf)
+            yield out
+
+    return tagged.mapInPandas(number, schema_str)
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:

@@ -72,10 +72,11 @@ def _synthesize_objectid(
     """The reference's DB assigns sequential objectids (SDE-managed);
     when the target has one and the CSV doesn't, synthesize ids that
     stay unique ACROSS loads: continue from max(existing)+1 in append
-    mode (D11 counter semantics). Global row_number implies a single-
-    partition sort — acceptable for staged-CSV-sized loads; id-managed
-    tables are dimension-scale in the reference."""
-    from pyspark.sql import Window
+    mode (D11 counter semantics). Ids come from ``util.dense_ids``
+    (per-partition counts → cumulative offsets, no global sort and no
+    single-partition Exchange), so the assignment survives 100 TB
+    loads; continuity and cross-load uniqueness are unchanged."""
+    from ..operators.util import dense_ids
 
     base = 0
     if mode == "append" and store.exists(table):
@@ -86,9 +87,10 @@ def _synthesize_objectid(
     oid_type = next(
         (f.dataType for f in schema.struct.fields if f.name == "objectid"), None
     )
-    w = Window.orderBy(F.monotonically_increasing_id())
-    oid = F.row_number().over(w) + F.lit(base)
-    return df.withColumn("objectid", oid.cast(oid_type) if oid_type is not None else oid)
+    out = dense_ids(df, base=base, id_col="objectid")
+    if oid_type is not None:
+        out = out.withColumn("objectid", F.col("objectid").cast(oid_type))
+    return out
 
 
 # ---------------------------------------------------------------------
@@ -345,8 +347,13 @@ def upsert_pipeline(
         and "objectid" not in schema.primary_key
     ):
         # AGO oid-swap semantics (ago/ago.py:830-838): matched keys
-        # keep their existing objectid; new keys continue the counter
-        from pyspark.sql import Window
+        # keep their existing objectid; new keys continue the counter.
+        # New ids are densely numbered per partition (util.dense_ids —
+        # no single-partition sort); matched rows then override with
+        # their existing oid, so fresh ids may have gaps where keys
+        # matched (the counter only ever moves forward — same behavior
+        # as a DB sequence under conflicting inserts).
+        from ..operators.util import dense_ids
 
         keymap = prod.select(*schema.primary_key, F.col("objectid").alias("_oid"))
         staging = staging.join(keymap, list(schema.primary_key), "left")
@@ -354,13 +361,12 @@ def upsert_pipeline(
         oid_type = next(
             (f.dataType for f in prod.schema.fields if f.name == "objectid"), None
         )
-        fresh = (
-            F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
-            + F.lit(base)
-        ).cast(oid_type)
+        staging = dense_ids(
+            staging.localCheckpoint(eager=False), base=base, id_col="_fresh"
+        )
         staging = staging.withColumn(
-            "objectid", F.coalesce(F.col("_oid"), fresh)
-        ).drop("_oid")
+            "objectid", F.coalesce(F.col("_oid"), F.col("_fresh").cast(oid_type))
+        ).drop("_oid", "_fresh")
     missing = set(prod.columns) - set(staging.columns)
     if missing:
         # fail with a V5-style message instead of an unresolved-column

@@ -100,14 +100,47 @@ def test_wkb_dataframe_legs(spark):
 def test_esri_json_point_polygon_line():
     d = json.loads(GU.wkt_to_esri_json("SRID=2272;POINT (1 2)"))
     assert d == {"x": 1.0, "y": 2.0, "spatialReference": {"wkid": 2272}}
+    # CCW WKT exterior is normalized to Esri's clockwise outer-ring winding
     d = json.loads(GU.wkt_to_esri_json("POLYGON((0 0, 1 0, 1 1, 0 0))", srid=4326))
-    assert d["rings"] == [[[0, 0], [1, 0], [1, 1], [0, 0]]]
+    assert d["rings"] == [[[0, 0], [1, 1], [1, 0], [0, 0]]]
     d = json.loads(
         GU.wkt_to_esri_json("MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))")
     )
     assert len(d["rings"]) == 2  # MULTI flattened into rings
     d = json.loads(GU.wkt_to_esri_json("LINESTRING(0 0, 1 1)"))
     assert d["paths"] == [[[0, 0], [1, 1]]]
+
+
+def test_esri_json_polygon_holes_and_winding():
+    # donut: CW exterior kept as-is, CW hole flipped to CCW
+    d = json.loads(
+        GU.wkt_to_esri_json(
+            "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"
+        )
+    )
+    ext, hole = d["rings"]
+    assert ext == [[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]]  # already CW
+    assert hole == [[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]]  # reversed to CCW
+    # multipolygon with a holed member + a plain member: 3 rings total,
+    # each polygon's first ring CW, holes CCW
+    d = json.loads(
+        GU.wkt_to_esri_json(
+            "MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),(1 1,1 2,2 2,2 1,1 1)),"
+            "((20 20,21 20,21 21,20 20)))"
+        )
+    )
+    assert len(d["rings"]) == 3
+    r0, r1, r2 = d["rings"]
+
+    def area2(ring):
+        return sum(
+            ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+            for i in range(len(ring) - 1)
+        )
+
+    assert area2(r0) < 0 and area2(r2) < 0  # outers clockwise
+    assert area2(r1) > 0  # hole counterclockwise
+    assert {tuple(p) for p in r1} == {(1, 1), (1, 2), (2, 2), (2, 1)}
 
 
 def test_esri_json_empties_and_multipoint():

@@ -257,3 +257,17 @@ def test_upsert_synthesizes_objectid_with_oid_swap(spark, tmp_path):
     assert rows["b"].objectid == 20 and rows["b"].val == 99  # oid kept
     assert rows["a"].objectid == 10 and rows["a"].val == 1
     assert rows["c"].objectid > 20 and rows["c"].val == 3  # fresh id
+
+
+def test_dense_ids_no_global_sort(spark):
+    from databridge_etl_tools_spark.operators.util import dense_ids
+
+    df = spark.range(0, 1000, 1, 8).selectExpr("id AS payload")
+    out = dense_ids(df, base=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the whole point: no single-partition Exchange, no global Sort
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    ids = sorted(r.objectid for r in out.collect())
+    assert ids == list(range(101, 1101))  # dense, continuous, offset by base
+    assert out.rdd.getNumPartitions() == 8
