@@ -241,12 +241,22 @@ def kmeans_fit(
     assigned = None
     for _ in range(iters):
         assigned = emb.withColumn("cell", assign_expr(centroids))
+        # determinism discipline (same as the query layer): never
+        # average raw doubles — partial-agg order varies with
+        # partitioning, so last-ulp drift could flip borderline cell
+        # assignments across cluster layouts. Exact decimal sum, one
+        # deterministic cast to double, divide by exact count.
         means = (
             assigned.select(
                 "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
             )
             .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .collect()
         )
         new_centroids = [list(c) for c in centroids]  # keep empty cells put

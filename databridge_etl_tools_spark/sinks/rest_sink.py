@@ -34,6 +34,28 @@ STATUS_SCHEMA = (
 )
 
 
+def _check_task_retries(
+    explicit: str | None, master: str, allow_task_retries: bool
+) -> None:
+    """Refuse to run a non-idempotent POST stage under task retries
+    (spark.task.maxFailures is a static conf — resolved from the
+    SparkContext; plain local[N] masters never retry)."""
+    if explicit is not None:
+        max_failures = int(explicit)
+    elif master.startswith("local") and "," not in master:
+        max_failures = 1  # plain local[N] never retries tasks
+    else:
+        max_failures = 4  # cluster default
+    if max_failures > 1 and not allow_task_retries:
+        raise RuntimeError(
+            f"post_batches targets a non-idempotent endpoint but "
+            f"spark.task.maxFailures={max_failures}: a retried task would "
+            f"re-POST whole partitions. Set spark.task.maxFailures=1 for "
+            f"this job, or pass allow_task_retries=True if the receiver "
+            f"dedupes on batch_id."
+        )
+
+
 def post_batches(
     df: DataFrame,
     url: str,
@@ -41,9 +63,25 @@ def post_batches(
     retries: int = 3,
     timeout: float = 30.0,
     payload_builder: Callable[[list[dict]], dict] | None = None,
+    allow_task_retries: bool = False,
 ) -> DataFrame:
     """POST ``df`` to ``url`` in per-partition batches; returns one
-    status row per batch (ok/error + deterministic batch id)."""
+    status row per batch (ok/error + deterministic batch id).
+
+    Enforces the non-idempotence contract at call time instead of in
+    prose: on a cluster with task-level retries enabled
+    (``spark.task.maxFailures`` > 1, the default 4), a late task
+    failure would re-POST every batch already sent by that partition.
+    Raises unless retries are off or the caller explicitly accepts
+    the risk (``allow_task_retries=True`` — e.g. when the receiver
+    dedupes on the deterministic batch ids)."""
+
+    sc = df.sparkSession.sparkContext
+    _check_task_retries(
+        sc.getConf().get("spark.task.maxFailures", None),
+        sc.master,
+        allow_task_retries,
+    )
 
     cols = df.columns
 

@@ -33,27 +33,28 @@ def read_csv(
     schema: T.StructType | None = None,
     encoding: str = "utf-8",
     fallback_encoding: str | None = "iso-8859-1",
-    probe_rows: int = 500,
 ) -> DataFrame:
     """Read a staged CSV. The reference retries the whole read with
-    latin-1 on UnicodeDecodeError (postgres/postgres.py:292-298);
-    Spark substitutes U+FFFD instead of throwing, so we probe a
-    bounded sample for replacement characters and re-read with the
-    fallback encoding when they appear."""
+    latin-1 on a UnicodeDecodeError raised ANYWHERE in the file
+    (postgres/postgres.py:292-298); Spark substitutes U+FFFD instead
+    of throwing, so the whole frame is probed for replacement
+    characters and re-read with the fallback encoding when any
+    appear. The probe is one cheap distributed filter+limit(1) — it
+    short-circuits on the first hit, and the clean-file full pass is
+    the same cost the reference pays (it decodes every byte too)."""
     reader = spark.read.options(**_READ_OPTS).option("encoding", encoding)
     if schema is not None:
         df = reader.schema(schema).csv(path)
     else:
         df = reader.csv(path)
     if fallback_encoding and encoding.lower().replace("-", "") == "utf8":
-        sample = df.limit(probe_rows)
-        bad = sample.where(
+        bad = df.where(
             F.concat_ws("\x01", *[F.col(c).cast("string") for c in df.columns]).contains(
                 REPLACEMENT_CHAR
             )
         ).limit(1).count()
         if bad:
-            return read_csv(spark, path, schema, fallback_encoding, None, probe_rows)
+            return read_csv(spark, path, schema, fallback_encoding, None)
     return df
 
 

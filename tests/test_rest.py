@@ -216,3 +216,18 @@ def test_rest_to_store_to_csv_integration(spark, stub, tmp_path):
     assert {f["name"] for f in sidecar["fields"]} == {
         "id", "record_id", "date_opened", "status", "amount",
     }
+
+
+def test_post_batches_refuses_task_retries():
+    from databridge_etl_tools_spark.sinks.rest_sink import _check_task_retries
+
+    # cluster masters retry by default → refuse
+    with pytest.raises(RuntimeError, match="maxFailures=4"):
+        _check_task_retries(None, "yarn", allow_task_retries=False)
+    with pytest.raises(RuntimeError, match="maxFailures=3"):
+        _check_task_retries("3", "local[8]", allow_task_retries=False)
+    # explicit opt-outs pass: retries disabled, local-no-retry master,
+    # or the caller owns dedupe on batch_id
+    _check_task_retries("1", "yarn", allow_task_retries=False)
+    _check_task_retries(None, "local[32]", allow_task_retries=False)
+    _check_task_retries(None, "local[8,4]", allow_task_retries=True)
