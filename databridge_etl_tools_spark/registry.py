@@ -91,8 +91,29 @@ def load_all() -> None:
     QUERIES.update(ordered)
 
 
+#: optimized-layout providers: (sf_dir, table) → fn(spark) -> DataFrame.
+#: Registered by layout.build_* (bucketed facts, day-partitioned
+#: events, cell-partitioned embeddings); every query transparently
+#:  reads the optimized copy while the DuckDB oracle keeps reading the
+#: raw parquet — results must be identical by construction.
+LAYOUT: dict[tuple[str, str], "Callable[[SparkSession], DataFrame]"] = {}
+
+
+def register_layout(sf_dir: str, name: str, provider) -> None:
+    LAYOUT[(sf_dir.rstrip("/"), name)] = provider
+
+
+def clear_layouts() -> None:
+    LAYOUT.clear()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table (columnar parquet scan → pushdown-able).
+
+    When an optimized layout is registered for (sf_dir, name) — facts
+    bucketed on the join key, events partitioned by day, embeddings
+    partitioned by IVF cell — it serves the same rows with the same
+    schema from the optimized copy instead of the raw parquet.
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read it as raw nanos (legacy conf) and truncate to
@@ -100,6 +121,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     implicitly. Integer `DIV` keeps full precision (nanos exceed 2^53,
     so float division would corrupt timestamps).
     """
+    provider = LAYOUT.get((sf_dir.rstrip("/"), name))
+    if provider is not None:
+        return provider(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,91 @@
+"""Optimized-layout proofs on the ACTUAL gate queries: build the
+bucketed/partitioned copies, point the registry at them, and assert
+(a) the real query plans lose their fact-fact shuffle / gain partition
+pruning, and (b) results are identical to the raw-parquet path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as ent
+from databridge_etl_tools_spark import layout, registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def with_layout(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("layout"))
+    tables = layout.build_bucketed_facts(spark, SF)
+    layout.build_events_by_day(spark, SF, out)
+    layout.build_embeddings_by_cell(spark, SF, out)
+    yield spark
+    registry.clear_layouts()
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in ent.queries()[name](spark, SF).collect()}
+
+
+def test_region_revenue_bucketed_join_drops_fact_shuffle(with_layout):
+    spark = with_layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ent.queries()["region_revenue"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the lineitem⋈orders orderkey join reads co-bucketed scans:
+        # no Exchange may repartition either fact side on the orderkey
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_gate_queries_identical_on_layout(with_layout):
+    spark = with_layout
+    on_layout = {
+        name: _rows(spark, name)
+        for name in ("region_revenue", "upsert_orders", "dedupe_events_by_user",
+                     "ann_cosine_topk")
+    }
+    saved = dict(registry.LAYOUT)
+    registry.clear_layouts()
+    try:
+        for name, got in on_layout.items():
+            assert got == _rows(spark, name), f"{name} diverged on layout"
+    finally:
+        registry.LAYOUT.update(saved)
+
+
+def test_events_day_layout_prunes_partitions(with_layout, tmp_path_factory):
+    spark = with_layout
+    import glob
+
+    base = glob.glob(str(tmp_path_factory.getbasetemp() / "layout*" / "events_by_day"))
+    assert base, "partitioned events dir missing"
+    # a day predicate on the partition column prunes at file listing
+    df = spark.read.parquet(base[0]).where(F.col("_day") == "2024-01-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan
+    assert "_day" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and the layout-served frame has the original query-facing schema
+    served = registry.table(spark, SF, "events")
+    assert "_day" not in served.columns
+
+
+def test_embeddings_cell_layout_serves_identical_schema(with_layout):
+    spark = with_layout
+    via_layout = registry.table(spark, SF, "embeddings")
+    registry_backup = dict(registry.LAYOUT)
+    registry.clear_layouts()
+    try:
+        raw = registry.table(spark, SF, "embeddings")
+        assert via_layout.columns == raw.columns
+        assert via_layout.count() == raw.count()
+    finally:
+        registry.LAYOUT.update(registry_backup)
