@@ -122,12 +122,21 @@ class TableStore:
         v = self._write_version(table, self.spark.createDataFrame([], schema))
         self._flip(table, v)
 
-    def overwrite(self, table: str, df: DataFrame) -> None:
+    def overwrite(
+        self, table: str, df: DataFrame, select_users: list[str] | None = None
+    ) -> None:
         """D6: blue/green replace — write the full new version, flip
         the pointer (reference: _temp table + rename swap,
-        carto/carto_.py:443-457, postgres/postgres.py:750-756)."""
+        carto/carto_.py:443-457, postgres/postgres.py:750-756).
+
+        ``select_users`` records SELECT grants in the SAME flip that
+        publishes the data, mirroring the reference's swap transaction
+        (carto_.py:417-427 builds GRANT statements into the
+        BEGIN..COMMIT of the rename swap): readers never observe the
+        new version without its grants."""
         v = self._write_version(table, df)
-        self._flip(table, v)
+        props = {"grants": {"select": select_users}} if select_users is not None else None
+        self._flip(table, v, props)
 
     def append(self, table: str, df: DataFrame) -> None:
         """K1 append: union with the current version into a new
@@ -198,3 +207,20 @@ class TableStore:
         n = self.read(table).count()
         self.set_properties(table, rowcount=n)
         return {"rowcount": n}
+
+    def enforce_privacy(self, table: str) -> str:
+        """Carto privacy enforcement (carto_.py:461-492): derive the
+        dataset privacy from the recorded SELECT grants — PUBLIC only
+        when 'publicuser' holds SELECT, else PRIVATE — force-set it,
+        then RE-READ the manifest and assert, exactly the reference's
+        save → refetch → assert loop (Carto is 'unreliable about
+        privacy', so the written state is never trusted blind)."""
+        users = (self.properties(table).get("grants") or {}).get("select") or []
+        privacy = "PUBLIC" if "publicuser" in users else "PRIVATE"
+        self.set_properties(table, privacy=privacy)
+        observed = self.properties(table).get("privacy")
+        if observed != privacy:
+            raise AssertionError(
+                f"privacy on {table}: wanted {privacy}, store reports {observed}"
+            )
+        return privacy

@@ -39,6 +39,9 @@ class Handler(BaseHTTPRequestHandler):
     posted: list[dict] = []  # class-level capture of POST bodies
     fail_batches: set[str] = set()  # batch ids to reject (once each)
     feature_queries: list[dict] = []  # GET /query params, for pushdown asserts
+    ago_indexes: list[dict] = []  # indexes accepted via addToDefinition
+    ago_error_queue: list[str] = []  # canned addToDefinition response bodies
+    ago_hidden_indexes: set[str] = set()  # names omitted from the definition once
 
     def log_message(self, *a):  # silence
         pass
@@ -99,6 +102,15 @@ class Handler(BaseHTTPRequestHandler):
             if per > capped and off + capped < len(feats):
                 doc["exceededTransferLimit"] = True
             return self._json(doc)
+        if re.search(r"/FeatureServer/\d+$", u.path):  # AGO layer definition
+            # indexes AGO claims to have (it under-reports: hidden
+            # names are dropped from the listing exactly once)
+            listed = [
+                i for i in Handler.ago_indexes
+                if i["name"] not in Handler.ago_hidden_indexes
+            ]
+            Handler.ago_hidden_indexes.clear()
+            return self._json({"indexes": listed})
         if "/search/" in u.path:  # AIS geocoder
             addr = unquote(u.path.rsplit("/", 1)[-1])
             if addr.startswith("bad"):
@@ -122,7 +134,23 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         n = int(self.headers.get("Content-Length", 0))
-        doc = json.loads(self.rfile.read(n) or b"{}")
+        raw = self.rfile.read(n) or b"{}"
+        if urlparse(self.path).path.endswith("/addToDefinition"):
+            # ESRI signals errors as 200s with an error string in the
+            # body — emulate with a scriptable response queue
+            if Handler.ago_error_queue:
+                body = Handler.ago_error_queue.pop(0).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
+            form = {k: v[0] for k, v in parse_qs(raw.decode()).items()}
+            for idx in json.loads(form["addToDefinition"])["indexes"]:
+                if idx["name"] not in {i["name"] for i in Handler.ago_indexes}:
+                    Handler.ago_indexes.append(idx)
+            return self._json({"success": True})
+        doc = json.loads(raw)
         if self.path.endswith("/always-fail"):
             return self._json({"error": "permanent"}, 500)
         bid = doc.get("batch_id", "")
