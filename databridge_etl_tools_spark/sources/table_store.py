@@ -208,6 +208,23 @@ class TableStore:
         self.set_properties(table, rowcount=n)
         return {"rowcount": n}
 
+    def commit_epoch(self, table: str, df: DataFrame, epoch_id: int) -> bool:
+        """Exactly-once commit point for streaming ``foreachBatch``:
+        the new data version and the epoch watermark flip in ONE
+        atomic manifest replace, so a replayed epoch (Spark re-runs a
+        failed micro-batch with the same epoch_id) is detected and
+        skipped before any write. Returns False on a skipped replay.
+
+        This is the same idempotent-sink recipe Delta's ``txnVersion``
+        implements on a lakehouse; the versioned store makes it a
+        5-line property check."""
+        last = self.properties(table).get("last_epoch", -1)
+        if epoch_id <= last:
+            return False
+        v = self._write_version(table, df)
+        self._flip(table, v, {"last_epoch": epoch_id})
+        return True
+
     def enforce_privacy(self, table: str) -> str:
         """Carto privacy enforcement (carto_.py:461-492): derive the
         dataset privacy from the recorded SELECT grants — PUBLIC only

@@ -143,3 +143,116 @@ def sessionize_stream(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+def _duration_us(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit.rstrip("s")]
+    return int(n) * mult * 1_000_000
+
+
+def dynamic_gap(default: str = "30 minutes", per_type: dict[str, str] | None = None):
+    """Per-event session-gap expression: an event's type decides how
+    long its session stays open (e.g. a purchase holds the session
+    for an hour, a page view for 30 minutes). Feed to
+    ``session_window``'s dynamic-gap form, batch or streaming."""
+    expr = F.lit(default)
+    for etype, gap in (per_type or {}).items():
+        expr = F.when(F.col("event_type") == etype, F.lit(gap)).otherwise(expr)
+    return expr
+
+
+def dynamic_gap_us(default: str = "30 minutes", per_type: dict[str, str] | None = None):
+    """The same per-event gap policy as microseconds (for the
+    independent lag-based twin below)."""
+    expr = F.lit(_duration_us(default))
+    for etype, gap in (per_type or {}).items():
+        expr = F.when(
+            F.col("event_type") == etype, F.lit(_duration_us(gap))
+        ).otherwise(expr)
+    return expr
+
+
+def sessionize_dynamic(df: DataFrame, gap_expr) -> DataFrame:
+    """Dynamic-gap sessionization with the native ``session_window``:
+    the gap duration is a per-ROW expression, so session extension
+    policy can depend on the event itself. Works identically on a
+    batch frame and a watermarked stream (state-backed merge of
+    overlapping per-event windows)."""
+    src = df.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("ts_ltz", "2 hours")
+    return (
+        src.groupBy(F.session_window("ts_ltz", gap_expr).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def sessionize_batch_dynamic(df: DataFrame, gap_us_expr) -> DataFrame:
+    """Independent batch twin of ``sessionize_dynamic`` built from
+    first principles (lag + running sum, no session_window): a
+    session's close time is the running MAX of ``event_ts + its own
+    gap`` seen so far, and event i opens a new session when its
+    timestamp reaches that close time — exactly the overlapping-
+    window merge rule session_window applies. Exists to cross-check
+    Spark's native operator in tests the way DuckDB cross-checks the
+    relational queries. Gap arrives as microseconds
+    (``dynamic_gap_us``)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev_rows = w.rowsBetween(Window.unboundedPreceding, -1)
+    src = df.withColumn(
+        "_end_us",
+        F.unix_micros(F.col("ts").cast("timestamp")) + gap_us_expr,
+    )
+    session_close = F.max("_end_us").over(prev_rows)
+    now_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    is_new = F.when(session_close.isNull() | (now_us >= session_close), 1).otherwise(0)
+    sess = src.withColumn("_session_seq", F.sum(is_new).over(w))
+    return (
+        sess.groupBy("user_id", "_session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_upsert_into_store(
+    stream: DataFrame,
+    store,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    staging_order: list | None = None,
+) -> None:
+    """Checkpointed exactly-once upsert sink (ROADMAP 4): every
+    micro-batch merges into a TableStore table via ``foreachBatch``,
+    committing data + epoch watermark in one atomic manifest flip
+    (``TableStore.commit_epoch``). A crash between the store commit
+    and the checkpoint write makes Spark replay the epoch; the store
+    detects the replayed epoch_id and skips — the standard idempotent-
+    sink contract (Delta's txnAppId/txnVersion recipe) on the local
+    versioned store.
+
+    Runs with availableNow (drain-what-is-staged, then stop): the
+    batch-ish mode an S3-staging ingest job uses."""
+    from ..operators.merge import upsert
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not store.exists(table):
+            store.create_table(table, batch_df.schema)
+        if store.properties(table).get("last_epoch", -1) >= epoch_id:
+            return  # replayed epoch: already fully committed
+        merged = upsert(store.read(table), batch_df, keys, staging_order)
+        store.commit_epoch(table, merged, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
