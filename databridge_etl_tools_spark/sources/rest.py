@@ -87,40 +87,44 @@ def paginate(
             return
 
 
+def coerce_value(v, dtype: T.DataType):
+    """JSON cell → Spark-typed Python value. Dict/list cells are
+    JSON-serialized when the target field is a string (the Knack/
+    Airtable convention, knack/knack.py:140-141). Shared by the
+    driver-side page loader and the executor-side DataSource."""
+    import datetime as dt
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.StringType):
+        return json.dumps(v, sort_keys=True) if isinstance(v, (dict, list)) else str(v)
+    if isinstance(dtype, T.DecimalType):
+        return decimal.Decimal(str(v))
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+        return int(v)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(v)
+    if isinstance(dtype, T.BooleanType):
+        return bool(v)
+    if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)) and isinstance(v, str):
+        parsed = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if parsed.tzinfo is not None:
+            # convert to UTC, then drop tzinfo (never just strip an
+            # offset — that silently shifts non-UTC feeds)
+            parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return parsed
+    return v
+
+
 def records_to_df(
     spark: SparkSession,
     pages: Iterator[list[dict]],
     schema: T.StructType,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Driver-side pages → distributed DataFrame. Dict/list cells are
-    JSON-serialized when the target field is a string (the Knack/
-    Airtable convention, knack/knack.py:140-141)."""
-    import datetime as dt
-    import decimal
-
-    def coerce(v, dtype: T.DataType):
-        if v is None:
-            return None
-        if isinstance(dtype, T.StringType):
-            return json.dumps(v, sort_keys=True) if isinstance(v, (dict, list)) else str(v)
-        if isinstance(dtype, T.DecimalType):
-            return decimal.Decimal(str(v))
-        if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
-            return int(v)
-        if isinstance(dtype, (T.DoubleType, T.FloatType)):
-            return float(v)
-        if isinstance(dtype, T.BooleanType):
-            return bool(v)
-        if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)) and isinstance(v, str):
-            parsed = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
-            if parsed.tzinfo is not None:
-                # convert to UTC, then drop tzinfo (never just strip an
-                # offset — that silently shifts non-UTC feeds)
-                parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
-            return parsed
-        return v
-
+    """Driver-side pages → distributed DataFrame."""
+    coerce = coerce_value
     fields = list(schema.fields)
     rows: list[tuple] = []
     for page in pages:

@@ -189,6 +189,32 @@ def test_python_datasource_executor_side_with_pushdown(spark, stub):
     assert any("pk = 'p3'" in w for w in wheres), wheres
 
 
+def test_knack_datasource_executor_side_pages(spark, stub):
+    """Knack's numbered pages fan out across executors: the planner
+    probes total_pages once, then each InputPartition fetches its own
+    page range worker-side — same result as the driver-side cursor."""
+    from databridge_etl_tools_spark.sources.knack_ds import KnackDataSource
+
+    spark.dataSource.register(KnackDataSource)
+    src = KnackSource(stub, rows_per_page=10)
+    schema = src.schema("obj_1")
+    expected = {tuple(r) for r in src.extract(spark, "obj_1", schema).collect()}
+
+    df = (
+        spark.read.format("knack")
+        .schema(schema)
+        .option("url", stub)
+        .option("object", "obj_1")
+        .option("rows_per_page", 10)
+        .option("num_partitions", 3)
+        .load()
+    )
+    # 25 records / 10 per page = 3 pages → one partition per page
+    assert df.rdd.getNumPartitions() == 3
+    assert {tuple(r) for r in df.collect()} == expected
+    assert len(expected) == 25
+
+
 def test_rest_to_store_to_csv_integration(spark, stub, tmp_path):
     """Cross-component flow: REST extract -> TableStore load ->
     extract pipeline CSV + schema sidecar (the reference's Knack
