@@ -394,3 +394,120 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    eu_supply AS (
+      SELECT su.partkey, su.suppkey, su.unit_cost, s.s_name, n.n_name
+      FROM supply su
+      JOIN supplier s ON s.s_suppkey = su.suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT p.p_partkey, p.p_name, e.s_name, e.n_name AS nation, e.unit_cost
+    FROM part p JOIN eu_supply e ON p.p_partkey = e.partkey
+    WHERE p.p_size <= 15
+      AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eu_supply e2
+                         WHERE e2.partkey = p.p_partkey)
+    """,
+    gate=False,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-MIN subquery — for each small
+    part, the European supplier(s) offering the minimum unit cost.
+
+    The oracle keeps the correlated form; the Spark plan is the
+    decorrelated one Catalyst would produce anyway, written directly:
+    a window MIN over the part key replaces the per-row subquery, so
+    the whole query is one shuffle on partkey after the supplier-side
+    broadcasts (supplier/nation/region are dimension-sized).
+
+    Determinism: unit_cost is a scalar double division (IEEE-identical
+    on both engines) under MIN (order-independent) — safe to compare
+    for equality cross-engine, per the registry rules.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_dim = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eu_supply = supply.join(eu_dim, supply.suppkey == eu_dim.s_suppkey)
+    p = table(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    joined = p.join(eu_supply, p.p_partkey == eu_supply.partkey)
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            "p_partkey", "p_name", "s_name", F.col("n_name").alias("nation"), "unit_cost"
+        )
+    )
+
+
+@query(
+    "forest_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_nationkey % 2 = 1
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(38,2))) > 50)
+    """,
+    gate=False,
+)
+def forest_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins — suppliers (from a nation
+    subset that exists at every scale factor) who moved more than a threshold quantity of any 'red%' part
+    during 1995. Three nesting levels: part-name semi inside a
+    lineitem HAVING aggregate inside a supplier IN.
+
+    Plan: the part-key semi broadcasts (name-filtered parts are
+    small), the lineitem aggregate is one shuffle on (suppkey,
+    partkey), and the outer membership is a left-semi against the
+    distinct qualifying suppkeys. The quantity SUM is decimal-cast so
+    the HAVING threshold is exact on both engines (registry rules).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    red_parts = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC2)).alias("q"))
+        .where(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").where(F.col("n_nationkey") % 2 == 1)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

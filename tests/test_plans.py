@@ -51,3 +51,21 @@ def test_semi_join_prunes_probe_columns(spark):
         read = segment.split("\n")[0]
         if "l_orderkey" in read:
             assert "l_extendedprice" not in read
+
+
+def test_min_cost_supplier_broadcasts_dims_single_partkey_shuffle(spark):
+    # Q2 shape decorrelated: supplier/nation/region dims broadcast;
+    # the correlated MIN is a window over partkey, not a second join
+    plan = _plan(spark, "min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    # no shuffle may repartition lineitem more than once per key chain
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_forest_part_suppliers_semi_joins_broadcast(spark):
+    # Q20 shape: part-name semi and nation semi both broadcast; the
+    # only shuffle aggregates (suppkey, partkey)
+    plan = _plan(spark, "forest_part_suppliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
