@@ -24,22 +24,35 @@ SHOW = [
     "ann_lsh_bucketed",
     "range_join_interval_counts",
     "skew_salted_agg",
+    "min_cost_supplier",
+    "forest_part_suppliers",
 ]
 
 
 def main() -> None:
+    import tempfile
+
     import __spark_entry__ as ent
+    from databridge_etl_tools_spark import layout
     from databridge_etl_tools_spark.session import get_session
 
     spark = get_session("plans")
     qs = ent.queries()
+    # the optimized layouts are the default query path (bench.py builds
+    # them too) — dump the plans users actually run
+    layout.build_all(spark, "/root/testdata/sf0.1", tempfile.mkdtemp(prefix="plans_"))
     print("# PLANS — formatted physical plans (sf0.1, auto-generated)")
     print()
     print("Regenerate with `python tools/dump_plans.py > PLANS.md`.")
+    print("Plans are dumped against the optimized layouts (facts")
+    print("co-bucketed on orderkey, events partitioned by day, embeddings")
+    print("by IVF cell) — the default bench path.")
     print("What to look for: `PushedFilters`/`ReadSchema` on every scan")
     print("(pushdown + pruning), `BroadcastHashJoin` on dimension joins,")
     print("`Exchange hashpartitioning` only where a shuffle is semantically")
-    print("required, map-side `HashAggregate` pairs.")
+    print("required, map-side `HashAggregate` pairs, and NO Exchange on")
+    print("the bucketed fact-fact joins (the bucketed scan already")
+    print("satisfies the join distribution).")
     for name in SHOW:
         df = qs[name](spark, "/root/testdata/sf0.1")
         plan = df._jdf.queryExecution().explainString(
