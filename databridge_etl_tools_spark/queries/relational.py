@@ -511,3 +511,193 @@ def forest_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@query(
+    "volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_13')
+          OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_12'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    gate=False,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two fact-fact joins (lineitem⋈orders on
+    orderkey, then ⋈customer on custkey) under a symmetric nation-pair
+    predicate, revenue by shipping year.
+
+    Plan: supplier/nation broadcast; the nation-pair OR filter
+    evaluates after the broadcast joins (both orientations in one
+    pass — no union of two sub-plans). Year extraction and the
+    decimal-cast SUM follow the registry determinism rules.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+        "n_nationkey", "sn_key"
+    )
+    n2 = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+        "n_nationkey", "cn_key"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_13")
+    ) | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_12"))
+    joined = (
+        li.where(
+            F.col("l_shipdate").between(
+                F.lit("1995-01-01").cast("timestamp_ntz"),
+                F.lit("1996-12-31").cast("timestamp_ntz"),
+            )
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(F.col("volume").cast(DEC6)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN vol_dec ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(vol_dec) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS vol_dec,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+    gate=False,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a part-type's volume
+    sold into a region, by order year — conditional aggregation
+    (CASE inside SUM) over a 7-table join.
+
+    Plan: part filter broadcasts into the lineitem scan side;
+    supplier/nation/region dims broadcast; the only shuffles are the
+    two fact-fact joins. Share = exact-decimal numerator and
+    denominator, each cast to DOUBLE before one scalar division
+    (IEEE-deterministic both sides).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_12", F.col("vol_dec")).otherwise(
+            F.lit(0).cast(DEC6)
+        )
+    ).cast("double")
+    den = F.sum("vol_dec").cast("double")
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"), vol_dec.alias("vol_dec"), "supp_nation"
+        )
+        .groupBy("o_year")
+        .agg((num / den).alias("mkt_share"))
+    )
+
+
+@query(
+    "top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    gate=False,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a revenue view joined against its own global
+    MAX — ties all surface (no arbitrary LIMIT 1).
+
+    Plan: the revenue aggregate computes once (no CTE recompute: the
+    max side is a one-row aggregate of the SAME cached frame,
+    cross-joined broadcast); equality on exact decimals.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)).alias(
+                "total_rev"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    best = rev.agg(F.max("total_rev").alias("best_rev"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best), F.col("total_rev") == F.col("best_rev"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
