@@ -47,8 +47,22 @@ class TableStore:
         with open(self._manifest(table)) as f:
             return json.load(f)
 
+    def _segments(self, table: str) -> list[str]:
+        """Version directories making up the current table state, in
+        commit order. ``current`` is a single name for tables written
+        before incremental appends existed — served as a one-segment
+        list (manifest migration is read-side, never a rewrite)."""
+        cur = self._read_manifest(table)["current"]
+        return [cur] if isinstance(cur, str) else list(cur)
+
     def _current_data_dir(self, table: str) -> str:
-        return os.path.join(self._dir(table), self._read_manifest(table)["current"])
+        segs = self._segments(table)
+        if len(segs) != 1:
+            raise ValueError(
+                f"table {self._dir(table)} has {len(segs)} segments; "
+                f"use read()/compact()"
+            )
+        return os.path.join(self._dir(table), segs[0])
 
     def _write_version(self, table: str, df: DataFrame) -> str:
         version = f"v-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
@@ -56,10 +70,14 @@ class TableStore:
         df.write.mode("errorifexists").parquet(path)
         return version
 
-    def _flip(self, table: str, version: str, props: dict | None = None) -> None:
+    def _flip(
+        self, table: str, version: str | list[str], props: dict | None = None
+    ) -> None:
         """Atomic pointer flip: write manifest to a temp name, rename
         over the old one (rename is atomic on POSIX; on a real
-        lakehouse this is the Delta/Iceberg commit)."""
+        lakehouse this is the Delta/Iceberg commit). ``version`` may
+        be a segment LIST — the incremental-append commit: the new
+        manifest references old segments + the delta, no data moves."""
         os.makedirs(self._dir(table), exist_ok=True)
         old = {}
         if os.path.exists(self._manifest(table)):
@@ -139,15 +157,23 @@ class TableStore:
         self._flip(table, v, props)
 
     def append(self, table: str, df: DataFrame) -> None:
-        """K1 append: union with the current version into a new
-        version (copy-on-write; an incremental store would add a
-        second data dir to the manifest instead)."""
-        cur = self.read(table)
-        v = self._write_version(table, cur.unionByName(df))
-        self._flip(table, v)
+        """K1 append, O(delta): write ONLY the new rows as a fresh
+        segment and commit old-segments+[delta] in one manifest flip.
+        Nothing already on disk is read or rewritten — at 100 TB an
+        append costs the delta, not the table. Readers see the old or
+        the new segment list atomically; ``compact`` bin-packs the
+        accumulated segments back into one."""
+        existing = self.read(table)  # schema check against live state
+        missing = set(existing.columns) - set(df.columns)
+        if missing:
+            raise ValueError(f"append to {table} missing columns: {sorted(missing)}")
+        v = self._write_version(table, df.select(*existing.columns))
+        self._flip(table, self._segments(table) + [v])
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._current_data_dir(table))
+        base = self._dir(table)
+        paths = [os.path.join(base, s) for s in self._segments(table)]
+        return self.spark.read.parquet(*paths)
 
     def empty_clone_view(self, table: str, view_name: str) -> DataFrame:
         """D2: CREATE TEMPORARY TABLE … WHERE 1=0
@@ -180,15 +206,33 @@ class TableStore:
         if target_partitions is None:
             # ~128MB files assuming parquet compresses the in-memory
             # estimate ~4x; floor of 1
+            from pathlib import Path
+
             nbytes = sum(
                 f.stat().st_size
-                for f in __import__("pathlib").Path(self._current_data_dir(table)).glob("*.parquet")
+                for seg in self._segments(table)
+                for f in Path(self._dir(table), seg).glob("*.parquet")
             )
             target_partitions = max(1, nbytes // (128 << 20))
         out = df.repartition(target_partitions)
         v = self._write_version(table, out)
-        self._flip(table, v)
+        self._flip(table, v)  # single segment again
         return target_partitions
+
+    def vacuum(self, table: str) -> list[str]:
+        """Delete version directories no manifest references (old
+        blue/green versions, compacted-away segments) — Delta VACUUM's
+        job. Safe ordering: the manifest flipped away from these dirs
+        atomically before they became candidates, so no reader that
+        started after the flip can hold them open. Returns the
+        removed version names."""
+        live = set(self._segments(table))
+        removed = []
+        for entry in sorted(os.listdir(self._dir(table))):
+            if entry.startswith("v-") and entry not in live:
+                shutil.rmtree(os.path.join(self._dir(table), entry))
+                removed.append(entry)
+        return removed
 
     def reset_objectid_counter(self, table: str, objectid_col: str = "objectid") -> int:
         """D11 semantics: after a load into an id-managed table, the

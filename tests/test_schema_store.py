@@ -134,3 +134,68 @@ def test_store_properties_and_indexes(spark, tmp_path):
     assert len(store.properties("t2")["indexes"]) == 2
     stats = store.analyze("t2")
     assert stats == {"rowcount": 0}
+
+
+def test_incremental_append_is_o_delta(spark, tmp_path):
+    """append writes ONLY the delta as a new segment (no rewrite of
+    existing data); read unions segments; compact bin-packs back to
+    one; vacuum removes unreferenced version dirs."""
+    import os
+
+    store = TableStore(spark, str(tmp_path / "inc"))
+    df1 = spark.range(0, 100).toDF("id")
+    store.overwrite("t", df1)
+    seg_before = store._segments("t")
+    assert len(seg_before) == 1
+
+    store.append("t", spark.range(100, 150).toDF("id"))
+    store.append("t", spark.range(150, 160).toDF("id"))
+    segs = store._segments("t")
+    assert len(segs) == 3
+    assert segs[0] == seg_before[0], "original segment untouched"
+    # the delta segment holds only delta rows (O(delta) write)
+    base = os.path.join(str(tmp_path / "inc"), "t")
+    delta_rows = spark.read.parquet(os.path.join(base, segs[1])).count()
+    assert delta_rows == 50
+    assert store.read("t").count() == 160
+    assert set(r.id for r in store.read("t").collect()) == set(range(160))
+
+    # schema guard: appending a frame missing a column refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        store.append("t", spark.range(5).toDF("other"))
+
+    # compact: back to one segment, same rows
+    store.compact("t")
+    assert len(store._segments("t")) == 1
+    assert store.read("t").count() == 160
+
+    # vacuum: the three pre-compaction dirs are unreferenced now
+    removed = store.vacuum("t")
+    assert len(removed) == 3
+    assert store.read("t").count() == 160
+    live = store._segments("t")
+    on_disk = [d for d in os.listdir(base) if d.startswith("v-")]
+    assert sorted(on_disk) == sorted(live)
+
+
+def test_append_legacy_single_version_manifest(spark, tmp_path):
+    """Tables written before incremental appends (manifest 'current'
+    is a string) read and append without migration."""
+    import json, os
+
+    store = TableStore(spark, str(tmp_path / "legacy"))
+    store.overwrite("t", spark.range(10).toDF("id"))
+    # rewrite the manifest in the legacy single-string form
+    m = store._read_manifest("t")
+    cur = m["current"]
+    assert isinstance(cur, (str, list))
+    m["current"] = cur if isinstance(cur, str) else cur[0]
+    with open(store._manifest("t"), "w") as f:
+        json.dump(m, f)
+
+    assert store.read("t").count() == 10
+    store.append("t", spark.range(10, 15).toDF("id"))
+    assert store.read("t").count() == 15
+    assert len(store._segments("t")) == 2
