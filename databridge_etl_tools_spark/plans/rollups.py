@@ -51,13 +51,27 @@ def _reaggregate_daily(hourly: DataFrame) -> DataFrame:
     )
 
 
-def refresh_rollups(spark: SparkSession, store: TableStore, batch: DataFrame) -> dict:
+def refresh_rollups(
+    spark: SparkSession,
+    store: TableStore,
+    batch: DataFrame,
+    epoch_id: int | None = None,
+) -> dict:
     """Fold a new batch of events into the hourly + daily rollup
     tables. Only buckets touched by the batch are recomputed: the
     batch's per-bucket aggregate is COMBINED with the bucket's prior
     totals (sum-of-sums — exactly-once per event as long as each
     event row is fed in exactly one batch), then upserted; untouched
-    buckets never move."""
+    buckets never move.
+
+    ``epoch_id`` (streaming ``foreachBatch``) makes the hourly fold
+    exactly-once under epoch replay: the fold commits via
+    ``commit_epoch`` (epoch + data in one atomic flip), so a replayed
+    micro-batch is detected and skipped instead of double-counted.
+    The daily level is then RE-DERIVED from hourly state for the
+    touched days — a replay re-derives identical values (idempotent),
+    which is what makes the two-table cascade safe without a
+    multi-table transaction."""
     hourly_delta = _aggregate(batch, "HOUR")
 
     if store.exists(HOURLY):
@@ -70,9 +84,13 @@ def refresh_rollups(spark: SparkSession, store: TableStore, batch: DataFrame) ->
             .groupBy(*_KEYS)
             .agg(F.sum("n").alias("n"), F.sum("total_value").alias("total_value"))
         )
-        store.overwrite(HOURLY, M.upsert(prev, combined, _KEYS))
+        new_hourly = M.upsert(prev, combined, _KEYS)
     else:
-        store.overwrite(HOURLY, hourly_delta)
+        new_hourly = hourly_delta
+    if epoch_id is None:
+        store.overwrite(HOURLY, new_hourly)
+    else:
+        store.commit_epoch(HOURLY, new_hourly, epoch_id)
 
     # daily level derives from hourly (never from raw events)
     hourly_now = store.read(HOURLY)

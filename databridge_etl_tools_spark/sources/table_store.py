@@ -261,8 +261,11 @@ class TableStore:
 
         This is the same idempotent-sink recipe Delta's ``txnVersion``
         implements on a lakehouse; the versioned store makes it a
-        5-line property check."""
-        last = self.properties(table).get("last_epoch", -1)
+        5-line property check. Creates the table when absent (first
+        epoch of a fresh sink)."""
+        last = (
+            self.properties(table).get("last_epoch", -1) if self.exists(table) else -1
+        )
         if epoch_id <= last:
             return False
         v = self._write_version(table, df)

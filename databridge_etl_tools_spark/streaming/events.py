@@ -256,3 +256,23 @@ def stream_upsert_into_store(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_rollup_into_store(stream: DataFrame, store, checkpoint_dir: str) -> None:
+    """Streaming twin of the incremental rollup cascade
+    (``plans/rollups.refresh_rollups``): each micro-batch folds into
+    the hourly table exactly-once (epoch-committed) and re-derives
+    the touched daily buckets idempotently — the TimescaleDB
+    continuous-aggregate shape as a checkpointed foreachBatch sink."""
+    from ..plans.rollups import refresh_rollups
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        refresh_rollups(batch_df.sparkSession, store, batch_df, epoch_id=epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -103,3 +103,106 @@ def test_stream_upsert_into_store_exactly_once(spark, tmp_path):
     )
     assert store.read("events_live").count() == got.count()
     assert store.properties("events_live")["last_epoch"] == epochs_done
+
+
+def test_stream_rollup_cascade_matches_batch(spark, tmp_path):
+    """3 micro-batches through the streaming rollup sink produce the
+    same hourly+daily tables as one batch refresh over all events;
+    a replayed epoch leaves both tables unchanged."""
+    from databridge_etl_tools_spark.plans import rollups as R
+
+    ev = load_table(spark, SF, "events").limit(600).cache()
+    staging = str(tmp_path / "roll_staging")
+    day = F.dayofmonth("ts")
+    ev.where(day <= 10).coalesce(1).write.parquet(staging)
+    ev.where((day > 10) & (day <= 20)).coalesce(1).write.mode("append").parquet(staging)
+    ev.where(day > 20).coalesce(1).write.mode("append").parquet(staging)
+
+    stream_store = TableStore(spark, str(tmp_path / "roll_stream"))
+    SE.stream_rollup_into_store(
+        SE.read_event_stream(spark, staging), stream_store,
+        str(tmp_path / "roll_ckpt"),
+    )
+
+    batch_store = TableStore(spark, str(tmp_path / "roll_batch"))
+    R.refresh_rollups(spark, batch_store, ev)
+
+    for tbl in (R.HOURLY, R.DAILY):
+        got = {tuple(r) for r in stream_store.read(tbl).collect()}
+        want = {tuple(r) for r in batch_store.read(tbl).collect()}
+        assert got == want, f"{tbl} diverged from batch cascade"
+
+    # replayed epoch: re-fold an already-committed micro-batch id
+    last_epoch = stream_store.properties(R.HOURLY)["last_epoch"]
+    before_h = {tuple(r) for r in stream_store.read(R.HOURLY).collect()}
+    before_d = {tuple(r) for r in stream_store.read(R.DAILY).collect()}
+    replay = spark.read.parquet(staging).limit(200)
+    R.refresh_rollups(spark, stream_store, replay, epoch_id=last_epoch)
+    assert {tuple(r) for r in stream_store.read(R.HOURLY).collect()} == before_h
+    assert {tuple(r) for r in stream_store.read(R.DAILY).collect()} == before_d
+
+
+def test_watermark_late_data_contract(spark, tmp_path):
+    """Pins Spark's REAL late-data contract (the guarantee is
+    one-directional): late rows for windows already EVICTED from
+    state are dropped — append mode never emits a window twice and
+    never double-counts — while eviction itself lags one batch (the
+    watermark computed from batch N's data takes effect in batch
+    N+1). Batch layout: b0 = day-1 + half of day-30 (watermark still
+    1970 while processing), b1 = rest of day-30 (watermark now
+    end-of-January: day-1 windows evict + emit), b2 = the SAME day-1
+    events replayed late (state gone → dropped, visibly)."""
+    import glob
+    import os
+    import time
+
+    ev = load_table(spark, SF, "events").cache()
+    day = F.dayofmonth("ts")
+    b0 = ev.where((day == 1) | ((day == 30) & (F.col("user_id") % 2 == 0)))
+    b1 = ev.where((day == 30) & (F.col("user_id") % 2 == 1))
+    b2 = ev.where(day == 1)
+    staging = str(tmp_path / "wm_staging")
+    now = time.time()
+    for i, b in enumerate((b0, b1, b2)):
+        # file source orders by mtime; force strict arrival order
+        b.coalesce(1).write.mode("append").parquet(staging)
+        for f in glob.glob(os.path.join(staging, "*.parquet")):
+            if os.path.getmtime(f) > now - 1:
+                os.utime(f, (now - 60 + i, now - 60 + i))
+
+    q = (
+        SE.windowed_counts(
+            SE.read_event_stream(spark, staging),
+            window="1 hour", watermark="2 hours",
+        )
+        .writeStream.outputMode("append")
+        .format("memory").queryName("wm_out")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    # every replayed (window, type) group was dropped at the state
+    # operator (it sits above the map-side partial aggregate, so the
+    # drop metric counts GROUPS, not raw rows)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    expected_groups = (
+        b2.select(
+            F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type"
+        )
+        .distinct()
+        .count()
+    )
+    assert dropped == expected_groups
+
+    rows = spark.sql("SELECT * FROM wm_out").collect()
+    # append-mode invariant: every (window, type) emitted exactly once
+    keys = [(str(r.window_start), r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))
+    # and day-1 counts reflect the original arrival only — the late
+    # replay did not double-count into already-finalized windows
+    day1_total = sum(r.n for r in rows if str(r.window_start).startswith("2024-01-01"))
+    assert day1_total == b2.count()
