@@ -42,6 +42,11 @@ HEADLINE = [
     "tz_policies",
     "range_join_interval_counts",
     "skew_salted_agg",
+    "min_cost_supplier",
+    "forest_part_suppliers",
+    "volume_shipping",
+    "market_share",
+    "top_supplier",
 ]
 
 
@@ -51,7 +56,6 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    import tempfile
 
     import __spark_entry__ as ent
     from databridge_etl_tools_spark.session import get_session
@@ -63,11 +67,13 @@ def main() -> None:
     # Optimized layouts are the default query path (SPARK_GRAFT_LAYOUT=0
     # reverts to raw parquet): facts co-bucketed on orderkey, events
     # partitioned by day, embeddings by IVF cell. Build time is setup
-    # (real deployments bucket once per load), not query time.
+    # (real deployments bucket once per load), not query time — and
+    # cached builds reuse the existing copies when sources are
+    # unchanged (layout._LAYOUT_META markers).
     if os.environ.get("SPARK_GRAFT_LAYOUT", "1") != "0":
         from databridge_etl_tools_spark import layout
 
-        layout.build_all(spark, sf_dir, tempfile.mkdtemp(prefix="bench_layout_"))
+        layout.build_all(spark, sf_dir)
 
     # Global warmup: JVM + parquet footers + the Python worker pool
     # (first pandas-UDF query otherwise pays ~3s of worker forks).

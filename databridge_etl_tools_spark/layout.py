@@ -22,20 +22,56 @@ Three layouts, each targeting the dominant cost of a query family:
 Results are identical to the raw-parquet path by construction — the
 builders only reorganize bytes; the DuckDB oracle keeps reading raw
 parquet, so the correctness gate cross-checks the layouts too.
+
+Builds are CACHED: each layout records its source file's
+(mtime, size) + build params in a ``_LAYOUT_META.json`` marker; a
+rebuild with an unchanged source re-registers the existing copy
+(bucketed tables re-enter a fresh session's catalog via
+``CREATE TABLE ... CLUSTERED BY ... LOCATION``) and writes nothing —
+the production cadence (bucket once per load, read many) in miniature.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import re
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import registry
 
+_MARKER = "_LAYOUT_META.json"
+
 
 def _token(sf_dir: str) -> str:
     return re.sub(r"[^a-z0-9]+", "_", sf_dir.rstrip("/").lower()).strip("_")
+
+
+def default_out_dir(sf_dir: str) -> str:
+    """Stable per-SF scratch location so repeated builds can reuse."""
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_layout_{_token(sf_dir)}")
+
+
+def _source_sig(path: str, **params) -> dict:
+    st = os.stat(path)
+    return {"src": path, "mtime": st.st_mtime, "size": st.st_size, **params}
+
+
+def _marker_fresh(marker_path: str, sig: dict) -> bool:
+    try:
+        with open(marker_path) as f:
+            return json.load(f) == sig
+    except (OSError, ValueError):
+        return False
+
+
+def _write_marker(marker_path: str, sig: dict) -> None:
+    with open(marker_path, "w") as f:
+        json.dump(sig, f)
 
 
 def build_bucketed_facts(
@@ -52,23 +88,43 @@ def build_bucketed_facts(
     if buckets is None:
         buckets = spark.sparkContext.defaultParallelism
     names = []
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
     for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tname = f"{tbl}_bkt_{_token(sf_dir)}"
-        spark.sql(f"DROP TABLE IF EXISTS {tname}")
-        # a previous session's managed-table files survive the
-        # in-memory catalog; clear the location or saveAsTable refuses
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = f"{wh.removeprefix('file:')}/{tname}"
-        import shutil
-
-        shutil.rmtree(loc, ignore_errors=True)
-        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{tbl}.parquet")
-        (
-            df.write.mode("overwrite")
-            .bucketBy(buckets, key)
-            .sortBy(key)
-            .saveAsTable(tname)
-        )
+        src = f"{sf_dir.rstrip('/')}/{tbl}.parquet"
+        loc = f"{wh}/{tname}"
+        sig = _source_sig(src, buckets=buckets, key=key)
+        if _marker_fresh(os.path.join(loc, _MARKER), sig):
+            # cached build: re-enter the (session-scoped, in-memory)
+            # catalog without touching data — bucketing metadata lives
+            # in the catalog entry, so it must be re-declared
+            if not spark.catalog.tableExists(tname):
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in spark.read.parquet(src).schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {tname} ({ddl}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+                )
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            shutil.rmtree(loc, ignore_errors=True)
+            df = spark.read.parquet(src)
+            (
+                df.write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                # external table (explicit path): DROP TABLE forgets
+                # the catalog entry but keeps the files + marker, so
+                # the next session re-registers instead of rewriting
+                .option("path", loc)
+                .saveAsTable(tname)
+            )
+            _write_marker(os.path.join(loc, _MARKER), sig)
         registry.register_layout(
             sf_dir, tbl, lambda spark, tname=tname: spark.table(tname)
         )
@@ -81,12 +137,16 @@ def build_events_by_day(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     serves the original schema (partition column dropped, original
     column order restored)."""
     registry.LAYOUT.pop((sf_dir.rstrip("/"), "events"), None)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    path = f"{out_dir.rstrip('/')}/events_by_day"
+    sig = _source_sig(src)
     ev = registry.table(spark, sf_dir, "events")
     cols = ev.columns
-    path = f"{out_dir.rstrip('/')}/events_by_day"
-    ev.withColumn("_day", F.to_date("ts")).write.mode("overwrite").partitionBy(
-        "_day"
-    ).parquet(path)
+    if not _marker_fresh(os.path.join(path, _MARKER), sig):
+        ev.withColumn("_day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+            "_day"
+        ).parquet(path)
+        _write_marker(os.path.join(path, _MARKER), sig)
     registry.register_layout(
         sf_dir,
         "events",
@@ -105,11 +165,15 @@ def build_embeddings_by_cell(
     from .operators.similarity import ivf_build
 
     registry.LAYOUT.pop((sf_dir.rstrip("/"), "embeddings"), None)
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    path = f"{out_dir.rstrip('/')}/embeddings_by_cell"
+    sig = _source_sig(src, k=k, iters=iters)
     emb = registry.table(spark, sf_dir, "embeddings")
     cols = emb.columns
-    path = f"{out_dir.rstrip('/')}/embeddings_by_cell"
-    indexed = ivf_build(emb, k=k, iters=iters)
-    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    if not _marker_fresh(os.path.join(path, _MARKER), sig):
+        indexed = ivf_build(emb, k=k, iters=iters)
+        indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+        _write_marker(os.path.join(path, _MARKER), sig)
     registry.register_layout(
         sf_dir,
         "embeddings",
@@ -118,8 +182,12 @@ def build_embeddings_by_cell(
     return path
 
 
-def build_all(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Build every layout for ``sf_dir`` (bench/startup hook)."""
+def build_all(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> None:
+    """Build (or reuse) every layout for ``sf_dir`` (bench/startup
+    hook). ``out_dir`` defaults to a stable per-SF scratch dir so
+    repeated invocations rebuild nothing when sources are unchanged."""
+    out = out_dir or default_out_dir(sf_dir)
+    os.makedirs(out, exist_ok=True)
     build_bucketed_facts(spark, sf_dir)
-    build_events_by_day(spark, sf_dir, out_dir)
-    build_embeddings_by_cell(spark, sf_dir, out_dir)
+    build_events_by_day(spark, sf_dir, out)
+    build_embeddings_by_cell(spark, sf_dir, out)

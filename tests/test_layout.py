@@ -89,3 +89,45 @@ def test_embeddings_cell_layout_serves_identical_schema(with_layout):
         assert via_layout.count() == raw.count()
     finally:
         registry.LAYOUT.update(registry_backup)
+
+
+def test_layout_build_is_cached(spark, tmp_path):
+    """A second build with unchanged sources writes nothing: the
+    bucketed tables re-register from their markers, the partitioned
+    dirs keep their file mtimes."""
+    import glob
+    import os
+
+    out = str(tmp_path / "cache_out")
+    os.makedirs(out, exist_ok=True)
+    tables = layout.build_bucketed_facts(spark, SF)
+    p_events = layout.build_events_by_day(spark, SF, out)
+    try:
+        files = sorted(glob.glob(p_events + "/**/*.parquet", recursive=True))
+        mtimes = [os.path.getmtime(f) for f in files]
+
+        # drop the catalog entries to emulate a fresh session
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        tables2 = layout.build_bucketed_facts(spark, SF)
+        p2 = layout.build_events_by_day(spark, SF, out)
+        assert tables2 == tables and p2 == p_events
+        files2 = sorted(glob.glob(p_events + "/**/*.parquet", recursive=True))
+        assert files2 == files
+        assert [os.path.getmtime(f) for f in files2] == mtimes
+
+        # the re-registered bucketed table still joins shuffle-free
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = ent.queries()["region_revenue"](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning(l_orderkey" not in plan
+            assert "Exchange hashpartitioning(o_orderkey" not in plan
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        registry.clear_layouts()
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
