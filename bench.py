@@ -47,6 +47,7 @@ HEADLINE = [
     "volume_shipping",
     "market_share",
     "top_supplier",
+    "waiting_sole_late_supplier",
 ]
 
 

@@ -701,3 +701,64 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
     )
+
+
+@query(
+    "waiting_sole_late_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_nationkey % 2 = 1
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+    gate=False,
+)
+def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + correlated NOT EXISTS on
+    the same relation — suppliers (odd nations) who were the ONLY
+    late shipper (>60 days after order date) on a finalized
+    multi-supplier order.
+
+    The oracle keeps both correlated quantifiers; the Spark plan
+    decorrelates them into ONE per-order aggregate: n_suppliers > 1
+    replaces EXISTS(other supplier), n_late_suppliers == 1 replaces
+    NOT EXISTS(other late supplier) given the probe row is itself
+    late. One extra shuffle (orderkey aggregate) instead of two
+    correlated self-joins — and the aggregate reuses the
+    already-joined late flag, so lineitem⋈orders happens once.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").where(F.col("n_nationkey") % 2 == 1)
+    qualifying = (
+        flagged.where(F.col("_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qualifying.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
