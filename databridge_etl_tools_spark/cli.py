@@ -48,6 +48,10 @@ def _build_parser() -> argparse.ArgumentParser:
         else:
             sp.add_argument("--delete-stale", action="store_true")
 
+    mnt = tsub.add_parser("maintain", help="compact + vacuum a table")
+    common(mnt)
+    mnt.add_argument("--target-partitions", type=int, default=None)
+
     q = sub.add_parser("query", help="registry queries")
     qsub = q.add_subparsers(dest="cmd", required=True)
     qsub.add_parser("list")
@@ -55,6 +59,17 @@ def _build_parser() -> argparse.ArgumentParser:
     run.add_argument("--name", required=True)
     run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     run.add_argument("--limit", type=int, default=20)
+    run.add_argument(
+        "--layout",
+        action="store_true",
+        help="serve the query from the optimized physical layouts",
+    )
+
+    lay = sub.add_parser("layout", help="optimized physical layouts")
+    lsub = lay.add_subparsers(dest="cmd", required=True)
+    lb = lsub.add_parser("build")
+    lb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    lb.add_argument("--out-dir", default=None)
     return p
 
 
@@ -62,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
     from .registry import QUERIES, load_all
+
+    if args.group == "layout":
+        from . import layout
+        from .session import get_session
+
+        layout.build_all(get_session("cli"), args.sf_dir, args.out_dir)
+        print(json.dumps({"built": args.sf_dir, "cached_reuse": True}))
+        return 0
 
     if args.group == "query":
         load_all()
@@ -72,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
         from .session import get_session
 
         spark = get_session("cli")
+        if getattr(args, "layout", False):
+            from . import layout
+
+            layout.build_all(spark, args.sf_dir)
         df = QUERIES[args.name](spark, args.sf_dir)
         out = [r.asDict() for r in df.limit(args.limit).collect()]
         print(json.dumps(out, default=str, indent=2))
@@ -84,6 +111,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_session("cli")
     store = TableStore(spark, args.store)
+
+    if args.cmd == "maintain":
+        parts = store.compact(args.table, args.target_partitions)
+        removed = store.vacuum(args.table)
+        print(json.dumps({"partitions": parts, "vacuumed": removed}))
+        return 0
 
     if args.cmd == "extract":
         res = P.extract_pipeline(

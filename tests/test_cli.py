@@ -61,3 +61,40 @@ def test_cli_query_list_and_run(spark, capsys):
                  "--sf-dir", "/root/testdata/sf0.001"]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert rows[0]["max_orderkey"] == 1499
+
+
+def test_cli_maintain_and_layout(spark, tmp_path, capsys):
+    from databridge_etl_tools_spark import registry
+    from databridge_etl_tools_spark.sources.table_store import TableStore
+
+    # seed a table with fragmented segments via incremental appends
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite("t", spark.range(100).toDF("id"))
+    store.append("t", spark.range(100, 150).toDF("id"))
+    rc = main(
+        ["table", "maintain", "--store", str(tmp_path / "wh"), "--table", "t"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partitions"] >= 1 and len(out["vacuumed"]) >= 2
+    assert store.read("t").count() == 150
+
+    # layout build via CLI, then a query served from the layouts
+    try:
+        rc = main(
+            ["layout", "build", "--sf-dir", "/root/testdata/sf0.001",
+             "--out-dir", str(tmp_path / "lay")]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        rc = main(
+            ["query", "run", "--name", "region_revenue",
+             "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out)
+        assert len(rows) == 3 and "revenue" in rows[0]
+    finally:
+        for tbl in ("lineitem", "orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}_bkt_root_testdata_sf0_001")
+        registry.clear_layouts()

@@ -83,6 +83,14 @@ def norm_duck_type(t: str) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--layout",
+        action="store_true",
+        help="serve Spark queries from the optimized layouts (bucketed "
+        "facts, day-partitioned events, cell-partitioned embeddings) "
+        "while DuckDB keeps reading raw parquet — proves the layouts "
+        "are result-identical across the whole gate",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -90,6 +98,10 @@ def main() -> int:
     from databridge_etl_tools_spark.session import get_session
 
     spark = get_session("check_correctness")
+    if args.layout:
+        from databridge_etl_tools_spark import layout
+
+        layout.build_all(spark, args.sf)
     con = duckdb.connect()
     from databridge_etl_tools_spark.registry import TABLES
 
