@@ -117,3 +117,37 @@ def test_upsert_invariants(spark, prod_rows, staging_rows):
         staged.setdefault(k, v)  # first under (v) order per key
     expect = {**prod_map, **staged}
     assert out == expect
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),            # user
+            st.integers(0, 240),          # offset seconds (hits exact gap boundaries)
+            st.sampled_from(["view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dynamic_session_native_equals_first_principles(spark, events):
+    """session_window(dynamic gap) == the lag/running-max twin on
+    adversarial inputs: duplicate timestamps, events landing exactly
+    on a session close boundary, interleaved gap policies."""
+    from databridge_etl_tools_spark.streaming import events as SE
+
+    rows = [
+        (i, f"2024-01-01 00:{off // 60:02d}:{off % 60:02d}", u, et)
+        for i, (u, off, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_str string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts_str").cast("timestamp_ntz")).drop("ts_str")
+
+    gaps = {"purchase": "2 minutes"}
+    native = SE.sessionize_dynamic(df, SE.dynamic_gap("1 minute", gaps))
+    twin = SE.sessionize_batch_dynamic(df, SE.dynamic_gap_us("1 minute", gaps))
+    n = {(r.user_id, str(r.session_start)): r.n_events for r in native.collect()}
+    t = {(r.user_id, str(r.session_start)): r.n_events for r in twin.collect()}
+    assert n == t
