@@ -4,12 +4,11 @@ UDF transforms.
 
 The reference does this with shapely (db2/db2.py:821-878 EWKB
 round-trip in 1000-row batches; ago/ago.py:361-433 + 674-757 WKT→Esri
-JSON). shapely is not in this container; the POINT WKB codec is
-implemented directly (the format is 21/25 fixed bytes) and the Esri
-JSON converter parses WKT structurally — both keep the real Spark
-plumbing (binary columns, Arrow batches) with no third-party geometry
-dependency. Full multi-geometry WKB would route through shapely when
-available (import seam marked).
+JSON). shapely is not in this container; the full (E)WKB codec (POINT /
+LINESTRING / POLYGON / MULTI*, SRID flag, EMPTY forms) is implemented
+directly against the OGC byte layout, and the Esri JSON converter
+parses WKT structurally — both keep the real Spark plumbing (binary
+columns, Arrow batches) with no third-party geometry dependency.
 """
 
 from __future__ import annotations
@@ -61,6 +60,146 @@ def ewkb_to_point_wkt(blob: bytes | None) -> str | None:
     raise ValueError(f"unsupported WKB geometry type 0x{kind:x}")
 
 
+# -- full multi-geometry (E)WKB codec ---------------------------------
+# Geometry type codes per the OGC WKB spec; EWKB adds the PostGIS
+# SRID flag (0x20000000) on the outermost geometry only.
+
+_WKB_KINDS = {
+    "POINT": 1,
+    "LINESTRING": 2,
+    "POLYGON": 3,
+    "MULTIPOINT": 4,
+    "MULTILINESTRING": 5,
+    "MULTIPOLYGON": 6,
+}
+_KIND_NAMES = {v: k for k, v in _WKB_KINDS.items()}
+_SRID_FLAG = 0x20000000
+
+
+def _pack_coords(pts: list[list[float]]) -> bytes:
+    return b"".join(struct.pack("<dd", x, y) for x, y in pts)
+
+
+def _encode_body(kind: str, body: str) -> bytes:
+    """WKT body text (inside the outermost parens, or '' for EMPTY) →
+    WKB payload after the type word."""
+    from math import nan
+
+    if kind == "POINT":
+        if not body:
+            return struct.pack("<dd", nan, nan)  # POINT EMPTY convention
+        x, y = (float(v) for v in body.split())
+        return struct.pack("<dd", x, y)
+    if kind == "LINESTRING":
+        pts = _ring_points(body) if body else []
+        return struct.pack("<I", len(pts)) + _pack_coords(pts)
+    if kind == "POLYGON":
+        rings = [_ring_points(_strip_parens(r)) for r in _split_top(body)] if body else []
+        out = struct.pack("<I", len(rings))
+        for ring in rings:
+            out += struct.pack("<I", len(ring)) + _pack_coords(ring)
+        return out
+    # MULTI*: each element is a full nested WKB geometry (no SRID)
+    base = {"MULTIPOINT": "POINT", "MULTILINESTRING": "LINESTRING",
+            "MULTIPOLYGON": "POLYGON"}[kind]
+    parts = _split_top(body) if body else []
+    out = struct.pack("<I", len(parts))
+    for part in parts:
+        inner = _strip_parens(part) if base != "POINT" else part.strip().strip("()").strip()
+        out += struct.pack("<BI", 1, _WKB_KINDS[base]) + _encode_body(base, inner)
+    return out
+
+
+def wkt_to_ewkb(wkt: str | None) -> bytes | None:
+    """``[SRID=n;]<geometry> (...)`` → (E)WKB for POINT / LINESTRING /
+    POLYGON / MULTI* (little-endian; SRID flag on the outer geometry —
+    the PostGIS EWKB convention the reference round-trips through
+    geopetl/shapely, db2/db2.py:821-878)."""
+    if wkt is None:
+        return None
+    s = wkt.strip()
+    srid = None
+    if s.upper().startswith("SRID="):
+        head, s = s.split(";", 1)
+        srid = int(head[5:])
+        s = s.strip()
+    m = re.match(r"^(\w+)\s*(EMPTY|\(.*\))\s*$", s, re.DOTALL)
+    if not m:
+        raise ValueError(f"unparseable wkt: {wkt[:50]!r}")
+    kind = m.group(1).upper()
+    if kind not in _WKB_KINDS:
+        raise ValueError(f"unsupported geometry kind: {kind}")
+    body = "" if m.group(2).upper() == "EMPTY" else _strip_parens(m.group(2))
+    payload = _encode_body(kind, body)
+    code = _WKB_KINDS[kind]
+    if srid is not None:
+        return struct.pack("<BII", 1, code | _SRID_FLAG, srid) + payload
+    return struct.pack("<BI", 1, code) + payload
+
+
+def _fmt_pts(pts: list[tuple]) -> str:
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts)
+
+
+def _decode_body(kind: str, b: bytes, off: int) -> tuple[str, int]:
+    """→ (WKT body text with parens, next offset)."""
+    if kind == "POINT":
+        x, y = struct.unpack_from("<dd", b, off)
+        off += 16
+        if x != x and y != y:  # NaN,NaN = POINT EMPTY
+            return "EMPTY", off
+        return f"({_fmt(x)} {_fmt(y)})", off
+    if kind == "LINESTRING":
+        (n,) = struct.unpack_from("<I", b, off)
+        off += 4
+        pts = [struct.unpack_from("<dd", b, off + 16 * i) for i in range(n)]
+        off += 16 * n
+        return ("EMPTY" if not n else f"({_fmt_pts(pts)})"), off
+    if kind == "POLYGON":
+        (nr,) = struct.unpack_from("<I", b, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from("<I", b, off)
+            off += 4
+            pts = [struct.unpack_from("<dd", b, off + 16 * i) for i in range(n)]
+            off += 16 * n
+            rings.append(f"({_fmt_pts(pts)})")
+        return ("EMPTY" if not nr else "(" + ", ".join(rings) + ")"), off
+    # MULTI*
+    base = {"MULTIPOINT": "POINT", "MULTILINESTRING": "LINESTRING",
+            "MULTIPOLYGON": "POLYGON"}[kind]
+    (n,) = struct.unpack_from("<I", b, off)
+    off += 4
+    parts = []
+    for _ in range(n):
+        (code,) = struct.unpack_from("<I", b, off + 1)
+        off += 5
+        body, off = _decode_body(_KIND_NAMES[code & 0xFF], b, off)
+        parts.append(body)
+    return ("EMPTY" if not n else "(" + ", ".join(parts) + ")"), off
+
+
+def ewkb_to_wkt(blob: bytes | None) -> str | None:
+    """Inverse of :func:`wkt_to_ewkb` for every supported kind."""
+    if blob is None:
+        return None
+    b = bytes(blob)
+    (code,) = struct.unpack_from("<I", b, 1)
+    off = 5
+    srid = None
+    if code & _SRID_FLAG:
+        (srid,) = struct.unpack_from("<I", b, off)
+        off += 4
+        code &= ~_SRID_FLAG
+    kind = _KIND_NAMES.get(code)
+    if kind is None:
+        raise ValueError(f"unsupported WKB geometry type 0x{code:x}")
+    body, _ = _decode_body(kind, b, off)
+    text = f"{kind} {body}"
+    return f"SRID={srid};{text}" if srid is not None else text
+
+
 def wkt_to_ewkb_col(df: DataFrame, wkt_col: str, out_col: str = "ewkb") -> DataFrame:
     """F15 encode leg as an Arrow-batched transform (binary out)."""
     schema = ", ".join([f"`{c}` {t}" for c, t in df.dtypes] + [f"{out_col} binary"])
@@ -68,7 +207,7 @@ def wkt_to_ewkb_col(df: DataFrame, wkt_col: str, out_col: str = "ewkb") -> DataF
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
             out = pdf.copy()
-            out[out_col] = [point_wkt_to_ewkb(v) for v in pdf[wkt_col]]
+            out[out_col] = [wkt_to_ewkb(v) for v in pdf[wkt_col]]
             yield out
 
     return df.mapInPandas(run, schema)
@@ -80,7 +219,7 @@ def ewkb_to_wkt_col(df: DataFrame, ewkb_col: str, out_col: str = "wkt") -> DataF
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
             out = pdf.copy()
-            out[out_col] = [ewkb_to_point_wkt(v) for v in pdf[ewkb_col]]
+            out[out_col] = [ewkb_to_wkt(v) for v in pdf[ewkb_col]]
             yield out
 
     return df.mapInPandas(run, schema)

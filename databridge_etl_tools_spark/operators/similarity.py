@@ -223,20 +223,22 @@ def kmeans_fit(
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
 
     def assign_expr(cents: list[list[float]]) -> Column:
-        # argmin of squared distance == argmax of dot - ||c||²/2
-        best_cell = F.lit(0)
-        best_score = None
-        for ci, c in enumerate(cents):
-            score = dot_fold(F.col(vec_col), _plane_col(c)) - sum(
-                v * v for v in c
-            ) / 2.0
-            if best_score is None:
-                best_score = score
-            else:
-                cond = score > best_score
-                best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
-                best_score = F.when(cond, score).otherwise(best_score)
-        return best_cell
+        # argmin of squared distance == argmax of dot - ||c||²/2.
+        # Built as array_position(scores, array_max(scores)) so every
+        # score subtree appears O(1) times — a chained
+        # WHEN(score>best, ...) fold nests best_score inside its own
+        # replacement and the tree grows ~3^k (k=16 wedged Catalyst
+        # analysis for minutes). First-occurrence semantics keep the
+        # original tie-break (earliest centroid wins; comparison is
+        # against the bitwise-identical max element, so no FP hazard).
+        scores = F.array(
+            *[
+                dot_fold(F.col(vec_col), _plane_col(c))
+                - sum(v * v for v in c) / 2.0
+                for c in cents
+            ]
+        )
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
     assigned = None
     for _ in range(iters):

@@ -156,3 +156,46 @@ def test_esri_json_dataframe_leg(spark):
     df = spark.createDataFrame([(1, "SRID=4326;POINT (-75.0 40.0)")], "id int, g string")
     r = GU.wkt_to_esri_json_col(df, "g").first()
     assert json.loads(r.esri_json)["spatialReference"] == {"wkid": 4326}
+
+
+def test_full_wkb_codec_roundtrip(spark):
+    """Multi-geometry (E)WKB: known OGC byte vectors + round-trips for
+    every supported kind, driven through the Arrow-batched column
+    transforms."""
+    from databridge_etl_tools_spark.functions.geometry_udf import (
+        ewkb_to_wkt,
+        ewkb_to_wkt_col,
+        wkt_to_ewkb,
+        wkt_to_ewkb_col,
+    )
+
+    # hand-checkable canonical WKB (little-endian)
+    assert wkt_to_ewkb("POINT (1 2)").hex() == (
+        "0101000000000000000000f03f0000000000000040"
+    )
+    assert wkt_to_ewkb("LINESTRING (0 0, 1 1)").hex() == (
+        "010200000002000000" + "0" * 32 + "000000000000f03f000000000000f03f"
+    )
+
+    cases = [
+        "POINT (1 2)",
+        "SRID=2272;POINT (2700000 235000)",
+        "LINESTRING (0 0, 1 0, 1 1)",
+        "LINESTRING EMPTY",
+        "POLYGON ((0 0, 4 0, 4 4, 0 0))",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 2))",
+        "SRID=4326;POLYGON ((0 0, 1 0, 1 1, 0 0))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOINT ((1 2), (3 4))",
+        "POLYGON EMPTY",
+        "POINT EMPTY",
+    ]
+    for w in cases:
+        assert ewkb_to_wkt(wkt_to_ewkb(w)) == w, w
+
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(cases)], "i int, wkt string")
+    enc = wkt_to_ewkb_col(df, "wkt")
+    dec = ewkb_to_wkt_col(enc, "ewkb", out_col="wkt2")
+    rows = {r.i: (r.wkt, r.wkt2) for r in dec.collect()}
+    assert all(a == b for a, b in rows.values())
