@@ -156,24 +156,41 @@ class TableStore:
         props = {"grants": {"select": select_users}} if select_users is not None else None
         self._flip(table, v, props)
 
-    def append(self, table: str, df: DataFrame) -> None:
+    def append(self, table: str, df: DataFrame, evolve: bool = False) -> None:
         """K1 append, O(delta): write ONLY the new rows as a fresh
         segment and commit old-segments+[delta] in one manifest flip.
         Nothing already on disk is read or rewritten — at 100 TB an
         append costs the delta, not the table. Readers see the old or
         the new segment list atomically; ``compact`` bin-packs the
-        accumulated segments back into one."""
+        accumulated segments back into one.
+
+        ``evolve=True`` allows ADDITIVE schema evolution (the Delta
+        mergeSchema contract): new columns append with the delta,
+        old segments read them as NULL. Dropping or retyping columns
+        stays a drift-recreate (D1) — never silent."""
         existing = self.read(table)  # schema check against live state
         missing = set(existing.columns) - set(df.columns)
         if missing:
             raise ValueError(f"append to {table} missing columns: {sorted(missing)}")
-        v = self._write_version(table, df.select(*existing.columns))
+        extra = [c for c in df.columns if c not in set(existing.columns)]
+        if extra and not evolve:
+            raise ValueError(
+                f"append to {table} adds columns {extra}; pass evolve=True "
+                f"for additive schema evolution"
+            )
+        cols = existing.columns + (extra if evolve else [])
+        v = self._write_version(table, df.select(*cols))
         self._flip(table, self._segments(table) + [v])
 
     def read(self, table: str) -> DataFrame:
         base = self._dir(table)
         paths = [os.path.join(base, s) for s in self._segments(table)]
-        return self.spark.read.parquet(*paths)
+        if len(paths) == 1:
+            return self.spark.read.parquet(paths[0])
+        # multi-segment: merge footers so additively-evolved columns
+        # surface (NULL for pre-evolution segments). At 100 TB the
+        # footer merge is why compaction back to one schema matters.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def empty_clone_view(self, table: str, view_name: str) -> DataFrame:
         """D2: CREATE TEMPORARY TABLE … WHERE 1=0

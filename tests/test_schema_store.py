@@ -199,3 +199,28 @@ def test_append_legacy_single_version_manifest(spark, tmp_path):
     store.append("t", spark.range(10, 15).toDF("id"))
     assert store.read("t").count() == 15
     assert len(store._segments("t")) == 2
+
+
+def test_append_additive_schema_evolution(spark, tmp_path):
+    """evolve=True appends new columns with the delta; old segments
+    read them as NULL; non-additive changes still refuse."""
+    store = TableStore(spark, str(tmp_path / "evo"))
+    store.overwrite("t", spark.range(10).toDF("id"))
+
+    from pyspark.sql import functions as F
+
+    delta = spark.range(10, 15).toDF("id").withColumn("tag", F.lit("new"))
+    with pytest.raises(ValueError, match="adds columns"):
+        store.append("t", delta)
+    store.append("t", delta, evolve=True)
+
+    got = store.read("t")
+    assert set(got.columns) == {"id", "tag"}
+    assert got.count() == 15
+    assert got.where(F.col("tag").isNull()).count() == 10
+    assert got.where(F.col("tag") == "new").count() == 5
+
+    # post-compaction the evolved schema is uniform across files
+    store.compact("t")
+    assert set(store.read("t").columns) == {"id", "tag"}
+    assert store.read("t").where(F.col("tag").isNull()).count() == 10
