@@ -46,6 +46,7 @@ OVERFLOW: set[str] = set()
 
 _QUERY_MODULES = (
     "databridge_etl_tools_spark.queries.relational",
+    "databridge_etl_tools_spark.queries.relational_depth",
     "databridge_etl_tools_spark.queries.analytics",
     "databridge_etl_tools_spark.queries.merge",
     "databridge_etl_tools_spark.queries.dedup",
