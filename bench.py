@@ -84,14 +84,18 @@ def main() -> None:
     # Steady-state protocol: one unmeasured warm run per query (pays
     # whole-stage-codegen JIT — a per-PLAN, not per-DATA, one-time cost
     # of seconds that the benchmark SF would otherwise dominate), then
-    # the timed run. At the 100 TB design point codegen amortizes to
-    # noise; steady-state is what the cluster actually pays per query.
+    # MEDIAN OF 3 timed runs — a single GC/AQE-noise outlier run can no
+    # longer write the round's number (round-2 post-mortem:
+    # skew_salted_agg recorded 4.34 s, reproducible steady-state 0.48 s).
     timings: dict[str, float] = {}
     for name in names:
         materialize(qs[name](spark, sf_dir))
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

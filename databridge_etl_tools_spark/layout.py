@@ -126,7 +126,7 @@ def build_bucketed_facts(
             )
             _write_marker(os.path.join(loc, _MARKER), sig)
         registry.register_layout(
-            sf_dir, tbl, lambda spark, tname=tname: spark.table(tname)
+            sf_dir, tbl, lambda spark, tname=tname: spark.table(tname), kind="bucketed"
         )
         names.append(tname)
     return names

@@ -147,46 +147,21 @@ def minhash_lsh_pairs(
     equi-join → distinct candidate pairs → signature agreement /k.
     """
     rows = k // bands
-    # Per-document signatures in one vectorized Arrow pass — no
-    # explode, no shuffle, no k-wide aggregate codegen (the earlier
-    # explode → k min-aggs formulation spent its wall time compiling
-    # the generated aggregate at bench scale). Hashes stay md5-pinned
-    # so the DuckDB oracle reproduces them exactly.
-    import hashlib
-    import re as _re
-
-    import pandas as pd
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    splitter = _re.compile(_WS_SPLIT_RE)
-
-    def run(batches):
-        for pdf in batches:
-            ids, sigs = [], []
-            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = [t for t in splitter.split((text or "").strip(" ")) if t]
-                if len(toks) < n:
-                    continue
-                seen = set()
-                shingles = []
-                for i in range(len(toks) - n + 1):
-                    s = " ".join(toks[i : i + n])
-                    if s not in seen:
-                        seen.add(s)
-                        shingles.append(s)
-                sig_row = [
-                    min(
-                        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16)
-                        for s in shingles
-                    )
-                    for i in range(k)
-                ]
-                ids.append(did)
-                sigs.append(sig_row)
-            if ids:
-                yield pd.DataFrame({"doc": ids, "sig": sigs})
-
-    sig = spread(df).mapInPandas(run, f"doc {id_type}, sig array<bigint>")
+    # Per-document signatures as pure JVM column expressions: k lanes
+    # of array_min(transform(shingles, md5-hash)) over the shingle
+    # array — map-side only (no explode shuffle, no k-wide aggregate
+    # whose whole-stage codegen compile dominated the round-1 bench,
+    # and no per-token Python loops whose per-byte cost would dominate
+    # a 100 TB corpus). Hashes stay md5-pinned bit-for-bit
+    # (int(md5(f"{i}:{s}")[:8], 16)) so the DuckDB oracle reproduces
+    # them exactly. Projection stages stay separate (CollapseProject
+    # does not duplicate non-cheap exprs), so shingling runs once.
+    sh = (
+        spread(df)
+        .select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+    sig = sh.select("doc", minhash_signature(F.col("shingles"), k).alias("sig"))
 
     # Materialize the signature table once: it is tiny relative to the
     # corpus (k integers per doc) and feeds both sides of the band
@@ -290,57 +265,55 @@ def connected_components(
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
 
 
-#: Java \s (ASCII-only), mirroring textstats.tokens()'s split regex
-_WS_SPLIT_RE = r"[ \t\n\x0b\f\r]+"
-
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document: per-token md5-derived hashes,
     bitwise ±1 voting, sign → bit. Token multiplicity counts (standard
     SimHash weighting by term frequency).
 
-    Computed per-document in a vectorized Arrow ``mapInPandas`` pass:
-    tokenize → 60-bit md5 hash per token → numpy bit-column vote
-    matrix → sign bits. Purely map-side (no explode, no shuffle —
-    the earlier expression-tree formulation shipped 60 SUM(CASE)
-    aggregates whose whole-stage codegen compile dominated wall time
-    at bench scale). The hash and vote rule are integer-exact and
-    pinned to md5 so the independent DuckDB oracle reproduces them
-    bit-for-bit; the ±1 vote equals ``2·ones_j > n`` including ties.
-    Docs with zero tokens produce no row (explode semantics kept)."""
-    import hashlib
-    import re as _re
-
-    import numpy as np
-    import pandas as pd
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    schema = f"doc {id_type}, simhash bigint"
-    splitter = _re.compile(_WS_SPLIT_RE)
-    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-
-    def run(batches):
-        for pdf in batches:
-            ids, sigs = [], []
-            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = [t for t in splitter.split((text or "").strip(" ")) if t]
-                if not toks:
-                    continue
-                hs = np.array(
-                    [
-                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-                bits = np.nonzero(2 * ones > len(toks))[0]
-                ids.append(did)
-                sigs.append(sum(1 << int(j) for j in bits))
-            if ids:
-                yield pd.DataFrame({"doc": ids, "simhash": sigs})
-
-    return spread(df).mapInPandas(run, schema)
+    Computed per-document as pure JVM column expressions, map-side
+    only (no explode, no shuffle, no Python in the hot path — the
+    per-token hashing is the per-byte cost that scales with a 100 TB
+    corpus, so it must stay JVM-side): tokenize → transform() to a
+    60-bit md5 hash per token → one aggregate() fold accumulating the
+    60 per-bit vote counters → zip_with() against the bit-power array
+    for sign → sum. The earlier 60-SUM(CASE)-aggregates formulation
+    (whole-stage codegen compile blowup) and the round-2 Python
+    mapInPandas loop (per-byte Python cost) are both avoided: higher-
+    order functions evaluate in the JVM without participating in
+    codegen compilation. The hash and vote rule are integer-exact and
+    pinned to md5 (int(md5(t)[:15], 16)) so the independent DuckDB
+    oracle reproduces them bit-for-bit; the ±1 vote equals
+    ``2·ones_j > n`` including ties. Docs with zero tokens produce no
+    row (explode semantics kept)."""
+    src = (
+        spread(df)
+        .select(F.col(id_col).alias("doc"), TS.tokens(text_col).alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc",
+            F.size("toks").alias("n_tok"),
+            F.transform("toks", lambda t: _md5_hash64(t, None, 15)).alias("hs"),
+        )
+    )
+    powers = F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
+    zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    votes = F.aggregate(
+        "hs",
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != 0, 1).otherwise(0),
+        ),
+    )
+    contrib = F.zip_with(
+        votes,
+        powers,
+        lambda c, p: F.when(c * 2 > F.col("n_tok"), p).otherwise(F.lit(0).cast("bigint")),
+    )
+    simhash = F.aggregate(contrib, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return src.select("doc", simhash.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -41,12 +41,22 @@ def interval_join(
     ``start <= point < end`` (half-open), via bucketized equi-join.
 
     Columns from both inputs are preserved (name collisions are the
-    caller's to resolve). ``how='inner'`` only — outer variants of a
-    bucketized join need a post-pass anti-join (documented, not
-    needed by the demo).
+    caller's to resolve).
+
+    ``how``: ``'inner'`` or ``'left'`` (= ``'left_outer'``, points
+    side preserved). The outer variant is the common enrichment shape
+    (reference analogue: the AIS geocoder's keep-unmatched-rows
+    left-join semantics, ais_geocoder/ais_geocoder.py:40-114): the
+    inner bucketized join plus a bucketized ANTI join for the
+    unmatched points — both hash joins on the bucket id with the
+    containment residual, so the plan stays nested-loop-free and the
+    left side is scanned a bounded number of times regardless of
+    interval count.
     """
-    if how != "inner":
-        raise NotImplementedError("bucketized interval_join supports inner only")
+    if how not in ("inner", "left", "left_outer"):
+        raise NotImplementedError(
+            "bucketized interval_join supports how='inner' and 'left'"
+        )
     p = points.withColumn("_pb", _bucket_of(F.col(point_ts), width_minutes))
     iv = intervals.withColumn(
         "_buckets",
@@ -58,7 +68,24 @@ def interval_join(
             _bucket_of(F.col(end_ts), width_minutes),
         ),
     ).withColumn("_pb", F.explode("_buckets")).drop("_buckets")
-    joined = p.join(iv, "_pb").where(
-        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
-    )
-    return joined.drop("_pb")
+    contained = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    inner = p.join(iv, "_pb").where(contained).drop("_pb")
+    if how == "inner":
+        return inner
+    # left outer: matched rows from the inner join, plus points with
+    # NO containing interval via a bucket-equi ANTI join (the residual
+    # rides in the join condition, so "shares a bucket but outside the
+    # interval" rows correctly still count as unmatched), padded with
+    # typed nulls for the interval columns.
+    pa, iva = p.alias("p"), iv.alias("iv")
+    unmatched = pa.join(
+        iva,
+        (F.col("p._pb") == F.col("iv._pb"))
+        & (F.col(f"p.{point_ts}") >= F.col(f"iv.{start_ts}"))
+        & (F.col(f"p.{point_ts}") < F.col(f"iv.{end_ts}")),
+        "left_anti",
+    ).drop("_pb")
+    null_iv = [
+        F.lit(None).cast(f.dataType).alias(f.name) for f in intervals.schema.fields
+    ]
+    return inner.unionByName(unmatched.select("*", *null_iv))

@@ -55,7 +55,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide conditional aggregation) — map-side combinable,
     single shuffle on the group key."""
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", access="scan")
     return (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
@@ -76,7 +76,7 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (all 4 combinations incl. grand total)."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", access="scan")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(38,2)")).cast("double").alias("qty"),
@@ -162,7 +162,7 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefer approx_percentile — t-digest sketch, no global sort — which
     is deliberately not oracle-checked because sketch internals are
     engine-specific)."""
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", access="scan")
     return o.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
@@ -224,7 +224,7 @@ def range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     iv = (
-        table(spark, sf_dir, "orders")
+        table(spark, sf_dir, "orders", access="scan")
         .where(F.col("o_orderkey") % 97 == 0)
         .select(
             F.col("o_orderkey").alias("interval_id"),
@@ -239,6 +239,56 @@ def range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join(ev, iv, "ts", "ts_start", "ts_end", width_minutes=1440)
     return joined.groupBy("interval_id").agg(
         F.count("event_id").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "range_join_left_outer",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS interval_id,
+             ts_start, ts_start + INTERVAL 2 DAY AS ts_end
+      FROM (SELECT o_orderkey,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + to_days((o_orderkey % 28)::INTEGER) AS ts_start
+            FROM orders WHERE o_orderkey % 97 = 0))
+    SELECT COALESCE(iv.interval_id, -1) AS interval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN iv ON e.ts >= iv.ts_start AND e.ts < iv.ts_end
+    GROUP BY 1
+    """,
+)
+def range_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER range join (the enrichment shape — reference
+    analogue: AIS geocoder keep-unmatched left-join semantics,
+    ais_geocoder/ais_geocoder.py:40-114): every event keeps its row,
+    events inside no interval surface under the -1 group. Bucketized
+    inner join + bucketized anti join — both hash joins; no
+    nested-loop plan at any scale. Oracle: DuckDB native inequality
+    LEFT JOIN."""
+    from ..operators.rangejoin import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    iv = (
+        table(spark, sf_dir, "orders", access="scan")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("interval_id"),
+            F.timestamp_add(
+                "DAY",
+                (F.col("o_orderkey") % 28).cast("int"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+            ).alias("ts_start"),
+        )
+        .withColumn("ts_end", F.timestamp_add("DAY", F.lit(2), F.col("ts_start")))
+    )
+    joined = interval_join(ev, iv, "ts", "ts_start", "ts_end", 1440, how="left")
+    return joined.groupBy(
+        F.coalesce("interval_id", F.lit(-1)).alias("interval_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
     )
 
@@ -261,7 +311,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan."""
     from ..operators.skew import salted_agg
 
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", access="scan")
     out = salted_agg(
         li,
         ["l_returnflag"],
@@ -324,7 +374,7 @@ def above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape ('orders above 1.5x their customer's
     average'), decorrelated into a window aggregate — one shuffle on
     the correlation key instead of a per-row subquery."""
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", access="scan")
     w = Window.partitionBy("o_custkey")
     avg_price = (
         F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w).cast("double")

@@ -98,11 +98,12 @@ def geom_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM src GROUP BY 1
     """,
+    gate=False,
 )
 def geom_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/S5 geometry-type probe: DISTINCT kind census used to repair
     corrupt geometry_type metadata (reference _properties.py:145-165)."""
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", access="scan")
     shape = (
         F.when(F.col("o_orderkey") % 3 == 0, F.lit("POINT(1 2)"))
         .when(

@@ -17,6 +17,7 @@ from ..registry import query, table
     SELECT c_custkey AS objectid, c_name AS cust_name
     FROM customer
     """,
+    gate=False,
 )
 def prepare_header_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/F6/F22: messy inbound headers (BOM, '#', OBJECTID_1 suffix,
@@ -68,6 +69,7 @@ def prepare_synthetic_objectid(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(to_json(string_split(text, ' ')[1:5]) AS VARCHAR)    AS first_words_json
     FROM documents
     """,
+    gate=False,
 )
 def prepare_cell_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/F10/F11/F4/F19/F21 cell-level cleanup as one projection:

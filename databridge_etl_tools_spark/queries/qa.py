@@ -50,14 +50,14 @@ def qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_mktsegment").alias("n_segments"),
         F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("n_negative_bal"),
     )
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = table(spark, sf_dir, "orders", access="scan").select("o_orderkey", "o_custkey")
     orphans = o.join(
         c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti"
     )
     fk = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).crossJoin(
         o.agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", access="scan")
     parity = li.agg(
         F.sum(F.when(F.col("l_orderkey") % 2 == 0, 1).otherwise(0)).alias("n_even"),
         F.sum(F.when(F.col("l_orderkey") % 2 == 1, 1).otherwise(0)).alias("n_odd"),

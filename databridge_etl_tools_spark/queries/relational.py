@@ -46,7 +46,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     differently than the local mirror; the exact-decimal→double
     conversion is deterministic on both engines).
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", access="scan")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
@@ -77,7 +77,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2 projection + predicate; both push into the parquet scan."""
     return (
-        table(spark, sf_dir, "lineitem")
+        table(spark, sf_dir, "lineitem", access="scan")
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
         .where(
             (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -101,9 +101,9 @@ def scan_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined: the distinct flag pairs carry the global key bounds via
     a one-row broadcast cross join (no extra shuffle)."""
     flags = (
-        table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        table(spark, sf_dir, "lineitem", access="scan").select("l_returnflag", "l_linestatus").distinct()
     )
-    bounds = table(spark, sf_dir, "orders").agg(
+    bounds = table(spark, sf_dir, "orders", access="scan").agg(
         F.max("o_orderkey").alias("max_orderkey"),
         F.min("o_orderkey").alias("min_orderkey"),
     )
@@ -144,7 +144,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        table(spark, sf_dir, "orders")
+        table(spark, sf_dir, "orders", access="scan")
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
@@ -268,7 +268,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate
     pushes to the parquet scan, zero shuffles beyond the final
     single-row combine."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", access="scan")
     return (
         li.where(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
@@ -416,7 +416,6 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eu_supply e2
                          WHERE e2.partkey = p.p_partkey)
     """,
-    gate=False,
 )
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated scalar-MIN subquery — for each small
@@ -472,7 +471,6 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.l_suppkey, l.l_partkey
         HAVING SUM(CAST(l.l_quantity AS DECIMAL(38,2))) > 50)
     """,
-    gate=False,
 )
 def forest_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested semi-joins — suppliers (from a nation
@@ -722,7 +720,6 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
     GROUP BY s.s_name
     """,
-    gate=False,
 )
 def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: correlated EXISTS + correlated NOT EXISTS on

@@ -104,29 +104,42 @@ def load_all() -> None:
     QUERIES.update(ordered)
 
 
-#: optimized-layout providers: (sf_dir, table) → fn(spark) -> DataFrame.
-#: Registered by layout.build_* (bucketed facts, day-partitioned
-#: events, cell-partitioned embeddings); every query transparently
-#:  reads the optimized copy while the DuckDB oracle keeps reading the
-#: raw parquet — results must be identical by construction.
-LAYOUT: dict[tuple[str, str], "Callable[[SparkSession], DataFrame]"] = {}
+#: optimized-layout providers: (sf_dir, table) →
+#: (fn(spark) -> DataFrame, kind). Registered by layout.build_*
+#: (bucketed facts, day-partitioned events, cell-partitioned
+#: embeddings); queries transparently read the optimized copy while
+#: the DuckDB oracle keeps reading the raw parquet — results must be
+#: identical by construction. ``kind`` routes layouts per query
+#: family: a "bucketed" fact copy only pays off for queries that JOIN
+#: on the bucket key (the bucketed scan satisfies the join's required
+#: distribution, eliminating the shuffle); a single-table scan-agg
+#: over the same copy pays many small-file tasks for zero benefit
+#: (round-2 verdict: pricing_summary 1.43 s raw vs 2.84 s bucketed),
+#: so scan-family queries request ``access="scan"`` and get raw.
+LAYOUT: dict[tuple[str, str], "tuple[Callable[[SparkSession], DataFrame], str]"] = {}
 
 
-def register_layout(sf_dir: str, name: str, provider) -> None:
-    LAYOUT[(sf_dir.rstrip("/"), name)] = provider
+def register_layout(sf_dir: str, name: str, provider, kind: str = "generic") -> None:
+    LAYOUT[(sf_dir.rstrip("/"), name)] = (provider, kind)
 
 
 def clear_layouts() -> None:
     LAYOUT.clear()
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, access: str = "auto"
+) -> DataFrame:
     """Load one synthetic table (columnar parquet scan → pushdown-able).
 
     When an optimized layout is registered for (sf_dir, name) — facts
     bucketed on the join key, events partitioned by day, embeddings
     partitioned by IVF cell — it serves the same rows with the same
     schema from the optimized copy instead of the raw parquet.
+    ``access="scan"`` declares a single-table scan-agg access pattern:
+    bucketed fact layouts are bypassed (their small-file task fan-out
+    taxes a scan that never joins on the bucket key) while pruning
+    layouts (day/cell partitioning) still apply.
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read it as raw nanos (legacy conf) and truncate to
@@ -134,9 +147,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     implicitly. Integer `DIV` keeps full precision (nanos exceed 2^53,
     so float division would corrupt timestamps).
     """
-    provider = LAYOUT.get((sf_dir.rstrip("/"), name))
-    if provider is not None:
-        return provider(spark)
+    entry = LAYOUT.get((sf_dir.rstrip("/"), name))
+    if entry is not None:
+        provider, kind = entry
+        if not (access == "scan" and kind == "bucketed"):
+            return provider(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -193,9 +193,11 @@ def sessionize_batch_dynamic(df: DataFrame, gap_us_expr) -> DataFrame:
     """Independent batch twin of ``sessionize_dynamic`` built from
     first principles (lag + running sum, no session_window): a
     session's close time is the running MAX of ``event_ts + its own
-    gap`` seen so far, and event i opens a new session when its
-    timestamp reaches that close time — exactly the overlapping-
-    window merge rule session_window applies. Exists to cross-check
+    gap`` seen so far, and event i opens a new session only when its
+    timestamp EXCEEDS that close time — native ``session_window``
+    merges an event landing exactly on the close boundary into the
+    session (touching windows merge, inclusive), so the twin must
+    too. Exists to cross-check
     Spark's native operator in tests the way DuckDB cross-checks the
     relational queries. Gap arrives as microseconds
     (``dynamic_gap_us``)."""
@@ -207,7 +209,7 @@ def sessionize_batch_dynamic(df: DataFrame, gap_us_expr) -> DataFrame:
     )
     session_close = F.max("_end_us").over(prev_rows)
     now_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    is_new = F.when(session_close.isNull() | (now_us >= session_close), 1).otherwise(0)
+    is_new = F.when(session_close.isNull() | (now_us > session_close), 1).otherwise(0)
     sess = src.withColumn("_session_seq", F.sum(is_new).over(w))
     return (
         sess.groupBy("user_id", "_session_seq")

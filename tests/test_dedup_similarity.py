@@ -166,6 +166,20 @@ def test_interval_join_matches_naive(spark):
     assert any(i == 2 for _, i in fast)  # boundary bucket interval matched
     assert not any(i == 3 for _, i in fast)  # disjoint interval empty
 
+    # left outer: every point appears; unmatched points once with a
+    # NULL interval; matched points exactly their inner-join rows
+    left = interval_join(
+        pts, iv, "ts", "ts_start", "ts_end", width_minutes=720, how="left"
+    )
+    lrows = {(r.pid, r.iid) for r in left.collect()}
+    matched_pids = {p for p, _ in naive}
+    expect = naive | {(p, None) for p, in pts.select("pid").collect() if p not in matched_pids}
+    assert lrows == expect
+    assert left.count() == len(expect)  # no duplicated unmatched rows
+    # the outer plan stays hash-join-based: no nested-loop anywhere
+    plan = left._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
 
 def test_lsh_multiprobe_improves_recall(spark):
     from databridge_etl_tools_spark.operators.similarity import (
