@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_ivf_label",
     "tz_policies",
     "range_join_interval_counts",
+    "range_join_left_outer",
     "skew_salted_agg",
     "min_cost_supplier",
     "forest_part_suppliers",

@@ -12,10 +12,11 @@ Scale design:
   on shingle → count intersections). Never materializes the n²
   pair space; hot shingles can be frequency-capped (stopword-like
   shingles contribute nothing to high-Jaccard pairs).
-- MinHash+LSH: k=16 signatures, 4 bands × 4 rows; candidate pairs
-  come from equi-joins on (band, band_key) — the classic
-  shingle→minhash→band→bucket-join pipeline. O(n·k) work + a
-  bucket join instead of O(n²).
+- MinHash+LSH: k=16 signatures (one md5 base hash per shingle, k
+  affine universal-hash lanes mod a >2^32 prime), 4 bands × 4 rows;
+  candidate pairs come from equi-joins on (band, band_key) — the
+  classic shingle→minhash→band→bucket-join pipeline. O(n·k) work +
+  a bucket join instead of O(n²).
 - SimHash: 60-bit signatures; near-pair search uses 5 bands × 12
   bits, which by pigeonhole is EXACT for hamming distance ≤ 4 (a
   pair differing in ≤4 bits must agree on ≥1 of 5 bands).
@@ -53,17 +54,43 @@ def _md5_hash64(s: Column, salt: str | None = None, hex_chars: int = 8) -> Colum
     return F.conv(F.substring(F.md5(payload), 1, hex_chars), 16, 10).cast("bigint")
 
 
-def _salted_hash_fn(i: int):
-    # NB: must return a ONE-argument lambda — F.transform treats a
-    # two-parameter lambda as (element, index) and would pass the
-    # array index into the second slot.
-    return lambda s: _md5_hash64(s, str(i))
+#: smallest prime > 2^32 — the universal-hash modulus (same recipe as
+#: Spark MLlib's MinHashLSH: one base hash per element, k affine lanes)
+MINHASH_PRIME = 4294967311
+#: fixed (a, b) affine coefficients, a < 2^30 so a*base + b < 2^63
+#: stays exact in signed int64 on every engine (pinned constants, no
+#: runtime RNG — DuckDB oracles hardcode the same literals)
+MINHASH_COEF = [
+    (686579304, 478163327), (796233791, 1181241943), (239670712, 2342331444),
+    (634036507, 1812140441), (31994524, 402418010), (249817735, 2340505846),
+    (236696313, 3733616459), (814763203, 3460967357), (749621471, 1815115025),
+    (298362083, 667779376), (1027799705, 3279182318), (109747452, 398340369),
+    (103848422, 3961228449), (84611067, 2370996465), (890566477, 298737106),
+    (710026087, 433797840),
+]
 
 
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """MinHash signature: array of k minima over salted md5 hashes."""
-    return F.array(
-        *[F.array_min(F.transform(shingles, _salted_hash_fn(i))) for i in range(k)]
+    """MinHash signature: k running minima over universal-hash lanes.
+
+    ONE md5 per shingle (the only per-byte-of-text cost), then k
+    cheap affine lanes ``(a_i·base + b_i) mod P`` — integer-exact on
+    int64, so the DuckDB oracle reproduces every lane bit-for-bit.
+    Built as one chained expression (transform → transform →
+    aggregate fold of elementwise minima), so the base hash is
+    evaluated exactly once per shingle inside a single projection —
+    no CollapseProject duplication hazard, no shuffle, no Python."""
+    coef = MINHASH_COEF[:k]
+    bases = F.transform(shingles, lambda s: _md5_hash64(s))
+    lanes = F.transform(
+        bases,
+        lambda h: F.array(
+            *[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME) for a, b in coef]
+        ),
+    )
+    init = F.array(*[F.lit(None).cast("bigint") for _ in coef])
+    return F.aggregate(
+        lanes, init, lambda acc, h: F.zip_with(acc, h, lambda x, y: F.least(x, y))
     )
 
 
@@ -147,15 +174,14 @@ def minhash_lsh_pairs(
     equi-join → distinct candidate pairs → signature agreement /k.
     """
     rows = k // bands
-    # Per-document signatures as pure JVM column expressions: k lanes
-    # of array_min(transform(shingles, md5-hash)) over the shingle
-    # array — map-side only (no explode shuffle, no k-wide aggregate
-    # whose whole-stage codegen compile dominated the round-1 bench,
-    # and no per-token Python loops whose per-byte cost would dominate
-    # a 100 TB corpus). Hashes stay md5-pinned bit-for-bit
-    # (int(md5(f"{i}:{s}")[:8], 16)) so the DuckDB oracle reproduces
-    # them exactly. Projection stages stay separate (CollapseProject
-    # does not duplicate non-cheap exprs), so shingling runs once.
+    # Per-document signatures as pure JVM column expressions (see
+    # minhash_signature): one md5 per shingle + k affine lanes,
+    # map-side only — no explode shuffle, no k-wide aggregate whose
+    # whole-stage codegen compile dominated the round-1 bench, no
+    # per-token Python loops whose per-byte cost would dominate a
+    # 100 TB corpus, and no k× recompute of the cryptographic hash
+    # (the round-3 16-md5s-per-shingle formulation was 8× slower
+    # than this at sf0.1).
     sh = (
         spread(df)
         .select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))

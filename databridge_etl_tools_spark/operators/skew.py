@@ -32,6 +32,12 @@ def salted_agg(
     combiner ∈ {"sum", "min", "max"}; COUNT is expressed as
     ("sum", F.count(...)).
     """
+    # CAVEAT: monotonically_increasing_id is NONDETERMINISTIC under
+    # task retry — safe HERE only because every supported combiner is
+    # algebraic (sum/min/max commute with any bucket assignment), so
+    # any salt partition yields the identical final answer. Do NOT
+    # copy this salt into a non-algebraic context (e.g. collect_list,
+    # first); use pmod(hash(stable_cols), n) there instead.
     salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
     phase1 = (
         df.withColumn("_salt", salt)

@@ -236,7 +236,9 @@ def range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ts_end", F.timestamp_add("DAY", F.lit(2), F.col("ts_start")))
     )
-    joined = interval_join(ev, iv, "ts", "ts_start", "ts_end", width_minutes=1440)
+    joined = interval_join(
+        ev, iv, "ts", "ts_start", "ts_end", 1440, broadcast_intervals=True
+    )
     return joined.groupBy("interval_id").agg(
         F.count("event_id").alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
@@ -284,7 +286,9 @@ def range_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ts_end", F.timestamp_add("DAY", F.lit(2), F.col("ts_start")))
     )
-    joined = interval_join(ev, iv, "ts", "ts_start", "ts_end", 1440, how="left")
+    joined = interval_join(
+        ev, iv, "ts", "ts_start", "ts_end", 1440, how="left", broadcast_intervals=True
+    )
     return joined.groupBy(
         F.coalesce("interval_id", F.lit(-1)).alias("interval_id")
     ).agg(

@@ -19,12 +19,19 @@ _SH_CTE = (
     " i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS shingles"
     " FROM tok WHERE len(toks) >= 3)"
 )
-_H8 = "CAST('0x'||substr(md5({salt}||':'||{v}),1,8) AS BIGINT)"
+from ..operators.dedup import MINHASH_COEF, MINHASH_PRIME
+
+_A_LIST = "list_value(" + ",".join(str(a) for a, _ in MINHASH_COEF) + ")"
+_B_LIST = "list_value(" + ",".join(str(b) for _, b in MINHASH_COEF) + ")"
+#: one md5 base hash per shingle, 16 affine universal-hash lanes —
+#: mirrors operators.dedup.minhash_signature bit-for-bit (a < 2^30
+#: keeps a*base+b inside signed int64 on both engines)
 _SIG_CTE = (
+    "bases AS (SELECT doc_id, list_transform(shingles,"
+    " s -> CAST('0x'||substr(md5(s),1,8) AS BIGINT)) AS bases FROM sh), "
     "sig AS (SELECT doc_id, list_transform(range(0,16), i -> list_min("
-    "list_transform(shingles, s -> "
-    + _H8.format(salt="i::VARCHAR", v="s")
-    + "))) AS sig FROM sh)"
+    f"list_transform(bases, h -> ({_A_LIST}[i+1]*h + {_B_LIST}[i+1]) % {MINHASH_PRIME}"
+    "))) AS sig FROM bases)"
 )
 
 

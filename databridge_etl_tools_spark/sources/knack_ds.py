@@ -7,9 +7,9 @@ response (knack/knack.py:105-125) — unlike Airtable's opaque offset
 cursor, that makes the fetch embarrassingly parallel: one cheap
 driver-side probe learns ``total_pages``, then each InputPartition
 owns a contiguous page range fetched entirely on an executor. Extract
-throughput scales with partitions instead of a single driver cursor
-(the remaining driver-cursor source is Airtable, whose API is
-inherently serial — documented in SURVEY §4).
+throughput scales with partitions instead of a single driver cursor.
+(Airtable's opaque offset cursor can't fan out, but its fetch loop
+also runs executor-side — see ``airtable_ds``.)
 
 Usage::
 

@@ -215,6 +215,35 @@ def test_knack_datasource_executor_side_pages(spark, stub):
     assert len(expected) == 25
 
 
+def test_airtable_datasource_executor_side_cursor(spark, stub):
+    """Airtable's opaque offset cursor walks on an EXECUTOR: one
+    InputPartition follows the chain worker-side, the driver transfers
+    no records — same rows as the driver-cursor AirtableSource."""
+    from databridge_etl_tools_spark.sources.airtable_ds import AirtableDataSource
+
+    spark.dataSource.register(AirtableDataSource)
+    schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("value", T.LongType())]
+    )
+    expected = {
+        tuple(r)
+        for r in AirtableSource(stub, rows_per_page=12)
+        .extract(spark, "airtable", schema)
+        .collect()
+    }
+    df = (
+        spark.read.format("airtable")
+        .schema(schema)
+        .option("url", stub)
+        .option("table", "airtable")
+        .option("page_size", 12)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1  # cursor chain is API-serial
+    assert {tuple(r) for r in df.collect()} == expected
+    assert len(expected) == 30
+
+
 def test_rest_to_store_to_csv_integration(spark, stub, tmp_path):
     """Cross-component flow: REST extract -> TableStore load ->
     extract pipeline CSV + schema sidecar (the reference's Knack
