@@ -33,16 +33,32 @@ from .util import spread
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed int64
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (docs with <n tokens → empty)."""
-    toks = TS.tokens(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+def word_shingles(toks: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles from a PRE-MATERIALIZED token-array column
+    (docs with <n tokens → empty array).
+
+    ``toks`` must be a bound column holding ``textstats.tokens(...)``
+    output, not the token EXPRESSION inline: higher-order lambdas are
+    interpreted (CodegenFallback), and an expression referenced inside
+    the lambda body is re-evaluated per array element — inlining
+    tokenization turns shingling into O(tokens²) per document
+    (measured 10 s vs 0.6 s for the sf0.1 corpus). Callers tokenize
+    into a column in a prior ``select`` (CollapseProject will not
+    merge the stages: the token column is referenced multiple times
+    and is not cheap).
+
+    ``distinct=False`` skips the array_distinct pass — correct for
+    MinHash (duplicate shingles cannot change a minimum) and cheaper;
+    Jaccard keeps the distinct-set semantics.
+    """
+    t = F.col(toks) if isinstance(toks, str) else toks
+    idx = F.sequence(F.lit(0), F.size(t) - n)
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
+        idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)])
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def _md5_hash64(s: Column, salt: str | None = None, hex_chars: int = 8) -> Column:
@@ -94,6 +110,26 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     )
 
 
+def _shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool
+) -> DataFrame:
+    """(doc, shingles) with empty docs removed. The row filter is on
+    the TOKEN COUNT, applied before shingling: filtering on
+    ``size(shingles) > 0`` instead lets predicate pushdown substitute
+    the whole tokenize+shingle expression tree into a Filter below
+    the projections, where the interpreted lambda re-evaluates the
+    inlined tokenization per element — O(tokens²) per document
+    (measured 10.7 s vs 0.35 s over the sf0.1 corpus). ``size(toks)
+    >= n`` pushes down as a cheap once-per-row predicate and implies
+    non-empty shingles."""
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("doc"), TS.tokens(text_col).alias("toks"))
+        .where(F.size("toks") >= n)
+        .select("doc", word_shingles("toks", n, distinct=distinct).alias("shingles"))
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup via normalized-content fingerprint: one row per
     distinct content with the representative (min id) and copy count."""
@@ -129,9 +165,7 @@ def jaccard_pairs(
     intersection but stay in |A∪B|), so capped mode may miss pairs
     near the threshold — recall/cost knob, off by default.
     """
-    sh = spread(df).select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
-    ).where(F.size("shingles") > 0)
+    sh = _shingled(df, id_col, text_col, n, distinct=True)
     ex = sh.select("doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
         hot = (
@@ -182,11 +216,7 @@ def minhash_lsh_pairs(
     # 100 TB corpus, and no k× recompute of the cryptographic hash
     # (the round-3 16-md5s-per-shingle formulation was 8× slower
     # than this at sf0.1).
-    sh = (
-        spread(df)
-        .select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
-        .where(F.size("shingles") > 0)
-    )
+    sh = _shingled(df, id_col, text_col, n, distinct=False)
     sig = sh.select("doc", minhash_signature(F.col("shingles"), k).alias("sig"))
 
     # Materialize the signature table once: it is tiny relative to the

@@ -59,6 +59,98 @@ def test_dynamic_gap_stream_matches_batch(spark, tmp_path):
     assert b == s
 
 
+def test_dynamic_gap_stream_late_replay_contract(spark, tmp_path):
+    """Pins the REAL late-data contract for dynamic session windows
+    (append mode), discovered empirically — both the admission filter
+    and eviction run against the START-of-batch watermark (computed
+    from the PREVIOUS batch's data, the same one-batch lag
+    test_watermark_late_data_contract pins for tumbling windows):
+
+    - a replayed row whose dynamic window has fallen fully behind
+      that watermark (``ts + gap(row) <= wm``) is DROPPED;
+    - a replayed row whose window still pokes past it is ADMITTED and
+      MERGES with the still-live session — a genuine at-least-once
+      double count. Exactly-once therefore needs an idempotent sink
+      (``stream_upsert_into_store``'s epoch commit), not the
+      watermark.
+
+    Batch layout: b0 = day-1 events, b1 = day-30 events (watermark
+    after b1 = max(b0) - 2 h, still inside day 1), b2 = day-1
+    replayed. Expected per-session counts are computed by an
+    independent driver-side sessionizer over the 33 collected rows.
+    """
+    import datetime as dt
+    import glob
+    import os
+    import time
+
+    ev = load_table(spark, SF, "events").cache()
+    day = F.dayofmonth("ts")
+    b0 = ev.where(day == 1)
+    b1 = ev.where(day == 30)
+    staging = str(tmp_path / "dyn_late_staging")
+    now = time.time()
+    for i, b in enumerate((b0, b1, b0)):
+        b.coalesce(1).write.mode("append").parquet(staging)
+        for f in glob.glob(os.path.join(staging, "*.parquet")):
+            if os.path.getmtime(f) > now - 1:
+                os.utime(f, (now - 60 + i, now - 60 + i))
+
+    q = (
+        SE.sessionize_dynamic(
+            SE.read_event_stream(spark, staging), SE.dynamic_gap("30 minutes", GAPS)
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dyn_late_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # independent driver-side twin over the tiny day-1 slice
+    gap_of = {"purchase": 90, "error": 5}
+    rows0 = sorted(
+        b0.select("user_id", "ts", "event_type", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    def gap(r):
+        return dt.timedelta(minutes=gap_of.get(r.event_type, 30))
+
+    sessions = []  # [user, start, close, n]
+    for r in rows0:
+        cur = sessions[-1] if sessions else None
+        if cur and cur[0] == r.user_id and r.ts <= cur[2]:  # inclusive touch
+            cur[2] = max(cur[2], r.ts + gap(r)); cur[3] += 1
+        else:
+            sessions.append([r.user_id, r.ts, r.ts + gap(r), 1])
+
+    wm1 = max(r.ts for r in rows0) - dt.timedelta(hours=2)
+    admitted = [r for r in rows0 if r.ts + gap(r) > wm1]
+
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped >= len(rows0) - len(admitted) > 0
+    assert len(admitted) > 0, "scenario must exercise the still-live merge"
+
+    got = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.sql("SELECT * FROM dyn_late_out").collect()
+    }
+    for user, start, close, n in sessions:
+        extra = sum(
+            1 for r in admitted if r.user_id == user and start <= r.ts <= close
+        )
+        key = (user, str(start))
+        assert got.get(key) == n + extra, (
+            f"session {key}: emitted {got.get(key)}, want {n} on-time "
+            f"+ {extra} admitted replayed duplicates"
+        )
+
+
 def test_stream_upsert_into_store_exactly_once(spark, tmp_path):
     ev = load_table(spark, SF, "events").limit(300).cache()
     staging = str(tmp_path / "upsert_staging")
