@@ -149,23 +149,47 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity ≥ threshold via inverted index.
 
-    explode(shingles) → self-join on shingle (id_a < id_b) →
-    intersection counts → |A∪B| from per-doc sizes. Only pairs that
-    share ≥1 shingle are ever materialized.
+    Default: explode(shingles) → self-join on shingle → count
+    intersections → |A∪B| from per-doc sizes; only pairs sharing ≥1
+    shingle materialize. On a corpus without hot shingles this is the
+    fastest exact plan (one shuffle each for the index and the pair
+    aggregation).
 
-    ``max_shingle_df`` caps shingle document-frequency: a shingle in
-    more than N docs is dropped from the index before the self-join
-    (the hot-shingle quadratic hazard at corpus scale — stopword-like
-    shingles generate N² candidate rows while contributing almost
-    nothing to high-Jaccard pairs). This makes the result a LOWER
-    bound on true Jaccard (dropped shingles reduce the measured
-    intersection but stay in |A∪B|), so capped mode may miss pairs
-    near the threshold — recall/cost knob, off by default.
+    ``prefix_filter=True``: AllPairs/PPJoin-style prefix filtering
+    (Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06) — still EXACT.
+    Shingles get a global rarest-first order (document frequency,
+    ties by value); a doc indexes only its first
+    ``|A| - ceil(t·|A|) + 1`` shingles. A pair with J ≥ t must
+    collide inside both prefixes (if every common element sat in A's
+    suffix of length ceil(t·|A|)-1, the overlap could not reach the
+    required ceil(t·|A|)), so hot stopword-like shingles land in
+    SUFFIXES and never generate candidates — the right plan when
+    Σ df(s)² explodes (stopword-heavy 100 TB corpora). Candidates
+    pass a length filter (t·|A| ≤ |B| ≤ |A|/t) and exact
+    verification. Costs two extra shuffles (df attach + per-doc
+    re-sort), so it loses on tame corpora (7.2 s vs 1.1 s at sf0.1
+    here) and wins when hot shingles dominate; both paths are pinned
+    pair-identical by ``tests/test_dedup_similarity.py``.
+
+    ``max_shingle_df`` (default path only) caps shingle document
+    frequency, making the result a LOWER bound — recall/cost knob.
     """
-    sh = _shingled(df, id_col, text_col, n, distinct=True)
+    # Materialize the shingle table before any explode. Two reasons:
+    # (1) both sides of the self-join read it (one computation, not
+    # two); (2) InferFiltersFromGenerate derives `size(shingles) > 0`
+    # from the explode and predicate pushdown then inlines the whole
+    # tokenize+shingle expression tree into a Filter at the scan,
+    # where the interpreted HOF lambda makes it O(tokens²) per doc
+    # (measured: the explode stage alone went 17.6 s → sub-second at
+    # sf0.1). A lineage-free checkpoint leaves the inferred filter a
+    # cheap column probe.
+    sh = _shingled(df, id_col, text_col, n, distinct=True).localCheckpoint(eager=True)
+    if prefix_filter:
+        return _jaccard_prefix_filtered(sh, threshold)
     ex = sh.select("doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
         hot = (
@@ -191,6 +215,73 @@ def jaccard_pairs(
     jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
+    )
+
+
+def _jaccard_prefix_filtered(sh: DataFrame, t: float) -> DataFrame:
+    """Prefix-filtered exact Jaccard over a (doc, shingles) frame.
+
+    Shuffle structure: one agg for document frequencies, one join to
+    attach them, one per-doc re-collect into the rarest-first order,
+    the prefix-only candidate self-join, and two joins to fetch full
+    shingle arrays for exact verification. Every stage keys on a
+    well-distributed column (shingle or doc); the quadratic
+    Σ df(s)² blowup of the naive index shrinks to prefix-frequency
+    terms — the standard scale path for exact similarity self-joins.
+    """
+    ex = sh.select(
+        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    )
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    # rarest-first global order, total (ties broken by shingle value);
+    # array_sort on (df, s) structs sorts lexicographically by field
+    ordered = (
+        ex.join(dfreq, "s")
+        .groupBy("doc", "n_sh")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_df"), F.col("s")))),
+                lambda x: x["s"],
+            ).alias("ordered")
+        )
+    )
+    plen = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
+    pref = ordered.select(
+        "doc", "n_sh", "ordered", F.slice("ordered", 1, plen).alias("prefix")
+    )
+    pex = pref.select("doc", "n_sh", F.explode("prefix").alias("s"))
+    a, b = pex.alias("a"), pex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter: J >= t forces t·|A| <= |B| <= |A|/t
+            & (F.col("b.n_sh") * t <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * t <= F.col("b.n_sh")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    full = ordered.select("doc", "n_sh", "ordered")
+    va = full.select(
+        F.col("doc").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("ordered").alias("sh_a"),
+    )
+    vb = full.select(
+        F.col("doc").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("ordered").alias("sh_b"),
+    )
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= t
     )
 
 

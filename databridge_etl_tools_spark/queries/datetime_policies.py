@@ -33,7 +33,10 @@ def tz_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same instant as epoch milliseconds (ago/ago.py:460-476).
     Orderdates span 1995-2001, so both EST and EDT offsets are
     actually exercised."""
-    orders = table(spark, sf_dir, "orders", access="scan")
+    # deliberately NOT access="scan": the per-row tz conversion is
+    # CPU-dense, so the bucketed copy's file fan-out buys scan
+    # parallelism here (the opposite trade from pricing_summary)
+    orders = table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
         F.col("o_orderdate").alias("naive_ts"),
@@ -54,7 +57,7 @@ def tz_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tz_carto_midnight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: the Carto date policy — date → Eastern midnight rendered
     in UTC (carto/carto_.py:338-351)."""
-    orders = table(spark, sf_dir, "orders", access="scan")
+    orders = table(spark, sf_dir, "orders")
     return orders.select(
         F.col("o_orderdate").cast("date").alias("d"),
         DT.date_to_eastern_midnight_utc("o_orderdate").alias("eastern_midnight_utc"),

@@ -144,7 +144,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        table(spark, sf_dir, "orders", access="scan")
+        table(spark, sf_dir, "orders")
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)

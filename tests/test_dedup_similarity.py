@@ -37,6 +37,34 @@ def test_jaccard_pairs_finds_near_dup(spark):
     assert (1, 4) not in pairs
 
 
+def test_jaccard_prefix_filter_path_is_exact(spark):
+    """The AllPairs/PPJoin prefix-filtered plan returns EXACTLY the
+    naive inverted-index pairs (same pairs, same jaccard values) —
+    prefix filtering is a candidate-pruning strategy, not an
+    approximation. Checked on the documents fixture plus a planted
+    hot-shingle block shared by every doc (the case the prefix order
+    is designed to defuse: the hot shingle lands in suffixes)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" common tail shingle here"))
+    )
+    for t in (0.3, 0.5, 0.8):
+        naive = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in DD.jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, prefix_filter=False
+            ).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in DD.jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert naive == pref, f"paths diverge at threshold {t}"
+
+
 def test_minhash_lsh_recovers_exact_dups(spark):
     pairs = {
         (r.doc_a, r.doc_b): r.est_jaccard
