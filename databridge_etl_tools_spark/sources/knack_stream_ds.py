@@ -1,0 +1,143 @@
+"""Incremental Knack extract as a STREAMING Python Data Source —
+the reference's recurring-extract cadence (run the job, pull what's
+new, load it) expressed as a Structured Streaming source with
+exactly-once offsets instead of cron-and-overwrite
+(reference: knack/knack.py:105-125 full-table pull per run).
+
+Offsets are RECORD COUNTS: ``latestOffset`` probes the object's
+``total_records`` once per micro-batch (one cheap driver request —
+the same page-1 probe the batch source uses), and each batch owns
+the half-open record range ``[start, end)``. Knack pages by number
+with a fixed ``rows_per_page``, so a record range maps to a page
+range: pages are fetched ON EXECUTORS (one ``InputPartition`` per
+page span, same fan-out as the batch ``knack_ds``), and rows outside
+the batch's record range (the page that straddles a boundary) are
+trimmed by position. Appends-only sources (auto-increment ids, the
+reference's Knack objects) replay deterministically: a failed batch
+re-fetches the same record range, which is what checkpointed
+exactly-once delivery needs from a source.
+
+Usage::
+
+    spark.dataSource.register(KnackStreamDataSource)
+    stream = (spark.readStream.format("knack_stream")
+              .schema(KnackSource(url).schema("object_3"))
+              .option("url", base_url).option("object", "object_3")
+              .option("rows_per_page", 1000)
+              .load())
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _RecordRange(InputPartition):
+    first_page: int  # 1-based inclusive
+    last_page: int  # inclusive
+    lo: int  # global record index, inclusive (0-based)
+    hi: int  # exclusive
+
+
+class KnackStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.schema_ = schema
+        self.url = options["url"].rstrip("/")
+        self.obj = options["object"]
+        self.rows_per_page = int(options.get("rows_per_page", 1000))
+        self.pages_per_partition = int(options.get("pages_per_partition", 4))
+        self.app_id = options.get("app_id", "")
+        self.api_key = options.get("api_key", "")
+
+    def _headers(self) -> dict:
+        return {
+            "X-Knack-Application-Id": self.app_id,
+            "X-Knack-REST-API-Key": self.api_key,
+        }
+
+    def initialOffset(self) -> dict:
+        return {"records": 0}
+
+    def latestOffset(self) -> dict:
+        import requests
+
+        from .rest import fetch_with_retry
+
+        session = requests.Session()
+        session.headers.update(self._headers())
+        doc = fetch_with_retry(
+            session,
+            f"{self.url}/objects/{self.obj}/records",
+            params={"page": 1, "rows_per_page": 1},
+        ).json()
+        return {"records": int(doc.get("total_records", 0))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["records"]), int(end["records"])
+        if hi <= lo:
+            return []
+        rpp = self.rows_per_page
+        first_page, last_page = lo // rpp + 1, (hi - 1) // rpp + 1
+        span = self.pages_per_partition
+        parts = []
+        for p in range(first_page, last_page + 1, span):
+            pl = min(p + span - 1, last_page)
+            parts.append(
+                _RecordRange(
+                    first_page=p,
+                    last_page=pl,
+                    lo=max(lo, (p - 1) * rpp),
+                    hi=min(hi, pl * rpp),
+                )
+            )
+        return parts
+
+    def read(self, partition: _RecordRange) -> Iterator[tuple]:
+        import requests
+
+        from .rest import coerce_value, fetch_with_retry
+
+        session = requests.Session()
+        session.headers.update(self._headers())
+        fields = list(self.schema_.fields)
+        for page in range(partition.first_page, partition.last_page + 1):
+            doc = fetch_with_retry(
+                session,
+                f"{self.url}/objects/{self.obj}/records",
+                params={"page": page, "rows_per_page": self.rows_per_page},
+            ).json()
+            base = (page - 1) * self.rows_per_page
+            for i, rec in enumerate(doc.get("records", [])):
+                idx = base + i
+                if partition.lo <= idx < partition.hi:  # trim straddling pages
+                    yield tuple(
+                        coerce_value(rec.get(f.name), f.dataType) for f in fields
+                    )
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the checkpoint; nothing source-side to GC
+        pass
+
+
+class KnackStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "knack_stream"
+
+    def schema(self) -> str:
+        raise NotImplementedError(
+            "knack_stream requires an explicit .schema(...) — synthesize "
+            "one with KnackSource(url).schema(object)"
+        )
+
+    def streamReader(self, schema: StructType) -> KnackStreamReader:
+        return KnackStreamReader(schema, self.options)

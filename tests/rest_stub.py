@@ -65,7 +65,12 @@ class Handler(BaseHTTPRequestHandler):
             total_pages = (len(KNACK_RECORDS) + per - 1) // per
             recs = KNACK_RECORDS[(page - 1) * per : page * per]
             return self._json(
-                {"records": recs, "current_page": page, "total_pages": total_pages}
+                {
+                    "records": recs,
+                    "current_page": page,
+                    "total_pages": total_pages,
+                    "total_records": len(KNACK_RECORDS),
+                }
             )
         if u.path.endswith("/airtable"):  # offset pagination
             per = int(q.get("pageSize", 10))

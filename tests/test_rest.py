@@ -244,6 +244,59 @@ def test_airtable_datasource_executor_side_cursor(spark, stub):
     assert len(expected) == 30
 
 
+def test_knack_stream_incremental_extract(spark, stub, tmp_path):
+    """Streaming Knack source: record-count offsets checkpoint across
+    runs — a drained stream re-run pulls nothing; after the object
+    grows, the next run pulls ONLY the delta, fetched executor-side in
+    page-range partitions (the reference's recurring full-table pull,
+    re-expressed as an exactly-once incremental source)."""
+    import rest_stub
+    from databridge_etl_tools_spark.sources.knack_stream_ds import (
+        KnackStreamDataSource,
+    )
+
+    spark.dataSource.register(KnackStreamDataSource)
+    src = KnackSource(stub, rows_per_page=10)
+    schema = src.schema("obj_1")
+    ckpt = str(tmp_path / "knack_ckpt")
+
+    def drain():
+        got: list[int] = []
+
+        def handle(batch_df, _eid):
+            got.extend(r.record_id for r in batch_df.select("record_id").collect())
+
+        q = (
+            spark.readStream.format("knack_stream")
+            .schema(schema)
+            .option("url", stub)
+            .option("object", "obj_1")
+            .option("rows_per_page", 10)
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    assert set(drain()) == set(range(25))
+    assert drain() == []  # offset persisted in the checkpoint: nothing new
+
+    grown = [
+        {"id": f"k{i}", "record_id": i, "date_opened": None,
+         "status": {"v": 0}, "amount": i * 1.5}
+        for i in range(25, 32)
+    ]
+    rest_stub.KNACK_RECORDS.extend(grown)
+    try:
+        assert set(drain()) == set(range(25, 32))  # only the delta
+    finally:
+        del rest_stub.KNACK_RECORDS[25:]
+
+
 def test_rest_to_store_to_csv_integration(spark, stub, tmp_path):
     """Cross-component flow: REST extract -> TableStore load ->
     extract pipeline CSV + schema sidecar (the reference's Knack
