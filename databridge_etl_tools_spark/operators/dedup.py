@@ -170,10 +170,10 @@ def jaccard_pairs(
     SUFFIXES and never generate candidates — the right plan when
     Σ df(s)² explodes (stopword-heavy 100 TB corpora). Candidates
     pass a length filter (t·|A| ≤ |B| ≤ |A|/t) and exact
-    verification. Costs two extra shuffles (df attach + per-doc
-    re-sort), so it loses on tame corpora (7.2 s vs 1.1 s at sf0.1
-    here) and wins when hot shingles dominate; both paths are pinned
-    pair-identical by ``tests/test_dedup_similarity.py``.
+    verification. Costs the extra window passes, so it loses on tame
+    corpora (4.4 s vs 1.1 s at sf0.1 here) and wins when hot shingles
+    dominate; both paths are pinned pair-identical by
+    ``tests/test_dedup_similarity.py``.
 
     ``max_shingle_df`` (default path only) caps shingle document
     frequency, making the result a LOWER bound — recall/cost knob.
@@ -221,35 +221,33 @@ def jaccard_pairs(
 def _jaccard_prefix_filtered(sh: DataFrame, t: float) -> DataFrame:
     """Prefix-filtered exact Jaccard over a (doc, shingles) frame.
 
-    Shuffle structure: one agg for document frequencies, one join to
-    attach them, one per-doc re-collect into the rarest-first order,
-    the prefix-only candidate self-join, and two joins to fetch full
-    shingle arrays for exact verification. Every stage keys on a
-    well-distributed column (shingle or doc); the quadratic
-    Σ df(s)² blowup of the naive index shrinks to prefix-frequency
-    terms — the standard scale path for exact similarity self-joins.
+    The prefix index is built with two WINDOWS over the exploded
+    index — count(*) over the shingle partition attaches document
+    frequency without an agg+join round-trip, and row_number over
+    (doc ORDER BY df, s) ranks each doc's shingles rarest-first so
+    ``rank <= |A| - ceil(t·|A|) + 1`` IS the prefix membership test
+    (no per-doc re-collect into sorted arrays). Verification joins
+    candidates back to the ORIGINAL checkpointed shingle arrays —
+    ``array_intersect`` is order-insensitive, so nothing needs the
+    sorted copies. Every stage keys on a well-distributed column
+    (shingle or doc); the quadratic Σ df(s)² blowup of the naive
+    index shrinks to prefix-frequency terms — the standard scale path
+    for exact similarity self-joins.
     """
+    from pyspark.sql import Window
+
     ex = sh.select(
         "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
     )
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-    # rarest-first global order, total (ties broken by shingle value);
-    # array_sort on (df, s) structs sorts lexicographically by field
-    ordered = (
-        ex.join(dfreq, "s")
-        .groupBy("doc", "n_sh")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("_df"), F.col("s")))),
-                lambda x: x["s"],
-            ).alias("ordered")
-        )
-    )
+    dfw = Window.partitionBy("s")
+    rankw = Window.partitionBy("doc").orderBy(F.col("_df"), F.col("s"))
     plen = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
-    pref = ordered.select(
-        "doc", "n_sh", "ordered", F.slice("ordered", 1, plen).alias("prefix")
+    pex = (
+        ex.withColumn("_df", F.count(F.lit(1)).over(dfw))
+        .withColumn("_rn", F.row_number().over(rankw))
+        .where(F.col("_rn") <= plen)
+        .select("doc", "n_sh", "s")
     )
-    pex = pref.select("doc", "n_sh", F.explode("prefix").alias("s"))
     a, b = pex.alias("a"), pex.alias("b")
     cand = (
         a.join(
@@ -263,16 +261,15 @@ def _jaccard_prefix_filtered(sh: DataFrame, t: float) -> DataFrame:
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    full = ordered.select("doc", "n_sh", "ordered")
-    va = full.select(
+    va = sh.select(
         F.col("doc").alias("doc_a"),
-        F.col("n_sh").alias("n_a"),
-        F.col("ordered").alias("sh_a"),
+        F.size("shingles").alias("n_a"),
+        F.col("shingles").alias("sh_a"),
     )
-    vb = full.select(
+    vb = sh.select(
         F.col("doc").alias("doc_b"),
-        F.col("n_sh").alias("n_b"),
-        F.col("ordered").alias("sh_b"),
+        F.size("shingles").alias("n_b"),
+        F.col("shingles").alias("sh_b"),
     )
     verified = (
         cand.join(va, "doc_a")
