@@ -33,6 +33,7 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_language",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
