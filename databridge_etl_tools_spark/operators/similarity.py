@@ -49,21 +49,37 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str | None = None,
+    probe_cells: Column | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query row.
 
     ``query_pred`` selects the query subset (default: all rows);
     ``cell_col`` restricts candidates to the query's cell (IVF mode).
+    ``probe_cells`` (requires ``cell_col``) is an array<int> column of
+    cell ids to probe — multi-probe IVF: the query explodes to one row
+    per probed cell and joins candidates per cell, so the recall knob
+    (nprobe) costs nprobe co-partitioned lookups, never a rescan.
+    Build it with ``ivf_probe_cells(vec_col, centroids, nprobe)``;
+    probing every cell reproduces the exact brute-force result.
     Excludes self-pairs. Deterministic tie-break on neighbor id.
     """
     base = with_norm(emb, vec_col)
     q = base.where(query_pred) if query_pred is not None else base
-    q = q.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.col("_norm").alias("_qn"),
-        *([F.col(cell_col).alias("_qc")] if cell_col else []),
-    )
+    if probe_cells is not None:
+        assert cell_col is not None, "probe_cells requires cell_col"
+        q = q.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_norm").alias("_qn"),
+            F.explode(probe_cells).alias("_qc"),
+        )
+    else:
+        q = q.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_norm").alias("_qn"),
+            *([F.col(cell_col).alias("_qc")] if cell_col else []),
+        )
     c = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -285,6 +301,60 @@ def ivf_build(
     by cell; probes then use ``cosine_topk(..., cell_col='cell')``."""
     _, assignments = kmeans_fit(emb, k, iters, id_col, vec_col)
     return emb.join(assignments, id_col)
+
+
+def ivf_probe_cells(
+    vec_col: Column | str, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """array<int> of the ``nprobe`` nearest IVF cells for a vector —
+    the multi-probe recall knob. Same score as the k-means assignment
+    (dot − ||c||²/2, argmax ⇔ argmin squared distance), ranked by
+    sorting (−score, cell) structs so ties break on the lower cell id
+    exactly like the single-cell assignment's first-occurrence rule.
+    ``nprobe=1`` equals the assigned cell; ``nprobe=len(centroids)``
+    probes everything (exact search, the correctness anchor)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    scored = F.array(
+        *[
+            F.struct(
+                (-(dot_fold(v, _plane_col(c)) - sum(x * x for x in c) / 2.0)).alias(
+                    "ns"
+                ),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.array_sort(scored), 1, min(nprobe, len(centroids)))
+    return F.transform(top, lambda x: x["cell"])
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    iters: int = 10,
+    nprobe: int = 1,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit-and-probe IVF convenience: deterministic k-means cells +
+    multi-probe cell-restricted top-k in one call. At scale, fit once
+    (``kmeans_fit``), persist the cell-partitioned table
+    (``layout.build_embeddings_by_cell``), and call ``cosine_topk``
+    with ``probe_cells`` directly."""
+    centroids, assignments = kmeans_fit(emb, n_cells, iters, id_col, vec_col)
+    indexed = emb.join(assignments, id_col)
+    return cosine_topk(
+        indexed,
+        k=k,
+        query_pred=query_pred,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col="cell",
+        probe_cells=ivf_probe_cells(vec_col, centroids, nprobe),
+    )
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:

@@ -119,6 +119,25 @@ def test_ivf_restricts_to_cell(spark):
     assert {r.neighbor_id for r in out} == {5}  # only same-label candidates
 
 
+def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark):
+    """Multi-probe IVF: recall vs exact brute force is monotone in
+    nprobe, and probing every cell reproduces the exact result —
+    the correctness anchor for the (nprobe, recall) knob."""
+    emb = _emb(spark)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.cosine_topk(emb, k=2).collect()
+    }
+    by_probe = {}
+    for nprobe in (1, 2):
+        got = SIM.ivf_topk(emb, k=2, n_cells=2, iters=3, nprobe=nprobe).collect()
+        by_probe[nprobe] = {(r.query_id, r.neighbor_id, r.rank) for r in got}
+    r1 = len(by_probe[1] & exact)
+    r2 = len(by_probe[2] & exact)
+    assert r2 >= r1
+    assert by_probe[2] == exact  # nprobe == n_cells probes everything
+
+
 def test_neardup_pairs_threshold(spark):
     got = {(r.id_a, r.id_b) for r in SIM.neardup_pairs(_emb(spark), 0.95).collect()}
     assert got == {(1, 2), (4, 5)}

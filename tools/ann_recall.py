@@ -66,12 +66,19 @@ def main() -> None:
             "recall": recall(approx, exact), "sec": round(time.time() - t0, 2),
         }
     for cells in (4, 8, 16):
-        t0 = time.time()
-        indexed = S.ivf_build(emb, k=cells, iters=3).localCheckpoint(eager=True)
-        approx = topk_sets(S.cosine_topk(indexed, k=args.k, cell_col="cell", query_pred=qpred))
-        report["ivf"][f"cells_{cells}"] = {
-            "recall": recall(approx, exact), "sec": round(time.time() - t0, 2),
-        }
+        centroids, assignments = S.kmeans_fit(emb, cells, iters=3)
+        indexed = emb.join(assignments, "vec_id").localCheckpoint(eager=True)
+        for nprobe in (1, 2, 4):
+            t0 = time.time()
+            approx = topk_sets(
+                S.cosine_topk(
+                    indexed, k=args.k, cell_col="cell", query_pred=qpred,
+                    probe_cells=S.ivf_probe_cells("embedding", centroids, nprobe),
+                )
+            )
+            report["ivf"][f"cells_{cells}_nprobe_{nprobe}"] = {
+                "recall": recall(approx, exact), "sec": round(time.time() - t0, 2),
+            }
     print(json.dumps(report))
 
 
