@@ -151,3 +151,56 @@ def test_dynamic_session_native_equals_first_principles(spark, events):
     n = {(r.user_id, str(r.session_start)): r.n_events for r in native.collect()}
     t = {(r.user_id, str(r.session_start)): r.n_events for r in twin.collect()}
     assert n == t
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(0, 60 * 24 * 40), min_size=1, max_size=25, unique=True),
+    st.lists(
+        st.tuples(st.integers(0, 60 * 24 * 40), st.integers(0, 60 * 24 * 5)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([60, 720, 1440]),
+)
+def test_interval_join_equals_naive_property(spark, point_mins, ivs, width):
+    """Bucketized interval join (inner AND left-outer) equals the
+    naive cross-join filter on arbitrary point/interval layouts —
+    incl. empty intervals (start == end, half-open → match nothing),
+    boundary-bucket landings, and multi-overlap points."""
+    from databridge_etl_tools_spark.operators.rangejoin import interval_join
+
+    base = "2024-01-01 00:00:00"
+    pts = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(point_mins)], "pid int, m int"
+    ).select(
+        "pid",
+        F.timestamp_add("MINUTE", F.col("m"), F.lit(base).cast("timestamp_ntz")).alias("ts"),
+    )
+    iv = spark.createDataFrame(
+        [(j, s, s + d) for j, (s, d) in enumerate(ivs)], "iid int, s int, e int"
+    ).select(
+        "iid",
+        F.timestamp_add("MINUTE", F.col("s"), F.lit(base).cast("timestamp_ntz")).alias("ts_start"),
+        F.timestamp_add("MINUTE", F.col("e"), F.lit(base).cast("timestamp_ntz")).alias("ts_end"),
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv)
+        .where((F.col("ts") >= F.col("ts_start")) & (F.col("ts") < F.col("ts_end")))
+        .collect()
+    }
+    inner = {
+        (r.pid, r.iid)
+        for r in interval_join(pts, iv, "ts", "ts_start", "ts_end", width).collect()
+    }
+    assert inner == naive
+    left = [
+        (r.pid, r.iid)
+        for r in interval_join(
+            pts, iv, "ts", "ts_start", "ts_end", width, how="left"
+        ).collect()
+    ]
+    matched = {p for p, _ in naive}
+    expect_left = sorted(naive | {(p, None) for (p, _) in enumerate(point_mins) if p not in matched})
+    assert sorted(left) == expect_left
