@@ -95,3 +95,49 @@ def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.quality_score("text").alias("quality"),
         TS.language_guess("text").alias("lang_guess"),
     )
+
+
+@query(
+    "sample_split_documents",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, lang,
+             CAST('0x'||substr(md5('strata:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+               / 4294967296.0 AS u_keep,
+             CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+               / 4294967296.0 AS u_split
+      FROM documents),
+    sampled AS (
+      SELECT doc_id, lang,
+             CASE WHEN u_split < 0.1 THEN 'val' ELSE 'train' END AS split
+      FROM kept
+      WHERE u_keep < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.25 END)
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM sampled GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling + split assignment
+    (``operators.sampling``): per-language keep rates (corpus
+    balancing: keep all German, half of English, a quarter of the
+    rest) and a content-keyed train/val split — both decided by md5
+    hashes of the document id, so the sample is reproducible across
+    engines, cluster layouts, retries, and appends (a doc never
+    migrates between splits on rebuild). Pure map-side predicates:
+    zero shuffles before the demo aggregation."""
+    from ..operators.sampling import stratified_sample, train_val_split
+
+    docs = table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 1.0}, default_rate=0.25, key="doc_id"
+    )
+    split = train_val_split(kept, "doc_id", val_fraction=0.1)
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

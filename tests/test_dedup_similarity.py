@@ -313,3 +313,37 @@ def test_kmeans_ivf_build_and_probe(spark):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.2, recall
+
+
+def test_sampling_deterministic_and_append_stable(spark):
+    """Content-hash sampling contract: a row's fate is independent of
+    partitioning AND of what other rows exist (append-stability) —
+    the properties rand()/df.sample() cannot give — and the split
+    assignment never migrates a key between train and val."""
+    from databridge_etl_tools_spark.operators import sampling as SP
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    kept1 = {r.k for r in SP.sample_deterministic(df, "k", 0.3).collect()}
+    kept2 = {
+        r.k for r in SP.sample_deterministic(df.repartition(17), "k", 0.3).collect()
+    }
+    assert kept1 == kept2
+    assert 0.2 < len(kept1) / 2000 < 0.4
+
+    grown = spark.range(0, 3000).select(F.col("id").alias("k"))
+    kept3 = {r.k for r in SP.sample_deterministic(grown, "k", 0.3).collect()}
+    assert {k for k in kept3 if k < 2000} == kept1  # appends never flip fates
+
+    s1 = {(r.k, r.split) for r in SP.train_val_split(df, "k", 0.1).collect()}
+    s2 = {(r.k, r.split) for r in SP.train_val_split(grown, "k", 0.1).collect()}
+    assert s1 <= s2  # no key migrates between splits on rebuild
+    n_val = sum(1 for _, s in s1 if s == "val")
+    assert 0.05 < n_val / 2000 < 0.15
+
+    strat = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(1000)], "k long, lang string"
+    )
+    kept = SP.stratified_sample(strat, "lang", {"de": 1.0, "en": 0.2}, key="k")
+    by_lang = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang["de"] == 500  # rate 1.0 keeps every row
+    assert 50 < by_lang["en"] < 150
