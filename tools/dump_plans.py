@@ -21,8 +21,10 @@ SHOW = [
     "events_sessionize",
     "asof_purchase_last_view",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "ann_lsh_bucketed",
     "range_join_interval_counts",
+    "range_join_left_outer",
     "skew_salted_agg",
     "min_cost_supplier",
     "forest_part_suppliers",
