@@ -132,6 +132,25 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedupe_stream(
+    stream: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with
+    state bounded by the watermark (``dropDuplicatesWithinWatermark``
+    — the streaming face of the batch dedup family in
+    ``operators.dedup``). The contract: duplicates arriving within
+    ``watermark`` of the original's event time are guaranteed
+    dropped; a duplicate arriving later than that MAY pass (its
+    key's state has been reclaimed) — the bounded-state trade every
+    infinite-stream dedup must make. Plain ``dropDuplicates`` on a
+    stream would keep every key forever (state grows without bound at
+    100 TB/day); the watermark variant is the deployable shape."""
+    src = stream.withColumn("ts_ltz", F.col("ts").cast("timestamp")).withWatermark(
+        "ts_ltz", watermark
+    )
+    return src.dropDuplicatesWithinWatermark(keys)
+
+
 def sessionize_stream(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming sessionization via the native session_window —
     state-backed, watermark-bounded (the stream twin of

@@ -298,3 +298,43 @@ def test_watermark_late_data_contract(spark, tmp_path):
     # replay did not double-count into already-finalized windows
     day1_total = sum(r.n for r in rows if str(r.window_start).startswith("2024-01-01"))
     assert day1_total == b2.count()
+
+
+def test_dedupe_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): a
+    duplicate event_id arriving in a LATER micro-batch within the
+    watermark is dropped; the drained result equals batch
+    dropDuplicates over the same files. State is watermark-bounded —
+    the deployable contrast to unbounded dropDuplicates."""
+    import glob
+    import os
+    import time
+
+    ev = load_table(spark, SF, "events").cache()
+    day = F.dayofmonth("ts")
+    b0 = ev.where(day <= 15)
+    b1 = ev.where((day > 10) & (day <= 25))  # overlap: days 11-15 replayed
+    staging = str(tmp_path / "dedup_staging")
+    now = time.time()
+    for i, b in enumerate((b0, b1)):
+        b.coalesce(1).write.mode("append").parquet(staging)
+        for f in glob.glob(os.path.join(staging, "*.parquet")):
+            if os.path.getmtime(f) > now - 1:
+                os.utime(f, (now - 60 + i, now - 60 + i))
+
+    q = (
+        SE.dedupe_stream(SE.read_event_stream(spark, staging), ["event_id"], "40 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_stream_out").collect()]
+    assert len(got) == len(set(got)), "a duplicate survived"
+    want = {
+        r.event_id
+        for r in b0.unionByName(b1).dropDuplicates(["event_id"]).collect()
+    }
+    assert set(got) == want
