@@ -141,3 +141,70 @@ def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+             length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS wl,
+             len(list_filter({_TOK}, x -> list_contains({_EN}, lower(x))))
+               / CAST(len({_TOK}) AS DOUBLE) AS swr,
+             len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(length(text) AS DOUBLE) AS pr,
+             CAST(len({_TOK}) AS INTEGER) AS n_tokens
+      FROM documents),
+    scored AS (
+      SELECT *, (CASE WHEN wl >= 3.0 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END
+                 + least(swr * 4.0, 1.0)
+                 + 1.0 - least(pr * 5.0, 1.0)) / 3.0 AS q
+      FROM s),
+    good AS (SELECT * FROM scored WHERE q >= 0.5),
+    rep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM good
+      GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))),
+    deduped AS (SELECT g.* FROM good g JOIN rep USING (doc_id)),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE CAST('0x'||substr(md5('curate:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+              / 4294967296.0
+            < CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM sampled GROUP BY 1
+    """,
+    gate=False,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation in ONE declarative plan —
+    the flow the LLM-data operators exist for, composed: quality
+    filter (length/punct/stopword composite ≥ 0.5) → exact dedup
+    (normalized-content fingerprint, min-id representative) →
+    deterministic stratified downsample (keep half of English, all of
+    the rest) → per-language corpus stats. Every stage is JVM column
+    expressions; the shuffles are exactly the dedup groupBy, the
+    representative join, and the final stats aggregation — Catalyst
+    pipelines the filters into the scan. The DuckDB oracle recomputes
+    the entire pipeline independently."""
+    from ..operators.dedup import exact_duplicates
+    from ..operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    good = docs.where(TS.quality_score("text") >= 0.5)
+    rep = exact_duplicates(good, "text", "doc_id").select(
+        F.col("representative").alias("doc_id")
+    )
+    deduped = good.join(rep, "doc_id")
+    sampled = stratified_sample(
+        deduped, "lang", {"en": 0.5}, default_rate=1.0, key="doc_id", salt="curate"
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TS.token_count("text").cast("bigint")).alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
