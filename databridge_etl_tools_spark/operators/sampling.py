@@ -77,3 +77,63 @@ def train_val_split(
             F.lit("train")
         ),
     )
+
+
+def mixture(
+    sources: "dict[str, tuple[DataFrame, float]]",
+    key: str,
+    total_rows: int | None = None,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Weighted corpus mixture: union the sources downsampled so their
+    contributions match the given weights — the dataset-mixing step of
+    a training pipeline (e.g. 70% web text, 20% code, 10% reference).
+
+    ``sources`` maps a name to (DataFrame, weight). Weights are
+    normalized; ``total_rows`` caps the output size (None = the
+    largest mixture achievable without upsampling any source). Counts
+    are measured with one count() per source — driver-side scalars,
+    the same cadence as a k-means fit — then every row's fate is the
+    usual content hash: reproducible, partition-independent, and
+    append-stable. No source is ever upsampled (rates cap at 1.0);
+    if a source is too small for the requested mixture the achieved
+    proportions shift, which ``mixture_report`` makes visible rather
+    than silently duplicating rows.
+
+    Output schema: each source's columns plus a ``source`` tag, so
+    provenance survives into the mixed corpus (unionByName requires
+    compatible schemas).
+    """
+    total_w = sum(w for _, w in sources.values())
+    counts = {name: df.count() for name, (df, _) in sources.items()}
+    # largest feasible mixture: the binding source is the one whose
+    # count/weight ratio is smallest
+    feasible = min(
+        counts[name] / (w / total_w) for name, (_, w) in sources.items() if w > 0
+    )
+    target = feasible if total_rows is None else min(float(total_rows), feasible)
+    out = None
+    for name, (df, w) in sources.items():
+        want = target * (w / total_w)
+        rate = 0.0 if counts[name] == 0 else min(1.0, want / counts[name])
+        part = sample_deterministic(df, key, rate, salt=f"{salt}:{name}").withColumn(
+            "source", F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def mixture_report(mixed: DataFrame) -> DataFrame:
+    """Achieved per-source counts + proportions of a ``mixture``
+    output — measure the mix, don't assume it (hash sampling hits the
+    requested rate only in expectation)."""
+    from pyspark.sql import Window
+
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "proportion",
+            F.col("n_rows") / F.sum("n_rows").over(Window.partitionBy()),
+        )
+    )

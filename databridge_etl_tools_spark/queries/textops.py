@@ -208,3 +208,57 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "mixture_documents",
+    oracle="""
+    WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+    rest AS (SELECT * FROM documents WHERE lang <> 'en'),
+    c AS (SELECT (SELECT COUNT(*) FROM en) AS n_en,
+                 (SELECT COUNT(*) FROM rest) AS n_rest),
+    r AS (SELECT least(n_en / (0.6::DOUBLE / 1.0::DOUBLE),
+                       n_rest / (0.4::DOUBLE / 1.0::DOUBLE)) AS feasible,
+                 n_en, n_rest FROM c),
+    rates AS (SELECT least(1.0::DOUBLE, (feasible * (0.6::DOUBLE / 1.0::DOUBLE)) / n_en) AS rate_en,
+                     least(1.0::DOUBLE, (feasible * (0.4::DOUBLE / 1.0::DOUBLE)) / n_rest) AS rate_rest
+              FROM r),
+    kept AS (
+      SELECT 'en' AS source, doc_id FROM en, rates
+      WHERE CAST('0x'||substr(md5('mixture:en:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+              / 4294967296.0 < rate_en
+      UNION ALL
+      SELECT 'rest' AS source, doc_id FROM rest, rates
+      WHERE CAST('0x'||substr(md5('mixture:rest:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+              / 4294967296.0 < rate_rest)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM kept GROUP BY 1
+    """,
+    gate=False,
+)
+def mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixture (``operators.sampling.mixture``): mix
+    the English corpus against everything else at 60/40 target
+    weights — per-source counts size the rates (one count() scalar
+    per source), content hashes decide every row's fate, no source is
+    ever upsampled. The DuckDB oracle recomputes counts, feasible
+    total, rates, and hashes independently — including the binding-
+    source cap arithmetic."""
+    from ..operators.sampling import mixture
+
+    docs = table(spark, sf_dir, "documents")
+    mixed = mixture(
+        {
+            "en": (docs.where(F.col("lang") == "en"), 0.6),
+            "rest": (docs.where(F.col("lang") != "en"), 0.4),
+        },
+        key="doc_id",
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

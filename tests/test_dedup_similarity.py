@@ -347,3 +347,26 @@ def test_sampling_deterministic_and_append_stable(spark):
     by_lang = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_lang["de"] == 500  # rate 1.0 keeps every row
     assert 50 < by_lang["en"] < 150
+
+
+def test_mixture_hits_weights_without_upsampling(spark):
+    """Weighted corpus mixture: achieved proportions track the
+    requested weights, no source is upsampled (rate caps at 1.0), the
+    binding source limits the feasible total, and provenance rides a
+    source tag."""
+    from databridge_etl_tools_spark.operators import sampling as SP
+
+    web = spark.range(0, 4000).select(F.col("id").alias("k"))
+    code = spark.range(10_000, 10_400).select(F.col("id").alias("k"))  # small: binding
+    mixed = SP.mixture({"web": (web, 0.8), "code": (code, 0.2)}, key="k")
+    rep = {r.source: (r.n_rows, r.proportion) for r in SP.mixture_report(mixed).collect()}
+    # code is the binding source: weight 0.2 over 400 rows caps the
+    # mixture at ~2000 total; code is kept whole, web sampled to ~1600
+    assert rep["code"][0] == 400
+    assert 1300 < rep["web"][0] < 1900
+    assert 0.72 < rep["web"][1] < 0.88
+    # no duplicated rows ever (no upsampling)
+    assert mixed.count() == mixed.select("k").distinct().count()
+    # determinism: same inputs, same mixture
+    again = SP.mixture({"web": (web, 0.8), "code": (code, 0.2)}, key="k")
+    assert {r.k for r in mixed.collect()} == {r.k for r in again.collect()}
