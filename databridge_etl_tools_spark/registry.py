@@ -65,6 +65,65 @@ _QUERY_MODULES = (
 #: weaker check regardless, so they register last.
 DRIVER_GATE_WINDOW = 50
 
+#: Gate-rotation overlay (round 4). Every oracle-backed query should
+#: get driver-hash confirmation at least once, but the gate window
+#: holds only 50 — so each round swaps the never/least-recently
+#: driver-verified cohort INTO the window and parks an equal number of
+#: multiply-verified queries (green in r1+r2+r3) in the overflow tier.
+#: Overflow queries keep full local-mirror verification via
+#: tools/check_correctness.py; nothing loses an oracle. Applied in
+#: load_all() AFTER module registration so the per-query ``gate=``
+#: default stays the stable tier and this overlay stays one auditable
+#: per-round edit.
+GATE_ROTATE_IN: frozenset[str] = frozenset(
+    {
+        # r4 cohort: driver-verified for the first time this round
+        "bracket_revenue",
+        "corpus_curation",
+        "geom_kind_census",
+        "idle_customer_balance",
+        "large_volume_customers",
+        "latency_priority_classes",
+        "market_share",
+        "mixture_documents",
+        "prepare_cell_cleanup",
+        "prepare_header_normalize",
+        "profit_by_nation_year",
+        "promo_revenue_share",
+        "returned_item_report",
+        "sample_split_documents",
+        "small_quantity_revenue",
+        "supplier_part_census",
+        "top_supplier",
+        "tz_carto_midnight",
+        "volume_shipping",
+    }
+)
+GATE_ROTATE_OUT: frozenset[str] = frozenset(
+    {
+        # parked: hash-matched in CORRECTNESS_r01 + r02 + r03
+        "filter_project",
+        "ordered_collect",
+        "topk_per_group",
+        "order_priority_check",
+        "customer_order_distribution",
+        "upsert_orders",
+        "delete_stale",
+        "dedupe_events_by_user",
+        "record_diff",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_components",
+        "dedup_simhash_pairs",
+        "ann_cosine_topk",
+        "ann_ivf_label",
+        "text_token_stats",
+        "prepare_synthetic_objectid",
+        "proj_webmercator",
+    }
+)
+
 
 def query(name: str, oracle: str | None = None, gate: bool = True):
     """Register a query (and optional DuckDB oracle SQL) under ``name``.
@@ -92,6 +151,11 @@ def load_all() -> None:
     queries next (local-mirror-verified), rows-only queries last."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    unknown = (GATE_ROTATE_IN | GATE_ROTATE_OUT) - set(ORACLES)
+    if unknown:
+        raise RuntimeError(f"gate rotation names not in ORACLES: {sorted(unknown)}")
+    OVERFLOW.difference_update(GATE_ROTATE_IN)
+    OVERFLOW.update(GATE_ROTATE_OUT)
     ordered = {n: f for n, f in QUERIES.items() if n in ORACLES and n not in OVERFLOW}
     if len(ordered) > DRIVER_GATE_WINDOW:
         raise RuntimeError(
