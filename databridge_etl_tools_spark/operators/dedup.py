@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import textstats as TS
+from .materialize import materialize
 from .util import spread
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed int64
@@ -186,8 +187,12 @@ def jaccard_pairs(
     # where the interpreted HOF lambda makes it O(tokens²) per doc
     # (measured: the explode stage alone went 17.6 s → sub-second at
     # sf0.1). A lineage-free checkpoint leaves the inferred filter a
-    # cheap column probe.
-    sh = _shingled(df, id_col, text_col, n, distinct=True).localCheckpoint(eager=True)
+    # cheap column probe — cut_lineage: strategies that keep lineage
+    # (persist) would reintroduce the hazard, so this site only
+    # selects between local and reliable checkpointing.
+    sh = materialize(
+        _shingled(df, id_col, text_col, n, distinct=True), cut_lineage=True
+    )
     if prefix_filter:
         return _jaccard_prefix_filtered(sh, threshold)
     ex = sh.select("doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
@@ -310,11 +315,12 @@ def minhash_lsh_pairs(
     # Materialize the signature table once: it is tiny relative to the
     # corpus (k integers per doc) and feeds both sides of the band
     # self-join — without this, the shingle+hash pipeline re-executes
-    # per branch (measured 4x at sf0.1). localCheckpoint (not cache):
-    # lineage-free and reclaimed by the ContextCleaner when the result
-    # is garbage-collected, so repeated invocations don't accumulate
-    # pinned storage.
-    sig = sig.localCheckpoint(eager=True)
+    # per branch (measured 4x at sf0.1). Default localCheckpoint (not
+    # cache): lineage-free and reclaimed by the ContextCleaner when
+    # the result is garbage-collected, so repeated invocations don't
+    # accumulate pinned storage. Cluster runs select the reliable /
+    # recompute-tolerant strategies via operators.materialize.
+    sig = materialize(sig)
 
     band_rows = sig.select(
         "doc",
@@ -377,7 +383,10 @@ def connected_components(
     Scale: each iteration is one hash join on the vertex id; the loop
     runs until no label changes (≤ graph diameter iterations — dup
     clusters are shallow). Spark-side iteration materializes each
-    round (localCheckpoint) to keep the plan from growing.
+    round with a lineage-CUTTING strategy (cut_lineage=True: without
+    truncation the logical plan doubles per iteration and analysis
+    time explodes long before data size matters), so the frontier is
+    checkpointed — locally by default, reliably on clusters.
     """
     sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
@@ -389,12 +398,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
-            .select(
+        new_labels = materialize(
+            labels.join(neighbor_min, labels.v == neighbor_min.src, "left").select(
                 "v", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            cut_lineage=True,
         )
         changed = (
             new_labels.alias("n")
@@ -470,8 +478,8 @@ def simhash_near_pairs(
     assert max_hamming < bands, "pigeonhole exactness requires max_hamming < bands"
     width = SIMHASH_BITS // bands
     # materialize once: both sides of the band self-join read the
-    # signatures (see minhash note re: localCheckpoint vs cache)
-    sig = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
+    # signatures (see minhash note re: strategy selection)
+    sig = materialize(simhash_signatures(df, id_col, text_col))
     band_rows = sig.select(
         "doc",
         "simhash",

@@ -1,0 +1,70 @@
+"""Materialization-strategy knob: every strategy yields identical
+results on the dedup hot paths (round-3 verdict item #2), and the
+lineage-cut contract holds.
+
+Reference parity note: the reference engine is a single-process CLI
+(no mid-job fault tolerance at all); this knob is Spark-native scale
+hardening — at 100 TB runtimes an executor loss is near-certain, and
+``reliable``/``persist`` keep the query alive through it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from databridge_etl_tools_spark.operators import dedup as DD
+from databridge_etl_tools_spark.operators import materialize as MAT
+from databridge_etl_tools_spark.registry import table
+
+
+def _minhash_rows(spark, sf):
+    df = table(spark, sf, "documents")
+    out = DD.minhash_lsh_pairs(df, "doc_id", "text")
+    return sorted((r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in out.collect())
+
+
+def _jaccard_rows(spark, sf):
+    df = table(spark, sf, "documents")
+    out = DD.jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    return sorted((r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in out.collect())
+
+
+def _components_rows(spark, sf):
+    df = table(spark, sf, "documents")
+    pairs = DD.jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    out = DD.connected_components(df.select("doc_id"), pairs, id_col="doc_id")
+    return sorted((r.doc_id, r.component) for r in out.collect())
+
+
+@pytest.mark.parametrize("alt", ["reliable", "persist", "none"])
+def test_strategies_agree_on_dedup_hot_paths(spark, sf_dir, alt):
+    base = {
+        "minhash": _minhash_rows(spark, sf_dir),
+        "jaccard": _jaccard_rows(spark, sf_dir),
+        "components": _components_rows(spark, sf_dir),
+    }
+    with MAT.strategy(alt):
+        assert _minhash_rows(spark, sf_dir) == base["minhash"]
+        assert _jaccard_rows(spark, sf_dir) == base["jaccard"]
+        assert _components_rows(spark, sf_dir) == base["components"]
+
+
+def _lineage_is_cut(df) -> bool:
+    # a checkpointed DataFrame's plan is a bare LogicalRDD scan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_cut_lineage_rejects_lineage_keeping_strategies(spark):
+    df = spark.range(3)
+    for alt in ("persist", "none"):
+        with MAT.strategy(alt):
+            out = MAT.materialize(df, cut_lineage=True)
+            assert _lineage_is_cut(out), alt
+            assert out.count() == 3
+
+
+def test_unknown_strategy_rejected():
+    with pytest.raises(ValueError):
+        MAT.set_strategy("ram_only")
+    assert MAT.get_strategy() in MAT.STRATEGIES
