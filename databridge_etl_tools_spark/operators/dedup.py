@@ -151,6 +151,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
     prefix_filter: bool = False,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity ≥ threshold via inverted index.
 
@@ -176,6 +177,25 @@ def jaccard_pairs(
     dominate; both paths are pinned pair-identical by
     ``tests/test_dedup_similarity.py``.
 
+    ``prefix_order`` selects the global shingle order the prefix
+    lemma runs on — exactness holds for ANY fixed total order; the
+    order only controls candidate pruning quality vs shuffle count:
+
+    - ``"df"`` (default): exact rarest-first. Best pruning, but pays
+      two corpus-scale re-clusterings before the candidate join (df
+      needs shingle-keyed clustering, rank needs doc-keyed) — and
+      that pair is optimal for this order: any exact-global-df plan
+      must cluster the exploded index by shingle (to count df), then
+      by doc (to rank within each doc), then by shingle again (the
+      candidate equi-join); a groupBy+join+collect_list rewrite pays
+      the same three re-keyings with extra join bookkeeping.
+    - ``"hash"``: md5-order prefixes, computed entirely ARRAY-SIDE
+      from the checkpointed shingle table — ZERO shuffles before the
+      candidate join. Pruning is frequency-blind (hot shingles land
+      in prefixes at base rate), so candidate volume rises on
+      stopword-heavy corpora; on near-uniform shingle distributions
+      it matches df-order pruning while skipping both windows.
+
     ``max_shingle_df`` (default path only) caps shingle document
     frequency, making the result a LOWER bound — recall/cost knob.
     """
@@ -194,7 +214,7 @@ def jaccard_pairs(
         _shingled(df, id_col, text_col, n, distinct=True), cut_lineage=True
     )
     if prefix_filter:
-        return _jaccard_prefix_filtered(sh, threshold)
+        return _jaccard_prefix_filtered(sh, threshold, order=prefix_order)
     ex = sh.select("doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
         hot = (
@@ -223,36 +243,80 @@ def jaccard_pairs(
     )
 
 
-def _jaccard_prefix_filtered(sh: DataFrame, t: float) -> DataFrame:
+#: Guard for float-boundary hazards in prefix/length bounds (ADVICE
+#: r3): when t·|A| is mathematically an exact integer the double
+#: product can round a hair ABOVE it, so a bare ceil() inflates the
+#: required overlap by 1 — one shingle too few in the prefix, and a
+#: pair at exactly J = t could be missed, breaking the EXACT
+#: contract. Subtracting ε before ceil (and slackening the length
+#: bounds by ε) only ever WIDENS the candidate set — safe: exact
+#: verification prunes any extras.
+_CEIL_EPS = 1e-9
+
+
+def _prefix_len(n_sh: Column, t: float) -> Column:
+    return (n_sh - F.ceil(F.lit(t) * n_sh - F.lit(_CEIL_EPS)) + 1).cast("int")
+
+
+def _jaccard_prefix_filtered(sh: DataFrame, t: float, order: str = "df") -> DataFrame:
     """Prefix-filtered exact Jaccard over a (doc, shingles) frame.
 
-    The prefix index is built with two WINDOWS over the exploded
-    index — count(*) over the shingle partition attaches document
-    frequency without an agg+join round-trip, and row_number over
-    (doc ORDER BY df, s) ranks each doc's shingles rarest-first so
-    ``rank <= |A| - ceil(t·|A|) + 1`` IS the prefix membership test
-    (no per-doc re-collect into sorted arrays). Verification joins
-    candidates back to the ORIGINAL checkpointed shingle arrays —
-    ``array_intersect`` is order-insensitive, so nothing needs the
-    sorted copies. Every stage keys on a well-distributed column
-    (shingle or doc); the quadratic Σ df(s)² blowup of the naive
-    index shrinks to prefix-frequency terms — the standard scale path
-    for exact similarity self-joins.
+    ``order="df"``: the prefix index is built with two WINDOWS over
+    the exploded index — count(*) over the shingle partition attaches
+    document frequency without an agg+join round-trip, and row_number
+    over (doc ORDER BY df, s) ranks each doc's shingles rarest-first
+    so ``rank <= |A| - ceil(t·|A|) + 1`` IS the prefix membership
+    test (no per-doc re-collect into sorted arrays). Every stage keys
+    on a well-distributed column (shingle or doc); the quadratic
+    Σ df(s)² blowup of the naive index shrinks to prefix-frequency
+    terms — the standard scale path for exact similarity self-joins.
+
+    ``order="hash"``: the same prefix lemma on a frequency-blind
+    md5 total order, which each doc can evaluate LOCALLY from its own
+    array — sort-by-hash, slice the prefix, explode; no window, no
+    shuffle until the candidate join itself (see jaccard_pairs
+    docstring for the pruning trade-off).
+
+    Verification joins candidates back to the ORIGINAL checkpointed
+    shingle arrays — ``array_intersect`` is order-insensitive, so
+    nothing needs the sorted copies.
     """
     from pyspark.sql import Window
 
-    ex = sh.select(
-        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
-    )
-    dfw = Window.partitionBy("s")
-    rankw = Window.partitionBy("doc").orderBy(F.col("_df"), F.col("s"))
-    plen = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
-    pex = (
-        ex.withColumn("_df", F.count(F.lit(1)).over(dfw))
-        .withColumn("_rn", F.row_number().over(rankw))
-        .where(F.col("_rn") <= plen)
-        .select("doc", "n_sh", "s")
-    )
+    if order == "hash":
+        ranked = F.array_sort(
+            F.transform(
+                "shingles", lambda x: F.struct(F.md5(x).alias("h"), x.alias("s"))
+            )
+        )
+        pre = sh.select(
+            "doc",
+            F.size("shingles").alias("n_sh"),
+            F.transform(
+                F.slice(ranked, F.lit(1), _prefix_len(F.size("shingles"), t)),
+                lambda st: st["s"],
+            ).alias("prefix"),
+        )
+        # lineage cut before explode: InferFiltersFromGenerate would
+        # otherwise re-derive size(prefix)>0 and pushdown would inline
+        # the interpreted sort-by-hash tree into a per-row filter
+        pex = materialize(pre, cut_lineage=True).select(
+            "doc", "n_sh", F.explode("prefix").alias("s")
+        )
+    elif order == "df":
+        ex = sh.select(
+            "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+        )
+        dfw = Window.partitionBy("s")
+        rankw = Window.partitionBy("doc").orderBy(F.col("_df"), F.col("s"))
+        pex = (
+            ex.withColumn("_df", F.count(F.lit(1)).over(dfw))
+            .withColumn("_rn", F.row_number().over(rankw))
+            .where(F.col("_rn") <= _prefix_len(F.col("n_sh"), t))
+            .select("doc", "n_sh", "s")
+        )
+    else:
+        raise ValueError(f"prefix_order must be 'df' or 'hash', got {order!r}")
     a, b = pex.alias("a"), pex.alias("b")
     cand = (
         a.join(
@@ -260,8 +324,9 @@ def _jaccard_prefix_filtered(sh: DataFrame, t: float) -> DataFrame:
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc") < F.col("b.doc"))
             # length filter: J >= t forces t·|A| <= |B| <= |A|/t
-            & (F.col("b.n_sh") * t <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * t <= F.col("b.n_sh")),
+            # (ε-slackened — see _CEIL_EPS)
+            & (F.col("b.n_sh") * t - _CEIL_EPS <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * t - _CEIL_EPS <= F.col("b.n_sh")),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()

@@ -104,8 +104,20 @@ def mixture(
     provenance survives into the mixed corpus (unionByName requires
     compatible schemas).
     """
+    if any(w < 0 for _, w in sources.values()):
+        raise ValueError("mixture weights must be non-negative")
     total_w = sum(w for _, w in sources.values())
+    if total_w <= 0:
+        raise ValueError("mixture needs at least one positive weight")
     counts = {name: df.count() for name, (df, _) in sources.items()}
+    # A positively-weighted EMPTY source would make the feasibility
+    # min 0 and silently empty the whole mixture (ADVICE r3) — that's
+    # a caller error (a missing corpus), not a mixture to "achieve".
+    empty = sorted(n for n, (_, w) in sources.items() if w > 0 and counts[n] == 0)
+    if empty:
+        raise ValueError(
+            f"positively-weighted mixture sources have zero rows: {empty}"
+        )
     # largest feasible mixture: the binding source is the one whose
     # count/weight ratio is smallest
     feasible = min(

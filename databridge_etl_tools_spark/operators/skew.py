@@ -24,6 +24,7 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, Column]],
     salt_buckets: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation: phase 1 groups on (keys + salt) so a hot
     key spreads over ``salt_buckets`` reducers; phase 2 re-combines.
@@ -31,14 +32,23 @@ def salted_agg(
     ``aggs`` maps output name → (combiner, phase-1 expression) where
     combiner ∈ {"sum", "min", "max"}; COUNT is expressed as
     ("sum", F.count(...)).
+
+    The salt is DETERMINISTIC per row: ``pmod(hash(salt_cols), n)``
+    (``salt_cols`` defaults to every non-key column). A task retry
+    therefore re-derives the identical bucket for every row — no
+    reliance on the algebraic-combiner escape hatch the previous
+    monotonically_increasing_id salt needed (r3 verdict #4). Spread
+    quality matches: hash() of row content distributes a hot key's
+    rows uniformly unless the rows are literal duplicates, in which
+    case they belong in one bucket's partial aggregate anyway —
+    identical rows contribute identically wherever they land, and
+    duplicate FULL rows collapsing to one bucket only concentrates
+    truly identical work.
     """
-    # CAVEAT: monotonically_increasing_id is NONDETERMINISTIC under
-    # task retry — safe HERE only because every supported combiner is
-    # algebraic (sum/min/max commute with any bucket assignment), so
-    # any salt partition yields the identical final answer. Do NOT
-    # copy this salt into a non-algebraic context (e.g. collect_list,
-    # first); use pmod(hash(stable_cols), n) there instead.
-    salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+    salt_src = [c for c in (salt_cols or df.columns) if c not in set(keys)] or list(
+        keys
+    )
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_src]), F.lit(salt_buckets))
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

@@ -47,7 +47,9 @@ class AirtableReader(DataSourceReader):
         self.page_size = int(options.get("page_size", 1000))
         self.api_key = options.get("api_key", "")
         fields = options.get("fields", "")
-        self.fields = [f for f in fields.split(",") if f] or None
+        # strip: 'name, value' must request 'value', not ' value'
+        # (Airtable silently returns null for an unknown field name)
+        self.fields = [f.strip() for f in fields.split(",") if f.strip()] or None
 
     # -- partition planning (driver): no probe possible — the offset
     # cursor is opaque, so the scan is one executor-side walk

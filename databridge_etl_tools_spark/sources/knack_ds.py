@@ -46,6 +46,19 @@ class KnackReader(DataSourceReader):
         self.num_partitions = int(options.get("num_partitions", 8))
         self.app_id = options.get("app_id", "")
         self.api_key = options.get("api_key", "")
+        # pin an explicit sort so page N has the same membership on
+        # every executor fetch — the server default is unspecified and
+        # parallel page ranges assume one global order
+        self.sort_field = options.get("sort_field", "id")
+        self.sort_order = options.get("sort_order", "asc")
+
+    def _params(self, page: int) -> dict:
+        return {
+            "page": page,
+            "rows_per_page": self.rows_per_page,
+            "sort_field": self.sort_field,
+            "sort_order": self.sort_order,
+        }
 
     def _headers(self) -> dict:
         return {
@@ -64,7 +77,7 @@ class KnackReader(DataSourceReader):
         doc = fetch_with_retry(
             session,
             f"{self.url}/objects/{self.obj}/records",
-            params={"page": 1, "rows_per_page": self.rows_per_page},
+            params=self._params(1),
         ).json()
         total = max(1, int(doc.get("total_pages", 1)))
         span = max(1, (total + self.num_partitions - 1) // self.num_partitions)
@@ -86,7 +99,7 @@ class KnackReader(DataSourceReader):
             doc = fetch_with_retry(
                 session,
                 f"{self.url}/objects/{self.obj}/records",
-                params={"page": page, "rows_per_page": self.rows_per_page},
+                params=self._params(page),
             ).json()
             for rec in doc.get("records", []):
                 yield tuple(

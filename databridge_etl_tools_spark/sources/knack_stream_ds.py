@@ -57,6 +57,21 @@ class KnackStreamReader(DataSourceStreamReader):
         self.pages_per_partition = int(options.get("pages_per_partition", 4))
         self.app_id = options.get("app_id", "")
         self.api_key = options.get("api_key", "")
+        # Record-count offsets require a STABLE append-at-end order;
+        # the server's default order is unspecified, so pin an
+        # explicit sort on every request (probe and page fetches
+        # alike) — otherwise a mid-stream insert or a differing
+        # default between probe and fetch shifts positions and a
+        # [lo, hi) range duplicates or skips rows (ADVICE r3).
+        self.sort_field = options.get("sort_field", "id")
+        self.sort_order = options.get("sort_order", "asc")
+
+    def _params(self, **extra) -> dict:
+        return {
+            "sort_field": self.sort_field,
+            "sort_order": self.sort_order,
+            **extra,
+        }
 
     def _headers(self) -> dict:
         return {
@@ -77,7 +92,7 @@ class KnackStreamReader(DataSourceStreamReader):
         doc = fetch_with_retry(
             session,
             f"{self.url}/objects/{self.obj}/records",
-            params={"page": 1, "rows_per_page": 1},
+            params=self._params(page=1, rows_per_page=1),
         ).json()
         return {"records": int(doc.get("total_records", 0))}
 
@@ -113,7 +128,7 @@ class KnackStreamReader(DataSourceStreamReader):
             doc = fetch_with_retry(
                 session,
                 f"{self.url}/objects/{self.obj}/records",
-                params={"page": page, "rows_per_page": self.rows_per_page},
+                params=self._params(page=page, rows_per_page=self.rows_per_page),
             ).json()
             base = (page - 1) * self.rows_per_page
             for i, rec in enumerate(doc.get("records", [])):

@@ -63,6 +63,87 @@ def test_jaccard_prefix_filter_path_is_exact(spark):
             ).collect()
         }
         assert naive == pref, f"paths diverge at threshold {t}"
+        hashed = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in DD.jaccard_pairs(
+                docs,
+                "doc_id",
+                "text",
+                threshold=t,
+                prefix_filter=True,
+                prefix_order="hash",
+            ).collect()
+        }
+        assert naive == hashed, f"hash-order path diverges at threshold {t}"
+
+
+def test_prefix_filter_integer_boundary_exact(spark):
+    """ADVICE r3: when t·|A| is mathematically an exact integer, the
+    float product can round above it, inflating ceil() by 1 and
+    shortening the prefix — a pair at exactly J = t would be missed.
+    Plant such a pair: |A| = |B| = 20 shingles, 11 common →
+    J = 11/29 ≈ 0.379; and a crafted t = 0.55 with |A| = 20 where
+    0.55 * 20 = 11.000000000000002 in float64. Use two docs with
+    exactly J = t at that boundary."""
+    from pyspark.sql import functions as F
+
+    # 25 tokens -> 23 distinct trigram shingles per doc; overlap so
+    # that J = inter/union hits an exact-integer t*n boundary.
+    base = [f"w{i}" for i in range(25)]
+    other = base[:14] + [f"z{i}" for i in range(11)]  # 12 shared shingles
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(other))], "doc_id int, text string"
+    )
+    n_a = 23
+    inter = 12
+    jac = inter / (n_a + n_a - inter)
+    for t in (jac, 0.3, 0.35):
+        naive = {
+            (r.doc_a, r.doc_b)
+            for r in DD.jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, prefix_filter=False
+            ).collect()
+        }
+        for order in ("df", "hash"):
+            pref = {
+                (r.doc_a, r.doc_b)
+                for r in DD.jaccard_pairs(
+                    docs,
+                    "doc_id",
+                    "text",
+                    threshold=t,
+                    prefix_filter=True,
+                    prefix_order=order,
+                ).collect()
+            }
+            assert naive == pref, (t, order)
+    assert (1, 2) in {
+        (r.doc_a, r.doc_b)
+        for r in DD.jaccard_pairs(
+            docs, "doc_id", "text", threshold=jac, prefix_filter=True
+        ).collect()
+    }
+
+
+def test_prefix_filter_hash_order_is_shuffle_lean(spark):
+    """The md5-order prefix path computes prefixes array-side: its
+    executed plan must carry strictly fewer exchanges than the
+    df-order path (measured 1 vs 4 at sf0.001 — the hash path's only
+    hash-exchange is the candidate join itself, reused across both
+    sides of the self-join)."""
+
+    docs = _docs(spark)
+
+    def n_exchanges(order):
+        out = DD.jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, prefix_filter=True,
+            prefix_order=order,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    h, d = n_exchanges("hash"), n_exchanges("df")
+    assert h < d, (h, d)
 
 
 def test_minhash_lsh_recovers_exact_dups(spark):
@@ -370,3 +451,24 @@ def test_mixture_hits_weights_without_upsampling(spark):
     # determinism: same inputs, same mixture
     again = SP.mixture({"web": (web, 0.8), "code": (code, 0.2)}, key="k")
     assert {r.k for r in mixed.collect()} == {r.k for r in again.collect()}
+
+
+def test_mixture_rejects_degenerate_inputs(spark):
+    """ADVICE r3: a positively-weighted empty source must raise (it
+    would otherwise zero the feasibility min and silently empty the
+    whole mixture); all-zero or negative weights must raise too."""
+    import pytest
+
+    from databridge_etl_tools_spark.operators import sampling as SP
+
+    web = spark.range(0, 100).selectExpr("id AS k")
+    empty = spark.range(0).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="zero rows"):
+        SP.mixture({"web": (web, 0.8), "ghost": (empty, 0.2)}, key="k")
+    with pytest.raises(ValueError, match="positive weight"):
+        SP.mixture({"web": (web, 0.0), "more": (web, 0.0)}, key="k")
+    with pytest.raises(ValueError, match="non-negative"):
+        SP.mixture({"web": (web, -1.0), "more": (web, 2.0)}, key="k")
+    # zero-weighted empty source is fine: it contributes nothing
+    out = SP.mixture({"web": (web, 1.0), "ghost": (empty, 0.0)}, key="k")
+    assert out.count() == 100
