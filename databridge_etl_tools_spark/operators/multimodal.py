@@ -7,7 +7,11 @@ decode seam is explicit: real bytes route to the library if present,
 else raise; a deterministic FAKE container format (``FAKEIMG:`` /
 ``FAKEAUD:`` headers) exercises the full Spark-side plumbing —
 binary schema, batch iteration, per-partition decoder reuse, feature
-schema — which is the part that must be right at 100 TB.
+schema — which is the part that must be right at 100 TB. One REAL
+uncompressed format decodes with the stdlib alone: binary PPM (P6),
+so the decode→feature→resize seam runs end-to-end in CI with actual
+image bytes (r3 verdict #5); compressed formats (PNG/JPEG pixel
+data) stay gated on Pillow.
 
 Layout guidance for scale: media tables should be written with the
 binary column LAST in the schema and row groups sized so metadata-
@@ -51,19 +55,68 @@ def _decode_fake(content: bytes) -> tuple[str, dict, bytes]:
     raise ValueError("not a FAKE container")
 
 
-def _decode_image(content: bytes):
-    """Decode seam: PIL when available, FAKE container otherwise."""
+def pack_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """A real binary-PPM (P6) image with deterministic RGB pixels."""
+    rgb = bytes((seed + i) % 256 for i in range(width * height * 3))
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def _parse_ppm(content: bytes) -> tuple[int, int, int, bytes]:
+    """Parse binary PPM (P6): ``P6 <w> <h> <maxval>`` header tokens
+    separated by whitespace, ``#`` comments allowed, then exactly one
+    whitespace byte before w*h*3 pixel bytes. Stdlib-only.
+
+    Returns (width, height, maxval, pixels)."""
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and content[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        vals.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    px = content[pos : pos + w * h * 3]
+    if maxval > 255 or len(px) != w * h * 3:
+        raise ValueError("unsupported or truncated PPM")
+    return w, h, maxval, px
+
+
+def _decode_image(content: bytes) -> tuple[str, int, int, int, bytes]:
+    """Decode seam → (kind, width, height, channels, pixel bytes).
+
+    FAKEIMG (1 channel) and real P6 PPM (3 channels) decode with the
+    stdlib; anything else routes to Pillow when available."""
     if content.startswith(b"FAKEIMG:"):
         _, meta, px = _decode_fake(content)
-        return meta["width"], meta["height"], px
+        return "fakeimg", meta["width"], meta["height"], 1, px
+    if content.startswith(b"P6"):
+        w, h, _, px = _parse_ppm(content)
+        return "ppm", w, h, 3, px
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "real image decode requires Pillow (not in this container); "
-            "only the FAKEIMG container is supported here"
+            "compressed-image decode requires Pillow (not in this "
+            "container); FAKEIMG and P6 PPM decode with the stdlib"
         ) from e
     raise NotImplementedError("PIL decode path not wired in this build")
+
+
+def _pack_image(kind: str, w: int, h: int, px: bytes) -> bytes:
+    if kind == "fakeimg":
+        return f"FAKEIMG:{w}:{h}:".encode() + px
+    if kind == "ppm":
+        return f"P6\n{w} {h}\n255\n".encode() + px
+    raise ValueError(f"cannot re-pack kind {kind!r}")
 
 
 def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -79,11 +132,16 @@ def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
             out = pdf[id_cols].copy()
             ws, hs, fmts = [], [], []
             for content in pdf[content_col]:
+                raw = bytes(content)
                 try:
-                    kind, meta, _ = _decode_fake(bytes(content))
-                    ws.append(meta.get("width"))
-                    hs.append(meta.get("height"))
-                    fmts.append(kind)
+                    if raw.startswith(b"P6"):
+                        w, h, _, _px = _parse_ppm(raw)
+                        ws.append(w), hs.append(h), fmts.append("ppm")
+                    else:
+                        kind, meta, _ = _decode_fake(raw)
+                        ws.append(meta.get("width"))
+                        hs.append(meta.get("height"))
+                        fmts.append(kind)
                 except Exception:  # noqa: BLE001 - unknown container
                     ws.append(None), hs.append(None), fmts.append(None)
             out["width"], out["height"], out["format"] = ws, hs, fmts
@@ -107,11 +165,11 @@ def image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
             out = pdf[id_cols].copy()
             means, stds, ns = [], [], []
             for content in pdf[content_col]:
-                w, h, px = _decode_image(bytes(content))
+                _kind, w, h, _ch, px = _decode_image(bytes(content))
                 arr = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
                 means.append(float(arr.mean()))
                 stds.append(float(arr.std()))
-                ns.append(len(arr))
+                ns.append(w * h)
             out["mean_pixel"], out["std_pixel"], out["n_pixels"] = means, stds, ns
             yield out
 
@@ -130,13 +188,13 @@ def resize_images(df: DataFrame, new_width: int, new_height: int, content_col: s
             out = pdf.copy()
             resized = []
             for content in pdf[content_col]:
-                w, h, px = _decode_image(bytes(content))
-                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                kind, w, h, ch, px = _decode_image(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
                 yi = (np.arange(new_height) * h // new_height)
                 xi = (np.arange(new_width) * w // new_width)
                 small = arr[np.ix_(yi, xi)]
                 resized.append(
-                    f"FAKEIMG:{new_width}:{new_height}:".encode() + small.tobytes()
+                    _pack_image(kind, new_width, new_height, small.tobytes())
                 )
             out[content_col] = resized
             yield out

@@ -39,6 +39,44 @@ def test_resize_roundtrip(spark, images):
     assert feats.n_pixels == 4
 
 
+def test_ppm_decodes_end_to_end_without_pil(spark):
+    """A REAL uncompressed image format (binary PPM / P6) runs the
+    whole decode→metadata→features→resize seam with the stdlib alone
+    (r3 verdict #5) — no import gate in the path."""
+    ppm = MM.pack_ppm(4, 3, seed=0)  # RGB pixels 0..35
+    mixed = spark.createDataFrame(
+        [(1, ppm), (2, MM.pack_fake_image(4, 3, seed=0))],
+        "img_id int, content binary",
+    )
+    meta = {r.img_id: r for r in MM.image_metadata(mixed).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].format) == (4, 3, "ppm")
+    assert meta[2].format == "fakeimg"
+
+    feats = {r.img_id: r for r in MM.image_features(mixed).collect()}
+    assert feats[1].n_pixels == 12  # pixels, not channel bytes
+    assert abs(feats[1].mean_pixel - sum(range(36)) / 36) < 1e-9
+
+    small = MM.resize_images(mixed, 2, 2)
+    meta2 = {r.img_id: r for r in MM.image_metadata(small).collect()}
+    assert (meta2[1].width, meta2[1].height, meta2[1].format) == (2, 2, "ppm")
+    assert (meta2[2].width, meta2[2].height, meta2[2].format) == (2, 2, "fakeimg")
+    # resized PPM is still a valid P6 the parser round-trips
+    content = {r.img_id: bytes(r.content) for r in small.collect()}
+    w, h, maxval, px = MM._parse_ppm(content[1])
+    assert (w, h, maxval, len(px)) == (2, 2, 255, 12)
+
+
+def test_ppm_header_comments_and_truncation():
+    ok = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert MM._parse_ppm(ok)[:2] == (2, 1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        MM._parse_ppm(b"P6\n2 1\n255\n" + bytes(3))  # truncated pixels
+    with _pt.raises(ValueError):
+        MM._parse_ppm(b"P5\n2 1\n255\n" + bytes(2))  # not P6
+
+
 def test_real_image_bytes_raise_not_implemented(spark):
     df = spark.createDataFrame([(1, b"\x89PNG\r\n...")], "img_id int, content binary")
     with pytest.raises(Exception) as ei:
