@@ -435,6 +435,104 @@ def minhash_lsh_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTED near-containment: C(src→dst) = |S(src) ∩ S(dst)| /
+    |S(src)| ≥ threshold — doc ``src``'s shingle set is (almost)
+    contained in ``dst``'s.
+
+    This is the train/test CONTAMINATION shape (benchmark leakage
+    detection): symmetric Jaccard misses a short eval document
+    embedded verbatim inside a long training document (the union term
+    drowns the overlap), while containment normalizes by the
+    CONTAINED side only. Same inverted-index plan as
+    :func:`jaccard_pairs` — explode → equi-join on shingle →
+    per-directed-pair intersection counts — so only pairs sharing ≥1
+    shingle materialize; both directions of a pair emit independently
+    when each clears the threshold.
+    """
+    sh = materialize(
+        _shingled(df, id_col, text_col, n, distinct=True), cut_lineage=True
+    )
+    ex = sh.select(
+        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_src"), F.col("b.doc").alias("doc_dst"))
+        .agg(F.count(F.lit(1)).alias("inter"), F.min("a.n_sh").alias("n_src"))
+    )
+    cont = F.col("inter").cast("double") / F.col("n_src")
+    return pairs.select("doc_src", "doc_dst", cont.alias("containment")).where(
+        F.col("containment") >= threshold
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS algorithm): hash every token k-gram IN ORDER,
+    slide a ``window``-wide window over the hash sequence, record the
+    minimum of each window, distinct the selections.
+
+    Guarantees: any shared substring of at least ``k + window - 1``
+    tokens yields at least one shared fingerprint (detection
+    threshold), while only ~2/(window+1) of positions are kept
+    (density) — a principled sample of the document for
+    partial-overlap detection, robust to insertions far from the
+    overlap. Docs with fewer than ``window`` k-grams keep their
+    single global minimum (the standard short-doc convention).
+
+    All map-side JVM column expressions: one md5 per k-gram, then
+    O(grams·window) integer minima — no shuffle, no Python.
+    """
+    sh = _shingled(df, id_col, text_col, k, distinct=False)  # ordered grams
+    src = sh.select(
+        "doc", F.transform("shingles", lambda s: _md5_hash64(s)).alias("hs")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("hs") - window),
+        lambda i: F.array_min(F.slice("hs", i + 1, window)),
+    )
+    fps = F.when(F.size("hs") >= window, F.array_distinct(wins)).otherwise(
+        F.array(F.array_min("hs"))
+    )
+    return src.select("doc", fps.alias("fingerprints"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Pairs of documents sharing ≥ ``min_shared`` winnowing
+    fingerprints — MOSS-style partial-overlap detection at corpus
+    scale. The fingerprint table is a ~2/(window+1) sample of each
+    document, so the inverted-index self-join runs over a fraction of
+    the shingle volume the full Jaccard index pays."""
+    fp = materialize(
+        winnow_fingerprints(df, id_col, text_col, k, window), cut_lineage=True
+    )
+    ex = fp.select("doc", F.explode("fingerprints").alias("f"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+    )
+
+
 def connected_components(
     vertices: DataFrame, edges: DataFrame, id_col: str = "id", max_iters: int = 50
 ) -> DataFrame:

@@ -167,3 +167,73 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = DD.simhash_near_pairs(docs, "doc_id", "text", max_hamming=4, bands=5)
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+#: ordered (non-distinct) gram/hash CTEs for winnowing — positions
+#: matter, so no list_distinct before the window pass
+_GR_CTE = (
+    "gr AS (SELECT doc_id, list_transform(range(1, len(toks)-1),"
+    " i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS grams"
+    " FROM tok WHERE len(toks) >= 3)"
+)
+_HS_CTE = (
+    "hs AS (SELECT doc_id, list_transform(grams,"
+    " s -> CAST('0x'||substr(md5(s),1,8) AS BIGINT)) AS hs FROM gr)"
+)
+#: window=4 minima, rightmost bound len(hs)-3 windows; short docs keep
+#: their single global minimum (mirrors operators.dedup)
+_FP_CTE = (
+    "fp AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN"
+    " list_distinct(list_transform(range(0, len(hs)-3),"
+    " i -> list_min(hs[i+1:i+4])))"
+    " ELSE [list_min(hs)] END AS fps FROM hs)"
+)
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+             COUNT(*) AS inter, MIN(a.n_sh) AS n_src
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_src, doc_dst, inter / n_src AS containment
+    FROM pairs WHERE inter / n_src >= 0.6
+    """,
+    gate=False,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment ≥ 0.6 — the train/test
+    contamination shape: a short doc embedded in a long one clears
+    containment while symmetric Jaccard's union term hides it.
+    Reference parity: new capability (the reference has no similarity
+    tier); plan is the jaccard inverted index normalized by the
+    contained side only."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+@query(
+    "dedup_winnow_overlap",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_GR_CTE}, {_HS_CTE}, {_FP_CTE},
+    ex AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    gate=False,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint overlap: pairs sharing ≥2 selected
+    k-gram minima. Fingerprints are a ~2/(w+1) positional sample with
+    a guaranteed hit for any shared run of k+w-1 tokens, so the
+    self-join runs over a fraction of the full shingle volume."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.winnow_overlap_pairs(
+        docs, "doc_id", "text", k=3, window=4, min_shared=2
+    )

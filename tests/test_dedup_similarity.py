@@ -146,6 +146,67 @@ def test_prefix_filter_hash_order_is_shuffle_lean(spark):
     assert h < d, (h, d)
 
 
+def test_containment_catches_embedded_doc(spark):
+    """A short doc embedded verbatim in a long one: containment of
+    the short side is 1.0 even though Jaccard is far below threshold
+    — the contamination case symmetric dedup misses."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "one two three four five six seven eight nine ten "
+        + short
+        + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words only here friend")],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.doc_src, r.doc_dst): r.containment
+        for r in DD.containment_pairs(
+            docs, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0  # short fully contained in long
+    assert (2, 1) not in out  # long not contained in short
+    assert (1, 3) not in out
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac  # symmetric jaccard misses the embedding
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing contract: (a) two docs sharing a run of ≥ k+w-1
+    tokens share ≥1 fingerprint; (b) fingerprints are a strict subset
+    of the full k-gram hash set; (c) disjoint docs share none."""
+    shared_run = "p q r s t u v w"  # 8 tokens ≥ k+w-1 = 6
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e " + shared_run),
+            (2, shared_run + " x y z zz yy xx"),
+            (3, "m n o mm nn oo pp qq rr ss"),
+        ],
+        "doc_id int, text string",
+    )
+    fp = {
+        r.doc: set(r.fingerprints)
+        for r in DD.winnow_fingerprints(docs, "doc_id", "text").collect()
+    }
+    assert fp[1] & fp[2], "shared run must yield a shared fingerprint"
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fp
+        for r in DD.winnow_overlap_pairs(
+            docs, "doc_id", "text", min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    # density: far fewer fingerprints than grams
+    n_grams = len("a b c d e p q r s t u v w".split()) - 2
+    assert len(fp[1]) < n_grams
+
+
 def test_minhash_lsh_recovers_exact_dups(spark):
     pairs = {
         (r.doc_a, r.doc_b): r.est_jaccard
