@@ -144,6 +144,107 @@ def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, {_TOK} AS toks, len({_TOK}) AS n,
+             length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS wl,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS sym
+      FROM documents),
+    r AS (
+      SELECT lang,
+             (n >= 10 AND n <= 100000) AS words_ok,
+             (wl >= 3.0 AND wl <= 10.0) AS word_len_ok,
+             (n > 0 AND sym / CAST(n AS DOUBLE) <= 0.1) AS symbol_ok,
+             (n > 0 AND len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                / CAST(n AS DOUBLE) >= 0.8) AS alpha_ok,
+             (len(list_filter(['the','be','to','of','and','that','have','with'],
+                 w -> list_contains(list_transform(toks, t -> lower(t)), w))) >= 2)
+               AS stopword_ok
+      FROM s)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN words_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_words_ok,
+           CAST(SUM(CASE WHEN word_len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len_ok,
+           CAST(SUM(CASE WHEN symbol_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ok,
+           CAST(SUM(CASE WHEN alpha_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
+           CAST(SUM(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok,
+           CAST(SUM(CASE WHEN words_ok AND word_len_ok AND symbol_ok
+                          AND alpha_ok AND stopword_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass
+    FROM r GROUP BY 1
+    """,
+    gate=False,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter gate (Rae et al. 2021, App. A1.1) over the
+    corpus: per-language counts of documents passing each published
+    rule (word-count bounds, mean-word-length band, symbol-to-word
+    ratio, alphabetic-word fraction, required-stopword presence) and
+    the full conjunction. ``min_words=10`` rather than the paper's 50
+    because the synthetic documents are ~30 words; every other
+    threshold is the published default. One map-side pass + one
+    aggregation — the whole gate runs at parquet-scan speed."""
+    docs = table(spark, sf_dir, "documents")
+    g = TS.gopher_rules("text", min_words=10)
+    flags = docs.select("lang", g.alias("g"))
+    b = lambda f: F.sum(F.col(f"g.{f}").cast("bigint")).alias(f"n_{f}")  # noqa: E731
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        b("words_ok"),
+        b("word_len_ok"),
+        b("symbol_ok"),
+        b("alpha_ok"),
+        b("stopword_ok"),
+        F.sum(F.col("g.passes").cast("bigint")).alias("n_pass"),
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    side AS (
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS distinct_token_ratio
+      FROM base),
+    grams AS (
+      SELECT doc_id, 'uni' AS kind, unnest(toks) AS gram FROM base
+      UNION ALL
+      SELECT doc_id, 'bi' AS kind,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM base),
+    counts AS (SELECT doc_id, kind, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+    pk AS (
+      SELECT doc_id,
+             MAX(CASE WHEN kind = 'uni' THEN c END) AS m_uni,
+             SUM(CASE WHEN kind = 'uni' THEN c END) AS t_uni,
+             MAX(CASE WHEN kind = 'bi' THEN c END) AS m_bi,
+             SUM(CASE WHEN kind = 'bi' THEN c END) AS t_bi
+      FROM counts GROUP BY 1)
+    SELECT s.doc_id, s.n_tokens, s.distinct_token_ratio,
+           COALESCE(m_uni / CAST(t_uni AS DOUBLE), 0.0) AS top_token_frac,
+           COALESCE(m_bi / CAST(t_bi AS DOUBLE), 0.0) AS top_bigram_frac
+    FROM side s LEFT JOIN pk USING (doc_id)
+    """,
+    gate=False,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition statistics (the MassiveText/
+    RefinedWeb duplicate-n-gram filters at token level): distinct-token
+    ratio plus most-frequent unigram/bigram fractions, via ONE exploded
+    (kind, gram) stream — a single shuffle chain keyed on doc_id. The
+    DuckDB oracle recomputes both gram streams independently with
+    unnest + range."""
+    docs = table(spark, sf_dir, "documents")
+    return TS.repetition_stats(docs, "text", "doc_id")
+
+
+@query(
     "corpus_curation",
     oracle=f"""
     WITH s AS (

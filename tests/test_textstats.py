@@ -1,0 +1,95 @@
+"""Planted-case tests for the Gopher quality gate and the
+within-document repetition statistics (token-level MassiveText/
+RefinedWeb filters)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databridge_etl_tools_spark.operators import textstats as TS
+
+
+def _flags(spark, text, **kw):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(TS.gopher_rules("text", **kw).alias("g")).select("g.*").first()
+
+
+def test_gopher_prose_passes(spark):
+    r = _flags(
+        spark,
+        "the quick brown fox jumps over the lazy dog and then it sat down "
+        "with a friendly cat to have a long talk about dinner plans",
+        min_words=10,
+    )
+    assert r.words_ok and r.word_len_ok and r.symbol_ok
+    assert r.alpha_ok and r.stopword_ok and r.passes
+
+
+def test_gopher_symbol_rule(spark):
+    # 10 words, 2 hashes -> ratio 0.2 > 0.1 fails; everything else ok
+    r = _flags(
+        spark,
+        "the cat and # dog have fun with every # toy",
+        min_words=5,
+    )
+    assert not r.symbol_ok and not r.passes
+    assert r.words_ok and r.stopword_ok
+
+
+def test_gopher_ellipsis_counts_as_symbol(spark):
+    # '...' and the unicode ellipsis both count; 2 symbols / 8 words
+    r = _flags(spark, "the end came slowly ... and then … stopped", min_words=5)
+    assert not r.symbol_ok
+
+
+def test_gopher_stopword_rule(spark):
+    # zero required function words
+    r = _flags(spark, "colorless green ideas sleep furiously near quiet rivers",
+               min_words=5)
+    assert not r.stopword_ok and not r.passes
+    # exactly two distinct required words ('the', 'of') -> passes rule
+    r2 = _flags(spark, "banks of rivers near the quiet meadow paths", min_words=5)
+    assert r2.stopword_ok
+
+
+def test_gopher_alpha_rule(spark):
+    # 3 of 6 words lack any alphabetic char -> 0.5 < 0.8
+    r = _flags(spark, "the 123 456 789 cat with", min_words=3)
+    assert not r.alpha_ok
+    assert r.stopword_ok  # 'the' + 'with'
+
+
+def test_gopher_word_count_bounds(spark):
+    r = _flags(spark, "too short", min_words=5)
+    assert not r.words_ok and not r.passes
+    r2 = _flags(spark, "one two three four five six", min_words=5, max_words=5)
+    assert not r2.words_ok
+
+
+def test_repetition_planted(spark):
+    rows = [
+        (1, "a b a b a b"),          # top uni 'a'x3 /6; top bi 'a b'x3 /5
+        (2, "w x y z"),              # all distinct
+        (3, "solo"),                 # single token: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TS.repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 6
+    assert abs(r1.distinct_token_ratio - 2 / 6) < 1e-12
+    assert abs(r1.top_token_frac - 3 / 6) < 1e-12
+    assert abs(r1.top_bigram_frac - 3 / 5) < 1e-12
+    r2 = out[2]
+    assert r2.distinct_token_ratio == 1.0
+    assert abs(r2.top_token_frac - 1 / 4) < 1e-12
+    assert abs(r2.top_bigram_frac - 1 / 3) < 1e-12
+    r3 = out[3]
+    assert r3.n_tokens == 1 and r3.top_bigram_frac == 0.0
+
+
+def test_repetition_empty_text_kept(spark):
+    df = spark.createDataFrame([(7, "   ")], "doc_id long, text string")
+    r = TS.repetition_stats(df).first()
+    assert r.doc_id == 7 and r.n_tokens == 0
+    assert r.distinct_token_ratio == 0.0
+    assert r.top_token_frac == 0.0 and r.top_bigram_frac == 0.0
