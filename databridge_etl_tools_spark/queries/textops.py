@@ -312,6 +312,70 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pii_scrub_contacts",
+    oracle=r"""
+    WITH c0 AS (
+      SELECT c_custkey,
+             printf('u%d@example.com call 215-%03d-%04d from 10.0.%d.%d',
+                    c_custkey, c_custkey % 1000, c_custkey % 10000,
+                    c_custkey % 256, (c_custkey // 256) % 256) AS contact
+      FROM customer),
+    c1 AS (
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+             regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+      FROM c0),
+    c2 AS (
+      SELECT c_custkey, n_email,
+             CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER)
+               AS n_phone,
+             regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t
+      FROM c1),
+    c3 AS (
+      SELECT c_custkey, n_email, n_phone,
+             CAST(len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+             regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g')
+               AS redacted
+      FROM c2)
+    SELECT c_custkey, redacted, n_email, n_phone, n_ipv4 FROM c3
+    """,
+    gate=False,
+)
+def pii_scrub_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (``operators.pii.pii_scrub``): the C4/RefinedWeb-
+    style regex scrub — emails, phone numbers, IPv4 addresses — over a
+    contact string deterministically synthesized from the customer key
+    (the synthetic tables carry no real PII columns, so the query
+    constructs one identically on both engines; the scrub itself is
+    the operator under test). Email → phone → ipv4 order with
+    count-at-scrub-time semantics; pure JVM regex, zero Python. The
+    DuckDB oracle replays the same construction and scrub chain in
+    RE2."""
+    from ..operators.pii import pii_scrub
+
+    cust = table(spark, sf_dir, "customer")
+    contact = F.format_string(
+        "u%d@example.com call 215-%03d-%04d from 10.0.%d.%d",
+        F.col("c_custkey"),
+        F.col("c_custkey") % 1000,
+        F.col("c_custkey") % 10000,
+        F.col("c_custkey") % 256,
+        F.expr("c_custkey DIV 256") % 256,
+    )
+    s = pii_scrub(contact)
+    return cust.select(
+        "c_custkey",
+        s["redacted"].alias("redacted"),
+        s["n_email"].alias("n_email"),
+        s["n_phone"].alias("n_phone"),
+        s["n_ipv4"].alias("n_ipv4"),
+    )
+
+
+@query(
     "mixture_documents",
     oracle="""
     WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
