@@ -523,3 +523,75 @@ def cosine_topk_vectorized(
         .cogroup(csel.groupBy("_ccell"))
         .applyInPandas(topk_cell, schema)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning, within each
+    cluster, every document whose cosine to an already-kept document
+    exceeds ``threshold``. Documents are visited in ascending id order
+    (deterministic greedy — the first of a duplicate group survives,
+    the same min-id-representative convention as the exact-dedup
+    operators).
+
+    Returns df[id, cell, keep, max_cos_kept] for every input row,
+    where ``max_cos_kept`` is the cosine to the nearest EARLIER-KEPT
+    document in the cluster (0.0 for the first kept doc of a cell).
+
+    Scale shape: one k-means fit (driver holds k×dim floats), one
+    shuffle to co-locate each cluster, then per-cluster Arrow-batched
+    numpy — an m×m GEMM per cluster, never across clusters. The paper
+    sizes k so clusters stay small (k ≈ sqrt(n) or larger); per-task
+    memory is the documented m² constraint, exactly the neardup
+    blocked-GEMM budget. No driver collect of data rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    centroids, assignments = kmeans_fit(emb, n_cells, iters, id_col, vec_col)
+    indexed = emb.join(assignments, id_col).select(
+        F.col(id_col).alias("_id"), F.col("cell"), F.col(vec_col).alias("_v")
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        m = len(pdf)
+        mat = np.vstack(pdf["_v"].values).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        vn = mat / norms[:, None]
+        cos = vn @ vn.T
+        keep = np.zeros(m, dtype=bool)
+        max_cos = np.zeros(m, dtype=np.float64)
+        kept_idx: list[int] = []
+        for i in range(m):
+            if kept_idx:
+                mc = float(cos[i, kept_idx].max())
+            else:
+                mc = 0.0
+            max_cos[i] = mc
+            if not kept_idx or mc <= threshold:
+                keep[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "_id": pdf["_id"].astype("int64"),
+                "cell": pdf["cell"].astype("int32"),
+                "keep": keep,
+                "max_cos_kept": max_cos,
+            }
+        )
+
+    schema = "_id bigint, cell int, keep boolean, max_cos_kept double"
+    return (
+        indexed.groupBy("cell")
+        .applyInPandas(prune, schema)
+        .withColumnRenamed("_id", id_col)
+    )

@@ -159,3 +159,29 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_vectorized(
         emb, k=5, query_pred=F.col("vec_id") % 50 == 0, n_cells=8, iters=3
     )
+
+
+@query("semdedup_keep")  # no oracle: iterative k-means isn't SQL-expressible
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the
+    deterministic k-means fit, then within each cluster greedily drop
+    any vector whose cosine to an already-kept vector exceeds the
+    threshold (min-id representative survives). The paper's 0.9 is
+    vacuous on this synthetic corpus (random vectors are
+    near-orthogonal), so the demo prunes at 0.5 to prove the drop
+    path executes; planted-duplicate behavior at 0.9+ is pinned in
+    tests. Emits the per-cell keep/drop census. Rows-only check for the same reason as ``ann_ivf_kmeans``
+    (the k-means fixpoint isn't SQL-expressible); the greedy-prune
+    contract itself is pinned against an independent pure-python twin
+    in tests/test_semdedup.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    marked = SIM.semdedup(emb, threshold=0.5, n_cells=8)
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
+        )
+        .orderBy("cell")
+    )
