@@ -32,6 +32,9 @@ HEADLINE = [
     "asof_purchase_last_view",
     "text_token_stats",
     "text_quality_language",
+    "text_repetition_stats",
+    "quality_gopher_rules",
+    "pii_scrub_contacts",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

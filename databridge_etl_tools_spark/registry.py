@@ -78,6 +78,13 @@ DRIVER_GATE_WINDOW = 50
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
         # r4 cohort: driver-verified for the first time this round
+        # -- new operators built this round (registered gate=False):
+        "dedup_containment",
+        "dedup_winnow_overlap",
+        "quality_gopher_rules",
+        "text_repetition_stats",
+        "pii_scrub_contacts",
+        # -- r1-r3 overflow tier, never driver-verified before:
         "bracket_revenue",
         "corpus_curation",
         "geom_kind_census",
@@ -101,6 +108,12 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
+        # parked: hash-matched in CORRECTNESS_r02 + r03
+        "scan_probes",
+        "pivot_priority_status",
+        "cube_flag_status",
+        "exact_percentiles",
+        "events_json_props",
         # parked: hash-matched in CORRECTNESS_r01 + r02 + r03
         "filter_project",
         "ordered_collect",
