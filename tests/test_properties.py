@@ -204,3 +204,96 @@ def test_interval_join_equals_naive_property(spark, point_mins, ivs, width):
     matched = {p for p, _ in naive}
     expect_left = sorted(naive | {(p, None) for (p, _) in enumerate(point_mins) if p not in matched})
     assert sorted(left) == expect_left
+
+
+# ---- PII scrub: Spark (Java regex) vs pure-python re twin ----------
+
+import re as _re
+
+from databridge_etl_tools_spark.operators.pii import PII_PATTERNS, pii_scrub
+
+
+def _py_scrub(text: str):
+    counts = {}
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        counts[kind] = len(_re.findall(pat, out))
+        out = _re.sub(pat, f"[{kind.upper()}]", out)
+    return out, counts
+
+
+_pii_atoms = st.sampled_from(
+    [
+        "alice@example.com",
+        "x123-456-7890@corp.example.org",
+        "215-555-0199",
+        "12345-678-9012",
+        "10.0.0.1",
+        "192.168.001.010",
+        "1.2.3",
+        "plain",
+        "words",
+        "a#b",
+        "...",
+        "v2.0.1.9",
+        "@not-an-email",
+        "user@@double.com",
+    ]
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_pii_atoms, min_size=0, max_size=12))
+def test_pii_scrub_matches_python_re(spark, atoms):
+    """The scrub chain must behave identically under Java regex
+    (Spark), RE2 (DuckDB oracle), and python re — the patterns are
+    restricted to the common-semantics subset, so python re is a fair
+    independent twin."""
+    text = " ".join(atoms)
+    df = spark.createDataFrame([(text,)], "t string")
+    r = df.select(pii_scrub("t").alias("s")).select("s.*").first()
+    exp_out, exp_counts = _py_scrub(text)
+    assert r.redacted == exp_out
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (
+        exp_counts["email"],
+        exp_counts["phone"],
+        exp_counts["ipv4"],
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["the", "cat", "cat", "sat", "#", "...", "a1", "42", "of", "x"]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_gopher_rules_match_python_twin(spark, words):
+    """Each Gopher rule recomputed independently in python must agree
+    with the codegen'd struct."""
+    from databridge_etl_tools_spark.operators.textstats import (
+        GOPHER_REQUIRED_WORDS,
+        gopher_rules,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "t string")
+    r = (
+        df.select(gopher_rules("t", min_words=2, max_words=15).alias("g"))
+        .select("g.*")
+        .first()
+    )
+    toks = [t for t in text.split() if t]
+    n = len(toks)
+    wl = sum(len(t) for t in toks) / n if n else 0.0
+    sym = text.count("#") + len(_re.findall(r"\.\.\.|…", text))
+    alpha = sum(1 for t in toks if _re.search("[A-Za-z]", t))
+    req = sum(1 for w in GOPHER_REQUIRED_WORDS if w in {t.lower() for t in toks})
+    assert r.words_ok == (2 <= n <= 15)
+    assert r.word_len_ok == (3.0 <= wl <= 10.0)
+    assert r.symbol_ok == (n > 0 and sym / n <= 0.1)
+    assert r.alpha_ok == (n > 0 and alpha / n >= 0.8)
+    assert r.stopword_ok == (req >= 2)
