@@ -241,6 +241,78 @@ def repetition_stats(
     )
 
 
+def rare_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_num: int = 1,
+    rare_den: int = 5,
+) -> DataFrame:
+    """Corpus-frequency quality statistics per document: how much of a
+    document is made of corpus-rare tokens — the rare-word-ratio
+    feature quality classifiers use (an OOV/gibberish signal), plus
+    the mean document-frequency ratio (a commonness score; the
+    log-free cousin of mean IDF).
+
+    A token is *rare* iff ``df(token)/n_docs <= rare_num/rare_den``,
+    tested as ``df*rare_den <= n_docs*rare_num`` — exact integer
+    arithmetic, so the decision is engine-independent (no float
+    threshold at the boundary). ``mean_df_ratio`` is
+    ``sum(df(token)) / (n_tokens * n_docs)``: integer aggregates with
+    ONE final scalar division — deterministic under any partial-agg
+    order.
+
+    Scale shape: pass 1 builds the document-frequency table —
+    vocabulary-sized, orders of magnitude smaller than the corpus —
+    which pass 2 joins back BROADCAST (no shuffle of the corpus-sized
+    occurrence stream by token). The corpus-side work is one explode +
+    one groupBy(doc) — both keyed on the document id. If the
+    vocabulary outgrows the broadcast budget at extreme scale, drop
+    the explicit hint and let AQE pick the join side.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("toks"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    occs = base.select("_id", F.explode_outer("toks").alias("w"))
+    dfreq = (
+        occs.where(F.col("w").isNotNull())
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("dfd"))
+    )
+    per = (
+        occs.where(F.col("w").isNotNull())
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("dfd") * rare_den <= F.col("n_docs") * rare_num, 1
+                ).otherwise(0)
+            ).alias("n_rare"),
+            F.sum("dfd").alias("sum_df"),
+            F.first("n_docs").alias("n_docs"),
+        )
+    )
+    return (
+        base.select("_id")
+        .join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_rare"), F.lit(0)).alias("n_rare"),
+            F.coalesce(F.col("sum_df"), F.lit(0)).alias("sum_df"),
+            F.coalesce(
+                F.col("sum_df").cast("double")
+                / (F.col("n_tokens") * F.col("n_docs")),
+                F.lit(0.0),
+            ).alias("mean_df_ratio"),
+        )
+    )
+
+
 def rolling_hash(col: Column | str, base: int = 257, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over characters (documents'
     order-sensitive fingerprint), computed JVM-side via aggregate over

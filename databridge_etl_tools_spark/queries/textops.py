@@ -312,6 +312,48 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_rare_token_ratio",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    occs AS (SELECT doc_id, unnest(toks) AS w FROM base),
+    dfreq AS (
+      SELECT w, COUNT(*) AS dfd
+      FROM (SELECT DISTINCT doc_id, w FROM occs) GROUP BY 1),
+    per AS (
+      SELECT o.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN d.dfd * 5 <= n.n_docs * 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rare,
+             CAST(SUM(d.dfd) AS BIGINT) AS sum_df,
+             CAST(MIN(n.n_docs) AS BIGINT) AS n_docs
+      FROM occs o JOIN dfreq d USING (w) CROSS JOIN n
+      GROUP BY 1)
+    SELECT b.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.n_rare, 0) AS n_rare,
+           COALESCE(p.sum_df, 0) AS sum_df,
+           COALESCE(p.sum_df / CAST(p.n_tokens * p.n_docs AS DOUBLE), 0.0)
+             AS mean_df_ratio
+    FROM base b LEFT JOIN per p USING (doc_id)
+    """,
+    gate=False,
+)
+def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality scoring
+    (``operators.textstats.rare_token_stats``): per-document count of
+    corpus-rare tokens (df/N <= 1/5, decided in exact integer
+    arithmetic) and the mean document-frequency ratio — the rare-word/
+    commonness features of corpus quality classifiers. Two passes:
+    a vocabulary-sized document-frequency table, broadcast back onto
+    the corpus-side occurrence stream (no token-keyed shuffle of the
+    corpus), then one doc-keyed aggregation. Integer aggregates with
+    one final scalar division keep the oracle hash exact."""
+    docs = table(spark, sf_dir, "documents")
+    return TS.rare_token_stats(docs, "text", "doc_id")
+
+
+@query(
     "pii_scrub_contacts",
     oracle=r"""
     WITH c0 AS (

@@ -93,3 +93,28 @@ def test_repetition_empty_text_kept(spark):
     assert r.doc_id == 7 and r.n_tokens == 0
     assert r.distinct_token_ratio == 0.0
     assert r.top_token_frac == 0.0 and r.top_bigram_frac == 0.0
+
+
+def test_rare_token_stats_planted(spark):
+    rows = [(1, "a b"), (2, "a c"), (3, "a"), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # rare iff df/N <= 1/2  (N=4 docs, token 'a' has df=3, b/c df=1)
+    out = {
+        r.doc_id: r
+        for r in TS.rare_token_stats(df, rare_num=1, rare_den=2).collect()
+    }
+    assert (out[1].n_tokens, out[1].n_rare, out[1].sum_df) == (2, 1, 4)
+    assert abs(out[1].mean_df_ratio - 4 / (2 * 4)) < 1e-12
+    assert (out[3].n_tokens, out[3].n_rare, out[3].sum_df) == (1, 0, 3)
+    assert abs(out[3].mean_df_ratio - 3 / 4) < 1e-12
+    # empty doc survives with zeroed stats
+    assert (out[4].n_tokens, out[4].n_rare, out[4].sum_df) == (0, 0, 0)
+    assert out[4].mean_df_ratio == 0.0
+
+
+def test_rare_token_stats_broadcasts_vocab(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = TS.rare_token_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    # the vocabulary-side join must be broadcast: the corpus-sized
+    # occurrence stream is never shuffled by token for the join
+    assert "BroadcastHashJoin" in plan
