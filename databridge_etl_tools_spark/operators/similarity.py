@@ -595,3 +595,204 @@ def semdedup(
         .applyInPandas(prune, schema)
         .withColumnRenamed("_id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): the 100 TB ANN memory path. Vectors are
+# split into M subspaces; each subspace is vector-quantized against a
+# small codebook, so a 64-dim float vector compresses to M bytes and
+# distance evaluation becomes M table lookups (ADC) instead of a
+# 64-term dot product — candidates never need their floats resident.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Fit per-subspace PQ codebooks (m × ksub × dim/m floats, driver-
+    resident — a few KB). Deterministic: seeded from the ksub
+    lowest-id vectors' sub-slices (the kmeans_fit discipline), then
+    ``iters`` Lloyd's rounds per subspace batched into ONE argmin
+    projection + ONE (sub, code, pos) decimal-mean aggregation per
+    round across ALL subspaces — the data-side cost does not grow
+    with m. ``iters=0`` keeps the sampled codebooks (cheap, still a
+    valid quantizer — the encode/ADC mechanics are identical)."""
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    books = [
+        [[float(x) for x in r[vec_col][s * dsub : (s + 1) * dsub]] for r in seeds]
+        for s in range(m)
+    ]
+
+    def code_expr(s: int, cents: list[list[float]]) -> Column:
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        scores = F.array(
+            *[
+                dot_fold(sub, _plane_col(c)) - sum(v * v for v in c) / 2.0
+                for c in cents
+            ]
+        )
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = emb.select(
+            *[code_expr(s, books[s]).alias(f"c{s}") for s in range(m)],
+            F.col(vec_col).alias("_v"),
+        )
+        # one exploded (sub, code, pos, val) stream → decimal means
+        parts = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.col(f"c{s}").alias("code"),
+                            F.slice(F.col("_v"), s * dsub + 1, dsub).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.sub", "e.code", F.posexplode("e.sv").alias("pos", "v"))
+        means = (
+            parts.groupBy("sub", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean")
+            )
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            acc.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["mean"]
+        for (s, code), dims in acc.items():
+            new_books[s][code] = [dims[p] for p in sorted(dims)]
+        if new_books == books:
+            break
+        books = new_books
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to their PQ codes: df[id, codes array<int> of
+    length m]. Pure JVM column expressions (m × ksub small dot
+    products per row, codegen'd); at scale this is the map-side pass
+    that writes the byte-sized index, after which candidate floats
+    can leave memory."""
+    m = len(books)
+    dsub = len(books[0][0])
+
+    def code_expr(s: int) -> Column:
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        scores = F.array(
+            *[
+                dot_fold(sub, _plane_col(c)) - sum(v * v for v in c) / 2.0
+                for c in books[s]
+            ]
+        )
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.array(*[code_expr(s) for s in range(m)]).alias("codes"),
+    )
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries keep
+    full vectors, candidates only codes. Each Arrow batch builds the
+    per-query LUT (m × ksub squared distances) and scores candidates
+    with numpy fancy indexing — M lookups per candidate, no float
+    decode. Squared-L2 ranking (the PQ-native metric).
+
+    Scale shape: the code table is M bytes/vector (64× smaller than
+    the floats). Candidates are hash-chunked (``n_chunks``) and each
+    query is scored against every chunk via a cogrouped per-chunk ADC
+    pass (per-task memory = chunk bytes + one LUT), local top-k per
+    chunk, then one windowed global merge — no driver collect, no
+    q×n row blowup, the exact shape of ``cosine_topk_vectorized``. At
+    cluster scale, replace the hash chunks with IVF probe cells to
+    skip chunks entirely.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    codes = pq_encode(emb, books, id_col, vec_col).withColumn(
+        "_chunk", F.pmod(F.hash("id"), F.lit(n_chunks))
+    )
+    q = emb.where(query_pred) if query_pred is not None else emb
+    chunks = codes.sparkSession.range(n_chunks).select(
+        F.col("id").cast("int").alias("_chunk")
+    )
+    qsel = q.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).crossJoin(F.broadcast(chunks))
+    m = len(books)
+    dsub = len(books[0][0])
+    cb = np.asarray(books, dtype=np.float64)  # m × ksub × dsub
+
+    def topk_chunk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "neighbor_id", "adc_dist", "rank"]
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "adc_dist": pd.Series(dtype="float64"),
+                    "rank": pd.Series(dtype="int32"),
+                }
+            )
+        ids = np.asarray(cpdf["id"].values, dtype=np.int64)
+        cmat = np.vstack(cpdf["codes"].values).astype(np.int64)  # n × m
+        sub_idx = np.arange(m)[None, :]
+        out = []
+        for qid, qv in zip(qpdf["_qid"].values, qpdf["_qv"].values):
+            qm = np.asarray(qv, dtype=np.float64).reshape(m, dsub)
+            # LUT[s, j] = ||q_s − c_sj||²
+            lut = ((qm[:, None, :] - cb) ** 2).sum(axis=2)  # m × ksub
+            dist = lut[sub_idx, cmat].sum(axis=1)
+            mask = ids != qid
+            order = np.argsort(np.where(mask, dist, np.inf), kind="stable")[:k]
+            for rank, j in enumerate(order, start=1):
+                if not mask[j]:
+                    break
+                out.append((int(qid), int(ids[j]), float(dist[j]), rank))
+        return pd.DataFrame(out, columns=cols)
+
+    schema = "query_id bigint, neighbor_id bigint, adc_dist double, rank int"
+    partial = (
+        qsel.groupBy("_chunk")
+        .cogroup(codes.groupBy("_chunk"))
+        .applyInPandas(topk_chunk, schema)
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
