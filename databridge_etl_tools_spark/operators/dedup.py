@@ -677,3 +677,61 @@ def simhash_near_pairs(
         )
         .distinct()
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 7,
+) -> DataFrame:
+    """Train/eval n-gram decontamination — the GPT-3/PaLM-style
+    benchmark-leak filter: a training document is *contaminated* iff
+    it shares ANY word n-gram (default 13 in the papers; 7 here for
+    the short synthetic docs) with the evaluation set. Exact-text
+    dedup misses partial leaks (a benchmark question embedded in a
+    longer page); n-gram collision catches them.
+
+    Returns every train row + ``n_gram_hits`` (distinct colliding
+    n-grams) + ``clean``. Callers drop or audit flagged docs.
+
+    Scale shape: the eval side is benchmark-sized — orders of
+    magnitude smaller than train — so its distinct gram set is
+    BROADCAST; the train side pays one tokenize+shingle map pass, the
+    collision join is map-side, and the only shuffles are the per-doc
+    hit aggregation and the final id join (both train-id-keyed, AQE
+    coalesces). Tokens are materialized into a column before
+    shingling and the gram stream is checkpointed before explode —
+    the interpreted-HOF / InferFiltersFromGenerate discipline this
+    module documents.
+    """
+    from ..operators import textstats as TS
+
+    t_toks = train.select(
+        F.col(id_col).alias("_id"), TS.tokens(F.col(text_col)).alias("toks")
+    )
+    e_toks = eval_df.select(TS.tokens(F.col(text_col)).alias("toks"))
+    t_grams = materialize(
+        t_toks.select("_id", word_shingles("toks", n).alias("grams")),
+        cut_lineage=True,
+    ).select("_id", F.explode("grams").alias("gram"))
+    e_grams = (
+        materialize(
+            e_toks.select(word_shingles("toks", n).alias("grams")),
+            cut_lineage=True,
+        )
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        t_grams.join(F.broadcast(e_grams), "gram")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_gram_hits"))
+    )
+    return (
+        train.join(hits, train[id_col] == hits["_id"], "left")
+        .drop("_id")
+        .withColumn("n_gram_hits", F.coalesce(F.col("n_gram_hits"), F.lit(0)))
+        .withColumn("clean", F.col("n_gram_hits") == 0)
+    )

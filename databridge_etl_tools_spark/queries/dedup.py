@@ -237,3 +237,45 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_overlap_pairs(
         docs, "doc_id", "text", k=3, window=4, min_shared=2
     )
+
+
+@query(
+    "decontaminate_train_eval",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, {{tok}} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 7
+               THEN list_transform(range(1, len(t) - 5),
+                 i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '
+                      ||t[i+4]||' '||t[i+5]||' '||t[i+6])
+               ELSE [] END) AS gs
+      FROM base),
+    ev AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_gram_hits
+      FROM tr JOIN ev USING (gram) GROUP BY 1)
+    SELECT b.doc_id, b.lang,
+           COALESCE(h.n_gram_hits, 0) AS n_gram_hits,
+           COALESCE(h.n_gram_hits, 0) = 0 AS clean
+    FROM base b LEFT JOIN hits h USING (doc_id)
+    WHERE b.doc_id % 20 <> 0
+    """.format(tok="list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')"),
+    gate=False,
+)
+def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (``operators.dedup.decontaminate``):
+    flag every training document sharing any word 7-gram with the
+    held-out split (doc_id % 20 == 0 plays the benchmark). The eval
+    gram set broadcasts; train pays one shingle map pass + a doc-keyed
+    hit aggregation. The DuckDB oracle rebuilds both gram streams
+    independently."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0).select("doc_id", "lang", "text")
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    from ..operators.dedup import decontaminate
+
+    return decontaminate(train, ev, n=7).drop("text")

@@ -533,3 +533,42 @@ def test_mixture_rejects_degenerate_inputs(spark):
     # zero-weighted empty source is fine: it contributes nothing
     out = SP.mixture({"web": (web, 1.0), "ghost": (empty, 0.0)}, key="k")
     assert out.count() == 100
+
+
+# ---- train/eval n-gram decontamination ------------------------------
+
+
+def test_decontaminate_planted(spark):
+    from databridge_etl_tools_spark.operators.dedup import decontaminate
+
+    evd = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # embeds an eval 7-gram run inside a longer doc -> 2 hits
+            # (7-grams starting at 'alpha' and at 'beta')
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta end"),
+            # same words but order broken -> clean
+            (2, "beta alpha gamma delta epsilon zeta eta theta filler"),
+            # too short for any 7-gram -> clean by construction
+            (3, "alpha beta gamma"),
+            (4, "completely unrelated text with many different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(train, evd, n=7).collect()}
+    assert out[1].n_gram_hits == 2 and not out[1].clean
+    assert out[2].clean and out[2].n_gram_hits == 0
+    assert out[3].clean
+    assert out[4].clean
+    # duplicate occurrences of the same colliding gram count once
+    dup = spark.createDataFrame(
+        [(5,
+          "alpha beta gamma delta epsilon zeta eta x "
+          "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    r5 = decontaminate(dup, evd, n=7).first()
+    assert r5.n_gram_hits == 1 and not r5.clean
