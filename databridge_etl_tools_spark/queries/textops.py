@@ -469,3 +469,34 @@ def mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query("sketch_vocabulary_report")  # no oracle: HLL/KLL sketch values are
+# engine-specific by construction (DuckDB's approx_count_distinct uses a
+# different HLL layout) — deterministic WITHIN Spark (hash-based, merge
+# order-insensitive), pinned by tests instead
+def sketch_vocabulary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus statistics — the 100 TB answer when exact
+    distinct counts stop being worth their shuffle: per-language
+    HyperLogLog++ distinct-token estimates (fixed-size sketch, one
+    map-side pass, merge-order insensitive) next to the exact count
+    (so the report itself exhibits the error), plus approx vs exact
+    token-count percentiles. At scale the exact columns are the ones
+    you drop; they're here as the honesty anchor. Error contract
+    (rsd=0.05; observed rel_err well inside it) pinned in
+    tests/test_textstats.py."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(TS.tokens(F.col("text"))).alias("w"),
+        TS.token_count("text").alias("n_tokens"),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count_distinct("w").alias("exact_distinct_tokens"),
+            F.approx_count_distinct("w", rsd=0.05).alias("approx_distinct_tokens"),
+            F.expr("approx_percentile(n_tokens, 0.5, 1000)").alias("approx_p50"),
+            F.expr("percentile(n_tokens, 0.5)").alias("exact_p50"),
+        )
+        .orderBy("lang")
+    )

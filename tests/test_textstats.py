@@ -118,3 +118,23 @@ def test_rare_token_stats_broadcasts_vocab(spark):
     # the vocabulary-side join must be broadcast: the corpus-sized
     # occurrence stream is never shuffled by token for the join
     assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_report_error_contract(spark):
+    """HLL distinct estimates must land inside the rsd contract and be
+    deterministic across runs (hash-based, merge-order insensitive)."""
+    from databridge_etl_tools_spark.registry import QUERIES, load_all
+
+    load_all()
+    q = QUERIES["sketch_vocabulary_report"]
+    rows1 = q(spark, "/root/testdata/sf0.001").collect()
+    rows2 = q(spark, "/root/testdata/sf0.001").collect()
+    assert [r.asDict() for r in rows1] == [r.asDict() for r in rows2]
+    for r in rows1:
+        assert r.exact_distinct_tokens > 0
+        rel = abs(r.approx_distinct_tokens - r.exact_distinct_tokens) / (
+            r.exact_distinct_tokens
+        )
+        # rsd=0.05 is a standard deviation, not a bound; 3σ margin
+        assert rel <= 0.15, r
+        assert abs(r.approx_p50 - r.exact_p50) <= max(2.0, 0.05 * r.exact_p50)
