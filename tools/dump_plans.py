@@ -28,6 +28,9 @@ SHOW = [
     "skew_salted_agg",
     "min_cost_supplier",
     "forest_part_suppliers",
+    "text_repetition_stats",
+    "text_rare_token_ratio",
+    "decontaminate_train_eval",
 ]
 
 
