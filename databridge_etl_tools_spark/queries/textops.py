@@ -500,3 +500,47 @@ def sketch_vocabulary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pack_documents_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_start
+      FROM t)
+    SELECT CAST(seq_start // 256 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY 1
+    """,
+    gate=False,
+)
+def pack_documents_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (``operators.packing``):
+    concat-and-chunk — documents in doc_id order are laid into a
+    virtual token stream cut every 256 tokens, each doc assigned to
+    the sequence where it starts. The prefix sum runs as the two-pass
+    distributed recipe (range partitions → partition-local window →
+    driver prefix of the bounded per-partition totals → broadcast
+    offsets), never a global single-partition window; the assignment
+    is partitioning-independent, which the DuckDB oracle (a plain
+    global window, fine at oracle scale) confirms."""
+    from ..operators.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs.select("doc_id", TS.token_count("text").alias("n_tok")),
+        "n_tok",
+        budget=256,
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("bigint")).alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

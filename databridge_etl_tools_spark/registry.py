@@ -84,6 +84,9 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "quality_gopher_rules",
         "text_repetition_stats",
         "pii_scrub_contacts",
+        "text_rare_token_ratio",
+        "decontaminate_train_eval",
+        "pack_documents_sequences",
         # -- r1-r3 overflow tier, never driver-verified before:
         "bracket_revenue",
         "corpus_curation",
@@ -114,6 +117,9 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "cube_flag_status",
         "exact_percentiles",
         "events_json_props",
+        "dedup_fuzzy_levenshtein",
+        "text_vocabulary_topk",
+        "above_customer_average",
         # parked: hash-matched in CORRECTNESS_r01 + r02 + r03
         "filter_project",
         "ordered_collect",
