@@ -53,3 +53,26 @@ def test_pack_boundary_semantics(spark):
     )
     out = {r.doc_id: r.seq_id for r in pack_sequences(sized, "n_tok", budget=10).collect()}
     assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_pack_property_random_sizes(spark):
+    """Random sizes/ids: the distributed two-pass prefix sum must equal
+    the exact python cumsum for every row (hypothesis-style sweep with
+    fixed seeds, several shapes including zero-sized docs)."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        ids = sorted(rng.sample(range(100000), 150))
+        sizes = [rng.choice([0, 1, 3, 50, 255, 256, 300]) for _ in ids]
+        sized = spark.createDataFrame(
+            list(zip(ids, sizes)), "doc_id long, n_tok int"
+        )
+        got = {
+            r.doc_id: (r.seq_id, r.seq_start)
+            for r in pack_sequences(sized, "n_tok", budget=256, n_parts=7).collect()
+        }
+        start = 0
+        for i, n in zip(ids, sizes):
+            assert got[i] == (start // 256, start), (seed, i)
+            start += n
