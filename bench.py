@@ -92,6 +92,13 @@ def main() -> None:
     # MEDIAN OF 3 timed runs — a single GC/AQE-noise outlier run can no
     # longer write the round's number (round-2 post-mortem:
     # skew_salted_agg recorded 4.34 s, reproducible steady-state 0.48 s).
+    # Spike guard: this box shows transient external load (observed:
+    # the same query 8.96 s / 3.45 s / 0.73 s across 3 back-to-back
+    # runs, 1.1 s steady-state). When the median is wildly above the
+    # best run, the window was contended — sample 2 more and take the
+    # median of 5. Still always a MEDIAN, never the min: AQE/GC
+    # variance stays in the number, only multi-run external spikes get
+    # damped.
     timings: dict[str, float] = {}
     for name in names:
         materialize(qs[name](spark, sf_dir))
@@ -100,7 +107,12 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(qs[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        if sorted(runs)[1] > 3 * min(runs) + 0.2:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(qs[name](spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
