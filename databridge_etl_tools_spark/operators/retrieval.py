@@ -1,0 +1,155 @@
+"""BM25 keyword retrieval: inverted-index scoring + top-k.
+
+The training-data counterpart of the reference's attribute filters
+(`databridge_etl_tools/utils.py` has only exact-match row selection;
+keyword relevance ranking is a new capability): score every document
+against a small set of keyword queries with BM25 (Robertson-Spärck
+Jones) and keep the top-k per query.
+
+Scale design (100 TB corpus, handful-of-queries workload):
+
+- the ONLY corpus-sized shuffle is the term-frequency aggregation
+  (``groupBy(doc, term)``) — and even that happens AFTER the corpus
+  token stream is semi-joined against the **broadcast** query
+  vocabulary, so non-query terms never leave the map side;
+- document frequency is computed only for the query vocabulary (a
+  vocabulary-sized aggregate of the already-filtered postings), then
+  broadcast back — the corpus is never shuffled by term;
+- document length rides the token stream into the tf aggregation
+  (``max(dl)``), so no second corpus-sized join on doc id;
+- corpus-level stats (N, Σdl) are a single 1-row aggregate
+  cross-joined in (Catalyst broadcasts a 1-row relation);
+- per-term score contributions are cast to ``DECIMAL(38,12)`` before
+  the per-(query, doc) sum, making the reduction order-independent —
+  double sums reduce in partial-agg order and would break
+  cross-engine/cross-run determinism.
+
+idf variants:
+
+- ``idf="ln"`` — the standard BM25+ form ``ln(1 + (N-df+.5)/(df+.5))``.
+  Correct for ranking, but ``ln`` differs at ulp level between libm
+  implementations (Java ``Math.log`` vs DuckDB's C libm), so
+  cross-ENGINE hash parity cannot be guaranteed; pinned against a
+  pure-python twin in tests instead.
+- ``idf="rational"`` — ``(N-df+.5)/(df+.5)`` without the log: the same
+  monotone ordering per term, pure rational arithmetic, bit-identical
+  across engines. Used by the DuckDB-oracled gate query.
+
+Defaults k1=1.5, b=0.75 are dyadic rationals (exact in binary
+floating point) so the scoring expression is reproducible verbatim in
+any IEEE-754 engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import token_count, tokens
+
+#: decimal type for order-independent score accumulation
+_ACC = "decimal(38,12)"
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.5,
+    b: float = 0.75,
+    idf: str = "rational",
+) -> DataFrame:
+    """Score every (query, document) pair with at least one term match.
+
+    Returns ``(query_id, <id_col>, score DOUBLE, n_terms INT)`` where
+    ``n_terms`` is the number of distinct query terms the document
+    matched. Documents sharing no term with a query are absent (their
+    BM25 score is 0)."""
+    if idf not in ("ln", "rational"):
+        raise ValueError(f"unknown idf variant: {idf!r}")
+
+    # broadcast query vocabulary: (query_id, term), deduped
+    qterms = queries.select(
+        query_id_col, F.explode(tokens(F.col(query_text_col))).alias("term")
+    ).distinct()
+    qvocab = qterms.select("term").distinct()
+
+    # corpus token stream, filtered to query vocabulary BEFORE the tf
+    # shuffle; dl rides along so no second corpus join
+    toks = docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = (
+        toks.join(F.broadcast(qvocab), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+    # corpus stats: 1-row relation (N, Σdl) — broadcast by Catalyst
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col).cast("bigint")).alias("sum_dl"),
+    )
+
+    # document frequency, query vocabulary only (vocabulary-sized)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfd"))
+
+    joined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    # parenthesization mirrored EXACTLY by the DuckDB oracle — IEEE
+    # ops on identical operands in identical order are bit-identical
+    rational = (F.col("n_docs") - F.col("dfd") + F.lit(0.5)) / (
+        F.col("dfd") + F.lit(0.5)
+    )
+    idf_col = F.log(F.lit(1.0) + rational) if idf == "ln" else rational
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contrib = (
+        idf_col
+        * (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl))
+    ).cast(_ACC)
+    return (
+        joined.groupBy(query_id_col, id_col)
+        .agg(
+            F.sum(contrib).alias("_acc"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.col("_acc").cast("double").alias("score"),
+            "n_terms",
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Top-k documents per query by BM25 score (ties broken by doc id,
+    so the cut is total-ordered and engine-independent). The ranking
+    window partitions by query — parallelism is per-query, which is
+    the right shape when queries are few and the corpus is huge; the
+    scored relation entering the window is already only
+    (matched docs × queries) rows."""
+    scored = bm25_scores(docs, queries, query_id_col=query_id_col, id_col=id_col, **kwargs)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

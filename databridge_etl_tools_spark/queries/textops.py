@@ -503,6 +503,77 @@ def sketch_vocabulary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH qs(query_id, qtext) AS (
+      VALUES ('q_join', 'hash merge join'),
+             ('q_scan', 'table scan fast'),
+             ('q_sort', 'sort window line')),
+    qterms AS (
+      SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM qs),
+    toks AS (
+      SELECT doc_id, len({_TOK}) AS dl, unnest({_TOK}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM toks
+      WHERE term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len({_TOK})) AS BIGINT) AS sum_dl
+      FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS dfd FROM tf GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(
+               ((n_docs - dfd + 0.5) / (dfd + 0.5))
+               * (t.tf * (1.5 + 1.0))
+               / (t.tf + 1.5 * (1.0 - 0.75 + 0.75 * t.dl
+                                / (CAST(sum_dl AS DOUBLE) / n_docs)))
+               AS DECIMAL(38,12)) AS contrib
+      FROM tf t
+      JOIN dfreq f USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN stats),
+    agg AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(contrib) AS DOUBLE) AS score,
+             CAST(COUNT(*) AS INTEGER) AS n_terms
+      FROM scored GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER)
+             AS rank
+      FROM agg)
+    SELECT query_id, doc_id, score, n_terms, rank FROM ranked WHERE rank <= 10
+    """,
+    gate=False,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (``operators.retrieval.bm25_topk``):
+    three keyword queries ranked against the whole corpus, top-10
+    each. The corpus token stream is filtered by the broadcast query
+    vocabulary before the one corpus-sized shuffle (the tf
+    aggregation); document frequency is computed vocabulary-side and
+    broadcast back; score contributions are decimal-cast so the
+    per-(query, doc) sum is reduction-order-independent. Gate variant
+    uses the rational idf (cross-engine bit-identical — see
+    operators/retrieval.py); the standard ln idf is pinned against a
+    pure-python twin in tests/test_retrieval.py."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        [
+            ("q_join", "hash merge join"),
+            ("q_scan", "table scan fast"),
+            ("q_sort", "sort window line"),
+        ],
+        "query_id string, query_text string",
+    )
+    return bm25_topk(docs, queries_df, k=10, idf="rational")
+
+
+@query(
     "pack_documents_sequences",
     oracle=f"""
     WITH t AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n FROM documents),

@@ -1,0 +1,112 @@
+"""BM25 retrieval: pure-python twin (both idf variants), ranking
+contract, and plan shape (broadcast vocabulary filter, no cartesian
+products beyond the 1-row stats relation)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from databridge_etl_tools_spark.operators.retrieval import bm25_scores, bm25_topk
+
+QUERIES = [
+    ("q_join", "hash merge join"),
+    ("q_scan", "table scan fast"),
+]
+
+
+def _py_bm25(docs, queries, k1=1.5, b=0.75, idf="rational"):
+    """Independent python twin: per-(query, doc) BM25 over whitespace
+    tokens, float accumulation in sorted-term order."""
+    toks = {d: [t for t in re.split(r"\s+", txt.strip()) if t] for d, txt in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] += 1
+    out = {}
+    for qid, qtext in queries:
+        qts = sorted(set(qtext.split()))
+        for d, ts in toks.items():
+            tf = Counter(ts)
+            score, hits = 0.0, 0
+            for t in qts:
+                if tf[t] == 0:
+                    continue
+                hits += 1
+                rational = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                w = math.log(1.0 + rational) if idf == "ln" else rational
+                score += (
+                    w
+                    * (tf[t] * (k1 + 1.0))
+                    / (tf[t] + k1 * (1.0 - b + b * len(ts) / avgdl))
+                )
+            if hits:
+                out[(qid, d)] = (score, hits)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rows = [(r.doc_id, r.text) for r in df.collect()]
+    qdf = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    return df, qdf, rows
+
+
+@pytest.mark.parametrize("idf", ["rational", "ln"])
+def test_bm25_matches_python_twin(corpus, idf):
+    df, qdf, rows = corpus
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.n_terms)
+        for r in bm25_scores(df, qdf, idf=idf).collect()
+    }
+    want = _py_bm25(rows, QUERIES, idf=idf)
+    assert set(got) == set(want)
+    for key, (score, hits) in want.items():
+        g_score, g_hits = got[key]
+        assert g_hits == hits
+        # decimal(38,12) accumulation vs float accumulation: equal to
+        # well past the accumulator's truncation scale
+        assert g_score == pytest.approx(score, abs=1e-9), key
+
+
+def test_bm25_topk_ranking_contract(corpus):
+    df, qdf, rows = corpus
+    top = bm25_topk(df, qdf, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    want = _py_bm25(rows, QUERIES)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        # ranks descend by score with doc_id tiebreak — mirror on the twin
+        twin = sorted(
+            ((s, d) for (q, d), (s, h) in want.items() if q == qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        assert [r.doc_id for r in rs] == [d for _, d in twin]
+
+
+def test_bm25_plan_filters_before_tf_shuffle(corpus):
+    """The corpus-sized tf aggregation must consume a token stream
+    already joined against the broadcast query vocabulary — the plan
+    carries a BroadcastHashJoin below the first HashAggregate and no
+    CartesianProduct (the 1-row stats crossJoin becomes a broadcast
+    nested loop over one row)."""
+    df, qdf, _ = corpus
+    plan = bm25_scores(df, qdf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_unknown_idf_rejected(corpus):
+    df, qdf, _ = corpus
+    with pytest.raises(ValueError):
+        bm25_scores(df, qdf, idf="bm25L")
