@@ -1,0 +1,101 @@
+"""Document chunking + segment-level exact dedup.
+
+Two training-data operators the reference has no analog for (its row
+transforms in `databridge_etl_tools/utils.py` are cell-level only):
+
+- ``chunk_documents``: cut each document's token stream into
+  fixed-size windows with a stride — overlapping windows
+  (stride < size) are the RAG/context-window shape, disjoint windows
+  (stride == size) are pretraining segments.
+- ``dedup_segments``: CCNet-style sub-document exact dedup — the unit
+  of deduplication drops from the whole document to the segment, so a
+  boilerplate block repeated across millions of pages is removed
+  everywhere while the surrounding novel text survives.
+
+Scale design: chunking is pure map-side (tokenize → start offsets →
+explode → slice; all JVM catalyst expressions, no Python, no
+shuffle). The output grows by ~size/stride×, so chunk FIRST and
+filter/select BEFORE wide downstream joins. Segment dedup adds
+exactly ONE shuffle: the window over the segment fingerprint
+(first-occurrence ranking); at 100 TB the fingerprint is a uniformly
+distributed md5, so the shuffle has no skew by construction.
+
+HOF gotchas honored (see SCALE.md): the token array is materialized
+into a column before any lambda touches it; slice bounds derive from
+the exploded start offset, never from a re-derived array; sequence()
+bounds are clamped with greatest() so empty docs yield one empty
+chunk instead of a descending sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int | None = None,
+) -> DataFrame:
+    """Explode each document into token windows.
+
+    Returns ``(<id_col>, chunk_start INT, chunk_text STRING,
+    n_chunk_tokens INT)`` — one row per window, starts at
+    0, stride, 2·stride, … while the start lies inside the document
+    (an empty document yields a single empty chunk at start 0, so no
+    document silently disappears). The tail window may be shorter
+    than ``size``; downstream callers filter on ``n_chunk_tokens``
+    if they need full windows only."""
+    if stride is None:
+        stride = size
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    # greatest(n-1, 0): sequence() with end < start descends instead of
+    # returning empty — clamp so n == 0 yields [0]
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    exploded = base.select(
+        id_col, "_toks", F.explode(starts).alias("_s")
+    ).withColumn("_ctoks", F.slice(F.col("_toks"), F.col("_s") + F.lit(1), size))
+    return exploded.select(
+        id_col,
+        F.col("_s").cast("int").alias("chunk_start"),
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+        F.size("_ctoks").cast("int").alias("n_chunk_tokens"),
+    )
+
+
+def dedup_segments(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 4,
+) -> DataFrame:
+    """Segment-level exact dedup over disjoint token windows.
+
+    Chunks every document into disjoint ``size``-token segments,
+    fingerprints each (md5 of the joined tokens), and marks the
+    corpus-wide FIRST occurrence of every fingerprint — ordered by
+    (<id_col>, chunk_start) so the keep decision is total-ordered and
+    engine-independent. Returns the chunk columns plus
+    ``is_first BOOLEAN``; callers keep ``is_first`` rows and
+    reassemble, or aggregate per document for retention stats.
+
+    One fingerprint-keyed shuffle (the ranking window); md5 keys are
+    uniform, so no skew handling is needed."""
+    segs = chunk_documents(
+        docs, text_col=text_col, id_col=id_col, size=size, stride=size
+    ).withColumn("seg_fp", F.md5("chunk_text"))
+    w = Window.partitionBy("seg_fp").orderBy(F.asc(id_col), F.asc("chunk_start"))
+    return segs.withColumn("is_first", F.row_number().over(w) == F.lit(1))

@@ -574,6 +574,97 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents_windows",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS n FROM documents),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(n, 1), 6)) AS s
+      FROM base),
+    chunks AS (
+      SELECT doc_id, s, len(toks[s+1:s+12]) AS n_chunk_tokens
+      FROM starts)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN n_chunk_tokens = 12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_window_tokens,
+           CAST(MAX(s) AS INTEGER) AS last_start
+    FROM chunks GROUP BY 1
+    """,
+    gate=False,
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (``operators.chunking.chunk_documents``):
+    12-token windows with stride 6 (50% overlap — the RAG/training
+    context-window shape), aggregated to per-document window counts.
+    Chunking is pure map-side JVM expressions (tokenize → clamped
+    start sequence → explode → slice); the only shuffle is this
+    demo's own per-doc aggregation. The DuckDB oracle rebuilds the
+    windows with range + 1-indexed list slices."""
+    from ..operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=12, stride=6)
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("n_chunk_tokens") == 12).cast("bigint")).alias("n_full_chunks"),
+        F.sum(F.col("n_chunk_tokens").cast("bigint")).alias("total_window_tokens"),
+        F.max("chunk_start").alias("last_start"),
+    )
+
+
+@query(
+    "chunk_dedup_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS n FROM documents),
+    starts AS (
+      SELECT doc_id, toks, unnest(range(0, greatest(n, 1), 4)) AS s FROM base),
+    segs AS (
+      SELECT doc_id, s,
+             array_to_string(toks[s+1:s+4], ' ') AS seg_text,
+             len(toks[s+1:s+4]) AS n_seg
+      FROM starts),
+    ranked AS (
+      SELECT doc_id, s, n_seg,
+             row_number() OVER (PARTITION BY md5(seg_text)
+                                ORDER BY doc_id, s) AS rn
+      FROM segs)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_seg ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+    FROM ranked GROUP BY 1
+    """,
+    gate=False,
+)
+def chunk_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (``operators.chunking.dedup_segments``,
+    the CCNet sub-document dedup shape): disjoint 4-token segments,
+    corpus-wide first occurrence of each fingerprint kept, aggregated
+    to per-document retention stats (segments seen / kept / tokens
+    surviving). Exactly one data shuffle — the fingerprint-keyed
+    first-occurrence window over uniformly-distributed md5 keys. The
+    DuckDB oracle replays the same ranking independently."""
+    from ..operators.chunking import dedup_segments
+
+    docs = table(spark, sf_dir, "documents")
+    segs = dedup_segments(docs, size=4)
+    return segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("is_first").cast("bigint")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("is_first"), F.col("n_chunk_tokens").cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("n_tokens_kept"),
+    )
+
+
+@query(
     "pack_documents_sequences",
     oracle=f"""
     WITH t AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n FROM documents),
