@@ -206,3 +206,40 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk_adc(
         emb, books, k=5, query_pred=F.col("vec_id") % 50 == 0
     )
+
+
+@query("pca_embeddings_project")  # no oracle: eigendecomposition isn't
+# SQL-expressible; numerics pinned against a full numpy twin in
+# tests/test_pca.py (moments, eigenstructure, projection, determinism)
+def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (``operators.pca``): one Arrow-batched pass
+    reduces the corpus to per-partition second moments (count, Σx,
+    ΣxxT — num_partitions rows of d+d² doubles), the driver
+    eigendecomposes the d×d covariance, and projection returns to the
+    executors as pure JVM fold expressions with mean-centering folded
+    into scalar offsets. The demo projects every embedding onto the
+    top-4 components and reports per-label projected centroids plus
+    the captured-variance summary — the compaction step that fronts
+    the IVF/PQ ANN operators."""
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4)
+    proj = pca_project(emb, model, "embedding")
+    ev = model["explained_variance"]
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            *[
+                (F.sum(F.col(f"pc{j}").cast("decimal(38,12)")).cast("double")
+                 / F.count(F.lit(1))).alias(f"centroid_pc{j}")
+                for j in (1, 2, 3, 4)
+            ],
+        )
+        .withColumn(
+            "explained_variance_frac",
+            F.lit(float(sum(ev)) / model["total_variance"]),
+        )
+        .orderBy("label")
+    )
