@@ -84,6 +84,7 @@ def mixture(
     key: str,
     total_rows: int | None = None,
     salt: str = "mixture",
+    counts: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """Weighted corpus mixture: union the sources downsampled so their
     contributions match the given weights — the dataset-mixing step of
@@ -109,7 +110,10 @@ def mixture(
     total_w = sum(w for _, w in sources.values())
     if total_w <= 0:
         raise ValueError("mixture needs at least one positive weight")
-    counts = {name: df.count() for name, (df, _) in sources.items()}
+    if counts is None:
+        counts = {name: df.count() for name, (df, _) in sources.items()}
+    elif set(counts) != set(sources):
+        raise ValueError("mixture: precomputed counts must cover every source")
     # A positively-weighted EMPTY source would make the feasibility
     # min 0 and silently empty the whole mixture (ADVICE r3) — that's
     # a caller error (a missing corpus), not a mixture to "achieve".
@@ -133,6 +137,73 @@ def mixture(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def temperature_weights(counts: "dict[str, int]", alpha: float = 0.5) -> "dict[str, float]":
+    """Temperature-smoothed mixture weights (the mT5/XLM-R recipe):
+    weight ∝ n^α. α = 1 reproduces natural proportions, α = 0 is
+    uniform, the α = 0.5 default is the published sweet spot that
+    keeps small corpora from drowning. α = 0.5 is computed with
+    ``sqrt`` (correctly rounded by IEEE 754, so any engine reproduces
+    the weights bit-for-bit); other α values use ``pow``, whose last
+    ulp is libm-specific — fine for real use, avoided by the
+    cross-engine-hashed gate query."""
+    import math
+
+    if not counts:
+        raise ValueError("temperature_weights: no sources")
+    if any(n < 0 for n in counts.values()):
+        raise ValueError("temperature_weights: negative count")
+    return {
+        name: (math.sqrt(n) if alpha == 0.5 else float(n) ** alpha)
+        for name, n in counts.items()
+    }
+
+
+def temperature_mixture(
+    sources: "dict[str, DataFrame]",
+    key: str,
+    alpha: float = 0.5,
+    total_rows: int | None = None,
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Mix sources at temperature-smoothed proportions: counts are
+    measured once (one count() scalar per source), smoothed into
+    weights with ``temperature_weights``, and handed to ``mixture``
+    with the counts pre-measured — so the whole plan still costs one
+    count per source and every row's fate stays a content hash."""
+    counts = {name: df.count() for name, df in sources.items()}
+    weights = temperature_weights(counts, alpha)
+    return mixture(
+        {name: (df, weights[name]) for name, df in sources.items()},
+        key,
+        total_rows=total_rows,
+        salt=salt,
+        counts=counts,
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_by: "list[Column]",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, ranked by ``order_by`` (the
+    per-domain document cap of web-corpus curation: no single domain
+    may dominate the corpus). Callers MUST make the ordering total
+    (end with a unique tiebreaker column) or the cut at rank n is
+    partition-dependent. Adds a ``rank`` column (1-based). One
+    group-keyed shuffle for the ranking window."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("cap_per_group: n must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= n)
+    )
 
 
 def mixture_report(mixed: DataFrame) -> DataFrame:

@@ -471,6 +471,122 @@ def mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mixture_temperature",
+    oracle="""
+    WITH c AS (SELECT
+        (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n_en,
+        (SELECT COUNT(*) FROM documents WHERE lang = 'de') AS n_de,
+        (SELECT COUNT(*) FROM documents WHERE lang NOT IN ('en','de')) AS n_ot),
+    w AS (SELECT n_en, n_de, n_ot,
+                 sqrt(CAST(n_en AS DOUBLE)) AS w_en,
+                 sqrt(CAST(n_de AS DOUBLE)) AS w_de,
+                 sqrt(CAST(n_ot AS DOUBLE)) AS w_ot
+          FROM c),
+    t AS (SELECT *, w_en + w_de + w_ot AS tw FROM w),
+    f AS (SELECT *, least(n_en / (w_en / tw),
+                          n_de / (w_de / tw),
+                          n_ot / (w_ot / tw)) AS feas FROM t),
+    r AS (SELECT least(1.0::DOUBLE, (feas * (w_en / tw)) / n_en) AS rate_en,
+                 least(1.0::DOUBLE, (feas * (w_de / tw)) / n_de) AS rate_de,
+                 least(1.0::DOUBLE, (feas * (w_ot / tw)) / n_ot) AS rate_ot
+          FROM f),
+    kept AS (
+      SELECT 'en' AS source, doc_id FROM documents, r
+      WHERE lang = 'en'
+        AND CAST('0x'||substr(md5('tempmix:en:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+              / 4294967296.0 < rate_en
+      UNION ALL
+      SELECT 'de' AS source, doc_id FROM documents, r
+      WHERE lang = 'de'
+        AND CAST('0x'||substr(md5('tempmix:de:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+              / 4294967296.0 < rate_de
+      UNION ALL
+      SELECT 'other' AS source, doc_id FROM documents, r
+      WHERE lang NOT IN ('en','de')
+        AND CAST('0x'||substr(md5('tempmix:other:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+              / 4294967296.0 < rate_ot)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM kept GROUP BY 1
+    """,
+    gate=False,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed dataset mixture
+    (``operators.sampling.temperature_mixture``, the mT5/XLM-R α
+    recipe): per-source counts smoothed with α = 0.5 (√n weights —
+    IEEE-correctly-rounded, so the DuckDB oracle reproduces the
+    weight, feasibility, and rate arithmetic bit-for-bit), largest
+    feasible mixture without upsampling, every row's fate a content
+    hash. English/German/rest-of-corpus demo: α = 0.5 lifts the small
+    German corpus relative to its natural share."""
+    from ..operators.sampling import temperature_mixture
+
+    docs = table(spark, sf_dir, "documents")
+    mixed = temperature_mixture(
+        {
+            "en": docs.where(F.col("lang") == "en"),
+            "de": docs.where(F.col("lang") == "de"),
+            "other": docs.where(~F.col("lang").isin("en", "de")),
+        },
+        key="doc_id",
+        alpha=0.5,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "source_capped_topn",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, doc_id,
+             length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS wl,
+             len(list_filter({_TOK}, x -> list_contains({_EN}, lower(x))))
+               / CAST(len({_TOK}) AS DOUBLE) AS swr,
+             len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(length(text) AS DOUBLE) AS pr
+      FROM documents),
+    scored AS (
+      SELECT source, doc_id,
+             (CASE WHEN wl >= 3.0 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END
+              + least(swr * 4.0, 1.0)
+              + 1.0 - least(pr * 5.0, 1.0)) / 3.0 AS quality
+      FROM s),
+    ranked AS (
+      SELECT source, doc_id, quality,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id) AS INTEGER)
+               AS rank
+      FROM scored)
+    SELECT source, rank, doc_id, quality FROM ranked WHERE rank <= 10
+    """,
+    gate=False,
+)
+def source_capped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (``operators.sampling.cap_per_group``,
+    the per-domain cap of web-corpus curation): keep the 10
+    highest-quality documents per source, ranked by the composite
+    quality score with a doc-id tiebreaker so the cut is total-ordered
+    and engine-independent. One group-keyed ranking shuffle; at web
+    scale the group key is the registrable domain, whose cardinality
+    keeps partitions balanced."""
+    from ..operators.sampling import cap_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "doc_id", TS.quality_score("text").alias("quality")
+    )
+    return cap_per_group(
+        scored, "source", 10, [F.desc("quality"), F.asc("doc_id")]
+    ).select("source", "rank", "doc_id", "quality")
+
+
 @query("sketch_vocabulary_report")  # no oracle: HLL/KLL sketch values are
 # engine-specific by construction (DuckDB's approx_count_distinct uses a
 # different HLL layout) — deterministic WITHIN Spark (hash-based, merge

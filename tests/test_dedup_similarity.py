@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from databridge_etl_tools_spark.operators import dedup as DD
@@ -572,3 +573,61 @@ def test_decontaminate_planted(spark):
     )
     r5 = decontaminate(dup, evd, n=7).first()
     assert r5.n_gram_hits == 1 and not r5.clean
+
+
+def test_temperature_weights_and_mixture(spark):
+    """mT5-style temperature smoothing: alpha=1 keeps natural
+    proportions, alpha=0.5 lifts small sources above their natural
+    share, and the mixture wired through precomputed counts matches
+    recomputing them."""
+    import math
+
+    from databridge_etl_tools_spark.operators import sampling as SP
+
+    w = SP.temperature_weights({"big": 900, "small": 100}, alpha=0.5)
+    assert w == {"big": math.sqrt(900), "small": math.sqrt(100)}
+    w1 = SP.temperature_weights({"big": 900, "small": 100}, alpha=1.0)
+    assert w1["big"] / w1["small"] == pytest.approx(9.0)
+    w0 = SP.temperature_weights({"big": 900, "small": 100}, alpha=0.0)
+    assert w0["big"] == w0["small"] == 1.0
+    with pytest.raises(ValueError):
+        SP.temperature_weights({})
+    with pytest.raises(ValueError):
+        SP.temperature_weights({"a": -1})
+
+    big = spark.range(0, 900).withColumnRenamed("id", "k")
+    small = spark.range(10000, 10100).withColumnRenamed("id", "k")
+    mixed = SP.temperature_mixture({"big": big, "small": small}, key="k", alpha=0.5)
+    rep = {r.source: r.proportion for r in SP.mixture_report(mixed).collect()}
+    # natural share of small = 0.1; sqrt-smoothed target = 10/40 = 0.25
+    assert rep["small"] > 0.15
+    assert rep["small"] == pytest.approx(0.25, abs=0.08)
+    # rerun is identical (content-hash fates)
+    again = SP.temperature_mixture({"big": big, "small": small}, key="k", alpha=0.5)
+    assert sorted(r.k for r in mixed.collect()) == sorted(r.k for r in again.collect())
+    with pytest.raises(ValueError):
+        SP.mixture({"a": (big, 1.0)}, key="k", counts={"b": 3})
+
+
+def test_cap_per_group_topn(spark):
+    """Per-domain cap: at most n rows per group, ranked by the given
+    total order; survivors are exactly the python twin's."""
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark.operators import sampling as SP
+
+    rows = [(g, i, (i * 37) % 11) for g in ("a", "b") for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, i long, score long")
+    out = SP.cap_per_group(df, "g", 3, [F.desc("score"), F.asc("i")]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append((r.rank, r.i, r.score))
+    for g in ("a", "b"):
+        want = sorted(
+            [(i, s) for gg, i, s in rows if gg == g], key=lambda t: (-t[1], t[0])
+        )[:3]
+        got = sorted(by_g[g])
+        assert [(i, s) for _, i, s in got] == want
+        assert [rk for rk, _, _ in got] == [1, 2, 3]
+    with pytest.raises(ValueError):
+        SP.cap_per_group(df, "g", 0, [F.asc("i")])
