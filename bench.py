@@ -35,6 +35,8 @@ HEADLINE = [
     "text_repetition_stats",
     "quality_gopher_rules",
     "pii_scrub_contacts",
+    "text_bm25_topk",
+    "chunk_dedup_segments",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

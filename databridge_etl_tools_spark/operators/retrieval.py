@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import token_count, tokens
+from .textstats import tokens
 
 #: decimal type for order-independent score accumulation
 _ACC = "decimal(38,12)"
@@ -79,22 +79,32 @@ def bm25_scores(
     qvocab = qterms.select("term").distinct()
 
     # corpus token stream, filtered to query vocabulary BEFORE the tf
-    # shuffle; dl rides along so no second corpus join
-    toks = docs.select(
-        F.col(id_col),
-        token_count(text_col).alias("dl"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+    # shuffle; dl rides along so no second corpus join. The token
+    # array is materialized into a column (with a checkpoint barrier)
+    # before the explode: Generate over an inline filter()-HOF runs
+    # interpreted and re-evaluates the split per array element, and
+    # CollapseProject would re-inline a plain two-step select (the
+    # round-3 minhash forensics — see SCALE.md).
+    from .materialize import materialize
+
+    base = materialize(
+        docs.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).withColumn("dl", F.size("_toks"))
     )
+    toks = base.select(id_col, "dl", F.explode("_toks").alias("term"))
     tf = (
         toks.join(F.broadcast(qvocab), "term")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
 
-    # corpus stats: 1-row relation (N, Σdl) — broadcast by Catalyst
-    stats = docs.agg(
+    # corpus stats: 1-row relation (N, Σdl) — broadcast by Catalyst;
+    # derived from the materialized base so the corpus is tokenized
+    # exactly once
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(text_col).cast("bigint")).alias("sum_dl"),
+        F.sum(F.col("dl").cast("bigint")).alias("sum_dl"),
     )
 
     # document frequency, query vocabulary only (vocabulary-sized)

@@ -31,6 +31,9 @@ SHOW = [
     "text_repetition_stats",
     "text_rare_token_ratio",
     "decontaminate_train_eval",
+    "text_bm25_topk",
+    "chunk_dedup_segments",
+    "source_capped_topn",
 ]
 
 
