@@ -87,6 +87,11 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "text_rare_token_ratio",
         "decontaminate_train_eval",
         "pack_documents_sequences",
+        "text_bm25_topk",
+        "chunk_documents_windows",
+        "chunk_dedup_segments",
+        "mixture_temperature",
+        "source_capped_topn",
         # -- r1-r3 overflow tier, never driver-verified before:
         "bracket_revenue",
         "corpus_curation",
@@ -112,6 +117,11 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
         # parked: hash-matched in CORRECTNESS_r02 + r03
+        "shipping_priority",
+        "forecast_revenue",
+        "important_nation_stock",
+        "rollup_region_nation",
+        "events_hourly_rollup",
         "scan_probes",
         "pivot_priority_status",
         "cube_flag_status",
