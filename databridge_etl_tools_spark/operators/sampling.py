@@ -220,3 +220,20 @@ def mixture_report(mixed: DataFrame) -> DataFrame:
             F.col("n_rows") / F.sum("n_rows").over(Window.partitionBy()),
         )
     )
+
+
+def kfold_split(df: DataFrame, key: str, k: int = 5, salt: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment: adds ``fold`` ∈ [0, k) from
+    the content hash's integer residue (``md5-bigint % k`` — exact
+    integer arithmetic, so folds are engine-identical with no float
+    threshold at bucket boundaries). Same stability contract as
+    ``train_val_split``: a row's fold never changes across engines,
+    partitionings, retries, or appends — cross-validation folds stay
+    leakage-free under dataset rebuilds. Pure map-side."""
+    if k < 2:
+        raise ValueError("kfold_split: k must be >= 2")
+    c = F.col(key)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    return df.withColumn("fold", (h % k).cast("int"))

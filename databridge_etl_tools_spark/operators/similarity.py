@@ -796,3 +796,60 @@ def pq_topk_adc(
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_classify(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding space —
+    the label-propagation / auto-labeling step of a training-data
+    pipeline (label new items from their nearest labeled neighbors).
+
+    Composes ``cosine_topk`` (so the IVF ``cell_col`` restriction and
+    its partition-pruned layout apply unchanged), joins neighbor
+    labels with the top-k result BROADCAST (queries × k rows — tiny
+    next to the corpus, so the corpus label table is never shuffled),
+    and takes the per-query majority with a (votes desc, label asc)
+    total order. Queries whose candidate set is empty keep a NULL
+    prediction rather than disappearing.
+
+    Returns ``(query_id, true_label, pred_label, n_votes, correct)``.
+    """
+    nn = cosine_topk(
+        emb,
+        k=k,
+        query_pred=query_pred,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
+    )
+    labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        labels.join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("_nl"))
+    pred = (
+        votes.withColumn("_pr", F.row_number().over(w))
+        .where(F.col("_pr") == 1)
+        .select("query_id", F.col("_nl").alias("pred_label"), "n_votes")
+    )
+    truth = (emb.where(query_pred) if query_pred is not None else emb).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return truth.join(F.broadcast(pred), "query_id", "left").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

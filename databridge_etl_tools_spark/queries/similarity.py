@@ -243,3 +243,47 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH {_BASE_CTE},
+    q AS (SELECT * FROM base WHERE vec_id % 50 = 0),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN base c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM p) t
+      WHERE rank <= 5),
+    votes AS (
+      SELECT r.query_id, b.label AS pred_label, COUNT(*) AS n_votes
+      FROM ranked r JOIN base b ON r.neighbor_id = b.vec_id
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT query_id, pred_label, CAST(n_votes AS BIGINT) AS n_votes
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY n_votes DESC, pred_label) AS pr
+            FROM votes) t
+      WHERE pr = 1)
+    SELECT q.vec_id AS query_id, q.label AS true_label,
+           p.pred_label, p.n_votes, (p.pred_label = q.label) AS correct
+    FROM q JOIN pred p ON p.query_id = q.vec_id
+    """,
+    gate=False,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification
+    (``operators.similarity.knn_classify``): every 50th vector is
+    auto-labeled from its 5 exact-cosine nearest neighbors (votes
+    desc, label asc majority). The top-k result (queries × k rows) is
+    broadcast against the corpus label table, so labels are never
+    shuffled; swapping in ``cell_col`` turns the candidate scan into
+    the partition-pruned IVF path unchanged. The DuckDB oracle
+    replays ranking, vote counting, and the majority tie-break."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.knn_classify(emb, k=5, query_pred=F.col("vec_id") % 50 == 0)

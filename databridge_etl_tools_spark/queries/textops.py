@@ -822,3 +822,38 @@ def pack_documents_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "kfold_documents",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             CAST(CAST('0x'||substr(md5('fold:'||CAST(doc_id AS VARCHAR)),1,8)
+                  AS BIGINT) % 5 AS INTEGER) AS fold,
+             doc_id
+      FROM documents)
+    SELECT lang, fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM f GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def kfold_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment
+    (``operators.sampling.kfold_split``): fold = content-hash residue
+    mod k — exact integer arithmetic, so fold membership is
+    engine-identical and append-stable (a document never migrates
+    between cross-validation folds on rebuild). Per-(lang, fold)
+    counts demo; pure map-side before the demo aggregation."""
+    from ..operators.sampling import kfold_split
+
+    docs = table(spark, sf_dir, "documents")
+    folds = kfold_split(docs, "doc_id", k=5)
+    return folds.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

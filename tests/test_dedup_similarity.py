@@ -631,3 +631,57 @@ def test_cap_per_group_topn(spark):
         assert [rk for rk, _, _ in got] == [1, 2, 3]
     with pytest.raises(ValueError):
         SP.cap_per_group(df, "g", 0, [F.asc("i")])
+
+
+def test_knn_classify_planted_clusters(spark):
+    """Two tight clusters: every query inherits its cluster's label;
+    a query alone in its IVF cell keeps a NULL prediction instead of
+    vanishing."""
+    rows = []
+    for i in range(6):  # cluster A around (1, 0, 0): label 1
+        rows.append((i, [1.0, 0.01 * i, 0.0], 1, 0))
+    for i in range(6, 12):  # cluster B around (0, 1, 0): label 2
+        rows.append((i, [0.0, 1.0, 0.01 * i], 2, 0))
+    rows.append((99, [0.0, 0.0, 1.0], 7, 5))  # lone cell
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int, cell int"
+    )
+    out = {
+        r.query_id: r
+        for r in SIM.knn_classify(
+            emb, k=3, query_pred=F.col("vec_id").isin(0, 7, 99)
+        ).collect()
+    }
+    assert out[0].pred_label == 1 and out[0].correct
+    assert out[7].pred_label == 2 and out[7].correct
+    # brute force: the lone vector's nearest neighbors are cluster B
+    # (their small z-components give nonzero cosine with (0,0,1)), so
+    # the vote mislabels it — and `correct` reports that honestly
+    assert out[99].pred_label == 2 and out[99].correct is False
+    cellwise = {
+        r.query_id: r
+        for r in SIM.knn_classify(
+            emb, k=3, query_pred=F.col("vec_id").isin(0, 99), cell_col="cell"
+        ).collect()
+    }
+    assert cellwise[0].pred_label == 1
+    assert cellwise[99].pred_label is None and cellwise[99].correct is None
+
+
+def test_kfold_split_contract(spark):
+    """Folds land in [0, k), are deterministic, and a row's fold is
+    unchanged by the presence of other rows (append stability)."""
+    from databridge_etl_tools_spark.operators import sampling as SP
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    folds = {r.k: r.fold for r in SP.kfold_split(df, "k", k=5).collect()}
+    assert set(folds.values()) <= set(range(5))
+    # roughly balanced (md5 residue): each fold within 3x of uniform
+    from collections import Counter
+
+    c = Counter(folds.values())
+    assert all(80 < c[f] < 400 for f in range(5))
+    sub = {r.k: r.fold for r in SP.kfold_split(df.where("k < 100"), "k", k=5).collect()}
+    assert all(folds[k] == v for k, v in sub.items())
+    with pytest.raises(ValueError):
+        SP.kfold_split(df, "k", k=1)
