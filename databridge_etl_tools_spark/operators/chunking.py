@@ -99,3 +99,40 @@ def dedup_segments(
     ).withColumn("seg_fp", F.md5("chunk_text"))
     w = Window.partitionBy("seg_fp").orderBy(F.asc(id_col), F.asc("chunk_start"))
     return segs.withColumn("is_first", F.row_number().over(w) == F.lit(1))
+
+
+def segment_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 4,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    groups (sources/domains/datasets), how many distinct
+    ``size``-token segments they share — the shared-boilerplate /
+    cross-leakage census run before mixing corpora.
+
+    Shape: distinct (group, fingerprint) — one shuffle whose row
+    count is bounded by groups × distinct segments — then a
+    fingerprint-keyed self-join emitting ordered pairs. A fingerprint
+    present in g groups yields g·(g-1)/2 pair rows: bounded by the
+    GROUP count squared (tiny), never by the corpus, so the join
+    cannot blow up on hot boilerplate. Returns
+    ``(group_a, group_b, n_shared_segments)``."""
+    segs = (
+        chunk_documents(docs, text_col=text_col, id_col=id_col, size=size, stride=size)
+        .where(F.col("n_chunk_tokens") > 0)
+        .join(docs.select(id_col, group_col), id_col)
+        .select(F.col(group_col).alias("g"), F.md5("chunk_text").alias("seg_fp"))
+        .distinct()
+    )
+    a = segs.select(F.col("g").alias("group_a"), "seg_fp")
+    b = segs.select(F.col("g").alias("group_b"), "seg_fp")
+    return (
+        a.join(b, "seg_fp")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_segments"))
+    )

@@ -1,0 +1,58 @@
+"""Scalar (min-max) int8 quantization for embedding columns.
+
+Storage/bandwidth compression for embedding tables: 4 bytes/dim
+float32 → 1 byte/dim int8 ahead of ANN serving (the coarse cousin of
+the product quantizer in ``operators.similarity.pq_fit``; PQ
+compresses harder, scalar quantization keeps per-dimension decode
+trivial and SQL-expressible).
+
+Scale design: calibration is a d-row aggregate (posexplode →
+groupBy(pos) min/max — one shuffle whose key space is the embedding
+width), broadcast back onto the exploded stream; encoding is then
+pure map-side arithmetic. All numerics avoid engine-specific
+rounding: codes use ``floor`` (IEEE-exact, identical in any engine,
+unlike round() whose half-way rule differs between Java and C), and
+error sums are decimal-cast so the reduction is order-independent —
+which is what lets the catalog query carry a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_minmax_int8(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize each vector dimension to int8 against per-dimension
+    corpus min/max.
+
+    Returns the exploded stream ``(<id_col>, pos INT, x DOUBLE,
+    code INT, xhat DOUBLE)`` — ``code`` ∈ [-128, 127] and ``xhat``
+    the midpoint dequantization — one row per (vector, dimension).
+    Callers aggregate (reconstruction error), reassemble
+    (``array_sort(collect_list(struct(pos, code)))``) or write the
+    exploded layout directly. A constant dimension (max == min)
+    encodes as 0 with exact reconstruction."""
+    ex = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "_xf")
+    ).withColumn("x", F.col("_xf").cast("double"))
+    dims = ex.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    j = ex.join(F.broadcast(dims), "pos")
+    span = F.col("mx") - F.col("mn")
+    code = F.when(span == 0, F.lit(0)).otherwise(
+        (F.floor((F.col("x") - F.col("mn")) / span * F.lit(255.0)) - F.lit(128)).cast(
+            "int"
+        )
+    )
+    out = j.withColumn("code", code)
+    xhat = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn")
+        + (F.col("code") + F.lit(128) + F.lit(0.5)) * (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    )
+    return out.withColumn("xhat", xhat).select(id_col, "pos", "x", "code", "xhat")

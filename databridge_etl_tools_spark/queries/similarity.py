@@ -287,3 +287,63 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays ranking, vote counting, and the majority tie-break."""
     emb = table(spark, sf_dir, "embeddings")
     return SIM.knn_classify(emb, k=5, query_pred=F.col("vec_id") % 50 == 0)
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS x
+      FROM (SELECT vec_id, label, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings)),
+    dims AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY 1),
+    enc AS (
+      SELECT e.vec_id, e.label, e.x, d.mn, d.mx,
+             CASE WHEN d.mx = d.mn THEN 0
+                  ELSE CAST(floor((e.x - d.mn) / (d.mx - d.mn) * 255.0) - 128
+                       AS INTEGER) END AS code
+      FROM ex e JOIN dims d USING (pos)),
+    rec AS (
+      SELECT label, x, code,
+             CASE WHEN mx = mn THEN mn
+                  ELSE mn + (code + 128 + 0.5) * (mx - mn) / 255.0 END AS xhat
+      FROM enc)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(CAST(floor(abs(x - xhat) * 1000000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_abs_err_nano,
+           MAX(abs(x - xhat)) AS max_abs_err,
+           CAST(MIN(code) AS INTEGER) AS min_code,
+           CAST(MAX(code) AS INTEGER) AS max_code
+    FROM rec GROUP BY 1
+    """,
+    gate=False,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (``operators.quantize``): per-dimension
+    min-max calibration (a d-row aggregate, broadcast back), floor-
+    based encoding (IEEE-exact — no engine-specific rounding rule),
+    midpoint dequantization, and the per-label reconstruction-error
+    report (decimal-summed MSE, so the reduction order can't perturb
+    the hash). The 4-bytes-to-1 compression step in front of ANN
+    serving; the PQ operator is the harder-compressing sibling."""
+    from ..operators.quantize import quantize_minmax_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = quantize_minmax_int8(emb, "embedding", "vec_id")
+    labeled = codes.join(emb.select("vec_id", "label"), "vec_id")
+    err = F.col("x") - F.col("xhat")
+    return labeled.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        # error mass in exact fixed-point (floor of nano-units per value,
+        # integer sum): decimal->double conversion is double-rounded in
+        # some engines, so the oracle-compared aggregate stays integral
+        F.sum(F.floor(F.abs(err) * F.lit(1000000000.0)).cast("bigint")).alias(
+            "sum_abs_err_nano"
+        ),
+        F.max(F.abs(err)).alias("max_abs_err"),
+        F.min("code").alias("min_code"),
+        F.max("code").alias("max_code"),
+    )

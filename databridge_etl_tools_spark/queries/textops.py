@@ -857,3 +857,35 @@ def kfold_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "source_segment_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_TOK} AS toks, len({_TOK}) AS n FROM documents),
+    segs AS (
+      SELECT DISTINCT source AS g,
+             md5(array_to_string(toks[s+1:s+4], ' ')) AS seg_fp
+      FROM (SELECT source, toks,
+                   unnest(range(0, greatest(n, 1), 4)) AS s
+            FROM base)
+      WHERE len(toks[s+1:s+4]) > 0)
+    SELECT a.g AS group_a, b.g AS group_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_segments
+    FROM segs a JOIN segs b ON a.seg_fp = b.seg_fp AND a.g < b.g
+    GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def source_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix
+    (``operators.chunking.segment_overlap_matrix``): distinct shared
+    4-token segments for every source pair — the shared-boilerplate /
+    leakage census run before mixing corpora. Pair fan-out per
+    fingerprint is bounded by the source-count squared, never the
+    corpus, so hot boilerplate cannot blow up the join."""
+    from ..operators.chunking import segment_overlap_matrix
+
+    docs = table(spark, sf_dir, "documents")
+    return segment_overlap_matrix(docs, "source", size=4)
