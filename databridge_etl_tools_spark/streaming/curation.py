@@ -91,3 +91,51 @@ def curate_stream_into_store(
     stream_upsert_into_store(
         curated, store, table, keys=["fp"], checkpoint_dir=checkpoint_dir
     )
+
+
+def dedupe_segments_stream(
+    stream: DataFrame,
+    *,
+    size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming segment-level exact dedup (the incremental form of
+    ``operators.chunking.dedup_segments``): incoming documents are cut
+    into disjoint ``size``-token segments map-side (stateless —
+    chunking is pure column expressions, identical batch or stream),
+    then first-arrival-deduped on the segment fingerprint with
+    fingerprint-keyed state. The batch operator's total order
+    (doc_id, start) becomes arrival order here — same survivor SET,
+    possibly different representative per fingerprint, exactly the
+    ``dropDuplicates`` contract the whole-doc streaming dedup uses.
+    State is fingerprint-keyed and unbounded under a continuous run —
+    drain-style ``availableNow`` ingests hold it per run; add
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` when the
+    source carries event time and late re-sends are bounded."""
+    from ..operators.chunking import chunk_documents
+
+    segs = chunk_documents(
+        stream, text_col=text_col, id_col=id_col, size=size, stride=size
+    ).withColumn("seg_fp", F.md5("chunk_text"))
+    return segs.dropDuplicates(["seg_fp"])
+
+
+def segment_stream_into_store(
+    stream: DataFrame,
+    store,
+    table: str,
+    checkpoint_dir: str,
+    size: int = 4,
+) -> None:
+    """Incremental segment dedup with exactly-once commits: surviving
+    segments land in the store under the idempotent epoch contract,
+    keyed on the segment fingerprint — a fingerprint re-seen in a
+    later run overwrites its row instead of duplicating it, so the
+    store stays a distinct-segment table across restarts."""
+    from .events import stream_upsert_into_store
+
+    deduped = dedupe_segments_stream(stream, size=size)
+    stream_upsert_into_store(
+        deduped, store, table, keys=["seg_fp"], checkpoint_dir=checkpoint_dir
+    )

@@ -85,3 +85,37 @@ def test_restart_with_new_data_is_incremental(spark, tmp_path):
     assert final.where(F.col("doc_id") == 100001).count() == 1
     # the duplicate replaced its fp row (upsert), never duplicated it
     assert final.count() == n1 + 1
+
+
+def test_segment_stream_matches_batch_dedup(spark, tmp_path):
+    """Streaming segment dedup drains to the same distinct-fingerprint
+    set as the batch first-occurrence operator, and a later file whose
+    segments were all seen adds nothing."""
+    from databridge_etl_tools_spark.operators.chunking import dedup_segments
+
+    docs, staging = _stage(spark, tmp_path)
+    store = TableStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt_seg")
+    C.segment_stream_into_store(
+        C.read_document_stream(spark, staging), store, "segments",
+        checkpoint_dir=ckpt, size=4,
+    )
+    got = store.read("segments")
+    batch = dedup_segments(docs, size=4).where("is_first")
+    g = {r.seg_fp for r in got.select("seg_fp").collect()}
+    b = {r.seg_fp for r in batch.select("seg_fp").collect()}
+    assert g == b
+    assert got.count() == batch.count()
+    n1 = got.count()
+
+    # a re-sent document: every segment fingerprint already in state →
+    # zero new rows
+    first = docs.orderBy("doc_id").first()
+    spark.createDataFrame(
+        [(200001, first.text, first.lang, "late", len(first.text))], C.DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(staging)
+    C.segment_stream_into_store(
+        C.read_document_stream(spark, staging), store, "segments",
+        checkpoint_dir=ckpt, size=4,
+    )
+    assert store.read("segments").count() == n1
