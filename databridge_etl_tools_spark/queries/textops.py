@@ -889,3 +889,141 @@ def source_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return segment_overlap_matrix(docs, "source", size=4)
+
+
+@query(
+    "corpus_curation_v2",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_TOK} AS toks, len({_TOK}) AS n,
+             length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS wl,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS sym
+      FROM documents),
+    good AS (
+      SELECT doc_id, lang, toks, n FROM s
+      WHERE (n >= 10 AND n <= 100000)
+        AND (wl >= 3.0 AND wl <= 10.0)
+        AND (n > 0 AND sym / CAST(n AS DOUBLE) <= 0.1)
+        AND (n > 0 AND len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+              / CAST(n AS DOUBLE) >= 0.8)
+        AND (len(list_filter(['the','be','to','of','and','that','have','with'],
+              w -> list_contains(list_transform(toks, t -> lower(t)), w))) >= 1)),
+    segs AS (
+      SELECT doc_id, st, array_to_string(toks[st+1:st+4], ' ') AS seg_text,
+             len(toks[st+1:st+4]) AS n_seg
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(n, 1), 4)) AS st
+            FROM good)),
+    ranked AS (
+      SELECT doc_id, n_seg,
+             row_number() OVER (PARTITION BY md5(seg_text)
+                                ORDER BY doc_id, st) AS rn
+      FROM segs),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(n_seg) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN rn = 1 THEN n_seg ELSE 0 END) AS BIGINT) AS n_kept
+      FROM ranked GROUP BY 1),
+    keepdocs AS (
+      SELECT g.doc_id, g.lang, p.n_kept
+      FROM good g JOIN per p USING (doc_id)
+      WHERE p.n_kept * 2 >= p.n_total),
+    c AS (SELECT
+        (SELECT COUNT(*) FROM keepdocs WHERE lang = 'en') AS n_en,
+        (SELECT COUNT(*) FROM keepdocs WHERE lang = 'de') AS n_de,
+        (SELECT COUNT(*) FROM keepdocs WHERE lang NOT IN ('en','de')) AS n_ot),
+    w AS (SELECT n_en, n_de, n_ot,
+                 sqrt(CAST(n_en AS DOUBLE)) AS w_en,
+                 sqrt(CAST(n_de AS DOUBLE)) AS w_de,
+                 sqrt(CAST(n_ot AS DOUBLE)) AS w_ot
+          FROM c),
+    t AS (SELECT *, w_en + w_de + w_ot AS tw FROM w),
+    f AS (SELECT *, least(n_en / (w_en / tw),
+                          n_de / (w_de / tw),
+                          n_ot / (w_ot / tw)) AS feas FROM t),
+    r AS (SELECT least(1.0::DOUBLE, (feas * (w_en / tw)) / n_en) AS rate_en,
+                 least(1.0::DOUBLE, (feas * (w_de / tw)) / n_de) AS rate_de,
+                 least(1.0::DOUBLE, (feas * (w_ot / tw)) / n_ot) AS rate_ot
+          FROM f),
+    kept AS (
+      SELECT 'en' AS source, doc_id, n_kept FROM keepdocs, r
+      WHERE lang = 'en'
+        AND CAST('0x'||substr(md5('tempmix:en:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+              / 4294967296.0 < rate_en
+      UNION ALL
+      SELECT 'de' AS source, doc_id, n_kept FROM keepdocs, r
+      WHERE lang = 'de'
+        AND CAST('0x'||substr(md5('tempmix:de:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+              / 4294967296.0 < rate_de
+      UNION ALL
+      SELECT 'other' AS source, doc_id, n_kept FROM keepdocs, r
+      WHERE lang NOT IN ('en','de')
+        AND CAST('0x'||substr(md5('tempmix:other:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+              / 4294967296.0 < rate_ot)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_kept) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM kept GROUP BY 1
+    """,
+    gate=False,
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation pipeline, composing this round's
+    operators end-to-end in ONE declarative plan: Gopher quality gate
+    (published thresholds, min_words=10 / 1 required stopword for the
+    synthetic corpus) → segment-level exact dedup (4-token disjoint
+    windows, corpus-wide first occurrence) → drop documents that lose
+    more than half their tokens to boilerplate (exact integer rule:
+    kept·2 ≥ total) → temperature-smoothed language mixture (α = 0.5,
+    √n weights) → per-mixture-source corpus stats. Shuffles: the
+    segment-fingerprint window, the per-doc retention aggregate, its
+    join back, and the final stats — the gate and both sampling
+    stages are map-side. The DuckDB oracle replays every stage
+    independently, including the mixture's count/weight/rate
+    arithmetic."""
+    from ..operators.chunking import dedup_segments
+    from ..operators.materialize import materialize
+    from ..operators.sampling import temperature_mixture
+
+    docs = table(spark, sf_dir, "documents")
+    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
+    good = (
+        docs.withColumn("_g", g)
+        .where(F.col("_g.passes"))
+        .select("doc_id", "lang", "text")
+    )
+    segs = dedup_segments(good, size=4)
+    per = segs.groupBy("doc_id").agg(
+        F.sum(F.col("n_chunk_tokens").cast("bigint")).alias("n_total"),
+        F.sum(
+            F.when(F.col("is_first"), F.col("n_chunk_tokens").cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("n_kept"),
+    )
+    keep = good.select("doc_id", "lang").join(
+        per.where(F.col("n_kept") * 2 >= F.col("n_total")).select("doc_id", "n_kept"),
+        "doc_id",
+    )
+    # the mixture measures one count() per source at construction —
+    # materialize the curated base so those counts and the final agg
+    # don't re-run the gate + dedup window per branch
+    keep = materialize(keep)
+    mixed = temperature_mixture(
+        {
+            "en": keep.where(F.col("lang") == "en"),
+            "de": keep.where(F.col("lang") == "de"),
+            "other": keep.where(~F.col("lang").isin("en", "de")),
+        },
+        key="doc_id",
+        alpha=0.5,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kept").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
