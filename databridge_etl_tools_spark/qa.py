@@ -164,3 +164,47 @@ class QAReport:
             f"added>0={bool(added)} subtracted>0={bool(subtracted)}",
             precondition,
         )
+
+
+def histogram_fixed(
+    df,
+    value_col: str,
+    *,
+    bins: int,
+    lo: float,
+    hi: float,
+    group_col: str | None = None,
+):
+    """Equi-width histogram profiling (the distribution half of a QA
+    report): bucket ``value_col`` into ``bins`` equal widths over
+    [lo, hi), with explicit underflow (-1) and overflow (``bins``)
+    buckets so no row is silently dropped.
+
+    Bucketing is one map-side expression —
+    ``floor((x - lo) / (hi - lo) * bins)`` clamped with ``least`` so
+    float rounding at the top edge cannot spill into the overflow
+    bucket — followed by a single mergeable aggregation keyed on
+    (group, bucket): partial counts combine map-side, so the shuffle
+    carries at most groups × (bins + 2) rows regardless of data
+    volume. All arithmetic is IEEE-exact and mirrored by the DuckDB
+    oracle (no engine-specific rounding rule)."""
+    from pyspark.sql import functions as F
+
+    if bins < 1:
+        raise ValueError("histogram_fixed: bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("histogram_fixed: need hi > lo")
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins))
+    bucket = (
+        F.when(x < lo, F.lit(-1))
+        .when(x >= hi, F.lit(bins))
+        .otherwise(F.least(raw, F.lit(bins - 1)))
+        .cast("int")
+    )
+    keys = ([group_col] if group_col else []) + ["bucket"]
+    return (
+        df.select(*([group_col] if group_col else []), bucket.alias("bucket"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

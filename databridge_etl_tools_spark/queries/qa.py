@@ -68,3 +68,32 @@ def qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(parity))
         .withColumn("parity_ok", (F.col("n_even") + F.col("n_odd")) == F.col("n_total"))
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(CASE WHEN value < 0.0 THEN -1
+                       WHEN value >= 500.0 THEN 20
+                       ELSE least(floor((value - 0.0) / 500.0 * 20), 19)
+                  END AS INTEGER) AS bucket
+      FROM events)
+    SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling (``qa.histogram_fixed``): 20 equi-width
+    value buckets over [0, 500) per event type, with explicit
+    underflow/overflow buckets so no row is dropped. One map-side
+    bucket expression + one mergeable aggregation — the shuffle
+    carries at most types × 22 rows at any corpus size."""
+    from ..qa import histogram_fixed
+
+    ev = table(spark, sf_dir, "events")
+    return histogram_fixed(
+        ev, "value", bins=20, lo=0.0, hi=500.0, group_col="event_type"
+    )
