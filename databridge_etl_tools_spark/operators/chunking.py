@@ -136,3 +136,53 @@ def segment_overlap_matrix(
         .groupBy("group_a", "group_b")
         .agg(F.count(F.lit(1)).alias("n_shared_segments"))
     )
+
+
+def reassemble_deduped_docs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 4,
+) -> DataFrame:
+    """The full CCNet loop: segment → dedup → REASSEMBLE. Documents
+    come back with their corpus-duplicate segments removed — surviving
+    segments re-joined in original order — plus retention counters.
+
+    Returns ``(<id_col>, clean_text STRING, n_segments, n_kept,
+    n_tokens_kept)``. Order is restored with
+    ``array_sort(collect_list(struct(chunk_start, chunk_text)))`` —
+    sorting the collected structs makes the result independent of
+    aggregation arrival order, so the output is deterministic under
+    any partitioning (collect_list alone is not). A document whose
+    every segment was seen elsewhere first yields an empty
+    ``clean_text`` rather than disappearing.
+
+    Adds one doc-keyed shuffle on top of ``dedup_segments``'s
+    fingerprint window — the same two-shuffle budget as the stats
+    query, with the document's segments grouped back together."""
+    segs = dedup_segments(docs, text_col=text_col, id_col=id_col, size=size)
+    kept_struct = F.when(
+        F.col("is_first"), F.struct(F.col("chunk_start"), F.col("chunk_text"))
+    )
+    return (
+        segs.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("is_first").cast("bigint")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_first"), F.col("n_chunk_tokens").cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ).alias("n_tokens_kept"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["chunk_text"]), " "
+            ).alias("clean_text"),
+            "n_segments",
+            "n_kept",
+            "n_tokens_kept",
+        )
+    )

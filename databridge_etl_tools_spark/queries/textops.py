@@ -1027,3 +1027,45 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "chunk_dedup_reassembled",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS n FROM documents),
+    segs AS (
+      SELECT doc_id, st,
+             array_to_string(toks[st+1:st+4], ' ') AS seg_text,
+             len(toks[st+1:st+4]) AS n_seg
+      FROM (SELECT doc_id, toks, unnest(range(0, greatest(n, 1), 4)) AS st
+            FROM base)),
+    ranked AS (
+      SELECT doc_id, st, seg_text, n_seg,
+             row_number() OVER (PARTITION BY md5(seg_text)
+                                ORDER BY doc_id, st) AS rn
+      FROM segs)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+                               ORDER BY st), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_seg ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+    FROM ranked GROUP BY 1
+    """,
+    gate=False,
+)
+def chunk_dedup_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CCNet loop (``operators.chunking.
+    reassemble_deduped_docs``): segment → corpus-wide first-occurrence
+    dedup → reassemble each document from its surviving segments in
+    original order. Output is the CLEANED CORPUS itself (boilerplate
+    stripped, novel text intact), not just retention stats; the
+    collected segments are struct-sorted so the text is deterministic
+    under any partitioning. The DuckDB oracle rebuilds the clean text
+    with an ordered string_agg."""
+    from ..operators.chunking import reassemble_deduped_docs
+
+    docs = table(spark, sf_dir, "documents")
+    return reassemble_deduped_docs(docs, size=4)

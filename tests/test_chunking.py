@@ -78,3 +78,40 @@ def test_dedup_segments_first_occurrence(spark, docs):
     for r in segs:
         texts.setdefault(r.chunk_text, set()).add(r.seg_fp)
     assert all(len(v) == 1 for v in texts.values())
+
+
+def test_reassemble_deduped_docs(spark):
+    """Reassembly drops exactly the duplicate segments and restores
+    original order; a fully-duplicated later doc comes back empty."""
+    from databridge_etl_tools_spark.operators.chunking import reassemble_deduped_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x1 y1 z1 w1"),
+            (2, "m n o p a b c d"),  # 'a b c d' already seen in doc 1
+            (3, "a b c d x1 y1 z1 w1"),  # full duplicate of doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in reassemble_deduped_docs(docs, size=4).collect()}
+    assert out[1].clean_text == "a b c d x1 y1 z1 w1"
+    assert out[2].clean_text == "m n o p"  # order restored, dup stripped
+    assert out[3].clean_text == ""  # survives as a row, empty text
+    assert (out[3].n_segments, out[3].n_kept, out[3].n_tokens_kept) == (2, 0, 0)
+    assert out[2].n_kept == 1 and out[2].n_tokens_kept == 4
+
+
+def test_reassemble_partition_independent(spark, docs):
+    """clean_text is identical under different partitionings (the
+    struct sort defuses collect_list's arrival-order nondeterminism)."""
+    from databridge_etl_tools_spark.operators.chunking import reassemble_deduped_docs
+
+    a = {
+        r.doc_id: r.clean_text
+        for r in reassemble_deduped_docs(docs.repartition(1), size=4).collect()
+    }
+    b = {
+        r.doc_id: r.clean_text
+        for r in reassemble_deduped_docs(docs.repartition(13, "text"), size=4).collect()
+    }
+    assert a == b

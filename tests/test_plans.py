@@ -69,3 +69,39 @@ def test_forest_part_suppliers_semi_joins_broadcast(spark):
     plan = _plan(spark, "forest_part_suppliers")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftSemi" in plan
+
+
+def test_knn_label_vote_broadcasts_topk_no_cartesian(spark):
+    """The corpus label table joins the (queries × k)-row top-k result
+    broadcast — no label shuffle, and the 1-row/vote joins never fall
+    back to CartesianProduct."""
+    plan = _plan(spark, "knn_label_vote")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_segment_overlap_no_cartesian(spark):
+    """The source-pair census is a fingerprint equi-join — pair
+    fan-out bounded by sources², never a cross join."""
+    plan = _plan(spark, "source_segment_overlap")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_emb_quantize_broadcasts_calibration(spark):
+    """Per-dimension min/max calibration (a d-row relation) must come
+    back as a broadcast, never a corpus-sized shuffle join."""
+    plan = _plan(spark, "emb_quantize_int8")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_vocabulary_filter_below_tf_aggregate(spark):
+    """The corpus token stream is vocabulary-filtered (broadcast join)
+    BEFORE the (doc, term) tf aggregation — the only corpus-sized
+    shuffle in the retrieval plan."""
+    plan = _plan(spark, "text_bm25_topk")
+    tf_agg = plan.find("HashAggregate")
+    assert tf_agg != -1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
