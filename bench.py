@@ -37,6 +37,7 @@ HEADLINE = [
     "pii_scrub_contacts",
     "text_bm25_topk",
     "chunk_dedup_segments",
+    "corpus_curation_v2",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

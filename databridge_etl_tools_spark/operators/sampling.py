@@ -166,13 +166,18 @@ def temperature_mixture(
     alpha: float = 0.5,
     total_rows: int | None = None,
     salt: str = "tempmix",
+    counts: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """Mix sources at temperature-smoothed proportions: counts are
-    measured once (one count() scalar per source), smoothed into
-    weights with ``temperature_weights``, and handed to ``mixture``
-    with the counts pre-measured — so the whole plan still costs one
-    count per source and every row's fate stays a content hash."""
-    counts = {name: df.count() for name, df in sources.items()}
+    measured once (one count() scalar per source — or zero jobs when
+    the caller passes ``counts`` from a single grouped aggregation
+    over a shared base), smoothed into weights with
+    ``temperature_weights``, and handed to ``mixture`` with the
+    counts pre-measured — every row's fate stays a content hash."""
+    if counts is None:
+        counts = {name: df.count() for name, df in sources.items()}
+    elif set(counts) != set(sources):
+        raise ValueError("temperature_mixture: counts must cover every source")
     weights = temperature_weights(counts, alpha)
     return mixture(
         {name: (df, weights[name]) for name, df in sources.items()},

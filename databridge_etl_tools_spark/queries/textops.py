@@ -1012,6 +1012,14 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the curated base so those counts and the final agg
     # don't re-run the gate + dedup window per branch
     keep = materialize(keep)
+    # all three source counts in ONE grouped job over the materialized
+    # base (vs one count() job per source)
+    src = F.when(F.col("lang") == "en", "en").when(
+        F.col("lang") == "de", "de"
+    ).otherwise("other")
+    counts = {"en": 0, "de": 0, "other": 0}
+    for r in keep.groupBy(src.alias("_src")).count().collect():
+        counts[r._src] = r["count"]
     mixed = temperature_mixture(
         {
             "en": keep.where(F.col("lang") == "en"),
@@ -1020,6 +1028,7 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         key="doc_id",
         alpha=0.5,
+        counts=counts,
     )
     return mixed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -34,6 +34,10 @@ SHOW = [
     "text_bm25_topk",
     "chunk_dedup_segments",
     "source_capped_topn",
+    "knn_label_vote",
+    "emb_quantize_int8",
+    "source_segment_overlap",
+    "corpus_curation_v2",
 ]
 
 
