@@ -441,3 +441,40 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     return binary_stats(docs, "content", "doc_id")
+
+
+@query(
+    "user_event_sequences",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             list(event_type ORDER BY ts, event_id) AS all_events
+      FROM events GROUP BY 1)
+    SELECT user_id, n_events,
+           array_to_string(
+             all_events[greatest(len(all_events) - 10 + 1, 1):len(all_events)],
+             ' ') AS last_events
+    FROM seqs
+    """,
+    gate=False,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interaction sequences
+    (``operators.sequences.user_sequences``): each user's last 10
+    events in (ts, event_id) total order — the fixed-length history
+    feature of sequential/recommender training examples. One
+    user-keyed mergeable aggregation; ordering happens inside the
+    collected array (array_sort over structs), never a global sort,
+    so the sequence is identical under any partitioning — which the
+    ordered-list DuckDB oracle confirms."""
+    from ..operators.sequences import user_sequences
+
+    ev = table(spark, sf_dir, "events")
+    seq = user_sequences(ev, last_n=10)
+    # the sequence is emitted as a joined string: the gate comparator
+    # normalizes scalar column types only, so array-typed outputs are
+    # kept out of oracle-checked results by convention
+    return seq.select(
+        "user_id", "n_events", F.array_join("last_events", " ").alias("last_events")
+    )

@@ -297,3 +297,39 @@ def test_gopher_rules_match_python_twin(spark, words):
     assert r.symbol_ok == (n > 0 and sym / n <= 0.1)
     assert r.alpha_ok == (n > 0 and alpha / n >= 0.8)
     assert r.stopword_ok == (req >= 2)
+
+
+@settings(**_SETTINGS)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=60),
+    size=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=12),
+)
+def test_chunking_covers_tokens_exactly(spark, n_tokens, size, stride):
+    """Chunking invariants for arbitrary (n, size, stride):
+    - disjoint mode (stride == size) partitions the token list exactly
+      (each token in exactly one chunk, concatenation restores the doc);
+    - any mode: starts are 0, stride, 2·stride… < max(n, 1), every
+      chunk is the true slice, and when stride <= size every token
+      index is covered by at least one window."""
+    from databridge_etl_tools_spark.operators.chunking import chunk_documents
+
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_start, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(df, size=size, stride=stride).collect()
+    )
+    want_starts = list(range(0, max(n_tokens, 1), stride))
+    assert [s for s, _, _ in rows] == want_starts
+    for s, text, m in rows:
+        want = toks[s : s + size]
+        assert text == " ".join(want) and m == len(want)
+    if stride == size:
+        flat = [w for s, text, _ in rows for w in (text.split() if text else [])]
+        assert flat == toks
+    if stride <= size and n_tokens:
+        covered = set()
+        for s, _, m in rows:
+            covered.update(range(s, s + m))
+        assert covered == set(range(n_tokens))

@@ -1,0 +1,47 @@
+"""User event-sequence construction: ordering, truncation, tie-break,
+partition independence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from databridge_etl_tools_spark.operators.sequences import user_sequences
+
+
+def _ev(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i in range(15 if u == 1 else 3):
+            rows.append((eid, u, t0 + dt.timedelta(minutes=i), f"e{i}"))
+            eid += 1
+    # user 3: equal timestamps — order must fall to event_id
+    rows.append((100, 3, t0, "first"))
+    rows.append((101, 3, t0, "second"))
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+
+
+def test_sequences_truncate_to_most_recent(spark):
+    out = {r.user_id: r for r in user_sequences(_ev(spark), last_n=10).collect()}
+    assert out[1].n_events == 15
+    assert out[1].last_events == [f"e{i}" for i in range(5, 15)]  # last 10
+    assert out[2].n_events == 3
+    assert out[2].last_events == ["e0", "e1", "e2"]  # shorter than n: all kept
+    assert out[3].last_events == ["first", "second"]  # event_id tie-break
+
+
+def test_sequences_partition_independent(spark):
+    ev = _ev(spark)
+    a = {r.user_id: r.last_events for r in user_sequences(ev.repartition(1)).collect()}
+    b = {
+        r.user_id: r.last_events
+        for r in user_sequences(ev.repartition(7, "event_type")).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        user_sequences(ev, last_n=0)

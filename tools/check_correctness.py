@@ -60,6 +60,9 @@ def norm_spark_type(t: str) -> str:
         ("boolean", "bool"), ("array", None), ("binary", "bytes"),
     ]:
         if t.startswith(pre):
+            if pre == "array":
+                inner = t[len("array<"):-1] if t.endswith(">") else t
+                return "array<" + norm_spark_type(inner) + ">"
             return t if out is None else out
     return t
 
