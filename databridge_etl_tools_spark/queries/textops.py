@@ -1078,3 +1078,63 @@ def chunk_dedup_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return reassemble_deduped_docs(docs, size=4)
+
+
+@query(
+    "vocab_encode_documents",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    occ AS (SELECT unnest(toks) AS token FROM base),
+    counts AS (
+      SELECT token, COUNT(*) AS cnt FROM occ GROUP BY 1
+      HAVING COUNT(*) >= 3),
+    vocab AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INTEGER)
+               AS token_id
+      FROM counts),
+    ex AS (
+      SELECT doc_id, pos, toks[pos] AS token
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos
+            FROM base)),
+    j AS (
+      SELECT e.doc_id, e.pos,
+             COALESCE(v.token_id, -1) AS tid,
+             (v.token_id IS NULL) AS oov
+      FROM ex e LEFT JOIN vocab v USING (token)),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+      FROM j GROUP BY 1)
+    SELECT b.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_oov, 0) AS n_oov,
+           COALESCE(a.ids, '') AS ids
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    gate=False,
+)
+def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + document encoding
+    (``operators.vocab``): frequency-ranked token→id table
+    (min_count=3; rank (count desc, token asc) — a total order, so
+    ids are engine-identical), broadcast back onto the exploded
+    corpus stream for encoding (the corpus is never shuffled by
+    token), sequences reassembled in exact original order via struct
+    sort, OOV tokens mapped to -1 and counted per document. The id
+    sequence is emitted as a joined string (scalar-type comparator
+    convention); the DuckDB oracle rebuilds vocabulary, ranks, and
+    ordered encodings independently."""
+    from ..operators.vocab import build_vocab, encode_documents
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, min_count=3)
+    enc = encode_documents(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.array_join(F.transform("ids", lambda i: i.cast("string")), " ").alias("ids"),
+    )
