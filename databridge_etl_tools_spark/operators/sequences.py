@@ -56,3 +56,80 @@ def user_sequences(
         "n_events",
         F.transform(tail, lambda e: e[payload_col]).alias("last_events"),
     )
+
+
+def dense_index(df: DataFrame, id_col: str = "doc_id", n_parts: int = 32) -> DataFrame:
+    """Dense 0..N-1 row index in ``id_col`` order — the two-pass
+    distributed prefix sum from ``operators.packing`` with a constant
+    size of 1 (range partitions → local cumsum → driver prefix of
+    bounded totals), never a global single-partition window. Returns
+    the input keys plus ``row_index BIGINT``."""
+    from .packing import pack_sequences
+
+    out = pack_sequences(
+        df.withColumn("_one", F.lit(1)), "_one", id_col=id_col, budget=1,
+        n_parts=n_parts,
+    )
+    return (
+        out.withColumn("row_index", F.col("seq_start").cast("bigint"))
+        .drop("seq_id", "seq_start", "_one")
+    )
+
+
+def negative_samples(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    k: int = 4,
+    salt: str = "neg",
+    avoid_self: bool = True,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each row, ``k`` pseudo-random corpus rows drawn by content hash —
+    ``idx_j = md5(salt:key:j) % N`` — mapped to real keys through the
+    dense row index. No RNG state: the same (corpus, key, j) always
+    yields the same negative, across engines, partitionings, and
+    retries, so training examples are reproducible.
+
+    Shape: the corpus pays the dense-index pass (two-pass prefix sum)
+    and one join keyed on the drawn index — uniform by construction.
+    N arrives as a 1-row broadcast aggregate, not a driver count.
+    With ``avoid_self`` a row whose draw lands on itself keeps k-1
+    negatives for that j (documented under-delivery, never a biased
+    redraw). Returns ``(<key_col>, draw INT, neg_<key_col>)``."""
+    if k < 1:
+        raise ValueError("negative_samples: k must be >= 1")
+    idx = dense_index(df.select(key_col), id_col=key_col)
+    n_rows = idx.agg(F.count(F.lit(1)).alias("_n"))
+    key = F.col(key_col)
+    draws = (
+        df.select(key_col)
+        .select(key_col, F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("draw"))
+        .crossJoin(F.broadcast(n_rows))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    key.cast("string"),
+                    F.lit(":"),
+                    F.col("draw").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    drawn = draws.withColumn("_neg_idx", h % F.col("_n")).drop("_n")
+    neg = idx.select(
+        F.col(key_col).alias(f"neg_{key_col}"), F.col("row_index").alias("_neg_idx")
+    )
+    out = drawn.join(neg, "_neg_idx").select(
+        key_col, F.col("draw").cast("int").alias("draw"), f"neg_{key_col}"
+    )
+    if avoid_self:
+        out = out.where(F.col(key_col) != F.col(f"neg_{key_col}"))
+    return out

@@ -1138,3 +1138,36 @@ def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         F.array_join(F.transform("ids", lambda i: i.cast("string")), " ").alias("ids"),
     )
+
+
+@query(
+    "contrastive_negatives",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) - 1 AS row_index
+      FROM documents),
+    n AS (SELECT COUNT(*) AS n_rows FROM documents),
+    draws AS (
+      SELECT d.doc_id, CAST(j AS INTEGER) AS draw,
+             CAST('0x'||substr(md5('neg:'||CAST(d.doc_id AS VARCHAR)||':'
+                                   ||CAST(j AS VARCHAR)),1,8) AS BIGINT)
+               % n.n_rows AS neg_idx
+      FROM documents d CROSS JOIN n, unnest(range(0, 3)) AS t(j))
+    SELECT dr.doc_id, dr.draw, i.doc_id AS neg_doc_id
+    FROM draws dr JOIN idx i ON i.row_index = dr.neg_idx
+    WHERE dr.doc_id <> i.doc_id
+    """,
+    gate=False,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling
+    (``operators.sequences.negative_samples``): 3 content-hash draws
+    per document mapped to real ids through the distributed dense
+    index (two-pass prefix sum — no global window), self-draws
+    dropped. Reproducible across engines, partitionings, and retries
+    — the DuckDB oracle redraws every negative independently."""
+    from ..operators.sequences import negative_samples
+
+    docs = table(spark, sf_dir, "documents")
+    return negative_samples(docs, key_col="doc_id", k=3)

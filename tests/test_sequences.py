@@ -45,3 +45,37 @@ def test_sequences_partition_independent(spark):
     assert a == b
     with pytest.raises(ValueError):
         user_sequences(ev, last_n=0)
+
+
+def test_dense_index_contract(spark):
+    from databridge_etl_tools_spark.operators.sequences import dense_index
+
+    df = spark.createDataFrame([(i * 7,) for i in range(50)], "doc_id long")
+    got = {r.doc_id: r.row_index for r in dense_index(df).collect()}
+    assert sorted(got.values()) == list(range(50))
+    # index follows doc_id order
+    ordered = sorted(got)
+    assert [got[d] for d in ordered] == list(range(50))
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    from databridge_etl_tools_spark.operators.sequences import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = sorted(
+        (r.doc_id, r.draw, r.neg_doc_id) for r in negative_samples(df, k=3).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.draw, r.neg_doc_id)
+        for r in negative_samples(df.repartition(5), k=3).collect()
+    )
+    assert a == b  # partition-independent
+    assert all(d != n for d, _, n in a)  # self excluded
+    per = {}
+    for d, j, n in a:
+        per.setdefault(d, set()).add(j)
+        assert n in range(40)
+    assert all(len(js) <= 3 for js in per.values())
+    assert sum(len(js) for js in per.values()) >= 40 * 3 - 10  # few self-drops
+    with pytest.raises(ValueError):
+        negative_samples(df, k=0)
