@@ -92,6 +92,16 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "chunk_dedup_segments",
         "mixture_temperature",
         "source_capped_topn",
+        "knn_label_vote",
+        "kfold_documents",
+        "emb_quantize_int8",
+        "source_segment_overlap",
+        "corpus_curation_v2",
+        "events_value_histogram",
+        "chunk_dedup_reassembled",
+        "user_event_sequences",
+        "vocab_encode_documents",
+        "contrastive_negatives",
         # -- r1-r3 overflow tier, never driver-verified before:
         "bracket_revenue",
         "corpus_curation",
@@ -116,7 +126,17 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
-        # parked: hash-matched in CORRECTNESS_r02 + r03
+        # parked: hash-matched in CORRECTNESS_r02 + r03 (most also r01)
+        "pricing_summary",
+        "region_revenue",
+        "set_ops",
+        "events_sessionize",
+        "asof_purchase_last_view",
+        "range_join_interval_counts",
+        "skew_salted_agg",
+        "mm_binary_stats",
+        "emb_neardup_pairs",
+        "ann_lsh_bucketed",
         "shipping_priority",
         "forecast_revenue",
         "important_nation_stock",
