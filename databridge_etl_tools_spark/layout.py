@@ -182,6 +182,33 @@ def build_embeddings_by_cell(
     return path
 
 
+def build_documents_by_lang(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Write documents partitioned by language; the provider restores
+    the original column order so the query-facing schema is unchanged.
+    The corpus-curation family is lang-stratified end to end (per-lang
+    gates, stratified samples, mixture branches ``WHERE lang = …``) —
+    with this layout each branch prunes to its language's files at
+    listing time instead of scanning the whole corpus. Language
+    cardinality is tiny and document counts per language are balanced
+    enough that partition sizes stay sane; at 100 TB the same layout
+    would sub-partition by a hash bucket within lang."""
+    registry.LAYOUT.pop((sf_dir.rstrip("/"), "documents"), None)
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    path = f"{out_dir.rstrip('/')}/documents_by_lang"
+    sig = _source_sig(src)
+    docs = registry.table(spark, sf_dir, "documents")
+    cols = docs.columns
+    if not _marker_fresh(os.path.join(path, _MARKER), sig):
+        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+        _write_marker(os.path.join(path, _MARKER), sig)
+    registry.register_layout(
+        sf_dir,
+        "documents",
+        lambda spark, path=path, cols=cols: spark.read.parquet(path).select(*cols),
+    )
+    return path
+
+
 def build_all(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> None:
     """Build (or reuse) every layout for ``sf_dir`` (bench/startup
     hook). ``out_dir`` defaults to a stable per-SF scratch dir so
@@ -191,3 +218,4 @@ def build_all(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> N
     build_bucketed_facts(spark, sf_dir)
     build_events_by_day(spark, sf_dir, out)
     build_embeddings_by_cell(spark, sf_dir, out)
+    build_documents_by_lang(spark, sf_dir, out)

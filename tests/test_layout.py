@@ -131,3 +131,30 @@ def test_layout_build_is_cached(spark, tmp_path):
         registry.clear_layouts()
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_documents_lang_layout_prunes_partitions(spark, tmp_path):
+    out = str(tmp_path)
+    layout.build_documents_by_lang(spark, SF, out)
+    try:
+        # a lang predicate prunes at file listing on the layout copy
+        df = spark.read.parquet(f"{out}/documents_by_lang").where(
+            F.col("lang") == "en"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters:" in plan
+        assert "lang" in plan.split("PartitionFilters:")[1].split("]")[0]
+        # layout-served frame: original schema/order, identical rows
+        served = registry.table(spark, SF, "documents")
+        backup = dict(registry.LAYOUT)
+        registry.clear_layouts()
+        try:
+            raw = registry.table(spark, SF, "documents")
+            assert served.columns == raw.columns
+            assert {tuple(r) for r in served.collect()} == {
+                tuple(r) for r in raw.collect()
+            }
+        finally:
+            registry.LAYOUT.update(backup)
+    finally:
+        registry.clear_layouts()
