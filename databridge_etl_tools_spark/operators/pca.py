@@ -131,3 +131,69 @@ def pca_project(
 ) -> DataFrame:
     """Append ``pc1..pck`` projection columns (map-side only)."""
     return df.select("*", *pca_project_cols(model, vec_col))
+
+
+def pca_prefilter_topk(
+    emb: DataFrame,
+    model: dict,
+    k: int = 5,
+    shortlist: int = 20,
+    query_pred=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimensionality-reduced ANN: coarse top-``shortlist`` search in
+    the PCA-projected space (d′ ≪ d — the fold cost per candidate
+    drops by d/d′), then EXACT cosine rerank of the shortlist on the
+    full vectors. The classic recall/throughput dial: shortlist →
+    corpus size reproduces the exact result (pinned by test);
+    production shortlists trade a measured recall for the cheap
+    coarse pass.
+
+    The rerank joins the (queries × shortlist)-row candidate set —
+    broadcast — against the full-vector table twice; the corpus is
+    never reshuffled. Projection itself is map-side (see
+    ``pca_project_cols``)."""
+    from pyspark.sql import Window
+
+    from .similarity import dot_fold, with_norm
+
+    pcs = pca_project_cols(model, vec_col)
+    # keep the original columns so query_pred can reference any of
+    # them; cosine_topk applies the predicate BEFORE the candidate
+    # join, so only the query subset pays the coarse ranking
+    proj = emb.select("*", F.array(*[c for c in pcs]).alias("_pc"))
+    from .similarity import cosine_topk
+
+    coarse = cosine_topk(
+        proj, k=shortlist, query_pred=query_pred, id_col=id_col, vec_col="_pc"
+    )
+    full = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col("_norm")
+    )
+    pairs = (
+        coarse.select("query_id", "neighbor_id")
+        .join(
+            full.select(
+                F.col("_id").alias("query_id"),
+                F.col("_v").alias("_qv"),
+                F.col("_norm").alias("_qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            full.select(
+                F.col("_id").alias("neighbor_id"),
+                F.col("_v").alias("_cv"),
+                F.col("_norm").alias("_cn"),
+            ),
+            "neighbor_id",
+        )
+    )
+    cos = dot_fold(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

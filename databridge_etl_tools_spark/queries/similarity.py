@@ -347,3 +347,22 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("code").alias("min_code"),
         F.max("code").alias("max_code"),
     )
+
+
+@query("ann_pca_prefilter")  # no oracle: the PCA fit (eigendecomposition)
+# isn't SQL-expressible; the exactness anchor (corpus-sized shortlist ==
+# exact brute force) and the measured recall floor are pinned in
+# tests/test_pca.py
+def ann_pca_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality-reduced ANN (``operators.pca.pca_prefilter_topk``):
+    coarse top-50 search in 8-dim PCA space (per-candidate fold cost
+    drops 8×), exact full-vector cosine rerank of the shortlist. The
+    recall/throughput dial between brute force and the IVF/LSH/PQ
+    paths; shortlist → corpus reproduces exact (test-pinned)."""
+    from ..operators.pca import pca_fit, pca_prefilter_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    return pca_prefilter_topk(
+        emb, model, k=5, shortlist=50, query_pred=F.col("vec_id") % 50 == 0
+    )
