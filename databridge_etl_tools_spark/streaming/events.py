@@ -297,3 +297,30 @@ def stream_rollup_into_store(stream: DataFrame, store, checkpoint_dir: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: "list[str] | str",
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: incoming events pick up
+    dimension attributes (user profile, product catalog, config
+    table) with NO state and NO watermark — Spark re-resolves the
+    static side per micro-batch, so a slowly-changing dimension is
+    picked up on its next refresh without restarting the query.
+
+    The broadcast hint keeps the join map-side (stateless per batch;
+    the stream is never shuffled) — correct whenever the dimension
+    fits the broadcast budget, which is the definition of a
+    dimension. Drop the hint for a genuinely huge static side and the
+    batch join planner takes over per micro-batch. Only ``inner`` and
+    ``left`` (stream-preserving) joins are allowed: a right/full join
+    against a stream would need to emit dimension rows that never
+    matched, which streaming cannot do without state."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"enrich_stream: unsupported how={how!r}")
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return stream.join(d, keys, how)

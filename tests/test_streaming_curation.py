@@ -119,3 +119,32 @@ def test_segment_stream_matches_batch_dedup(spark, tmp_path):
         checkpoint_dir=ckpt, size=4,
     )
     assert store.read("segments").count() == n1
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join: drained enrichment equals the batch join;
+    unmatched stream rows survive a left join with nulls."""
+    from databridge_etl_tools_spark.streaming import events as E
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = str(tmp_path / "ev_staging")
+    ev.coalesce(2).write.mode("overwrite").parquet(staging)
+    static_schema = spark.read.parquet(staging).schema
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("purchase", 9.0), ("view", 0.5)],
+        "event_type string, weight double",
+    )
+    stream = spark.readStream.schema(static_schema).parquet(staging)
+    enriched = E.enrich_stream(stream, dim, "event_type", how="left")
+    got = E.run_available_now(enriched, "enriched_events")
+    batch = spark.read.parquet(staging).join(dim, "event_type", "left")
+    g = {(r.event_id, r.weight) for r in got.select("event_id", "weight").collect()}
+    b = {(r.event_id, r.weight) for r in batch.select("event_id", "weight").collect()}
+    assert g == b and len(g) == ev.count()
+    # unmatched types (signup/error) kept with null weight
+    assert any(w is None for _, w in g)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        E.enrich_stream(stream, dim, "event_type", how="full")
