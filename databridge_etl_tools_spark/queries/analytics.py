@@ -478,3 +478,59 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "user_id", "n_events", F.array_join("last_events", " ").alias("last_events")
     )
+
+
+@query(
+    "user_daily_features",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2),
+    d2 AS (
+      SELECT *, datediff('day', DATE '1970-01-01', day) AS dnum FROM daily)
+    SELECT user_id, day, n_events, n_purchases, total_value,
+           CAST(COUNT(*) OVER w AS BIGINT) AS active_days_7d,
+           CAST(SUM(n_events) OVER w AS DOUBLE) / (COUNT(*) OVER w)
+             AS avg_events_7d
+    FROM d2
+    WINDOW w AS (PARTITION BY user_id ORDER BY dnum
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    gate=False,
+)
+def user_daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity features with trailing 7-day windows —
+    the feature-engineering shape of behavioral training data: daily
+    event/purchase counts and value, plus a RANGE-frame moving
+    average keyed on the integer day number (a calendar range frame,
+    not a row frame — gap days shrink the window honestly). Two
+    shuffles: the daily aggregation and the user-keyed window; the
+    moving average divides two integer window aggregates, so the
+    double is engine-identical."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
+    )
+    d2 = daily.withColumn("dnum", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    w7 = Window.partitionBy("user_id").orderBy("dnum").rangeBetween(-6, 0)
+    return d2.select(
+        "user_id",
+        "day",
+        "n_events",
+        "n_purchases",
+        "total_value",
+        F.count(F.lit(1)).over(w7).alias("active_days_7d"),
+        (
+            F.sum("n_events").over(w7).cast("double") / F.count(F.lit(1)).over(w7)
+        ).alias("avg_events_7d"),
+    )
