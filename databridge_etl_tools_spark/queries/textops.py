@@ -1171,3 +1171,47 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return negative_samples(docs, key_col="doc_id", k=3)
+
+
+@query(
+    "length_percentile_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tok
+               FROM documents),
+    b AS (SELECT quantile_cont(n_tok, 0.05) AS lo,
+                 quantile_cont(n_tok, 0.95) AS hi
+          FROM t),
+    kept AS (SELECT t.* FROM t, b WHERE t.n_tok >= b.lo AND t.n_tok <= b.hi)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM kept GROUP BY 1
+    """,
+    gate=False,
+)
+def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band length filtering (the outlier-document trim of
+    corpus curation): keep documents whose token count lies within
+    the corpus's exact [p5, p95] band. The thresholds arrive as a
+    1-row broadcast aggregate cross-joined into a map-side predicate
+    — at 100 TB swap ``percentile`` for ``approx_percentile`` (the
+    t-digest sketch; no global sort) and keep the identical plan
+    shape. Interpolated-percentile arithmetic matches quantile_cont
+    (the exact_percentiles precedent)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", TS.token_count("text").cast("bigint").alias("n_tok"))
+    b = t.agg(
+        F.expr("percentile(n_tok, 0.05)").alias("lo"),
+        F.expr("percentile(n_tok, 0.95)").alias("hi"),
+    )
+    kept = t.crossJoin(F.broadcast(b)).where(
+        (F.col("n_tok") >= F.col("lo")) & (F.col("n_tok") <= F.col("hi"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
