@@ -534,3 +534,103 @@ def user_daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").over(w7).cast("double") / F.count(F.lit(1)).over(w7)
         ).alias("avg_events_7d"),
     )
+
+
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    c AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1),
+    j AS (
+      SELECT c.cohort_day,
+             datediff('day', c.cohort_day, d.day) AS day_offset,
+             d.user_id
+      FROM d JOIN c USING (user_id))
+    SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM j GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis: users grouped by first-seen day,
+    activity counted at each day offset — the classic retention
+    triangle. Three shuffles, all user- or cohort-keyed (distinct
+    user-days, the cohort min, the offset count); integer arithmetic
+    end-to-end, so the oracle hash is exact by construction."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = d.join(c, "user_id").select(
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        "user_id",
+    )
+    return j.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_active_users")
+    )
+
+
+@query(
+    "session_funnel",
+    oracle="""
+    WITH w AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    flags AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) >= 30*60*1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM w),
+    sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM flags),
+    stages AS (
+      SELECT user_id, session_seq,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM sess GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM stages
+    """,
+    gate=False,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel analysis (view → click → purchase in strict
+    temporal order within a 30-minute-gap session): per-session first
+    timestamps of each stage, conjunctive ordering tests, one global
+    rollup. Reuses the gap sessionizer's shuffle; the stage pivot is
+    a conditional MIN inside the same session aggregation — no extra
+    pass, no self-joins per stage (the naive funnel join explodes at
+    scale; conditional aggregation doesn't)."""
+    from ..streaming.events import tag_sessions
+
+    ev = table(spark, sf_dir, "events")
+    tagged = tag_sessions(ev, gap_minutes=30)
+    stages = tagged.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(viewed.cast("bigint")).alias("n_viewed"),
+        F.sum(clicked.cast("bigint")).alias("n_view_then_click"),
+        F.sum(purchased.cast("bigint")).alias("n_full_funnel"),
+    )

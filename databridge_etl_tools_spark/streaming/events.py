@@ -69,17 +69,24 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
-def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Batch sessionization: a session breaks when the gap to the
-    previous event of the same user exceeds ``gap_minutes``. lag +
-    running-sum of boundary flags — one shuffle on user_id."""
+def tag_sessions(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Tag every event with its gap-session ordinal (``session_seq``)
+    without aggregating — the per-event form consumed by funnel/
+    attribution analyses. lag + running-sum of boundary flags, one
+    shuffle on user_id; microsecond arithmetic (exact in every
+    engine — MINUTE units count either boundary crossings or full
+    intervals depending on engine)."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     prev = F.lag("ts").over(w)
-    # microsecond arithmetic: exact in every engine (MINUTE units count
-    # either boundary crossings or full intervals depending on engine)
     gap_us = F.timestamp_diff("MICROSECOND", prev, F.col("ts"))
     is_new = F.when(prev.isNull() | (gap_us >= gap_minutes * 60_000_000), 1).otherwise(0)
-    with_sess = df.withColumn("session_seq", F.sum(is_new).over(w))
+    return df.withColumn("session_seq", F.sum(is_new).over(w))
+
+
+def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a session breaks when the gap to the
+    previous event of the same user exceeds ``gap_minutes``."""
+    with_sess = tag_sessions(df, gap_minutes)
     return (
         with_sess.groupBy("user_id", "session_seq")
         .agg(
