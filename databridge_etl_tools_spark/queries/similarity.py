@@ -366,3 +366,60 @@ def ann_pca_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_prefilter_topk(
         emb, model, k=5, shortlist=50, query_pred=F.col("vec_id") % 50 == 0
     )
+
+
+_TOK_SQL = "list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')"
+
+
+@query(
+    "paired_text_embedding",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOK_SQL}) AS INTEGER) AS n_tokens,
+             (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))
+                        / len({_TOK_SQL}) >= 3.0
+                    AND length(regexp_replace(text, '\\s+', '', 'g'))
+                        / len({_TOK_SQL}) <= 8.0 THEN 1.0 ELSE 0.0 END
+              + least(len(list_filter({_TOK_SQL},
+                    x -> list_contains(['the','and','of','to','a'], lower(x))))
+                  / CAST(len({_TOK_SQL}) AS DOUBLE) * 4.0, 1.0)
+              + 1.0 - least(len(regexp_extract_all(text, '[^\\w\\s]'))
+                  / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) / 3.0 AS quality
+      FROM documents),
+    e AS (
+      SELECT vec_id, label,
+             sqrt({_DOT.format(a="embedding", b="embedding")}) AS emb_norm
+      FROM embeddings)
+    SELECT q.doc_id, q.lang, e.label, q.n_tokens, q.quality, e.emb_norm
+    FROM q JOIN e ON e.vec_id = q.doc_id
+    WHERE q.quality >= 0.4
+    """,
+    gate=False,
+)
+def paired_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal training-row assembly: join the text corpus with
+    its embedding table on the shared id, carry quality + token
+    features from the text side and the L2 norm from the vector side,
+    and gate on quality — the example-construction step of a
+    multimodal/contrastive pipeline. An id-keyed equi-join (both
+    sides co-partitionable on the id; with the cell-partitioned
+    embedding layout the vector side arrives pruned); the norm is the
+    same deterministic fold the ANN operators use."""
+    from ..operators import textstats as TS
+    from ..operators.similarity import norm_fold
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    q = docs.select(
+        "doc_id", "lang",
+        TS.token_count("text").alias("n_tokens"),
+        TS.quality_score("text").alias("quality"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("doc_id"), "label",
+        norm_fold(F.col("embedding")).alias("emb_norm"),
+    )
+    return q.join(e, "doc_id").where(F.col("quality") >= 0.4).select(
+        "doc_id", "lang", "label", "n_tokens", "quality", "emb_norm"
+    )
