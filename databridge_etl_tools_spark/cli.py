@@ -64,6 +64,19 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="serve the query from the optimized physical layouts",
     )
+    exp = qsub.add_parser("explain", help="print a query's physical plan")
+    exp.add_argument("--name", required=True)
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    exp.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    exp.add_argument(
+        "--layout",
+        action="store_true",
+        help="plan against the optimized physical layouts",
+    )
 
     lay = sub.add_parser("layout", help="optimized physical layouts")
     lsub = lay.add_subparsers(dest="cmd", required=True)
@@ -100,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
 
             layout.build_all(spark, args.sf_dir)
         df = QUERIES[args.name](spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain(mode=args.mode)
+            return 0
         out = [r.asDict() for r in df.limit(args.limit).collect()]
         print(json.dumps(out, default=str, indent=2))
         return 0

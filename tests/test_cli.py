@@ -98,3 +98,18 @@ def test_cli_maintain_and_layout(spark, tmp_path, capsys):
         for tbl in ("lineitem", "orders"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}_bkt_root_testdata_sf0_001")
         registry.clear_layouts()
+
+
+def test_cli_query_explain(spark, capsys):
+    from databridge_etl_tools_spark.cli import main
+
+    rc = main(
+        [
+            "query", "explain", "--name", "pricing_summary",
+            "--sf-dir", "/root/testdata/sf0.001", "--mode", "formatted",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out
+    assert "HashAggregate" in out
