@@ -38,6 +38,9 @@ SHOW = [
     "emb_quantize_int8",
     "source_segment_overlap",
     "corpus_curation_v2",
+    "session_funnel",
+    "user_daily_features",
+    "paired_text_embedding",
 ]
 
 
