@@ -115,3 +115,75 @@ def record_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return added.select(F.lit("added").alias("side"), "*").unionByName(
         subtracted.select(F.lit("subtracted").alias("side"), "*")
     )
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg,
+             DATE '2024-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to
+      FROM customer),
+    snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS bal,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 11 <> 0),
+    j AS (
+      SELECT COALESCE(h.c_custkey, s.c_custkey) AS c_custkey,
+             h.bal AS h_bal, h.seg AS h_seg, h.valid_from,
+             s.bal AS s_bal, s.seg AS s_seg,
+             (h.c_custkey IS NOT NULL) AS in_h,
+             (s.c_custkey IS NOT NULL) AS in_s,
+             (h.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+              AND (h.bal IS DISTINCT FROM s.bal
+                   OR h.seg IS DISTINCT FROM s.seg)) AS changed
+      FROM hist h FULL OUTER JOIN snap s ON h.c_custkey = s.c_custkey)
+    SELECT c_custkey, h_bal AS bal, h_seg AS seg, valid_from,
+           CAST(NULL AS DATE) AS valid_to
+    FROM j WHERE in_h AND in_s AND NOT changed
+    UNION ALL
+    SELECT c_custkey, h_bal, h_seg, valid_from, DATE '2024-02-01'
+    FROM j WHERE in_h AND (NOT in_s OR changed)
+    UNION ALL
+    SELECT c_custkey, s_bal, s_seg, DATE '2024-02-01', CAST(NULL AS DATE)
+    FROM j WHERE in_s AND (NOT in_h OR changed)
+    """,
+    gate=False,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge
+    (``operators.merge.scd2_apply``): the customer table's initial
+    history evolved against a synthesized second snapshot (every 3rd
+    balance moved, every 7th segment changed, every 11th key deleted)
+    — changed/deleted open rows close at the batch date, changed and
+    surviving keys gain new open versions, unchanged rows stay open.
+    One full-outer key join; null-safe attribute comparison. The
+    DuckDB oracle replays the full versioning semantics
+    independently."""
+    from ..operators.merge import scd2_apply
+
+    cust = table(spark, sf_dir, "customer")
+    hist = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    snap = (
+        cust.where(F.col("c_custkey") % 11 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + F.lit(100.0)
+            ).otherwise(F.col("c_acctbal")).alias("bal"),
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+        )
+    )
+    return scd2_apply(hist, snap, ["c_custkey"], ["bal", "seg"], "2024-02-01")

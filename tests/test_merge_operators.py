@@ -52,3 +52,40 @@ def test_record_diff_roundtrip_empty(spark):
     b = _df(spark, [(1, "a"), (2, "b")])
     added, subtracted = M.record_diff(a, b)
     assert added.count() == 0 and subtracted.count() == 1  # duplicate lost
+
+
+def test_scd2_apply_versioning_contract(spark):
+    """SCD2 semantics on a planted case: unchanged stays open, changed
+    closes + reopens, deleted closes, new key opens, closed history is
+    immutable, null<->value counts as a change."""
+    import datetime as dt
+
+    from databridge_etl_tools_spark.operators.merge import scd2_apply
+
+    d0, d1 = dt.date(2024, 1, 1), dt.date(2024, 2, 1)
+    hist = spark.createDataFrame(
+        [
+            (1, 10.0, d0, None),   # unchanged
+            (2, 20.0, d0, None),   # will change
+            (3, 30.0, d0, None),   # will be deleted
+            (5, None, d0, None),   # null -> value change
+            (9, 5.0, dt.date(2023, 1, 1), d0),  # already-closed row
+        ],
+        "k long, v double, valid_from date, valid_to date",
+    )
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (4, 40.0), (5, 50.0)], "k long, v double"
+    )
+    out = scd2_apply(hist, snap, ["k"], ["v"], "2024-02-01").collect()
+    rows = {(r.k, r.v, r.valid_from, r.valid_to) for r in out}
+    assert rows == {
+        (9, 5.0, dt.date(2023, 1, 1), d0),  # immutable closed history
+        (1, 10.0, d0, None),                # unchanged, still open
+        (2, 20.0, d0, d1), (2, 21.0, d1, None),  # changed: close + reopen
+        (3, 30.0, d0, d1),                  # deleted: closed, no reopen
+        (5, None, d0, d1), (5, 50.0, d1, None),  # null->value is a change
+        (4, 40.0, d1, None),                # brand-new key opens
+    }
+    # exactly one open row per live key
+    open_keys = [r.k for r in out if r.valid_to is None]
+    assert sorted(open_keys) == [1, 2, 4, 5]
