@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.datetimes import epoch_bucket
 
@@ -101,3 +102,85 @@ def interval_join(
         F.lit(None).cast(f.dataType).alias(f.name) for f in intervals.schema.fields
     ]
     return inner.unionByName(unmatched.select("*", *null_iv))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: "list[str] | str",
+    left_on: str = "ts",
+    right_on: str = "ts",
+    value_cols: "list[str] | None" = None,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Generic as-of join (Spark has no native one): for every left
+    row, the nearest right row of the same ``by`` group at
+    ``right_on <= left_on`` (backward) or ``>=`` (forward),
+    optionally within ``tolerance_us`` microseconds.
+
+    Implementation: union-tag both sides, sort per group by
+    (timestamp, tag) — right rows sort before left at equal
+    timestamps, so an exact-tie right row IS matchable — and carry
+    the latest right payload forward with a running
+    ``last(..., ignorenulls)`` window (forward direction runs the
+    same plan on the reversed timestamp order). ONE shuffle on the
+    group key, never a range join, never a per-row subquery — the
+    same cost as a groupBy at any scale. Every left column survives;
+    the match arrives as ``asof_<right_on>`` plus the requested
+    ``value_cols``; tolerance violations null the whole match
+    (pandas ``merge_asof`` semantics — the tests' independent twin).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = list(value_cols or [])
+    clash = sorted(set(value_cols) & set(left.columns))
+    if clash:
+        raise ValueError(f"asof_join: value_cols collide with left columns: {clash}")
+    extra = [c for c in left.columns if c not in by]
+
+    payload = F.struct(
+        F.col(right_on).alias("_t"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    r = right.select(*by, F.col(right_on).alias("_ts"), payload.alias("_p"))
+    for c in extra:
+        r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r = r.withColumn("_tag", F.lit(0))
+    l = (
+        left.withColumn("_ts", F.col(left_on))
+        .withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType))
+        .withColumn("_tag", F.lit(1))
+    )
+    cols = by + extra + ["_ts", "_p", "_tag"]
+    tagged = r.select(*cols).unionByName(l.select(*cols))
+
+    order = (
+        [F.col("_ts"), F.col("_tag")]
+        if direction == "backward"
+        else [F.col("_ts").desc(), F.col("_tag")]
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "_m", F.last(F.when(F.col("_tag") == 0, F.col("_p")), ignorenulls=True).over(w)
+    ).where(F.col("_tag") == 1)
+
+    matched_ts = F.col("_m._t")
+    ok = matched_ts.isNotNull()
+    if tolerance_us is not None:
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        delta = (
+            us(F.col("_ts")) - us(matched_ts)
+            if direction == "backward"
+            else us(matched_ts) - us(F.col("_ts"))
+        )
+        ok = ok & (delta <= tolerance_us)
+    sel = [F.col(c) for c in by + extra]
+    sel.append(F.when(ok, matched_ts).alias(f"asof_{right_on}"))
+    for c in value_cols:
+        sel.append(F.when(ok, F.col(f"_m.{c}")).alias(c))
+    return carried.select(*sel)

@@ -685,3 +685,54 @@ def test_kfold_split_contract(spark):
     assert all(folds[k] == v for k, v in sub.items())
     with pytest.raises(ValueError):
         SP.kfold_split(df, "k", k=1)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Generic as-of join vs pandas.merge_asof: backward, forward,
+    and tolerance semantics on randomized-but-fixed data."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from databridge_etl_tools_spark.operators.rangejoin import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for g in (1, 2):
+        for i in range(20):
+            lrows.append((g, t0 + dt.timedelta(minutes=(i * 37) % 120), i))
+        for i in range(8):
+            rrows.append(
+                (g, t0 + dt.timedelta(minutes=(i * 53) % 120), float(g * 100 + i))
+            )
+    left = spark.createDataFrame(lrows, "g long, ts timestamp_ntz, seq long")
+    right = spark.createDataFrame(rrows, "g long, ts timestamp_ntz, price double")
+
+    lp = pd.DataFrame(lrows, columns=["g", "ts", "seq"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["g", "ts", "price"]).sort_values("ts")
+    for direction, tol_us, tol_pd in [
+        ("backward", None, None),
+        ("forward", None, None),
+        ("backward", 15 * 60 * 1_000_000, pd.Timedelta(minutes=15)),
+    ]:
+        got = {
+            (r.g, r.seq): (r.asof_ts, r.price)
+            for r in asof_join(
+                left, right, "g", value_cols=["price"],
+                direction=direction, tolerance_us=tol_us,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lp, rp, on="ts", by="g", direction=direction, tolerance=tol_pd
+        )
+        for _, row in want_df.iterrows():
+            g_ts, g_price = got[(row.g, row.seq)]
+            if pd.isna(row.price):
+                assert g_price is None and g_ts is None, (direction, row.seq)
+            else:
+                assert g_price == row.price, (direction, row.seq)
+    with pytest.raises(ValueError):
+        asof_join(left, right, "g", direction="nearest")
+    with pytest.raises(ValueError):
+        asof_join(left.withColumnRenamed("seq", "price"), right, "g",
+                  value_cols=["price"])
