@@ -634,3 +634,58 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("bigint")).alias("n_view_then_click"),
         F.sum(purchased.cast("bigint")).alias("n_full_funnel"),
     )
+
+
+@query(
+    "asof_attribution_window",
+    oracle="""
+    WITH views AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value, v.ts AS v_ts
+      FROM purchases p
+      ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts)
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN v_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(v_ts) <= 30*60*1000000
+                THEN v_ts END AS asof_view_ts,
+           (v_ts IS NOT NULL
+            AND epoch_us(ts) - epoch_us(v_ts) <= 30*60*1000000) AS attributed
+    FROM m
+    """,
+    gate=False,
+)
+def asof_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of attribution
+    (``operators.rangejoin.asof_join``): each purchase attributed to
+    the user's most recent view only if it happened within 30
+    minutes — the marketing-attribution contract (a view from last
+    week doesn't get credit). The generic operator's tolerance path;
+    one user-keyed shuffle. DuckDB's native ASOF JOIN plus an
+    explicit window test is the independent oracle."""
+    from ..operators.rangejoin import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        by="user_id",
+        left_on="ts",
+        right_on="ts",
+        direction="backward",
+        tolerance_us=30 * 60 * 1_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_ts").alias("asof_view_ts"),
+        F.col("asof_ts").isNotNull().alias("attributed"),
+    )
