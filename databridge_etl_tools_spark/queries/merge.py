@@ -187,3 +187,82 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(hist, snap, ["c_custkey"], ["bal", "seg"], "2024-02-01")
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg,
+             DATE '2024-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to
+      FROM customer),
+    snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS bal,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 11 <> 0),
+    j AS (
+      SELECT COALESCE(h.c_custkey, s.c_custkey) AS c_custkey,
+             h.bal AS h_bal, h.seg AS h_seg, h.valid_from,
+             s.bal AS s_bal, s.seg AS s_seg,
+             (h.c_custkey IS NOT NULL) AS in_h,
+             (s.c_custkey IS NOT NULL) AS in_s,
+             (h.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+              AND (h.bal IS DISTINCT FROM s.bal
+                   OR h.seg IS DISTINCT FROM s.seg)) AS changed
+      FROM hist h FULL OUTER JOIN snap s ON h.c_custkey = s.c_custkey),
+    evolved AS (
+      SELECT c_custkey, h_bal AS bal, h_seg AS seg, valid_from,
+             CAST(NULL AS DATE) AS valid_to
+      FROM j WHERE in_h AND in_s AND NOT changed
+      UNION ALL
+      SELECT c_custkey, h_bal, h_seg, valid_from, DATE '2024-02-01'
+      FROM j WHERE in_h AND (NOT in_s OR changed)
+      UNION ALL
+      SELECT c_custkey, s_bal, s_seg, DATE '2024-02-01', CAST(NULL AS DATE)
+      FROM j WHERE in_s AND (NOT in_h OR changed))
+    SELECT c_custkey, bal, seg FROM evolved
+    WHERE valid_from <= DATE '2024-01-15'
+      AND (valid_to IS NULL OR valid_to > DATE '2024-01-15')
+    """,
+    gate=False,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction over the SCD2 history: the table
+    exactly as it stood on 2024-01-15 — after the first load, before
+    the second snapshot's changes took effect — via the validity-
+    interval predicate ``valid_from <= d < valid_to``. A map-side
+    filter over the history (at scale, partition the history by
+    valid_from range and the filter prunes partitions); the time-
+    travel read that makes SCD2 worth its bookkeeping."""
+    from ..operators.merge import scd2_apply
+
+    cust = table(spark, sf_dir, "customer")
+    hist = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    snap = (
+        cust.where(F.col("c_custkey") % 11 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + F.lit(100.0)
+            ).otherwise(F.col("c_acctbal")).alias("bal"),
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+        )
+    )
+    evolved = scd2_apply(hist, snap, ["c_custkey"], ["bal", "seg"], "2024-02-01")
+    d = F.lit("2024-01-15").cast("date")
+    return evolved.where(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    ).select("c_custkey", "bal", "seg")
