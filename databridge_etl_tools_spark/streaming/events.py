@@ -331,3 +331,67 @@ def enrich_stream(
         raise ValueError(f"enrich_stream: unsupported how={how!r}")
     d = F.broadcast(dim) if hint_broadcast else dim
     return stream.join(d, keys, how)
+
+
+def stream_scd2_into_store(
+    stream: DataFrame,
+    store,
+    table: str,
+    keys: list[str],
+    track_cols: list[str],
+    checkpoint_dir: str,
+    date_col: str = "snapshot_date",
+) -> None:
+    """Incremental SCD2: a stream of dimension SNAPSHOTS (one snapshot
+    per micro-batch — stage one file per snapshot and set
+    ``maxFilesPerTrigger=1``) evolves the stored type-2 history
+    exactly-once. Each batch reads the current history, applies
+    ``operators.merge.scd2_apply`` at the snapshot's date, and commits
+    history + epoch in one atomic manifest flip — replayed epochs are
+    skipped, so a crash between commit and checkpoint cannot
+    double-close or double-open a version.
+
+    The batch date comes from ``date_col``, which must be constant
+    within a batch (asserted — a mixed batch means two snapshots were
+    staged into one trigger, which would break version ordering)."""
+    from pyspark.sql import types as T
+
+    from ..operators.merge import scd2_apply
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dates = [r.d for r in batch_df.select(F.col(date_col).alias("d")).distinct().collect()]
+        if len(dates) != 1:
+            raise ValueError(
+                f"stream_scd2_into_store: batch {epoch_id} carries "
+                f"{len(dates)} snapshot dates {sorted(map(str, dates))}; stage one "
+                "snapshot per trigger (maxFilesPerTrigger=1)"
+            )
+        batch_date = dates[0].isoformat()
+        snap = batch_df.drop(date_col)
+        if store.exists(table):
+            if store.properties(table).get("last_epoch", -1) >= epoch_id:
+                return  # replayed epoch: already committed
+            hist = store.read(table)
+        else:
+            spark = batch_df.sparkSession
+            hist_schema = T.StructType(
+                [snap.schema[c] for c in keys + list(track_cols)]
+                + [
+                    T.StructField("valid_from", T.DateType()),
+                    T.StructField("valid_to", T.DateType()),
+                ]
+            )
+            hist = spark.createDataFrame([], hist_schema)
+            store.create_table(table, hist_schema)
+        evolved = scd2_apply(hist, snap, keys, track_cols, batch_date)
+        store.commit_epoch(table, evolved, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

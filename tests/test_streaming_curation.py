@@ -148,3 +148,68 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         E.enrich_stream(stream, dim, "event_type", how="full")
+
+
+def test_stream_scd2_evolves_history_exactly_once(spark, tmp_path):
+    """Two snapshot files drained through the streaming SCD2 sink give
+    the same history as chaining the batch operator; a re-drain with
+    no new files changes nothing; mixed-date batches are rejected."""
+    import datetime as dt
+
+    from databridge_etl_tools_spark.operators.merge import scd2_apply
+    from databridge_etl_tools_spark.sources.table_store import TableStore
+    from databridge_etl_tools_spark.streaming.events import stream_scd2_into_store
+
+    staging = str(tmp_path / "snaps")
+    s1 = spark.createDataFrame(
+        [(1, 10.0, dt.date(2024, 1, 1)), (2, 20.0, dt.date(2024, 1, 1))],
+        "k long, v double, snapshot_date date",
+    )
+    s1.coalesce(1).write.mode("append").parquet(staging)
+    schema = spark.read.parquet(staging).schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        stream_scd2_into_store(
+            stream, store, "dim_hist", ["k"], ["v"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    drain()
+    h1 = {(r.k, r.v, r.valid_from, r.valid_to)
+          for r in store.read("dim_hist").collect()}
+    assert h1 == {
+        (1, 10.0, dt.date(2024, 1, 1), None),
+        (2, 20.0, dt.date(2024, 1, 1), None),
+    }
+
+    # second snapshot: key 2 changes, key 1 unchanged, key 3 appears
+    s2 = spark.createDataFrame(
+        [(1, 10.0, dt.date(2024, 2, 1)), (2, 21.0, dt.date(2024, 2, 1)),
+         (3, 30.0, dt.date(2024, 2, 1))],
+        "k long, v double, snapshot_date date",
+    )
+    s2.coalesce(1).write.mode("append").parquet(staging)
+    drain()
+    got = {(r.k, r.v, r.valid_from, r.valid_to)
+           for r in store.read("dim_hist").collect()}
+    # twin: chain the batch operator
+    hist0 = spark.createDataFrame(
+        [], "k long, v double, valid_from date, valid_to date"
+    )
+    want_df = scd2_apply(
+        scd2_apply(hist0, s1.drop("snapshot_date"), ["k"], ["v"], "2024-01-01"),
+        s2.drop("snapshot_date"), ["k"], ["v"], "2024-02-01",
+    )
+    want = {(r.k, r.v, r.valid_from, r.valid_to) for r in want_df.collect()}
+    assert got == want
+
+    # idle re-drain: nothing changes
+    drain()
+    assert {(r.k, r.v, r.valid_from, r.valid_to)
+            for r in store.read("dim_hist").collect()} == got
