@@ -90,6 +90,12 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._manifest(table))
+        # commit log (append-only, crash-tolerant: a torn tail line is
+        # skipped on read) — what history()/read_version() time-travel
+        # over. Written AFTER the flip: the log may lag the manifest by
+        # one commit in a crash, never lead it.
+        with open(os.path.join(self._dir(table), "_commits.jsonl"), "a") as f:
+            f.write(json.dumps({"current": version}) + "\n")
 
     # -- lifecycle (D1-D6) ----------------------------------------------
     def exists(self, table: str) -> bool:
@@ -190,6 +196,48 @@ class TableStore:
         # multi-segment: merge footers so additively-evolved columns
         # surface (NULL for pre-evolution segments). At 100 TB the
         # footer merge is why compaction back to one schema matters.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def history(self, table: str) -> "list[dict]":
+        """The table's commit log, oldest first: one entry per manifest
+        flip (`{"current": version-or-segment-list}`). The local twin
+        of DESCRIBE HISTORY on a lakehouse table."""
+        path = os.path.join(self._dir(table), "_commits.jsonl")
+        if not os.path.exists(path):
+            return []
+        out = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue  # torn tail line from a crash mid-append
+        return out
+
+    def read_version(self, table: str, commit: int) -> DataFrame:
+        """Time travel: read the table as of commit ``commit`` (0-based
+        into ``history()``; negative indexes from the end, -1 = current).
+        Version directories are immutable, so any commit whose data
+        ``vacuum`` has not yet removed is readable; a vacuumed commit
+        raises. The local twin of `VERSION AS OF`."""
+        log = self.history(table)
+        if not log:
+            raise ValueError(f"read_version: {table} has no commit log")
+        entry = log[commit]
+        segs = entry["current"]
+        segs = [segs] if isinstance(segs, str) else list(segs)
+        base = self._dir(table)
+        missing = [s for s in segs if not os.path.exists(os.path.join(base, s))]
+        if missing:
+            raise ValueError(
+                f"read_version: commit {commit} data vacuumed: {missing}"
+            )
+        paths = [os.path.join(base, s) for s in segs]
+        if len(paths) == 1:
+            return self.spark.read.parquet(paths[0])
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def empty_clone_view(self, table: str, view_name: str) -> DataFrame:

@@ -224,3 +224,29 @@ def test_append_additive_schema_evolution(spark, tmp_path):
     store.compact("t")
     assert set(store.read("t").columns) == {"id", "tag"}
     assert store.read("t").where(F.col("tag").isNull()).count() == 10
+
+
+def test_store_time_travel(spark, tmp_path):
+    """history() records every flip; read_version() reads any
+    un-vacuumed commit; vacuumed commits raise."""
+    import pytest as _pytest
+
+    from databridge_etl_tools_spark.sources.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "tt_store"))
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(1, "a2"), (2, "b")], "k long, v string")
+    store.create_table("t", df1.schema)
+    store.overwrite("t", df1)
+    store.overwrite("t", df2)
+    hist = store.history("t")
+    assert len(hist) == 3  # create + two overwrites
+    assert {r.v for r in store.read_version("t", -1).collect()} == {"a2", "b"}
+    assert {r.v for r in store.read_version("t", 1).collect()} == {"a"}
+    assert store.read_version("t", 0).count() == 0  # the empty create
+    # current read unchanged by the log
+    assert {r.v for r in store.read("t").collect()} == {"a2", "b"}
+    store.vacuum("t")
+    with _pytest.raises(ValueError):
+        store.read_version("t", 1)
+    assert {r.v for r in store.read_version("t", -1).collect()} == {"a2", "b"}
