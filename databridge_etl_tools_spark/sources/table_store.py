@@ -240,6 +240,25 @@ class TableStore:
             return self.spark.read.parquet(paths[0])
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def restore(self, table: str, commit: int) -> None:
+        """Roll the table back to commit ``commit`` (indexes like
+        ``read_version``): one manifest flip to the old, still-immutable
+        version directories — no data rewrite, and the restore itself
+        becomes a new commit in the log (so a restore is auditable and
+        itself restorable). Raises if the target commit's data was
+        vacuumed."""
+        log = self.history(table)
+        if not log:
+            raise ValueError(f"restore: {table} has no commit log")
+        entry = log[commit]
+        segs = entry["current"]
+        segs_list = [segs] if isinstance(segs, str) else list(segs)
+        base = self._dir(table)
+        missing = [s for s in segs_list if not os.path.exists(os.path.join(base, s))]
+        if missing:
+            raise ValueError(f"restore: commit {commit} data vacuumed: {missing}")
+        self._flip(table, segs)
+
     def empty_clone_view(self, table: str, view_name: str) -> DataFrame:
         """D2: CREATE TEMPORARY TABLE … WHERE 1=0
         (postgres/postgres.py:903-919) as a limit(0) temp view."""

@@ -250,3 +250,25 @@ def test_store_time_travel(spark, tmp_path):
     with _pytest.raises(ValueError):
         store.read_version("t", 1)
     assert {r.v for r in store.read_version("t", -1).collect()} == {"a2", "b"}
+
+
+def test_store_restore_rolls_back(spark, tmp_path):
+    import pytest as _pytest
+
+    from databridge_etl_tools_spark.sources.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "rb_store"))
+    df1 = spark.createDataFrame([(1, "old")], "k long, v string")
+    df2 = spark.createDataFrame([(1, "new")], "k long, v string")
+    store.create_table("t", df1.schema)
+    store.overwrite("t", df1)
+    store.overwrite("t", df2)
+    store.restore("t", 1)  # back to df1's commit
+    assert [r.v for r in store.read("t").collect()] == ["old"]
+    # the restore is itself a commit — re-restore to the df2 state
+    assert len(store.history("t")) == 4
+    store.restore("t", 2)
+    assert [r.v for r in store.read("t").collect()] == ["new"]
+    store.vacuum("t")  # current survives, the other version goes
+    with _pytest.raises(ValueError):
+        store.restore("t", 1)
