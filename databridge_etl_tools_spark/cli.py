@@ -52,6 +52,14 @@ def _build_parser() -> argparse.ArgumentParser:
     common(mnt)
     mnt.add_argument("--target-partitions", type=int, default=None)
 
+    hst = tsub.add_parser("history", help="list the table's commit log")
+    common(hst)
+
+    rst = tsub.add_parser("restore", help="roll back to a logged commit")
+    common(rst)
+    rst.add_argument("--commit", type=int, required=True,
+                     help="0-based commit index; negative counts from the end")
+
     q = sub.add_parser("query", help="registry queries")
     qsub = q.add_subparsers(dest="cmd", required=True)
     qsub.add_parser("list")
@@ -127,6 +135,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_session("cli")
     store = TableStore(spark, args.store)
+
+    if args.cmd == "history":
+        print(json.dumps(store.history(args.table), indent=2))
+        return 0
+
+    if args.cmd == "restore":
+        store.restore(args.table, args.commit)
+        print(json.dumps({"restored": args.table, "commit": args.commit,
+                          "rows": store.read(args.table).count()}))
+        return 0
 
     if args.cmd == "maintain":
         parts = store.compact(args.table, args.target_partitions)

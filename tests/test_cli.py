@@ -113,3 +113,25 @@ def test_cli_query_explain(spark, capsys):
     assert rc == 0
     assert "Physical Plan" in out
     assert "HashAggregate" in out
+
+
+def test_cli_table_history_and_restore(spark, tmp_path, capsys):
+    from databridge_etl_tools_spark.cli import main
+    from databridge_etl_tools_spark.sources.table_store import TableStore
+
+    root = str(tmp_path / "clistore")
+    store = TableStore(spark, root)
+    df1 = spark.createDataFrame([(1, "old")], "k long, v string")
+    store.create_table("t", df1.schema)
+    store.overwrite("t", df1)
+    store.overwrite("t", spark.createDataFrame([(1, "new")], "k long, v string"))
+
+    assert main(["table", "history", "--store", root, "--table", "t"]) == 0
+    log = json.loads(capsys.readouterr().out)
+    assert len(log) == 3
+
+    assert main(["table", "restore", "--store", root, "--table", "t",
+                 "--commit", "1"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rows"] == 1
+    assert [r.v for r in store.read("t").collect()] == ["old"]
