@@ -102,6 +102,10 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "user_event_sequences",
         "vocab_encode_documents",
         "contrastive_negatives",
+        "scd2_customer_history",
+        "asof_attribution_window",
+        "user_daily_features",
+        "session_funnel",
         # -- r1-r3 overflow tier, never driver-verified before:
         "bracket_revenue",
         "corpus_curation",
@@ -137,6 +141,10 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "mm_binary_stats",
         "emb_neardup_pairs",
         "ann_lsh_bucketed",
+        "text_quality_language",
+        "tz_policies",
+        "qa_report",
+        "geom_normalize",
         "shipping_priority",
         "forecast_revenue",
         "important_nation_stock",
