@@ -324,3 +324,19 @@ def rolling_hash(col: Column | str, base: int = 257, mod: int = 1_000_000_007) -
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def clean_text(col: Column | str, lowercase: bool = False) -> Column:
+    """C4-style text normalization: strip control characters (except
+    tab/newline, which the whitespace collapse handles), strip
+    zero-width characters (ZWSP/ZWNJ/ZWJ/BOM — the invisible dedup
+    poison: two visually identical strings with different bytes),
+    collapse all whitespace runs to single spaces, trim, and
+    optionally lowercase. Pure JVM regex chain at scan speed; the
+    patterns live in the Java∩RE2 subset (literal codepoints, no
+    lookarounds) so DuckDB oracles replay them byte-identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[​‌‍﻿]", "")
+    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return F.lower(c) if lowercase else c

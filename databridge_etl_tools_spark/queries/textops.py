@@ -1215,3 +1215,49 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "text_clean_normalize",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             chr(1) || text || '​  extra\t ' ||
+               CASE WHEN doc_id % 2 = 0 THEN chr(7) ELSE '' END AS raw
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id, raw,
+             lower(trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '[​‌‍﻿]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS clean
+      FROM dirty)
+    SELECT doc_id, clean,
+           CAST(length(raw) - length(clean) AS INTEGER) AS n_removed
+    FROM cleaned
+    """,
+    gate=False,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (``operators.textstats.clean_text``):
+    control-character strip, zero-width strip (the invisible dedup
+    poison), whitespace collapse, trim, lowercase — the C4-style
+    cleanup that runs before fingerprinting. The corpus carries no
+    dirty bytes, so the query plants them deterministically (control
+    chars, ZWSP, tab runs) on both engines and verifies the scrub
+    byte-identically; ``n_removed`` counts the stripped characters."""
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("\x01"),
+        F.col("text"),
+        F.lit("​  extra\t "),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\x07")).otherwise(F.lit("")),
+    )
+    dirty = docs.select("doc_id", raw.alias("raw"))
+    cleaned = dirty.withColumn("clean", TS.clean_text(F.col("raw"), lowercase=True))
+    return cleaned.select(
+        "doc_id",
+        "clean",
+        (F.length("raw") - F.length("clean")).cast("int").alias("n_removed"),
+    )

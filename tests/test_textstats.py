@@ -138,3 +138,28 @@ def test_sketch_report_error_contract(spark):
         # rsd=0.05 is a standard deviation, not a bound; 3σ margin
         assert rel <= 0.15, r
         assert abs(r.approx_p50 - r.exact_p50) <= max(2.0, 0.05 * r.exact_p50)
+
+
+def test_clean_text_planted(spark):
+    from databridge_etl_tools_spark.operators.textstats import clean_text
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "A\x01B\x07C"),              # control chars vanish
+        (2, "zero​width﻿!"),   # ZWSP/BOM vanish
+        (3, "  lots\t\tof \n whitespace  "),
+        (4, "MiXeD Case"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t string")
+    out = {r.k: r.c for r in df.select("k", clean_text("t").alias("c")).collect()}
+    assert out[1] == "ABC"
+    assert out[2] == "zerowidth!"
+    assert out[3] == "lots of whitespace"
+    assert out[4] == "MiXeD Case"  # case preserved by default
+    low = {r.k: r.c for r in df.select(
+        "k", clean_text("t", lowercase=True).alias("c")).collect()}
+    assert low[4] == "mixed case"
+    # idempotence: cleaning clean text is a no-op
+    again = {r.k: r.c for r in df.select(
+        "k", clean_text(clean_text("t")).alias("c")).collect()}
+    assert again == out
