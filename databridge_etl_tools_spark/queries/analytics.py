@@ -689,3 +689,74 @@ def asof_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts").alias("asof_view_ts"),
         F.col("asof_ts").isNotNull().alias("attributed"),
     )
+
+
+@query(
+    "user_activity_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    d2 AS (
+      SELECT *, datediff('day', DATE '1970-01-01', day) AS dnum FROM daily),
+    stats AS (
+      SELECT user_id, day, n_events,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_base,
+             CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS ss
+      FROM d2
+      WINDOW w AS (PARTITION BY user_id ORDER BY dnum
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, day, n_events, n_base,
+           CASE WHEN n_base > 0
+                THEN CAST(s AS DOUBLE) / n_base END AS baseline_mean,
+           CASE WHEN n_base >= 2
+                THEN (n_base * ss - s * s)
+                     / (CAST(n_base AS DOUBLE) * (n_base - 1)) END AS baseline_var,
+           (n_base >= 3 AND n_events >
+              CAST(s AS DOUBLE) / n_base
+              + 3.0 * sqrt((n_base * ss - s * s)
+                           / (CAST(n_base AS DOUBLE) * (n_base - 1))))
+             AS is_anomaly
+    FROM stats
+    """,
+    gate=False,
+)
+def user_activity_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral anomaly flags: a user-day is anomalous when its
+    event count exceeds mean + 3σ of the user's trailing 7-day
+    baseline (current day excluded). The variance comes from INTEGER
+    window moments — ``(n·Σx² − (Σx)²) / (n·(n−1))`` — so the double
+    is one deterministic expression over exact integers; a windowed
+    ``stddev`` aggregate would reduce doubles in partial-agg order
+    and break cross-engine hashing. One user-keyed window shuffle
+    over the (tiny) daily aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    d2 = daily.withColumn("dnum", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    w = Window.partitionBy("user_id").orderBy("dnum").rangeBetween(-7, -1)
+    n_base = F.count(F.lit(1)).over(w)
+    s = F.sum("n_events").over(w)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    stats = d2.select(
+        "user_id", "day", "n_events",
+        n_base.alias("n_base"), s.alias("s"), ss.alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_base")
+    var = (F.col("n_base") * F.col("ss") - F.col("s") * F.col("s")) / (
+        F.col("n_base").cast("double") * (F.col("n_base") - 1)
+    )
+    return stats.select(
+        "user_id", "day", "n_events", "n_base",
+        F.when(F.col("n_base") > 0, mean).alias("baseline_mean"),
+        F.when(F.col("n_base") >= 2, var).alias("baseline_var"),
+        (
+            (F.col("n_base") >= 3)
+            & (F.col("n_events") > mean + F.lit(3.0) * F.sqrt(var))
+        ).alias("is_anomaly"),
+    )
