@@ -1261,3 +1261,58 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean",
         (F.length("raw") - F.length("clean")).cast("int").alias("n_removed"),
     )
+
+
+@query(
+    "text_keywords_tfidf",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM base),
+    occ AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, COUNT(*) AS dfd
+      FROM (SELECT DISTINCT doc_id, term FROM occ) GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             t.tf * (CAST(n.n_docs AS DOUBLE) / f.dfd) AS score
+      FROM tf t JOIN dfreq f USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS INTEGER) AS rank
+      FROM scored)
+    SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+    """,
+    gate=False,
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by the rational
+    TF-IDF ``tf · N/df`` (log-free — bit-identical across engines;
+    ranking order matches ln-IDF since ln is monotone), tie-broken by
+    term so the cut is total-ordered. Document frequency is a
+    vocabulary-sized aggregate broadcast back onto the doc-term table
+    (the corpus is shuffled once, by (doc, term) for tf); token
+    arrays are materialized before the explode per the
+    interpreted-HOF discipline."""
+    from pyspark.sql import Window
+
+    from ..operators.materialize import materialize
+
+    docs = table(spark, sf_dir, "documents")
+    base = materialize(docs.select("doc_id", TS.tokens(F.col("text")).alias("_toks")))
+    occ = base.select("doc_id", F.explode("_toks").alias("term"))
+    tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = occ.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("dfd"))
+    n = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.col("n_docs").cast("double") / F.col("dfd"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+    )
