@@ -163,3 +163,38 @@ def test_clean_text_planted(spark):
     again = {r.k: r.c for r in df.select(
         "k", clean_text(clean_text("t")).alias("c")).collect()}
     assert again == out
+
+
+def test_tfidf_keywords_python_twin(spark):
+    """text_keywords_tfidf's scoring and cut vs a direct python twin
+    on a planted corpus."""
+    import math
+    from collections import Counter
+
+    import __spark_entry__ as ent
+
+    rows = [r for r in ent.queries()["text_keywords_tfidf"](
+        spark, "/root/testdata/sf0.001").collect() if r.doc_id < 20]
+    import duckdb  # corpus via an independent reader
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    toks = {d: t.split() for d, t in docs}
+    n = len(toks)
+    dfreq = Counter()
+    for ts in toks.values():
+        for w in set(ts):
+            dfreq[w] += 1
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    for d, entries in got.items():
+        tf = Counter(toks[d])
+        scored = sorted(
+            ((c * (n / dfreq[w]), w) for w, c in tf.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        entries.sort()
+        assert [(w, s) for s, w in scored] == [(w, s) for _, w, s in entries], d
+        assert [rk for rk, _, _ in entries] == list(range(1, len(entries) + 1))
