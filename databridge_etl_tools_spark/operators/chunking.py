@@ -56,8 +56,15 @@ def chunk_documents(
         stride = size
     if size < 1 or stride < 1:
         raise ValueError("size and stride must be >= 1")
+    # NULL text must behave like empty text (one empty chunk at start
+    # 0), not propagate: F.size(NULL) is -1, which would emit chunk
+    # rows with n_chunk_tokens = -1 and silently skew downstream
+    # retention sums (round-4 advisor finding).
     base = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.expr("CAST(array() AS ARRAY<STRING>)")
+        ).alias("_toks"),
     ).withColumn("_n", F.size("_toks"))
     # greatest(n-1, 0): sequence() with end < start descends instead of
     # returning empty — clamp so n == 0 yields [0]

@@ -51,8 +51,19 @@ def quantize_minmax_int8(
         )
     )
     out = j.withColumn("code", code)
+    # least(·, mx): the top code (127, produced only by x == mx) is a
+    # degenerate half-width bucket — the midpoint formula would
+    # dequantize it to mn + 255.5/255·span, overshooting the
+    # calibrated max by span/510. Clamping keeps every xhat inside
+    # [mn, mx] (round-4 advisor finding; mirrored in the
+    # emb_quantize_int8 oracle).
     xhat = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
-        F.col("mn")
-        + (F.col("code") + F.lit(128) + F.lit(0.5)) * (F.col("mx") - F.col("mn")) / F.lit(255.0)
+        F.least(
+            F.col("mn")
+            + (F.col("code") + F.lit(128) + F.lit(0.5))
+            * (F.col("mx") - F.col("mn"))
+            / F.lit(255.0),
+            F.col("mx"),
+        )
     )
     return out.withColumn("xhat", xhat).select(id_col, "pos", "x", "code", "xhat")

@@ -130,6 +130,9 @@ def asof_join(
     the match arrives as ``asof_<right_on>`` plus the requested
     ``value_cols``; tolerance violations null the whole match
     (pandas ``merge_asof`` semantics — the tests' independent twin).
+    When multiple right rows share one (``by``, ``right_on``) value,
+    the greatest (timestamp, value_cols) payload struct wins — a
+    deterministic, partition-independent tiebreak.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
@@ -155,10 +158,17 @@ def asof_join(
     cols = by + extra + ["_ts", "_p", "_tag"]
     tagged = r.select(*cols).unionByName(l.select(*cols))
 
+    # _p last in the order: when multiple right rows share the same
+    # (by, right_on), the carried match is the one with the greatest
+    # payload struct — a total, partition-independent tiebreak (the
+    # repo's determinism contract), not whichever row a partitioning
+    # happened to sort last. Left rows all carry NULL _p (sorted
+    # first within their tag group), which cannot affect the
+    # right-row carry.
     order = (
-        [F.col("_ts"), F.col("_tag")]
+        [F.col("_ts"), F.col("_tag"), F.col("_p")]
         if direction == "backward"
-        else [F.col("_ts").desc(), F.col("_tag")]
+        else [F.col("_ts").desc(), F.col("_tag"), F.col("_p")]
     )
     w = (
         Window.partitionBy(*by)

@@ -8,15 +8,26 @@ Scale design:
 
 - ``build_vocab``: the corpus pays one explode + one token-keyed
   count — the output is VOCABULARY-sized (orders of magnitude
-  smaller than the corpus). The final frequency rank is a global
-  row_number window: a deliberate single-task sort over the
-  vocabulary only (standard practice — a few million rows at worst;
-  if a vocabulary ever outgrows one task, pre-aggregate with
-  ``repartitionByRange`` and rank per range with offsets, the same
-  two-phase recipe as ``operators.packing``).
-- ``encode_documents``: the vocabulary joins back BROADCAST onto the
-  exploded (doc, pos, token) stream — the corpus is never shuffled
-  by token — and sequences reassemble with a struct-sorted
+  smaller than the corpus), but at 100 TB a vocabulary is still
+  10⁸–10⁹ rows, so the frequency rank NEVER runs through a global
+  ``Window.orderBy`` (the single-partition scale-killer this repo's
+  own ``operators.util`` warns against). Instead it uses the same
+  two-pass distributed recipe as ``operators.packing``:
+  range-partition by (count desc, token asc), ``row_number`` WITHIN
+  each range partition, then offset by a driver prefix sum over the
+  ``n_parts`` per-partition row counts (bounded scalars). The result
+  is identical for any partition boundaries — offsets cancel the
+  arbitrariness. With ``max_size`` set, each partition additionally
+  pre-prunes to its local top-``max_size`` BEFORE the range shuffle
+  (a row outside its partition's top-``max_size`` by (count, token)
+  can never make the global top-``max_size``), bounding shuffle
+  volume to ``n_input_parts × max_size`` rows.
+- ``encode_documents``: the vocabulary joins back onto the exploded
+  (doc, pos, token) stream — BROADCAST while the vocabulary is small
+  (``broadcast_threshold`` rows, counted with a vocabulary-sized
+  aggregate), a plain token-keyed shuffle join above it (an uncapped
+  100 TB vocabulary exceeds any broadcast budget and would OOM the
+  driver) — and sequences reassemble with a struct-sorted
   collect_list, so the id order is exact and partition-independent.
   Unknown tokens map to ``oov_id`` and are counted per document
   (the OOV-rate QA signal).
@@ -40,6 +51,7 @@ def build_vocab(
     *,
     min_count: int = 1,
     max_size: int | None = None,
+    n_parts: int = 32,
 ) -> DataFrame:
     """Frequency-ranked vocabulary: ``(token, token_id, count)`` with
     ``token_id`` dense from 0 in (count desc, token asc) order."""
@@ -50,11 +62,42 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") >= min_count)
     )
-    w = Window.orderBy(F.desc("count"), F.asc("token"))
-    vocab = counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
+    order = [F.desc("count"), F.asc("token")]
+    if max_size is not None:
+        wl = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+        counts = (
+            counts.withColumn("_lr", F.row_number().over(wl))
+            .where(F.col("_lr") <= max_size)
+            .drop("_lr")
+        )
+    parts = counts.repartitionByRange(n_parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("_pid").orderBy(*order)
+    local = parts.withColumn("_lrank", F.row_number().over(wp))
+    sizes = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).orderBy("_pid").collect()
+    )
+    acc = 0
+    offsets = []
+    for r in sizes:
+        offsets.append((r["_pid"], acc))
+        acc += r["_c"]
+    off = local.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset bigint"
+    )
+    vocab = local.join(F.broadcast(off), "_pid").withColumn(
+        "token_id", (F.col("_offset") + F.col("_lrank") - 1).cast("int")
+    )
     if max_size is not None:
         vocab = vocab.where(F.col("token_id") < max_size)
     return vocab.select("token", "token_id", "count")
+
+
+#: rows above which a vocabulary is joined by shuffle instead of
+#: broadcast (~4M rows ≈ a few hundred MB of (token, id) pairs — the
+#: edge of a sane executor/driver broadcast budget; see SCALE.md)
+BROADCAST_VOCAB_MAX_ROWS = 4_000_000
 
 
 def encode_documents(
@@ -64,17 +107,27 @@ def encode_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     oov_id: int = -1,
+    broadcast_threshold: int = BROADCAST_VOCAB_MAX_ROWS,
 ) -> DataFrame:
     """Encode each document against the vocabulary: ``(<id_col>,
     n_tokens, n_oov, ids ARRAY<INT>)`` — ids in original token order,
-    unknown tokens as ``oov_id``."""
+    unknown tokens as ``oov_id``.
+
+    Size-aware vocabulary join: a vocabulary at or under
+    ``broadcast_threshold`` rows (counted once — a vocabulary-sized
+    aggregate) is broadcast so the corpus is never shuffled by token;
+    a larger one falls back to a plain shuffle join on ``token``
+    (an uncapped 100 TB-corpus vocabulary would blow any broadcast
+    budget). Results are identical in both modes — only the physical
+    join strategy changes."""
     base = materialize(
         docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     )
     ex = base.select(id_col, F.posexplode_outer("_toks").alias("pos", "token"))
-    joined = ex.join(
-        F.broadcast(vocab.select("token", "token_id")), "token", "left"
-    ).select(
+    v = vocab.select("token", "token_id")
+    if vocab.agg(F.count(F.lit(1))).collect()[0][0] <= broadcast_threshold:
+        v = F.broadcast(v)
+    joined = ex.join(v, "token", "left").select(
         id_col,
         "pos",
         F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("int").alias("tid"),

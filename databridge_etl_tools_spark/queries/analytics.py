@@ -345,10 +345,19 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary extraction: top-50 tokens by frequency
-    (map-side combine → single ordered take; at 100 TB the global
-    ordering is a tree-reduce over per-partition top-Ks, which is
-    exactly what orderBy+limit compiles to — TakeOrderedAndProject)."""
+    """Corpus vocabulary extraction: top-50 tokens by frequency.
+
+    Scale note: ``row_number().over(Window.orderBy(…))`` + ``rank <=
+    50`` looks like the single-partition-window anti-pattern, but
+    Spark's ``LimitPushDownThroughWindow`` rule rewrites a row_number
+    window whose rank is immediately limit-filtered into
+    ``TakeOrderedAndProject(limit=50)`` — a tree-reduce over
+    per-partition top-50s with NO full-table single-partition sort;
+    the Window then ranks only the surviving 50 rows. Pinned by
+    ``tests/test_plans.py`` (TakeOrderedAndProject present, no
+    ``Exchange SinglePartition`` below it). Contrast ``build_vocab``
+    (operators/vocab.py), which needs EVERY rank and therefore uses
+    the explicit two-pass range-partition + offset recipe."""
     from ..operators.textstats import tokens
 
     docs = table(spark, sf_dir, "documents")

@@ -272,7 +272,7 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE pr = 1)
     SELECT q.vec_id AS query_id, q.label AS true_label,
            p.pred_label, p.n_votes, (p.pred_label = q.label) AS correct
-    FROM q JOIN pred p ON p.query_id = q.vec_id
+    FROM q LEFT JOIN pred p ON p.query_id = q.vec_id
     """,
     gate=False,
 )
@@ -308,7 +308,8 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec AS (
       SELECT label, x, code,
              CASE WHEN mx = mn THEN mn
-                  ELSE mn + (code + 128 + 0.5) * (mx - mn) / 255.0 END AS xhat
+                  ELSE least(mn + (code + 128 + 0.5) * (mx - mn) / 255.0, mx)
+                  END AS xhat
       FROM enc)
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_values,

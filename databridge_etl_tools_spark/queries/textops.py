@@ -1291,21 +1291,27 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF ``tf · N/df`` (log-free — bit-identical across engines;
     ranking order matches ln-IDF since ln is monotone), tie-broken by
     term so the cut is total-ordered. Document frequency is a
-    vocabulary-sized aggregate broadcast back onto the doc-term table
-    (the corpus is shuffled once, by (doc, term) for tf); token
+    vocabulary-sized aggregate, materialized once and joined back
+    size-aware: broadcast under ``BROADCAST_VOCAB_MAX_ROWS`` (the
+    corpus is shuffled once, by (doc, term) for tf), a plain
+    term-keyed shuffle join above it — at 100 TB the df table is
+    itself 10⁸⁺ rows and would OOM any broadcast budget. Token
     arrays are materialized before the explode per the
     interpreted-HOF discipline."""
     from pyspark.sql import Window
 
     from ..operators.materialize import materialize
+    from ..operators.vocab import BROADCAST_VOCAB_MAX_ROWS
 
     docs = table(spark, sf_dir, "documents")
     base = materialize(docs.select("doc_id", TS.tokens(F.col("text")).alias("_toks")))
     occ = base.select("doc_id", F.explode("_toks").alias("term"))
     tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = occ.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("dfd"))
+    dfreq = materialize(occ.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("dfd")))
+    if dfreq.agg(F.count(F.lit(1))).collect()[0][0] <= BROADCAST_VOCAB_MAX_ROWS:
+        dfreq = F.broadcast(dfreq)
     n = base.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n)).select(
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         (F.col("tf") * (F.col("n_docs").cast("double") / F.col("dfd"))).alias("score"),

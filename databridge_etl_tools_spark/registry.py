@@ -65,119 +65,42 @@ _QUERY_MODULES = (
 #: weaker check regardless, so they register last.
 DRIVER_GATE_WINDOW = 50
 
-#: Gate-rotation overlay (round 4). Every oracle-backed query should
+#: Gate-rotation overlay (round 5). Every oracle-backed query should
 #: get driver-hash confirmation at least once, but the gate window
 #: holds only 50 — so each round swaps the never/least-recently
 #: driver-verified cohort INTO the window and parks an equal number of
-#: multiply-verified queries (green in r1+r2+r3) in the overflow tier.
-#: Overflow queries keep full local-mirror verification via
-#: tools/check_correctness.py; nothing loses an oracle. Applied in
-#: load_all() AFTER module registration so the per-query ``gate=``
-#: default stays the stable tier and this overlay stays one auditable
-#: per-round edit.
+#: multiply-verified queries in the overflow tier. Overflow queries
+#: keep full local-mirror verification via tools/check_correctness.py;
+#: nothing loses an oracle. Applied in load_all() AFTER module
+#: registration so the per-query ``gate=`` default stays the stable
+#: tier and this overlay stays one auditable per-round edit.
+#:
+#: r5 cohort: the final 7 never-driver-verified oracle queries (the
+#: r3→r4 rotation program's tail) — after this round every oracle
+#: query has at least one driver-hash-green row — plus the operators
+#: built in round 5 (registered gate=False).
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        # r4 cohort: driver-verified for the first time this round
-        # -- new operators built this round (registered gate=False):
-        "dedup_containment",
-        "dedup_winnow_overlap",
-        "quality_gopher_rules",
-        "text_repetition_stats",
-        "pii_scrub_contacts",
-        "text_rare_token_ratio",
-        "decontaminate_train_eval",
-        "pack_documents_sequences",
-        "text_bm25_topk",
-        "chunk_documents_windows",
-        "chunk_dedup_segments",
-        "mixture_temperature",
-        "source_capped_topn",
-        "knn_label_vote",
-        "kfold_documents",
-        "emb_quantize_int8",
-        "source_segment_overlap",
-        "corpus_curation_v2",
-        "events_value_histogram",
-        "chunk_dedup_reassembled",
-        "user_event_sequences",
-        "vocab_encode_documents",
-        "contrastive_negatives",
-        "scd2_customer_history",
-        "asof_attribution_window",
-        "user_daily_features",
-        "session_funnel",
-        # -- r1-r3 overflow tier, never driver-verified before:
-        "bracket_revenue",
-        "corpus_curation",
-        "geom_kind_census",
-        "idle_customer_balance",
-        "large_volume_customers",
-        "latency_priority_classes",
-        "market_share",
-        "mixture_documents",
-        "prepare_cell_cleanup",
-        "prepare_header_normalize",
-        "profit_by_nation_year",
-        "promo_revenue_share",
-        "returned_item_report",
-        "sample_split_documents",
-        "small_quantity_revenue",
-        "supplier_part_census",
-        "top_supplier",
-        "tz_carto_midnight",
-        "volume_shipping",
+        # -- never driver-verified before r5:
+        "scd2_point_in_time",
+        "paired_text_embedding",
+        "length_percentile_filter",
+        "user_retention_cohorts",
+        "text_clean_normalize",
+        "user_activity_anomalies",
+        "text_keywords_tfidf",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
-        # parked: hash-matched in CORRECTNESS_r02 + r03 (most also r01)
-        "pricing_summary",
-        "region_revenue",
-        "set_ops",
-        "events_sessionize",
-        "asof_purchase_last_view",
-        "range_join_interval_counts",
-        "skew_salted_agg",
-        "mm_binary_stats",
-        "emb_neardup_pairs",
-        "ann_lsh_bucketed",
-        "text_quality_language",
-        "tz_policies",
-        "qa_report",
-        "geom_normalize",
-        "shipping_priority",
-        "forecast_revenue",
-        "important_nation_stock",
-        "rollup_region_nation",
-        "events_hourly_rollup",
-        "scan_probes",
-        "pivot_priority_status",
-        "cube_flag_status",
-        "exact_percentiles",
-        "events_json_props",
-        "dedup_fuzzy_levenshtein",
-        "text_vocabulary_topk",
-        "above_customer_average",
         # parked: hash-matched in CORRECTNESS_r01 + r02 + r03
         "filter_project",
         "ordered_collect",
         "topk_per_group",
         "order_priority_check",
         "customer_order_distribution",
-        "upsert_orders",
-        "delete_stale",
         "dedupe_events_by_user",
         "record_diff",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_components",
-        "dedup_simhash_pairs",
-        "ann_cosine_topk",
-        "ann_ivf_label",
-        "text_token_stats",
-        "prepare_synthetic_objectid",
-        "proj_webmercator",
     }
 )
 

@@ -30,6 +30,19 @@ from pyspark.sql import types as T
 from ..schema import TableSchema, schema_drift
 
 
+def _check_commit(op: str, table: str, commit: int, n: int) -> int:
+    """Bounds-check a commit-log index (0-based; negative indexes from
+    the end, -1 = current) so an out-of-range CLI argument raises the
+    store's ValueError style with the valid range, not a bare
+    IndexError traceback."""
+    if not -n <= commit < n:
+        raise ValueError(
+            f"{op}: {table} has no commit {commit} "
+            f"(valid range: {-n}..{n - 1}, {n} commit(s) in the log)"
+        )
+    return commit
+
+
 class TableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -226,7 +239,7 @@ class TableStore:
         log = self.history(table)
         if not log:
             raise ValueError(f"read_version: {table} has no commit log")
-        entry = log[commit]
+        entry = log[_check_commit("read_version", table, commit, len(log))]
         segs = entry["current"]
         segs = [segs] if isinstance(segs, str) else list(segs)
         base = self._dir(table)
@@ -250,7 +263,7 @@ class TableStore:
         log = self.history(table)
         if not log:
             raise ValueError(f"restore: {table} has no commit log")
-        entry = log[commit]
+        entry = log[_check_commit("restore", table, commit, len(log))]
         segs = entry["current"]
         segs_list = [segs] if isinstance(segs, str) else list(segs)
         base = self._dir(table)

@@ -68,3 +68,30 @@ def test_unknown_strategy_rejected():
     with pytest.raises(ValueError):
         MAT.set_strategy("ram_only")
     assert MAT.get_strategy() in MAT.STRATEGIES
+
+
+def test_reliable_uses_explicit_checkpoint_dir_end_to_end(spark, sf_dir, tmp_path):
+    """The cluster story behind ``reliable`` (round-4 verdict item #7):
+    with ``setCheckpointDir`` pointed at durable storage (here: a temp
+    dir standing in for HDFS/S3), a full MinHash-LSH dedup runs
+    end-to-end, writes its checkpoint data INTO that directory (the
+    blocks an executor loss cannot take down), and matches the default
+    strategy's result exactly."""
+    import os
+
+    sc = spark.sparkContext
+    prev = sc._jsc.sc().getCheckpointDir()
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        base = _minhash_rows(spark, sf_dir)
+        with MAT.strategy("reliable"):
+            assert _minhash_rows(spark, sf_dir) == base
+        assert spark._jvm.java.net.URI.create(
+            sc._jsc.sc().getCheckpointDir().get()
+        ).getPath().startswith(str(tmp_path))
+        found = any(files for _, _, files in os.walk(ckpt))
+        assert found, "no checkpoint data written under the explicit dir"
+    finally:
+        if prev.isDefined():
+            sc.setCheckpointDir(prev.get())
