@@ -735,3 +735,81 @@ def decontaminate(
         .withColumn("n_gram_hits", F.coalesce(F.col("n_gram_hits"), F.lit(0)))
         .withColumn("clean", F.col("n_gram_hits") == 0)
     )
+
+
+def keep_best(
+    docs: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Duplicate-cluster resolution policy: from the near-dup pair
+    graph, keep ONE canonical document per connected component — the
+    highest-``quality_col`` member (ties to the smallest id), the
+    standard "keep the longest/cleanest copy" dedup decision (vs
+    ``connected_components``'s min-id convention, which keeps the
+    OLDEST copy).
+
+    Returns one row per component: ``(component, canonical_doc,
+    n_members, best_quality)``.
+
+    Scale: components via the iterative min-label join; the election
+    is a single component-keyed aggregate — a max over (quality, -id)
+    structs, NOT a row_number window, so the plan is one mergeable
+    groupBy with map-side partials."""
+    comp = connected_components(docs.select(id_col), edges, id_col=id_col)
+    member = comp.join(docs.select(id_col, quality_col), id_col)
+    # arg-max by struct ordering: (quality asc, neg-id asc) → max
+    # struct = best quality, smallest id on ties
+    pick = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"),
+            (-F.col(id_col)).alias("nid"),
+        )
+    )
+    return (
+        member.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            pick.alias("_best"),
+        )
+        .select(
+            "component",
+            (-F.col("_best.nid")).cast("bigint").alias("canonical_doc"),
+            "n_members",
+            F.col("_best.q").alias("best_quality"),
+        )
+    )
+
+
+def gram_doc_frequency(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document n-gram document frequency: ``(gram, df)`` where
+    ``df`` = number of DISTINCT documents containing the word
+    n-gram. The telemetry table behind dedup-threshold tuning and
+    memorization-risk audits (how much of the corpus is shared
+    boilerplate?).
+
+    Scale: per-doc distinct shingles (map-side, the pre-materialized
+    token-array discipline) → ONE gram-keyed count shuffle; output is
+    gram-vocabulary-sized."""
+    from .materialize import materialize
+    from .textstats import tokens
+
+    base = materialize(
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    ).where(F.size("toks") >= n)
+    sh = base.select(
+        id_col, word_shingles(F.col("toks"), n=n, distinct=True).alias("sh")
+    )
+    return (
+        sh.select(id_col, F.explode("sh").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )

@@ -67,3 +67,66 @@ def quantize_minmax_int8(
         )
     )
     return out.withColumn("xhat", xhat).select(id_col, "pos", "x", "code", "xhat")
+
+
+def standardize_dims(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fp_scale: int = 10_000,
+) -> DataFrame:
+    """Per-dimension feature standardization report — the z-score
+    calibration pass (mean/variance per embedding dimension) that
+    precedes whitening, scalar quantization, or outlier scrubbing.
+
+    Returns one row per dimension: ``(pos, n, mean, var,
+    n_outliers)`` with ``n_outliers`` the count of values beyond
+    mean ± 3σ.
+
+    Determinism (the integer-moment recipe, same as the behavioral
+    anomaly detector): each value is fixed-pointed once
+    (``xi = floor(x·fp_scale)`` — map-side, exact), the aggregation
+    sums only INTEGERS (Σxi, Σxi² as BIGINT — order-independent,
+    so the reduction can't perturb a hash), and mean/var are single
+    deterministic double expressions over those exact sums:
+    ``var = (n·Σxi² − (Σxi)²) / (n·(n−1)) / fp_scale²``. Bound:
+    n·(x_max·fp_scale)² must stay under 2⁶³ — at |x| ≤ 1 and
+    fp_scale = 1e4 that allows ~9·10¹⁰ vectors·dims; larger corpora
+    should move the two moment sums to DECIMAL(38,0).
+
+    Scale: one posexplode + ONE pos-keyed aggregate (key space = the
+    embedding width — tiny); the outlier pass re-joins the d-row
+    stats table broadcast. Two passes over the exploded stream, zero
+    corpus-keyed shuffles."""
+    ex = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "_xf")
+    ).select(
+        id_col,
+        "pos",
+        F.col("_xf").cast("double").alias("x"),
+        F.floor(F.col("_xf").cast("double") * fp_scale).cast("bigint").alias("_xi"),
+    )
+    stats = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_xi").cast("bigint").alias("_s"),
+        F.sum(F.col("_xi") * F.col("_xi")).cast("bigint").alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("n") / fp_scale
+    var = (
+        (F.col("n") * F.col("_ss") - F.col("_s") * F.col("_s")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+        / F.lit(float(fp_scale) * fp_scale)
+    )
+    enriched = stats.select("pos", "n", mean.alias("mean"), var.alias("var"))
+    out = (
+        ex.join(F.broadcast(enriched), "pos")
+        .select(
+            "pos",
+            (
+                F.abs(F.col("x") - F.col("mean")) > 3.0 * F.sqrt(F.col("var"))
+            ).cast("int").alias("_o"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("_o").cast("bigint").alias("n_outliers"))
+    )
+    return enriched.join(out, "pos").select("pos", "n", "mean", "var", "n_outliers")

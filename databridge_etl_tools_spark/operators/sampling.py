@@ -242,3 +242,38 @@ def kfold_split(df: DataFrame, key: str, k: int = 5, salt: str = "fold") -> Data
         F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8), 16, 10
     ).cast("bigint")
     return df.withColumn("fold", (h % k).cast("int"))
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    key: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weight-proportional deterministic sampling: keep a row with
+    probability ``weight / max(weight)`` (importance sampling by
+    document length, quality score, etc.), decided by content hash —
+    the weighted sibling of :func:`sample_deterministic`.
+
+    The acceptance test is PURE INTEGER: with ``h`` the 32-bit hash
+    draw, keep iff ``h · w_max < w · 2^32`` — algebraically
+    ``u < w/w_max`` but with no float division, so no rounding edge
+    can ever flip a decision between engines. ``w_max`` arrives as a
+    1-row broadcast aggregate (never a driver scalar); the predicate
+    itself is map-side. Rows keep a ``draw_u`` column (the uniform
+    draw as DOUBLE — one exact division) for observability."""
+    c = F.col(key)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    wmax = df.agg(F.max(F.col(weight_col).cast("bigint")).alias("_wmax"))
+    return (
+        df.crossJoin(F.broadcast(wmax))
+        .withColumn("_h", h)
+        .where(
+            F.col("_h") * F.col("_wmax")
+            < F.col(weight_col).cast("bigint") * F.lit(1 << 32)
+        )
+        .withColumn("draw_u", F.col("_h") / F.lit(_UNIT))
+        .drop("_h", "_wmax")
+    )

@@ -62,3 +62,17 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
+def maybe_broadcast(df: DataFrame, threshold_rows: int) -> DataFrame:
+    """Size-aware broadcast: hint ``df`` for broadcast only when its
+    row count (one bounded job against what should be a MATERIALIZED
+    frame) is at or under ``threshold_rows``; otherwise return it
+    unhinted so the join plans as a plain shuffle join. The guard for
+    vocabulary-shaped tables: corpus-derived, usually small, but
+    unbounded in principle — at 100 TB a token/term/gram table is
+    10⁸⁺ rows and would OOM any broadcast budget
+    (round-4 verdict item #3)."""
+    if df.agg(F.count(F.lit(1))).collect()[0][0] <= threshold_rows:
+        return F.broadcast(df)
+    return df

@@ -279,3 +279,132 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import decontaminate
 
     return decontaminate(train, ev, n=7).drop("text")
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.5),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS u FROM documents
+      UNION
+      SELECT r.v, s.dst FROM reach r JOIN sym s ON s.src = r.u),
+    comp AS (SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY v),
+    member AS (
+      SELECT c.component, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)),
+    ranked AS (
+      SELECT component, doc_id, n_chars,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM member)
+    SELECT component, CAST(doc_id AS BIGINT) AS canonical_doc,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS best_quality
+    FROM ranked WHERE r = 1
+    """,
+    gate=False,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (``operators.dedup.keep_best``):
+    connected components over the Jaccard ≥ 0.5 pair graph, then ONE
+    canonical document per component — the longest member, ties to
+    the smallest id ("keep the best copy", vs ``dedup_components``'s
+    keep-the-oldest min-id convention). The election is a mergeable
+    arg-max aggregate (max over (quality, −id) structs), not a
+    window. Oracle: recursive-CTE closure + the same election."""
+    docs = table(spark, sf_dir, "documents")
+    edges = DD.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return DD.keep_best(docs, edges, id_col="doc_id", quality_col="n_chars")
+
+
+@query(
+    "gram_duplication_census",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY 1)
+    SELECT CAST(df AS BIGINT) AS df, CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM dfreq GROUP BY 1
+    """,
+    gate=False,
+)
+def gram_duplication_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplication telemetry
+    (``operators.dedup.gram_doc_frequency``): the histogram of 3-gram
+    document frequency — how many grams appear in exactly ``df``
+    documents. The knob-tuning input for dedup thresholds and the
+    corpus-level memorization-risk audit (a fat tail = shared
+    boilerplate). Two aggregations: one gram-keyed shuffle, then a
+    histogram over the vocabulary-sized df table."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        DD.gram_doc_frequency(docs, n=3)
+        .groupBy("df")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    )
+
+
+@query(
+    "doc_gram_novelty",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY 1)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM ex e JOIN dfreq f ON e.s = f.s
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def doc_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's
+    distinct 3-grams that appear in NO other document — the
+    document-level complement of ``gram_duplication_census`` (novelty
+    ≈ 0 = boilerplate copy; ≈ 1 = fresh content). The gram-df table
+    joins back size-aware (``util.maybe_broadcast``); documents with
+    fewer than 3 tokens have no grams and are absent by contract."""
+    from ..operators.util import maybe_broadcast
+    from ..operators.vocab import BROADCAST_VOCAB_MAX_ROWS
+    from ..operators.materialize import materialize
+
+    docs = table(spark, sf_dir, "documents")
+    dfreq = materialize(DD.gram_doc_frequency(docs, n=3))
+    base = materialize(
+        docs.select("doc_id", F.expr(
+            "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+        ).alias("toks"))
+    ).where(F.size("toks") >= 3)
+    ex = base.select(
+        "doc_id",
+        F.explode(DD.word_shingles(F.col("toks"), n=3, distinct=True)).alias("gram"),
+    )
+    uniq = (F.col("df") == 1).cast("int")
+    return (
+        ex.join(maybe_broadcast(dfreq, BROADCAST_VOCAB_MAX_ROWS), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(uniq).cast("bigint").alias("n_unique"),
+        )
+        .withColumn(
+            "novelty", F.col("n_unique").cast("double") / F.col("n_grams")
+        )
+    )

@@ -424,3 +424,50 @@ def paired_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.join(e, "doc_id").where(F.col("quality") >= 0.4).select(
         "doc_id", "lang", "label", "n_tokens", "quality", "emb_norm"
     )
+
+
+@query(
+    "emb_standardize_dims",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, CAST(pos1 - 1 AS INTEGER) AS pos,
+             CAST(embedding[pos1] AS DOUBLE) AS x,
+             CAST(floor(CAST(embedding[pos1] AS DOUBLE) * 10000) AS BIGINT) AS xi
+      FROM (SELECT vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS pos1
+            FROM embeddings)),
+    stats AS (
+      SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xi) AS BIGINT) AS s,
+             CAST(SUM(xi * xi) AS BIGINT) AS ss
+      FROM ex GROUP BY 1),
+    enr AS (
+      SELECT pos, n,
+             CAST(s AS DOUBLE) / n / 10000 AS mean,
+             CAST(n * ss - s * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1))
+               / CAST(100000000 AS DOUBLE) AS var
+      FROM stats),
+    outl AS (
+      SELECT e.pos,
+             CAST(SUM(CASE WHEN abs(e.x - r.mean) > 3.0::DOUBLE * sqrt(r.var)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM ex e JOIN enr r ON e.pos = r.pos GROUP BY 1)
+    SELECT e.pos, e.n, e.mean, e.var, o.n_outliers
+    FROM enr e JOIN outl o ON e.pos = o.pos
+    """,
+    gate=False,
+)
+def emb_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization calibration
+    (``operators.quantize.standardize_dims``): mean/variance per
+    embedding dimension from INTEGER fixed-point moments (the
+    anomaly-detector recipe — Σxi and Σxi² as BIGINT, variance as
+    one deterministic double expression) plus a mean±3σ outlier
+    census. The z-score pass that precedes whitening or scalar
+    quantization; one pos-keyed aggregate + a broadcast d-row
+    re-join, zero corpus-keyed shuffles."""
+    from ..operators.quantize import standardize_dims
+
+    emb = table(spark, sf_dir, "embeddings")
+    return standardize_dims(emb, "embedding", "vec_id")

@@ -1322,3 +1322,155 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "score")
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    uni AS (SELECT t AS token, COUNT(*) AS c
+            FROM (SELECT unnest(toks) AS t FROM base) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok,
+                   CAST(SUM(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_pair
+            FROM base),
+    pairs AS (
+      SELECT toks[pos] AS a, toks[pos + 1] AS b
+      FROM (SELECT toks, unnest(range(1, len(toks))) AS pos
+            FROM base WHERE len(toks) >= 2)),
+    pc AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    scored AS (
+      SELECT p.a, p.b, CAST(p.c_ab AS BIGINT) AS c_ab,
+             CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+             CAST(p.c_ab AS DOUBLE) * t.n_tok * t.n_tok
+               / (CAST(t.n_pair AS DOUBLE) * ua.c * ub.c) AS score
+      FROM pc p JOIN uni ua ON p.a = ua.token
+                JOIN uni ub ON p.b = ub.token CROSS JOIN tot t),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY score DESC, a, b) AS INTEGER)
+             AS rank FROM scored)
+    SELECT rank, a, b, c_ab, c_a, c_b, score FROM ranked WHERE rank <= 20
+    """,
+    gate=False,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (``operators.collocations.pmi_pairs``):
+    top-20 adjacent token pairs by the rational PMI ratio
+    ``P(a,b)/(P(a)·P(b))`` — log-free, so both engines produce the
+    identical double from identical integer counts. The multiword-
+    expression / tokenizer-merge-candidate detector."""
+    from ..operators.collocations import pmi_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return pmi_pairs(docs)
+
+
+@query(
+    "text_lm_bigram_score",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    trans AS (
+      SELECT doc_id, toks[pos] AS a, toks[pos + 1] AS b
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos
+            FROM base WHERE len(toks) >= 2)),
+    grams AS (SELECT a, b, COUNT(*) AS c_ab FROM trans GROUP BY 1, 2),
+    ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM grams GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT unnest(toks) AS t FROM base)),
+    p AS (
+      SELECT t.doc_id,
+             CAST(g.c_ab + 1 AS DOUBLE) / (c.c_a + v.v) AS p
+      FROM trans t JOIN grams g USING (a, b) JOIN ctx c USING (a) CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+           CAST(SUM(CAST(floor(p * CAST(1000000000 AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS score_nano
+    FROM p GROUP BY 1
+    """,
+    gate=False,
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM likelihood
+    (``operators.collocations.bigram_lm_scores``): add-one-smoothed
+    transition probabilities fit on the corpus itself, summed per
+    document in integer fixed-point (``Σ floor(p·1e9)`` — order-
+    independent, hashable). The log-free stand-in for the CCNet-style
+    perplexity quality filter: low mean transition probability =
+    atypical token sequences."""
+    from ..operators.collocations import bigram_lm_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+@query(
+    "sketch_countmin_topk",
+    oracle=f"""
+    WITH tokc AS (SELECT t AS token, COUNT(*) AS c
+                  FROM (SELECT unnest({_TOK}) AS t FROM documents) GROUP BY 1),
+    lanes AS (SELECT unnest(range(0, 4)) AS lane),
+    cms AS (
+      SELECT lane,
+             CAST('0x'||substr(md5('cms'||CAST(lane AS VARCHAR)||':'||token),1,8)
+                  AS BIGINT) % 1024 AS bucket,
+             CAST(SUM(c) AS BIGINT) AS bucket_n
+      FROM tokc CROSS JOIN lanes GROUP BY 1, 2),
+    top AS (
+      SELECT token, exact_n, rank FROM (
+        SELECT token, CAST(c AS BIGINT) AS exact_n,
+               CAST(row_number() OVER (ORDER BY c DESC, token) AS INTEGER) AS rank
+        FROM tokc) t
+      WHERE rank <= 20),
+    est AS (
+      SELECT tp.rank, tp.token, tp.exact_n, MIN(c2.bucket_n) AS cms_est
+      FROM top tp CROSS JOIN lanes l
+      JOIN cms c2 ON c2.lane = l.lane AND c2.bucket =
+        CAST('0x'||substr(md5('cms'||CAST(l.lane AS VARCHAR)||':'||tp.token),1,8)
+             AS BIGINT) % 1024
+      GROUP BY 1, 2, 3)
+    SELECT rank, token, exact_n, cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overest
+    FROM est
+    """,
+    gate=False,
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs exact truth
+    (``operators.sketch.countmin_topk``): a 4×1024-counter CMS built
+    from the vocabulary counts, probed for the exact top-20 tokens;
+    ``overest`` is the sketch's one-sided error. Unlike Spark's
+    built-in ``count_min_sketch`` (seeded murmur, opaque binary),
+    this md5-lane construction is engine-portable and the DuckDB
+    oracle rebuilds the identical sketch."""
+    from ..operators.sketch import countmin_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return countmin_topk(docs)
+
+
+@query(
+    "sample_weighted_length",
+    oracle="""
+    WITH w AS (SELECT MAX(n_chars) AS wmax FROM documents)
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST('0x'||substr(md5('wsample:'||CAST(d.doc_id AS VARCHAR)),1,8)
+                AS BIGINT) / 4294967296.0 AS draw_u
+    FROM documents d CROSS JOIN w
+    WHERE CAST('0x'||substr(md5('wsample:'||CAST(d.doc_id AS VARCHAR)),1,8)
+               AS BIGINT) * w.wmax
+          < d.n_chars * 4294967296
+    """,
+    gate=False,
+)
+def sample_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional deterministic sampling
+    (``operators.sampling.sample_weighted``): keep each document with
+    probability ``n_chars / max(n_chars)`` — the importance-sampling
+    move that biases a corpus subsample toward long documents. The
+    accept test is pure integer (``h·w_max < w·2³²``), so no float
+    rounding can flip a row's fate between engines, layouts, or
+    retries."""
+    from ..operators.sampling import sample_weighted
+
+    docs = table(spark, sf_dir, "documents")
+    kept = sample_weighted(docs, "n_chars", "doc_id")
+    return kept.select("doc_id", "source", "n_chars", "draw_u")

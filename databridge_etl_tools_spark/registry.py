@@ -89,6 +89,15 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "text_clean_normalize",
         "user_activity_anomalies",
         "text_keywords_tfidf",
+        # -- new operators built in round 5 (registered gate=False):
+        "text_pmi_collocations",
+        "text_lm_bigram_score",
+        "sketch_countmin_topk",
+        "sample_weighted_length",
+        "dedup_keep_best",
+        "emb_standardize_dims",
+        "gram_duplication_census",
+        "doc_gram_novelty",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
@@ -101,6 +110,14 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "customer_order_distribution",
         "dedupe_events_by_user",
         "record_diff",
+        "upsert_orders",
+        "delete_stale",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_components",
+        "ann_cosine_topk",
+        "ann_ivf_label",
     }
 )
 

@@ -1,0 +1,182 @@
+"""Round-5 operator tests: PMI collocations, bigram LM scoring,
+count-min sketch, weighted sampling, keep-best dedup, dimension
+standardization — each checked against an independent pure-python
+twin (plus the DuckDB oracles in the catalog)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from databridge_etl_tools_spark.operators.collocations import (
+    bigram_lm_scores,
+    pmi_pairs,
+)
+from databridge_etl_tools_spark.operators.dedup import keep_best
+from databridge_etl_tools_spark.operators.quantize import standardize_dims
+from databridge_etl_tools_spark.operators.sampling import sample_weighted
+from databridge_etl_tools_spark.operators.sketch import countmin_topk
+
+CORPUS = [
+    (0, "new york is a big city"),
+    (1, "new york has new people"),
+    (2, "big city big lights"),
+    (3, "new york new york new york"),
+    (4, ""),
+    (5, "solo"),
+]
+
+
+def _docs(spark, rows=CORPUS):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pmi_pairs_matches_python_twin(spark):
+    df = pmi_pairs(_docs(spark), min_pair_count=2, top_k=5)
+    got = {(r["a"], r["b"]): (r["c_ab"], r["score"]) for r in df.collect()}
+
+    toks = [t.split() for _, t in CORPUS if t]
+    uni = Counter(t for ts in toks for t in ts)
+    pairs = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    n_tok = sum(uni.values())
+    n_pair = sum(max(len(ts) - 1, 0) for ts in toks)
+    exp = {}
+    for (a, b), c in pairs.items():
+        if c >= 2:
+            exp[(a, b)] = (c, float(c) * n_tok * n_tok / (float(n_pair) * uni[a] * uni[b]))
+    top = sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))[:5]
+    assert got == dict(top)
+    # "new york" must rank as a collocation
+    assert ("new", "york") in got
+
+
+def test_bigram_lm_score_matches_python_twin(spark):
+    df = bigram_lm_scores(_docs(spark))
+    got = {r["doc_id"]: (r["n_trans"], r["score_nano"]) for r in df.collect()}
+
+    toks = {i: t.split() for i, t in CORPUS}
+    grams = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    ctx = Counter()
+    for (a, _), c in grams.items():
+        ctx[a] += c
+    v = len({t for ts in toks.values() for t in ts})
+    exp = {}
+    for i, ts in toks.items():
+        trans = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        if not trans:
+            continue  # <2-token docs are absent by contract
+        s = sum(
+            math.floor((grams[p] + 1) / (ctx[p[0]] + v) * 1e9) for p in trans
+        )
+        exp[i] = (len(trans), s)
+    assert got == exp
+    assert 4 not in got and 5 not in got
+    # doc 3 repeats one transition — its mean p should be the highest
+    mean = {i: s / n / 1e9 for i, (n, s) in got.items()}
+    assert max(mean, key=mean.get) == 3
+
+
+def test_countmin_estimate_dominates_exact(spark, sf_dir):
+    from databridge_etl_tools_spark.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = countmin_topk(docs, lanes=4, width=1024, top_k=20).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["cms_est"] >= r["exact_n"]  # one-sided error
+        assert r["overest"] == r["cms_est"] - r["exact_n"]
+    # with 1024 buckets and a tiny vocabulary, the head should be
+    # nearly collision-free
+    assert min(r["overest"] for r in out) == 0
+
+
+def test_countmin_narrow_width_inflates_only_estimates(spark):
+    rows = [(i, "alpha beta gamma delta " * (i + 1)) for i in range(8)]
+    wide = countmin_topk(_docs(spark, rows), width=4096, top_k=4).collect()
+    narrow = countmin_topk(_docs(spark, rows), width=2, top_k=4).collect()
+    exact = {r["token"]: r["exact_n"] for r in wide}
+    assert exact == {r["token"]: r["exact_n"] for r in narrow}  # truth unmoved
+    # 2 buckets × 4 tokens must collide: total overestimate strictly grows
+    assert sum(r["overest"] for r in narrow) > sum(r["overest"] for r in wide)
+
+
+def _hash32(salt: str, key) -> int:
+    return int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16)
+
+
+def test_sample_weighted_matches_hash_contract(spark):
+    rows = [(i, (i % 10) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    kept = {r["doc_id"] for r in sample_weighted(df, "w", "doc_id").collect()}
+    exp = {
+        i for i, w in rows if _hash32("wsample", i) * 10 < w * (1 << 32)
+    }
+    assert kept == exp
+    # weight-10 rows keep ~100%, weight-1 rows ~10%
+    w10 = sum(1 for i in kept if rows[i][1] == 10)
+    w1 = sum(1 for i in kept if rows[i][1] == 1)
+    assert w10 == 20 and w1 < 10
+
+
+def test_keep_best_elects_longest_member(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5)], "doc_id bigint, n_chars bigint"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "doc_a bigint, doc_b bigint")
+    out = {r["component"]: r for r in keep_best(docs, edges).collect()}
+    assert set(out) == {1, 7}
+    big = out[1]
+    # quality tie between 2 and 3 at 30 chars → smallest id wins
+    assert big["canonical_doc"] == 2
+    assert big["n_members"] == 3 and big["best_quality"] == 30
+    assert out[7]["canonical_doc"] == 7 and out[7]["n_members"] == 1
+
+
+def test_standardize_dims_matches_numpy_twin(spark, sf_dir):
+    import numpy as np
+
+    from databridge_etl_tools_spark.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = {r["pos"]: r for r in standardize_dims(emb).collect()}
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    xi = np.floor(mat * 10_000)
+    n = mat.shape[0]
+    assert set(got) == set(range(mat.shape[1]))
+    for pos in (0, 17, 63):
+        s, ss = xi[:, pos].sum(), (xi[:, pos] ** 2).sum()
+        mean = s / n / 10_000
+        var = (n * ss - s * s) / (n * (n - 1)) / 1e8
+        r = got[pos]
+        assert r["n"] == n
+        assert abs(r["mean"] - mean) < 1e-12
+        assert abs(r["var"] - var) < 1e-12
+        outl = int((np.abs(mat[:, pos] - r["mean"]) > 3.0 * math.sqrt(r["var"])).sum())
+        assert r["n_outliers"] == outl
+
+
+def test_gram_doc_frequency_matches_python_twin(spark):
+    from databridge_etl_tools_spark.operators.dedup import gram_doc_frequency
+
+    rows = [
+        (0, "a b c d"),        # grams: abc bcd
+        (1, "a b c"),          # abc
+        (2, "x y"),            # too short — no grams
+        (3, "a b c a b c"),    # abc bca cab (distinct within doc)
+    ]
+    got = {r["gram"]: r["df"] for r in gram_doc_frequency(_docs(spark, rows)).collect()}
+    exp = Counter()
+    for _, t in rows:
+        ts = t.split()
+        grams = {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+        for g in grams:
+            exp[g] += 1
+    assert got == dict(exp)
+    assert got["a b c"] == 3  # shared across docs 0, 1, 3
