@@ -56,6 +56,15 @@ HEADLINE = [
     "market_share",
     "top_supplier",
     "waiting_sole_late_supplier",
+    # round 5: new corpus operators + the two queries whose plans the
+    # round-4 verdict flagged (vocab ranking, tfidf df-join) so the
+    # bench artifact directly tracks their cost
+    "text_pmi_collocations",
+    "text_lm_bigram_score",
+    "sketch_countmin_topk",
+    "doc_gram_novelty",
+    "vocab_encode_documents",
+    "text_keywords_tfidf",
 ]
 
 

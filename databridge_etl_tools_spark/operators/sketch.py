@@ -44,6 +44,24 @@ def _bucket(lane, token, width: int):
     return h % width
 
 
+def countmin_table(counts: DataFrame, *, lanes: int = 4, width: int = 1024) -> DataFrame:
+    """The L×W counter table ``(lane, bucket, bucket_n)`` from a
+    ``(token, c)`` count table. Bucket sums are ADDITIVE, so building
+    from the vocabulary counts (not the raw token stream) yields the
+    identical sketch at vocabulary×L cost — and the same additivity
+    is what makes the sketch a valid running STREAMING aggregate
+    (``streaming.sketch.stream_countmin``)."""
+    lane = F.explode(F.sequence(F.lit(0), F.lit(lanes - 1))).alias("lane")
+    return (
+        counts.select("token", "c", lane)
+        .select(
+            "c", "lane", _bucket(F.col("lane"), F.col("token"), width).alias("bucket")
+        )
+        .groupBy("lane", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("bucket_n"))
+    )
+
+
 def countmin_topk(
     docs: DataFrame,
     *,
@@ -65,12 +83,7 @@ def countmin_topk(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     lane = F.explode(F.sequence(F.lit(0), F.lit(lanes - 1))).alias("lane")
-    cms = (
-        counts.select("token", "c", lane)
-        .select("c", "lane", _bucket(F.col("lane"), F.col("token"), width).alias("bucket"))
-        .groupBy("lane", "bucket")
-        .agg(F.sum("c").cast("bigint").alias("bucket_n"))
-    )
+    cms = countmin_table(counts, lanes=lanes, width=width)
     w = Window.orderBy(F.desc("c"), F.asc("token"))
     top = counts.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= top_k

@@ -1,0 +1,50 @@
+"""Streaming count-min sketch: the frequency summary as a running
+Structured Streaming aggregate.
+
+CMS counters are ADDITIVE (each token occurrence increments one
+bucket per lane), so the whole sketch is one streaming
+``groupBy(lane, bucket).count()`` over the exploded token stream —
+Spark's state store IS the sketch. That is the textbook reason
+sketches exist: bounded (L×W counters), mergeable state that an
+incremental job can maintain forever, while the exact vocabulary
+count grows without bound. Drained with ``availableNow`` the result
+is IDENTICAL to the batch sketch over the same files (pinned in
+tests/test_streaming_sketch.py against
+``operators.sketch.countmin_table``).
+
+Cost note: the stream pays lanes× md5 per token OCCURRENCE; the
+batch builder pays it per VOCABULARY entry (it pre-aggregates, which
+a streaming plan cannot — multiple chained aggregations are not
+allowed). That is the honest streaming tax, and it is map-side only;
+the shuffled state is still just (lane, bucket) keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketch import _bucket
+from ..operators.textstats import tokens
+
+
+def stream_countmin(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    lanes: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Running CMS over a document stream: ``(lane, bucket,
+    bucket_n)``, one row per non-empty counter. Use output mode
+    ``complete`` (the counter table is bounded — L×W rows — so
+    complete mode is cheap by construction) or ``update`` for
+    incremental sinks."""
+    lane = F.explode(F.sequence(F.lit(0), F.lit(lanes - 1))).alias("lane")
+    toks = stream.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return (
+        toks.select("token", lane)
+        .select("lane", _bucket(F.col("lane"), F.col("token"), width).alias("bucket"))
+        .groupBy("lane", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bucket_n"))
+    )

@@ -736,3 +736,33 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     with pytest.raises(ValueError):
         asof_join(left.withColumnRenamed("seq", "price"), right, "g",
                   value_cols=["price"])
+
+
+def test_asof_join_duplicate_right_keys_deterministic(spark):
+    """Round-4 advisor item: when multiple right rows share one
+    (by, right_on), the carried match is the GREATEST payload struct
+    — a total order, so the result cannot depend on partitioning.
+    Pinned across both directions and both partition layouts."""
+    import datetime as dt
+
+    from databridge_etl_tools_spark.operators.rangejoin import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), 0)], "g long, ts timestamp_ntz, seq long"
+    )
+    rrows = [(1, t0, p) for p in (7.0, 3.0, 9.0, 1.0)]  # 4 dup-key rights
+    for direction in ("backward", "forward"):
+        for nparts in (1, 7):
+            right = spark.createDataFrame(
+                rrows, "g long, ts timestamp_ntz, price double"
+            ).repartition(nparts)
+            lf = left if direction == "backward" else spark.createDataFrame(
+                [(1, t0 - dt.timedelta(minutes=10), 0)],
+                "g long, ts timestamp_ntz, seq long",
+            )
+            out = asof_join(lf, right, "g", value_cols=["price"], direction=direction)
+            rows = out.collect()
+            assert len(rows) == 1
+            # greatest (ts, price) struct wins → price 9.0
+            assert rows[0]["price"] == 9.0, (direction, nparts)

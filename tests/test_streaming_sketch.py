@@ -1,0 +1,63 @@
+"""Streaming count-min sketch: the running (lane, bucket) aggregate
+drained with availableNow must equal the batch sketch over the same
+files — the additivity/mergeability property that justifies sketches
+as streaming state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databridge_etl_tools_spark.operators.sketch import countmin_table
+from databridge_etl_tools_spark.streaming import curation as C
+from databridge_etl_tools_spark.streaming.sketch import stream_countmin
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage(spark, tmp_path, n_files=3):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    staging = str(tmp_path / "doc_staging")
+    n = docs.count()
+    per = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        (
+            docs.where((F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(staging)
+        )
+    return docs, staging
+
+
+def test_stream_cms_equals_batch_cms(spark, tmp_path):
+    docs, staging = _stage(spark, tmp_path)
+    cms = stream_countmin(C.read_document_stream(spark, staging), width=64)
+    q = (
+        cms.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["lane"], r["bucket"]): r["bucket_n"]
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    counts = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exp = {
+        (r["lane"], r["bucket"]): r["bucket_n"]
+        for r in countmin_table(counts, width=64).collect()
+    }
+    assert got == exp
+    assert len(got) <= 4 * 64  # bounded state: never more than L×W counters
+    # total mass conservation: every token occurrence lands in each lane
+    n_tok = counts.agg(F.sum("c")).collect()[0][0]
+    for lane in range(4):
+        assert sum(v for (l, _), v in got.items() if l == lane) == n_tok
