@@ -45,17 +45,38 @@ from .materialize import materialize
 from .textstats import tokens
 
 
+def tokenize_corpus(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One materialized ``(<id_col>, _toks)`` tokenization pass,
+    shareable between :func:`build_vocab` and
+    :func:`encode_documents` via their ``tokens_df`` parameter — the
+    vocab+encode pipeline then tokenizes the corpus ONCE instead of
+    once per stage (tokenization is the dominant map-side cost)."""
+    return materialize(
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    )
+
+
 def build_vocab(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     *,
     min_count: int = 1,
     max_size: int | None = None,
     n_parts: int = 32,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Frequency-ranked vocabulary: ``(token, token_id, count)`` with
-    ``token_id`` dense from 0 in (count desc, token asc) order."""
-    base = materialize(docs.select(tokens(F.col(text_col)).alias("_toks")))
+    ``token_id`` dense from 0 in (count desc, token asc) order.
+    Pass ``tokens_df`` (from :func:`tokenize_corpus`) to reuse an
+    existing tokenization pass."""
+    if tokens_df is not None:
+        base = tokens_df
+    elif docs is not None:
+        base = materialize(docs.select(tokens(F.col(text_col)).alias("_toks")))
+    else:
+        raise ValueError("build_vocab: need docs or tokens_df")
     counts = (
         base.select(F.explode("_toks").alias("token"))
         .groupBy("token")
@@ -108,6 +129,7 @@ def encode_documents(
     id_col: str = "doc_id",
     oov_id: int = -1,
     broadcast_threshold: int = BROADCAST_VOCAB_MAX_ROWS,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Encode each document against the vocabulary: ``(<id_col>,
     n_tokens, n_oov, ids ARRAY<INT>)`` — ids in original token order,
@@ -119,9 +141,15 @@ def encode_documents(
     a larger one falls back to a plain shuffle join on ``token``
     (an uncapped 100 TB-corpus vocabulary would blow any broadcast
     budget). Results are identical in both modes — only the physical
-    join strategy changes."""
-    base = materialize(
-        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    join strategy changes. Pass ``tokens_df`` (from
+    :func:`tokenize_corpus`) to reuse an existing tokenization
+    pass."""
+    base = (
+        tokens_df
+        if tokens_df is not None
+        else materialize(
+            docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        )
     )
     ex = base.select(id_col, F.posexplode_outer("_toks").alias("pos", "token"))
     v = vocab.select("token", "token_id")

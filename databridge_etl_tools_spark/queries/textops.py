@@ -1127,11 +1127,12 @@ def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence is emitted as a joined string (scalar-type comparator
     convention); the DuckDB oracle rebuilds vocabulary, ranks, and
     ordered encodings independently."""
-    from ..operators.vocab import build_vocab, encode_documents
+    from ..operators.vocab import build_vocab, encode_documents, tokenize_corpus
 
     docs = table(spark, sf_dir, "documents")
-    vocab = build_vocab(docs, min_count=3)
-    enc = encode_documents(docs, vocab)
+    base = tokenize_corpus(docs)  # ONE tokenization pass for both stages
+    vocab = build_vocab(min_count=3, tokens_df=base)
+    enc = encode_documents(docs, vocab, tokens_df=base)
     return enc.select(
         "doc_id",
         "n_tokens",
@@ -1474,3 +1475,25 @@ def sample_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     kept = sample_weighted(docs, "n_chars", "doc_id")
     return kept.select("doc_id", "source", "n_chars", "draw_u")
+
+
+@query("bpe_learn_merges")  # no oracle: iterative argmax fixpoint (each
+# round's pair counts depend on the previous round's merges) isn't
+# SQL-expressible; exact merge semantics are pinned against a
+# pure-python BPE twin in tests/test_bpe.py
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level BPE merge learning (``operators.bpe.bpe_fit``):
+    8 rounds of most-frequent-adjacent-pair fusion over the corpus,
+    each round one pair-count shuffle + a 1-row argmax collect +
+    an Arrow merge pass. Returns the learned rule table
+    ``(step, a, b, count, corpus_units_after)`` — the tokenizer-
+    training step every subword pipeline runs before vocab/encoding."""
+    from ..operators.bpe import bpe_fit
+
+    docs = table(spark, sf_dir, "documents")
+    merges, units = bpe_fit(docs, n_merges=8)
+    n_after = units.agg(F.sum(F.size("_toks"))).collect()[0][0]
+    return spark.createDataFrame(
+        [(s, a, b, c, int(n_after)) for s, a, b, c in merges],
+        "step int, a string, b string, count bigint, corpus_units_after bigint",
+    )

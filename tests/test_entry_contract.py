@@ -44,5 +44,15 @@ def test_gate_canary():
 
 @pytest.mark.parametrize("name", sorted(ent.queries()))
 def test_query_runs_smoke(spark, sf_dir, name):
+    """Every catalog query runs AND its physical plan passes the
+    systemic scale audit: no CartesianProduct anywhere (1-row
+    crossJoins compile to BroadcastNestedLoopJoin, which is fine;
+    an O(n²) cartesian is never acceptable at 100 TB) and no
+    row-at-a-time Python UDF (``BatchEvalPython``) in any hot path —
+    Python crossings must be Arrow-vectorized (``ArrowEvalPython`` /
+    ``MapInPandas`` / ``FlatMapGroupsInPandas``)."""
     df = ent.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert df.count() >= 0
