@@ -88,3 +88,48 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC2)).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "events_trending_types",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT hour_bucket, event_type, n,
+             CAST(row_number() OVER (PARTITION BY hour_bucket
+                  ORDER BY n DESC, event_type) AS INTEGER) AS rank,
+             CAST(n - COALESCE(lag(n) OVER (PARTITION BY event_type
+                  ORDER BY hour_bucket), 0) AS BIGINT) AS delta
+      FROM w)
+    SELECT hour_bucket, event_type, n, rank, delta FROM r WHERE rank <= 3
+    """,
+    gate=False,
+)
+def events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: top-3 event types per hour with momentum
+    (``delta`` = count minus the type's previous OBSERVED hour; first
+    appearance counts from 0). Both windows run over the HOURLY
+    AGGREGATE — hours × types rows, tiny next to the event stream —
+    so the leaderboard costs one rollup shuffle plus two cheap window
+    passes; the same shape Structured Streaming maintains
+    incrementally with a watermark."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        DT.truncate_ntz("ts", "HOUR").alias("hour_bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rk = Window.partitionBy("hour_bucket").orderBy(F.desc("n"), F.asc("event_type"))
+    lg = Window.partitionBy("event_type").orderBy("hour_bucket")
+    return (
+        w.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .withColumn(
+            "delta",
+            (F.col("n") - F.coalesce(F.lag("n").over(lg), F.lit(0))).cast("bigint"),
+        )
+        .where(F.col("rank") <= 3)
+        .select("hour_bucket", "event_type", "n", "rank", "delta")
+    )

@@ -1497,3 +1497,122 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, a, b, c, int(n_after)) for s, a, b, c in merges],
         "step int, a string, b string, count bigint, corpus_units_after bigint",
     )
+
+
+@query(
+    "reranker_training_triplets",
+    oracle=f"""
+    WITH qs(query_id, qtext) AS (
+      VALUES ('q_join', 'hash merge join'),
+             ('q_scan', 'table scan fast'),
+             ('q_sort', 'sort window line')),
+    qterms AS (
+      SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM qs),
+    toks AS (
+      SELECT doc_id, len({_TOK}) AS dl, unnest({_TOK}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM toks
+      WHERE term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len({_TOK})) AS BIGINT) AS sum_dl
+      FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS dfd FROM tf GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(
+               ((n_docs - dfd + 0.5) / (dfd + 0.5))
+               * (t.tf * (1.5 + 1.0))
+               / (t.tf + 1.5 * (1.0 - 0.75 + 0.75 * t.dl
+                                / (CAST(sum_dl AS DOUBLE) / n_docs)))
+               AS DECIMAL(38,12)) AS contrib
+      FROM tf t
+      JOIN dfreq f USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN stats),
+    agg AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(contrib) AS DOUBLE) AS score
+      FROM scored GROUP BY 1, 2),
+    pos AS (
+      SELECT query_id, doc_id AS pos_doc, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rank
+        FROM agg) t
+      WHERE rank <= 3),
+    draws AS (
+      SELECT p.query_id, p.rank, p.pos_doc, d.draw,
+             CAST('0x'||substr(md5('rr:'||p.query_id||':'
+                  ||CAST(p.pos_doc AS VARCHAR)||':'
+                  ||CAST(d.draw AS VARCHAR)),1,8) AS BIGINT)
+               % (SELECT n_docs FROM stats) AS neg_idx
+      FROM pos p CROSS JOIN (SELECT unnest(range(0, 2)) AS draw) d)
+    SELECT w.query_id, w.rank, w.pos_doc, CAST(w.draw AS INTEGER) AS draw,
+           doc.doc_id AS neg_doc
+    FROM draws w JOIN documents doc ON doc.doc_id = w.neg_idx
+    WHERE doc.doc_id <> w.pos_doc
+    """,
+    gate=False,
+)
+def reranker_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reranker training-example generation — the retrieval and
+    sampling operators COMPOSED: BM25 top-3 per query as positives
+    (``operators.retrieval.bm25_topk``, rational idf), 2 content-hash
+    negatives per positive (the ``negative_samples`` recipe:
+    ``md5('rr:'||query||pos||draw) % n_docs``, verified against the
+    corpus by join — a draw landing on the positive is dropped, the
+    documented under-delivery, never a biased redraw). Fully
+    deterministic across engines/layouts/retries, so the training
+    set is reproducible. Output: (query_id, rank, pos_doc, draw,
+    neg_doc)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        [
+            ("q_join", "hash merge join"),
+            ("q_scan", "table scan fast"),
+            ("q_sort", "sort window line"),
+        ],
+        "query_id string, query_text string",
+    )
+    pos = bm25_topk(docs, queries_df, k=3, idf="rational").select(
+        "query_id", "rank", F.col("doc_id").alias("pos_doc")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("rr:"),
+                    F.col("query_id"),
+                    F.lit(":"),
+                    F.col("pos_doc").cast("string"),
+                    F.lit(":"),
+                    F.col("draw").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    draws = (
+        pos.select(
+            "query_id",
+            "rank",
+            "pos_doc",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("draw"),
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn("neg_idx", h % F.col("n_docs"))
+    )
+    ids = docs.select(F.col("doc_id").alias("neg_doc"))
+    return (
+        draws.join(ids, draws.neg_idx == ids.neg_doc)
+        .where(F.col("neg_doc") != F.col("pos_doc"))
+        .select("query_id", "rank", "pos_doc", F.col("draw").cast("int").alias("draw"), "neg_doc")
+    )

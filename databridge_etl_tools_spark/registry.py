@@ -98,6 +98,8 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "emb_standardize_dims",
         "gram_duplication_census",
         "doc_gram_novelty",
+        "reranker_training_triplets",
+        "events_trending_types",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
@@ -118,6 +120,8 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "dedup_components",
         "ann_cosine_topk",
         "ann_ivf_label",
+        "text_token_stats",
+        "prepare_synthetic_objectid",
     }
 )
 

@@ -333,3 +333,54 @@ def test_chunking_covers_tokens_exactly(spark, n_tokens, size, stride):
         for s, _, m in rows:
             covered.update(range(s, s + m))
         assert covered == set(range(n_tokens))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(1, 50), min_size=2, max_size=12, unique=False),
+    st.integers(0, 3),
+)
+def test_sample_weighted_monotone_in_weight(spark, weights, bump_idx):
+    """Raising one row's weight can only ADD it to the sample, never
+    evict it or any other row (per-row hash fates are independent and
+    the accept threshold is monotone in w) — provided max(weight) is
+    unchanged. Bump a non-max row toward the max and compare."""
+    from databridge_etl_tools_spark.operators.sampling import sample_weighted
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    kept1 = {r["doc_id"] for r in sample_weighted(df, "w", "doc_id").collect()}
+    i = bump_idx % len(rows)
+    wmax = max(weights)
+    bumped = [(j, wmax if j == i else w) for j, w in rows]
+    df2 = spark.createDataFrame(bumped, "doc_id bigint, w bigint")
+    kept2 = {r["doc_id"] for r in sample_weighted(df2, "w", "doc_id").collect()}
+    assert kept1 - {i} <= kept2  # nobody else's fate moved
+    assert kept1 <= kept2 | {i}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=3),
+                min_size=1, max_size=30))
+def test_countmin_additive_under_corpus_split(spark, toks):
+    """CMS additivity: sketch(A ∪ B) == sketch(A) + sketch(B) counter-
+    wise — the property that makes it a valid streaming aggregate."""
+    from databridge_etl_tools_spark.operators.sketch import countmin_table
+
+    half = len(toks) // 2
+    def tab(ts):
+        if not ts:
+            return {}
+        df = spark.createDataFrame([(t,) for t in ts], "token string")
+        counts = df.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+        return {
+            (r["lane"], r["bucket"]): r["bucket_n"]
+            for r in countmin_table(counts, width=8).collect()
+        }
+    whole, a, b = tab(toks), tab(toks[:half]), tab(toks[half:])
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert whole == merged
