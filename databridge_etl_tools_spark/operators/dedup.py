@@ -631,27 +631,36 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return src.select("doc", simhash.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 4, bands: int = 5
+def hamming_near_pairs(
+    sig: DataFrame,
+    *,
+    id_col: str = "doc",
+    sig_col: str = "simhash",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 4,
+    bands: int = 5,
 ) -> DataFrame:
-    """Pairs with SimHash hamming distance ≤ ``max_hamming`` via banded
-    LSH join — EXACT (not approximate) for max_hamming < bands, by
-    pigeonhole: a pair within distance d < bands must agree on at
-    least one of the ``bands`` bit-bands."""
+    """Generic banded-LSH hamming join over any integer bit-signature
+    column (SimHash text signatures, image aHash, audio fingerprints):
+    pairs with hamming distance ≤ ``max_hamming`` — EXACT (not
+    approximate) for max_hamming < bands, by pigeonhole: a pair
+    within distance d < bands must agree on at least one of the
+    ``bands`` bit-bands. One equi-join on (band, band_key) instead of
+    the n² cross product. ``sig`` must already be materialized if
+    computing it is expensive (both sides of the self-join read it).
+    Returns ``(doc_a, doc_b, hamming)``."""
     assert max_hamming < bands, "pigeonhole exactness requires max_hamming < bands"
-    width = SIMHASH_BITS // bands
-    # materialize once: both sides of the band self-join read the
-    # signatures (see minhash note re: strategy selection)
-    sig = materialize(simhash_signatures(df, id_col, text_col))
-    band_rows = sig.select(
+    width = bits // bands
+    base = sig.select(F.col(id_col).alias("doc"), F.col(sig_col).alias("_sig"))
+    band_rows = base.select(
         "doc",
-        "simhash",
+        "_sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        F.shiftrightunsigned(F.col("_sig"), bi * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
@@ -659,9 +668,9 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "simhash", "bk.band", "bk.key")
+    ).select("doc", "_sig", "bk.band", "bk.key")
     a, b = band_rows.alias("a"), band_rows.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
     return (
         a.join(
             b,
@@ -676,6 +685,20 @@ def simhash_near_pairs(
             ham.alias("hamming"),
         )
         .distinct()
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 4, bands: int = 5
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ ``max_hamming`` via the
+    generic banded join (:func:`hamming_near_pairs`)."""
+    # materialize once: both sides of the band self-join read the
+    # signatures (see minhash note re: strategy selection)
+    sig = materialize(simhash_signatures(df, id_col, text_col))
+    return hamming_near_pairs(
+        sig, id_col="doc", sig_col="simhash", bits=SIMHASH_BITS,
+        max_hamming=max_hamming, bands=bands,
     )
 
 

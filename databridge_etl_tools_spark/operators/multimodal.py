@@ -335,3 +335,86 @@ def audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+AHASH_BITS = 60  # 5 bands × 12 bits — signed-int64-safe like SimHash
+
+
+def pack_ppm_random(width: int, height: int, seed: int = 0) -> bytes:
+    """A P6 PPM with md5-derived pseudorandom pixels — deterministic
+    but content-rich, so perceptual hashes of different seeds actually
+    differ (``pack_ppm``'s sawtooth gradient is phase-shifted by the
+    seed and perceptually IDENTICAL across seeds — fine for decode
+    plumbing tests, useless for near-dup tests)."""
+    import hashlib
+
+    n = width * height * 3
+    raw = b"".join(
+        hashlib.md5(f"ppm:{seed}:{k}".encode()).digest() for k in range(n // 16 + 1)
+    )
+    return f"P6\n{width} {height}\n255\n".encode() + raw[:n]
+
+
+def image_ahash(df: DataFrame, content_col: str = "content", id_col: str = "item_id") -> DataFrame:
+    """Perceptual average-hash over decoded pixels — the image
+    near-duplicate signature (cropped/re-encoded/noised copies land
+    within a few bits; cf. exact-byte md5 in ``binary_stats`` which
+    any single pixel change defeats).
+
+    Recipe: decode → grayscale (channel mean) → 8×8 nearest-neighbor
+    downsample → bit i set iff cell i > the 64-cell mean, keeping the
+    first ``AHASH_BITS`` = 60 bits so the signature stays inside a
+    signed int64 on every engine (the SimHash convention). Arrow-
+    batched decode (the justified Python seam); everything downstream
+    — banding, hamming — is JVM bit arithmetic via
+    ``dedup.hamming_near_pairs``."""
+    schema = f"`{id_col}` bigint, ahash bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for item_id, content in zip(pdf[id_col], pdf[content_col]):
+                _kind, w, h, ch, px = _decode_image(bytes(content))
+                arr = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, ch)
+                    .astype(np.float64)
+                    .mean(axis=2)
+                )
+                yi = np.arange(8) * h // 8
+                xi = np.arange(8) * w // 8
+                small = arr[np.ix_(yi, xi)].ravel()
+                bits = small > small.mean()
+                v = 0
+                for i in range(AHASH_BITS):
+                    if bits[i]:
+                        v |= 1 << i
+                ids.append(int(item_id))
+                hashes.append(v)
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.mapInPandas(run, schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "item_id",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs: aHash signatures → the generic
+    banded hamming join (pigeonhole-EXACT for distance ≤ 4 at 5
+    bands). The multimodal twin of text SimHash dedup: one Arrow
+    decode pass, one (band, key) equi-join, never n² image
+    comparisons."""
+    from .dedup import hamming_near_pairs
+    from .materialize import materialize
+
+    sig = materialize(image_ahash(df, content_col, id_col))
+    return hamming_near_pairs(
+        sig, id_col=id_col, sig_col="ahash", bits=AHASH_BITS,
+        max_hamming=max_hamming, bands=5,
+    )

@@ -769,3 +769,37 @@ def user_activity_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_events") > mean + F.lit(3.0) * F.sqrt(var))
         ).alias("is_anomaly"),
     )
+
+
+@query("mm_image_neardup")  # no oracle: the aHash needs pixel decode
+# (Python/Arrow seam) — not SQL-expressible; banded-join exactness and
+# the perceptual-stability contract are pinned in
+# tests/test_multimodal_streaming.py (brute-force parity on planted
+# noised copies)
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection on the multimodal seam
+    (``operators.multimodal.image_ahash`` + ``dedup.
+    hamming_near_pairs``): deterministic P6-PPM images derived from
+    doc ids, with every 10th document carrying a lightly-noised copy
+    of its predecessor's image — the pipeline must find exactly those
+    planted near-dups. One Arrow decode pass → 60-bit perceptual
+    hash → pigeonhole-exact banded hamming join; never n² image
+    comparisons."""
+    from ..operators.multimodal import image_neardup_pairs, pack_ppm_random
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    rows = docs.collect()
+
+    def content(i: int) -> bytes:
+        if i % 10 == 9:  # noised copy of the previous doc's image
+            base = bytearray(pack_ppm_random(24, 18, seed=i - 1))
+            for off in range(20, 32):
+                base[off] = min(255, base[off] + 1)
+            return bytes(base)
+        return pack_ppm_random(24, 18, seed=i)
+
+    items = spark.createDataFrame(
+        [(int(r["doc_id"]), content(int(r["doc_id"]))) for r in rows],
+        "item_id bigint, content binary",
+    )
+    return image_neardup_pairs(items, max_hamming=4)

@@ -284,3 +284,46 @@ def test_wav_features_match_pure_python(spark):
     assert r.peak == exp_peak
     # numpy zcr averages over the same n-1 comparisons
     assert abs(r.zcr - exp_zcr) < 1e-9
+
+
+def test_image_ahash_neardup_pairs(spark):
+    """aHash near-dup: a lightly-noised copy collapses onto its
+    original (small hamming), distinct images don't; banded join is
+    pigeonhole-exact at distance ≤ 4."""
+    from databridge_etl_tools_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+        pack_ppm_random,
+    )
+
+    base = pack_ppm_random(32, 24, seed=7)
+    noised = bytearray(base)
+    # nudge a handful of pixel bytes by ±1 — far from any 8×8-cell
+    # mean threshold, so the perceptual hash barely moves
+    for off in range(20, 40):
+        noised[off] = min(255, noised[off] + 1)
+    rows = [
+        (0, base),
+        (1, bytes(noised)),
+        (2, pack_ppm_random(32, 24, seed=99)),
+        (3, pack_ppm_random(16, 16, seed=360)),
+    ]
+    df = spark.createDataFrame(rows, "item_id bigint, content binary")
+    sig = {r["item_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert len(sig) == 4
+    ham01 = bin(sig[0] ^ sig[1]).count("1")
+    assert ham01 <= 4  # noised copy stays perceptually identical
+    # genuinely different images are far apart
+    assert bin(sig[0] ^ sig[2]).count("1") > 4
+    assert bin(sig[0] ^ sig[3]).count("1") > 4
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_neardup_pairs(df).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == ham01
+    # exactness: every pair under the banded join matches brute force
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig for b in sig if a < b and bin(sig[a] ^ sig[b]).count("1") <= 4
+    }
+    assert pairs == brute
