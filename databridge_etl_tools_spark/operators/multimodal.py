@@ -418,3 +418,73 @@ def image_neardup_pairs(
         sig, id_col=id_col, sig_col="ahash", bits=AHASH_BITS,
         max_hamming=max_hamming, bands=5,
     )
+
+
+def pack_fake_audio_random(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    """FAKEAUD with md5-derived pseudorandom samples (see
+    ``pack_ppm_random`` — the ramp in ``pack_fake_audio`` has a
+    near-constant derivative, so derivative-sign fingerprints of
+    different seeds would collide)."""
+    import hashlib
+
+    raw = b"".join(
+        hashlib.md5(f"aud:{seed}:{k}".encode()).digest()
+        for k in range(n_samples // 16 + 1)
+    )
+    return f"FAKEAUD:{sample_rate}:{n_samples}:".encode() + raw[:n_samples]
+
+
+def audio_fingerprint(
+    df: DataFrame, content_col: str = "content", id_col: str = "item_id"
+) -> DataFrame:
+    """Derivative-sign audio fingerprint (the Shazam-family shape on
+    the FAKEAUD container): window-mean downsample to 61 frames, bit
+    i = frame[i+1] > frame[i] — robust to gain/offset changes (both
+    shift frame means equally, leaving every comparison unchanged)
+    and to sparse sample noise (window means average it out). 60 bits
+    → signed-int64-safe, feeds the same banded hamming join as
+    SimHash/aHash."""
+    schema = f"`{id_col}` bigint, afp bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps = [], []
+            for item_id, content in zip(pdf[id_col], pdf[content_col]):
+                kind, _meta, data = _decode_fake(bytes(content))
+                assert kind == "fakeaud", "audio container expected"
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                edges = (np.arange(62) * len(arr)) // 61
+                frames = np.array(
+                    [arr[edges[i]: max(edges[i + 1], edges[i] + 1)].mean()
+                     for i in range(61)]
+                )
+                v = 0
+                for i in range(AHASH_BITS):
+                    if frames[i + 1] > frames[i]:
+                        v |= 1 << i
+                ids.append(int(item_id))
+                fps.append(v)
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return df.mapInPandas(run, schema)
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "item_id",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Audio near-duplicate pairs: derivative-sign fingerprints → the
+    generic banded hamming join (pigeonhole-exact ≤ 4 bits)."""
+    from .dedup import hamming_near_pairs
+    from .materialize import materialize
+
+    sig = materialize(audio_fingerprint(df, content_col, id_col))
+    return hamming_near_pairs(
+        sig, id_col=id_col, sig_col="afp", bits=AHASH_BITS,
+        max_hamming=max_hamming, bands=5,
+    )

@@ -327,3 +327,45 @@ def test_image_ahash_neardup_pairs(spark):
         for a in sig for b in sig if a < b and bin(sig[a] ^ sig[b]).count("1") <= 4
     }
     assert pairs == brute
+
+
+def test_audio_fingerprint_neardup_pairs(spark):
+    """Derivative-sign fingerprint: gain shift and sparse noise keep a
+    copy within a few bits; different audio is far; banded join
+    matches brute force (exactness)."""
+    import numpy as np
+
+    from databridge_etl_tools_spark.operators.multimodal import (
+        _decode_fake,
+        audio_fingerprint,
+        audio_neardup_pairs,
+        pack_fake_audio_random,
+    )
+
+    base = pack_fake_audio_random(8000, 2000, seed=5)
+    _k, meta, data = _decode_fake(base)
+    # gain/offset change: +10 on every sample (clipped) — frame deltas
+    # barely move
+    arr = np.frombuffer(data, dtype=np.uint8).astype(int)
+    shifted = np.clip(arr + 10, 0, 255).astype(np.uint8).tobytes()
+    copy = f"FAKEAUD:8000:{meta['n_samples']}:".encode() + shifted
+    rows = [
+        (0, base),
+        (1, copy),
+        (2, pack_fake_audio_random(8000, 2000, seed=77)),
+        (3, pack_fake_audio_random(16000, 4000, seed=123)),
+    ]
+    df = spark.createDataFrame(rows, "item_id bigint, content binary")
+    sig = {r["item_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert bin(sig[0] ^ sig[1]).count("1") <= 4
+    assert bin(sig[0] ^ sig[2]).count("1") > 4
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_neardup_pairs(df).collect()
+    }
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 4
+    }
+    assert pairs == brute and (0, 1) in pairs
