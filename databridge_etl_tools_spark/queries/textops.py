@@ -1616,3 +1616,71 @@ def reranker_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neg_doc") != F.col("pos_doc"))
         .select("query_id", "rank", "pos_doc", F.col("draw").cast("int").alias("draw"), "neg_doc")
     )
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST('0x'||substr(md5('growth:'||CAST(doc_id AS VARCHAR)),1,8)
+                  AS BIGINT) % 10 AS bucket,
+             {_TOK} AS toks
+      FROM documents),
+    first_seen AS (
+      SELECT t AS token, MIN(bucket) AS fb
+      FROM (SELECT bucket, unnest(toks) AS t FROM base) GROUP BY 1),
+    per AS (SELECT fb, COUNT(*) AS new_tokens FROM first_seen GROUP BY 1),
+    docs_per AS (SELECT bucket, COUNT(*) AS n_docs FROM base GROUP BY 1),
+    steps AS (SELECT unnest(range(0, 10)) AS step)
+    SELECT CAST(s.step AS INTEGER) AS step,
+           CAST(SUM(d.n_docs) AS BIGINT) AS cum_docs,
+           CAST(SUM(COALESCE(p.new_tokens, 0)) AS BIGINT) AS cum_vocab
+    FROM steps s
+    JOIN docs_per d ON d.bucket <= s.step
+    LEFT JOIN per p ON p.fb = d.bucket
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct
+    vocabulary vs cumulative corpus size over 10 deterministic
+    hash-bucket prefixes of the corpus (the dataset-scaling telemetry
+    that answers 'is the vocabulary saturating?'). Computed WITHOUT
+    re-scanning per prefix: each token records the MIN bucket it
+    appears in (one token-keyed shuffle), then the curve is a tiny
+    10-row cumulative join — versus the naive 10 × count-distinct
+    passes. Bucket assignment is the repo's md5 recipe, so both
+    engines draw identical prefixes."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.materialize import materialize
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("growth:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    base = materialize(
+        docs.select(bucket.alias("bucket"), TS.tokens(F.col("text")).alias("_toks"))
+    )
+    first_seen = (
+        base.select("bucket", F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("bucket").alias("fb"))
+    )
+    per = first_seen.groupBy("fb").agg(F.count(F.lit(1)).alias("new_tokens"))
+    docs_per = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    steps = spark.range(10).select(F.col("id").cast("int").alias("step"))
+    joined = (
+        steps.join(F.broadcast(docs_per), F.col("bucket") <= F.col("step"))
+        .join(F.broadcast(per), F.col("fb") == F.col("bucket"), "left")
+    )
+    return joined.groupBy("step").agg(
+        F.sum("n_docs").cast("bigint").alias("cum_docs"),
+        F.sum(F.coalesce(F.col("new_tokens"), F.lit(0))).cast("bigint").alias("cum_vocab"),
+    )

@@ -100,6 +100,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "doc_gram_novelty",
         "reranker_training_triplets",
         "events_trending_types",
+        "vocab_growth_curve",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
@@ -122,6 +123,7 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "ann_ivf_label",
         "text_token_stats",
         "prepare_synthetic_objectid",
+        "proj_webmercator",
     }
 )
 
