@@ -471,3 +471,32 @@ def emb_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return standardize_dims(emb, "embedding", "vec_id")
+
+
+@query("ridge_probe_embeddings")  # no oracle: the d×d normal-equation
+# solve isn't SQL-expressible; coefficient/RMSE parity vs a numpy
+# closed-form twin and layout-stability are pinned in
+# tests/test_linear.py
+def ridge_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear probe over frozen embeddings
+    (``operators.linear.ridge_fit``): closed-form ridge regression of
+    the label from the embedding — ONE Arrow pass of per-partition
+    sufficient statistics (n, Σx, Σy, XᵀX, Xᵀy; bounded d²-size
+    partials), driver-side solve, then pure map-side JVM scoring.
+    Reports per-label prediction means and the training RMSE — the
+    'are these embeddings linearly informative?' audit every
+    embedding pipeline runs."""
+    from ..operators.linear import ridge_fit, ridge_predict
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = ridge_fit(emb, "label", lam=1.0)
+    scored = emb.select("label", ridge_predict(emb, model))
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("prediction").alias("mean_prediction"),
+        )
+        .withColumn("train_rmse", F.lit(model["rmse"]))
+        .withColumn("model_n", F.lit(model["n"]).cast("bigint"))
+    )
