@@ -41,6 +41,19 @@ SHOW = [
     "session_funnel",
     "user_daily_features",
     "paired_text_embedding",
+    # round 5
+    "text_pmi_collocations",
+    "text_lm_bigram_score",
+    "sketch_countmin_topk",
+    "doc_gram_novelty",
+    "vocab_encode_documents",
+    "text_keywords_tfidf",
+    "reranker_training_triplets",
+    "events_trending_types",
+    "vocab_growth_curve",
+    "emb_standardize_dims",
+    "dedup_keep_best",
+    "sample_weighted_length",
 ]
 
 
