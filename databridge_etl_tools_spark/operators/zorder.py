@@ -49,12 +49,37 @@ def zvalue(cols: "list[Column | str]", bits: int = 16) -> Column:
     return z
 
 
+def quantile_buckets(
+    df: DataFrame, col: str, n_buckets: int = 64, rel_err: float = 0.001
+) -> Column:
+    """Quantile-rank bucketization in [0, n_buckets): the pre-ranking
+    step skewed columns need before z-ordering (equal-width buckets
+    collapse a power-law column into one hot bucket and the dimension
+    stops contributing to the interleave).
+
+    Scale-correct construction: boundaries come from
+    ``approxQuantile`` (Greenwald-Khanna sketch — one pass, driver
+    holds n_buckets-1 bounded scalars, NEVER a global sort or an
+    unpartitioned rank window), and assignment is a codegen-friendly
+    sum of ``value >= boundary`` comparisons — plain column
+    arithmetic, no interpreted HOF lambda. Duplicate boundaries
+    (very heavy skew) merge buckets monotonically."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.stat.approxQuantile(col, qs, rel_err)
+    c = F.col(col).cast("double")
+    b = F.lit(0).cast("bigint")
+    for v in bounds:
+        b = b + (c >= F.lit(float(v))).cast("bigint")
+    return b
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     cols: "list[str]",
     n_files: int = 16,
     bits: int = 10,
+    normalize: str = "width",
 ) -> None:
     """Write ``df`` clustered by the z-order of ``cols``: one range
     shuffle on the z-value + an in-partition sort, then a plain
@@ -68,15 +93,30 @@ def write_zordered(
     happens to occupy higher bit positions dominate the sort (a
     narrow-range column like a 0-14 user id contributes nothing
     against a 6-digit epoch-hour), degenerating to a 1-D sort.
-    Equal-width buckets assume roughly uniform marginals; heavily
-    skewed columns should be pre-ranked (quantile-bucketized)
-    upstream — the Delta OPTIMIZE ZORDER implementation does the
-    same range-id normalization."""
+    ``normalize="width"`` (equal-width ``width_bucket`` over min/max)
+    assumes roughly uniform marginals; ``normalize="quantile"`` uses
+    :func:`quantile_buckets` (sketch-derived rank buckets — one extra
+    pass) for heavily skewed columns, the same range-id
+    normalization Delta's OPTIMIZE ZORDER performs."""
+    if normalize not in ("width", "quantile"):
+        raise ValueError(f"write_zordered: unknown normalize {normalize!r}")
+    n_buckets = 1 << bits
+    if normalize == "quantile":
+        norm = [quantile_buckets(df, c, n_buckets=min(n_buckets, 64)) for c in cols]
+        z = zvalue(norm, bits=bits)
+        (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
     ).collect()[0]
-    n_buckets = 1 << bits
     norm = []
     for c in cols:
         mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]

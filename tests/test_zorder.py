@@ -64,3 +64,39 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     hours = [r.hour for r in ev.select("hour").distinct().limit(5).collect()]
     zor_hour = sum(overlap_fraction(zor, "hour", h) for h in hours) / len(hours)
     assert zor_hour < 1.0
+
+
+def test_quantile_buckets_balance_skewed_column(spark):
+    """Power-law column: equal-width collapses almost everything into
+    bucket 0; quantile buckets spread rows evenly (the pre-ranking
+    z-order needs for skewed dimensions)."""
+    from databridge_etl_tools_spark.operators.zorder import quantile_buckets
+
+    rows = [(i, int(1.35 ** (i % 40))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    qb = df.select(quantile_buckets(df, "v", n_buckets=8).alias("b"))
+    counts = {r["b"]: r["n"] for r in qb.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(counts) >= 6  # nearly every bucket used
+    assert max(counts.values()) <= 3 * min(counts.values())  # balanced
+
+    mn, mx = 1, int(1.35 ** 39)
+    width = df.select(
+        F.least(
+            F.width_bucket(F.col("v").cast("double"), F.lit(float(mn)), F.lit(float(mx)), F.lit(8)) - 1,
+            F.lit(7),
+        ).alias("b")
+    )
+    wc = {r["b"]: r["n"] for r in width.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # equal-width: the bottom bucket hoards the corpus
+    assert wc.get(0, 0) > 0.8 * 2000
+
+
+def test_zorder_quantile_mode_content_identical(spark, tmp_path):
+    from databridge_etl_tools_spark.operators.zorder import write_zordered
+
+    ev = table(spark, SF, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "zq")
+    write_zordered(ev, path, ["user_id", "value"], n_files=4, normalize="quantile")
+    a = sorted(tuple(r) for r in ev.collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert a == b
