@@ -91,6 +91,14 @@ def _build_parser() -> argparse.ArgumentParser:
     lb = lsub.add_parser("build")
     lb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     lb.add_argument("--out-dir", default=None)
+    lz = lsub.add_parser(
+        "zorder", help="write a z-order-clustered copy of a parquet table"
+    )
+    lz.add_argument("--input", required=True)
+    lz.add_argument("--out", required=True)
+    lz.add_argument("--cols", required=True, help="comma-separated cluster columns")
+    lz.add_argument("--files", type=int, default=16)
+    lz.add_argument("--normalize", choices=("width", "quantile"), default="width")
     return p
 
 
@@ -100,8 +108,25 @@ def main(argv: list[str] | None = None) -> int:
     from .registry import QUERIES, load_all
 
     if args.group == "layout":
-        from . import layout
         from .session import get_session
+
+        if args.cmd == "zorder":
+            from .operators.zorder import file_column_ranges, write_zordered
+
+            spark = get_session("cli")
+            cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            df = spark.read.parquet(args.input)
+            write_zordered(
+                df, args.out, cols, n_files=args.files, normalize=args.normalize
+            )
+            print(
+                json.dumps(
+                    {"out": args.out, "cols": cols,
+                     "files": len(file_column_ranges(args.out, cols))}
+                )
+            )
+            return 0
+        from . import layout
 
         layout.build_all(get_session("cli"), args.sf_dir, args.out_dir)
         print(json.dumps({"built": args.sf_dir, "cached_reuse": True}))

@@ -135,3 +135,17 @@ def test_cli_table_history_and_restore(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["rows"] == 1
     assert [r.v for r in store.read("t").collect()] == ["old"]
+
+
+def test_cli_layout_zorder(spark, tmp_path, capsys):
+    out_dir = str(tmp_path / "zo")
+    assert main([
+        "layout", "zorder",
+        "--input", "/root/testdata/sf0.001/events.parquet",
+        "--out", out_dir, "--cols", "user_id,value", "--files", "4",
+        "--normalize", "quantile",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cols"] == ["user_id", "value"] and out["files"] == 4
+    n = spark.read.parquet(out_dir).count()
+    assert n == spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
