@@ -803,3 +803,58 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id bigint, content binary",
     )
     return image_neardup_pairs(items, max_hamming=4)
+
+
+@query(
+    "user_activity_anomalies_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT user_id, quantile_cont(n_events, 0.5) AS med
+      FROM daily GROUP BY 1),
+    j AS (SELECT d.*, m.med FROM daily d JOIN med m USING (user_id)),
+    mad AS (
+      SELECT user_id, quantile_cont(abs(n_events - med), 0.5) AS mad
+      FROM j GROUP BY 1)
+    SELECT j.user_id, j.day, j.n_events, j.med, m2.mad,
+           (j.n_events > j.med + 3.0 * 1.4826 * m2.mad) AS is_anomaly
+    FROM j JOIN mad m2 USING (user_id)
+    """,
+    gate=False,
+)
+def user_activity_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags: a user-day is anomalous when its event
+    count exceeds median + 3·1.4826·MAD of the user's full history —
+    the median/MAD twin of ``user_activity_anomalies``' mean/σ
+    detector, immune to the outliers it hunts (a burst inflates a
+    mean+σ baseline and masks itself; medians don't move). Exact
+    interpolated percentiles per user (two grouped passes over the
+    TINY daily aggregate + a broadcast-size stats re-join); 1.4826 is
+    the Gaussian MAD→σ consistency constant. At 100 TB swap
+    ``percentile`` for ``approx_percentile`` (t-digest) — same plan
+    shape, documented accuracy trade."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    med = daily.groupBy("user_id").agg(
+        F.percentile("n_events", F.lit(0.5)).alias("med")
+    )
+    j = daily.join(F.broadcast(med), "user_id")
+    mad = j.groupBy("user_id").agg(
+        F.percentile(F.abs(F.col("n_events") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    return j.join(F.broadcast(mad), "user_id").select(
+        "user_id",
+        "day",
+        "n_events",
+        "med",
+        "mad",
+        (
+            F.col("n_events")
+            > F.col("med") + F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+        ).alias("is_anomaly"),
+    )

@@ -101,6 +101,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "reranker_training_triplets",
         "events_trending_types",
         "vocab_growth_curve",
+        "user_activity_anomalies_mad",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
@@ -124,6 +125,7 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "text_token_stats",
         "prepare_synthetic_objectid",
         "proj_webmercator",
+        "tz_policies",
     }
 )
 
