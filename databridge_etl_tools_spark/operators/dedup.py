@@ -24,7 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import textstats as TS
@@ -836,3 +836,67 @@ def gram_doc_frequency(
         .groupBy("gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
+
+
+def shared_spans(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    min_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cross-document repeated spans — the tractable distributed
+    core of ExactSubstr dedup (Lee et al. 2022: remove long verbatim
+    repeats, the highest-value dedup for LM training): every MAXIMAL
+    run of ≥ ``min_len`` consecutive tokens shared verbatim between
+    two documents, with positions.
+
+    Construction (all relational — no suffix array needed):
+    positional n-grams (doc, pos, gram) → gram-keyed self-join across
+    documents → each match pair lies on an alignment DIAGONAL
+    ``pos_a − pos_b``; consecutive matches on one diagonal form a
+    run, extracted with the islands-and-gaps trick (``pos_a −
+    row_number`` constant within a run) → one (pair, diagonal) window
+    → maximal spans of ``count + n − 1`` tokens.
+
+    Returns ``(doc_a, doc_b, start_a, start_b, span_tokens)``.
+
+    Scale: the gram self-join is the jaccard inverted-index hazard —
+    a stop-gram shared by everything goes quadratic; raise ``n``
+    (8-grams are near-unique in natural text; the paper uses 50-token
+    windows) or df-cap the gram table first. The run window
+    partitions by (pair, diagonal) — small groups by construction."""
+    base = materialize(
+        docs.select(F.col(id_col).alias("doc"), TS.tokens(F.col(text_col)).alias("toks"))
+    ).where(F.size("toks") >= n)
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {n} + 1),"
+        f" i -> struct(i - 1 AS pos, concat_ws(' ', slice(toks, i, {n})) AS gram))"
+    )
+    ex = base.select("doc", F.explode(grams).alias("g")).select(
+        "doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.withColumn("_run", F.col("pa") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "_run")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("int").alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_len)
+    )
+    return spans.select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")

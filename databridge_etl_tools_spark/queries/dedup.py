@@ -408,3 +408,60 @@ def doc_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty", F.col("n_unique").cast("double") / F.col("n_grams")
         )
     )
+
+
+_BOILER = "quick brown fox jumps over the lazy dog tonight"
+
+
+@query(
+    "dedup_shared_spans",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 IN (0, 1)
+                  THEN text || ' {_BOILER}' ELSE text END AS text
+      FROM documents),
+    tok2 AS (SELECT doc_id, {_TOKS} AS toks FROM planted),
+    ex AS (
+      SELECT doc_id AS doc, CAST(pos1 - 1 AS INTEGER) AS pos,
+             toks[pos1] || ' ' || toks[pos1 + 1] || ' ' || toks[pos1 + 2] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos1
+            FROM tok2 WHERE len(toks) >= 3)),
+    m AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc < b.doc),
+    runs AS (
+      SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pa) AS run
+      FROM m),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(MIN(pa) AS INTEGER) AS start_a,
+             CAST(MIN(pb) AS INTEGER) AS start_b,
+             CAST(COUNT(*) + 2 AS INTEGER) AS span_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, run)
+    SELECT doc_a, doc_b, start_a, start_b, span_tokens
+    FROM spans WHERE span_tokens >= 6
+    """,
+    gate=False,
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document repeated spans
+    (``operators.dedup.shared_spans`` — the distributed core of
+    ExactSubstr dedup, Lee et al. 2022): maximal runs of ≥6
+    consecutive tokens shared verbatim between document pairs, found
+    relationally via alignment diagonals + the islands-and-gaps run
+    grouping — no suffix array. Every 20th and 21st document carries
+    a planted 9-token boilerplate tail, so the detector must recover
+    exactly those inter-pair spans (plus any organic repeats — the
+    oracle replays the full construction, so both engines see the
+    same set)."""
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 <= 1, F.concat(F.col("text"), F.lit(f" {_BOILER}"))
+        ).otherwise(F.col("text")),
+    )
+    return DD.shared_spans(planted, n=3, min_len=6)

@@ -102,6 +102,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "events_trending_types",
         "vocab_growth_curve",
         "user_activity_anomalies_mad",
+        "dedup_shared_spans",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
@@ -126,6 +127,7 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "prepare_synthetic_objectid",
         "proj_webmercator",
         "tz_policies",
+        "events_sessionize",
     }
 )
 

@@ -766,3 +766,45 @@ def test_asof_join_duplicate_right_keys_deterministic(spark):
             assert len(rows) == 1
             # greatest (ts, price) struct wins → price 9.0
             assert rows[0]["price"] == 9.0, (direction, nparts)
+
+
+def test_shared_spans_matches_python_twin(spark):
+    """Diagonal run-length construction vs a brute-force python twin
+    on planted verbatim overlaps (maximality, positions, lengths)."""
+    from databridge_etl_tools_spark.operators.dedup import shared_spans
+
+    rows = [
+        (0, "a b c d e f g h"),          # shares d..h with 1 (5 tokens)
+        (1, "x y d e f g h z"),
+        (2, "a b c q r s t u v"),        # shares a b c with 0 (3 tokens)
+        (3, "m n o p"),                  # no overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"]): r["span_tokens"]
+        for r in shared_spans(docs, n=2, min_len=3).collect()
+    }
+
+    # brute-force twin: all maximal common substrings (token level)
+    toks = {i: t.split() for i, t in rows}
+    exp = {}
+    for a in toks:
+        for b in toks:
+            if a >= b:
+                continue
+            ta, tb = toks[a], toks[b]
+            for i in range(len(ta)):
+                for j in range(len(tb)):
+                    if ta[i] != tb[j]:
+                        continue
+                    # maximal start only
+                    if i > 0 and j > 0 and ta[i - 1] == tb[j - 1]:
+                        continue
+                    k = 0
+                    while i + k < len(ta) and j + k < len(tb) and ta[i + k] == tb[j + k]:
+                        k += 1
+                    if k >= 3:
+                        exp[(a, b, i, j)] = k
+    assert got == exp
+    assert got[(0, 1, 3, 2)] == 5   # "d e f g h"
+    assert got[(0, 2, 0, 0)] == 3   # "a b c"
