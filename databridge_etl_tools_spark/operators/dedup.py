@@ -900,3 +900,70 @@ def shared_spans(
         .where(F.col("span_tokens") >= min_len)
     )
     return spans.select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut repeated spans out of the LOWER-priority copy — the removal
+    half of ExactSubstr dedup (``shared_spans`` finds, this cuts; the
+    higher-priority doc ``doc_a`` keeps its text, ``doc_b`` loses the
+    repeated tokens, matching the keep-first-copy convention).
+
+    Returns every document (un-hit docs pass through):
+    ``(<id_col>, n_tokens, n_removed, text)`` with ``text``
+    reassembled from the surviving tokens in original order
+    (struct-sorted collect — partition-independent).
+
+    Scale: the span table is a detector OUTPUT (pairs × spans — tiny
+    next to the corpus) and is broadcast into a positional anti-join;
+    the only corpus-sized shuffle is the per-doc reassembly. A span
+    table too big to broadcast is itself the signal to fall back to
+    whole-document dedup first."""
+    base = materialize(
+        docs.select(F.col(id_col), TS.tokens(F.col(text_col)).alias("toks"))
+    )
+    ex = base.select(id_col, F.posexplode_outer("toks").alias("pos", "tok"))
+    cut = spans.select(
+        F.col("doc_b").alias("_d"),
+        F.col("start_b").alias("_s"),
+        (F.col("start_b") + F.col("span_tokens")).alias("_e"),
+    )
+    kept = ex.join(
+        F.broadcast(cut),
+        (F.col(id_col) == F.col("_d"))
+        & (F.col("pos") >= F.col("_s"))
+        & (F.col("pos") < F.col("_e")),
+        "left_anti",
+    )
+    n_before = base.select(id_col, F.size("toks").alias("_n"))
+    agg = kept.groupBy(id_col).agg(
+        F.sum(F.when(F.col("pos").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("pos").isNotNull(), F.struct("pos", "tok"))
+            )
+        ).alias("_seq"),
+    )
+    return (
+        n_before.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.col("_n") - F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(F.col("_seq"), lambda s: s["tok"]), " "
+                ),
+                F.lit(""),
+            ).alias("text"),
+        )
+    )

@@ -465,3 +465,72 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return DD.shared_spans(planted, n=3, min_len=6)
+
+
+@query(
+    "dedup_spans_removed",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 IN (0, 1)
+                  THEN text || ' {_BOILER}' ELSE text END AS text
+      FROM documents),
+    tok2 AS (SELECT doc_id, {_TOKS} AS toks FROM planted),
+    ex AS (
+      SELECT doc_id AS doc, CAST(pos1 - 1 AS INTEGER) AS pos,
+             toks[pos1] || ' ' || toks[pos1 + 1] || ' ' || toks[pos1 + 2] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos1
+            FROM tok2 WHERE len(toks) >= 3)),
+    m AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc < b.doc),
+    runs AS (
+      SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pa) AS run
+      FROM m),
+    spans AS (
+      SELECT doc_b, MIN(pb) AS start_b, COUNT(*) + 2 AS span_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, run
+      HAVING COUNT(*) + 2 >= 6),
+    extok AS (
+      SELECT doc_id, CAST(pos1 - 1 AS INTEGER) AS pos, toks[pos1] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos1
+            FROM tok2)),
+    kept AS (
+      SELECT e.* FROM extok e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans r
+        WHERE r.doc_b = e.doc_id
+          AND e.pos >= r.start_b AND e.pos < r.start_b + r.span_tokens)),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS text
+      FROM kept GROUP BY 1)
+    SELECT t.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(a.n_tokens, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.text, '') AS text
+    FROM tok2 t LEFT JOIN agg a USING (doc_id)
+    """,
+    gate=False,
+)
+def dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup end-to-end (``shared_spans`` →
+    ``remove_spans``): detect every ≥6-token verbatim repeat between
+    document pairs (same planted boilerplate as
+    ``dedup_shared_spans``), then cut the repeated tokens from the
+    LOWER-priority copy and reassemble its text in original order —
+    the keep-first-copy convention. The span table is detector
+    output (tiny) and broadcasts into a positional anti-join; the
+    only corpus shuffle is the per-doc reassembly. The oracle
+    replays detect + cut + reassemble end-to-end."""
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 <= 1, F.concat(F.col("text"), F.lit(f" {_BOILER}"))
+        ).otherwise(F.col("text")),
+    )
+    spans = DD.shared_spans(planted, n=3, min_len=6)
+    return DD.remove_spans(planted, spans)

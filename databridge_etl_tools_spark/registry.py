@@ -103,6 +103,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "vocab_growth_curve",
         "user_activity_anomalies_mad",
         "dedup_shared_spans",
+        "dedup_spans_removed",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
@@ -128,6 +129,7 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "proj_webmercator",
         "tz_policies",
         "events_sessionize",
+        "asof_purchase_last_view",
     }
 )
 

@@ -808,3 +808,28 @@ def test_shared_spans_matches_python_twin(spark):
     assert got == exp
     assert got[(0, 1, 3, 2)] == 5   # "d e f g h"
     assert got[(0, 2, 0, 0)] == 3   # "a b c"
+
+
+def test_remove_spans_cuts_lower_priority_copy(spark):
+    from databridge_etl_tools_spark.operators.dedup import (
+        remove_spans,
+        shared_spans,
+    )
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "x y a b c d e f z"),   # shares a..f with 0 → cut from doc 1
+        (2, ""),                     # empty doc passes through
+        (3, "solo words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = shared_spans(docs, n=2, min_len=3)
+    out = {r["doc_id"]: r for r in remove_spans(docs, spans).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # doc 0 (higher priority) keeps its text
+    assert out[0]["text"] == "a b c d e f" and out[0]["n_removed"] == 0
+    # doc 1 loses the 6 shared tokens, keeps the rest in order
+    assert out[1]["text"] == "x y z"
+    assert out[1]["n_removed"] == 6 and out[1]["n_tokens"] == 3
+    assert out[2]["text"] == "" and out[2]["n_tokens"] == 0
+    assert out[3]["n_removed"] == 0
