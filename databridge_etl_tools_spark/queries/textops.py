@@ -1684,3 +1684,131 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("cum_docs"),
         F.sum(F.coalesce(F.col("new_tokens"), F.lit(0))).cast("bigint").alias("cum_vocab"),
     )
+
+
+_B5 = "quick brown fox jumps over the lazy dog tonight"
+
+
+@query(
+    "corpus_curation_v3",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 20 IN (0, 1)
+                  THEN text || ' {_B5}' ELSE text END AS text
+      FROM documents),
+    tok2 AS (SELECT doc_id, source, {_TOK} AS toks FROM planted),
+    exg AS (
+      SELECT doc_id AS doc, CAST(pos1 - 1 AS INTEGER) AS pos,
+             toks[pos1] || ' ' || toks[pos1 + 1] || ' ' || toks[pos1 + 2] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos1
+            FROM tok2 WHERE len(toks) >= 3)),
+    mm AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM exg a JOIN exg b ON a.gram = b.gram AND a.doc < b.doc),
+    runs AS (
+      SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pa) AS run
+      FROM mm),
+    spans AS (
+      SELECT doc_b, MIN(pb) AS start_b, COUNT(*) + 2 AS span_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, run
+      HAVING COUNT(*) + 2 >= 6),
+    extok AS (
+      SELECT doc_id, CAST(pos1 - 1 AS INTEGER) AS pos, toks[pos1] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos1
+            FROM tok2)),
+    kept AS (
+      SELECT e.* FROM extok e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans r
+        WHERE r.doc_b = e.doc_id
+          AND e.pos >= r.start_b AND e.pos < r.start_b + r.span_tokens)),
+    surv AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY 1 HAVING COUNT(*) >= 5),
+    ktok AS (
+      SELECT k.doc_id, k.tok,
+             row_number() OVER (PARTITION BY k.doc_id ORDER BY k.pos) AS np
+      FROM kept k JOIN surv s USING (doc_id)),
+    trans AS (
+      SELECT a.doc_id, a.tok AS ta, b.tok AS tb
+      FROM ktok a JOIN ktok b ON a.doc_id = b.doc_id AND b.np = a.np + 1),
+    grams AS (SELECT ta, tb, COUNT(*) AS c_ab FROM trans GROUP BY 1, 2),
+    ctx AS (SELECT ta, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM grams GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v FROM ktok),
+    lm AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+             CAST(SUM(CAST(floor(
+               CAST(g.c_ab + 1 AS DOUBLE) / (c.c_a + vv.v)
+               * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS score_nano
+      FROM trans t JOIN grams g USING (ta, tb) JOIN ctx c USING (ta)
+      CROSS JOIN vv GROUP BY 1),
+    scored AS (
+      SELECT s.doc_id, s.n_tokens, l.n_trans, l.score_nano,
+             CAST(l.score_nano AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+               / l.n_trans AS mean_p
+      FROM surv s JOIN lm l USING (doc_id)),
+    med AS (SELECT quantile_cont(mean_p, 0.5) AS m FROM scored),
+    q AS (SELECT sc.* FROM scored sc CROSS JOIN med WHERE sc.mean_p >= med.m),
+    wmax AS (SELECT MAX(n_tokens) AS w FROM q),
+    sampled AS (
+      SELECT q.* FROM q CROSS JOIN wmax
+      WHERE CAST('0x'||substr(md5('cv3:'||CAST(q.doc_id AS VARCHAR)),1,8)
+                 AS BIGINT) * wmax.w
+            < q.n_tokens * 4294967296)
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(s.score_nano) AS BIGINT) AS sum_score_nano
+    FROM sampled s JOIN planted p USING (doc_id)
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation pipeline, ONE declarative plan with a full
+    end-to-end oracle: exact repeated-SPAN dedup (cut the planted
+    boilerplate from lower-priority copies — ``shared_spans`` →
+    ``remove_spans``), drop sub-5-token remnants, bigram-LM quality
+    gate on the CLEANED corpus (keep docs at or above the median mean
+    transition probability — corpus-relative, so the gate adapts),
+    length-weighted deterministic sampling (integer accept test),
+    and the per-source token/likelihood report. Every stage is a
+    previously-oracle-verified operator; the composition is what a
+    production curation DAG actually runs."""
+    from ..operators.collocations import bigram_lm_scores
+    from ..operators.dedup import remove_spans, shared_spans
+    from ..operators.sampling import sample_weighted
+
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 <= 1, F.concat(F.col("text"), F.lit(f" {_B5}"))
+        ).otherwise(F.col("text")),
+    )
+    cleaned = remove_spans(planted, shared_spans(planted, n=3, min_len=6))
+    surv = cleaned.where(F.col("n_tokens") >= 5).select(
+        "doc_id", "n_tokens", "text"
+    )
+    lm = bigram_lm_scores(surv)
+    scored = surv.join(lm, "doc_id").withColumn(
+        "mean_p",
+        F.col("score_nano").cast("double")
+        / F.lit(1000000000.0).cast("double")
+        / F.col("n_trans"),
+    )
+    med = scored.agg(F.percentile("mean_p", F.lit(0.5)).alias("m"))
+    q = scored.crossJoin(F.broadcast(med)).where(F.col("mean_p") >= F.col("m"))
+    sampled = sample_weighted(q, "n_tokens", "doc_id", salt="cv3")
+    return (
+        sampled.join(planted.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("score_nano").cast("bigint").alias("sum_score_nano"),
+        )
+    )

@@ -104,6 +104,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "user_activity_anomalies_mad",
         "dedup_shared_spans",
         "dedup_spans_removed",
+        "corpus_curation_v3",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
@@ -130,6 +131,7 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "tz_policies",
         "events_sessionize",
         "asof_purchase_last_view",
+        "range_join_interval_counts",
     }
 )
 
