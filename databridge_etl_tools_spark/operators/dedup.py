@@ -29,9 +29,14 @@ from pyspark.sql import functions as F
 
 from . import textstats as TS
 from .materialize import materialize
-from .util import spread
+from .util import maybe_broadcast, spread
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed int64
+
+#: rows above which a span/stop-gram table is joined by shuffle instead
+#: of broadcast (span tables are pair-quadratic in duplicate-cluster
+#: size — unbounded in principle; see SCALE.md broadcast budget)
+SPAN_BROADCAST_MAX_ROWS = 4_000_000
 
 
 def word_shingles(toks: Column | str, n: int = 3, distinct: bool = True) -> Column:
@@ -845,6 +850,8 @@ def shared_spans(
     min_len: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_gram_df: int | None = None,
+    max_gram_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact cross-document repeated spans — the tractable distributed
     core of ExactSubstr dedup (Lee et al. 2022: remove long verbatim
@@ -863,10 +870,25 @@ def shared_spans(
     Returns ``(doc_a, doc_b, start_a, start_b, span_tokens)``.
 
     Scale: the gram self-join is the jaccard inverted-index hazard —
-    a stop-gram shared by everything goes quadratic; raise ``n``
-    (8-grams are near-unique in natural text; the paper uses 50-token
-    windows) or df-cap the gram table first. The run window
-    partitions by (pair, diagonal) — small groups by construction."""
+    a stop-gram shared by everything goes quadratic (join output is
+    Σ_gram df² — at n=3 a stop-trigram like "of the and" shared by
+    millions of documents explodes it). Two defenses: raise ``n``
+    (8-grams are near-unique in natural text; Lee et al. use 50-token
+    windows), or df-cap the gram table with ``max_gram_df`` (absolute
+    distinct-document count) / ``max_gram_df_frac`` (fraction of the
+    eligible corpus — scale-free, the right knob for compositions that
+    run at many SFs). The cap costs ONE extra gram-keyed distinct-df
+    shuffle plus a broadcast ANTI-join against the (tiny by
+    construction) over-cap gram set. Maximality trade, documented: a
+    span whose EVERY length-``n`` window exceeds the cap is no longer
+    found — spans made purely of ultra-common boilerplate grams are
+    intentionally ceded (the same trade ExactSubstr makes via
+    near-unique 50-token windows) — and a span with an over-cap
+    INTERIOR window fragments around the pruned gap into its rare
+    flanks (each still ≥ ``min_len`` or dropped). Nothing made of
+    under-cap grams is lost; both behaviors are pinned in
+    tests/test_dedup_similarity.py. The run window partitions by
+    (pair, diagonal) — small groups by construction."""
     base = materialize(
         docs.select(F.col(id_col).alias("doc"), TS.tokens(F.col(text_col)).alias("toks"))
     ).where(F.size("toks") >= n)
@@ -877,6 +899,22 @@ def shared_spans(
     ex = base.select("doc", F.explode(grams).alias("g")).select(
         "doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
     )
+    if max_gram_df is not None or max_gram_df_frac is not None:
+        gdf = ex.groupBy("gram").agg(F.count_distinct("doc").alias("_df"))
+        if max_gram_df_frac is not None:
+            ndocs = base.agg(F.count(F.lit(1)).alias("_n"))
+            hot = (
+                gdf.crossJoin(F.broadcast(ndocs))
+                # frac defaults should be powers of two (0.25, 0.125…)
+                # so n·frac is IEEE-exact and engine-identical
+                .where(F.col("_df") > F.col("_n") * F.lit(float(max_gram_df_frac)))
+            )
+        else:
+            hot = gdf.where(F.col("_df") > F.lit(int(max_gram_df)))
+        hot = materialize(hot.select("gram"))
+        ex = materialize(
+            ex.join(maybe_broadcast(hot, SPAN_BROADCAST_MAX_ROWS), "gram", "left_anti")
+        )
     a, b = ex.alias("a"), ex.alias("b")
     m = a.join(
         b,
@@ -919,22 +957,28 @@ def remove_spans(
     reassembled from the surviving tokens in original order
     (struct-sorted collect — partition-independent).
 
-    Scale: the span table is a detector OUTPUT (pairs × spans — tiny
-    next to the corpus) and is broadcast into a positional anti-join;
-    the only corpus-sized shuffle is the per-doc reassembly. A span
-    table too big to broadcast is itself the signal to fall back to
-    whole-document dedup first."""
+    Scale: the span table is a detector OUTPUT (pairs × spans —
+    usually tiny next to the corpus, but pair-QUADRATIC in
+    duplicate-cluster size, so unbounded in principle on a heavily
+    duplicated corpus). It is materialized once and joined size-aware
+    (``maybe_broadcast``): at or under ``SPAN_BROADCAST_MAX_ROWS`` it
+    broadcasts into the positional anti-join; above that it degrades
+    to a shuffle join on the doc key instead of an executor OOM
+    (round-5 verdict item #2 / advisor finding). The only corpus-sized
+    shuffle is the per-doc reassembly."""
     base = materialize(
         docs.select(F.col(id_col), TS.tokens(F.col(text_col)).alias("toks"))
     )
     ex = base.select(id_col, F.posexplode_outer("toks").alias("pos", "tok"))
-    cut = spans.select(
-        F.col("doc_b").alias("_d"),
-        F.col("start_b").alias("_s"),
-        (F.col("start_b") + F.col("span_tokens")).alias("_e"),
+    cut = materialize(
+        spans.select(
+            F.col("doc_b").alias("_d"),
+            F.col("start_b").alias("_s"),
+            (F.col("start_b") + F.col("span_tokens")).alias("_e"),
+        )
     )
     kept = ex.join(
-        F.broadcast(cut),
+        maybe_broadcast(cut, SPAN_BROADCAST_MAX_ROWS),
         (F.col(id_col) == F.col("_d"))
         & (F.col("pos") >= F.col("_s"))
         & (F.col("pos") < F.col("_e")),

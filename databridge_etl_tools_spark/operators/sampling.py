@@ -258,21 +258,28 @@ def sample_weighted(
     The acceptance test is PURE INTEGER: with ``h`` the 32-bit hash
     draw, keep iff ``h · w_max < w · 2^32`` — algebraically
     ``u < w/w_max`` but with no float division, so no rounding edge
-    can ever flip a decision between engines. ``w_max`` arrives as a
-    1-row broadcast aggregate (never a driver scalar); the predicate
-    itself is map-side. Rows keep a ``draw_u`` column (the uniform
-    draw as DOUBLE — one exact division) for observability."""
+    can ever flip a decision between engines. Both products are
+    computed in DECIMAL(38,0): ``h`` is up to 2^32−1, so an int64
+    product silently wraps under Spark's non-ANSI arithmetic once
+    ``max(weight)`` exceeds ~2^31 and FLIPS keep/drop decisions
+    (advisor finding r5 — fine for token counts, wrong for e.g.
+    1e9-fixed-point quality weights); the decimal products are exact
+    to 10^38 ≫ 2^95, the true bound. ``w_max`` arrives as a 1-row
+    broadcast aggregate (never a driver scalar); the predicate itself
+    is map-side. Rows keep a ``draw_u`` column (the uniform draw as
+    DOUBLE — one exact division) for observability."""
     c = F.col(key)
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8), 16, 10
     ).cast("bigint")
+    _dec = "decimal(38,0)"
     wmax = df.agg(F.max(F.col(weight_col).cast("bigint")).alias("_wmax"))
     return (
         df.crossJoin(F.broadcast(wmax))
         .withColumn("_h", h)
         .where(
-            F.col("_h") * F.col("_wmax")
-            < F.col(weight_col).cast("bigint") * F.lit(1 << 32)
+            F.col("_h").cast(_dec) * F.col("_wmax").cast(_dec)
+            < F.col(weight_col).cast(_dec) * F.lit(1 << 32).cast(_dec)
         )
         .withColumn("draw_u", F.col("_h") / F.lit(_UNIT))
         .drop("_h", "_wmax")

@@ -821,24 +821,32 @@ def knn_classify(
 
     Returns ``(query_id, true_label, pred_label, n_votes, correct)``.
     """
-    nn = cosine_topk(
-        emb,
-        k=k,
-        query_pred=query_pred,
-        id_col=id_col,
-        vec_col=vec_col,
-        cell_col=cell_col,
+    from .materialize import materialize
+    from .util import maybe_broadcast
+
+    # query-set-sized tables — but in self-kNN mode (query_pred=None)
+    # the query set IS the corpus, so join size-aware, not bare
+    # broadcast (round-5 verdict broadcast sweep)
+    nn = materialize(
+        cosine_topk(
+            emb,
+            k=k,
+            query_pred=query_pred,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_col=cell_col,
+        )
     )
     labels = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
     )
     votes = (
-        labels.join(F.broadcast(nn), "neighbor_id")
+        labels.join(maybe_broadcast(nn, 4_000_000), "neighbor_id")
         .groupBy("query_id", "_nl")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("_nl"))
-    pred = (
+    pred = materialize(
         votes.withColumn("_pr", F.row_number().over(w))
         .where(F.col("_pr") == 1)
         .select("query_id", F.col("_nl").alias("pred_label"), "n_votes")
@@ -846,7 +854,7 @@ def knn_classify(
     truth = (emb.where(query_pred) if query_pred is not None else emb).select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
     )
-    return truth.join(F.broadcast(pred), "query_id", "left").select(
+    return truth.join(maybe_broadcast(pred, 4_000_000), "query_id", "left").select(
         "query_id",
         "true_label",
         "pred_label",

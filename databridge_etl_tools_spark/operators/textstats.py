@@ -264,17 +264,22 @@ def rare_token_stats(
 
     Scale shape: pass 1 builds the document-frequency table —
     vocabulary-sized, orders of magnitude smaller than the corpus —
-    which pass 2 joins back BROADCAST (no shuffle of the corpus-sized
-    occurrence stream by token). The corpus-side work is one explode +
-    one groupBy(doc) — both keyed on the document id. If the
-    vocabulary outgrows the broadcast budget at extreme scale, drop
-    the explicit hint and let AQE pick the join side.
+    which pass 2 joins back SIZE-AWARE (``maybe_broadcast``: under the
+    vocab broadcast budget there is no shuffle of the corpus-sized
+    occurrence stream by token; a 100 TB-corpus vocabulary that
+    outgrows it degrades to a shuffle join instead of an OOM). The
+    corpus-side work is one explode + one groupBy(doc) — both keyed
+    on the document id.
     """
+    from .materialize import materialize
+    from .util import maybe_broadcast
+    from .vocab import BROADCAST_VOCAB_MAX_ROWS
+
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("_id"), toks.alias("toks"))
     n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
     occs = base.select("_id", F.explode_outer("toks").alias("w"))
-    dfreq = (
+    dfreq = materialize(
         occs.where(F.col("w").isNotNull())
         .distinct()
         .groupBy("w")
@@ -282,7 +287,7 @@ def rare_token_stats(
     )
     per = (
         occs.where(F.col("w").isNotNull())
-        .join(F.broadcast(dfreq), "w")
+        .join(maybe_broadcast(dfreq, BROADCAST_VOCAB_MAX_ROWS), "w")
         .crossJoin(F.broadcast(n_docs))
         .groupBy("_id")
         .agg(

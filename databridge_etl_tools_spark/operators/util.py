@@ -72,7 +72,12 @@ def maybe_broadcast(df: DataFrame, threshold_rows: int) -> DataFrame:
     vocabulary-shaped tables: corpus-derived, usually small, but
     unbounded in principle — at 100 TB a token/term/gram table is
     10⁸⁺ rows and would OOM any broadcast budget
-    (round-4 verdict item #3)."""
+    (round-4 verdict item #3).
+
+    CONTRACT: pass a MATERIALIZED frame (``materialize(...)``) — the
+    size probe is an eager count, and on an unmaterialized plan the
+    whole lineage runs once for the count and again for the join
+    (advisor finding r5)."""
     if df.agg(F.count(F.lit(1))).collect()[0][0] <= threshold_rows:
         return F.broadcast(df)
     return df

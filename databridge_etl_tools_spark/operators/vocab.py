@@ -152,8 +152,12 @@ def encode_documents(
         )
     )
     ex = base.select(id_col, F.posexplode_outer("_toks").alias("pos", "token"))
-    v = vocab.select("token", "token_id")
-    if vocab.agg(F.count(F.lit(1))).collect()[0][0] <= broadcast_threshold:
+    # materialize BEFORE the size probe: build_vocab returns an
+    # unmaterialized ranking plan (range-partition + prefix-sum), and
+    # an eager count on it would recompute the whole lineage once for
+    # the count and again for the join (advisor finding r5)
+    v = materialize(vocab.select("token", "token_id"))
+    if v.agg(F.count(F.lit(1))).collect()[0][0] <= broadcast_threshold:
         v = F.broadcast(v)
     joined = ex.join(v, "token", "left").select(
         id_col,

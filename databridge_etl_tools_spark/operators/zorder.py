@@ -176,6 +176,15 @@ def file_column_ranges(path: str, columns: "list[str]") -> "list[dict]":
 
 def overlap_fraction(ranges: "list[dict]", column: str, value) -> float:
     """Fraction of files whose [min, max] for ``column`` contains
-    ``value`` — the files a point predicate CANNOT skip."""
-    hit = sum(1 for r in ranges if r[column][0] <= value <= r[column][1])
+    ``value`` — the files a point predicate CANNOT skip. A file with
+    no statistics for the column (all-null column, stats disabled)
+    has a (None, None) range and counts as a hit: a reader cannot
+    skip what it cannot bound (advisor finding r5)."""
+    hit = sum(
+        1
+        for r in ranges
+        if r[column][0] is None
+        or r[column][1] is None
+        or r[column][0] <= value <= r[column][1]
+    )
     return hit / len(ranges) if ranges else 1.0

@@ -427,10 +427,17 @@ _BOILER = "quick brown fox jumps over the lazy dog tonight"
              toks[pos1] || ' ' || toks[pos1 + 1] || ' ' || toks[pos1 + 2] AS gram
       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos1
             FROM tok2 WHERE len(toks) >= 3)),
+    hot AS (
+      SELECT gram FROM ex GROUP BY gram
+      HAVING COUNT(DISTINCT doc) >
+             (SELECT COUNT(*) FROM tok2 WHERE len(toks) >= 3) * 0.25),
+    ex2 AS (
+      SELECT e.* FROM ex e
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = e.gram)),
     m AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
              a.pos - b.pos AS diag
-      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc < b.doc),
+      FROM ex2 a JOIN ex2 b ON a.gram = b.gram AND a.doc < b.doc),
     runs AS (
       SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
                                         ORDER BY pa) AS run
@@ -456,7 +463,11 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a planted 9-token boilerplate tail, so the detector must recover
     exactly those inter-pair spans (plus any organic repeats — the
     oracle replays the full construction, so both engines see the
-    same set)."""
+    same set). Runs with the ``max_gram_df_frac=0.25`` stop-gram cap
+    (round-5 verdict item #1) — the planted grams sit at 10% document
+    frequency, well under the cap, so they must still surface while
+    any gram in >25% of the corpus is df-capped identically by both
+    engines (0.25 is a power of two: n·0.25 is IEEE-exact)."""
     docs = table(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "text",
@@ -464,7 +475,7 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 20 <= 1, F.concat(F.col("text"), F.lit(f" {_BOILER}"))
         ).otherwise(F.col("text")),
     )
-    return DD.shared_spans(planted, n=3, min_len=6)
+    return DD.shared_spans(planted, n=3, min_len=6, max_gram_df_frac=0.25)
 
 
 @query(
@@ -481,10 +492,17 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              toks[pos1] || ' ' || toks[pos1 + 1] || ' ' || toks[pos1 + 2] AS gram
       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos1
             FROM tok2 WHERE len(toks) >= 3)),
+    hot AS (
+      SELECT gram FROM ex GROUP BY gram
+      HAVING COUNT(DISTINCT doc) >
+             (SELECT COUNT(*) FROM tok2 WHERE len(toks) >= 3) * 0.25),
+    ex2 AS (
+      SELECT e.* FROM ex e
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = e.gram)),
     m AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
              a.pos - b.pos AS diag
-      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc < b.doc),
+      FROM ex2 a JOIN ex2 b ON a.gram = b.gram AND a.doc < b.doc),
     runs AS (
       SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
                                         ORDER BY pa) AS run
@@ -522,9 +540,11 @@ def dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_shared_spans``), then cut the repeated tokens from the
     LOWER-priority copy and reassemble its text in original order —
     the keep-first-copy convention. The span table is detector
-    output (tiny) and broadcasts into a positional anti-join; the
-    only corpus shuffle is the per-doc reassembly. The oracle
-    replays detect + cut + reassemble end-to-end."""
+    output (tiny) and joins size-aware (``maybe_broadcast``) into a
+    positional anti-join; the only corpus shuffle is the per-doc
+    reassembly. Detection runs with the ``max_gram_df_frac=0.25``
+    stop-gram cap, mirrored in the oracle. The oracle replays
+    detect + cut + reassemble end-to-end."""
     docs = table(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "text",
@@ -532,5 +552,5 @@ def dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 20 <= 1, F.concat(F.col("text"), F.lit(f" {_BOILER}"))
         ).otherwise(F.col("text")),
     )
-    spans = DD.shared_spans(planted, n=3, min_len=6)
+    spans = DD.shared_spans(planted, n=3, min_len=6, max_gram_df_frac=0.25)
     return DD.remove_spans(planted, spans)

@@ -180,3 +180,18 @@ def test_gram_doc_frequency_matches_python_twin(spark):
             exp[g] += 1
     assert got == dict(exp)
     assert got["a b c"] == 3  # shared across docs 0, 1, 3
+
+def test_sample_weighted_survives_huge_weights(spark):
+    """The accept test runs in DECIMAL(38,0): with max(weight) > 2^31
+    an int64 product h·w_max wraps under non-ANSI arithmetic and
+    FLIPS keep/drop decisions (advisor finding r5). Pin the decision
+    against the exact-integer python twin at 1e9-fixed-point-scale
+    weights, where the int64 product would overflow for most rows."""
+    rows = [(i, (i + 1) * 10**9) for i in range(64)]  # up to 6.4e10 > 2^31
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    kept = {r["doc_id"] for r in sample_weighted(df, "w", "doc_id").collect()}
+    wmax = max(w for _, w in rows)
+    exp = {i for i, w in rows if _hash32("wsample", i) * wmax < w * (1 << 32)}
+    assert kept == exp
+    assert rows[-1][0] in kept  # w == w_max keeps with probability 1
+    assert 0 < len(kept) < len(rows)

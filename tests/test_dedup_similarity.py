@@ -833,3 +833,57 @@ def test_remove_spans_cuts_lower_priority_copy(spark):
     assert out[1]["n_removed"] == 6 and out[1]["n_tokens"] == 3
     assert out[2]["text"] == "" and out[2]["n_tokens"] == 0
     assert out[3]["n_removed"] == 0
+
+def test_shared_spans_stop_gram_cap_bounds_join(spark):
+    """A corpus-wide stop-gram must NOT reach the positional self-join
+    when the df-cap is set (round-5 verdict item #1): with a 3-gram
+    planted in EVERY document, the uncapped join output is quadratic
+    in the corpus while the capped one sees only the genuine pair.
+    The cap's maximality trade: the all-stop-gram span disappears;
+    spans containing any under-cap gram still surface."""
+    from databridge_etl_tools_spark.operators.dedup import shared_spans
+
+    stop = "of the and"  # planted in all 40 docs
+    rows = [(i, f"u{i} v{i} {stop} w{i}") for i in range(38)]
+    # one genuine rare repeat between docs 38 and 39
+    rows += [(38, f"{stop} p q r s t"), (39, f"zz {stop} p q r s t")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = shared_spans(docs, n=3, min_len=4, max_gram_df=5)
+    got = {(r["doc_a"], r["doc_b"]): r["span_tokens"] for r in capped.collect()}
+    # only the genuine pair survives; the stop-gram spans are ceded.
+    # The recovered span is "the and p q r s t" (7 tokens) — the
+    # leading window "of the and" is itself over-cap, so the maximal
+    # span shrinks by exactly the pruned prefix (the documented trade)
+    assert got == {(38, 39): 7}
+
+    # frac variant: 5/40 = 12.5% cap → same result
+    frac = shared_spans(docs, n=3, min_len=4, max_gram_df_frac=0.125)
+    got_f = {(r["doc_a"], r["doc_b"]): r["span_tokens"] for r in frac.collect()}
+    assert got_f == got
+
+    # uncapped control: the stop-gram alone creates C(40,2)=780 pairs
+    uncapped = shared_spans(docs, n=3, min_len=3)
+    assert uncapped.count() >= 780
+
+
+def test_shared_spans_cap_keeps_undercap_grams_in_mixed_spans(spark):
+    """A span that MIXES an over-cap gram with under-cap grams is
+    still found as fragments: only the over-cap window is pruned, and
+    the diagonal run splits around the pruned gap — the rare flanks
+    both survive (nothing under-cap is lost, the second half of the
+    documented maximality trade)."""
+    from databridge_etl_tools_spark.operators.dedup import shared_spans
+
+    # "c1 c2" is planted everywhere (over-cap at n=2); "a b" is rare
+    rows = [(i, f"x{i} c1 c2 y{i}") for i in range(20)]
+    rows += [(20, "a b c1 c2 d e"), (21, "q a b c1 c2 d e")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["start_a"], r["span_tokens"])
+        for r in shared_spans(docs, n=2, min_len=3, max_gram_df=4).collect()
+    )
+    # pruning interior gram (c1,c2) splits the 6-token overlap into
+    # two 3-token fragments: "a b c1" (via matches (a,b),(b,c1)) and
+    # "c2 d e" (via (c2,d),(d,e)) — both flanks found, stop-core ceded
+    assert got == [(20, 21, 0, 3), (20, 21, 3, 3)]

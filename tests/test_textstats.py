@@ -198,3 +198,23 @@ def test_tfidf_keywords_python_twin(spark):
         entries.sort()
         assert [(w, s) for s, w in scored] == [(w, s) for _, w, s in entries], d
         assert [rk for rk, _, _ in entries] == list(range(1, len(entries) + 1))
+
+
+def test_curation_v3_approx_median_mode_stable(spark, sf_dir):
+    """quantile='approx' (the 100 TB setting — t-digest instead of the
+    single-group exact percentile buffer, round-5 verdict item #3)
+    must agree with exact mode on the smoke corpus: at accuracy 10k
+    over a few hundred distinct scores the sketch IS exact, so the
+    kept set — and therefore the whole per-source report — is
+    identical row for row."""
+    from databridge_etl_tools_spark.queries.textops import corpus_curation_v3
+
+    exact = sorted(map(tuple, corpus_curation_v3(spark, sf_dir).collect()))
+    approx = sorted(
+        map(tuple, corpus_curation_v3(spark, sf_dir, quantile="approx").collect())
+    )
+    assert approx == exact
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus_curation_v3(spark, sf_dir, quantile="bogus")

@@ -100,3 +100,19 @@ def test_zorder_quantile_mode_content_identical(spark, tmp_path):
     a = sorted(tuple(r) for r in ev.collect())
     b = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert a == b
+
+
+def test_overlap_fraction_counts_missing_stats_as_hits():
+    """A file with no min/max statistics for the column (all-null or
+    stats disabled) cannot be skipped — (None, None) ranges must count
+    as hits instead of raising TypeError (advisor finding r5)."""
+    from databridge_etl_tools_spark.operators.zorder import overlap_fraction
+
+    ranges = [
+        {"file": "a", "x": (0, 10)},
+        {"file": "b", "x": (None, None)},
+        {"file": "c", "x": (20, 30)},
+    ]
+    assert overlap_fraction(ranges, "x", 5) == 2 / 3   # a + the unknown b
+    assert overlap_fraction(ranges, "x", 25) == 2 / 3  # c + b
+    assert overlap_fraction(ranges, "x", 99) == 1 / 3  # only b
