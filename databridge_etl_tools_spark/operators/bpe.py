@@ -1,56 +1,95 @@
-"""Distributed BPE-style merge learning over the corpus.
+"""Distributed BPE-style merge learning.
 
-The tokenizer-training primitive (Sennrich et al. 2016, token-level
-variant): repeatedly find the most frequent ADJACENT unit pair and
-fuse it into a new unit, left-to-right non-overlapping. ``bpe_fit``
-learns the merge table; ``bpe_apply`` replays it over any corpus —
-the learn/apply split every subword tokenizer pipeline has.
+Two constructions, one merge semantics (greedy left-to-right
+non-overlapping fuse of the most frequent adjacent pair, Sennrich et
+al. 2016):
+
+- :func:`bpe_fit` / :func:`bpe_apply` — the TOKEN-level variant:
+  units are whitespace tokens, adjacency spans the whole document
+  (learns frequent word bigrams / phrases). Incremental since round
+  6: the corpus-wide pair-count shuffle runs ONCE; each round
+  re-processes only the documents that actually CONTAIN the winning
+  pair and patches the count table with their before/after delta, so
+  per-round shuffle cost is proportional to the pair's document
+  frequency, not the corpus.
+- :func:`bpe_fit_words` / :func:`bpe_apply_words` — the standard
+  word-frequency-table construction (what subword BPE trainers
+  actually do): collapse the corpus to its DISTINCT-word frequency
+  table (one corpus-wide shuffle, once), split each word into
+  characters, then learn merges WITHIN words with pair counts
+  weighted by word frequency. Every per-round quantity — the
+  count-weighted pair shuffle and the Arrow merge pass — is sized by
+  the word VOCABULARY (Heaps-law sublinear in corpus size), never by
+  the corpus. Encoding a corpus replays the merge table over the
+  target corpus's distinct words and joins the finished
+  word→subwords map back (size-aware broadcast), so the corpus pays
+  one tokenize + one join, not one pass per merge rule.
 
 Determinism: each round's winning pair is the (count desc, a asc,
 b asc) maximum — a total order — and the greedy left-to-right merge
-is a pure function of the token sequence, so the merge table and the
-re-tokenized corpus are identical across engines, partitionings and
+is a pure function of the unit sequence, so merge tables and
+re-tokenized corpora are identical across engines, partitionings and
 retries. No RNG, no driver-order dependence.
 
-Scale shape per round: ONE (a, b)-keyed pair-count shuffle over the
-corpus + a driver collect of exactly ONE row (the argmax — same
-bounded-scalar budget as a k-means centroid update), then a map-side
-merge pass. The merge pass runs in ``mapInPandas`` — a genuine
-can't-express case: the greedy non-overlapping fold carries
-sequential state per document, and a Catalyst ``aggregate`` lambda
-would rebuild the accumulator array per element (interpreted,
-O(tokens²) per document — the repo's documented HOF hazard), while
-the Arrow pass is O(tokens) per document. Each round's corpus is
-re-materialized (lineage cut), so the plan never grows with the
-merge count — the k-means/connected-components iteration discipline.
+The merge pass runs in ``mapInPandas`` — a genuine can't-express
+case: the greedy non-overlapping fold carries sequential state, and
+a Catalyst ``aggregate`` lambda would rebuild the accumulator array
+per element (interpreted, O(units²) per row — the repo's documented
+HOF hazard), while the Arrow pass is O(units) per row. Each round's
+state is re-materialized (lineage cut), so the plan never grows with
+the merge count — the k-means/connected-components iteration
+discipline.
 
 Rows-only in the catalog (an iterative fixpoint has no DuckDB twin);
-the exact merge semantics are pinned against a pure-python BPE twin
-in tests/test_bpe.py.
+exact merge semantics for BOTH constructions are pinned against
+pure-python twins in tests/test_bpe.py.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .materialize import materialize
 from .textstats import tokens
+from .util import maybe_broadcast
+
+#: word→subwords maps broadcast at or under this row count (same
+#: budget as the vocab/span tables — a distinct-word table is
+#: Heaps-law bounded but unbounded in principle).
+WORD_BROADCAST_MAX_ROWS = 4_000_000
 
 
-def _pair_counts(units: DataFrame) -> DataFrame:
+def _pair_counts(units: DataFrame, weight: str | None = None) -> DataFrame:
+    """Adjacent-pair counts over ``_toks``; optionally weighted by a
+    per-row count column (the word-frequency-table construction)."""
     pairs = F.expr(
         "transform(sequence(1, size(_toks) - 1),"
         " i -> struct(_toks[i - 1] AS a, _toks[i] AS b))"
     )
+    cols = [F.explode(pairs).alias("p")] + ([F.col(weight)] if weight else [])
+    w = F.col(weight) if weight else F.lit(1)
     return (
         units.where(F.size("_toks") >= 2)
-        .select(F.explode(pairs).alias("p"))
+        .select(*cols)
         .groupBy("p.a", "p.b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(w).cast("bigint").alias("c"))
     )
+
+
+def _has_adjacent(a: str, b: str) -> Column:
+    """Null-safe predicate: ``_toks`` contains ``a`` immediately
+    followed by ``b``. Guarded so short arrays yield False, never
+    NULL (a NULL predicate would drop the row from BOTH the affected
+    and the untouched branch of the round's split)."""
+    idx = F.sequence(F.lit(0), F.size("_toks") - 2)
+    hit = F.exists(
+        idx,
+        lambda i: (F.get("_toks", i) == F.lit(a)) & (F.get("_toks", i + 1) == F.lit(b)),
+    )
+    return F.when(F.size("_toks") >= 2, hit).otherwise(F.lit(False))
 
 
 def _merge_pass(units: DataFrame, a: str, b: str, joined: str) -> DataFrame:
@@ -87,27 +126,60 @@ def bpe_fit(
     min_count: int = 2,
     sep: str = "▁",  # ▁ — marks learned merge boundaries
 ) -> "tuple[list[tuple[int, str, str, int]], DataFrame]":
-    """Learn up to ``n_merges`` merge rules. Returns ``(merges,
-    units)``: ``merges`` as ``[(step, a, b, count)]`` (the rule table,
-    driver-side — n_merges bounded scalars, like k-means centroids)
-    and ``units`` the re-tokenized corpus ``(<id_col>, _toks)`` after
-    all merges. Stops early when no pair reaches ``min_count``."""
+    """Learn up to ``n_merges`` token-level merge rules. Returns
+    ``(merges, units)``: ``merges`` as ``[(step, a, b, count)]`` (the
+    rule table, driver-side — n_merges bounded scalars, like k-means
+    centroids) and ``units`` the re-tokenized corpus ``(<id_col>,
+    _toks)`` after all merges. Stops early when no pair reaches
+    ``min_count``.
+
+    Scale shape (round-6 rewrite): the corpus-wide pair-count shuffle
+    runs ONCE, before the loop. Each round then (1) collects the
+    1-row argmax from the materialized count table, (2) splits the
+    corpus on a map-side JVM adjacency predicate, (3) runs the Arrow
+    merge pass over ONLY the affected documents, (4) patches the
+    count table with the affected docs' before/after pair-count delta
+    (two affected-sized shuffles + one pair-vocabulary-sized outer
+    join), and (5) re-materializes the corpus as untouched ∪ merged —
+    a map-side linear rewrite, no shuffle. So per-round SHUFFLE cost
+    is proportional to the winning pair's document frequency (late
+    rounds: near-zero), and the only corpus-sized work is the
+    predicate scan + rewrite. The previous construction paid a full
+    corpus pair-count shuffle AND a full-corpus Arrow pass every
+    round."""
     units = materialize(
         docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     )
+    counts = materialize(_pair_counts(units))
     merges: list[tuple[int, str, str, int]] = []
     for step in range(n_merges):
-        top = (
-            _pair_counts(units)
-            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
+        top = counts.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
         if not top or top[0]["c"] < min_count:
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((step, a, b, c))
-        units = materialize(_merge_pass(units, a, b, f"{a}{sep}{b}"))
+        hit = _has_adjacent(a, b)
+        affected = units.where(hit)
+        merged = materialize(_merge_pass(affected, a, b, f"{a}{sep}{b}"))
+        delta = (
+            _pair_counts(affected)
+            .select("a", "b", (-F.col("c")).alias("c"))
+            .unionByName(_pair_counts(merged))
+            .groupBy("a", "b")
+            .agg(F.sum("c").alias("d"))
+        )
+        counts = materialize(
+            counts.join(delta, ["a", "b"], "full_outer")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce(F.col("c"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("c"),
+            )
+            .where(F.col("c") > 0)
+        )
+        units = materialize(units.where(~hit).unionByName(merged))
     return merges, units
 
 
@@ -119,12 +191,116 @@ def bpe_apply(
     id_col: str = "doc_id",
     sep: str = "▁",
 ) -> DataFrame:
-    """Replay a learned merge table over a corpus (training/serving
-    parity): same greedy left-to-right semantics, applied in learned
-    order. One Arrow pass per rule, zero shuffles."""
+    """Replay a learned token-level merge table over a corpus
+    (training/serving parity): same greedy left-to-right semantics,
+    applied in learned order. One Arrow pass per rule, zero
+    shuffles."""
     units = materialize(
         docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     )
     for _, a, b, _c in sorted(merges):
         units = _merge_pass(units, a, b, f"{a}{sep}{b}")
     return units
+
+
+def _chars() -> Column:
+    return F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+
+
+def bpe_fit_words(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+    sep: str = "▁",
+) -> "tuple[list[tuple[int, str, str, int]], DataFrame]":
+    """Standard subword BPE over the distinct-word frequency table
+    (the construction every real tokenizer trainer uses — Sennrich et
+    al. 2016's learn_bpe): ONE corpus-wide shuffle builds ``(w,
+    freq)``, each word splits into characters, and every round learns
+    the (freq-weighted count desc, a asc, b asc)-max adjacent pair
+    WITHIN words. Returns ``(merges, words)`` with ``words`` =
+    ``(w, freq, _toks)`` — the finished word→subwords map.
+
+    Scale: per-round cost is word-VOCABULARY-sized (Heaps-law
+    sublinear in corpus size) — one weighted pair-count shuffle over
+    the word table + one Arrow merge pass over the word table — vs
+    the token-level variant's corpus-sized rounds. This is why the
+    word-table construction is the scale path for subword-tokenizer
+    training; the token-level variant remains the right tool when
+    merges must cross word boundaries (phrase mining). No end-of-word
+    marker is appended (document-level token counts stay exact); add
+    one upstream by mapping ``text → text + ' </w>'``-style suffixes
+    per token if word-boundary-aware merges are needed."""
+    words = materialize(
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("_toks", _chars())
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        top = (
+            _pair_counts(words, weight="freq")
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_count:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((step, a, b, c))
+        words = materialize(_merge_pass(words, a, b, f"{a}{sep}{b}"))
+    return merges, words
+
+
+def bpe_apply_words(
+    docs: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "▁",
+) -> DataFrame:
+    """Encode a corpus with a learned word-level merge table:
+    ``(<id_col>, _toks)`` where ``_toks`` concatenates each word's
+    subword units in document order (empty docs yield empty arrays).
+
+    Scale: the merge rules replay over the TARGET corpus's
+    distinct-word table (vocabulary-sized Arrow passes — handles OOV
+    words by construction, they just split further), then ONE
+    positional explode + size-aware word-map join + ordered
+    reassembly (the struct-sort collect pattern —
+    partition-independent). The corpus pays one tokenize pass and
+    one join, never a per-rule pass."""
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    dw = materialize(
+        toks.select(F.explode("_w").alias("w")).distinct().withColumn("_toks", _chars())
+    )
+    for _, a, b, _c in sorted(merges):
+        dw = _merge_pass(dw, a, b, f"{a}{sep}{b}")
+    dw = materialize(dw)
+    ex = toks.select(id_col, F.posexplode("_w").alias("pos", "w"))
+    agg = (
+        ex.join(maybe_broadcast(dw, WORD_BROADCAST_MAX_ROWS), "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, _toks))),"
+                    " s -> s._toks)"
+                )
+            ).alias("_toks")
+        )
+    )
+    return (
+        toks.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_toks", F.expr("CAST(array() AS array<string>)")).alias(
+                "_toks"
+            ),
+        )
+    )

@@ -1483,9 +1483,11 @@ def sample_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure-python BPE twin in tests/test_bpe.py
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level BPE merge learning (``operators.bpe.bpe_fit``):
-    8 rounds of most-frequent-adjacent-pair fusion over the corpus,
-    each round one pair-count shuffle + a 1-row argmax collect +
-    an Arrow merge pass. Returns the learned rule table
+    8 rounds of most-frequent-adjacent-pair fusion over the corpus.
+    Incremental since round 6: the corpus-wide pair-count shuffle
+    runs once; each round re-processes only the documents containing
+    the winning pair and patches the count table with their
+    before/after delta. Returns the learned rule table
     ``(step, a, b, count, corpus_units_after)`` — the tokenizer-
     training step every subword pipeline runs before vocab/encoding."""
     from ..operators.bpe import bpe_fit
@@ -1496,6 +1498,31 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(s, a, b, c, int(n_after)) for s, a, b, c in merges],
         "step int, a string, b string, count bigint, corpus_units_after bigint",
+    )
+
+
+@query("bpe_learn_merges_words")  # no oracle: iterative argmax fixpoint;
+# semantics pinned against the pure-python char-BPE twin in
+# tests/test_bpe.py (test_bpe_fit_words_matches_python_twin)
+def bpe_learn_merges_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard subword BPE over the distinct-word frequency table
+    (``operators.bpe.bpe_fit_words``): one corpus shuffle builds
+    ``(word, freq)``, then every round's freq-weighted pair count and
+    Arrow merge pass run over the word VOCABULARY (Heaps-law
+    sublinear), never the corpus — the construction real tokenizer
+    trainers use, and the scale path at 100 TB. Returns
+    ``(step, a, b, count, corpus_tokens_after)`` where the token
+    count comes from one ``bpe_apply_words`` encode pass (distinct-
+    word replay + size-aware map join)."""
+    from ..operators.bpe import bpe_apply_words, bpe_fit_words
+
+    docs = table(spark, sf_dir, "documents")
+    merges, _words = bpe_fit_words(docs, n_merges=12)
+    enc = bpe_apply_words(docs, merges)
+    n_after = enc.agg(F.sum(F.size("_toks"))).collect()[0][0]
+    return spark.createDataFrame(
+        [(s, a, b, c, int(n_after)) for s, a, b, c in merges],
+        "step int, a string, b string, count bigint, corpus_tokens_after bigint",
     )
 
 
