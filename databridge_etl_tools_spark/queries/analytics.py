@@ -880,3 +880,133 @@ def user_activity_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("med") + F.lit(3.0) * F.lit(1.4826) * F.col("mad")
         ).alias("is_anomaly"),
     )
+
+
+@query(
+    "median_doc_length",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           median(n_chars) AS median_chars
+    FROM documents
+    """,
+    gate=False,
+)
+def median_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median via bucketed selection
+    (``operators.orderstats.exact_median``): one (min, max, count)
+    aggregate + 1024-row histogram refinement + an in-bucket
+    TakeOrdered — NO global sort, NO single-reducer percentile buffer
+    (the round-5 verdict's curation-median hazard, now with an exact
+    scale-safe resolution instead of just the approx_percentile
+    trade). The oracle is DuckDB's own ``median``."""
+    from ..operators.orderstats import exact_median
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    n, med = exact_median(docs, "n_chars")
+    return spark.createDataFrame(
+        [(int(n), float(med))], "n_docs bigint, median_chars double"
+    )
+
+
+@query(
+    "events_value_equidepth",
+    oracle="""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    nn AS (SELECT COUNT(*) AS n FROM v),
+    ord AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+    bounds AS (
+      SELECT value AS b FROM ord
+      WHERE rn IN (SELECT greatest(1, (n * i) // 8) FROM nn, range(1, 8) r(i))),
+    binned AS (
+      SELECT value,
+             1 + (SELECT COUNT(*) FROM bounds WHERE v.value > bounds.b) AS bin
+      FROM v)
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM binned GROUP BY 1
+    """,
+    gate=False,
+)
+def events_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning WITHOUT ntile's global-sort
+    window: exact bin boundaries at ranks ``floor(n·i/8)`` from
+    ``operators.orderstats.equi_depth_boundaries`` (bucketed
+    selection, 1024-row shuffles), then a map-side value-threshold
+    bin assignment (``1 + Σ[v > bᵢ]``) and one 8-group aggregate.
+    The length/score-bucketing primitive for packing and curation.
+    The oracle re-derives boundaries via row_number over a full sort
+    — affordable in DuckDB at gate scale, the very plan this operator
+    avoids at 100 TB."""
+    from ..operators.orderstats import equi_depth_boundaries
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    bounds = equi_depth_boundaries(ev, "value", 8)
+    v = ev.where(F.col("value").isNotNull())
+    bin_col = F.lit(1)
+    for b in bounds:
+        bin_col = bin_col + F.when(F.col("value") > F.lit(b), 1).otherwise(0)
+    return v.groupBy(bin_col.cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n, tot.n_from,
+           CAST(c.n AS DOUBLE) / tot.n_from AS p
+    FROM c JOIN tot USING (prev_type)
+    """,
+    gate=False,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (the behavioral-sequence model behind next-action
+    prediction and funnel synthesis): lead() within (user, time)
+    order → (prev, next) pair counts → row-normalized probabilities.
+
+    Scale: ONE user-keyed window shuffle (same distribution as
+    sessionize — a shared exchange under AQE when composed), one
+    pair-keyed groupBy; the row-normalizer joins the counts table
+    against its own type-keyed rollup size-aware (event-type
+    vocabulary is small in practice, unbounded in principle). The
+    probability is a scalar BIGINT→DOUBLE division — deterministic,
+    oracle-safe."""
+    from ..operators.materialize import materialize
+    from ..operators.util import maybe_broadcast
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    c = materialize(
+        seq.groupBy("prev_type", "next_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+    )
+    tot = materialize(
+        c.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    )
+    return c.join(maybe_broadcast(tot, _STATS_BROADCAST_MAX_ROWS), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )

@@ -1821,9 +1821,13 @@ def corpus_curation_v3(
     distinct per-doc doubles in ONE reducer — the single-group exact
     percentile worst case, fine at gate/bench SF but an executor OOM
     at 10⁹ documents; ``"approx"`` swaps in ``approx_percentile``
-    (t-digest: bounded memory, mergeable partials — the 100 TB
-    setting; keep/drop can differ only for docs within the sketch's
-    rank-error band of the median)."""
+    (t-digest: bounded memory, mergeable partials; keep/drop can
+    differ only for docs within the sketch's rank-error band of the
+    median); ``"bucketed"`` (round 6) gets the EXACT interpolated
+    median with bounded memory via bucketed selection
+    (``operators.orderstats.exact_median`` — 1024-row histogram
+    shuffles, no value buffer), i.e. exactness AND the 100 TB memory
+    profile, at the cost of a few extra bounded driver jobs."""
     from ..operators.collocations import bigram_lm_scores
     from ..operators.dedup import remove_spans, shared_spans
     from ..operators.sampling import sample_weighted
@@ -1848,14 +1852,24 @@ def corpus_curation_v3(
         / F.lit(1000000000.0).cast("double")
         / F.col("n_trans"),
     )
-    if quantile == "approx":
-        med_expr = F.approx_percentile("mean_p", F.lit(0.5), F.lit(10000))
-    elif quantile == "exact":
-        med_expr = F.percentile("mean_p", F.lit(0.5))
+    if quantile == "bucketed":
+        from ..operators.materialize import materialize
+        from ..operators.orderstats import exact_median
+
+        scored = materialize(scored)
+        _, m = exact_median(scored, "mean_p")
+        q = scored.where(F.col("mean_p") >= F.lit(m))
     else:
-        raise ValueError(f"quantile must be 'exact' or 'approx', got {quantile!r}")
-    med = scored.agg(med_expr.alias("m"))
-    q = scored.crossJoin(F.broadcast(med)).where(F.col("mean_p") >= F.col("m"))
+        if quantile == "approx":
+            med_expr = F.approx_percentile("mean_p", F.lit(0.5), F.lit(10000))
+        elif quantile == "exact":
+            med_expr = F.percentile("mean_p", F.lit(0.5))
+        else:
+            raise ValueError(
+                f"quantile must be 'exact', 'approx' or 'bucketed', got {quantile!r}"
+            )
+        med = scored.agg(med_expr.alias("m"))
+        q = scored.crossJoin(F.broadcast(med)).where(F.col("mean_p") >= F.col("m"))
     sampled = sample_weighted(q, "n_tokens", "doc_id", salt="cv3")
     return (
         sampled.join(planted.select("doc_id", "source"), "doc_id")
@@ -1865,4 +1879,116 @@ def corpus_curation_v3(
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
             F.sum("score_nano").cast("bigint").alias("sum_score_nano"),
         )
+    )
+
+
+@query(
+    "token_odds_ratio_langs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_TOK}) AS term
+      FROM documents WHERE lang IN ('en', 'de')),
+    c AS (
+      SELECT term,
+             CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_en,
+             CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS c_de
+      FROM tok GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(c_en) AS BIGINT) AS n_en,
+             CAST(SUM(c_de) AS BIGINT) AS n_de,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM c)
+    SELECT term, c_en, c_de,
+           CAST((c_en + 1) * (n_de + v) AS DOUBLE)
+             / CAST((c_de + 1) * (n_en + v) AS DOUBLE) AS odds_ratio
+    FROM c, t
+    """,
+    gate=False,
+)
+def token_odds_ratio_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice token-distribution divergence: add-one-smoothed
+    odds ratio of each token between two language slices — the
+    mixture-debugging / slice-drift probe (which tokens are
+    over-represented in slice A vs slice B?). Deliberately an ODDS
+    RATIO, not log-odds: ln() is libm-dependent (not correctly
+    rounded, can differ in the last ulp between JVM and DuckDB) while
+    the ratio is exact integer products with ONE double division —
+    engine-identical. Callers wanting log-odds take ln() downstream.
+
+    Scale: one token-keyed count shuffle (map-side partials over the
+    conditional-count pair), a 1-row totals broadcast — the same
+    shape as TF-IDF without the per-doc join."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.textstats import tokens as _tokens
+
+    tok = (
+        docs.where(F.col("lang").isin("en", "de"))
+        .select("lang", F.explode(_tokens(F.col("text"))).alias("term"))
+    )
+    c = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_en"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_de"),
+    )
+    t = c.agg(
+        F.sum("c_en").cast("bigint").alias("n_en"),
+        F.sum("c_de").cast("bigint").alias("n_de"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "term",
+        "c_en",
+        "c_de",
+        (
+            ((F.col("c_en") + 1) * (F.col("n_de") + F.col("v"))).cast("double")
+            / ((F.col("c_de") + 1) * (F.col("n_en") + F.col("v"))).cast("double")
+        ).alias("odds_ratio"),
+    )
+
+
+@query(
+    "kwic_concordance",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+    hit AS (SELECT doc_id, t, i FROM pos WHERE t[i] = 'merge')
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           coalesce(array_to_string(t[greatest(i - 3, 1):i - 1], ' '), '') AS left_ctx,
+           coalesce(array_to_string(t[i + 1:least(i + 3, len(t))], ' '), '') AS right_ctx
+    FROM hit
+    """,
+    gate=False,
+)
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of a query
+    term with its ±3-token context windows — the corpus-inspection
+    primitive behind memorization audits and targeted-decontamination
+    review (what surrounds the leaked string?).
+
+    Scale: entirely MAP-SIDE — tokenize, positional explode, term
+    filter, and two array slices in one pass; zero shuffles, and the
+    term filter sits directly on the exploded generator output. The
+    0-based ``pos`` makes results joinable back to span-dedup
+    offsets (``dedup_shared_spans`` positions)."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.textstats import tokens as _tokens
+
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    ex = toks.select(
+        "doc_id", "t", F.posexplode("t").alias("pos", "w")
+    ).where(F.col("w") == "merge")
+    left = F.slice(
+        "t", F.greatest(F.col("pos") - 2, F.lit(1)), F.least(F.lit(3), F.col("pos"))
+    )
+    right = F.slice("t", F.col("pos") + 2, F.lit(3))
+    return ex.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(left, " ").alias("left_ctx"),
+        F.array_join(right, " ").alias("right_ctx"),
     )

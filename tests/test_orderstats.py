@@ -1,0 +1,92 @@
+"""Bucketed-selection order statistics vs sorted-list twins: exact
+k-th smallest on integer and double columns, duplicates, skew,
+forced multi-level recursion, median interpolation, equi-depth
+boundaries."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from databridge_etl_tools_spark.operators.orderstats import (
+    equi_depth_boundaries,
+    exact_median,
+    kth_smallest,
+)
+
+
+def _df(spark, vals, typ="bigint"):
+    return spark.createDataFrame([(v,) for v in vals], f"x {typ}")
+
+
+def test_kth_smallest_ints_with_duplicates(spark):
+    rng = random.Random(7)
+    vals = [rng.randint(0, 50) for _ in range(500)]  # heavy duplication
+    s = sorted(vals)
+    ks = [1, 2, 137, 250, 251, 499, 500]
+    got = kth_smallest(_df(spark, vals), "x", ks, buckets=16)
+    assert got == {k: s[k - 1] for k in ks}
+
+
+def test_kth_smallest_doubles_skewed(spark):
+    rng = random.Random(11)
+    # power-law-ish: most mass near 0, long tail
+    vals = [rng.random() ** 6 * 1000 for _ in range(400)]
+    s = sorted(vals)
+    ks = [1, 100, 200, 399, 400]
+    got = kth_smallest(_df(spark, vals, "double"), "x", ks, buckets=8)
+    assert got == {k: s[k - 1] for k in ks}
+
+
+def test_kth_smallest_forced_recursion(spark):
+    # max_rows_exact smaller than every bucket → multiple refinement
+    # levels must still resolve exactly
+    rng = random.Random(3)
+    vals = [rng.randint(0, 10**9) for _ in range(300)]
+    s = sorted(vals)
+    got = kth_smallest(
+        _df(spark, vals), "x", [150], buckets=4, max_rows_exact=8
+    )
+    assert got[150] == s[149]
+
+
+def test_kth_smallest_all_equal_and_bounds(spark):
+    got = kth_smallest(_df(spark, [42] * 10), "x", [1, 5, 10])
+    assert got == {1: 42, 5: 42, 10: 42}
+    try:
+        kth_smallest(_df(spark, [1, 2, 3]), "x", [0])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_exact_median_matches_interpolated(spark):
+    odd = [5, 1, 9, 3, 7]
+    n, med = exact_median(_df(spark, odd), "x")
+    assert (n, med) == (5, 5.0)
+    even = [4, 1, 3, 2]
+    n, med = exact_median(_df(spark, even), "x")
+    assert (n, med) == (4, 2.5)
+    # nulls excluded
+    withnull = spark.createDataFrame([(1,), (None,), (3,)], "x bigint")
+    n, med = exact_median(withnull, "x")
+    assert (n, med) == (2, 2.0)
+
+
+def test_equi_depth_boundaries_quartiles(spark):
+    vals = list(range(1, 101))
+    random.Random(1).shuffle(vals)
+    bounds = equi_depth_boundaries(_df(spark, vals), "x", 4)
+    # ranks 25, 50, 75 of 1..100
+    assert bounds == [25, 50, 75]
+    # bin assignment by value threshold gives ~equal bins
+    df = _df(spark, vals)
+    b = F.lit(1)
+    for t in bounds:
+        b = b + F.when(F.col("x") > F.lit(t), 1).otherwise(0)
+    sizes = {
+        r["bin"]: r["n"]
+        for r in df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {1: 25, 2: 25, 3: 25, 4: 25}

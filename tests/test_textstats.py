@@ -214,6 +214,12 @@ def test_curation_v3_approx_median_mode_stable(spark, sf_dir):
         map(tuple, corpus_curation_v3(spark, sf_dir, quantile="approx").collect())
     )
     assert approx == exact
+    # 'bucketed' (round 6): exact median via bucketed selection —
+    # same keep-set as exact mode, bounded memory at any scale
+    bucketed = sorted(
+        map(tuple, corpus_curation_v3(spark, sf_dir, quantile="bucketed").collect())
+    )
+    assert bucketed == exact
     import pytest
 
     with pytest.raises(ValueError):
