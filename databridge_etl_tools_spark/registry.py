@@ -75,63 +75,81 @@ DRIVER_GATE_WINDOW = 50
 #: registration so the per-query ``gate=`` default stays the stable
 #: tier and this overlay stays one auditable per-round edit.
 #:
-#: r5 cohort: the final 7 never-driver-verified oracle queries (the
-#: r3→r4 rotation program's tail) — after this round every oracle
-#: query has at least one driver-hash-green row — plus the operators
-#: built in round 5 (registered gate=False).
+#: r6 cohort (recency-based — every oracle query has ≥1 driver-green
+#: row since r5, so rotation now refreshes the LEAST-recently
+#: verified): the 5 queries built this round (never driver-verified)
+#: + the 23 alphabetically-first of the 42 r4-verified-once overflow
+#: queries. The 22 r3-verified stable-tier queries parked by the r5
+#: overlay return to the gate by NOT re-listing them in OUT; the 28
+#: stable-tier queries driver-verified in r5 (n=3 green rows each)
+#: park to make room. The 19 remaining r4-verified-once overflow
+#: queries (profit_by_nation_year … volume_shipping) are the r7
+#: cohort.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        # -- never driver-verified before r5:
-        "scd2_point_in_time",
-        "paired_text_embedding",
-        "length_percentile_filter",
-        "user_retention_cohorts",
-        "text_clean_normalize",
-        "user_activity_anomalies",
-        "text_keywords_tfidf",
-        # -- new operators built in round 5 (registered gate=False):
-        "text_pmi_collocations",
-        "text_lm_bigram_score",
-        "sketch_countmin_topk",
-        "sample_weighted_length",
-        "dedup_keep_best",
-        "emb_standardize_dims",
-        "gram_duplication_census",
-        "doc_gram_novelty",
-        "reranker_training_triplets",
-        "events_trending_types",
-        "vocab_growth_curve",
-        "user_activity_anomalies_mad",
-        "dedup_shared_spans",
-        "dedup_spans_removed",
-        "corpus_curation_v3",
+        # -- built in round 6 (registered gate=False, never verified):
+        "median_doc_length",
+        "events_value_equidepth",
+        "events_markov_transitions",
+        "token_odds_ratio_langs",
+        "kwic_concordance",
+        # -- r4-verified-once overflow cohort (first 23 of 42):
+        "asof_attribution_window",
+        "bracket_revenue",
+        "chunk_dedup_reassembled",
+        "chunk_dedup_segments",
+        "chunk_documents_windows",
+        "contrastive_negatives",
+        "corpus_curation",
+        "corpus_curation_v2",
+        "decontaminate_train_eval",
+        "dedup_containment",
+        "dedup_winnow_overlap",
+        "emb_quantize_int8",
+        "events_value_histogram",
+        "idle_customer_balance",
+        "kfold_documents",
+        "knn_label_vote",
+        "large_volume_customers",
+        "latency_priority_classes",
+        "market_share",
+        "mixture_documents",
+        "mixture_temperature",
+        "pack_documents_sequences",
+        "pii_scrub_contacts",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
-        # parked: hash-matched in CORRECTNESS_r01 + r02 + r03
-        "filter_project",
-        "ordered_collect",
-        "topk_per_group",
-        "order_priority_check",
-        "customer_order_distribution",
-        "dedupe_events_by_user",
-        "record_diff",
-        "upsert_orders",
-        "delete_stale",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_components",
-        "ann_cosine_topk",
-        "ann_ivf_label",
-        "text_token_stats",
-        "prepare_synthetic_objectid",
-        "proj_webmercator",
-        "tz_policies",
-        "events_sessionize",
-        "asof_purchase_last_view",
-        "range_join_interval_counts",
+        # parked: driver-hash-green in r5 (and r1/r3 before it)
+        "above_customer_average",
+        "ann_lsh_bucketed",
+        "cube_flag_status",
+        "dedup_fuzzy_levenshtein",
+        "dedup_simhash_pairs",
+        "emb_neardup_pairs",
+        "events_hourly_rollup",
+        "events_json_props",
+        "exact_percentiles",
+        "forecast_revenue",
+        "forest_part_suppliers",
+        "geom_normalize",
+        "important_nation_stock",
+        "min_cost_supplier",
+        "mm_binary_stats",
+        "pivot_priority_status",
+        "pricing_summary",
+        "qa_report",
+        "range_join_left_outer",
+        "region_revenue",
+        "rollup_region_nation",
+        "scan_probes",
+        "set_ops",
+        "shipping_priority",
+        "skew_salted_agg",
+        "text_quality_language",
+        "text_vocabulary_topk",
+        "waiting_sole_late_supplier",
     }
 )
 
