@@ -726,7 +726,9 @@ def decontaminate(
 
     Scale shape: the eval side is benchmark-sized — orders of
     magnitude smaller than train — so its distinct gram set is
-    BROADCAST; the train side pays one tokenize+shingle map pass, the
+    broadcast SIZE-AWARE (``maybe_broadcast``: an oversized held-out
+    corpus degrades to a shuffle join); the train side pays one
+    tokenize+shingle map pass, the
     collision join is map-side, and the only shuffles are the per-doc
     hit aggregation and the final id join (both train-id-keyed, AQE
     coalesces). Tokens are materialized into a column before
@@ -744,7 +746,7 @@ def decontaminate(
         t_toks.select("_id", word_shingles("toks", n).alias("grams")),
         cut_lineage=True,
     ).select("_id", F.explode("grams").alias("gram"))
-    e_grams = (
+    e_grams = materialize(
         materialize(
             e_toks.select(word_shingles("toks", n).alias("grams")),
             cut_lineage=True,
@@ -753,7 +755,10 @@ def decontaminate(
         .distinct()
     )
     hits = (
-        t_grams.join(F.broadcast(e_grams), "gram")
+        # size-aware: eval sets are benchmark-sized in practice, but a
+        # caller decontaminating against a huge held-out corpus must
+        # degrade to a shuffle join, not an executor OOM
+        t_grams.join(maybe_broadcast(e_grams, SPAN_BROADCAST_MAX_ROWS), "gram")
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias("n_gram_hits"))
     )

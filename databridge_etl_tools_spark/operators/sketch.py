@@ -108,3 +108,62 @@ def countmin_topk(
         "cms_est",
         (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overest"),
     )
+
+
+def kmv_minhashes(df: DataFrame, col: str, *, k: int = 64, salt: str = "kmv") -> DataFrame:
+    """The k-minimum-values distinct-count sketch (Bar-Yossef et al.
+    2002 / Beyer et al. 2007): hash every value with the repo's
+    engine-portable md5-prefix hash, keep the k smallest DISTINCT
+    hashes. Returns that bounded table ``(hv)`` — the sketch itself.
+
+    Mergeable: the union of two sketches re-truncated to its k
+    smallest values IS the sketch of the combined input
+    (:func:`kmv_merge`; the property every partial-aggregation /
+    cross-day rollup needs, pinned in tests/test_kmv.py).
+
+    Scale shape: one map-side hash + distinct (token-keyed shuffle of
+    the DISTINCT values — at 100 TB this is the same vocabulary-sized
+    shuffle every distinct-count pays) + a ``TakeOrderedAndProject``
+    for the k smallest. The sketch is k rows forever; estimates cost
+    nothing more. Unlike Spark's built-in ``approx_count_distinct``
+    (HLL++, opaque seeded registers) the KMV estimate is
+    bit-reproducible in DuckDB SQL, so the whole estimator is
+    oracle-checkable."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_merge(sketches: "list[DataFrame]", *, k: int = 64) -> DataFrame:
+    """Merge KMV sketches: union the min-hash sets, dedup, re-take
+    the k smallest — exactly the sketch of the concatenated inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("hv").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int = 64) -> "tuple[int, float]":
+    """Distinct-count estimate from a KMV sketch: with fewer than k
+    hashes the count is EXACT (= the sketch size); otherwise
+    ``(k-1) · 2³² / h₍ₖ₎`` (the k-th minimum divides the hash space
+    into k near-equal gaps). Returns ``(n_hashes, estimate)`` — a
+    2-scalar driver collect over a k-row frame."""
+    rows = sketch.agg(
+        F.count(F.lit(1)).alias("nk"), F.max("hv").alias("m")
+    ).collect()[0]
+    nk = int(rows["nk"])
+    if nk < k:
+        return nk, float(nk)
+    return nk, (k - 1) * 4294967296.0 / float(rows["m"])

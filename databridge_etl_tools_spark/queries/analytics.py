@@ -1010,3 +1010,61 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from",
         (F.col("n").cast("double") / F.col("n_from")).alias("p"),
     )
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle="""
+    WITH hu AS (
+      SELECT DISTINCT CAST('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),1,8)
+               AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL),
+    ku AS (SELECT hv FROM hu ORDER BY hv LIMIT 64),
+    su AS (SELECT COUNT(*) AS nk, MAX(hv) AS m FROM ku),
+    he AS (
+      SELECT DISTINCT CAST('0x'||substr(md5('kmv:'||event_type),1,8)
+               AS BIGINT) AS hv
+      FROM events WHERE event_type IS NOT NULL),
+    ke AS (SELECT hv FROM he ORDER BY hv LIMIT 64),
+    se AS (SELECT COUNT(*) AS nk, MAX(hv) AS m FROM ke)
+    SELECT 'user_id' AS col, 64 AS k,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+           CAST(nk AS BIGINT) AS n_sketch,
+           CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+                ELSE 63 * 4294967296.0::DOUBLE / m END AS n_est
+    FROM su
+    UNION ALL
+    SELECT 'event_type', 64,
+           (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events),
+           CAST(nk AS BIGINT),
+           CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+                ELSE 63 * 4294967296.0::DOUBLE / m END
+    FROM se
+    """,
+    gate=False,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch vs exact truth, on a
+    high-cardinality column (user_id — estimator path: k-th minimum
+    hash extrapolation) and a low-cardinality one (event_type —
+    exact path: sketch smaller than k IS the distinct count). Unlike
+    ``approx_count_distinct`` (HLL++, opaque seeded registers) the
+    md5-based KMV estimate is bit-reproducible in DuckDB, so the
+    WHOLE estimator is oracle-checked, not just its error band.
+
+    Scale: per column one distinct-value shuffle + a k-row
+    TakeOrdered; the sketch is mergeable (union → re-truncate,
+    pinned in tests/test_kmv.py) so per-partition/per-day sketches
+    roll up without touching raw data again."""
+    from ..operators.sketch import kmv_estimate, kmv_minhashes
+
+    ev = table(spark, sf_dir, "events")
+    rows = []
+    for col in ("user_id", "event_type"):
+        n_exact = ev.select(col).where(F.col(col).isNotNull()).distinct().count()
+        sk = kmv_minhashes(ev, col, k=64)
+        nk, est = kmv_estimate(sk, k=64)
+        rows.append((col, 64, int(n_exact), int(nk), float(est)))
+    return spark.createDataFrame(
+        rows, "col string, k int, n_exact bigint, n_sketch bigint, n_est double"
+    )

@@ -93,7 +93,9 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "events_markov_transitions",
         "token_odds_ratio_langs",
         "kwic_concordance",
-        # -- r4-verified-once overflow cohort (first 23 of 42):
+        "sketch_kmv_distinct",
+        # -- r4-verified-once overflow cohort (first 22 of 42;
+        # pii_scrub_contacts deferred to r7 to fit the window):
         "asof_attribution_window",
         "bracket_revenue",
         "chunk_dedup_reassembled",
@@ -116,7 +118,6 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "mixture_documents",
         "mixture_temperature",
         "pack_documents_sequences",
-        "pii_scrub_contacts",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
