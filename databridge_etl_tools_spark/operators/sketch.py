@@ -167,3 +167,46 @@ def kmv_estimate(sketch: DataFrame, *, k: int = 64) -> "tuple[int, float]":
     if nk < k:
         return nk, float(nk)
     return nk, (k - 1) * 4294967296.0 / float(rows["m"])
+
+
+def bucketmin_table(df: DataFrame, col: str, *, k: int = 64, salt: str = "kmv") -> DataFrame:
+    """Stochastic-averaging distinct sketch: route each value's
+    md5-prefix hash into one of ``k`` buckets (``hv % k``) and keep
+    the per-bucket MINIMUM — ``(bucket, min_hv)``, ≤ k rows.
+
+    This is KMV's streaming-safe sibling (Flajolet-Martin stochastic
+    averaging): the per-bucket min is a plain ``groupBy().min()`` —
+    bounded state a Structured Streaming aggregate can maintain
+    forever (``streaming.sketch.stream_kmv``), while true bottom-k
+    needs an order-by-limit no streaming plan allows. Merge = union +
+    per-bucket min again. Estimator (:func:`bucketmin_estimate`):
+    E[min of m uniforms] = 1/(m+1), so AVERAGE the k minima first and
+    take ONE reciprocal — n̂ = k²·2³²/Σmin_b − k. (Per-bucket
+    reciprocals Σ(2³²/min_b) look equivalent but E[1/min] diverges —
+    the heavy-tail bias overestimated 3× in testing.) Higher variance
+    than bottom-k KMV at equal k — the price of
+    streaming-aggregability."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("hv"))
+        .groupBy((F.col("hv") % k).alias("bucket"))
+        .agg(F.min("hv").alias("min_hv"))
+    )
+
+
+def bucketmin_estimate(table: DataFrame, *, k: int = 64) -> float:
+    """Distinct-count estimate from a bucket-min table:
+    n̂ = k²·2³²/Σ min_b − k (mean-of-minima, single reciprocal —
+    see :func:`bucketmin_table`). Empty buckets count as min = 2³²
+    (no value seen → the minimum of zero uniforms is the full range).
+    Bounded driver collect (≤ k rows)."""
+    rows = table.collect()
+    total = sum(float(r["min_hv"]) for r in rows) + 4294967296.0 * (k - len(rows))
+    return float(k * k * 4294967296.0 / total - k)

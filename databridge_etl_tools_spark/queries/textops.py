@@ -1992,3 +1992,43 @@ def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(left, " ").alias("left_ctx"),
         F.array_join(right, " ").alias("right_ctx"),
     )
+
+
+@query(
+    "sample_bottomk_documents",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x'||substr(md5('bk:'||CAST(doc_id AS VARCHAR)),1,8)
+               AS BIGINT) AS hv
+      FROM documents)
+    SELECT doc_id, source, n_chars, hv
+    FROM h ORDER BY hv, doc_id LIMIT 40
+    """,
+    gate=False,
+)
+def sample_bottomk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (min-hash order) deterministic uniform sample: the 40
+    documents with the smallest md5-prefix hash of their id — the
+    mergeable fixed-size sample every audit/eyeball/holdout workflow
+    wants. Unlike ``TABLESAMPLE``/``df.sample`` (partition-dependent
+    RNG) the keep-set is a pure function of doc ids: stable across
+    engines, layouts, retries, AND corpus growth (a doc already in
+    the sample leaves only when a smaller-hash doc arrives — the
+    bottom-k union/merge property KMV sketches share).
+
+    Scale: one map-side hash + ``TakeOrderedAndProject`` (plan-pinned
+    — per-partition top-40 tree-reduce, never a global sort)."""
+    docs = table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bk:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "source", "n_chars", hv.alias("hv"))
+        .orderBy("hv", "doc_id")
+        .limit(40)
+    )

@@ -48,3 +48,35 @@ def stream_countmin(
         .groupBy("lane", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("bucket_n"))
     )
+
+
+def stream_kmv(
+    stream: DataFrame,
+    col: str,
+    *,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Running distinct-count sketch over a stream: the per-bucket
+    hash MINIMUM (``operators.sketch.bucketmin_table`` semantics) as
+    a pure streaming aggregate — ``groupBy(hv % k).min(hv)`` is
+    bounded (≤ k rows of state), mergeable, and needs no watermark.
+    True bottom-k KMV is NOT streaming-expressible (order-by-limit
+    is not an aggregate); this is its stochastic-averaging sibling,
+    drained with ``availableNow`` it is IDENTICAL to the batch
+    bucket-min table over the same files (pinned in
+    tests/test_streaming_sketch.py). Estimate downstream with
+    ``bucketmin_estimate``."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        stream.where(F.col(col).isNotNull())
+        .select(h.alias("hv"))
+        .groupBy((F.col("hv") % k).alias("bucket"))
+        .agg(F.min("hv").alias("min_hv"))
+    )

@@ -161,3 +161,12 @@ def test_vocabulary_topk_compiles_to_take_ordered(spark):
     plan = _plan(spark, "text_vocabulary_topk")
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan
+
+
+def test_bottomk_sample_compiles_to_take_ordered(spark):
+    """sample_bottomk_documents' orderBy+limit must plan as
+    TakeOrderedAndProject (per-partition top-k tree reduce), never a
+    global sort."""
+    plan = _plan(spark, "sample_bottomk_documents")
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan

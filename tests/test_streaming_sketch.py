@@ -61,3 +61,40 @@ def test_stream_cms_equals_batch_cms(spark, tmp_path):
     n_tok = counts.agg(F.sum("c")).collect()[0][0]
     for lane in range(4):
         assert sum(v for (l, _), v in got.items() if l == lane) == n_tok
+
+
+def test_stream_kmv_equals_batch_bucketmin(spark, tmp_path):
+    """Per-bucket hash minima are a pure streaming aggregate: the
+    availableNow drain must equal the batch bucket-min table, and the
+    estimate must land in the stochastic-averaging error band."""
+    from databridge_etl_tools_spark.operators.sketch import (
+        bucketmin_estimate,
+        bucketmin_table,
+    )
+    from databridge_etl_tools_spark.streaming.sketch import stream_kmv
+
+    docs, staging = _stage(spark, tmp_path)
+    sk = stream_kmv(C.read_document_stream(spark, staging), "doc_id", k=16)
+    q = (
+        sk.writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"], r["min_hv"])
+        for r in spark.sql("SELECT * FROM kmv_stream").collect()
+    }
+    exp = {
+        (r["bucket"], r["min_hv"])
+        for r in bucketmin_table(docs, "doc_id", k=16).collect()
+    }
+    assert got == exp
+    assert len(got) <= 16  # bounded state
+    n = docs.select("doc_id").distinct().count()
+    est = bucketmin_estimate(bucketmin_table(docs, "doc_id", k=16), k=16)
+    # mean-of-minima estimator, ~1/sqrt(16) = 25% std error band
+    assert abs(est - n) / n < 0.75
