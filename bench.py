@@ -65,6 +65,16 @@ HEADLINE = [
     "doc_gram_novelty",
     "vocab_encode_documents",
     "text_keywords_tfidf",
+    # round 6: bucketed-selection order statistics (several bounded
+    # driver jobs each — the bench tracks that they stay cheap),
+    # sketches, sequence/concordance ops
+    "median_doc_length",
+    "events_value_equidepth",
+    "events_markov_transitions",
+    "token_odds_ratio_langs",
+    "kwic_concordance",
+    "sketch_kmv_distinct",
+    "sample_bottomk_documents",
 ]
 
 

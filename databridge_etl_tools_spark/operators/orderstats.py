@@ -52,10 +52,17 @@ def kth_smallest(
     max_rows_exact: int = 65536,
 ) -> "dict[int, float]":
     """Exact k-th smallest values (1-based ranks over non-null rows)
-    for every k in ``ks``, as ``{k: value}``. One (min, max, count)
-    aggregate + per unresolved rank a histogram-refinement descent
-    (shared scan, 1024-row shuffles) — see module docstring for the
-    scale argument."""
+    for every k in ``ks``, as ``{k: value}``.
+
+    Level-SYNCHRONIZED descent (round-6 bench finding: per-rank
+    independent descents cost 7× the jobs for equi-depth boundaries):
+    all pending ranks sharing a value range share ONE histogram and
+    ONE target-bucket min/max aggregate per level — at level 1 that
+    means 2 jobs total regardless of how many ranks were asked for.
+    Each rank carries its bucket's count forward, so no per-rank
+    count jobs exist at all; ranks whose candidate set fits
+    ``max_rows_exact`` resolve with a ``TakeOrdered``-shaped
+    orderBy+limit. See module docstring for the scale argument."""
     vals = df.select(F.col(col).alias("_v")).where(F.col("_v").isNotNull())
     st = vals.agg(
         F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count(F.lit(1)).alias("n")
@@ -67,53 +74,66 @@ def kth_smallest(
     if bad:
         raise ValueError(f"kth_smallest: ranks {bad} outside 1..{n}")
     out: dict[int, float] = {}
-    for k in ks:
-        lo, hi, rank, sub = st["lo"], st["hi"], k, vals
-        while True:
+    # per-rank state: (k, lo, hi, rank-within-range, rows-in-range, cap)
+    pending = [(k, st["lo"], st["hi"], k, n, max_rows_exact) for k in set(ks)]
+    while pending:
+        nxt = []
+        for k, lo, hi, rank, cnt, cap in pending:
             if lo == hi:
                 out[k] = lo
-                break
-            cnt = sub.where((F.col("_v") >= lo) & (F.col("_v") <= hi)).count()
-            if cnt <= max_rows_exact:
-                picked = (
-                    sub.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
+            elif cnt <= cap:
+                out[k] = (
+                    vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
                     .orderBy("_v")
                     .limit(rank)
                     .agg(F.max("_v"))
                     .collect()[0][0]
                 )
-                out[k] = picked
-                break
+            else:
+                nxt.append((k, lo, hi, rank, cnt, cap))
+        if not nxt:
+            break
+        # group unresolved ranks by identical range → one histogram +
+        # one bucket-bounds aggregate per distinct range this level
+        groups: dict[tuple, list] = {}
+        for s in nxt:
+            groups.setdefault((s[1], s[2]), []).append(s)
+        pending = []
+        for (lo, hi), states in groups.items():
             idx = _bucket_idx(F.col("_v"), lo, hi, buckets)
-            hist = (
-                sub.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
-                .groupBy(idx.alias("_b"))
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
-            )
+            ranged = vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
+            hist = ranged.groupBy(idx.alias("_b")).agg(F.count(F.lit(1)).alias("c")).collect()
             counts = {int(r["_b"]): int(r["c"]) for r in hist}
-            acc, target = 0, None
-            for b in range(buckets):
-                c = counts.get(b, 0)
-                if acc + c >= rank:
-                    target, rank = b, rank - acc
-                    break
-                acc += c
-            # shrink [lo, hi] to the target bucket's ACTUAL value range
-            # (guarantees progress even when float width rounds oddly)
-            bs = (
-                sub.where(
-                    (F.col("_v") >= lo) & (F.col("_v") <= hi) & (idx == F.lit(target))
-                )
-                .agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
-                .collect()[0]
-            )
-            new_lo, new_hi = bs["lo"], bs["hi"]
-            if new_lo == lo and new_hi == hi:
-                # degenerate refinement (pathological float spacing):
-                # fall through to exact resolution next iteration
-                max_rows_exact = max(max_rows_exact, cnt)
-            lo, hi = new_lo, new_hi
+            cum, acc = {}, 0
+            for b in sorted(counts):
+                cum[b] = acc
+                acc += counts[b]
+            located = []  # (k, target bucket, rank-in-bucket, bucket count, cap)
+            for k, _lo, _hi, rank, cnt, cap in states:
+                target = None
+                for b in sorted(counts):
+                    if cum[b] + counts[b] >= rank:
+                        target = b
+                        break
+                located.append((k, target, rank - cum[target], counts[target], cap))
+            # ONE aggregate gets the ACTUAL value bounds of every
+            # target bucket (guarantees progress even when float
+            # width rounds oddly)
+            targets = sorted({t for _, t, _, _, _ in located})
+            bounds = {
+                int(r["_b"]): (r["blo"], r["bhi"])
+                for r in ranged.where(idx.isin(targets))
+                .groupBy(idx.alias("_b"))
+                .agg(F.min("_v").alias("blo"), F.max("_v").alias("bhi"))
+                .collect()
+            }
+            for k, target, rank, cnt, cap in located:
+                blo, bhi = bounds[target]
+                if blo == lo and bhi == hi:
+                    # degenerate refinement (pathological float
+                    # spacing): force exact resolution next pass
+                    cap = max(cap, cnt)
+                pending.append((k, blo, bhi, rank, cnt, cap))
     return out
 
 
