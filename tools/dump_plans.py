@@ -54,6 +54,13 @@ SHOW = [
     "emb_standardize_dims",
     "dedup_keep_best",
     "sample_weighted_length",
+    # round 6 (the driver-job orchestrators — median/equidepth/kmv —
+    # are compositions of bounded jobs, not one plan; the entries
+    # below are the single-plan round-6 queries)
+    "events_markov_transitions",
+    "token_odds_ratio_langs",
+    "kwic_concordance",
+    "sample_bottomk_documents",
 ]
 
 
