@@ -395,3 +395,50 @@ def stream_scd2_into_store(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_transitions(stream: DataFrame) -> DataFrame:
+    """Streaming first-order transitions: per user, every
+    (prev_type, next_type) adjacent pair in event-time order,
+    INCLUDING the pair that bridges two micro-batches — the state is
+    each user's last event type, the minimal sufficient statistic.
+    Downstream ``groupBy(prev_type, next_type).count()`` maintains
+    the running Markov transition matrix
+    (``queries.analytics.events_markov_transitions`` is the batch
+    twin; availableNow parity pinned in
+    tests/test_stream_transitions.py).
+
+    Scale: state is ONE string per user (hash-distributed, touched
+    only for keys present in the batch); each batch sorts only its
+    own per-user rows. Ordering caveat, stated honestly: cross-batch
+    pairs are correct when per-user event time is monotone across
+    batch arrival (replay / log-ordered ingestion); out-of-order
+    sources need watermark buffering upstream (compose with
+    ``sessionize_stream``'s watermark) — the same contract every
+    last-value stateful operator carries."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        user_id = key[0]
+        parts = [pdf[["ts", "event_id", "event_type"]] for pdf in pdfs]
+        df = pd.concat(parts).sort_values(["ts", "event_id"])
+        types = list(df["event_type"])
+        if state.exists:
+            types = [state.get[0]] + types
+        state.update((types[-1],))
+        if len(types) > 1:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * (len(types) - 1),
+                    "prev_type": types[:-1],
+                    "next_type": types[1:],
+                }
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, prev_type string, next_type string",
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

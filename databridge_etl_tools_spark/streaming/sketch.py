@@ -80,3 +80,46 @@ def stream_kmv(
         .groupBy((F.col("hv") % k).alias("bucket"))
         .agg(F.min("hv").alias("min_hv"))
     )
+
+
+def stream_windowed_distinct(
+    stream: DataFrame,
+    col: str = "user_id",
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Approximate distinct-count per tumbling time window as a
+    running sketch: ``(window, bucket, min_hv)`` — the bucket-min
+    distinct sketch keyed by event-time window, watermarked so state
+    for closed windows is dropped (the unbounded-state trap of exact
+    windowed count-distinct is the entire reason this operator
+    exists: exact per-window distinct holds every key in state
+    forever at 100 TB/day; this holds ≤ k minima per window).
+    Feed each window's rows to ``operators.sketch.bucketmin_estimate``
+    downstream. availableNow drain == batch per-window bucket-min
+    table (pinned in tests/test_streaming_sketch.py)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        stream.withColumn("_ts_ltz", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts_ltz", watermark)
+        .where(F.col(col).isNotNull())
+        .select(F.window("_ts_ltz", window).alias("win"), h.alias("hv"))
+        .groupBy("win", (F.col("hv") % k).alias("bucket"))
+        .agg(F.min("hv").alias("min_hv"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "bucket",
+            "min_hv",
+        )
+    )

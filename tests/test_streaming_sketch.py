@@ -98,3 +98,60 @@ def test_stream_kmv_equals_batch_bucketmin(spark, tmp_path):
     est = bucketmin_estimate(bucketmin_table(docs, "doc_id", k=16), k=16)
     # mean-of-minima estimator, ~1/sqrt(16) = 25% std error band
     assert abs(est - n) / n < 0.75
+
+
+def test_stream_windowed_distinct_equals_batch(spark, tmp_path):
+    """Per-window bucket-min sketch drained availableNow must equal
+    the batch per-window bucket-min table, and each window's estimate
+    must track its exact distinct count."""
+    from databridge_etl_tools_spark.operators.sketch import bucketmin_estimate
+    from databridge_etl_tools_spark.registry import table as load_table
+    from databridge_etl_tools_spark.streaming import events as SE
+    from databridge_etl_tools_spark.streaming.sketch import stream_windowed_distinct
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    staging = str(tmp_path / "ev_staging")
+    ev.repartition(3).write.parquet(staging)
+
+    sk = stream_windowed_distinct(
+        SE.read_event_stream(spark, staging), "user_id", window="6 hours", k=16
+    )
+    q = (
+        sk.writeStream.format("memory")
+        .queryName("wd_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["bucket"]): r["min_hv"]
+        for r in spark.sql("SELECT * FROM wd_stream").collect()
+    }
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    batch = (
+        ev.select(F.window(F.col("ts").cast("timestamp"), "6 hours").alias("win"), hv.alias("hv"))
+        .groupBy(F.col("win.start").alias("ws"), (F.col("hv") % 16).alias("bucket"))
+        .agg(F.min("hv").alias("min_hv"))
+    )
+    exp = {(r["ws"], r["bucket"]): r["min_hv"] for r in batch.collect()}
+    assert got == exp
+    # estimate sanity on the largest window
+    ws_top = max({w for w, _ in exp})
+    one = spark.sql(
+        f"SELECT bucket, min_hv FROM wd_stream WHERE win_start = '{ws_top}'"
+    )
+    n = (
+        ev.select(F.window(F.col("ts").cast("timestamp"), "6 hours").alias("win"), "user_id")
+        .where(F.col("win.start") == F.lit(ws_top))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    est = bucketmin_estimate(one, k=16)
+    assert abs(est - n) / max(n, 1) < 1.0
