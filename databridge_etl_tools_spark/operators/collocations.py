@@ -138,9 +138,18 @@ def bigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_threshold: int = BROADCAST_VOCAB_MAX_ROWS,
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document likelihood under an add-one-smoothed bigram LM
-    fit on the corpus itself.
+    fit on ``train_docs`` (default: the corpus itself — the CCNet
+    self-scoring setting). Passing a separate ``train_docs`` gives
+    CROSS-model scoring — score a raw corpus under a target-domain
+    LM, the ingredient importance-resampling data selection (DSIR)
+    ratios are built from. Transitions unseen in training score
+    ``1/(c_a + V)`` (add-one smoothing; fully-unseen contexts
+    ``1/V``) via LEFT joins — with self-training every transition is
+    seen and the result is identical to the historical inner-join
+    construction.
 
     For each transition ``a→b``: ``p(b|a) = (c_ab + 1) / (c_a· + V)``
     with ``c_a·`` = count of transitions leaving ``a`` and ``V`` the
@@ -159,17 +168,24 @@ def bigram_lm_scores(
     doc-keyed shuffle."""
     base = _tok_base(docs, text_col, id_col)
     stream = _pair_stream(base, id_col)
+    if train_docs is None:
+        t_base, t_stream = base, stream
+    else:
+        t_base = _tok_base(train_docs, text_col, id_col)
+        t_stream = _pair_stream(t_base, id_col)
     grams = materialize(
-        stream.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+        t_stream.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     )
     ctx = materialize(grams.groupBy("a").agg(F.sum("c_ab").alias("c_a")))
-    vocab_n = base.select(F.explode("toks").alias("t")).agg(
+    vocab_n = t_base.select(F.explode("toks").alias("t")).agg(
         F.count_distinct("t").alias("v")
     )
-    p = (F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.col("v"))
+    p = (F.coalesce(F.col("c_ab"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v")
+    )
     return (
-        stream.join(maybe_broadcast(grams, broadcast_threshold), ["a", "b"])
-        .join(maybe_broadcast(ctx, broadcast_threshold), "a")
+        stream.join(maybe_broadcast(grams, broadcast_threshold), ["a", "b"], "left")
+        .join(maybe_broadcast(ctx, broadcast_threshold), "a", "left")
         .crossJoin(F.broadcast(vocab_n))
         .select(id_col, F.floor(p * F.lit(1e9)).cast("bigint").alias("_pn"))
         .groupBy(id_col)

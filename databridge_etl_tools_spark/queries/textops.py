@@ -2032,3 +2032,101 @@ def sample_bottomk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hv", "doc_id")
         .limit(40)
     )
+
+
+@query(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
+    trans AS (
+      SELECT doc_id, toks[pos] AS a, toks[pos + 1] AS b
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos
+            FROM base WHERE len(toks) >= 2)),
+    g_all AS (SELECT a, b, COUNT(*) AS c_ab FROM trans GROUP BY 1, 2),
+    c_all AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM g_all GROUP BY 1),
+    v_all AS (SELECT COUNT(DISTINCT t) AS v
+              FROM (SELECT unnest(toks) AS t FROM base)),
+    s_all AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+             CAST(SUM(CAST(floor(CAST(g.c_ab + 1 AS DOUBLE) / (c.c_a + v.v)
+                  * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_raw
+      FROM trans t JOIN g_all g USING (a, b) JOIN c_all c USING (a)
+      CROSS JOIN v_all v GROUP BY 1),
+    t_base AS (SELECT doc_id, toks FROM base WHERE lang = 'en'),
+    t_trans AS (
+      SELECT doc_id, toks[pos] AS a, toks[pos + 1] AS b
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos
+            FROM t_base WHERE len(toks) >= 2)),
+    g_t AS (SELECT a, b, COUNT(*) AS c_ab FROM t_trans GROUP BY 1, 2),
+    c_t AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM g_t GROUP BY 1),
+    v_t AS (SELECT COUNT(DISTINCT t) AS v
+            FROM (SELECT unnest(toks) AS t FROM t_base)),
+    s_t AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(floor(CAST(COALESCE(g.c_ab, 0) + 1 AS DOUBLE)
+                  / (COALESCE(c.c_a, 0) + v.v)
+                  * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_tgt
+      FROM trans t LEFT JOIN g_t g USING (a, b) LEFT JOIN c_t c USING (a)
+      CROSS JOIN v_t v GROUP BY 1),
+    w AS (
+      SELECT s_all.doc_id, s_all.n_trans, s_tgt, s_raw,
+             (s_tgt * 1000000) // s_raw AS w_ppm
+      FROM s_all JOIN s_t USING (doc_id) WHERE s_raw > 0),
+    wmax AS (SELECT MAX(w_ppm) AS m FROM w),
+    kept AS (
+      SELECT w.* FROM w CROSS JOIN wmax
+      WHERE CAST('0x'||substr(md5('dsir:'||CAST(w.doc_id AS VARCHAR)),1,8)
+                 AS BIGINT) * wmax.m
+            < w.w_ppm * 4294967296)
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(k.w_ppm) AS BIGINT) AS sum_w_ppm,
+           CAST(SUM(k.n_trans) AS BIGINT) AS sum_trans
+    FROM kept k JOIN documents d USING (doc_id) GROUP BY 1
+    """,
+    gate=False,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, bigram-LM
+    flavor): score every document under a TARGET-domain LM (here the
+    'en' slice) and under the raw-corpus LM, take the fixed-point
+    likelihood ratio ``w_ppm = s_target·10⁶ div s_raw`` as the
+    importance weight, and keep documents by the deterministic
+    integer-weighted sampler — the data-selection pipeline that
+    up-samples target-domain-looking text. Per-language report shows
+    the selection tilting toward the target slice.
+
+    Every stage is a previously-verified operator: cross-model
+    ``bigram_lm_scores`` (round-6 ``train_docs`` parameter; unseen
+    transitions smooth to ``1/(c_a+V)`` via LEFT joins),
+    ``sample_weighted`` (DECIMAL accept test). Scale: two transition
+    shuffles (corpus + target slice), size-aware LM joins, one
+    doc-keyed reduce each; the ratio and accept test are map-side
+    integer arithmetic. ``w_ppm`` stays in int64 while
+    ``s_tgt < 9.2·10¹²`` (≈ 9,200-transition docs at p=1); swap to
+    DECIMAL(38,0) products for pathologically long documents."""
+    from ..operators.collocations import bigram_lm_scores
+    from ..operators.sampling import sample_weighted
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    raw = bigram_lm_scores(docs).select(
+        "doc_id", "n_trans", F.col("score_nano").alias("s_raw")
+    )
+    tgt = bigram_lm_scores(docs, train_docs=target).select(
+        "doc_id", F.col("score_nano").alias("s_tgt")
+    )
+    w = (
+        raw.join(tgt, "doc_id")
+        .where(F.col("s_raw") > 0)
+        .withColumn("w_ppm", F.expr("s_tgt * 1000000 DIV s_raw"))
+    )
+    kept = sample_weighted(w, "w_ppm", "doc_id", salt="dsir")
+    return (
+        kept.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("w_ppm").cast("bigint").alias("sum_w_ppm"),
+            F.sum("n_trans").cast("bigint").alias("sum_trans"),
+        )
+    )

@@ -195,3 +195,44 @@ def test_sample_weighted_survives_huge_weights(spark):
     assert kept == exp
     assert rows[-1][0] in kept  # w == w_max keeps with probability 1
     assert 0 < len(kept) < len(rows)
+
+
+def test_bigram_lm_cross_model_unseen_smoothing(spark):
+    """Cross-model scoring (train_docs=) must smooth transitions the
+    target LM never saw to floor(1e9/(c_a+V)) — LEFT-join semantics —
+    and reproduce self-training exactly when train_docs is the corpus."""
+    from databridge_etl_tools_spark.operators.collocations import bigram_lm_scores
+
+    train = spark.createDataFrame([(1, "a b a b")], "doc_id bigint, text string")
+    score = spark.createDataFrame([(9, "a b"), (10, "x y")], "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_trans"], r["score_nano"])
+        for r in bigram_lm_scores(score, train_docs=train).collect()
+    }
+    # train LM: transitions a→b (c=2), b→a (c=1); c_a·: a=2, b=1; V=2
+    # doc 9: a→b seen → p=(2+1)/(2+2)=0.75
+    assert got[9] == (1, int(0.75 * 1e9))
+    # doc 10: x→y fully unseen → p=(0+1)/(0+2)=0.5
+    assert got[10] == (1, int(0.5 * 1e9))
+    # self-training path unchanged: same as train_docs=itself
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a c a")], "doc_id bigint, text string"
+    )
+    self_scores = {tuple(r) for r in bigram_lm_scores(docs).collect()}
+    explicit = {tuple(r) for r in bigram_lm_scores(docs, train_docs=docs).collect()}
+    assert self_scores == explicit
+
+
+def test_dsir_selection_tilts_toward_target(spark, sf_dir):
+    """The importance-resampled keep-set must up-weight the target
+    slice: en documents' keep RATE must exceed the non-en rate."""
+    from databridge_etl_tools_spark.queries.textops import dsir_importance_select
+    import pyspark.sql.functions as F
+
+    rep = {r["lang"]: r["n_kept"] for r in dsir_importance_select(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    en_rate = rep.get("en", 0) / totals["en"]
+    other_kept = sum(v for k, v in rep.items() if k != "en")
+    other_total = sum(v for k, v in totals.items() if k != "en")
+    assert en_rate > other_kept / other_total
