@@ -384,3 +384,25 @@ def test_countmin_additive_under_corpus_split(spark, toks):
     for k, v in b.items():
         merged[k] = merged.get(k, 0) + v
     assert whole == merged
+
+
+@given(
+    st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=60),
+    st.data(),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kth_smallest_matches_sorted_list(spark, vals, data):
+    """Bucketed selection == python sorted()[k-1] for arbitrary
+    integer multisets and arbitrary valid ranks, including forced
+    multi-level recursion (tiny buckets, tiny exact cap)."""
+    from databridge_etl_tools_spark.operators.orderstats import kth_smallest
+
+    ks = data.draw(
+        st.lists(
+            st.integers(1, len(vals)), min_size=1, max_size=3, unique=True
+        )
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    got = kth_smallest(df, "x", ks, buckets=4, max_rows_exact=4)
+    s = sorted(vals)
+    assert got == {k: s[k - 1] for k in ks}
