@@ -1016,3 +1016,74 @@ def remove_spans(
             ).alias("text"),
         )
     )
+
+
+def internal_repeated_spans(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    min_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated spans — the self-repetition half of
+    the ExactSubstr family (:func:`shared_spans` finds cross-document
+    repeats; this finds a document repeating ITSELF — boilerplate
+    stutter, template echo, tandem repeats — the repetition signal
+    Gopher's rep-ratio heuristics approximate, here with exact
+    positions): every maximal run of ≥ ``min_len`` consecutive
+    tokens appearing twice in one document, as ``(<id_col>, start_a,
+    start_b, shift, span_tokens)`` with ``start_a < start_b`` and
+    ``shift = start_b − start_a`` (a shift smaller than the span
+    length is a TANDEM repeat — overlapping copies, e.g. 'a a a a').
+
+    Construction mirrors ``shared_spans``: positional n-grams →
+    (doc, gram)-keyed self-join with ``pos_a < pos_b`` → runs along
+    the SHIFT diagonal via islands-and-gaps. Scale: the join key
+    includes the DOC id, so blow-up is bounded by per-document gram
+    multiplicity squared (document-length-bounded), never by corpus
+    document frequency — the cross-document stop-gram hazard does
+    not exist here, which is why this variant needs no df cap. One
+    (doc, gram) shuffle + one (doc, shift) window over small groups."""
+    base = materialize(
+        docs.select(F.col(id_col).alias("doc"), TS.tokens(F.col(text_col)).alias("toks"))
+    ).where(F.size("toks") >= n)
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {n} + 1),"
+        f" i -> struct(i - 1 AS pos, concat_ws(' ', slice(toks, i, {n})) AS gram))"
+    )
+    ex = materialize(
+        base.select("doc", F.explode(grams).alias("g")).select(
+            "doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+        )
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.doc") == F.col("b.doc"))
+        & (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.doc").alias("doc"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("b.pos") - F.col("a.pos")).alias("shift"),
+    )
+    w = Window.partitionBy("doc", "shift").orderBy("pa")
+    runs = m.withColumn("_run", F.col("pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc", "shift", "_run")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("int").alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_len)
+        .select(
+            F.col("doc").alias(id_col),
+            "start_a",
+            "start_b",
+            F.col("shift").cast("int").alias("shift"),
+            "span_tokens",
+        )
+    )

@@ -554,3 +554,63 @@ def dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = DD.shared_spans(planted, n=3, min_len=6, max_gram_df_frac=0.25)
     return DD.remove_spans(planted, spans)
+
+
+@query(
+    "dedup_internal_spans",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 15 = 0
+                  THEN text || ' ' || array_to_string(({_TOKS})[1:8], ' ')
+                  ELSE text END AS text
+      FROM documents),
+    tok2 AS (SELECT doc_id, {_TOKS} AS toks FROM planted),
+    ex AS (
+      SELECT doc_id AS doc, CAST(pos1 - 1 AS INTEGER) AS pos,
+             toks[pos1] || ' ' || toks[pos1 + 1] || ' ' || toks[pos1 + 2] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos1
+            FROM tok2 WHERE len(toks) >= 3)),
+    m AS (
+      SELECT a.doc AS doc, a.pos AS pa, b.pos AS pb, b.pos - a.pos AS shift
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc = b.doc AND a.pos < b.pos),
+    runs AS (
+      SELECT *, pa - row_number() OVER (PARTITION BY doc, shift
+                                        ORDER BY pa) AS run
+      FROM m),
+    spans AS (
+      SELECT doc,
+             CAST(MIN(pa) AS INTEGER) AS start_a,
+             CAST(MIN(pb) AS INTEGER) AS start_b,
+             CAST(shift AS INTEGER) AS shift,
+             CAST(COUNT(*) + 2 AS INTEGER) AS span_tokens
+      FROM runs GROUP BY doc, shift, run)
+    SELECT doc AS doc_id, start_a, start_b, shift, span_tokens
+    FROM spans WHERE span_tokens >= 6
+    """,
+    gate=False,
+)
+def dedup_internal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated spans
+    (``operators.dedup.internal_repeated_spans`` — the
+    self-repetition half of the ExactSubstr family): maximal ≥6-token
+    runs a document repeats verbatim, with both start positions and
+    the shift. Every 15th document gets its own first 8 tokens
+    appended (self-plagiarism plant), so the detector must recover
+    exactly those echoes plus any organic stutter — the oracle
+    replays the identical construction. Unlike the cross-document
+    variant no stop-gram df-cap is needed: the join key includes the
+    doc id, so blow-up is bounded by per-document gram multiplicity,
+    never corpus document frequency."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators import textstats as TS
+
+    first8 = F.array_join(F.slice(TS.tokens(F.col("text")), 1, 8), " ")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 15 == 0,
+            F.concat(F.col("text"), F.lit(" "), first8),
+        ).otherwise(F.col("text")),
+    )
+    return DD.internal_repeated_spans(planted, n=3, min_len=6)

@@ -887,3 +887,32 @@ def test_shared_spans_cap_keeps_undercap_grams_in_mixed_spans(spark):
     # two 3-token fragments: "a b c1" (via matches (a,b),(b,c1)) and
     # "c2 d e" (via (c2,d),(d,e)) — both flanks found, stop-core ceded
     assert got == [(20, 21, 0, 3), (20, 21, 3, 3)]
+
+
+def test_internal_repeated_spans_tandem_and_echo(spark):
+    """Planted self-repeats: a far echo yields one span at the echo
+    shift; a tandem repeat ('x y z x y z x y z') yields overlapping-
+    copy spans at the period shift."""
+    from databridge_etl_tools_spark.operators.dedup import internal_repeated_spans
+
+    rows = [
+        # doc 1: 'alpha beta gamma delta' repeated after filler → echo
+        (1, "alpha beta gamma delta epsilon one two three four five "
+            "alpha beta gamma delta epsilon"),
+        # doc 2: tandem period-3 repeat, 9 tokens
+        (2, "x y z x y z x y z"),
+        # doc 3: no repeats
+        (3, "a b c d e f g h i j"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["start_a"], r["start_b"], r["shift"], r["span_tokens"])
+        for r in internal_repeated_spans(docs, n=3, min_len=4).collect()
+    }
+    # doc 1: 5-token span 'alpha beta gamma delta epsilon' at 0 → 10
+    assert (1, 0, 10, 10, 5) in got
+    # doc 2: shift 3 tandem — positions 0..3 vs 3..6: run of grams
+    # (0,3),(1,4),(2,5),(3,6) → span_tokens 4+2 = 6 starting at 0
+    assert (2, 0, 3, 3, 6) in got
+    # doc 3 clean
+    assert not any(d == 3 for d, *_ in got)
