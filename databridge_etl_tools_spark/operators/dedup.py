@@ -1087,3 +1087,68 @@ def internal_repeated_spans(
             "span_tokens",
         )
     )
+
+
+def remove_internal_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut the LATER copy of every within-document repeat — the
+    removal half of :func:`internal_repeated_spans` (same
+    keep-first-copy convention as the cross-document
+    :func:`remove_spans`): token positions covered by any span's
+    ``[start_b, start_b + span_tokens)`` are dropped, the first copy
+    at ``start_a`` survives. Returns every document:
+    ``(<id_col>, n_tokens, n_removed, text)``.
+
+    Scale: the span table explodes to a (doc, pos) covered-position
+    set (distinct — overlapping tandem spans collapse), joined
+    size-aware into a positional anti-join; one doc-keyed reassembly
+    shuffle, mirroring ``remove_spans``."""
+    base = materialize(
+        docs.select(F.col(id_col), TS.tokens(F.col(text_col)).alias("toks"))
+    )
+    ex = base.select(id_col, F.posexplode_outer("toks").alias("pos", "tok"))
+    covered = materialize(
+        spans.select(
+            F.col(id_col).alias("_d"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"), F.col("start_b") + F.col("span_tokens") - 1
+                )
+            ).alias("_p"),
+        ).distinct()
+    )
+    kept = ex.join(
+        maybe_broadcast(covered, SPAN_BROADCAST_MAX_ROWS),
+        (F.col(id_col) == F.col("_d")) & (F.col("pos") == F.col("_p")),
+        "left_anti",
+    )
+    n_before = base.select(id_col, F.size("toks").alias("_n"))
+    agg = kept.groupBy(id_col).agg(
+        F.sum(F.when(F.col("pos").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("pos").isNotNull(), F.struct("pos", "tok"))
+            )
+        ).alias("_seq"),
+    )
+    return (
+        n_before.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.col("_n") - F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(
+                F.array_join(F.transform(F.col("_seq"), lambda s: s["tok"]), " "),
+                F.lit(""),
+            ).alias("text"),
+        )
+    )

@@ -614,3 +614,90 @@ def dedup_internal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return DD.internal_repeated_spans(planted, n=3, min_len=6)
+
+
+@query(
+    "dedup_internal_cleaned",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 15 = 0
+                  THEN text || ' ' || array_to_string(({_TOKS})[1:8], ' ')
+                  ELSE text END AS text
+      FROM documents),
+    tok2 AS (SELECT doc_id, {_TOKS} AS toks FROM planted),
+    orig AS (SELECT doc_id, {_TOKS} AS otoks FROM documents),
+    ex AS (
+      SELECT doc_id AS doc, CAST(pos1 - 1 AS INTEGER) AS pos,
+             toks[pos1] || ' ' || toks[pos1 + 1] || ' ' || toks[pos1 + 2] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos1
+            FROM tok2 WHERE len(toks) >= 3)),
+    m AS (
+      SELECT a.doc AS doc, a.pos AS pa, b.pos AS pb, b.pos - a.pos AS shift
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc = b.doc AND a.pos < b.pos),
+    runs AS (
+      SELECT *, pa - row_number() OVER (PARTITION BY doc, shift
+                                        ORDER BY pa) AS run
+      FROM m),
+    spans AS (
+      SELECT doc, MIN(pb) AS start_b, COUNT(*) + 2 AS span_tokens
+      FROM runs GROUP BY doc, shift, run
+      HAVING COUNT(*) + 2 >= 6),
+    cov AS (
+      SELECT DISTINCT doc, unnest(range(start_b, start_b + span_tokens)) AS p
+      FROM spans),
+    pos AS (
+      SELECT doc_id AS doc, i - 1 AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+            FROM tok2)),
+    kept AS (
+      SELECT p.* FROM pos p
+      WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc = p.doc AND c.p = p.pos)),
+    agg AS (
+      SELECT doc, COUNT(*) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM kept GROUP BY doc)
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(a.n_tokens, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.txt, '') = array_to_string(o.otoks, ' ') AS restored
+    FROM tok2 t
+    LEFT JOIN agg a ON a.doc = t.doc_id
+    JOIN orig o ON o.doc_id = t.doc_id
+    """,
+    gate=False,
+)
+def dedup_internal_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The find→cut ROUND TRIP for within-document repeats: plant
+    each 15th document's own first 8 tokens as a tail echo, detect
+    with ``internal_repeated_spans``, cut the later copies with
+    ``remove_internal_spans``, and verify per document that the
+    cleaned text equals the ORIGINAL (whitespace-normalized) text —
+    the strongest possible check that the cut removed exactly the
+    plant and nothing else (organic repeats, if any reached the
+    6-token threshold, flip ``restored`` identically in both
+    engines). Scale shape inherits from the two operators: one
+    (doc, gram) shuffle, one covered-position anti-join, one
+    reassembly shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators import textstats as TS
+
+    first8 = F.array_join(F.slice(TS.tokens(F.col("text")), 1, 8), " ")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 15 == 0,
+            F.concat(F.col("text"), F.lit(" "), first8),
+        ).otherwise(F.col("text")),
+    )
+    spans = DD.internal_repeated_spans(planted, n=3, min_len=6)
+    cleaned = DD.remove_internal_spans(planted, spans)
+    orig = docs.select(
+        "doc_id", F.array_join(TS.tokens(F.col("text")), " ").alias("_orig")
+    )
+    return cleaned.join(orig, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        (F.col("text") == F.col("_orig")).alias("restored"),
+    )
