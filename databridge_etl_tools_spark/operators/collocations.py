@@ -194,3 +194,80 @@ def bigram_lm_scores(
             F.sum("_pn").cast("bigint").alias("score_nano"),
         )
     )
+
+
+def skipgram_pmi_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_pair_count: int = 5,
+    top_k: int = 20,
+    broadcast_threshold: int = BROADCAST_VOCAB_MAX_ROWS,
+) -> DataFrame:
+    """Windowed (skip-gram) PMI collocations: ordered token pairs at
+    every distance 1..``window`` — the word2vec-style co-occurrence
+    statistic, vs :func:`pmi_pairs`' adjacent-only bigrams (a window
+    catches 'merge … join' across an intervening token). Same
+    log-free rational score over exact integer counts, ties broken on
+    (a, b), returns ``(rank, a, b, c_ab, c_a, c_b, score)``.
+
+    Plan: the pair stream is built MAP-SIDE as one array expression
+    (flatten over k of zip_with(toks, toks shifted k) — O(window·len)
+    per doc, no self-join on position), materialized before explode
+    (the InferFiltersFromGenerate discipline), then ONE (a, b)-keyed
+    shuffle; ``N_pair`` is the summed pair-array size, so the
+    normalizer is consistent with the stream by construction. Top-k
+    compiles to TakeOrderedAndProject."""
+    base = _tok_base(docs, text_col, id_col)
+    ks = F.sequence(F.lit(1), F.lit(window))
+    pair_arr = F.flatten(
+        F.transform(
+            ks,
+            lambda k: F.zip_with(
+                F.slice(F.col("toks"), F.lit(1), F.greatest(F.size("toks") - k, F.lit(0))),
+                F.slice(F.col("toks"), k + 1, F.greatest(F.size("toks") - k, F.lit(0))),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    wb = materialize(base.select(F.col(id_col), pair_arr.alias("pairs")))
+    stream = wb.select(F.explode("pairs").alias("p")).select("p.a", "p.b")
+    toks = base.select(F.explode("toks").alias("token"))
+    uni = materialize(toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    pair_counts = (
+        stream.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_pair_count)
+    )
+    n_tok = base.agg(F.sum(F.size("toks")).cast("bigint").alias("n_tok"))
+    n_pair = wb.agg(F.sum(F.size("pairs")).cast("bigint").alias("n_pair"))
+    uni_s = maybe_broadcast(uni, broadcast_threshold)
+    scored = (
+        pair_counts.join(
+            uni_s.select(F.col("token").alias("a"), F.col("c").alias("c_a")), "a"
+        )
+        .join(uni_s.select(F.col("token").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n_tok")
+                * F.col("n_tok")
+                / (F.col("n_pair").cast("double") * F.col("c_a") * F.col("c_b"))
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "a", "b", "c_ab", "c_a", "c_b", "score")
+    )

@@ -2130,3 +2130,85 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_trans").cast("bigint").alias("sum_trans"),
         )
     )
+
+
+@query(
+    "text_skipgram_pmi",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    pairs AS (
+      SELECT toks[pos] AS a, toks[pos + k] AS b
+      FROM (SELECT toks, k,
+                   unnest(range(1, greatest(len(toks) - k, 0) + 1)) AS pos
+            FROM (SELECT toks, unnest(range(1, 4)) AS k FROM base))),
+    uni AS (SELECT t AS token, COUNT(*) AS c
+            FROM (SELECT unnest(toks) AS t FROM base) GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok,
+             CAST(SUM(greatest(len(toks) - 1, 0) + greatest(len(toks) - 2, 0)
+                  + greatest(len(toks) - 3, 0)) AS BIGINT) AS n_pair
+      FROM base),
+    pc AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    scored AS (
+      SELECT p.a, p.b, CAST(p.c_ab AS BIGINT) AS c_ab,
+             CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+             CAST(p.c_ab AS DOUBLE) * t.n_tok * t.n_tok
+               / (CAST(t.n_pair AS DOUBLE) * ua.c * ub.c) AS score
+      FROM pc p JOIN uni ua ON p.a = ua.token
+                JOIN uni ub ON p.b = ub.token CROSS JOIN tot t),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY score DESC, a, b) AS INTEGER)
+             AS rank FROM scored)
+    SELECT rank, a, b, c_ab, c_a, c_b, score FROM ranked WHERE rank <= 20
+    """,
+    gate=False,
+)
+def text_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (skip-gram, distances 1..3) PMI collocations
+    (``operators.collocations.skipgram_pmi_pairs``) — the
+    word2vec-style co-occurrence statistic that catches collocations
+    across intervening tokens, where ``text_pmi_collocations`` sees
+    only adjacent bigrams. The pair stream is built map-side as one
+    array expression (no positional self-join), one (a, b) shuffle,
+    size-aware unigram joins, TakeOrderedAndProject top-20."""
+    from ..operators.collocations import skipgram_pmi_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return skipgram_pmi_pairs(docs, window=3)
+
+
+@query(
+    "features_hashing_trick",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+    SELECT doc_id,
+           CAST(CAST('0x'||substr(md5('feat:'||t),1,8) AS BIGINT) % 64
+                AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009): sparse
+    64-dim bag-of-words vectors as ``(doc_id, dim, n)`` rows with
+    ``dim = md5(token) mod 64`` — the fixed-width, vocabulary-free
+    document featurization that feeds the linear probe
+    (``operators/linear.py``) without a vocabulary build or a
+    train/serve vocab-drift hazard. One map-side hash + ONE
+    (doc, dim)-keyed count shuffle; output is ≤ 64 rows per document
+    regardless of vocabulary size, and the md5 hash makes the exact
+    feature values engine-reproducible."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.textstats import tokens as _tokens
+
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    dim = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("feat:"), F.col("t"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 64
+    ).cast("int")
+    return tok.groupBy("doc_id", dim.alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
