@@ -2212,3 +2212,220 @@ def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id", dim.alias("dim")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@query(
+    "corpus_curation_v4",
+    oracle=f"""
+    WITH p1 AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN doc_id % 15 = 0
+                  THEN text || ' ' || array_to_string(({_TOK})[1:8], ' ')
+                  ELSE text END AS t1
+      FROM documents),
+    planted AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN doc_id % 20 IN (0, 1)
+                  THEN t1 || ' {_B5}' ELSE t1 END AS text
+      FROM p1),
+    tok2 AS MATERIALIZED (SELECT doc_id, source, lang,
+                    list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')
+                      AS toks
+             FROM planted),
+    exi AS MATERIALIZED (
+      SELECT doc_id AS doc, CAST(pos1 - 1 AS INTEGER) AS pos,
+             toks[pos1] || ' ' || toks[pos1 + 1] || ' ' || toks[pos1 + 2] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos1
+            FROM tok2 WHERE len(toks) >= 3)),
+    mi AS (
+      SELECT a.doc AS doc, a.pos AS pa, b.pos AS pb, b.pos - a.pos AS shift
+      FROM exi a JOIN exi b ON a.gram = b.gram AND a.doc = b.doc AND a.pos < b.pos),
+    runsi AS (
+      SELECT *, pa - row_number() OVER (PARTITION BY doc, shift ORDER BY pa) AS run
+      FROM mi),
+    spansi AS (
+      SELECT doc, MIN(pb) AS start_b, COUNT(*) + 2 AS span_tokens
+      FROM runsi GROUP BY doc, shift, run HAVING COUNT(*) + 2 >= 6),
+    covi AS (
+      SELECT DISTINCT doc, unnest(range(start_b, start_b + span_tokens)) AS p
+      FROM spansi),
+    posi AS MATERIALIZED (
+      SELECT doc_id AS doc, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tok2)),
+    kept1 AS MATERIALIZED (
+      SELECT p.* FROM posi p
+      WHERE NOT EXISTS (SELECT 1 FROM covi c WHERE c.doc = p.doc AND c.p = p.pos)),
+    tok3 AS MATERIALIZED (SELECT doc, list(tok ORDER BY pos) AS toks FROM kept1 GROUP BY 1),
+    exg AS MATERIALIZED (
+      SELECT doc, CAST(pos1 - 1 AS INTEGER) AS pos,
+             toks[pos1] || ' ' || toks[pos1 + 1] || ' ' || toks[pos1 + 2] AS gram
+      FROM (SELECT doc, toks, unnest(range(1, len(toks) - 1)) AS pos1
+            FROM tok3 WHERE len(toks) >= 3)),
+    hotg AS (
+      SELECT gram FROM exg GROUP BY gram
+      HAVING COUNT(DISTINCT doc) >
+             (SELECT COUNT(*) FROM tok3 WHERE len(toks) >= 3) * 0.25),
+    exg2 AS MATERIALIZED (
+      SELECT e.* FROM exg e
+      WHERE NOT EXISTS (SELECT 1 FROM hotg h WHERE h.gram = e.gram)),
+    mm AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM exg2 a JOIN exg2 b ON a.gram = b.gram AND a.doc < b.doc),
+    runs AS (
+      SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pa) AS run
+      FROM mm),
+    spans AS (
+      SELECT doc_b, MIN(pb) AS start_b, COUNT(*) + 2 AS span_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, run HAVING COUNT(*) + 2 >= 6),
+    extok AS MATERIALIZED (
+      SELECT doc, CAST(pos1 - 1 AS INTEGER) AS pos, toks[pos1] AS tok
+      FROM (SELECT doc, toks, unnest(range(1, len(toks) + 1)) AS pos1 FROM tok3)),
+    kept2 AS MATERIALIZED (
+      SELECT e.* FROM extok e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans r
+        WHERE r.doc_b = e.doc
+          AND e.pos >= r.start_b AND e.pos < r.start_b + r.span_tokens)),
+    surv AS (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM kept2 GROUP BY 1 HAVING COUNT(*) >= 5),
+    ktok AS MATERIALIZED (
+      SELECT k.doc, k.tok,
+             row_number() OVER (PARTITION BY k.doc ORDER BY k.pos) AS np
+      FROM kept2 k JOIN surv s USING (doc)),
+    trans AS MATERIALIZED (
+      SELECT a.doc, a.tok AS ta, b.tok AS tb
+      FROM ktok a JOIN ktok b ON a.doc = b.doc AND b.np = a.np + 1),
+    grams AS MATERIALIZED (SELECT ta, tb, COUNT(*) AS c_ab FROM trans GROUP BY 1, 2),
+    ctx AS MATERIALIZED (SELECT ta, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM grams GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v FROM ktok),
+    s_all AS MATERIALIZED (
+      SELECT t.doc, CAST(COUNT(*) AS BIGINT) AS n_trans,
+             CAST(SUM(CAST(floor(
+               CAST(g.c_ab + 1 AS DOUBLE) / (c.c_a + vv.v)
+               * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_raw
+      FROM trans t JOIN grams g USING (ta, tb) JOIN ctx c USING (ta)
+      CROSS JOIN vv GROUP BY 1),
+    ten AS (
+      SELECT s.doc FROM surv s JOIN tok2 t ON t.doc_id = s.doc
+      WHERE t.lang = 'en'),
+    transt AS MATERIALIZED (SELECT tr.* FROM trans tr JOIN ten USING (doc)),
+    gramt AS MATERIALIZED (SELECT ta, tb, COUNT(*) AS c_ab FROM transt GROUP BY 1, 2),
+    ctxt AS MATERIALIZED (SELECT ta, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM gramt GROUP BY 1),
+    vt AS (SELECT COUNT(DISTINCT k.tok) AS v
+           FROM ktok k JOIN ten USING (doc)),
+    s_t AS MATERIALIZED (
+      SELECT t.doc,
+             CAST(SUM(CAST(floor(
+               CAST(COALESCE(g.c_ab, 0) + 1 AS DOUBLE)
+               / (COALESCE(c.c_a, 0) + vt.v)
+               * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_tgt
+      FROM trans t LEFT JOIN gramt g USING (ta, tb) LEFT JOIN ctxt c USING (ta)
+      CROSS JOIN vt GROUP BY 1),
+    w AS MATERIALIZED (
+      SELECT s_all.doc, sv.n_tokens, s_all.n_trans, s_tgt, s_raw,
+             (s_tgt * 1000000) // s_raw AS w_ppm
+      FROM s_all JOIN s_t USING (doc) JOIN surv sv USING (doc)
+      WHERE s_raw > 0),
+    wmax AS (SELECT MAX(w_ppm) AS m FROM w),
+    sampled AS (
+      SELECT w.* FROM w CROSS JOIN wmax
+      WHERE CAST('0x'||substr(md5('cv4:'||CAST(w.doc AS VARCHAR)),1,8)
+                 AS BIGINT) * wmax.m
+            < w.w_ppm * 4294967296)
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(s.w_ppm) AS BIGINT) AS sum_w_ppm
+    FROM sampled s JOIN planted p ON p.doc_id = s.doc
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 capstone curation pipeline, ONE composition with a
+    full end-to-end oracle — the v3 chain extended at BOTH ends:
+    plant both repeat pathologies (each 15th doc echoes its own first
+    8 tokens; each 20th/21st carries the shared boilerplate tail),
+    then (1) WITHIN-document span dedup (find + cut the later copy),
+    (2) cross-document span dedup on the already-self-cleaned corpus
+    (df-capped at 0.25, keep-first-copy cut), (3) ≥5-token survivor
+    gate, and (4) DSIR-style selection replacing v3's hard median
+    gate: survivors are scored under the survivors' own LM and under
+    a target-domain LM (the 'en' survivor slice), and kept by the
+    deterministic integer-weighted sampler with the fixed-point
+    likelihood ratio as weight — soft reweighting toward the target
+    distribution instead of a quality cliff. Per-source report.
+
+    Every stage is a previously-oracle-verified operator
+    (``internal_repeated_spans``/``remove_internal_spans``,
+    ``shared_spans``/``remove_spans``, cross-model
+    ``bigram_lm_scores``, ``sample_weighted``); scale shapes inherit
+    from each (doc-keyed gram joins, df-capped cross join, size-aware
+    LM joins, map-side accept test)."""
+    from ..operators import dedup as DD
+    from ..operators import textstats as TS
+    from ..operators.collocations import bigram_lm_scores
+    from ..operators.sampling import sample_weighted
+
+    docs = table(spark, sf_dir, "documents")
+    first8 = F.array_join(F.slice(TS.tokens(F.col("text")), 1, 8), " ")
+    p1 = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 15 == 0, F.concat(F.col("text"), F.lit(" "), first8)
+        ).otherwise(F.col("text")),
+    )
+    planted = p1.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 <= 1, F.concat(F.col("text"), F.lit(f" {_B5}"))
+        ).otherwise(F.col("text")),
+    )
+    from ..operators.materialize import materialize
+
+    # materialize between stages: each cleaned corpus is consumed by
+    # MULTIPLE downstream frames (span find + cut + LM base), and
+    # without the cut the whole reassembly lineage re-runs per
+    # consumer (first un-materialized draft: 229 s at sf0.01; with
+    # stage cuts: ~30 s)
+    t1 = materialize(
+        DD.remove_internal_spans(
+            planted, DD.internal_repeated_spans(planted, n=3, min_len=6)
+        )
+    )
+    t2 = materialize(
+        DD.remove_spans(
+            t1, DD.shared_spans(t1, n=3, min_len=6, max_gram_df_frac=0.25)
+        )
+    )
+    surv = materialize(
+        t2.where(F.col("n_tokens") >= 5).select("doc_id", "n_tokens", "text")
+    )
+    tgt_train = surv.join(
+        docs.where(F.col("lang") == "en").select("doc_id"), "doc_id", "left_semi"
+    )
+    raw = bigram_lm_scores(surv).select(
+        "doc_id", "n_trans", F.col("score_nano").alias("s_raw")
+    )
+    tgt = bigram_lm_scores(surv, train_docs=tgt_train).select(
+        "doc_id", F.col("score_nano").alias("s_tgt")
+    )
+    w = (
+        raw.join(tgt, "doc_id")
+        .join(surv.select("doc_id", "n_tokens"), "doc_id")
+        .where(F.col("s_raw") > 0)
+        .withColumn("w_ppm", F.expr("s_tgt * 1000000 DIV s_raw"))
+    )
+    kept = sample_weighted(w, "w_ppm", "doc_id", salt="cv4")
+    return (
+        kept.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("w_ppm").cast("bigint").alias("sum_w_ppm"),
+        )
+    )
