@@ -210,3 +210,66 @@ def bucketmin_estimate(table: DataFrame, *, k: int = 64) -> float:
     rows = table.collect()
     total = sum(float(r["min_hv"]) for r in rows) + 4294967296.0 * (k - len(rows))
     return float(k * k * 4294967296.0 / total - k)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    denom: int = 500,
+) -> DataFrame:
+    """EXACT φ-heavy hitters (φ = 1/``denom``) in two passes with NO
+    vocabulary-sized shuffle — the Misra-Gries candidate recipe:
+
+    Pass 1 (map-side): each partition runs a Misra-Gries summary with
+    ``k = 2·denom`` counters (one Arrow pass, bounded dict — the
+    classic streaming frequent-items algorithm). Any item with global
+    frequency ≥ n/denom has, by pigeonhole, density ≥ 1/denom in some
+    partition, and MG with k > denom counters never evicts an item
+    whose partition frequency exceeds n_p/k — so the union of
+    partition summaries (≤ partitions·k rows, collected and
+    broadcast) is a guaranteed SUPERSET of the answer.
+
+    Pass 2: exact counts of candidates only (map-side ``isin`` filter
+    → a candidate-sized groupBy) and the integer threshold test
+    ``count·denom ≥ n`` — so the OUTPUT is exact and
+    partition-layout-independent even though the intermediate
+    candidate set is not.
+
+    At 100 TB this replaces the full token groupBy (10⁹-row shuffle)
+    with a bounded-candidate shuffle; the count-min sketch answers
+    the same question approximately in one pass — this answers it
+    EXACTLY in two. Returns ``(item, n)``."""
+    import pandas as pd
+
+    k = 2 * denom
+    vals = df.select(F.col(col).cast("string").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["_v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"_v": list(counters.keys())})
+
+    cands = materialize(vals.mapInPandas(mg, "_v string").distinct())
+    n = vals.count()
+    return (
+        # candidates are ≤ partitions·k rows by construction — a
+        # legitimate bounded broadcast (SCALE.md audit category)
+        vals.join(F.broadcast(cands), "_v", "left_semi")
+        .groupBy(F.col("_v").alias("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .where(F.col("n") * denom >= F.lit(n))
+    )

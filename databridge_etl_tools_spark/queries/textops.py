@@ -2429,3 +2429,31 @@ def corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_ppm").cast("bigint").alias("sum_w_ppm"),
         )
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOK}) AS t FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT t AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok, tot GROUP BY t, tot.n HAVING COUNT(*) * 500 >= tot.n
+    """,
+    gate=False,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT φ=1/500 heavy-hitter tokens via the two-pass Misra-Gries
+    candidate recipe (``operators.sketch.heavy_hitters``): per-
+    partition bounded-counter summaries (one Arrow pass) → bounded
+    candidate broadcast → exact recount of candidates only. The
+    oracle computes the same answer by brute force (full token
+    groupBy + integer threshold) — affordable in DuckDB at gate
+    scale, and exactly the vocabulary-sized shuffle the operator
+    exists to avoid at 100 TB. The output is provably identical and
+    partition-layout-independent (the candidate superset guarantee)."""
+    from ..operators.sketch import heavy_hitters
+    from ..operators.textstats import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    return heavy_hitters(tok, "t", denom=500)

@@ -44,3 +44,27 @@ def test_kmv_estimate_within_error_band(spark):
     assert nk == 256
     # std error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
     assert abs(est - n) / n < 0.25
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """Two-pass MG candidates + exact recount must equal the brute
+    force answer on a skewed stream, for any partition layout."""
+    import pyspark.sql.functions as F
+
+    from databridge_etl_tools_spark.operators.sketch import heavy_hitters
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 60
+        + [(f"cold{i}",) for i in range(540)]
+    )
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "v string").repartition(parts)
+        got = {(r["item"], r["n"]) for r in heavy_hitters(df, "v", denom=20).collect()}
+        n = len(rows)
+        brute = {
+            (r["v"], r["count"])
+            for r in df.groupBy("v").count().where(F.col("count") * 20 >= n).collect()
+        }
+        assert got == brute
+        assert ("hot", 400) in got and ("warm", 60) in got
