@@ -701,3 +701,62 @@ def dedup_internal_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         (F.col("text") == F.col("_orig")).alias("restored"),
     )
+
+
+@query(
+    "dedup_minhash_estimate_quality",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    bands AS (
+      SELECT doc_id, b,
+             sig[4*b+1]::VARCHAR||'-'||sig[4*b+2]::VARCHAR||'-'||
+             sig[4*b+3]::VARCHAR||'-'||sig[4*b+4]::VARCHAR AS key
+      FROM sig, (SELECT unnest(range(0,4)) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS i, MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) / 16.0
+             AS est_jaccard,
+           COALESCE(CAST(x.i AS DOUBLE) / (x.n_a + x.n_b - x.i), 0.0)
+             AS exact_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    LEFT JOIN inter x ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b
+    """,
+    gate=False,
+)
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for MinHash: every LSH candidate pair
+    with BOTH its signature-agreement estimate (lanes equal / 16) and
+    the exact distinct-shingle Jaccard — the est-vs-truth comparison
+    the CMS (``sketch_countmin_topk``) and KMV
+    (``sketch_kmv_distinct``) queries already get, completing the
+    audit for the third sketch family. Everything is deterministic
+    (pinned affine coefficients, md5 base hashes, integer
+    intersection counts), so the ORACLE checks the estimates
+    themselves, not an error band.
+
+    Scale: candidates from the banded equi-join (never all pairs);
+    the exact side reuses the inverted-index intersection join —
+    at 100 TB run it on a candidate sample, the estimate column is
+    the one that survives."""
+    docs = table(spark, sf_dir, "documents")
+    cand = DD.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=16, bands=4)
+    exact = DD.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    return cand.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+    )
