@@ -75,6 +75,12 @@ HEADLINE = [
     "kwic_concordance",
     "sketch_kmv_distinct",
     "sample_bottomk_documents",
+    "text_skipgram_pmi",
+    "features_hashing_trick",
+    "text_heavy_hitters",
+    "dedup_minhash_estimate_quality",
+    "dedup_internal_spans",
+    "dsir_importance_select",
 ]
 
 

@@ -61,6 +61,10 @@ SHOW = [
     "token_odds_ratio_langs",
     "kwic_concordance",
     "sample_bottomk_documents",
+    "text_skipgram_pmi",
+    "features_hashing_trick",
+    "dedup_internal_spans",
+    "dedup_minhash_estimate_quality",
 ]
 
 
