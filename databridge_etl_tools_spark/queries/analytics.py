@@ -1068,3 +1068,84 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col string, k int, n_exact bigint, n_sketch bigint, n_est double"
     )
+
+
+@query(
+    "events_percentrank_by_type",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS pct,
+             cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS cume,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, value, pct, cume
+    FROM ranked WHERE rn <= 5
+    """,
+    gate=False,
+)
+def events_percentrank_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions (percent_rank + cume_dist)
+    over PER-TYPE partitions — the distribution-position features a
+    per-segment anomaly threshold needs. The windows partition by
+    event_type (hash-distributed, never a global single-partition
+    sort — the percent_rank anti-pattern this query deliberately
+    avoids), the order is totalized with the event_id tiebreak so
+    both rank fractions are engine-deterministic, and only each
+    type's top 5 rows by value surface."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.where(F.col("value").isNotNull())
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wd = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        v.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.percent_rank().over(wo).alias("pct"),
+            F.cume_dist().over(wo).alias("cume"),
+            F.row_number().over(wd).cast("int").alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .select("event_type", "rn", "event_id", "value", "pct", "cume")
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+    """,
+    gate=False,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular-rollup generalization
+    CUBE/ROLLUP can't express: (priority, status) detail + per-status
+    subtotal + grand total, with GROUPING() flags disambiguating real
+    NULLs from subtotal rows. Planned as ONE Expand + single
+    aggregate shuffle (each input row fans out once per set —
+    map-side combinable, no per-set re-scan)."""
+    o = table(spark, sf_dir, "orders", access="scan")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+        """
+    )
