@@ -35,6 +35,68 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _resolve_exact(vals: DataFrame, resolve: "list[tuple]") -> "dict[int, float]":
+    """Final in-bucket selection, BATCHED: all (k, lo, hi, rank)
+    requests whose value ranges are pairwise disjoint resolve in ONE
+    job — a range-tagged partitioned window (row_number within tag,
+    pick the requested ranks). Equi-depth's n_bins-1 boundaries land
+    in n_bins-1 disjoint buckets, so the whole final phase is one job
+    instead of one TakeOrdered per boundary (bench: 7 jobs → 1).
+    Overlapping or duplicate ranges (median's two middle ranks share
+    a bucket) group by identical range first; genuinely overlapping
+    distinct ranges fall back to per-range jobs."""
+    from pyspark.sql import Window
+
+    out: dict[int, float] = {}
+    # merge requests with IDENTICAL ranges (multiple ranks, one tag)
+    by_range: dict[tuple, list] = {}
+    for k, lo, hi, rank in resolve:
+        by_range.setdefault((lo, hi), []).append((k, rank))
+    ranges = sorted(by_range)
+    disjoint = all(
+        ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1)
+    )
+    if not disjoint or len(ranges) == 0:
+        for (lo, hi), wants in by_range.items():
+            for k, rank in wants:
+                out[k] = (
+                    vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
+                    .orderBy("_v")
+                    .limit(rank)
+                    .agg(F.max("_v"))
+                    .collect()[0][0]
+                )
+        return out
+    tag = None
+    cond = None
+    for i, (lo, hi) in enumerate(ranges):
+        inrange = (F.col("_v") >= F.lit(lo)) & (F.col("_v") <= F.lit(hi))
+        cond = inrange if cond is None else (cond | inrange)
+        tag = (
+            F.when(inrange, F.lit(i))
+            if tag is None
+            else tag.when(inrange, F.lit(i))
+        )
+    wanted = [(i, rank) for i, r in enumerate(ranges) for _, rank in by_range[r]]
+    pick = None
+    for i, rank in wanted:
+        hit = (F.col("_t") == F.lit(i)) & (F.col("_rn") == F.lit(rank))
+        pick = hit if pick is None else (pick | hit)
+    w = Window.partitionBy("_t").orderBy("_v")
+    rows = (
+        vals.where(cond)
+        .select("_v", tag.alias("_t"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(pick)
+        .collect()
+    )
+    got = {(int(r["_t"]), int(r["_rn"])): r["_v"] for r in rows}
+    for i, r in enumerate(ranges):
+        for k, rank in by_range[r]:
+            out[k] = got[(i, rank)]
+    return out
+
+
 def _bucket_idx(v: Column, lo, hi, buckets: int) -> Column:
     """Map value → bucket 0..buckets-1 over [lo, hi]; the hi edge and
     any float-rounding overshoot clamp into the last bucket."""
@@ -77,20 +139,16 @@ def kth_smallest(
     # per-rank state: (k, lo, hi, rank-within-range, rows-in-range, cap)
     pending = [(k, st["lo"], st["hi"], k, n, max_rows_exact) for k in set(ks)]
     while pending:
-        nxt = []
+        nxt, resolve = [], []
         for k, lo, hi, rank, cnt, cap in pending:
             if lo == hi:
                 out[k] = lo
             elif cnt <= cap:
-                out[k] = (
-                    vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
-                    .orderBy("_v")
-                    .limit(rank)
-                    .agg(F.max("_v"))
-                    .collect()[0][0]
-                )
+                resolve.append((k, lo, hi, rank))
             else:
                 nxt.append((k, lo, hi, rank, cnt, cap))
+        if resolve:
+            out.update(_resolve_exact(vals, resolve))
         if not nxt:
             break
         # group unresolved ranks by identical range → one histogram +
