@@ -248,19 +248,22 @@ def heavy_hitters(
     )
 
     def mg(batches):
+        # batch-wise Misra-Gries (Agarwal et al. 2012 mergeable
+        # summaries): aggregate each Arrow batch with value_counts,
+        # merge into the summary, and when it exceeds k counters
+        # subtract the (k+1)-th largest count from everything and
+        # drop the non-positive — O(batch + k log k) per batch, vs
+        # the textbook per-item eviction's O(n·k) worst case on
+        # distinct-heavy partitions. The reduction preserves the
+        # error bound (≤ n_p/(k+1) total decrement per item), so the
+        # candidate-superset guarantee is unchanged.
         counters: dict = {}
         for pdf in batches:
-            for v in pdf["_v"]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    dead = [key for key in counters if counters[key] == 1]
-                    for key in counters:
-                        counters[key] -= 1
-                    for key in dead:
-                        del counters[key]
+            for v, c in pdf["_v"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                m = sorted(counters.values(), reverse=True)[k]
+                counters = {key: c - m for key, c in counters.items() if c > m}
         yield pd.DataFrame({"_v": list(counters.keys())})
 
     cands = materialize(vals.mapInPandas(mg, "_v string").distinct())
