@@ -1090,12 +1090,20 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_percentrank_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-standing window functions (percent_rank + cume_dist)
     over PER-TYPE partitions — the distribution-position features a
-    per-segment anomaly threshold needs. The windows partition by
-    event_type (hash-distributed, never a global single-partition
-    sort — the percent_rank anti-pattern this query deliberately
-    avoids), the order is totalized with the event_id tiebreak so
-    both rank fractions are engine-deterministic, and only each
-    type's top 5 rows by value surface."""
+    per-segment anomaly threshold needs. The order is totalized with
+    the event_id tiebreak so both rank fractions are
+    engine-deterministic; only each type's top 5 rows by value
+    surface.
+
+    Scale honesty: a window partitioned by a LOW-cardinality hot key
+    (7 event types here) sorts each type inside ONE task — fine for
+    the many-small-groups case this feature family usually runs on
+    (per-user, per-segment), NOT for few-hot-groups at 100 TB. The
+    scale path there: per-group count (tiny agg) + per-group
+    ``orderstats.kth_smallest`` threshold at rank n−4, then a
+    map-side ``value ≥ threshold`` filter — the rank fractions of the
+    survivors derive arithmetically from (n, rank) without any
+    group-wide sort."""
     ev = table(spark, sf_dir, "events")
     v = ev.where(F.col("value").isNotNull())
     wo = Window.partitionBy("event_type").orderBy("value", "event_id")
