@@ -1052,17 +1052,29 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-based KMV estimate is bit-reproducible in DuckDB, so the
     WHOLE estimator is oracle-checked, not just its error band.
 
-    Scale: per column one distinct-value shuffle + a k-row
-    TakeOrdered; the sketch is mergeable (union → re-truncate,
-    pinned in tests/test_kmv.py) so per-partition/per-day sketches
-    roll up without touching raw data again."""
-    from ..operators.sketch import kmv_estimate, kmv_minhashes
+    Scale: per column ONE distinct-value shuffle, materialized and
+    shared by the exact count and the k-row TakeOrdered (the audit
+    needs both; production keeps only the sketch); mergeable (union →
+    re-truncate, pinned in tests/test_kmv.py) so per-partition/
+    per-day sketches roll up without touching raw data again."""
+    from ..operators.materialize import materialize
+    from ..operators.sketch import kmv_estimate
 
     ev = table(spark, sf_dir, "events")
     rows = []
     for col in ("user_id", "event_type"):
-        n_exact = ev.select(col).where(F.col(col).isNotNull()).distinct().count()
-        sk = kmv_minhashes(ev, col, k=64)
+        hv = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col(col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        dv = materialize(
+            ev.where(F.col(col).isNotNull()).select(F.col(col), hv.alias("hv")).distinct()
+        )
+        n_exact = dv.count()
+        sk = dv.select("hv").distinct().orderBy("hv").limit(64)
         nk, est = kmv_estimate(sk, k=64)
         rows.append((col, 64, int(n_exact), int(nk), float(est)))
     return spark.createDataFrame(
