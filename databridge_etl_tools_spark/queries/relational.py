@@ -139,7 +139,14 @@ def ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K per group via ranking window (SURVEY §2.5 extension)."""
+    """Top-K per group via ranking window (SURVEY §2.5 extension).
+
+    Scale note: a row_number window sorts each group inside one task
+    — right for many bounded groups (5 priorities × SF-bounded rows
+    here after AQE skew split is NOT possible for windows). For a
+    LOW-cardinality hot key at 100 TB use the threshold recipe
+    documented at ``events_percentrank_by_type``: per-group
+    ``orderstats.kth_smallest`` rank-(n−K) cut + map-side filter."""
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )

@@ -65,6 +65,8 @@ SHOW = [
     "features_hashing_trick",
     "dedup_internal_spans",
     "dedup_minhash_estimate_quality",
+    "events_percentrank_by_type",
+    "grouping_sets_orders",
 ]
 
 
