@@ -1169,3 +1169,59 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), ())
         """
     )
+
+
+@query(
+    "events_value_trimmed_mean",
+    oracle="""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    nn AS (SELECT COUNT(*) AS n FROM v),
+    ord AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+    b AS (
+      SELECT
+        (SELECT value FROM ord, nn WHERE rn = greatest(CAST(ceil(n * 0.05) AS BIGINT), 1)) AS lo,
+        (SELECT value FROM ord, nn WHERE rn = greatest(CAST(floor(n * 0.95) AS BIGINT), 1)) AS hi),
+    kept AS (SELECT value FROM v, b WHERE value >= b.lo AND value <= b.hi)
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           (SELECT lo FROM b) AS lo,
+           (SELECT hi FROM b) AS hi,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000 AS mean_trimmed
+    FROM kept
+    """,
+    gate=False,
+)
+def events_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean WITHOUT a sort: the robust aggregate that
+    survives heavy-tailed value columns. The two trim thresholds are
+    exact order statistics from ``orderstats.kth_smallest`` (bucketed
+    selection — bounded jobs, no global sort, no percentile buffer);
+    the trim itself is a MAP-SIDE value filter (ties at the
+    thresholds are kept on both engines identically — value-based,
+    not rank-based, so the cut is deterministic), and the mean is an
+    integer fixed-point sum (``Σ floor(v·10⁶)`` as BIGINT — order-
+    independent, oracle-hashable) divided by the kept count."""
+    from ..operators.orderstats import kth_smallest
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    v = ev.where(F.col("value").isNotNull())
+    n = v.count()
+    import math
+
+    k_lo = max(int(math.ceil(n * 0.05)), 1)
+    k_hi = max(int(math.floor(n * 0.95)), 1)
+    got = kth_smallest(v, "value", sorted({k_lo, k_hi}))
+    lo, hi = got[k_lo], got[k_hi]
+    kept = v.where((F.col("value") >= F.lit(lo)) & (F.col("value") <= F.lit(hi)))
+    return kept.agg(
+        F.lit(n).cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.lit(lo).alias("lo"),
+        F.lit(hi).alias("hi"),
+        (
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000)
+        ).alias("mean_trimmed"),
+    )
