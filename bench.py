@@ -81,6 +81,9 @@ HEADLINE = [
     "dedup_minhash_estimate_quality",
     "dedup_internal_spans",
     "dsir_importance_select",
+    "events_percentrank_by_type",
+    "grouping_sets_orders",
+    "events_value_trimmed_mean",
 ]
 
 

@@ -236,3 +236,48 @@ def test_dsir_selection_tilts_toward_target(spark, sf_dir):
     other_kept = sum(v for k, v in rep.items() if k != "en")
     other_total = sum(v for k, v in totals.items() if k != "en")
     assert en_rate > other_kept / other_total
+
+
+def test_skipgram_pmi_matches_python_twin(spark):
+    """Windowed pair counts, freq weighting, rational score and the
+    (score desc, a, b) tie-break vs a brute-force python twin."""
+    from collections import Counter
+
+    from databridge_etl_tools_spark.operators.collocations import skipgram_pmi_pairs
+
+    texts = [
+        "a b c a b c d",
+        "b c d e a b",
+        "c d a b a b",
+        "e e e a b c",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    W = 2
+    pc, uni, n_tok, n_pair = Counter(), Counter(), 0, 0
+    for t in texts:
+        toks = t.split()
+        n_tok += len(toks)
+        uni.update(toks)
+        for k in range(1, W + 1):
+            for i in range(len(toks) - k):
+                pc[(toks[i], toks[i + k])] += 1
+                n_pair += 1
+    scored = [
+        (c * n_tok * n_tok / (n_pair * uni[a] * uni[b]), a, b, c)
+        for (a, b), c in pc.items()
+        if c >= 2
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    exp = [
+        (r + 1, a, b, c, uni[a], uni[b], s)
+        for r, (s, a, b, c) in enumerate(scored[:5])
+    ]
+    got = [
+        tuple(r)
+        for r in skipgram_pmi_pairs(
+            docs, window=W, min_pair_count=2, top_k=5
+        ).collect()
+    ]
+    assert got == exp
