@@ -500,3 +500,53 @@ def ridge_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("train_rmse", F.lit(model["rmse"]))
         .withColumn("model_n", F.lit(model["n"]).cast("bigint"))
     )
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, CAST(pos1 - 1 AS INTEGER) AS pos,
+             CAST(floor(CAST(embedding[pos1] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      FROM (SELECT label, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS pos1
+            FROM embeddings WHERE label IS NOT NULL)),
+    cent AS (
+      SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xi) AS BIGINT) AS s
+      FROM ex GROUP BY 1, 2)
+    SELECT label, pos, n,
+           CAST(s AS DOUBLE) / n / 1000000 AS centroid
+    FROM cent
+    """,
+    gate=False,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype table
+    behind nearest-centroid classification, SemDeDup-style cluster
+    seeding, and drift monitoring between corpus slices. Sums run in
+    integer FIXED-POINT (``Σ floor(v·10⁶)`` as BIGINT — order-
+    independent, so the centroid itself is oracle-hashable; a raw
+    double sum would diverge from DuckDB in the last ulp under
+    different partial-agg orders). One posexplode + ONE
+    (label, dim)-keyed shuffle; output is labels × d rows — a
+    prototype table small enough to broadcast into a scoring join."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.where(F.col("label").isNotNull()).select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    xi = F.floor(F.col("x").cast("double") * 1000000).cast("bigint")
+    return (
+        ex.select("label", "pos", xi.alias("xi"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xi").cast("bigint").alias("s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            (F.col("s").cast("double") / F.col("n") / F.lit(1000000)).alias("centroid"),
+        )
+    )
