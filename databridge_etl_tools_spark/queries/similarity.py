@@ -550,3 +550,76 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / F.col("n") / F.lit(1000000)).alias("centroid"),
         )
     )
+
+
+@query(
+    "emb_nearest_centroid_eval",
+    oracle="""
+    WITH ex AS (
+      SELECT label, CAST(pos1 - 1 AS INTEGER) AS pos,
+             CAST(floor(CAST(embedding[pos1] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      FROM (SELECT label, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS pos1
+            FROM embeddings WHERE label IS NOT NULL)),
+    cent AS (
+      SELECT label, pos, CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1000000 AS c
+      FROM ex GROUP BY 1, 2),
+    cvec AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv
+             FROM cent GROUP BY 1),
+    d AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))),
+               (acc, x) -> acc + x) AS dist
+      FROM embeddings e, cvec c WHERE e.label IS NOT NULL),
+    pick AS (
+      SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+      FROM d)
+    SELECT label, clabel AS pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pick WHERE rn = 1 GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def emb_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix — the
+    prototype classifier the per-label centroid table exists for
+    (Rocchio / nearest-class-mean): every labeled embedding is
+    assigned to its closest class centroid (squared L2, ties to the
+    smaller label) and the (label, pred) counts form the confusion
+    matrix. Distances are LEFT-FOLD double sums over fixed-point-
+    derived centroids, so both engines produce bit-identical
+    distances and the argmin is oracle-checkable.
+
+    Scale: the prototype table is labels × d (broadcast — bounded by
+    the label space); the scan side pays one JVM fold per (vector,
+    class) pair and ONE vec-keyed argmin aggregate (min over
+    (dist, label) structs — mergeable, no window)."""
+    emb = table(spark, sf_dir, "embeddings").where(F.col("label").isNotNull())
+    cent = emb_label_centroids(spark, sf_dir)
+    cvec = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos, centroid))), s -> s.centroid)"
+        ).alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "embedding", "cv", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    d = emb.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "label", "clabel", dist.alias("dist")
+    )
+    pick = (
+        d.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("dist", "clabel")).alias("_m"))
+        .select("label", F.col("_m.clabel").alias("pred"))
+    )
+    return pick.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
