@@ -84,6 +84,8 @@ HEADLINE = [
     "events_percentrank_by_type",
     "grouping_sets_orders",
     "events_value_trimmed_mean",
+    "emb_label_centroids",
+    "emb_nearest_centroid_eval",
 ]
 
 
