@@ -1,4 +1,5 @@
-"""Exact distributed order statistics via bucketed selection.
+"""Exact distributed order statistics via bucketed selection —
+global AND per-group.
 
 The scale-safe way to get an EXACT k-th smallest / median / quantile
 boundary without the two anti-patterns exact quantiles usually drag
@@ -7,102 +8,251 @@ in: a global sort (single-partition Exchange) or a single-reducer
 verdict's curation-median hazard). Classic two-phase selection
 (Blum-style bucket refinement, the Münz/IQR textbook construction):
 
-1. one bounded aggregate gets (min, max, count);
-2. one map-side bucket assignment + one ``buckets``-row histogram
-   shuffle locates the bucket containing rank k (driver cumsum over
-   ``buckets`` rows — bounded collect);
+1. one bounded aggregate gets (min, max, count) per group;
+2. one map-side bucket assignment + one (range, bucket)-keyed
+   histogram shuffle locates the bucket containing rank k — the
+   histogram carries each bucket's actual (min, max, count), so one
+   job per level both LOCATES and BOUNDS the next range (driver
+   cumsum over ≤ ranges·buckets rows — bounded collect);
 3. recurse INTO that bucket (re-filter the base scan map-side —
    predicate-pushdown friendly, nothing materialized) until the
-   candidate set fits ``max_rows_exact``, then a
-   ``TakeOrderedAndProject``-shaped orderBy+limit resolves the exact
-   value.
+   candidate set fits ``max_rows_exact``, then a range-tagged
+   bounded window resolves the exact values (one job for ALL pending
+   ranks, overlap-safe via the range tag).
 
 Depth is log_buckets(n / max_rows_exact): with the defaults (1024
 buckets, 64 Ki rows) one level resolves ≤ 67 M rows, two levels
-≤ 68 G — at 100 TB the histogram shuffles stay 1024 rows wide and the
-corpus is only ever SCANNED, never sorted or shuffled.
+≤ 68 G — at 100 TB the histogram shuffles stay 1024 rows per range
+and the corpus is only ever SCANNED, never sorted or shuffled.
+
+The GROUPED form (:func:`kth_smallest_by`) keys every stage by the
+group columns as well: per-group ranges ride a broadcast range table
+into the scan, histograms key on (range, bucket). This is the scale
+path for percent-rank/top-k style features over FEW HOT GROUPS —
+where ``Window.partitionBy(hot_key)`` would sort a constant fraction
+of the corpus inside one task. Driver state is O(|groups| · buckets)
+rows per level, so it targets group cardinalities up to ~10⁴; beyond
+that, groups are small by pigeonhole and the per-group window IS the
+right plan.
+
+NULL and NaN values are excluded (NaN would otherwise land in bucket
+0 while Spark's ordering treats it as the largest value — advisor
+r6); counts returned by these functions therefore count rows with a
+real, orderable value.
 
 Determinism: bucket assignment is pure scalar arithmetic on (v, lo,
 hi) — identical IEEE ops on identical operands — and the final
-in-bucket selection is an orderBy on the value alone, whose k-th
-element is the k-th order statistic of the multiset regardless of
-tie order. Safe for oracle-checked queries.
+in-bucket selection orders by the value alone, whose k-th element is
+the k-th order statistic of the multiset regardless of tie order.
+Safe for oracle-checked queries.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _resolve_exact(vals: DataFrame, resolve: "list[tuple]") -> "dict[int, float]":
-    """Final in-bucket selection, BATCHED: all (k, lo, hi, rank)
-    requests whose value ranges are pairwise disjoint resolve in ONE
-    job — a range-tagged partitioned window (row_number within tag,
-    pick the requested ranks). Equi-depth's n_bins-1 boundaries land
-    in n_bins-1 disjoint buckets, so the whole final phase is one job
-    instead of one TakeOrdered per boundary (bench: 7 jobs → 1).
-    Overlapping or duplicate ranges (median's two middle ranks share
-    a bucket) group by identical range first; genuinely overlapping
-    distinct ranges fall back to per-range jobs."""
+def _is_float(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.FloatType, T.DoubleType))
+
+
+def _ranges_df(spark, rows, gfields, vtype):
+    """Tiny broadcastable range table: (_rid, group key cols, _lo, _hi)."""
+    schema = T.StructType(
+        [T.StructField("_rid", T.IntegerType(), False)]
+        + [T.StructField(f.name, f.dataType) for f in gfields]
+        + [T.StructField("_lo", vtype), T.StructField("_hi", vtype)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _join_ranges(vals: DataFrame, rdf: DataFrame, gcols: "list[str]") -> DataFrame:
+    """vals ⋈ broadcast(ranges) on the group key (null-safe) + range
+    containment — a broadcast hash join followed by a map-side value
+    filter; the corpus side is never shuffled."""
+    cond = None
+    for g in gcols:
+        eq = vals[g].eqNullSafe(rdf[g])
+        cond = eq if cond is None else (cond & eq)
+    j = vals.join(F.broadcast(rdf), cond) if cond is not None else vals.crossJoin(
+        F.broadcast(rdf)
+    )
+    return j.where((vals["_v"] >= rdf["_lo"]) & (vals["_v"] <= rdf["_hi"]))
+
+
+def _resolve_exact_by(vals, gcols, resolve, spark, gfields, vtype):
+    """Final in-bucket selection, BATCHED: every pending (group, k)
+    whose candidate set fits ``max_rows_exact`` resolves in ONE job —
+    a range-tagged join (tag = _rid, so overlapping ranges are safe:
+    a row in two ranges appears once per tag) + a per-tag bounded
+    window picking the requested in-range ranks."""
     from pyspark.sql import Window
 
-    out: dict[int, float] = {}
-    # merge requests with IDENTICAL ranges (multiple ranks, one tag)
-    by_range: dict[tuple, list] = {}
-    for k, lo, hi, rank in resolve:
-        by_range.setdefault((lo, hi), []).append((k, rank))
-    ranges = sorted(by_range)
-    disjoint = all(
-        ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1)
+    ranges: dict[tuple, int] = {}  # (group, lo, hi) -> rid
+    picks: dict[tuple[int, int], list] = {}  # (rid, rank) -> [(g, k), ...]
+    rows = []
+    for g, k, lo, hi, rank in resolve:
+        rid = ranges.setdefault((g, lo, hi), len(ranges))
+        if rid == len(rows):
+            rows.append((rid, *g, lo, hi))
+        picks.setdefault((rid, int(rank)), []).append((g, k))
+    rdf = _ranges_df(spark, rows, gfields, vtype)
+    pdf = spark.createDataFrame(
+        [(rid, rank) for rid, rank in picks], "_rid int, _rn int"
     )
-    if not disjoint or len(ranges) == 0:
-        for (lo, hi), wants in by_range.items():
-            for k, rank in wants:
-                out[k] = (
-                    vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
-                    .orderBy("_v")
-                    .limit(rank)
-                    .agg(F.max("_v"))
-                    .collect()[0][0]
-                )
-        return out
-    tag = None
-    cond = None
-    for i, (lo, hi) in enumerate(ranges):
-        inrange = (F.col("_v") >= F.lit(lo)) & (F.col("_v") <= F.lit(hi))
-        cond = inrange if cond is None else (cond | inrange)
-        tag = (
-            F.when(inrange, F.lit(i))
-            if tag is None
-            else tag.when(inrange, F.lit(i))
-        )
-    wanted = [(i, rank) for i, r in enumerate(ranges) for _, rank in by_range[r]]
-    pick = None
-    for i, rank in wanted:
-        hit = (F.col("_t") == F.lit(i)) & (F.col("_rn") == F.lit(rank))
-        pick = hit if pick is None else (pick | hit)
-    w = Window.partitionBy("_t").orderBy("_v")
-    rows = (
-        vals.where(cond)
-        .select("_v", tag.alias("_t"))
+    w = Window.partitionBy("_rid").orderBy("_v")
+    hits = (
+        _join_ranges(vals, rdf, gcols)
+        .select("_rid", "_v")
         .withColumn("_rn", F.row_number().over(w))
-        .where(pick)
+        .join(F.broadcast(pdf), ["_rid", "_rn"])
         .collect()
     )
-    got = {(int(r["_t"]), int(r["_rn"])): r["_v"] for r in rows}
-    for i, r in enumerate(ranges):
-        for k, rank in by_range[r]:
-            out[k] = got[(i, rank)]
+    out: dict[tuple, dict] = {}
+    for r in hits:
+        for g, k in picks[(int(r["_rid"]), int(r["_rn"]))]:
+            out.setdefault(g, {})[k] = r["_v"]
     return out
 
 
-def _bucket_idx(v: Column, lo, hi, buckets: int) -> Column:
-    """Map value → bucket 0..buckets-1 over [lo, hi]; the hi edge and
-    any float-rounding overshoot clamp into the last bucket."""
-    w = (hi - lo) / float(buckets)
-    raw = F.floor((v - F.lit(lo)) / F.lit(w)).cast("int")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
+def kth_smallest_by(
+    df: DataFrame,
+    key,
+    col: str,
+    ranks,
+    *,
+    buckets: int = 1024,
+    max_rows_exact: int = 65536,
+) -> "tuple[dict[tuple, dict[int, object]], dict[tuple, int]]":
+    """Exact per-group k-th smallest values via keyed bucketed
+    selection. Returns ``(values, counts)``: ``values[group][k]`` is
+    the k-th smallest (1-based, over rows whose value is non-null and
+    non-NaN) of ``col`` within ``group``, and ``counts[group]`` that
+    group's orderable-row count. Group keys are always TUPLES of the
+    ``key`` columns' values (``()`` for the global, key-less form).
+
+    ``ranks`` is either a dict ``{group_tuple: iterable[int]}`` or a
+    callable ``n -> iterable[int]`` evaluated per group on its count
+    (e.g. ``lambda n: [n - 4]`` for the 5th largest, or the median's
+    ``lambda n: {(n + 1) // 2, n // 2 + 1}``) — the callable form
+    gets per-group thresholds without a separate count job. Groups
+    for which the callable returns nothing are skipped; a dict naming
+    an absent group raises.
+
+    One (min, max, count) aggregate keyed by group, then per level
+    ONE job: broadcast the pending (group, lo, hi) range table into
+    the scan, bucket map-side, aggregate (range, bucket) →
+    (count, min, max). See module docstring for depth/driver-state
+    bounds and the few-hot-groups scale argument.
+    """
+    gcols_in = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    vtype = df.schema[col].dataType
+    gfields = [
+        T.StructField(f"_gk{i}", df.schema[k].dataType)
+        for i, k in enumerate(gcols_in)
+    ]
+    gcols = [f.name for f in gfields]
+    vals = df.select(
+        *[F.col(k).alias(g) for k, g in zip(gcols_in, gcols)],
+        F.col(col).alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    if _is_float(vtype):
+        vals = vals.where(~F.isnan("_v"))
+    st = (
+        vals.groupBy(*gcols)
+        .agg(
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    stats = {tuple(r[g] for g in gcols): (r["lo"], r["hi"], int(r["n"])) for r in st}
+    counts = {g: n for g, (_, _, n) in stats.items()}
+    if not callable(ranks):
+        missing = set(ranks) - set(stats)
+        if missing:
+            raise ValueError(
+                f"kth_smallest_by: groups {sorted(missing)!r} have no "
+                f"orderable rows in {col!r}"
+            )
+    out: dict[tuple, dict] = {}
+    pending = []  # (group, k, lo, hi, rank-in-range, rows-in-range, cap)
+    for g, (lo, hi, n) in stats.items():
+        ks = ranks(n) if callable(ranks) else ranks.get(g)
+        if not ks:
+            continue
+        ks = sorted({int(k) for k in ks})
+        bad = [k for k in ks if not 1 <= k <= n]
+        if bad:
+            raise ValueError(
+                f"kth_smallest_by: group {g!r} ranks {bad} outside 1..{n}"
+            )
+        out[g] = {}
+        pending.extend((g, k, lo, hi, k, n, max_rows_exact) for k in ks)
+    while pending:
+        nxt, resolve = [], []
+        for g, k, lo, hi, rank, cnt, cap in pending:
+            if lo == hi:
+                out[g][k] = lo
+            elif cnt <= cap:
+                resolve.append((g, k, lo, hi, rank))
+            else:
+                nxt.append((g, k, lo, hi, rank, cnt, cap))
+        if resolve:
+            for g, got in _resolve_exact_by(
+                vals, gcols, resolve, spark, gfields, vtype
+            ).items():
+                out[g].update(got)
+        if not nxt:
+            break
+        ranges: dict[tuple, int] = {}  # (group, lo, hi) -> rid
+        rows = []
+        for g, k, lo, hi, rank, cnt, cap in nxt:
+            rid = ranges.setdefault((g, lo, hi), len(ranges))
+            if rid == len(rows):
+                rows.append((rid, *g, lo, hi))
+        rdf = _ranges_df(spark, rows, gfields, vtype)
+        # bucket 0..buckets-1 over [_lo, _hi]; the hi edge and any
+        # float-rounding overshoot clamp into the last bucket
+        width = (F.col("_hi") - F.col("_lo")).cast("double") / F.lit(float(buckets))
+        raw = F.floor((F.col("_v") - F.col("_lo")).cast("double") / width).cast("int")
+        idx = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
+        hist = (
+            _join_ranges(vals, rdf, gcols)
+            .groupBy("_rid", idx.alias("_b"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("_v").alias("blo"),
+                F.max("_v").alias("bhi"),
+            )
+            .collect()
+        )
+        per_rid: dict[int, dict[int, tuple]] = {}
+        for r in hist:
+            per_rid.setdefault(int(r["_rid"]), {})[int(r["_b"])] = (
+                int(r["c"]),
+                r["blo"],
+                r["bhi"],
+            )
+        pending = []
+        for g, k, lo, hi, rank, cnt, cap in nxt:
+            hbuckets = per_rid[ranges[(g, lo, hi)]]
+            acc = 0
+            for b in sorted(hbuckets):
+                c, blo, bhi = hbuckets[b]
+                if acc + c >= rank:
+                    if blo == lo and bhi == hi:
+                        # degenerate refinement (pathological float
+                        # spacing): force exact resolution next pass
+                        cap = max(cap, c)
+                    pending.append((g, k, blo, bhi, rank - acc, c, cap))
+                    break
+                acc += c
+    return out, counts
 
 
 def kth_smallest(
@@ -113,86 +263,15 @@ def kth_smallest(
     buckets: int = 1024,
     max_rows_exact: int = 65536,
 ) -> "dict[int, float]":
-    """Exact k-th smallest values (1-based ranks over non-null rows)
-    for every k in ``ks``, as ``{k: value}``.
-
-    Level-SYNCHRONIZED descent (round-6 bench finding: per-rank
-    independent descents cost 7× the jobs for equi-depth boundaries):
-    all pending ranks sharing a value range share ONE histogram and
-    ONE target-bucket min/max aggregate per level — at level 1 that
-    means 2 jobs total regardless of how many ranks were asked for.
-    Each rank carries its bucket's count forward, so no per-rank
-    count jobs exist at all; ranks whose candidate set fits
-    ``max_rows_exact`` resolve with a ``TakeOrdered``-shaped
-    orderBy+limit. See module docstring for the scale argument."""
-    vals = df.select(F.col(col).alias("_v")).where(F.col("_v").isNotNull())
-    st = vals.agg(
-        F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    n = int(st["n"])
-    if n == 0:
-        raise ValueError(f"kth_smallest: no non-null rows in {col!r}")
-    bad = [k for k in ks if not 1 <= k <= n]
-    if bad:
-        raise ValueError(f"kth_smallest: ranks {bad} outside 1..{n}")
-    out: dict[int, float] = {}
-    # per-rank state: (k, lo, hi, rank-within-range, rows-in-range, cap)
-    pending = [(k, st["lo"], st["hi"], k, n, max_rows_exact) for k in set(ks)]
-    while pending:
-        nxt, resolve = [], []
-        for k, lo, hi, rank, cnt, cap in pending:
-            if lo == hi:
-                out[k] = lo
-            elif cnt <= cap:
-                resolve.append((k, lo, hi, rank))
-            else:
-                nxt.append((k, lo, hi, rank, cnt, cap))
-        if resolve:
-            out.update(_resolve_exact(vals, resolve))
-        if not nxt:
-            break
-        # group unresolved ranks by identical range → one histogram +
-        # one bucket-bounds aggregate per distinct range this level
-        groups: dict[tuple, list] = {}
-        for s in nxt:
-            groups.setdefault((s[1], s[2]), []).append(s)
-        pending = []
-        for (lo, hi), states in groups.items():
-            idx = _bucket_idx(F.col("_v"), lo, hi, buckets)
-            ranged = vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
-            hist = ranged.groupBy(idx.alias("_b")).agg(F.count(F.lit(1)).alias("c")).collect()
-            counts = {int(r["_b"]): int(r["c"]) for r in hist}
-            cum, acc = {}, 0
-            for b in sorted(counts):
-                cum[b] = acc
-                acc += counts[b]
-            located = []  # (k, target bucket, rank-in-bucket, bucket count, cap)
-            for k, _lo, _hi, rank, cnt, cap in states:
-                target = None
-                for b in sorted(counts):
-                    if cum[b] + counts[b] >= rank:
-                        target = b
-                        break
-                located.append((k, target, rank - cum[target], counts[target], cap))
-            # ONE aggregate gets the ACTUAL value bounds of every
-            # target bucket (guarantees progress even when float
-            # width rounds oddly)
-            targets = sorted({t for _, t, _, _, _ in located})
-            bounds = {
-                int(r["_b"]): (r["blo"], r["bhi"])
-                for r in ranged.where(idx.isin(targets))
-                .groupBy(idx.alias("_b"))
-                .agg(F.min("_v").alias("blo"), F.max("_v").alias("bhi"))
-                .collect()
-            }
-            for k, target, rank, cnt, cap in located:
-                blo, bhi = bounds[target]
-                if blo == lo and bhi == hi:
-                    # degenerate refinement (pathological float
-                    # spacing): force exact resolution next pass
-                    cap = max(cap, cnt)
-                pending.append((k, blo, bhi, rank, cnt, cap))
-    return out
+    """Exact k-th smallest values (1-based ranks over non-null,
+    non-NaN rows) for every k in ``ks``, as ``{k: value}`` — the
+    key-less form of :func:`kth_smallest_by` (|groups| = 1). Raises
+    ``ValueError`` when no orderable rows exist or a rank is outside
+    1..n, matching :func:`kth_smallest_by`."""
+    vals, _ = kth_smallest_by(
+        df, (), col, {(): list(ks)}, buckets=buckets, max_rows_exact=max_rows_exact
+    )
+    return vals[()]
 
 
 def exact_median(
@@ -202,15 +281,48 @@ def exact_median(
     even n averages the two middle order statistics) without a global
     sort or a single-reducer value buffer — the scale-safe exact
     variant the round-5 verdict asked the curation median to have.
-    Returns ``(n, median)``."""
-    n = df.where(F.col(col).isNotNull()).count()
-    if n == 0:
-        raise ValueError(f"exact_median: no non-null rows in {col!r}")
-    k1, k2 = (n + 1) // 2, n // 2 + 1
-    got = kth_smallest(
-        df, col, sorted({k1, k2}), buckets=buckets, max_rows_exact=max_rows_exact
+    Returns ``(n, median)``; n counts non-null, non-NaN rows."""
+    vals, counts = kth_smallest_by(
+        df,
+        (),
+        col,
+        lambda n: {(n + 1) // 2, n // 2 + 1},
+        buckets=buckets,
+        max_rows_exact=max_rows_exact,
     )
+    if not counts:
+        raise ValueError(f"exact_median: no non-null rows in {col!r}")
+    n = counts[()]
+    got = vals[()]
+    k1, k2 = (n + 1) // 2, n // 2 + 1
     return n, (float(got[k1]) + float(got[k2])) / 2.0
+
+
+def exact_median_by(
+    df: DataFrame,
+    key,
+    col: str,
+    *,
+    buckets: int = 1024,
+    max_rows_exact: int = 65536,
+) -> "dict[tuple, tuple[int, float]]":
+    """Per-group exact interpolated medians: ``{group_tuple: (n,
+    median)}`` — one grouped bucketed selection, no per-group sort,
+    no ``Window.partitionBy(hot_key)``."""
+    vals, counts = kth_smallest_by(
+        df,
+        key,
+        col,
+        lambda n: {(n + 1) // 2, n // 2 + 1},
+        buckets=buckets,
+        max_rows_exact=max_rows_exact,
+    )
+    out = {}
+    for g, got in vals.items():
+        n = counts[g]
+        k1, k2 = (n + 1) // 2, n // 2 + 1
+        out[g] = (n, (float(got[k1]) + float(got[k2])) / 2.0)
+    return out
 
 
 def equi_depth_boundaries(
@@ -227,7 +339,16 @@ def equi_depth_boundaries(
     — map-side, no global sort, no ntile window over a single
     partition. The quantile-binning primitive behind length bucketing
     for sequence packing and score binning for curation."""
-    n = df.where(F.col(col).isNotNull()).count()
-    ranks = sorted({max(1, (n * i) // n_bins) for i in range(1, n_bins)})
-    got = kth_smallest(df, col, ranks, buckets=buckets, max_rows_exact=max_rows_exact)
+    vals, counts = kth_smallest_by(
+        df,
+        (),
+        col,
+        lambda n: {max(1, (n * i) // n_bins) for i in range(1, n_bins)},
+        buckets=buckets,
+        max_rows_exact=max_rows_exact,
+    )
+    if not counts:
+        raise ValueError(f"equi_depth_boundaries: no non-null rows in {col!r}")
+    n = counts[()]
+    got = vals[()]
     return [got[max(1, (n * i) // n_bins)] for i in range(1, n_bins)]

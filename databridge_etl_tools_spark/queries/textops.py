@@ -2101,9 +2101,13 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sample_weighted`` (DECIMAL accept test). Scale: two transition
     shuffles (corpus + target slice), size-aware LM joins, one
     doc-keyed reduce each; the ratio and accept test are map-side
-    integer arithmetic. ``w_ppm`` stays in int64 while
-    ``s_tgt < 9.2·10¹²`` (≈ 9,200-transition docs at p=1); swap to
-    DECIMAL(38,0) products for pathologically long documents."""
+    integer arithmetic. The ratio product runs in DECIMAL(38,0)
+    (advisor r6): ``s_tgt·10⁶`` exceeds int64 once a doc has ~9,200
+    transitions — common in real corpora — and would wrap (non-ANSI)
+    or throw (ANSI) in bigint; the decimal product is exact to 10³⁸
+    and the quotient is cast back to bigint (safe: w_ppm ≤ 10⁶ ·
+    s_tgt/s_raw, a likelihood ratio that only nears int64 when the
+    two LMs disagree by 10¹³ — not a reachable score gap)."""
     from ..operators.collocations import bigram_lm_scores
     from ..operators.sampling import sample_weighted
 
@@ -2118,7 +2122,12 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         raw.join(tgt, "doc_id")
         .where(F.col("s_raw") > 0)
-        .withColumn("w_ppm", F.expr("s_tgt * 1000000 DIV s_raw"))
+        # DECIMAL(38,0) product — s_tgt·10⁶ wraps int64 past ~9,200
+        # transitions (advisor r6); quotient fits bigint
+        .withColumn(
+            "w_ppm",
+            F.expr("CAST(CAST(s_tgt AS DECIMAL(38,0)) * 1000000 DIV s_raw AS BIGINT)"),
+        )
     )
     kept = sample_weighted(w, "w_ppm", "doc_id", salt="dsir")
     return (
@@ -2417,7 +2426,12 @@ def corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.join(tgt, "doc_id")
         .join(surv.select("doc_id", "n_tokens"), "doc_id")
         .where(F.col("s_raw") > 0)
-        .withColumn("w_ppm", F.expr("s_tgt * 1000000 DIV s_raw"))
+        # DECIMAL(38,0) product — same advisor-r6 overflow fix as
+        # dsir_importance_select
+        .withColumn(
+            "w_ppm",
+            F.expr("CAST(CAST(s_tgt AS DECIMAL(38,0)) * 1000000 DIV s_raw AS BIGINT)"),
+        )
     )
     kept = sample_weighted(w, "w_ppm", "doc_id", salt="cv4")
     return (

@@ -238,6 +238,22 @@ def test_dsir_selection_tilts_toward_target(spark, sf_dir):
     assert en_rate > other_kept / other_total
 
 
+def test_dsir_weight_ratio_survives_int64_overflow(spark):
+    """The w_ppm likelihood ratio must be computed in DECIMAL(38,0):
+    s_tgt·10⁶ exceeds int64 once s_tgt > ~9.2e12 (docs with >~9,200
+    transitions at nano fixed point), which wraps under non-ANSI
+    arithmetic and throws under ANSI (advisor r6). Pin the exact
+    decimal quotient at a magnitude where the bigint product fails."""
+    s_tgt, s_raw = 9_300_000_000_000, 7  # s_tgt * 1e6 = 9.3e18 > 2^63-1
+    df = spark.createDataFrame([(s_tgt, s_raw)], "s_tgt bigint, s_raw bigint")
+    got = df.select(
+        F.expr(
+            "CAST(CAST(s_tgt AS DECIMAL(38,0)) * 1000000 DIV s_raw AS BIGINT)"
+        ).alias("w_ppm")
+    ).collect()[0]["w_ppm"]
+    assert got == (s_tgt * 1_000_000) // s_raw  # python int = exact twin
+
+
 def test_skipgram_pmi_matches_python_twin(spark):
     """Windowed pair counts, freq weighting, rational score and the
     (score desc, a, b) tie-break vs a brute-force python twin."""

@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from databridge_etl_tools_spark.operators.orderstats import (
     equi_depth_boundaries,
     exact_median,
+    exact_median_by,
     kth_smallest,
+    kth_smallest_by,
 )
 
 
@@ -72,6 +74,73 @@ def test_exact_median_matches_interpolated(spark):
     withnull = spark.createDataFrame([(1,), (None,), (3,)], "x bigint")
     n, med = exact_median(withnull, "x")
     assert (n, med) == (2, 2.0)
+
+
+def _gdf(spark, rows):
+    return spark.createDataFrame(rows, "g string, x bigint")
+
+
+def test_kth_smallest_by_matches_per_group_sorted_twin(spark):
+    rng = random.Random(13)
+    rows = [(f"g{i % 3}", rng.randint(0, 10**6)) for i in range(600)]
+    by_g: dict = {}
+    for g, x in rows:
+        by_g.setdefault((g,), []).append(x)
+    want = {g: sorted(vs) for g, vs in by_g.items()}
+    ks = {g: [1, 7, len(vs) // 2, len(vs)] for g, vs in want.items()}
+    vals, counts = kth_smallest_by(_gdf(spark, rows), "g", "x", ks, buckets=16)
+    assert counts == {g: len(vs) for g, vs in want.items()}
+    for g, kk in ks.items():
+        assert vals[g] == {k: want[g][k - 1] for k in kk}
+
+
+def test_kth_smallest_by_callable_ranks_and_forced_recursion(spark):
+    rng = random.Random(29)
+    rows = [(f"g{i % 2}", rng.randint(0, 10**9)) for i in range(400)]
+    # callable form: per-group median ranks, with recursion forced
+    vals, counts = kth_smallest_by(
+        _gdf(spark, rows),
+        "g",
+        "x",
+        lambda n: {(n + 1) // 2, n // 2 + 1},
+        buckets=4,
+        max_rows_exact=8,
+    )
+    for g in counts:
+        s = sorted(x for gg, x in rows if (gg,) == g)
+        n = len(s)
+        assert vals[g] == {k: s[k - 1] for k in {(n + 1) // 2, n // 2 + 1}}
+
+
+def test_exact_median_by_matches_global_on_each_slice(spark):
+    rows = [("a", v) for v in [5, 1, 9, 3, 7]] + [("b", v) for v in [4, 1, 3, 2]]
+    got = exact_median_by(_gdf(spark, rows), "g", "x")
+    assert got == {("a",): (5, 5.0), ("b",): (4, 2.5)}
+
+
+def test_kth_smallest_by_missing_group_and_bad_rank(spark):
+    df = _gdf(spark, [("a", 1), ("a", 2)])
+    try:
+        kth_smallest_by(df, "g", "x", {("zz",): [1]})
+        raise AssertionError("expected ValueError for absent group")
+    except ValueError:
+        pass
+    try:
+        kth_smallest_by(df, "g", "x", {("a",): [3]})
+        raise AssertionError("expected ValueError for rank > n")
+    except ValueError:
+        pass
+
+
+def test_orderstats_excludes_nan_like_null(spark):
+    # NaN would land in bucket 0 while Spark sorts it LAST (advisor
+    # r6) — the filter must drop it so ranks stay consistent
+    vals = [1.0, float("nan"), 3.0, 2.0, float("nan")]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = kth_smallest(df, "x", [1, 2, 3])
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    n, med = exact_median(df, "x")
+    assert (n, med) == (3, 2.0)
 
 
 def test_equi_depth_boundaries_quartiles(spark):
