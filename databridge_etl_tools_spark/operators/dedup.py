@@ -248,6 +248,52 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN pair set only — the
+    candidate-bounded exact side a sketch-accuracy audit needs
+    (r6 verdict: auditing MinHash with ``jaccard_pairs(threshold=0)``
+    disables the prefix filter and goes quadratic in per-shingle df;
+    the audit must be cheaper than the thing it audits).
+
+    ``pairs`` carries ``(doc_a, doc_b)``. Each side hash-joins the
+    checkpointed (doc, shingles) table by id — two joins keyed on
+    well-distributed doc ids, never a shingle-keyed self-join — and
+    the intersection is a per-pair ``array_intersect`` (the same
+    verification step the AllPairs path uses). Cost is
+    O(|pairs| · avg shingles): linear in the candidate set. Pairs
+    whose doc has no shingles (< n tokens) drop — callers that must
+    keep them left-join the result back onto ``pairs``. Emits
+    ``jaccard = 0.0`` for colliding-but-disjoint pairs (possible
+    under LSH: band keys can agree without a shared shingle)."""
+    sh = materialize(
+        _shingled(df, id_col, text_col, n, distinct=True), cut_lineage=True
+    )
+    va = sh.select(
+        F.col("doc").alias("doc_a"),
+        F.size("shingles").alias("n_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    vb = sh.select(
+        F.col("doc").alias("doc_b"),
+        F.size("shingles").alias("n_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    out = (
+        pairs.select("doc_a", "doc_b")
+        .join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return out.select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
 #: Guard for float-boundary hazards in prefix/length bounds (ADVICE
 #: r3): when t·|A| is mathematically an exact integer the double
 #: product can round a hair ABOVE it, so a bare ceil() inflates the
@@ -1025,6 +1071,7 @@ def internal_repeated_spans(
     min_len: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_gram_occ: int | None = 1024,
 ) -> DataFrame:
     """WITHIN-document repeated spans — the self-repetition half of
     the ExactSubstr family (:func:`shared_spans` finds cross-document
@@ -1043,8 +1090,28 @@ def internal_repeated_spans(
     includes the DOC id, so blow-up is bounded by per-document gram
     multiplicity squared (document-length-bounded), never by corpus
     document frequency — the cross-document stop-gram hazard does
-    not exist here, which is why this variant needs no df cap. One
-    (doc, gram) shuffle + one (doc, shift) window over small groups."""
+    not exist here. What DOES exist (r6 verdict) is the
+    single-pathological-document hazard: a 100 k-token tandem repeat
+    of one trigram puts ~5·10⁹ pairs in ONE join group — an executor
+    hot-key blow-up exactly on the stutter this operator exists to
+    find. ``max_gram_occ`` caps each (doc, gram)'s occurrence list to
+    its FIRST ``max_gram_occ`` positions before the self-join (one
+    (doc, gram)-windowed row_number — linear, per-partition sorts
+    bounded by document length), bounding the join to
+    ``max_gram_occ²/2`` pairs per (doc, gram).
+
+    Maximality caveat under the cap: spans are exact for any document
+    whose per-gram multiplicity stays ≤ ``max_gram_occ`` (all
+    realistic prose — the default 1024 means one gram repeated >1024
+    times INSIDE one document). Beyond it, repeats are detected —
+    match points among the first cap occurrences still produce runs
+    at every shift realized there — but a reported span may TRUNCATE
+    at the cap window's edge and repeats confined entirely to later
+    occurrences are missed; downstream cleaning still removes the
+    detected copies, and a capped doc is degenerate stutter that
+    quality gates (rep-ratio) independently kill. ``None`` disables
+    the cap. One (doc, gram) shuffle + one (doc, shift) window over
+    small groups."""
     base = materialize(
         docs.select(F.col(id_col).alias("doc"), TS.tokens(F.col(text_col)).alias("toks"))
     ).where(F.size("toks") >= n)
@@ -1057,6 +1124,13 @@ def internal_repeated_spans(
             "doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
         )
     )
+    if max_gram_occ is not None:
+        occ = Window.partitionBy("doc", "gram").orderBy("pos")
+        ex = (
+            ex.withColumn("_occ", F.row_number().over(occ))
+            .where(F.col("_occ") <= max_gram_occ)
+            .drop("_occ")
+        )
     a, b = ex.alias("a"), ex.alias("b")
     m = a.join(
         b,

@@ -38,6 +38,32 @@ def test_jaccard_pairs_finds_near_dup(spark):
     assert (1, 4) not in pairs
 
 
+def test_jaccard_for_pairs_matches_full_join_on_given_pairs(spark):
+    """The candidate-bounded exact side (r7, MinHash-audit scale fix)
+    must reproduce the inverted-index jaccard EXACTLY on the supplied
+    pairs — including a shingle-disjoint pair (0.0) and a pair whose
+    doc has < n tokens (dropped, caller left-joins)."""
+    docs = _docs(spark)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4)], "doc_a int, doc_b int"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.jaccard_for_pairs(docs, pairs, "doc_id", "text").collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+    }
+    for p, j in got.items():
+        if j > 0.0:
+            assert j == full[p]
+        else:
+            assert p not in full  # disjoint pairs never materialize there
+    assert got[(1, 2)] == 1.0 and 0.5 <= got[(1, 3)] < 1.0
+    assert set(got) == {(1, 2), (1, 3), (1, 4), (3, 4)}
+
+
 def test_jaccard_prefix_filter_path_is_exact(spark):
     """The AllPairs/PPJoin prefix-filtered plan returns EXACTLY the
     naive inverted-index pairs (same pairs, same jaccard values) —
@@ -916,3 +942,37 @@ def test_internal_repeated_spans_tandem_and_echo(spark):
     assert (2, 0, 3, 3, 6) in got
     # doc 3 clean
     assert not any(d == 3 for d, *_ in got)
+
+
+def test_internal_spans_gram_occurrence_cap_bounds_pathological_doc(spark):
+    """r6-verdict hazard: a single tandem-repeat document (one gram
+    at every position) makes the (doc, gram) self-join quadratic in
+    within-doc multiplicity — 10 k tokens of 'a' is ~5·10⁷ pairs in
+    ONE join group. ``max_gram_occ`` must bound every position to the
+    first cap occurrences (join ≤ cap²/2 pairs per (doc, gram)),
+    still DETECT the stutter, and leave sub-cap documents byte-
+    identical to the uncapped operator."""
+    from databridge_etl_tools_spark.operators.dedup import internal_repeated_spans
+
+    cap = 64
+    pathological = (1, " ".join(["a"] * 10_000))
+    normal = (2, "alpha beta gamma delta epsilon one two three four five "
+                 "alpha beta gamma delta epsilon")
+    docs = spark.createDataFrame([pathological, normal], "doc_id bigint, text string")
+    got = internal_repeated_spans(docs, n=3, min_len=4, max_gram_occ=cap).collect()
+    path = [r for r in got if r["doc_id"] == 1]
+    # detected: the period-1 tandem shows up as shift-1 (and more) runs
+    assert any(r["shift"] < r["span_tokens"] for r in path)
+    # bounded: every surviving position came from the first `cap`
+    # occurrences of the gram, so no span reaches past the cap window
+    assert path and max(r["start_b"] for r in path) < cap
+    assert len(path) <= cap  # at most one maximal run per realized shift
+    # sub-cap documents are unaffected by the default cap
+    uncapped = {
+        tuple(r)
+        for r in internal_repeated_spans(
+            docs.where(F.col("doc_id") == 2), n=3, min_len=4, max_gram_occ=None
+        ).collect()
+    }
+    capped = {tuple(r) for r in got if r[0] == 2}
+    assert capped == uncapped and (2, 0, 10, 10, 5) in capped

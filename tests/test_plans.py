@@ -26,6 +26,22 @@ def test_filter_project_pushes_filter_and_prunes_columns(spark):
     assert "l_quantity" not in read and "l_tax" not in read
 
 
+def test_percentrank_windows_only_over_thresholded_survivors(spark):
+    """The r6-verdict scale fix: events_percentrank_by_type must not
+    sort whole hot-key groups — every Window must sit ABOVE the
+    map-side value >= _thr broadcast-join filter, so the sort input
+    is the 5 + tie-class survivor set, never the raw corpus."""
+    plan = _plan(spark, "events_percentrank_by_type")
+    assert "Window" in plan
+    # each window's input contains the threshold filter: the first
+    # Window occurrence appears before (above) the _thr filter line,
+    # and the filter references the broadcast threshold column
+    w_pos = plan.index("Window")
+    f_pos = plan.index("_thr")
+    assert f_pos > w_pos, "threshold filter must feed the windows"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_region_revenue_broadcasts_dimensions(spark):
     plan = _plan(spark, "region_revenue")
     assert plan.count("BroadcastHashJoin") >= 2
