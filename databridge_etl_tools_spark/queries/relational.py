@@ -387,17 +387,84 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_sketches")  # no oracle: HLL/KLL sketch internals are engine-specific
+@query(
+    "approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_in_band, TRUE AS parts_in_band, TRUE AS median_in_band
+    FROM lineitem GROUP BY 1
+    """,
+    gate=False,
+)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB aggregation scale path: approx_count_distinct (HLL)
-    and approx_percentile (quantile sketch) — no global sort, no exact
-    distinct shuffle. Rows-only check by necessity: sketch estimates
-    are engine-specific (exact twins: scan_probes / exact_percentiles)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    """The 100 TB aggregation scale path — approx_count_distinct
+    (HLL++) and approx_percentile (quantile sketch), AUDITED: the
+    sketch VALUES are engine-specific (DuckDB's HLL has a different
+    layout), but they are deterministic within Spark (hash-based,
+    merge-order-insensitive), so the oracle-checkable surface is the
+    exact statistics plus est-vs-exact IN-BAND flags the oracle pins
+    to TRUE (r6-verdict task: every sketch family gets the
+    KMV-style est-vs-truth audit, not a smoke run). Bands are 5×rsd
+    for the HLLs and the exact [p45, p55] value corridor for the
+    approx median (accuracy 10000 → rank error ≤ n/10⁴, two orders
+    inside the corridor) — generous enough that a pass is a property
+    of the data, not of luck; a band flip means the sketch broke.
+    The exact sides: one distinct-agg shuffle (the thing the sketch
+    replaces at 100 TB — here it's the honesty anchor) and a grouped
+    bucketed selection (`kth_smallest_by`) for the corridor, never a
+    per-group sort."""
+    from ..operators.orderstats import kth_smallest_by
+
+    li = table(spark, sf_dir, "lineitem", access="scan")
+    vals, counts = kth_smallest_by(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        lambda n: {max(1, (n * 45) // 100), max(1, (n * 55) // 100)},
+    )
+    corridor = spark.createDataFrame(
+        [
+            (
+                g[0],
+                float(vals[g][max(1, (counts[g] * 45) // 100)]),
+                float(vals[g][max(1, (counts[g] * 55) // 100)]),
+            )
+            for g in counts
+        ],
+        "l_returnflag string, _p45 double, _p55 double",
+    )
+    # Exact distinct counts and sketch aggregates run as SEPARATE
+    # aggregations joined on the 3-row group key: mixing DISTINCT and
+    # non-distinct aggregates in one groupBy plans Expand + two
+    # aggregate phases with every sketch buffer updated per expanded
+    # row (measured 48 s vs 0.9 + 0.9 s split, sf0.1).
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("_a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_a_med"),
+    )
+    agg = exact.join(sk, "l_returnflag")
+    return agg.join(F.broadcast(corridor), "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("_a_orders") - F.col("exact_orders"))
+            <= 5 * 0.05 * F.col("exact_orders")
+        ).alias("orders_in_band"),
+        (
+            F.abs(F.col("_a_parts") - F.col("exact_parts"))
+            <= 5 * 0.01 * F.col("exact_parts")
+        ).alias("parts_in_band"),
+        ((F.col("_a_med") >= F.col("_p45")) & (F.col("_a_med") <= F.col("_p55"))).alias(
+            "median_in_band"
+        ),
     )
 
 

@@ -587,34 +587,97 @@ def source_capped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "rank", "doc_id", "quality")
 
 
-@query("sketch_vocabulary_report")  # no oracle: HLL/KLL sketch values are
-# engine-specific by construction (DuckDB's approx_count_distinct uses a
-# different HLL layout) — deterministic WITHIN Spark (hash-based, merge
-# order-insensitive), pinned by tests instead
+@query(
+    "sketch_vocabulary_report",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest({_TOK}) AS w FROM documents),
+    ex AS (SELECT lang, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct_tokens
+           FROM tok GROUP BY 1),
+    d AS (SELECT lang, len({_TOK}) AS n_tokens FROM documents),
+    c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+    o AS (SELECT lang, n_tokens,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn
+          FROM d),
+    med AS (
+      SELECT o.lang, AVG(CAST(o.n_tokens AS DOUBLE)) AS exact_p50_tokens
+      FROM o JOIN c ON o.lang = c.lang
+      WHERE o.rn = (c.n + 1) // 2 OR o.rn = c.n // 2 + 1
+      GROUP BY o.lang)
+    SELECT ex.lang, ex.exact_distinct_tokens, med.exact_p50_tokens,
+           TRUE AS hll_in_band, TRUE AS p50_in_band
+    FROM ex JOIN med ON ex.lang = med.lang
+    """,
+    gate=False,
+)
 def sketch_vocabulary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based corpus statistics — the 100 TB answer when exact
     distinct counts stop being worth their shuffle: per-language
     HyperLogLog++ distinct-token estimates (fixed-size sketch, one
-    map-side pass, merge-order insensitive) next to the exact count
-    (so the report itself exhibits the error), plus approx vs exact
-    token-count percentiles. At scale the exact columns are the ones
-    you drop; they're here as the honesty anchor. Error contract
-    (rsd=0.05; observed rel_err well inside it) pinned in
-    tests/test_textstats.py."""
+    map-side pass, merge-order insensitive) and an approx
+    token-count median, AUDITED against their exact twins. Sketch
+    VALUES are engine-specific (DuckDB's HLL layout differs) but
+    deterministic within Spark, so the oracle-checkable surface (r6
+    verdict task — same treatment as ``approx_sketches``) is the
+    exact statistics plus in-band flags pinned TRUE: HLL within
+    5×rsd; approx p50 (accuracy 1000, rank error ≤ n/10³) inside the
+    exact [p45, p55] value corridor from a grouped bucketed
+    selection. The exact median itself is the AVG of the two middle
+    order statistics (``exact_median_by`` — no per-group sort),
+    mirrored verbatim by the oracle. Error contract additionally
+    pinned in tests/test_textstats.py."""
+    from ..operators.orderstats import exact_median_by, kth_smallest_by
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.explode(TS.tokens(F.col("text"))).alias("w"),
-        TS.token_count("text").alias("n_tokens"),
+    lens = docs.select("lang", TS.token_count("text").alias("n_tokens"))
+    meds = exact_median_by(lens, "lang", "n_tokens")
+    corr, counts = kth_smallest_by(
+        lens,
+        "lang",
+        "n_tokens",
+        lambda n: {max(1, (n * 45) // 100), max(1, (n * 55) // 100)},
+    )
+    stats = spark.createDataFrame(
+        [
+            (
+                g[0],
+                meds[g][1],
+                float(corr[g][max(1, (counts[g] * 45) // 100)]),
+                float(corr[g][max(1, (counts[g] * 55) // 100)]),
+            )
+            for g in counts
+        ],
+        "lang string, exact_p50_tokens double, _p45 double, _p55 double",
+    )
+    toks = docs.select("lang", F.explode(TS.tokens(F.col("text"))).alias("w"))
+    # exact distinct and the HLL run as separate aggregations joined
+    # on the group key — one groupBy mixing DISTINCT and sketch
+    # aggregates plans Expand + per-expanded-row sketch updates (see
+    # approx_sketches; measured 48 s vs split sub-second on lineitem)
+    agg = toks.groupBy("lang").agg(
+        F.count_distinct("w").alias("exact_distinct_tokens")
+    )
+    hll = toks.groupBy("lang").agg(
+        F.approx_count_distinct("w", rsd=0.05).alias("_a_distinct")
+    )
+    appx = lens.groupBy("lang").agg(
+        F.expr("approx_percentile(n_tokens, 0.5, 1000)").alias("_a_p50")
     )
     return (
-        toks.groupBy("lang")
-        .agg(
-            F.count_distinct("w").alias("exact_distinct_tokens"),
-            F.approx_count_distinct("w", rsd=0.05).alias("approx_distinct_tokens"),
-            F.expr("approx_percentile(n_tokens, 0.5, 1000)").alias("approx_p50"),
-            F.expr("percentile(n_tokens, 0.5)").alias("exact_p50"),
+        agg.join(hll, "lang")
+        .join(appx, "lang")
+        .join(F.broadcast(stats), "lang")
+        .select(
+            "lang",
+            "exact_distinct_tokens",
+            "exact_p50_tokens",
+            (
+                F.abs(F.col("_a_distinct") - F.col("exact_distinct_tokens"))
+                <= 5 * 0.05 * F.col("exact_distinct_tokens")
+            ).alias("hll_in_band"),
+            (
+                (F.col("_a_p50") >= F.col("_p45")) & (F.col("_a_p50") <= F.col("_p55"))
+            ).alias("p50_in_band"),
         )
-        .orderBy("lang")
     )
 
 
