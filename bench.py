@@ -3,7 +3,17 @@
 
 Prints ONE JSON line:
 {"metric": "total_headline_sec", "value": N, "unit": "sec",
- "queries": {name: sec, ...}, "sf": 0.1}
+ "queries": {name: sec, ...}, "sf": 0.1, "sentinel_sec": S}
+
+`sentinel_sec` is the median of 3 runs of a FIXED CPU-bound probe
+(sum of xxhash64 over a 200M-row range, 32 partitions — no I/O, no
+data dependence) taken before and after the query loop (min of the
+two medians: the less-contended window). It is the machine-speed
+normalizer the round-6 verdict asked for: before believing a
+per-query regression across rounds, compare the rounds'
+sentinels — a sentinel ratio ≫ 1 means the window was contended /
+the box changed, and per-query ratios near the sentinel ratio are
+environment, not code (`tools/bench_compare.py` applies this).
 
 Materialization uses the noop datasource (full execution, zero
 driver-side collection) so timings measure the distributed plan, not
@@ -93,6 +103,20 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def sentinel(spark) -> float:
+    """Median of 3 runs of a fixed, data-independent CPU probe."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id"))
+        ).collect()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)[1]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -118,6 +142,7 @@ def main() -> None:
     # (first pandas-UDF query otherwise pays ~3s of worker forks).
     materialize(qs[names[0]](spark, sf_dir))
     spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").count()
+    sent_before = sentinel(spark)
 
     # Steady-state protocol: one unmeasured warm run per query (pays
     # whole-stage-codegen JIT — a per-PLAN, not per-DATA, one-time cost
@@ -151,12 +176,14 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    sent_after = sentinel(spark)
     out = {
         "metric": "total_headline_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "sentinel_sec": round(min(sent_before, sent_after), 3),
     }
     print(json.dumps(out))
 

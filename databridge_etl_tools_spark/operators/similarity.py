@@ -50,6 +50,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     cell_col: str | None = None,
     probe_cells: Column | None = None,
+    max_query_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query row.
 
@@ -62,9 +63,29 @@ def cosine_topk(
     Build it with ``ivf_probe_cells(vec_col, centroids, nprobe)``;
     probing every cell reproduces the exact brute-force result.
     Excludes self-pairs. Deterministic tie-break on neighbor id.
+
+    ``max_query_rows`` (opt-in, r6-verdict guard): self-mode
+    (``query_pred=None``) makes the query side the WHOLE corpus —
+    candidate volume is Σ cell² (IVF) or n² (brute force), which at
+    10⁸ vectors is a job that never finishes rather than a slow one.
+    Passing a bound makes that failure mode an immediate, actionable
+    error instead; the scale alternatives are in SCALE.md (cell-count
+    scaling, ``cosine_topk_vectorized``'s cogrouped GEMM, or SemDeDup
+    -style per-cell dedup that never leaves the cell).
     """
     base = with_norm(emb, vec_col)
     q = base.where(query_pred) if query_pred is not None else base
+    if max_query_rows is not None:
+        n_q = q.count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"cosine_topk: {n_q} query rows exceed max_query_rows="
+                f"{max_query_rows}. Self-mode top-k over a corpus this "
+                "size needs an IVF cell restriction with cells sized "
+                "~1k rows (cell_col=), the cogrouped-GEMM variant "
+                "(cosine_topk_vectorized), or a query subset "
+                "(query_pred=); see SCALE.md 'Similarity search'."
+            )
     if probe_cells is not None:
         assert cell_col is not None, "probe_cells requires cell_col"
         q = q.select(

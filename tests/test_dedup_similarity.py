@@ -281,6 +281,17 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert rows[0].cosine > 0.99
 
 
+def test_cosine_topk_max_query_rows_guard(spark):
+    """Self-mode over an oversized corpus must fail FAST with an
+    actionable error (r6-verdict stretch), not submit an n²/C-pair
+    join; a satisfied bound changes nothing."""
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        SIM.cosine_topk(emb, k=2, max_query_rows=3)
+    ok = SIM.cosine_topk(emb, k=2, max_query_rows=5)
+    assert ok.where(F.col("rank") == 1).count() == 5
+
+
 def test_ivf_restricts_to_cell(spark):
     out = SIM.cosine_topk(
         _emb(spark), k=3, query_pred=F.col("vec_id") == 4, cell_col="label"

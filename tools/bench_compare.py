@@ -29,22 +29,30 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.5)
     args = ap.parse_args()
 
-    def queries(path: str) -> dict:
+    def payload(path: str) -> dict:
         # accept both the raw bench.py line ({"queries": ...}) and the
         # driver's BENCH_r{N}.json wrapper ({"parsed": {"queries": ...}})
         obj = json.load(open(path))
         if "queries" in obj:
-            return obj["queries"]
-        return obj["parsed"]["queries"]
+            return obj
+        return obj["parsed"]
 
-    old = queries(args.old)
-    new = queries(args.new)
+    p_old, p_new = payload(args.old), payload(args.new)
+    old, new = p_old["queries"], p_new["queries"]
     common = sorted(set(old) & set(new))
     if not common:
         print(json.dumps({"error": "no common queries"}))
         return 1
     ratios = {q: new[q] / old[q] for q in common if old[q] > 0}
     drift = statistics.median(ratios.values())
+    # r7: when both artifacts carry the fixed CPU sentinel, its ratio
+    # is a data-independent machine-speed measurement — report it next
+    # to the median-query estimate (they should roughly agree; a
+    # median ratio far above the sentinel ratio means the CODE got
+    # uniformly slower, which the median alone would hide)
+    sent = None
+    if p_old.get("sentinel_sec") and p_new.get("sentinel_sec"):
+        sent = round(p_new["sentinel_sec"] / p_old["sentinel_sec"], 3)
     flagged = {
         q: {"old": old[q], "new": new[q], "ratio": round(r, 3),
             "normalized": round(r / drift, 3)}
@@ -58,6 +66,7 @@ def main() -> int:
             {
                 "n_common": len(common),
                 "machine_drift_median_ratio": round(drift, 3),
+                "sentinel_ratio": sent,
                 "flagged_normalized_gt": args.threshold,
                 "flagged": flagged,
                 "added": added,
