@@ -201,6 +201,54 @@ def bucketmin_table(df: DataFrame, col: str, *, k: int = 64, salt: str = "kmv") 
     )
 
 
+def bucketmin_table_by(
+    df: DataFrame, key, col: str, *, k: int = 64, salt: str = "kmv"
+) -> DataFrame:
+    """GROUPED bucket-min distinct sketch: per group, route each
+    value's md5-prefix hash into one of ``k`` buckets and keep the
+    per-(group, bucket) MINIMUM — the per-segment distinct-count
+    sketch (distinct users per day, distinct tokens per source). One
+    plain (group, bucket)-keyed aggregate: bounded state (≤ k rows
+    per group), map-side combinable, mergeable across loads (union →
+    per-bucket min), and NO per-group sort or bottom-k — the grouped
+    shape true KMV can't have without a hot-key window (a group's
+    distinct values all land in one task's order-by). Estimate per
+    group column-side via :func:`bucketmin_estimate_col` — no driver
+    collect grows with |groups|."""
+    keys = [key] if isinstance(key, str) else list(key)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*keys, h.alias("hv"))
+        .groupBy(*keys, (F.col("hv") % k).alias("bucket"))
+        .agg(F.min("hv").alias("min_hv"))
+    )
+
+
+def bucketmin_estimate_col(sketch_by: DataFrame, key, *, k: int = 64) -> DataFrame:
+    """Column-side grouped estimator for :func:`bucketmin_table_by`:
+    n̂ = k²·2³²/Σmin_b − k with empty buckets counted as 2³² (the
+    same mean-of-minima, single-reciprocal estimator as
+    :func:`bucketmin_estimate` — per-bucket reciprocals diverge).
+    The sum is exact integer arithmetic; the one division is a
+    deterministic scalar double op, so the estimate itself is
+    DuckDB-reproducible and oracle-checkable per group. Returns
+    ``(key..., n_buckets, n_est)``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    total = F.sum("min_hv") + F.lit(4294967296) * (k - F.count(F.lit(1)))
+    return sketch_by.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (F.lit(float(k * k) * 4294967296.0) / total.cast("double") - F.lit(float(k)))
+        .alias("n_est"),
+    )
+
+
 def bucketmin_estimate(table: DataFrame, *, k: int = 64) -> float:
     """Distinct-count estimate from a bucket-min table:
     n̂ = k²·2³²/Σ min_b − k (mean-of-minima, single reciprocal —

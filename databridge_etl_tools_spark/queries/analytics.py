@@ -1297,3 +1297,303 @@ def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(g[0], n, med) for g, (n, med) in meds.items()],
         "event_type string, n bigint, median_value double",
     )
+
+
+@query(
+    "events_value_trimmed_mean_by_type",
+    oracle="""
+    WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    c AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+    o AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+          FROM v),
+    b AS (SELECT o.event_type,
+                 MAX(CASE WHEN o.rn = greatest((c.n * 5 + 99) // 100, 1)
+                     THEN o.value END) AS lo,
+                 MAX(CASE WHEN o.rn = greatest((c.n * 95) // 100, 1)
+                     THEN o.value END) AS hi
+          FROM o JOIN c ON o.event_type = c.event_type
+          GROUP BY 1),
+    kept AS (SELECT v.event_type, v.value
+             FROM v JOIN b ON v.event_type = b.event_type
+             WHERE v.value >= b.lo AND v.value <= b.hi)
+    SELECT k.event_type,
+           CAST(MAX(c.n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+           CAST(SUM(CAST(floor(k.value * 1000000) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000 AS mean_trimmed
+    FROM kept k
+    JOIN c ON k.event_type = c.event_type
+    JOIN b ON k.event_type = b.event_type
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def events_value_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SEGMENT 5%-trimmed means — the grouped sibling of
+    ``events_value_trimmed_mean``, unlocked by ``kth_smallest_by``
+    (the r6 verdict named per-segment trimmed stats as what the
+    grouped primitive buys): both trim thresholds for EVERY group
+    come from one grouped bucketed selection, the trim is a map-side
+    broadcast-join value filter, and the means are order-independent
+    integer fixed-point sums. No per-group sort anywhere. Trim ranks
+    use pure INTEGER arithmetic (``(n·5 + 99) div 100``, ``n·95 div
+    100``) — a float ``ceil(n·0.05)`` can land on either side of an
+    exact multiple depending on the engine's literal type (binary
+    double vs DuckDB decimal), the classic boundary hazard."""
+    from ..operators.orderstats import kth_smallest_by
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    v = ev.where(F.col("value").isNotNull())
+
+    def lo_rank(n: int) -> int:
+        return max((n * 5 + 99) // 100, 1)
+
+    def hi_rank(n: int) -> int:
+        return max((n * 95) // 100, 1)
+
+    vals, counts = kth_smallest_by(
+        v, "event_type", "value", lambda n: {lo_rank(n), hi_rank(n)}
+    )
+    thr = spark.createDataFrame(
+        [
+            (g[0], counts[g], vals[g][lo_rank(counts[g])], vals[g][hi_rank(counts[g])])
+            for g in counts
+        ],
+        "event_type string, _n bigint, _lo double, _hi double",
+    )
+    kept = v.join(F.broadcast(thr), "event_type").where(
+        (F.col("value") >= F.col("_lo")) & (F.col("value") <= F.col("_hi"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("_n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("_lo").alias("lo"),
+        F.max("_hi").alias("hi"),
+        (
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000)
+        ).alias("mean_trimmed"),
+    )
+
+
+@query(
+    "events_value_winsorized_mean",
+    oracle="""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    nn AS (SELECT COUNT(*) AS n FROM v),
+    ord AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+    b AS (SELECT
+      (SELECT value FROM ord, nn WHERE rn = greatest((n * 5 + 99) // 100, 1)) AS lo,
+      (SELECT value FROM ord, nn WHERE rn = greatest((n * 95) // 100, 1)) AS hi)
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+           (SELECT lo FROM b) AS lo,
+           (SELECT hi FROM b) AS hi,
+           CAST(SUM(CAST(floor(least(greatest(value, b.lo), b.hi) * 1000000)
+                    AS BIGINT)) AS DOUBLE)
+             / (SELECT n FROM nn) / 1000000 AS mean_winsorized
+    FROM v, b
+    """,
+    gate=False,
+)
+def events_value_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean — the trim's sibling robust aggregate that
+    CLAMPS outliers to the p05/p95 order statistics instead of
+    dropping them (keeps n constant: the right robustification when
+    downstream weights assume every row contributes). Thresholds from
+    bucketed selection (integer-arithmetic ranks), the clamp is a
+    map-side ``least(greatest(...))``, and the mean is an
+    order-independent fixed-point integer sum over ALL rows."""
+    from ..operators.orderstats import kth_smallest
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    v = ev.where(F.col("value").isNotNull())
+    n = v.count()
+    k_lo, k_hi = max((n * 5 + 99) // 100, 1), max((n * 95) // 100, 1)
+    got = kth_smallest(v, "value", sorted({k_lo, k_hi}))
+    lo, hi = got[k_lo], got[k_hi]
+    clamped = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+    return v.agg(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(lo).alias("lo"),
+        F.lit(hi).alias("hi"),
+        (
+            F.sum(F.floor(clamped * 1000000).cast("bigint")).cast("double")
+            / F.lit(n)
+            / F.lit(1000000)
+        ).alias("mean_winsorized"),
+    )
+
+
+@query(
+    "events_value_mad_by_type",
+    oracle="""
+    WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    c AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+    o AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+          FROM v),
+    med AS (SELECT o.event_type, AVG(o.value) AS median_value
+            FROM o JOIN c ON o.event_type = c.event_type
+            WHERE o.rn = (c.n + 1) // 2 OR o.rn = c.n // 2 + 1
+            GROUP BY 1),
+    d AS (SELECT v.event_type, abs(v.value - m.median_value) AS dev
+          FROM v JOIN med m ON v.event_type = m.event_type),
+    o2 AS (SELECT event_type, dev,
+                  row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+           FROM d),
+    madt AS (SELECT o2.event_type, AVG(o2.dev) AS mad
+             FROM o2 JOIN c ON o2.event_type = c.event_type
+             WHERE o2.rn = (c.n + 1) // 2 OR o2.rn = c.n // 2 + 1
+             GROUP BY 1)
+    SELECT c.event_type, CAST(c.n AS BIGINT) AS n, m.median_value, x.mad
+    FROM c
+    JOIN med m ON c.event_type = m.event_type
+    JOIN madt x ON c.event_type = x.event_type
+    """,
+    gate=False,
+)
+def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT median absolute deviation — the robust scale
+    estimate behind per-segment anomaly thresholds (flag values
+    beyond median ± c·MAD), computed as TWO stacked grouped bucketed
+    selections: the per-group median, then the per-group median of
+    ``|value − median|`` after a map-side broadcast-join deviation
+    projection. The hard exact-order-statistics composition a
+    percentile window can't do at scale — no group is ever sorted,
+    twice. Deviations are scalar IEEE ops on identical operands, so
+    the second selection's input is bit-identical cross-engine."""
+    from ..operators.orderstats import exact_median_by
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    v = ev.where(F.col("value").isNotNull())
+    meds = exact_median_by(v, "event_type", "value")
+    meddf = spark.createDataFrame(
+        [(g[0], n, med) for g, (n, med) in meds.items()],
+        "event_type string, n bigint, median_value double",
+    )
+    dev = v.join(
+        F.broadcast(meddf.select("event_type", "median_value")), "event_type"
+    ).select(
+        "event_type", F.abs(F.col("value") - F.col("median_value")).alias("dev")
+    )
+    mads = exact_median_by(dev, "event_type", "dev")
+    return spark.createDataFrame(
+        [
+            (g[0], meds[g][0], meds[g][1], mads[g][1])
+            for g in meds
+        ],
+        "event_type string, n bigint, median_value double, mad double",
+    )
+
+
+@query(
+    "sketch_bucketmin_daily_users",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id
+               FROM events WHERE user_id IS NOT NULL),
+    h AS (SELECT day,
+                 CAST('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),1,8)
+                   AS BIGINT) AS hv
+          FROM e),
+    t AS (SELECT day, hv % 64 AS bucket, MIN(hv) AS min_hv FROM h GROUP BY 1, 2),
+    est AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(64*64*4294967296 AS DOUBLE)
+                     / CAST(SUM(min_hv) + 4294967296 * (64 - COUNT(*)) AS DOUBLE)
+                     - CAST(64 AS DOUBLE) AS n_est
+            FROM t GROUP BY 1),
+    ex AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM e GROUP BY 1)
+    SELECT ex.day, ex.n_exact, est.n_buckets, est.n_est
+    FROM ex JOIN est ON ex.day = est.day
+    """,
+    gate=False,
+)
+def sketch_bucketmin_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DAY distinct-user estimates from the GROUPED bucket-min
+    sketch (``bucketmin_table_by``) next to the exact counts — the
+    per-segment rollup the KMV audit round promised: per-(day,
+    bucket) minima are one plain aggregate (bounded state, map-side
+    combinable, mergeable across loads), and the mean-of-minima
+    estimator evaluates COLUMN-SIDE (exact integer sum → one scalar
+    double division), so the whole grouped estimator is
+    oracle-checked. True per-group KMV would need a per-group
+    bottom-k — a hot-key window this shape never pays."""
+    from ..operators.sketch import bucketmin_estimate_col, bucketmin_table_by
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    e = ev.where(F.col("user_id").isNotNull()).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    sk = bucketmin_table_by(e, "day", "user_id", k=64)
+    est = bucketmin_estimate_col(sk, "day", k=64)
+    exact = e.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return exact.join(est, "day").select("day", "n_exact", "n_buckets", "n_est")
+
+
+@query(
+    "length_deciles_by_source",
+    oracle="""
+    WITH d AS (SELECT source, doc_id, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
+    c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+    o AS (SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
+          FROM d),
+    b AS (SELECT o.source, o.n_chars AS bval
+          FROM o JOIN c ON o.source = c.source,
+               (SELECT unnest(range(1,10)) AS i)
+          WHERE o.rn = greatest((c.n * i) // 10, 1)),
+    bins AS (SELECT d.source, d.doc_id,
+                    1 + SUM(CASE WHEN d.n_chars > b.bval THEN 1 ELSE 0 END)
+                      AS decile
+             FROM d JOIN b ON d.source = b.source GROUP BY 1, 2)
+    SELECT source, CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM bins GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def length_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT equi-depth decile binning of document length
+    — the per-segment score-binning step of curation (compare a
+    document to ITS source's length distribution, not the corpus's),
+    built on grouped bucketed selection: 9 exact boundary order
+    statistics per source (one grouped descent), broadcast as a
+    9-element array per source, and a MAP-SIDE bin assignment
+    ``1 + Σ[len > bᵢ]`` — value-threshold binning, which unlike
+    ``ntile`` puts ties in ONE bin deterministically on both engines.
+    No per-source sort; ties make bins uneven exactly where the data
+    does."""
+    from ..operators.orderstats import kth_smallest_by
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    d = docs.where(F.col("n_chars").isNotNull())
+    vals, counts = kth_smallest_by(
+        d,
+        "source",
+        "n_chars",
+        lambda n: {max((n * i) // 10, 1) for i in range(1, 10)},
+    )
+    bounds = spark.createDataFrame(
+        [
+            (g[0], [int(vals[g][max((counts[g] * i) // 10, 1)]) for i in range(1, 10)])
+            for g in counts
+        ],
+        "source string, _b array<bigint>",
+    )
+
+    def _above(acc, x):
+        return acc + F.when(F.col("n_chars") > x, 1).otherwise(0)
+
+    decile = F.lit(1) + F.aggregate(F.col("_b"), F.lit(0), _above)
+    return (
+        d.join(F.broadcast(bounds), "source")
+        .select("source", decile.cast("int").alias("decile"))
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
