@@ -40,6 +40,8 @@ def pack_sequences(
     """Assign each row to its training sequence: df + ``seq_id``,
     ``seq_start`` (the row's global token offset). Rows are ordered by
     ``id_col``; ``size_col`` is the row's token count."""
+    from .materialize import materialize
+
     size = F.col(size_col) if isinstance(size_col, str) else size_col
     base = df.withColumn("_n", size.cast("bigint"))
     parts = base.repartitionByRange(n_parts, F.col(id_col)).withColumn(
@@ -50,7 +52,14 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = parts.withColumn("_local_start", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+    # materialized: the totals job and the final plan must see the
+    # SAME partition assignment — repartitionByRange's sampled
+    # boundaries are not re-execution-stable (r7: the running_sum
+    # oracle caught a 3-row boundary shift skewing every offset;
+    # same two-consumer shape here)
+    local = materialize(
+        parts.withColumn("_local_start", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+    )
     totals = (
         local.groupBy("_pid").agg(F.sum("_n").alias("_total")).orderBy("_pid").collect()
     )

@@ -1597,3 +1597,38 @@ def length_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "decile")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+@query(
+    "events_running_total",
+    oracle="""
+    SELECT event_id, ts,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS running_micros
+    FROM events WHERE value IS NOT NULL
+    """,
+    gate=False,
+)
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL running total over event time — the cumulative-revenue
+    curve every ops dashboard wants, and the canonical single-task
+    killer when written as a bare ``SUM OVER (ORDER BY ts)`` window
+    (Exchange SinglePartition + a full-corpus sort in ONE task).
+    Implemented as the two-pass distributed prefix sum
+    (``operators.prefixsum.running_sum``): range-repartition on the
+    total order (ts, event_id), per-partition bounded running sums,
+    an n_parts-row offset table broadcast back. Values accumulate in
+    fixed-point micros (integer addition — order-independent, so the
+    running curve is engine-identical). Plan-pinned: no
+    SinglePartition exchange (tests/test_plans.py)."""
+    from ..operators.prefixsum import running_sum
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    base = ev.where(F.col("value").isNotNull()).select(
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("_v6"),
+    )
+    out = running_sum(base, ["ts", "event_id"], "_v6", out_col="running_micros")
+    return out.select("event_id", "ts", "running_micros")

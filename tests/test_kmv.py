@@ -68,3 +68,56 @@ def test_heavy_hitters_exact_vs_bruteforce(spark):
         }
         assert got == brute
         assert ("hot", 400) in got and ("warm", 60) in got
+
+
+def test_bucketmin_by_matches_per_slice_and_merges(spark):
+    """Grouped bucket-min sketch: each group's (bucket, min) table
+    must equal the ungrouped sketch of that slice; merging two loads'
+    grouped sketches (union -> per-bucket min) must equal the sketch
+    of the concatenation; the column-side estimator must equal the
+    driver-side one per group."""
+    import pyspark.sql.functions as F
+
+    from databridge_etl_tools_spark.operators.sketch import (
+        bucketmin_estimate,
+        bucketmin_estimate_col,
+        bucketmin_table,
+        bucketmin_table_by,
+    )
+
+    rows = [("a", v) for v in range(500)] + [("b", v) for v in range(200, 900)]
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    by = bucketmin_table_by(df, "g", "x", k=16)
+    for g in ("a", "b"):
+        mine = {
+            (r["bucket"], r["min_hv"])
+            for r in by.where(F.col("g") == g).select("bucket", "min_hv").collect()
+        }
+        ref = {
+            (r["bucket"], r["min_hv"])
+            for r in bucketmin_table(
+                df.where(F.col("g") == g), "x", k=16
+            ).collect()
+        }
+        assert mine == ref
+    # merge: two half-loads' grouped sketches -> per-(g,bucket) min
+    h1 = bucketmin_table_by(df.where(F.col("x") % 2 == 0), "g", "x", k=16)
+    h2 = bucketmin_table_by(df.where(F.col("x") % 2 == 1), "g", "x", k=16)
+    merged = {
+        tuple(r)
+        for r in h1.unionByName(h2)
+        .groupBy("g", "bucket")
+        .agg(F.min("min_hv").alias("min_hv"))
+        .collect()
+    }
+    assert merged == {tuple(r) for r in by.collect()}
+    # estimator parity: column-side == driver-side per group
+    est = {
+        r["g"]: (r["n_buckets"], r["n_est"])
+        for r in bucketmin_estimate_col(by, "g", k=16).collect()
+    }
+    for g in ("a", "b"):
+        ref_est = bucketmin_estimate(
+            bucketmin_table(df.where(F.col("g") == g), "x", k=16), k=16
+        )
+        assert est[g][1] == ref_est

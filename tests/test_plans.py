@@ -42,6 +42,19 @@ def test_percentrank_windows_only_over_thresholded_survivors(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_running_total_no_single_partition_exchange(spark):
+    """The global cumulative window must run as the two-pass prefix
+    sum: range repartition + per-partition windows + broadcast
+    offsets — never the naive plan's Exchange SinglePartition with a
+    full-corpus one-task sort."""
+    plan = _plan(spark, "events_running_total")
+    assert "SinglePartition" not in plan
+    # the range repartition + per-partition window live inside the
+    # materialized checkpoint (ExistingRDD); the final plan is just
+    # the broadcast offset join over it
+    assert "BroadcastHashJoin" in plan and "ExistingRDD" in plan
+
+
 def test_region_revenue_broadcasts_dimensions(spark):
     plan = _plan(spark, "region_revenue")
     assert plan.count("BroadcastHashJoin") >= 2
