@@ -1632,3 +1632,113 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = running_sum(base, ["ts", "event_id"], "_v6", out_col="running_micros")
     return out.select("event_id", "ts", "running_micros")
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events WHERE user_id IS NOT NULL),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day rolling active users — the sliding-window DISTINCT
+    no window frame can express (COUNT(DISTINCT) OVER RANGE isn't a
+    thing, and per-day distinct counts don't add). The scale-honest
+    exact plan: dedup to user-days (one shuffle), EXPLODE each
+    user-day to the ≤7 window-end days it serves (map-side, bounded
+    ×7), semi-join to observed days, one distinct-count shuffle keyed
+    by window day. Work is O(7 · |user-days|) regardless of raw event
+    volume — the raw table is touched once. The sketch sibling
+    (``sketch_rolling_active_users``) replaces the second shuffle
+    with ≤64-row/day merges."""
+    ev = table(spark, sf_dir, "events", access="scan")
+    ud = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    exploded = ud.select(
+        F.explode(F.expr("sequence(day, day + INTERVAL 6 DAYS)")).alias("wday"),
+        "user_id",
+    ).join(F.broadcast(days.select(F.col("day").alias("wday"))), "wday", "left_semi")
+    return exploded.groupBy(F.col("wday").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("active_7d")
+    )
+
+
+@query(
+    "sketch_rolling_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events WHERE user_id IS NOT NULL),
+    days AS (SELECT DISTINCT day FROM ud),
+    h AS (SELECT day,
+                 CAST('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),1,8)
+                   AS BIGINT) AS hv
+          FROM ud),
+    t AS (SELECT day, hv % 64 AS bucket, MIN(hv) AS min_hv FROM h GROUP BY 1, 2),
+    merged AS (
+      SELECT d.day, t.bucket, MIN(t.min_hv) AS min_hv
+      FROM days d JOIN t ON t.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1, 2),
+    est AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(64*64*4294967296 AS DOUBLE)
+                     / CAST(SUM(min_hv) + 4294967296 * (64 - COUNT(*)) AS DOUBLE)
+                     - CAST(64 AS DOUBLE) AS est_7d
+            FROM merged GROUP BY 1),
+    ex AS (SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_7d
+           FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+           GROUP BY 1)
+    SELECT ex.day, ex.exact_7d, est.n_buckets, est.est_7d
+    FROM ex JOIN est ON ex.day = est.day
+    """,
+    gate=False,
+)
+def sketch_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH rollup that makes rolling distinct O(k·days): merge
+    each window's 7 per-day bucket-min sketches (explode each day's
+    ≤64 sketch rows to the window days it serves → per-(window,
+    bucket) MIN — mergeability doing real work, not just a pinned
+    property) and estimate column-side. Raw data is touched once to
+    build the per-day sketches; every widening of the window after
+    that costs k-row merges. Exact counts ride along as the honesty
+    anchor, and the md5-based estimator is bit-reproducible in
+    DuckDB, so the WHOLE rolled-up estimator is oracle-checked."""
+    from ..operators.sketch import bucketmin_estimate_col, bucketmin_table_by
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    ud = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    sk = bucketmin_table_by(ud, "day", "user_id", k=64)
+    merged = (
+        sk.select(
+            F.explode(F.expr("sequence(day, day + INTERVAL 6 DAYS)")).alias("day"),
+            "bucket",
+            "min_hv",
+        )
+        .join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day", "bucket")
+        .agg(F.min("min_hv").alias("min_hv"))
+    )
+    est = bucketmin_estimate_col(merged, "day", k=64).withColumnRenamed(
+        "n_est", "est_7d"
+    )
+    exploded = ud.select(
+        F.explode(F.expr("sequence(day, day + INTERVAL 6 DAYS)")).alias("day"),
+        "user_id",
+    ).join(F.broadcast(days), "day", "left_semi")
+    exact = exploded.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_7d")
+    )
+    return exact.join(est, "day").select("day", "exact_7d", "n_buckets", "est_7d")
