@@ -96,6 +96,21 @@ HEADLINE = [
     "events_value_trimmed_mean",
     "emb_label_centroids",
     "emb_nearest_centroid_eval",
+    # round 7: grouped order statistics (per-type robust aggregates),
+    # the two sketch audits promoted from rows-only (exact sides make
+    # them the expensive kind — tracked on purpose), distributed
+    # running totals, rolling-distinct exact + sketch rollup
+    "median_value_by_type",
+    "events_value_trimmed_mean_by_type",
+    "events_value_winsorized_mean",
+    "events_value_mad_by_type",
+    "sketch_bucketmin_daily_users",
+    "length_deciles_by_source",
+    "approx_sketches",
+    "sketch_vocabulary_report",
+    "events_running_total",
+    "events_rolling_active_users",
+    "sketch_rolling_active_users",
 ]
 
 

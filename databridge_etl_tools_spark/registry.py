@@ -75,59 +75,104 @@ DRIVER_GATE_WINDOW = 50
 #: registration so the per-query ``gate=`` default stays the stable
 #: tier and this overlay stays one auditable per-round edit.
 #:
-#: r6 cohort (recency-based — every oracle query has ≥1 driver-green
-#: row since r5, so rotation now refreshes the LEAST-recently
-#: verified): the 5 queries built this round (never driver-verified)
-#: + the 23 alphabetically-first of the 42 r4-verified-once overflow
-#: queries. The 22 r3-verified stable-tier queries parked by the r5
-#: overlay return to the gate by NOT re-listing them in OUT; the 28
-#: stable-tier queries driver-verified in r5 (n=3 green rows each)
-#: park to make room. The 19 remaining r4-verified-once overflow
-#: queries (profit_by_nation_year … volume_shipping) are the r7
-#: cohort.
+#: r7 cohort (recency-based; the r6 overlay — for the audit trail —
+#: was 6 round-6-built queries + 22 of the 42 r4-verified-once
+#: overflow queries IN, the 28 r5-verified stable queries OUT; its
+#: original comment miscounted that as 5 + 23, advisor r6 finding).
+#: This round the gate takes all 45 queries that have NEVER been
+#: driver-hash-verified or were last verified in r4:
+#:   - 25 never-verified: the 14 r6-built mirror-green queries
+#:     (corpus_curation_v4 … emb_nearest_centroid_eval) + the 11
+#:     r7-built (median_value_by_type, the grouped robust stats, the
+#:     rolling/running family, the two sketch audits promoted from
+#:     rows-only);
+#:   - 20 r4-verified-once overflow returners (pii_scrub_contacts …
+#:     volume_shipping).
+#: The 5 remaining slots keep the alphabetically-first of the 28
+#: r5-verified stable queries; the other 23 + the 22 r6-verified
+#: stable queries park. Still queued after r7: the 4 r4-latest
+#: prepare/geometry overflow queries (geom_kind_census,
+#: prepare_cell_cleanup, prepare_header_normalize,
+#: tz_carto_midnight) — r8 cohort.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        # -- built in round 6 (registered gate=False, never verified):
-        "median_doc_length",
-        "events_value_equidepth",
-        "events_markov_transitions",
-        "token_odds_ratio_langs",
-        "kwic_concordance",
-        "sketch_kmv_distinct",
-        # -- r4-verified-once overflow cohort (first 22 of 42;
-        # pii_scrub_contacts deferred to r7 to fit the window):
-        "asof_attribution_window",
-        "bracket_revenue",
-        "chunk_dedup_reassembled",
-        "chunk_dedup_segments",
-        "chunk_documents_windows",
-        "contrastive_negatives",
-        "corpus_curation",
-        "corpus_curation_v2",
-        "decontaminate_train_eval",
-        "dedup_containment",
-        "dedup_winnow_overlap",
-        "emb_quantize_int8",
-        "events_value_histogram",
-        "idle_customer_balance",
-        "kfold_documents",
-        "knn_label_vote",
-        "large_volume_customers",
-        "latency_priority_classes",
-        "market_share",
-        "mixture_documents",
-        "mixture_temperature",
-        "pack_documents_sequences",
+        # -- never driver-verified: built in r6 (mirror-green) --
+        "corpus_curation_v4",
+        "dedup_internal_cleaned",
+        "dedup_internal_spans",
+        "dedup_minhash_estimate_quality",
+        "dsir_importance_select",
+        "emb_label_centroids",
+        "emb_nearest_centroid_eval",
+        "events_percentrank_by_type",
+        "events_value_trimmed_mean",
+        "features_hashing_trick",
+        "grouping_sets_orders",
+        "sample_bottomk_documents",
+        "text_heavy_hitters",
+        "text_skipgram_pmi",
+        # -- never driver-verified: built/promoted in r7 --
+        "approx_sketches",
+        "events_rolling_active_users",
+        "events_running_total",
+        "events_value_mad_by_type",
+        "events_value_trimmed_mean_by_type",
+        "events_value_winsorized_mean",
+        "length_deciles_by_source",
+        "median_value_by_type",
+        "sketch_bucketmin_daily_users",
+        "sketch_rolling_active_users",
+        "sketch_vocabulary_report",
+        # -- r4-verified-once overflow returners --
+        "pii_scrub_contacts",
+        "profit_by_nation_year",
+        "promo_revenue_share",
+        "quality_gopher_rules",
+        "returned_item_report",
+        "sample_split_documents",
+        "scd2_customer_history",
+        "session_funnel",
+        "small_quantity_revenue",
+        "source_capped_topn",
+        "source_segment_overlap",
+        "supplier_part_census",
+        "text_bm25_topk",
+        "text_rare_token_ratio",
+        "text_repetition_stats",
+        "top_supplier",
+        "user_daily_features",
+        "user_event_sequences",
+        "vocab_encode_documents",
+        "volume_shipping",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
-        # parked: driver-hash-green in r5 (and r1/r3 before it)
-        "above_customer_average",
-        "ann_lsh_bucketed",
-        "cube_flag_status",
-        "dedup_fuzzy_levenshtein",
-        "dedup_simhash_pairs",
+        # parked: driver-hash-green in r6
+        "ann_cosine_topk",
+        "ann_ivf_label",
+        "asof_purchase_last_view",
+        "customer_order_distribution",
+        "dedup_components",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedupe_events_by_user",
+        "delete_stale",
+        "events_sessionize",
+        "filter_project",
+        "order_priority_check",
+        "ordered_collect",
+        "prepare_synthetic_objectid",
+        "proj_webmercator",
+        "range_join_interval_counts",
+        "record_diff",
+        "text_token_stats",
+        "topk_per_group",
+        "tz_policies",
+        "upsert_orders",
+        # parked: driver-hash-green in r5 (all but the 5
+        # alphabetically-first, which return this round)
         "emb_neardup_pairs",
         "events_hourly_rollup",
         "events_json_props",

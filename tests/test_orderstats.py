@@ -132,6 +132,15 @@ def test_kth_smallest_by_missing_group_and_bad_rank(spark):
         pass
 
 
+def test_kth_smallest_by_null_group_key(spark):
+    # groupBy keeps a NULL-keyed group; the broadcast range join must
+    # reach it too (null-safe equality), or its ranks never resolve
+    rows = [("a", 3), ("a", 1), (None, 10), (None, 20), (None, 30)]
+    vals, counts = kth_smallest_by(_gdf(spark, rows), "g", "x", lambda n: [n])
+    assert counts == {("a",): 2, (None,): 3}
+    assert vals[("a",)] == {2: 3} and vals[(None,)] == {3: 30}
+
+
 def test_orderstats_excludes_nan_like_null(spark):
     # NaN would land in bucket 0 while Spark sorts it LAST (advisor
     # r6) — the filter must drop it so ranks stay consistent
