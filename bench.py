@@ -111,6 +111,7 @@ HEADLINE = [
     "events_running_total",
     "events_rolling_active_users",
     "sketch_rolling_active_users",
+    "token_weighted_median_length",
 ]
 
 
@@ -125,8 +126,10 @@ def sentinel(spark) -> float:
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
+        # modulo keeps the ANSI-mode sum inside int64; the hash is
+        # still the dominant per-row cost
         spark.range(0, 200_000_000, 1, 32).select(
-            F.sum(F.xxhash64("id"))
+            F.sum(F.xxhash64("id") % 1_000_000)
         ).collect()
         runs.append(time.perf_counter() - t0)
     return sorted(runs)[1]

@@ -18,7 +18,10 @@ verdict's curation-median hazard). Classic two-phase selection
    predicate-pushdown friendly, nothing materialized) until the
    candidate set fits ``max_rows_exact``, then a range-tagged
    bounded window resolves the exact values (one job for ALL pending
-   ranks, overlap-safe via the range tag).
+   ranks, overlap-safe via the range tag; with a single range the
+   tag constant-folds and WindowExec warns about the unpartitioned
+   window — that task is ≤ ``max_rows_exact`` rows by construction,
+   which is the point of the descent).
 
 Depth is log_buckets(n / max_rows_exact): with the defaults (1024
 buckets, 64 Ki rows) one level resolves ≤ 67 M rows, two levels
@@ -68,26 +71,62 @@ def _ranges_df(spark, rows, gfields, vtype):
     return spark.createDataFrame(rows, schema)
 
 
-def _join_ranges(vals: DataFrame, rdf: DataFrame, gcols: "list[str]") -> DataFrame:
-    """vals ⋈ broadcast(ranges) on the group key (null-safe) + range
-    containment — a broadcast hash join followed by a map-side value
-    filter; the corpus side is never shuffled."""
+def _join_ranges(
+    vals: DataFrame, rows: list, gcols: "list[str]", gfields, vtype
+) -> DataFrame:
+    """Tag vals rows with the pending ranges they fall in.
+
+    Single range (the whole global descent, and any level whose
+    pending ranks share one range): pure LITERAL filter + literal
+    tag columns — the predicate pushes down to the parquet scan's
+    row-group stats, which a join-column comparison never does
+    (r7 bench: the join-only rewrite cost the global-path queries
+    1.5-2× exactly here). Multiple ranges: a literal BOUNDING-BOX
+    prefilter (min lo, max hi — pushable) ahead of the broadcast
+    range join (null-safe on the group key) that does the exact
+    per-range tagging."""
+    lo_min = min(r[-2] for r in rows)
+    hi_max = max(r[-1] for r in rows)
+    pruned = vals.where(
+        (F.col("_v") >= F.lit(lo_min)) & (F.col("_v") <= F.lit(hi_max))
+    )
+    if len(rows) == 1:
+        rid, *gvals, lo, hi = rows[0]
+        cond = None
+        for g, gv in zip(gcols, gvals):
+            eq = pruned[g].isNull() if gv is None else (pruned[g] == F.lit(gv))
+            cond = eq if cond is None else (cond & eq)
+        if cond is not None:
+            pruned = pruned.where(cond)
+        return pruned.select(
+            "*",
+            F.lit(rid).cast("int").alias("_rid"),
+            F.lit(lo).cast(vtype).alias("_lo"),
+            F.lit(hi).cast(vtype).alias("_hi"),
+        )
+    rdf = _ranges_df(vals.sparkSession, rows, gfields, vtype)
     cond = None
     for g in gcols:
-        eq = vals[g].eqNullSafe(rdf[g])
+        eq = pruned[g].eqNullSafe(rdf[g])
         cond = eq if cond is None else (cond & eq)
-    j = vals.join(F.broadcast(rdf), cond) if cond is not None else vals.crossJoin(
-        F.broadcast(rdf)
+    j = (
+        pruned.join(F.broadcast(rdf), cond)
+        if cond is not None
+        else pruned.crossJoin(F.broadcast(rdf))
     )
-    return j.where((vals["_v"] >= rdf["_lo"]) & (vals["_v"] <= rdf["_hi"]))
+    return j.where((pruned["_v"] >= rdf["_lo"]) & (pruned["_v"] <= rdf["_hi"]))
 
 
-def _resolve_exact_by(vals, gcols, resolve, spark, gfields, vtype):
+def _resolve_exact_by(vals, gcols, resolve, spark, gfields, vtype, weighted):
     """Final in-bucket selection, BATCHED: every pending (group, k)
     whose candidate set fits ``max_rows_exact`` resolves in ONE job —
     a range-tagged join (tag = _rid, so overlapping ranges are safe:
     a row in two ranges appears once per tag) + a per-tag bounded
-    window picking the requested in-range ranks."""
+    window picking the requested in-range ranks. Weighted mode picks
+    the row whose cumulative-weight span contains the rank
+    (``cw − w < rank ≤ cw`` — unique because weights are positive;
+    value-deterministic under ties because a tie block's boundary
+    weights are order-invariant)."""
     from pyspark.sql import Window
 
     ranges: dict[tuple, int] = {}  # (group, lo, hi) -> rid
@@ -98,18 +137,33 @@ def _resolve_exact_by(vals, gcols, resolve, spark, gfields, vtype):
         if rid == len(rows):
             rows.append((rid, *g, lo, hi))
         picks.setdefault((rid, int(rank)), []).append((g, k))
-    rdf = _ranges_df(spark, rows, gfields, vtype)
     pdf = spark.createDataFrame(
-        [(rid, rank) for rid, rank in picks], "_rid int, _rn int"
+        [(rid, rank) for rid, rank in picks], "_rid int, _rn bigint"
     )
+    tagged = _join_ranges(vals, rows, gcols, gfields, vtype)
     w = Window.partitionBy("_rid").orderBy("_v")
-    hits = (
-        _join_ranges(vals, rdf, gcols)
-        .select("_rid", "_v")
-        .withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(pdf), ["_rid", "_rn"])
-        .collect()
-    )
+    if weighted:
+        cw = F.sum("_w").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        left = tagged.select("_rid", "_v", "_w").withColumn("_cw", cw)
+        hits = (
+            left.join(
+                F.broadcast(pdf),
+                (left["_rid"] == pdf["_rid"])
+                & (left["_cw"] - left["_w"] < pdf["_rn"])
+                & (pdf["_rn"] <= left["_cw"]),
+            )
+            .select(pdf["_rid"], pdf["_rn"], left["_v"])
+            .collect()
+        )
+    else:
+        hits = (
+            tagged.select("_rid", "_v")
+            .withColumn("_rn", F.row_number().over(w).cast("bigint"))
+            .join(F.broadcast(pdf), ["_rid", "_rn"])
+            .collect()
+        )
     out: dict[tuple, dict] = {}
     for r in hits:
         for g, k in picks[(int(r["_rid"]), int(r["_rn"]))]:
@@ -125,6 +179,7 @@ def kth_smallest_by(
     *,
     buckets: int = 1024,
     max_rows_exact: int = 65536,
+    weight_col: "str | None" = None,
 ) -> "tuple[dict[tuple, dict[int, object]], dict[tuple, int]]":
     """Exact per-group k-th smallest values via keyed bucketed
     selection. Returns ``(values, counts)``: ``values[group][k]`` is
@@ -141,37 +196,60 @@ def kth_smallest_by(
     for which the callable returns nothing are skipped; a dict naming
     an absent group raises.
 
+    ``weight_col`` switches to WEIGHTED order statistics (integer
+    weights; rows with NULL or non-positive weight are excluded): the
+    k-th value is the smallest v whose cumulative weight reaches k,
+    ranks run over 1..Σw, ``counts`` returns Σw per group, and the
+    callable form receives Σw. This is the token-budget quantile
+    (e.g. the document length below which half the corpus' TOKENS
+    sit, rank = (W+1)//2) — identical descent, histograms locate by
+    per-bucket weight sums while refinement bounds still use ROW
+    counts (memory is rows, not weight).
+
     One (min, max, count) aggregate keyed by group, then per level
-    ONE job: broadcast the pending (group, lo, hi) range table into
-    the scan, bucket map-side, aggregate (range, bucket) →
-    (count, min, max). See module docstring for depth/driver-state
-    bounds and the few-hot-groups scale argument.
+    ONE job: tag rows with their pending range (literal filter for a
+    single range — parquet-pushable; bounding-box prefilter + a
+    broadcast range join otherwise), bucket map-side, aggregate
+    (range, bucket) → (count, weight, min, max). See module docstring
+    for depth/driver-state bounds and the few-hot-groups argument.
     """
     gcols_in = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     vtype = df.schema[col].dataType
+    weighted = weight_col is not None
     gfields = [
         T.StructField(f"_gk{i}", df.schema[k].dataType)
         for i, k in enumerate(gcols_in)
     ]
     gcols = [f.name for f in gfields]
+    extra = (
+        [F.col(weight_col).cast("bigint").alias("_w")] if weighted else []
+    )
     vals = df.select(
         *[F.col(k).alias(g) for k, g in zip(gcols_in, gcols)],
         F.col(col).alias("_v"),
+        *extra,
     ).where(F.col("_v").isNotNull())
     if _is_float(vtype):
         vals = vals.where(~F.isnan("_v"))
+    if weighted:
+        vals = vals.where(F.col("_w").isNotNull() & (F.col("_w") > 0))
+    wagg = F.sum("_w") if weighted else F.count(F.lit(1))
     st = (
         vals.groupBy(*gcols)
         .agg(
             F.min("_v").alias("lo"),
             F.max("_v").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("rows"),
+            wagg.alias("n"),
         )
         .collect()
     )
-    stats = {tuple(r[g] for g in gcols): (r["lo"], r["hi"], int(r["n"])) for r in st}
-    counts = {g: n for g, (_, _, n) in stats.items()}
+    stats = {
+        tuple(r[g] for g in gcols): (r["lo"], r["hi"], int(r["n"]), int(r["rows"]))
+        for r in st
+    }
+    counts = {g: n for g, (_, _, n, _) in stats.items()}
     if not callable(ranks):
         missing = set(ranks) - set(stats)
         if missing:
@@ -180,8 +258,11 @@ def kth_smallest_by(
                 f"orderable rows in {col!r}"
             )
     out: dict[tuple, dict] = {}
-    pending = []  # (group, k, lo, hi, rank-in-range, rows-in-range, cap)
-    for g, (lo, hi, n) in stats.items():
+    # state: (group, k, lo, hi, rank-in-range [weight rank when
+    # weighted], rows-in-range, cap) — refinement/resolve bounds are
+    # ROW counts regardless of weighting (memory is rows)
+    pending = []
+    for g, (lo, hi, n, nrows) in stats.items():
         ks = ranks(n) if callable(ranks) else ranks.get(g)
         if not ks:
             continue
@@ -192,7 +273,7 @@ def kth_smallest_by(
                 f"kth_smallest_by: group {g!r} ranks {bad} outside 1..{n}"
             )
         out[g] = {}
-        pending.extend((g, k, lo, hi, k, n, max_rows_exact) for k in ks)
+        pending.extend((g, k, lo, hi, k, nrows, max_rows_exact) for k in ks)
     while pending:
         nxt, resolve = [], []
         for g, k, lo, hi, rank, cnt, cap in pending:
@@ -204,7 +285,7 @@ def kth_smallest_by(
                 nxt.append((g, k, lo, hi, rank, cnt, cap))
         if resolve:
             for g, got in _resolve_exact_by(
-                vals, gcols, resolve, spark, gfields, vtype
+                vals, gcols, resolve, spark, gfields, vtype, weighted
             ).items():
                 out[g].update(got)
         if not nxt:
@@ -215,17 +296,18 @@ def kth_smallest_by(
             rid = ranges.setdefault((g, lo, hi), len(ranges))
             if rid == len(rows):
                 rows.append((rid, *g, lo, hi))
-        rdf = _ranges_df(spark, rows, gfields, vtype)
         # bucket 0..buckets-1 over [_lo, _hi]; the hi edge and any
         # float-rounding overshoot clamp into the last bucket
         width = (F.col("_hi") - F.col("_lo")).cast("double") / F.lit(float(buckets))
         raw = F.floor((F.col("_v") - F.col("_lo")).cast("double") / width).cast("int")
         idx = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
+        bucket_w = F.sum("_w") if weighted else F.count(F.lit(1))
         hist = (
-            _join_ranges(vals, rdf, gcols)
+            _join_ranges(vals, rows, gcols, gfields, vtype)
             .groupBy("_rid", idx.alias("_b"))
             .agg(
                 F.count(F.lit(1)).alias("c"),
+                bucket_w.alias("ws"),
                 F.min("_v").alias("blo"),
                 F.max("_v").alias("bhi"),
             )
@@ -235,23 +317,24 @@ def kth_smallest_by(
         for r in hist:
             per_rid.setdefault(int(r["_rid"]), {})[int(r["_b"])] = (
                 int(r["c"]),
+                int(r["ws"]),
                 r["blo"],
                 r["bhi"],
             )
         pending = []
         for g, k, lo, hi, rank, cnt, cap in nxt:
             hbuckets = per_rid[ranges[(g, lo, hi)]]
-            acc = 0
+            acc = 0  # cumulative weight (== cumulative rows unweighted)
             for b in sorted(hbuckets):
-                c, blo, bhi = hbuckets[b]
-                if acc + c >= rank:
+                c, ws, blo, bhi = hbuckets[b]
+                if acc + ws >= rank:
                     if blo == lo and bhi == hi:
                         # degenerate refinement (pathological float
                         # spacing): force exact resolution next pass
                         cap = max(cap, c)
                     pending.append((g, k, blo, bhi, rank - acc, c, cap))
                     break
-                acc += c
+                acc += ws
     return out, counts
 
 

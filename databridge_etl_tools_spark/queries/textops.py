@@ -682,6 +682,55 @@ def sketch_vocabulary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_weighted_median_length",
+    oracle=f"""
+    WITH d AS (SELECT lang, len({_TOK}) AS n_tokens FROM documents),
+    w AS (SELECT lang, n_tokens FROM d WHERE n_tokens > 0),
+    tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM w GROUP BY 1),
+    o AS (SELECT lang, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_tokens
+                                     ROWS UNBOUNDED PRECEDING) AS cw
+          FROM w),
+    sel AS (SELECT o.lang, MIN(o.n_tokens) AS weighted_median_len
+            FROM o JOIN tot ON o.lang = tot.lang
+            WHERE o.cw >= (tot.total_tokens + 1) // 2
+            GROUP BY 1)
+    SELECT t.lang, t.total_tokens,
+           CAST(s.weighted_median_len AS BIGINT) AS weighted_median_len
+    FROM tot t JOIN sel s ON t.lang = s.lang
+    """,
+    gate=False,
+)
+def token_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted median document length per language — the
+    length below which half of each language's TOKENS (not documents)
+    live: the statistic that actually sizes a training token budget,
+    since long documents dominate token mass while the plain median
+    ignores them. Computed by the WEIGHTED grouped bucketed selection
+    (``kth_smallest_by(weight_col=)``): histograms locate the rank by
+    per-bucket weight sums, ranks run over 1..Σw, and the answer is
+    the smallest length whose cumulative token count reaches
+    ⌈W/2⌉ — deterministic under ties (a tie block's cumulative
+    boundary is order-invariant), mirrored exactly by the oracle's
+    cumulative-window MIN. No per-language sort; the corpus is only
+    scanned."""
+    from ..operators.orderstats import kth_smallest_by
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    lens = docs.select("lang", TS.token_count("text").alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    vals, counts = kth_smallest_by(
+        lens, "lang", "n_tokens", lambda W: {(W + 1) // 2}, weight_col="n_tokens"
+    )
+    return spark.createDataFrame(
+        [(g[0], counts[g], int(vals[g][(counts[g] + 1) // 2])) for g in counts],
+        "lang string, total_tokens bigint, weighted_median_len bigint",
+    )
+
+
+@query(
     "text_bm25_topk",
     oracle=f"""
     WITH qs(query_id, qtext) AS (

@@ -88,12 +88,14 @@ DRIVER_GATE_WINDOW = 50
 #:     rows-only);
 #:   - 20 r4-verified-once overflow returners (pii_scrub_contacts …
 #:     volume_shipping).
-#: The 5 remaining slots keep the alphabetically-first of the 28
-#: r5-verified stable queries; the other 23 + the 22 r6-verified
+#: The 4 remaining slots keep the alphabetically-first of the 28
+#: r5-verified stable queries; the other 24 + the 22 r6-verified
 #: stable queries park. Still queued after r7: the 4 r4-latest
 #: prepare/geometry overflow queries (geom_kind_census,
 #: prepare_cell_cleanup, prepare_header_normalize,
-#: tz_carto_midnight) — r8 cohort.
+#: tz_carto_midnight) — r8 cohort. (26th never-verified entry,
+#: token_weighted_median_length, landed late in r7 — gate holds 46
+#: rotated-in + 4 stable returners.)
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
         # -- never driver-verified: built in r6 (mirror-green) --
@@ -123,6 +125,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "sketch_bucketmin_daily_users",
         "sketch_rolling_active_users",
         "sketch_vocabulary_report",
+        "token_weighted_median_length",
         # -- r4-verified-once overflow returners --
         "pii_scrub_contacts",
         "profit_by_nation_year",
@@ -171,8 +174,9 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "topk_per_group",
         "tz_policies",
         "upsert_orders",
-        # parked: driver-hash-green in r5 (all but the 5
+        # parked: driver-hash-green in r5 (all but the 4
         # alphabetically-first, which return this round)
+        "dedup_simhash_pairs",
         "emb_neardup_pairs",
         "events_hourly_rollup",
         "events_json_props",

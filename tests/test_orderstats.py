@@ -132,6 +132,61 @@ def test_kth_smallest_by_missing_group_and_bad_rank(spark):
         pass
 
 
+def _wtwin(rows, k):
+    cw = 0
+    for v, w in sorted(rows):
+        cw += w
+        if cw >= k:
+            return v
+    raise AssertionError("rank beyond total weight")
+
+
+def test_weighted_kth_matches_python_twin(spark):
+    rng = random.Random(5)
+    rows = [(rng.randint(0, 30), rng.randint(1, 9)) for _ in range(300)]  # dupes
+    big = sum(w for _, w in rows)
+    df = spark.createDataFrame(rows, "x bigint, w bigint")
+    ks = [1, big // 3, (big + 1) // 2, big]
+    vals, counts = kth_smallest_by(
+        df, (), "x", {(): ks}, buckets=8, weight_col="w"
+    )
+    assert counts[()] == big
+    assert vals[()] == {k: _wtwin(rows, k) for k in ks}
+
+
+def test_weighted_kth_grouped_forced_recursion_and_weight1_equivalence(spark):
+    rng = random.Random(23)
+    rows = [
+        (f"g{i % 2}", rng.randint(0, 10**9), rng.randint(1, 5)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, x bigint, w bigint")
+    vals, counts = kth_smallest_by(
+        df,
+        "g",
+        "x",
+        lambda n: {(n + 1) // 2},
+        buckets=4,
+        max_rows_exact=8,
+        weight_col="w",
+    )
+    for g in counts:
+        slice_rows = [(x, w) for gg, x, w in rows if (gg,) == g]
+        W = sum(w for _, w in slice_rows)
+        assert counts[g] == W
+        assert vals[g] == {(W + 1) // 2: _wtwin(slice_rows, (W + 1) // 2)}
+    # weight ≡ 1 must reproduce the unweighted statistic exactly
+    ones = df.withColumn("one", F.lit(1))
+    v1, c1 = kth_smallest_by(ones, "g", "x", lambda n: {n // 2 + 1}, weight_col="one")
+    v0, c0 = kth_smallest_by(ones, "g", "x", lambda n: {n // 2 + 1})
+    assert (v1, c1) == (v0, c0)
+    # NULL / non-positive weights are excluded
+    wnull = spark.createDataFrame(
+        [(1, 1), (2, None), (3, 0), (4, 2)], "x bigint, w bigint"
+    )
+    vals, counts = kth_smallest_by(wnull, (), "x", {(): [1, 2, 3]}, weight_col="w")
+    assert counts[()] == 3 and vals[()] == {1: 1, 2: 4, 3: 4}
+
+
 def test_kth_smallest_by_null_group_key(spark):
     # groupBy keeps a NULL-keyed group; the broadcast range join must
     # reach it too (null-safe equality), or its ranks never resolve
