@@ -99,6 +99,12 @@ def _build_parser() -> argparse.ArgumentParser:
     lz.add_argument("--cols", required=True, help="comma-separated cluster columns")
     lz.add_argument("--files", type=int, default=16)
     lz.add_argument("--normalize", choices=("width", "quantile"), default="width")
+    lz.add_argument(
+        "--curve",
+        choices=("morton", "hilbert"),
+        default="morton",
+        help="hilbert (2 columns only) gives tighter per-file boxes",
+    )
     return p
 
 
@@ -117,7 +123,12 @@ def main(argv: list[str] | None = None) -> int:
             cols = [c.strip() for c in args.cols.split(",") if c.strip()]
             df = spark.read.parquet(args.input)
             write_zordered(
-                df, args.out, cols, n_files=args.files, normalize=args.normalize
+                df,
+                args.out,
+                cols,
+                n_files=args.files,
+                normalize=args.normalize,
+                curve=args.curve,
             )
             print(
                 json.dumps(

@@ -49,6 +49,82 @@ def zvalue(cols: "list[Column | str]", bits: int = 16) -> Column:
     return z
 
 
+def hilbert_value(x: "Column | str", y: "Column | str", bits: int = 16) -> Column:
+    """2-D Hilbert curve index of ``(x, y)`` (non-negative ints,
+    masked to ``bits`` bits) — the locality-tighter alternative to
+    the Morton interleave for two-column clustering: consecutive
+    curve positions are always ADJACENT cells (Morton's bit
+    interleave jumps across the plane at power-of-two boundaries),
+    so a range-partitioned sort on the index yields files whose
+    min/max boxes are more compact on BOTH columns.
+
+    The classic per-bit quadrant descent (d += s²·((3·rx) ⊕ ry),
+    rotate/flip, recurse) is a FOLD, so it's expressed as ONE
+    ``F.aggregate`` over the bit levels with a (d, m, s, cx, cy)
+    struct accumulator. Chained ``when``-rewrites of (x, y) would be
+    the codegen-friendly spelling, but each level references the
+    previous level's expressions ~3× and Catalyst trees share
+    nothing — the tree grows 3^bits nodes and bits=10 OOMs the
+    driver at plan construction (measured). The HOF lambda is
+    interpreted, but it reads only accumulator VALUES — ~``bits``
+    scalar ops per row, paid once in a write-once clustering path.
+    Divisions are by powers of two on sub-2³¹ ints (exponent-only —
+    exact in binary floating point). Pinned bit-exact against a
+    python twin and bijectivity/adjacency-validated in tests. 2-D
+    only: the d>2 generalization needs Gray-code state tables; use
+    :func:`zvalue` there."""
+    if not 1 <= bits <= 29:
+        raise ValueError("hilbert_value: bits must be in 1..29")
+    mask = (1 << bits) - 1
+    cx0 = (F.col(x) if isinstance(x, str) else x).cast("bigint").bitwiseAND(
+        F.lit(mask)
+    )
+    cy0 = (F.col(y) if isinstance(y, str) else y).cast("bigint").bitwiseAND(
+        F.lit(mask)
+    )
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("d"),
+        F.lit(4 ** (bits - 1)).cast("bigint").alias("m"),
+        F.lit(1 << (bits - 1)).cast("bigint").alias("s"),
+        cx0.alias("cx"),
+        cy0.alias("cy"),
+    )
+
+    def step(acc, _i):
+        s = acc["s"]
+        rx = F.floor(acc["cx"] / s).cast("bigint") % 2
+        ry = F.floor(acc["cy"] / s).cast("bigint") % 2
+        # quadrant rotation: ry=1 → identity; ry=0, rx=0 → swap;
+        # ry=0, rx=1 → flip both ACROSS THE FULL ORDER (2^bits − 1 −
+        # coord, the Wikipedia rot(n, …) form), then swap. The flip
+        # must use the full order, not the level size s: s−1−coord
+        # goes NEGATIVE for coords above s, and negative ``%``/``&``
+        # semantics differ between engines (Python's infinite
+        # two's-complement vs SQL's sign-of-dividend) — the full-
+        # order flip keeps every intermediate in [0, 2^bits).
+        nx = (
+            F.when(ry == 1, acc["cx"])
+            .when(rx == 0, acc["cy"])
+            .otherwise(F.lit(mask) - acc["cy"])
+        )
+        ny = (
+            F.when(ry == 1, acc["cy"])
+            .when(rx == 0, acc["cx"])
+            .otherwise(F.lit(mask) - acc["cx"])
+        )
+        return F.struct(
+            (acc["d"] + acc["m"] * (rx * 3).bitwiseXOR(ry)).alias("d"),
+            F.floor(acc["m"] / 4).cast("bigint").alias("m"),
+            F.floor(s / 2).cast("bigint").alias("s"),
+            nx.alias("cx"),
+            ny.alias("cy"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)), init, step, lambda acc: acc["d"]
+    )
+
+
 def quantile_buckets(
     df: DataFrame, col: str, n_buckets: int = 64, rel_err: float = 0.001
 ) -> Column:
@@ -80,6 +156,7 @@ def write_zordered(
     n_files: int = 16,
     bits: int = 10,
     normalize: str = "width",
+    curve: str = "morton",
 ) -> None:
     """Write ``df`` clustered by the z-order of ``cols``: one range
     shuffle on the z-value + an in-partition sort, then a plain
@@ -100,10 +177,25 @@ def write_zordered(
     normalization Delta's OPTIMIZE ZORDER performs."""
     if normalize not in ("width", "quantile"):
         raise ValueError(f"write_zordered: unknown normalize {normalize!r}")
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"write_zordered: unknown curve {curve!r}")
+    if curve == "hilbert" and len(cols) != 2:
+        raise ValueError("write_zordered: curve='hilbert' needs exactly 2 columns")
+
+    def _curve(norm):
+        # ``curve="hilbert"`` swaps the interleave for the 2-D Hilbert
+        # index — same normalization, same write; tighter per-file
+        # boxes (consecutive curve cells are adjacent, so range-sorted
+        # files cover compact regions instead of Morton's
+        # power-of-two-boundary jumps)
+        if curve == "hilbert":
+            return hilbert_value(norm[0], norm[1], bits=bits)
+        return zvalue(norm, bits=bits)
+
     n_buckets = 1 << bits
     if normalize == "quantile":
         norm = [quantile_buckets(df, c, n_buckets=min(n_buckets, 64)) for c in cols]
-        z = zvalue(norm, bits=bits)
+        z = _curve(norm)
         (
             df.withColumn("_z", z)
             .repartitionByRange(n_files, "_z")
@@ -134,7 +226,7 @@ def write_zordered(
                 F.lit(n_buckets - 1),
             ).cast("bigint")
         )
-    z = zvalue(norm, bits=bits)
+    z = _curve(norm)
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")

@@ -152,3 +152,78 @@ def test_zorder_quantile_skips_on_powerlaw_column(spark, tmp_path):
     # not by the layout)
     assert q_avg < w_avg
     assert q_avg <= 0.65
+
+
+def _hilbert_twin(order, x, y):
+    # full-order flip (rot(n, ...)): intermediates stay in [0, order)
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = order - 1 - x, order - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_matches_twin_bijective_adjacent(spark):
+    """The JVM-expression Hilbert index must equal the python twin
+    bit-exactly, be a bijection onto [0, 4^bits), and place
+    consecutive curve positions in ADJACENT cells — the defining
+    property that makes it cluster tighter than Morton."""
+    from databridge_etl_tools_spark.operators.zorder import hilbert_value
+
+    bits = 4
+    order = 1 << bits
+    pts = [(x, y) for x in range(order) for y in range(order)]
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select("x", "y", hilbert_value("x", "y", bits=bits).alias("d")).collect()
+    }
+    assert got == {(x, y): _hilbert_twin(order, x, y) for x, y in pts}
+    inv = {d: xy for xy, d in got.items()}
+    assert sorted(inv) == list(range(order * order))
+    assert all(
+        abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+        for i in range(order * order - 1)
+    )
+
+
+def test_hilbert_layout_not_worse_than_morton_and_content_identical(spark, tmp_path):
+    """curve='hilbert' must serve identical rows and skip at least
+    comparably to Morton on the planted 2-D workload (the adjacency
+    property tightens per-file boxes; measured, not asserted blindly
+    — we allow a small tolerance since 8 files over a small grid is
+    a coarse measurement)."""
+    ev = table(spark, SF, "events").withColumn(
+        "hour",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast("bigint"),
+    )
+    ev = ev.select("event_id", "user_id", "hour", "value")
+    mpath, hpath = str(tmp_path / "morton"), str(tmp_path / "hilbert")
+    write_zordered(ev, mpath, ["user_id", "hour"], n_files=8)
+    write_zordered(ev, hpath, ["user_id", "hour"], n_files=8, curve="hilbert")
+    a = sorted(tuple(r) for r in spark.read.parquet(mpath).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(hpath).collect())
+    assert a == b
+    mor = file_column_ranges(mpath, ["user_id", "hour"])
+    hil = file_column_ranges(hpath, ["user_id", "hour"])
+    users = [r.user_id for r in ev.select("user_id").distinct().limit(5).collect()]
+    hours = [r.hour for r in ev.select("hour").distinct().limit(5).collect()]
+
+    def score(ranges):
+        u = sum(overlap_fraction(ranges, "user_id", x) for x in users) / len(users)
+        h = sum(overlap_fraction(ranges, "hour", x) for x in hours) / len(hours)
+        return u + h
+
+    assert score(hil) <= score(mor) + 0.15
+    assert score(hil) < 2.0  # skips SOMETHING on the combined workload
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly 2"):
+        write_zordered(ev, str(tmp_path / "bad"), ["user_id"], curve="hilbert")
