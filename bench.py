@@ -112,6 +112,9 @@ HEADLINE = [
     "events_rolling_active_users",
     "sketch_rolling_active_users",
     "token_weighted_median_length",
+    "token_budget_shards",
+    "sketch_hll_rolling_users",
+    "value_trend_by_type",
 ]
 
 

@@ -1742,3 +1742,140 @@ def sketch_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("exact_7d")
     )
     return exact.join(est, "day").select("day", "exact_7d", "n_buckets", "est_7d")
+
+
+@query(
+    "sketch_hll_rolling_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events WHERE user_id IS NOT NULL),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_7d,
+           TRUE AS in_band
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE-Spark sibling of ``sketch_rolling_active_users``:
+    per-day Datasketches HLL sketches (``hll_sketch_agg`` — a real
+    mergeable sketch COLUMN), each day's binary sketch exploded to
+    the ≤7 window days it serves, merged per window with
+    ``hll_union_agg``, estimated with ``hll_sketch_estimate``. One
+    raw-data pass builds the daily sketches; every window is a
+    ≤7-sketch union. Sketch bytes are engine-internal, so the oracle
+    pins the exact rolling counts plus an in-band flag (HLL at the
+    default lgConfigK=12 has ~1.6% rsd; the 10% band makes a pass a
+    property of the data — register maxima are merge-order-
+    insensitive, so the estimate is deterministic)."""
+    ev = table(spark, sf_dir, "events", access="scan")
+    ud = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    daily = ud.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = (
+        daily.select(
+            F.explode(F.expr("sequence(day, day + INTERVAL 6 DAYS)")).alias("day"),
+            "sk",
+        )
+        .join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+    )
+    exploded = ud.select(
+        F.explode(F.expr("sequence(day, day + INTERVAL 6 DAYS)")).alias("day"),
+        "user_id",
+    ).join(F.broadcast(days), "day", "left_semi")
+    exact = exploded.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_7d")
+    )
+    return exact.join(merged, "day").select(
+        "day",
+        "exact_7d",
+        (
+            F.abs(F.col("_est") - F.col("exact_7d")) <= 0.10 * F.col("exact_7d")
+        ).alias("in_band"),
+    )
+
+
+@query(
+    "value_trend_by_type",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+             CAST(floor(value * 1000000) AS BIGINT) AS y6
+      FROM events WHERE value IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y6) AS BIGINT) AS sy6,
+             CAST(SUM(x * y6) AS BIGINT) AS sxy6,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM v GROUP BY 1)
+    SELECT event_type, n,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy6
+                - CAST(sx AS DECIMAL(38,0)) * sy6 AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+             / 1000000.0 AS slope_per_hour,
+           (CAST(sy6 AS DOUBLE) / n
+            - (CAST(CAST(n AS DECIMAL(38,0)) * sxy6
+                    - CAST(sx AS DECIMAL(38,0)) * sy6 AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / n)) / 1000000.0 AS intercept
+    FROM m
+    """,
+    gate=False,
+)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment least-squares trend (value vs hour-of-day) from
+    EXACT integer moments — the per-group regression feature an
+    anomaly detector wants, as ONE aggregate: Σx, Σy, Σxy, Σx² in
+    fixed-point bigint (order-independent, partial-agg safe), then
+    the closed-form slope/intercept as a deterministic scalar chain
+    on those identical integers (cross products in DECIMAL(38,0) —
+    n·Σxy⁶ exceeds int64 at corpus scale). No ML library, no
+    iteration, no per-group collect: the d×d normal-equation solve
+    that ``operators/linear.py`` does for many features collapses to
+    arithmetic at d=1."""
+    ev = table(spark, sf_dir, "events", access="scan")
+    v = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("y6"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y6").cast("bigint").alias("sy6"),
+        F.sum(F.col("x") * F.col("y6")).cast("bigint").alias("sxy6"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy6"
+        " - CAST(sx AS DECIMAL(38,0)) * sy6 AS DOUBLE)"
+    )
+    den = F.expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+    )
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n",
+        (slope / F.lit(1000000.0)).alias("slope_per_hour"),
+        (
+            (
+                F.col("sy6").cast("double") / F.col("n")
+                - slope * (F.col("sx").cast("double") / F.col("n"))
+            )
+            / F.lit(1000000.0)
+        ).alias("intercept"),
+    )

@@ -731,6 +731,73 @@ def token_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_budget_shards",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, len({_TOK}) AS n_tokens FROM documents),
+    w AS (SELECT doc_id, n_tokens FROM d WHERE n_tokens > 0),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS W FROM w),
+    o AS (SELECT n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY n_tokens
+                                     ROWS UNBOUNDED PRECEDING) AS cw
+          FROM w),
+    b AS (SELECT i,
+                 (SELECT MIN(o.n_tokens) FROM o, tot
+                  WHERE o.cw >= greatest((tot.W * i) // 8, 1)) AS bval
+          FROM (SELECT unnest(range(1,8)) AS i)),
+    bins AS (SELECT w.doc_id, w.n_tokens,
+                    1 + SUM(CASE WHEN w.n_tokens > b.bval THEN 1 ELSE 0 END)
+                      AS shard
+             FROM w JOIN b ON TRUE GROUP BY 1, 2)
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM bins GROUP BY 1
+    """,
+    gate=False,
+)
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-TOKEN-budget corpus sharding by document length: the 7
+    boundaries are EXACT weighted order statistics (ranks i·W/8 over
+    length weighted by token count — ``kth_smallest_by(weight_col=)``),
+    so each of the 8 length-range shards holds ≈ W/8 tokens — how you
+    actually split a pretraining corpus into balanced-work slices,
+    where equal DOC counts would put 10× the tokens in the long-doc
+    shard. Assignment is the map-side value-threshold bin
+    (tie blocks land whole — the residual imbalance the report
+    exhibits is exactly the tie mass, not an algorithm artifact)."""
+    from ..operators.orderstats import kth_smallest_by
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    lens = docs.select("doc_id", TS.token_count("text").alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    vals, counts = kth_smallest_by(
+        lens,
+        (),
+        "n_tokens",
+        lambda W: {max((W * i) // 8, 1) for i in range(1, 8)},
+        weight_col="n_tokens",
+    )
+    W = counts[()]
+    bounds = [int(vals[()][max((W * i) // 8, 1)]) for i in range(1, 8)]
+
+    def _above(acc, x):
+        return acc + F.when(F.col("n_tokens") > x, 1).otherwise(0)
+
+    shard = F.lit(1) + F.aggregate(
+        F.array(*[F.lit(b) for b in bounds]), F.lit(0), _above
+    )
+    return (
+        lens.select(shard.cast("int").alias("shard"), "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+@query(
     "text_bm25_topk",
     oracle=f"""
     WITH qs(query_id, qtext) AS (

@@ -88,14 +88,16 @@ DRIVER_GATE_WINDOW = 50
 #:     rows-only);
 #:   - 20 r4-verified-once overflow returners (pii_scrub_contacts …
 #:     volume_shipping).
-#: The 4 remaining slots keep the alphabetically-first of the 28
-#: r5-verified stable queries; the other 24 + the 22 r6-verified
-#: stable queries park. Still queued after r7: the 4 r4-latest
-#: prepare/geometry overflow queries (geom_kind_census,
-#: prepare_cell_cleanup, prepare_header_normalize,
-#: tz_carto_midnight) — r8 cohort. (26th never-verified entry,
-#: token_weighted_median_length, landed late in r7 — gate holds 46
-#: rotated-in + 4 stable returners.)
+#: The last slot keeps the alphabetically-first of the 28
+#: r5-verified stable queries (above_customer_average); the other
+#: 27 + the 22 r6-verified stable queries park. Still queued after
+#: r7: the 4 r4-latest prepare/geometry overflow queries
+#: (geom_kind_census, prepare_cell_cleanup,
+#: prepare_header_normalize, tz_carto_midnight) — r8 cohort.
+#: (Late r7 additions token_weighted_median_length,
+#: token_budget_shards, sketch_hll_rolling_users and
+#: value_trend_by_type displaced four more r5 returners — gate
+#: holds 49 rotated-in + 1 stable returner.)
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
         # -- never driver-verified: built in r6 (mirror-green) --
@@ -126,6 +128,9 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "sketch_rolling_active_users",
         "sketch_vocabulary_report",
         "token_weighted_median_length",
+        "token_budget_shards",
+        "sketch_hll_rolling_users",
+        "value_trend_by_type",
         # -- r4-verified-once overflow returners --
         "pii_scrub_contacts",
         "profit_by_nation_year",
@@ -174,8 +179,11 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "topk_per_group",
         "tz_policies",
         "upsert_orders",
-        # parked: driver-hash-green in r5 (all but the 4
-        # alphabetically-first, which return this round)
+        # parked: driver-hash-green in r5 (all but the
+        # alphabetically-first, which returns this round)
+        "ann_lsh_bucketed",
+        "cube_flag_status",
+        "dedup_fuzzy_levenshtein",
         "dedup_simhash_pairs",
         "emb_neardup_pairs",
         "events_hourly_rollup",
