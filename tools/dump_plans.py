@@ -67,6 +67,15 @@ SHOW = [
     "dedup_minhash_estimate_quality",
     "events_percentrank_by_type",
     "grouping_sets_orders",
+    # round 7 (the bucketed-selection drivers — medians/deciles/
+    # trimmed/winsorized/weighted — are bounded-job compositions, not
+    # one plan; below are the single-plan round-7 queries)
+    "events_running_total",
+    "events_rolling_active_users",
+    "sketch_rolling_active_users",
+    "sketch_bucketmin_daily_users",
+    "sketch_hll_rolling_users",
+    "value_trend_by_type",
 ]
 
 
