@@ -115,6 +115,7 @@ HEADLINE = [
     "token_budget_shards",
     "sketch_hll_rolling_users",
     "value_trend_by_type",
+    "source_vocab_overlap_sketch",
 ]
 
 

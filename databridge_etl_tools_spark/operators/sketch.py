@@ -249,6 +249,135 @@ def bucketmin_estimate_col(sketch_by: DataFrame, key, *, k: int = 64) -> DataFra
     )
 
 
+def kmv_minhashes_by(
+    df: DataFrame,
+    key,
+    col: str,
+    *,
+    k: int = 64,
+    salt: str = "kmv",
+    est_safety: int = 8,
+) -> DataFrame:
+    """GROUPED bottom-k KMV sketches: per group, the k smallest
+    distinct md5-prefix hashes of ``col`` — ``(key..., hv)``, ≤ k
+    rows per group. Unlike the grouped bucket-min (which only
+    estimates cardinality), the actual k-min SET supports SKETCH SET
+    ALGEBRA: union (merge + re-truncate) and the Beyer et al. 2007
+    Jaccard/intersection estimators (:func:`kmv_pair_overlap`).
+
+    The naive grouped bottom-k is a hot-key hazard (a per-group
+    window sorts each group's ENTIRE distinct-value set in one task —
+    10⁸ distinct per group at corpus scale). Scale path here is a
+    THRESHOLD PREFILTER: a grouped bucket-min pass estimates each
+    group's cardinality V̂, every hash above
+    ``est_safety · k · 2³² / V̂`` is discarded map-side (the true
+    k-th minimum concentrates near ``k · 2³² / V``, so the filter
+    passes ~est_safety·k rows per group), and only that sliver is
+    window-sorted. Groups whose survivors come up short (V̂ was a
+    ≥ est_safety× overestimate — beyond the estimator's error bars,
+    but guarded anyway) are re-run unfiltered, so the OUTPUT is the
+    exact bottom-k regardless: the prefilter is pure plumbing, never
+    semantics, which is what lets an oracle reproduce the sketch
+    with a plain per-group rank."""
+    keys = [key] if isinstance(key, str) else list(key)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    from .materialize import materialize
+
+    hv = materialize(
+        df.where(F.col(col).isNotNull()).select(*keys, h.alias("hv")).distinct()
+    )
+    est = bucketmin_estimate_col(
+        hv.groupBy(*keys, (F.col("hv") % k).alias("bucket")).agg(
+            F.min("hv").alias("min_hv")
+        ),
+        keys,
+        k=k,
+    )
+    thr = est.select(
+        *keys,
+        F.least(
+            F.lit(float(2**32)),
+            F.lit(float(est_safety * k) * float(2**32))
+            / F.greatest(F.col("n_est"), F.lit(float(k))),
+        ).alias("_thr"),
+    )
+    w = Window.partitionBy(*keys).orderBy("hv")
+    cand = (
+        hv.join(F.broadcast(thr), keys)
+        .where(F.col("hv") <= F.col("_thr"))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    got = cand.where(F.col("_rn") <= k).select(*keys, "hv")
+    # escape hatch: a group with < k survivors re-runs unfiltered
+    # (correct when its true cardinality is < k, and repairs any
+    # pathological over-estimate) — exact bottom-k either way
+    short = (
+        got.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") < k)
+        .select(*keys)
+    )
+    rerun = (
+        hv.join(F.broadcast(short), keys, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(*keys, "hv")
+    )
+    return got.join(F.broadcast(short), keys, "left_anti").unionByName(rerun)
+
+
+def kmv_pair_overlap(
+    sketches: DataFrame, key: str, *, k: int = 64
+) -> DataFrame:
+    """Sketch SET ALGEBRA over grouped KMV sketches (Beyer et al.
+    2007): for every unordered group pair, merge the two k-min sets,
+    keep the k smallest of the union, and estimate
+
+    - ``est_jaccard`` = |{merged k-min} ∩ S_A ∩ S_B| / k,
+    - ``est_union``   = (k−1)·2³² / (k-th min of the merge) when the
+      merge has k hashes (else the exact union size — both sets were
+      exhaustive),
+    - ``est_inter``   = est_jaccard · est_union.
+
+    Everything is k-row arithmetic per pair — comparing every group
+    pair costs |pairs|·k rows TOTAL, where the exact answer pays an
+    inverted-index join over the full value sets. Deterministic
+    (md5 hashes, integer memberships), so oracle-checkable."""
+    sk = sketches.select(F.col(key).alias("_g"), "hv")
+    ga = sk.select(F.col("_g").alias("ga")).distinct()
+    gb = sk.select(F.col("_g").alias("gb")).distinct()
+    pairs = ga.join(gb, F.col("ga") < F.col("gb"))
+    ua = pairs.join(sk, F.col("ga") == F.col("_g")).select(
+        "ga", "gb", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = pairs.join(sk, F.col("gb") == F.col("_g")).select(
+        "ga", "gb", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("ga", "gb", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("hv")
+    top = merged.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return top.groupBy("ga", "gb").agg(
+        (
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double") / F.lit(float(k))
+        ).alias("est_jaccard"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(F.lit(float((k - 1) * 2**32)) / F.max("hv").cast("double"))
+        .alias("est_union"),
+    )
+
+
 def bucketmin_estimate(table: DataFrame, *, k: int = 64) -> float:
     """Distinct-count estimate from a bucket-min table:
     n̂ = k²·2³²/Σ min_b − k (mean-of-minima, single reciprocal —

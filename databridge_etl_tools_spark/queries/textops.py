@@ -798,6 +798,105 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_vocab_overlap_sketch",
+    oracle=f"""
+    WITH tok AS (SELECT DISTINCT source, unnest({_TOK}) AS token FROM documents),
+    h AS (SELECT DISTINCT source,
+                 CAST('0x'||substr(md5('kmv:'||token),1,8) AS BIGINT) AS hv
+          FROM tok),
+    sk AS (SELECT source, hv FROM (
+             SELECT source, hv,
+                    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+             FROM h) WHERE rn <= 64),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b
+              FROM (SELECT DISTINCT source FROM sk) a
+              JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+    m AS (
+      SELECT p.source_a, p.source_b, s.hv,
+             MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3),
+    top AS (SELECT * FROM (
+              SELECT m.*, row_number() OVER (PARTITION BY source_a, source_b
+                                             ORDER BY hv) AS rn
+              FROM m) WHERE rn <= 64),
+    estj AS (SELECT source_a, source_b,
+                    CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(64 AS DOUBLE)
+                      AS est_jaccard
+             FROM top GROUP BY 1, 2),
+    v AS (SELECT source, COUNT(*) AS nv FROM tok GROUP BY 1),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+              FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT e.source_a, e.source_b, e.est_jaccard,
+           COALESCE(CAST(i.i AS DOUBLE) / (va.nv + vb.nv - i.i), 0.0::DOUBLE)
+             AS exact_jaccard
+    FROM estj e
+    JOIN v va ON va.source = e.source_a
+    JOIN v vb ON vb.source = e.source_b
+    LEFT JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+    """,
+    gate=False,
+)
+def source_vocab_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY overlap across sources — the source-
+    redundancy signal corpus mixing needs (two crawls of the same
+    site waste budget) — estimated with KMV SET ALGEBRA and audited
+    exactly: per-source bottom-64 minhash sketches
+    (``kmv_minhashes_by`` — grouped bottom-k behind a cardinality-
+    estimate threshold prefilter, so no per-source vocabulary-sized
+    sort) and the Beyer et al. merged-k-min Jaccard estimator
+    (``kmv_pair_overlap`` — every pair costs k-row arithmetic, where
+    the exact answer pays the full inverted-index token join). Both
+    columns are deterministic (md5 hashes, integer memberships), so
+    the oracle checks the ESTIMATOR, not an error band; the exact
+    column rides along as the audit anchor — at corpus scale you
+    keep only the sketches and the pair table stays |sources|²·k."""
+    from ..operators.sketch import kmv_minhashes_by, kmv_pair_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(TS.tokens(F.col("text"))).alias("token"))
+    sk = kmv_minhashes_by(tok, "source", "token", k=64)
+    est = kmv_pair_overlap(sk, "source", k=64).select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        "est_jaccard",
+    )
+    vocab = tok.distinct()
+    v = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = (
+        inter.join(v.select(F.col("source").alias("source_a"), F.col("nv").alias("va")), "source_a")
+        .join(v.select(F.col("source").alias("source_b"), F.col("nv").alias("vb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.col("i").cast("double") / (F.col("va") + F.col("vb") - F.col("i"))
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "est_jaccard",
+        F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+    )
+
+
+@query(
     "text_bm25_topk",
     oracle=f"""
     WITH qs(query_id, qtext) AS (

@@ -88,16 +88,13 @@ DRIVER_GATE_WINDOW = 50
 #:     rows-only);
 #:   - 20 r4-verified-once overflow returners (pii_scrub_contacts …
 #:     volume_shipping).
-#: The last slot keeps the alphabetically-first of the 28
-#: r5-verified stable queries (above_customer_average); the other
-#: 27 + the 22 r6-verified stable queries park. Still queued after
-#: r7: the 4 r4-latest prepare/geometry overflow queries
-#: (geom_kind_census, prepare_cell_cleanup,
-#: prepare_header_normalize, tz_carto_midnight) — r8 cohort.
-#: (Late r7 additions token_weighted_median_length,
-#: token_budget_shards, sketch_hll_rolling_users and
-#: value_trend_by_type displaced four more r5 returners — gate
-#: holds 49 rotated-in + 1 stable returner.)
+#: All 28 r5-verified + 22 r6-verified stable queries park: the r7
+#: build produced 30 never-driver-verified queries, which with the
+#: 20 r4-verified-once returners fill the window exactly — the
+#: first all-rotated gate. Still queued after r7: the 4 r4-latest
+#: prepare/geometry overflow queries (geom_kind_census,
+#: prepare_cell_cleanup, prepare_header_normalize,
+#: tz_carto_midnight), then the r5-green stable cohort — r8.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
         # -- never driver-verified: built in r6 (mirror-green) --
@@ -131,6 +128,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "token_budget_shards",
         "sketch_hll_rolling_users",
         "value_trend_by_type",
+        "source_vocab_overlap_sketch",
         # -- r4-verified-once overflow returners --
         "pii_scrub_contacts",
         "profit_by_nation_year",
@@ -179,8 +177,8 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "topk_per_group",
         "tz_policies",
         "upsert_orders",
-        # parked: driver-hash-green in r5 (all but the
-        # alphabetically-first, which returns this round)
+        # parked: driver-hash-green in r5
+        "above_customer_average",
         "ann_lsh_bucketed",
         "cube_flag_status",
         "dedup_fuzzy_levenshtein",

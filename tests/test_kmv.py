@@ -121,3 +121,82 @@ def test_bucketmin_by_matches_per_slice_and_merges(spark):
             bucketmin_table(df.where(F.col("g") == g), "x", k=16), k=16
         )
         assert est[g][1] == ref_est
+
+
+def test_kmv_minhashes_by_exact_bottom_k_per_slice(spark):
+    """The grouped bottom-k must equal the ungrouped sketch of each
+    slice EXACTLY — the threshold prefilter is plumbing, never
+    semantics — including a group smaller than k (sketch = whole
+    set) and under a deliberately tight est_safety that forces the
+    escape-hatch re-run."""
+    import pyspark.sql.functions as F
+
+    from databridge_etl_tools_spark.operators.sketch import (
+        kmv_minhashes,
+        kmv_minhashes_by,
+    )
+
+    rows = (
+        [("big", v) for v in range(2000)]
+        + [("mid", v) for v in range(500, 700)]
+        + [("tiny", v) for v in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    for safety in (8, 1):
+        by = kmv_minhashes_by(df, "g", "x", k=32, est_safety=safety)
+        for g in ("big", "mid", "tiny"):
+            mine = sorted(
+                r["hv"] for r in by.where(F.col("g") == g).select("hv").collect()
+            )
+            ref = sorted(
+                r["hv"]
+                for r in kmv_minhashes(
+                    df.where(F.col("g") == g), "x", k=32
+                ).collect()
+            )
+            assert mine == ref, (g, safety)
+
+
+def test_kmv_pair_overlap_estimates_planted_overlaps(spark):
+    """Beyer-style merged-k-min Jaccard: identical sets estimate 1.0,
+    disjoint sets 0.0, and a planted 1/3 overlap lands inside the
+    sketch's error band; est_union tracks the true union size."""
+    import pyspark.sql.functions as F
+
+    from databridge_etl_tools_spark.operators.sketch import (
+        kmv_minhashes,
+        kmv_minhashes_by,
+        kmv_pair_overlap,
+    )
+
+    # a == b (J=1); c disjoint from both (J=0); d overlaps a on half
+    # of a's elements: |a ∩ d| = 1000, |a ∪ d| = 3000 → J = 1/3
+    rows = (
+        [("a", v) for v in range(2000)]
+        + [("b", v) for v in range(2000)]
+        + [("c", v) for v in range(10_000, 12_000)]
+        + [("d", v) for v in range(1000, 4000)]
+    )
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    sk = kmv_minhashes_by(df, "g", "x", k=128)
+    got = {
+        (r["ga"], r["gb"]): (r["est_jaccard"], r["est_union"])
+        for r in kmv_pair_overlap(sk, "g", k=128).collect()
+    }
+    assert got[("a", "b")][0] == 1.0
+    assert got[("a", "c")][0] == 0.0 and got[("b", "c")][0] == 0.0
+    assert abs(got[("a", "d")][0] - 1 / 3) < 0.15
+    # est_union is one deterministic KMV draw, so don't band it —
+    # pin the ALGEBRA instead: the pair's merged-sketch estimate must
+    # equal the direct KMV estimate of the true union set
+    direct = kmv_estimate(
+        kmv_minhashes(
+            df.where(F.col("g").isin("a", "d")).select("x"), "x", k=128
+        ),
+        k=128,
+    )[1]
+    assert abs(got[("a", "d")][1] - direct) < 1e-9
+    direct_ab = kmv_estimate(
+        kmv_minhashes(df.where(F.col("g") == "a").select("x"), "x", k=128), k=128
+    )[1]
+    assert abs(got[("a", "b")][1] - direct_ab) < 1e-9
