@@ -116,6 +116,7 @@ HEADLINE = [
     "sketch_hll_rolling_users",
     "value_trend_by_type",
     "source_vocab_overlap_sketch",
+    "max_concurrent_sessions",
 ]
 
 

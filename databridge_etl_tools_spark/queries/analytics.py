@@ -1803,6 +1803,84 @@ def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH w AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    flags AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) >= 30*60*1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM w),
+    tagged AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM flags),
+    sess AS (
+      SELECT user_id, session_seq, MIN(ts) AS s, MAX(ts) AS e
+      FROM tagged GROUP BY 1, 2),
+    d AS (SELECT s AS ts, 1 AS delta, user_id, session_seq FROM sess
+          UNION ALL
+          SELECT e AS ts, -1 AS delta, user_id, session_seq FROM sess),
+    r AS (SELECT ts, SUM(delta) OVER (ORDER BY ts, delta, user_id, session_seq
+                                      ROWS UNBOUNDED PRECEDING) AS c
+          FROM d)
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST((SELECT MAX(c) FROM r) AS BIGINT) AS max_concurrent,
+           (SELECT MIN(ts) FROM r, (SELECT MAX(c) AS m FROM r) x WHERE r.c = x.m)
+             AS peak_ts
+    """,
+    gate=False,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency — the interval-overlap SWEEP LINE: sessionize
+    (30-min gap), emit (+1 at start, −1 at end) deltas, and take the
+    maximum of the GLOBAL running sum over the (ts, delta, user,
+    session) total order — which is exactly
+    ``operators.prefixsum.running_sum`` again, so the classic
+    capacity-planning aggregate that reads like "sort everything in
+    one place" runs as range partitions + bounded per-partition
+    windows + an n_parts-row offset table. Tie convention: at equal
+    timestamps, ends sort before starts (delta −1 < +1), so a
+    touching session pair never counts as concurrent — identical on
+    both engines by the shared total order. The peak instant is the
+    earliest timestamp achieving the max (deterministic)."""
+    from ..operators.prefixsum import running_sum
+    from ..streaming.events import sessionize_batch
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    d = sess.select(
+        F.col("session_start").alias("ts"),
+        F.lit(1).cast("bigint").alias("delta"),
+        "user_id",
+        "session_seq",
+    ).unionByName(
+        sess.select(
+            F.col("session_end").alias("ts"),
+            F.lit(-1).cast("bigint").alias("delta"),
+            "user_id",
+            "session_seq",
+        )
+    )
+    run = running_sum(
+        d, ["ts", "delta", "user_id", "session_seq"], "delta", out_col="c"
+    )
+    n_sessions = sess.count()
+    peak = run.agg(F.max("c").alias("m")).collect()[0]["m"]
+    peak_ts = (
+        run.where(F.col("c") == peak).agg(F.min("ts").alias("t")).collect()[0]["t"]
+    )
+    return spark.createDataFrame(
+        [(int(n_sessions), int(peak), peak_ts)],
+        "n_sessions bigint, max_concurrent bigint, peak_ts timestamp_ntz",
+    )
+
+
+@query(
     "value_trend_by_type",
     oracle="""
     WITH v AS (
