@@ -117,6 +117,7 @@ HEADLINE = [
     "value_trend_by_type",
     "source_vocab_overlap_sketch",
     "max_concurrent_sessions",
+    "text_heavy_hitters_by_lang",
 ]
 
 

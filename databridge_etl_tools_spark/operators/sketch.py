@@ -453,3 +453,72 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .where(F.col("n") * denom >= F.lit(n))
     )
+
+
+def heavy_hitters_by(
+    df: DataFrame,
+    key,
+    col: str,
+    *,
+    denom: int = 500,
+) -> DataFrame:
+    """PER-GROUP exact φ-heavy hitters (φ = 1/``denom`` of each
+    GROUP's rows) — :func:`heavy_hitters` with the Misra-Gries
+    summaries keyed by group: pass 1 keeps an independent k=2·denom
+    counter dict per (partition, group) (the pigeonhole argument is
+    per group: an item with group frequency ≥ n_g/denom has density
+    ≥ 1/denom among that group's rows in some partition, and a
+    k-counter MG never evicts it there), pass 2 exact-counts the
+    candidate (group, item) pairs and applies the integer threshold
+    against the per-group totals — output exact and layout-
+    independent. Candidates are ≤ partitions·|groups|·k rows, so the
+    broadcast stays bounded while |groups|·k stays far below the
+    vocabulary the full (group, token) shuffle would move; at large
+    |groups| every group is small (pigeonhole on rows) and the plain
+    grouped count IS the cheap plan. Returns
+    ``(key..., item, n, n_group)``."""
+    import pandas as pd
+
+    keys = [key] if isinstance(key, str) else list(key)
+    k = 2 * denom
+    vals = df.select(
+        *[F.col(c).cast("string").alias(f"_g{i}") for i, c in enumerate(keys)],
+        F.col(col).cast("string").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    gcols = [f"_g{i}" for i in range(len(keys))]
+
+    def mg(batches):
+        sums: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby(gcols, dropna=False)["_v"].value_counts()
+            for idx, c in vc.items():
+                g, v = tuple(idx[:-1]), idx[-1]
+                d = sums.setdefault(g, {})
+                d[v] = d.get(v, 0) + int(c)
+            for g, d in sums.items():
+                if len(d) > k:
+                    m = sorted(d.values(), reverse=True)[k]
+                    sums[g] = {key_: c - m for key_, c in d.items() if c > m}
+        rows = [(*g, v) for g, d in sums.items() for v in d]
+        yield pd.DataFrame(rows, columns=[*gcols, "_v"])
+
+    from .materialize import materialize
+
+    schema = ", ".join(f"{c} string" for c in [*gcols, "_v"])
+    cands = materialize(vals.mapInPandas(mg, schema).distinct())
+    totals = vals.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_group")
+    )
+    return (
+        vals.join(F.broadcast(cands), [*gcols, "_v"], "left_semi")
+        .groupBy(*gcols, "_v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .join(totals, gcols)
+        .where(F.col("n") * denom >= F.col("n_group"))
+        .select(
+            *[F.col(g).alias(c) for g, c in zip(gcols, keys)],
+            F.col("_v").alias("item"),
+            "n",
+            "n_group",
+        )
+    )

@@ -2749,3 +2749,34 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(_tokens(F.col("text"))).alias("t"))
     return heavy_hitters(tok, "t", denom=500)
+
+
+@query(
+    "text_heavy_hitters_by_lang",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest({_TOK}) AS t FROM documents),
+    tot AS (SELECT lang, COUNT(*) AS n FROM tok GROUP BY 1)
+    SELECT tok.lang, t AS item, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(tot.n AS BIGINT) AS n_group
+    FROM tok JOIN tot ON tok.lang = tot.lang
+    GROUP BY tok.lang, t, tot.n
+    HAVING COUNT(*) * 300 >= tot.n
+    """,
+    gate=False,
+)
+def text_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE exact φ=1/300 heavy-hitter tokens
+    (``operators.sketch.heavy_hitters_by`` — Misra-Gries summaries
+    keyed by (partition, group), candidates exact-recounted against
+    per-group totals): each language's own stopword/boilerplate
+    census, the per-slice signal a contamination or template hunt
+    needs (a token at 1% of GERMAN tokens is invisible at corpus
+    thresholds when German is 5% of the corpus). Two Arrow passes,
+    bounded candidate broadcast, no (lang, token)-vocabulary
+    shuffle; the oracle recomputes by brute force."""
+    from ..operators.sketch import heavy_hitters_by
+    from ..operators.textstats import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(_tokens(F.col("text"))).alias("t"))
+    return heavy_hitters_by(tok, "lang", "t", denom=300)

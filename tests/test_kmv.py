@@ -200,3 +200,34 @@ def test_kmv_pair_overlap_estimates_planted_overlaps(spark):
         kmv_minhashes(df.where(F.col("g") == "a").select("x"), "x", k=128), k=128
     )[1]
     assert abs(got[("a", "b")][1] - direct_ab) < 1e-9
+
+
+def test_heavy_hitters_by_exact_vs_bruteforce_any_layout(spark):
+    """Grouped MG: per-group candidates + exact recount must equal
+    the per-group brute force under any partitioning — including a
+    group below the threshold everywhere and a group smaller than
+    the counter budget."""
+    import pyspark.sql.functions as F
+
+    from databridge_etl_tools_spark.operators.sketch import heavy_hitters_by
+
+    rows = (
+        [("en", "hot")] * 200 + [("en", "warm")] * 40
+        + [("en", f"c{i}") for i in range(360)]
+        + [("de", "heiss")] * 90 + [("de", f"k{i}") for i in range(110)]
+        + [("fr", "petit")] * 3  # tiny group: everything is a hitter
+    )
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "g string, v string").repartition(parts)
+        got = {
+            (r["g"], r["item"], r["n"], r["n_group"])
+            for r in heavy_hitters_by(df, "g", "v", denom=10).collect()
+        }
+        tot = {r["g"]: r["n"] for r in df.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+        brute = {
+            (r["g"], r["v"], r["count"], tot[r["g"]])
+            for r in df.groupBy("g", "v").count().collect()
+            if r["count"] * 10 >= tot[r["g"]]
+        }
+        assert got == brute
+        assert ("en", "hot", 200, 600) in got and ("fr", "petit", 3, 3) in got
