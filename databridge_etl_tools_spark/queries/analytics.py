@@ -1846,12 +1846,16 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching session pair never counts as concurrent — identical on
     both engines by the shared total order. The peak instant is the
     earliest timestamp achieving the max (deterministic)."""
+    from ..operators.materialize import materialize
     from ..operators.prefixsum import running_sum
     from ..streaming.events import sessionize_batch
 
     ev = table(spark, sf_dir, "events")
-    sess = sessionize_batch(ev, gap_minutes=30).select(
-        "user_id", "session_seq", "session_start", "session_end"
+    # materialized: both delta branches read it (one window pass)
+    sess = materialize(
+        sessionize_batch(ev, gap_minutes=30).select(
+            "user_id", "session_seq", "session_start", "session_end"
+        )
     )
     d = sess.select(
         F.col("session_start").alias("ts"),
@@ -1869,13 +1873,19 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = running_sum(
         d, ["ts", "delta", "user_id", "session_seq"], "delta", out_col="c"
     )
-    n_sessions = sess.count()
-    peak = run.agg(F.max("c").alias("m")).collect()[0]["m"]
-    peak_ts = (
-        run.where(F.col("c") == peak).agg(F.min("ts").alias("t")).collect()[0]["t"]
-    )
+    # ONE summary job: n_sessions = deltas/2; peak via max; peak ts
+    # via min_by on the (-c, ts) struct — lexicographic min = max
+    # concurrency then earliest instant (TIMESTAMP_NTZ compares
+    # natively inside the struct; no epoch cast, no session-tz risk)
+    row = run.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
+        F.max("c").cast("bigint").alias("max_concurrent"),
+        F.min_by(
+            "ts", F.struct((-F.col("c")).alias("_nc"), F.col("ts").alias("_t"))
+        ).alias("peak_ts"),
+    ).collect()[0]
     return spark.createDataFrame(
-        [(int(n_sessions), int(peak), peak_ts)],
+        [(int(row["n_sessions"]), int(row["max_concurrent"]), row["peak_ts"])],
         "n_sessions bigint, max_concurrent bigint, peak_ts timestamp_ntz",
     )
 
