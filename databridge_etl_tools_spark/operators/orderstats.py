@@ -408,6 +408,39 @@ def exact_median_by(
     return out
 
 
+def equi_depth_boundaries_by(
+    df: DataFrame,
+    key,
+    col: str,
+    n_bins: int,
+    *,
+    buckets: int = 1024,
+    max_rows_exact: int = 65536,
+    weight_col: "str | None" = None,
+) -> "dict[tuple, list]":
+    """Per-group exact equi-depth boundaries: for each group, the
+    order statistics at ranks ``max(1, n·i/n_bins)`` for
+    i = 1..n_bins-1 (``n`` is the group's row count, or its weight
+    total with ``weight_col`` — token-budget bins), as
+    ``{group_tuple: [b₁ … b_{n_bins−1}]}`` with duplicates preserved
+    (tied ranks repeat their boundary value, keeping the bin-by-
+    comparison formula ``1 + Σ[v > bᵢ]`` engine-identical). One
+    grouped bucketed-selection descent; no per-group sort."""
+    vals, counts = kth_smallest_by(
+        df,
+        key,
+        col,
+        lambda n: {max(1, (n * i) // n_bins) for i in range(1, n_bins)},
+        buckets=buckets,
+        max_rows_exact=max_rows_exact,
+        weight_col=weight_col,
+    )
+    return {
+        g: [vals[g][max(1, (counts[g] * i) // n_bins)] for i in range(1, n_bins)]
+        for g in vals
+    }
+
+
 def equi_depth_boundaries(
     df: DataFrame,
     col: str,

@@ -1569,21 +1569,13 @@ def length_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ntile`` puts ties in ONE bin deterministically on both engines.
     No per-source sort; ties make bins uneven exactly where the data
     does."""
-    from ..operators.orderstats import kth_smallest_by
+    from ..operators.orderstats import equi_depth_boundaries_by
 
     docs = table(spark, sf_dir, "documents", access="scan")
     d = docs.where(F.col("n_chars").isNotNull())
-    vals, counts = kth_smallest_by(
-        d,
-        "source",
-        "n_chars",
-        lambda n: {max((n * i) // 10, 1) for i in range(1, 10)},
-    )
+    bnds = equi_depth_boundaries_by(d, "source", "n_chars", 10)
     bounds = spark.createDataFrame(
-        [
-            (g[0], [int(vals[g][max((counts[g] * i) // 10, 1)]) for i in range(1, 10)])
-            for g in counts
-        ],
+        [(g[0], [int(b) for b in bs]) for g, bs in bnds.items()],
         "source string, _b array<bigint>",
     )
 

@@ -223,3 +223,14 @@ def test_equi_depth_boundaries_quartiles(spark):
         for r in df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert sizes == {1: 25, 2: 25, 3: 25, 4: 25}
+
+
+def test_equi_depth_boundaries_by_matches_per_slice(spark):
+    rows = [("a", v) for v in range(1, 101)] + [("b", v) for v in range(1, 41)]
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    got = __import__(
+        "databridge_etl_tools_spark.operators.orderstats", fromlist=["x"]
+    ).equi_depth_boundaries_by(df, "g", "x", 4)
+    assert got[("a",)] == [25, 50, 75]
+    assert got[("b",)] == [10, 20, 30]
