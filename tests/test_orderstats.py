@@ -234,3 +234,17 @@ def test_equi_depth_boundaries_by_matches_per_slice(spark):
     ).equi_depth_boundaries_by(df, "g", "x", 4)
     assert got[("a",)] == [25, 50, 75]
     assert got[("b",)] == [10, 20, 30]
+
+
+def test_kth_smallest_decimal_column(spark):
+    """The descent's bucket arithmetic ((v-lo)/width → double) and the
+    literal range filters must hold for DECIMAL columns — the type
+    TPC-H money lands in."""
+    from decimal import Decimal
+
+    rows = [(Decimal(f"{v}.{v % 100:02d}"),) for v in range(1, 301)]
+    random.Random(9).shuffle(rows)
+    df = spark.createDataFrame(rows, "x decimal(12,2)")
+    s = sorted(r[0] for r in rows)
+    got = kth_smallest(df, "x", [1, 150, 300], buckets=8, max_rows_exact=16)
+    assert got == {1: s[0], 150: s[149], 300: s[299]}
