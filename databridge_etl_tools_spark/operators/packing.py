@@ -35,43 +35,52 @@ def pack_sequences(
     size_col: Column | str,
     id_col: str = "doc_id",
     budget: int = 256,
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Assign each row to its training sequence: df + ``seq_id``,
     ``seq_start`` (the row's global token offset). Rows are ordered by
-    ``id_col``; ``size_col`` is the row's token count."""
+    ``id_col``; ``size_col`` is the row's token count. ``n_parts``
+    defaults to ``prefixsum.derived_range_partitions`` (scales with
+    input size / cluster width instead of a hard constant)."""
     from .materialize import materialize
+    from .prefixsum import derived_range_partitions, internal_names
 
+    if n_parts is None:
+        n_parts = derived_range_partitions(df)
+    c_n, c_pid, c_local, c_off = internal_names(df, "n", "pid", "local_start", "offset")
     size = F.col(size_col) if isinstance(size_col, str) else size_col
-    base = df.withColumn("_n", size.cast("bigint"))
+    base = df.withColumn(c_n, size.cast("bigint"))
     parts = base.repartitionByRange(n_parts, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+        c_pid, F.spark_partition_id()
     )
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy(c_pid)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # materialized: the totals job and the final plan must see the
-    # SAME partition assignment — repartitionByRange's sampled
-    # boundaries are not re-execution-stable (r7: the running_sum
-    # oracle caught a 3-row boundary shift skewing every offset;
-    # same two-consumer shape here)
+    # materialized with cut_lineage: the totals job and the final plan
+    # must see the SAME partition assignment — repartitionByRange's
+    # sampled boundaries are not re-execution-stable (r7: the
+    # running_sum oracle caught a 3-row boundary shift skewing every
+    # offset; same two-consumer shape here). Lineage-keeping
+    # strategies (persist recompute / none) re-run the range
+    # partitioning per consumer and re-expose the hazard (r7 advisor).
     local = materialize(
-        parts.withColumn("_local_start", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+        parts.withColumn(c_local, F.coalesce(F.sum(c_n).over(w), F.lit(0))),
+        cut_lineage=True,
     )
     totals = (
-        local.groupBy("_pid").agg(F.sum("_n").alias("_total")).orderBy("_pid").collect()
+        local.groupBy(c_pid).agg(F.sum(c_n).alias("_total")).orderBy(c_pid).collect()
     )
     acc = 0
     offsets = []
     for r in totals:
-        offsets.append((r["_pid"], acc))
+        offsets.append((r[c_pid], acc))
         acc += r["_total"]
-    off_df = local.sparkSession.createDataFrame(offsets, "_pid int, _offset bigint")
+    off_df = local.sparkSession.createDataFrame(offsets, f"{c_pid} int, {c_off} bigint")
     return (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn("seq_start", F.col("_offset") + F.col("_local_start"))
+        local.join(F.broadcast(off_df), c_pid)
+        .withColumn("seq_start", F.col(c_off) + F.col(c_local))
         .withColumn("seq_id", F.expr(f"seq_start DIV {budget}"))
-        .drop("_pid", "_local_start", "_offset", "_n")
+        .drop(c_pid, c_local, c_off, c_n)
     )

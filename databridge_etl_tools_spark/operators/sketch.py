@@ -339,7 +339,10 @@ def kmv_pair_overlap(
     2007): for every unordered group pair, merge the two k-min sets,
     keep the k smallest of the union, and estimate
 
-    - ``est_jaccard`` = |{merged k-min} ∩ S_A ∩ S_B| / k,
+    - ``est_jaccard`` = |{merged k-min} ∩ S_A ∩ S_B| / min(|merge|, k)
+      (the denominator is the merge size when it is < k — both
+      sketches exhaustive, so the estimate is the EXACT Jaccard,
+      matching est_union's small-set special case; r7 advisor),
     - ``est_union``   = (k−1)·2³² / (k-th min of the merge) when the
       merge has k hashes (else the exact union size — both sets were
       exhaustive),
@@ -368,7 +371,8 @@ def kmv_pair_overlap(
     top = merged.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     return top.groupBy("ga", "gb").agg(
         (
-            F.sum(F.col("in_a") * F.col("in_b")).cast("double") / F.lit(float(k))
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.least(F.count(F.lit(1)), F.lit(k)).cast("double")
         ).alias("est_jaccard"),
         F.when(
             F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")

@@ -822,8 +822,8 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              ORDER BY hv) AS rn
               FROM m) WHERE rn <= 64),
     estj AS (SELECT source_a, source_b,
-                    CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(64 AS DOUBLE)
-                      AS est_jaccard
+                    CAST(SUM(in_a * in_b) AS DOUBLE)
+                      / CAST(LEAST(COUNT(*), 64) AS DOUBLE) AS est_jaccard
              FROM top GROUP BY 1, 2),
     v AS (SELECT source, COUNT(*) AS nv FROM tok GROUP BY 1),
     inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i

@@ -79,13 +79,14 @@ DRIVER_GATE_WINDOW = 50
 #: was 6 round-6-built queries + 22 of the 42 r4-verified-once
 #: overflow queries IN, the 28 r5-verified stable queries OUT; its
 #: original comment miscounted that as 5 + 23, advisor r6 finding).
-#: This round the gate takes all 45 queries that have NEVER been
+#: This round the gate takes the 50 queries that have NEVER been
 #: driver-hash-verified or were last verified in r4:
-#:   - 25 never-verified: the 14 r6-built mirror-green queries
-#:     (corpus_curation_v4 … emb_nearest_centroid_eval) + the 11
+#:   - 30 never-verified: the 14 r6-built mirror-green queries
+#:     (corpus_curation_v4 … emb_nearest_centroid_eval) + the 16
 #:     r7-built (median_value_by_type, the grouped robust stats, the
 #:     rolling/running family, the two sketch audits promoted from
-#:     rows-only);
+#:     rows-only) — the r7 comment originally miscounted this as
+#:     25 = 14 + 11 (advisor r7 finding; set contents were correct);
 #:   - 20 r4-verified-once overflow returners (pii_scrub_contacts …
 #:     volume_shipping).
 #: All 28 r5-verified + 22 r6-verified stable queries park: the r7
