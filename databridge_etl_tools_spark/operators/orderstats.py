@@ -24,9 +24,27 @@ verdict's curation-median hazard). Classic two-phase selection
    which is the point of the descent).
 
 Depth is log_buckets(n / max_rows_exact): with the defaults (1024
-buckets, 64 Ki rows) one level resolves ≤ 67 M rows, two levels
-≤ 68 G — at 100 TB the histogram shuffles stay 1024 rows per range
-and the corpus is only ever SCANNED, never sorted or shuffled.
+buckets, 1 Mi-row resolve cap) one level resolves ≤ ~10⁹ rows, two
+levels ≤ ~10¹² — at 100 TB the histogram shuffles stay 1024 rows per
+range and the corpus is only ever SCANNED, never sorted or shuffled.
+The resolve cap sizes ONE task's in-memory sort: 2²⁰ rows of
+(tag, value[, weight]) ≈ 25–35 MB — ordinary Spark task territory
+(the r7 default of 64 Ki paid a whole extra descent level for no
+memory reason).
+
+Per-level job latency (round-8): when a level's pending ranges are
+few (≤ ``_LITERAL_MAX_RANGES``) and pairwise disjoint within each
+group — true by construction for every batch a single descent emits,
+since same-level ranges of one group descend from distinct value
+buckets — range tagging compiles to a chained literal CASE WHEN
+instead of a broadcast range join, and small pick sets resolve with a
+literal filter instead of a broadcast pick join: zero broadcast
+exchanges in the common descent (measured 1.47 s → 0.65 s per resolve
+at sf0.1 local[32]). The projected (group, value[, weight]) input is
+persisted (MEMORY_AND_DISK) for the descent's lifetime so the stats,
+histogram, and resolve jobs scan the source once, not once per job —
+at 100 TB the projection is a few % of the corpus and spills to local
+disk; pass ``cache=False`` to keep the re-scan behavior.
 
 The GROUPED form (:func:`kth_smallest_by`) keys every stage by the
 group columns as well: per-group ranges ride a broadcast range table
@@ -61,6 +79,35 @@ def _is_float(dt: T.DataType) -> bool:
     return isinstance(dt, (T.FloatType, T.DoubleType))
 
 
+#: literal-plan thresholds: below these, range tagging / pick
+#: selection compile to chained CASE WHEN / IN-list filters (pure
+#: map-side, no broadcast exchange); above, the broadcast-join path
+#: wins (measured r8 crossover at sf0.1: a 10-pick resolve runs
+#: ~1.25× faster literal, a 45-pick resolve ~1.7× faster broadcast —
+#: driver expression-tree cost grows with the pick count while the
+#: broadcast pays two flat exchanges).
+_LITERAL_MAX_RANGES = 64
+_LITERAL_MAX_PICKS = 32
+
+
+def _disjoint_per_group(rows) -> bool:
+    """True when no two ranges of the SAME group overlap (closed
+    intervals). Every batch one descent emits satisfies this — same-
+    level ranges of a group descend from distinct value buckets, whose
+    value sets are disjoint because bucket index is a function of the
+    value — but the literal CASE WHEN tagger assigns only the FIRST
+    matching range, so it is only used when this check passes."""
+    by_g: dict = {}
+    for rid, *gvals, lo, hi in rows:
+        by_g.setdefault(tuple(gvals), []).append((lo, hi))
+    for spans in by_g.values():
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            if hi1 >= lo2:
+                return False
+    return True
+
+
 def _ranges_df(spark, rows, gfields, vtype):
     """Tiny broadcastable range table: (_rid, group key cols, _lo, _hi)."""
     schema = T.StructType(
@@ -72,7 +119,12 @@ def _ranges_df(spark, rows, gfields, vtype):
 
 
 def _join_ranges(
-    vals: DataFrame, rows: list, gcols: "list[str]", gfields, vtype
+    vals: DataFrame,
+    rows: list,
+    gcols: "list[str]",
+    gfields,
+    vtype,
+    literal_ranges: bool = True,
 ) -> DataFrame:
     """Tag vals rows with the pending ranges they fall in.
 
@@ -104,6 +156,37 @@ def _join_ranges(
             F.lit(lo).cast(vtype).alias("_lo"),
             F.lit(hi).cast(vtype).alias("_hi"),
         )
+    if (
+        literal_ranges
+        and len(rows) <= _LITERAL_MAX_RANGES
+        and _disjoint_per_group(rows)
+    ):
+        # literal CASE WHEN tagger: scalar map-side expressions, zero
+        # broadcast exchanges (the dominant per-level cost at small
+        # range counts — measured r8). One rid chain evaluates the
+        # full (group, range) conditions; the _lo/_hi chains key on
+        # the already-computed int _rid (trivial comparisons).
+        tag = None
+        for rid, *gvals, lo, hi in rows:
+            cond = (pruned["_v"] >= F.lit(lo).cast(vtype)) & (
+                pruned["_v"] <= F.lit(hi).cast(vtype)
+            )
+            for g, gv in zip(gcols, gvals):
+                eq = pruned[g].isNull() if gv is None else (pruned[g] == F.lit(gv))
+                cond = cond & eq
+            lit_rid = F.lit(rid).cast("int")
+            tag = F.when(cond, lit_rid) if tag is None else tag.when(cond, lit_rid)
+        cols = pruned.columns
+        tagged = pruned.withColumn("_rid", tag).where(F.col("_rid").isNotNull())
+        lo_c, hi_c = None, None
+        for rid, *gvals, lo, hi in rows:
+            m = F.col("_rid") == rid
+            llo, lhi = F.lit(lo).cast(vtype), F.lit(hi).cast(vtype)
+            lo_c = F.when(m, llo) if lo_c is None else lo_c.when(m, llo)
+            hi_c = F.when(m, lhi) if hi_c is None else hi_c.when(m, lhi)
+        return tagged.select(
+            *cols, "_rid", lo_c.alias("_lo"), hi_c.alias("_hi")
+        )
     rdf = _ranges_df(vals.sparkSession, rows, gfields, vtype)
     cond = None
     for g in gcols:
@@ -131,39 +214,80 @@ def _resolve_exact_by(vals, gcols, resolve, spark, gfields, vtype, weighted):
 
     ranges: dict[tuple, int] = {}  # (group, lo, hi) -> rid
     picks: dict[tuple[int, int], list] = {}  # (rid, rank) -> [(g, k), ...]
+    per_rid: dict[int, list[int]] = {}  # rid -> sorted wanted ranks
     rows = []
     for g, k, lo, hi, rank in resolve:
         rid = ranges.setdefault((g, lo, hi), len(ranges))
         if rid == len(rows):
             rows.append((rid, *g, lo, hi))
         picks.setdefault((rid, int(rank)), []).append((g, k))
-    pdf = spark.createDataFrame(
-        [(rid, rank) for rid, rank in picks], "_rid int, _rn bigint"
+    for rid, rank in picks:
+        per_rid.setdefault(rid, []).append(rank)
+    literal = len(picks) <= _LITERAL_MAX_PICKS
+    tagged = _join_ranges(
+        vals, rows, gcols, gfields, vtype, literal_ranges=literal
     )
-    tagged = _join_ranges(vals, rows, gcols, gfields, vtype)
     w = Window.partitionBy("_rid").orderBy("_v")
     if weighted:
         cw = F.sum("_w").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         left = tagged.select("_rid", "_v", "_w").withColumn("_cw", cw)
-        hits = (
-            left.join(
-                F.broadcast(pdf),
-                (left["_rid"] == pdf["_rid"])
-                & (left["_cw"] - left["_w"] < pdf["_rn"])
-                & (pdf["_rn"] <= left["_cw"]),
+        if literal:
+            # literal pick selection: per-rid wanted-rank arrays via
+            # chained CASE WHEN, exploded (a wide row's weight span
+            # can contain SEVERAL wanted ranks — the explode keeps
+            # one output row per matched rank, like the join would)
+            arr = None
+            for rid, rks in per_rid.items():
+                branch = F.array(
+                    *[F.lit(int(r)).cast("bigint") for r in sorted(rks)]
+                )
+                arr = (
+                    F.when(F.col("_rid") == rid, branch)
+                    if arr is None
+                    else arr.when(F.col("_rid") == rid, branch)
+                )
+            hits = (
+                left.withColumn("_rn", F.explode(arr))
+                .where(
+                    (F.col("_cw") - F.col("_w") < F.col("_rn"))
+                    & (F.col("_rn") <= F.col("_cw"))
+                )
+                .select("_rid", "_rn", "_v")
+                .collect()
             )
-            .select(pdf["_rid"], pdf["_rn"], left["_v"])
-            .collect()
-        )
+        else:
+            pdf = spark.createDataFrame(
+                [(rid, rank) for rid, rank in picks], "_rid int, _rn bigint"
+            )
+            hits = (
+                left.join(
+                    F.broadcast(pdf),
+                    (left["_rid"] == pdf["_rid"])
+                    & (left["_cw"] - left["_w"] < pdf["_rn"])
+                    & (pdf["_rn"] <= left["_cw"]),
+                )
+                .select(pdf["_rid"], pdf["_rn"], left["_v"])
+                .collect()
+            )
     else:
-        hits = (
-            tagged.select("_rid", "_v")
-            .withColumn("_rn", F.row_number().over(w).cast("bigint"))
-            .join(F.broadcast(pdf), ["_rid", "_rn"])
-            .collect()
+        ranked = tagged.select("_rid", "_v").withColumn(
+            "_rn", F.row_number().over(w).cast("bigint")
         )
+        if literal:
+            cond = None
+            for rid, rks in per_rid.items():
+                c = (F.col("_rid") == rid) & F.col("_rn").isin(
+                    [int(r) for r in rks]
+                )
+                cond = c if cond is None else (cond | c)
+            hits = ranked.where(cond).collect()
+        else:
+            pdf = spark.createDataFrame(
+                [(rid, rank) for rid, rank in picks], "_rid int, _rn bigint"
+            )
+            hits = ranked.join(F.broadcast(pdf), ["_rid", "_rn"]).collect()
     out: dict[tuple, dict] = {}
     for r in hits:
         for g, k in picks[(int(r["_rid"]), int(r["_rn"]))]:
@@ -178,8 +302,12 @@ def kth_smallest_by(
     ranks,
     *,
     buckets: int = 1024,
-    max_rows_exact: int = 65536,
+    max_rows_exact: int = 1 << 20,
     weight_col: "str | None" = None,
+    max_groups: int = 65536,
+    stats: "dict[tuple, tuple] | None" = None,
+    return_stats: bool = False,
+    cache: bool = True,
 ) -> "tuple[dict[tuple, dict[int, object]], dict[tuple, int]]":
     """Exact per-group k-th smallest values via keyed bucketed
     selection. Returns ``(values, counts)``: ``values[group][k]`` is
@@ -208,10 +336,37 @@ def kth_smallest_by(
 
     One (min, max, count) aggregate keyed by group, then per level
     ONE job: tag rows with their pending range (literal filter for a
-    single range — parquet-pushable; bounding-box prefilter + a
-    broadcast range join otherwise), bucket map-side, aggregate
-    (range, bucket) → (count, weight, min, max). See module docstring
-    for depth/driver-state bounds and the few-hot-groups argument.
+    single range — parquet-pushable; a chained literal CASE WHEN for
+    few disjoint ranges; bounding-box prefilter + a broadcast range
+    join otherwise), bucket map-side, aggregate (range, bucket) →
+    (count, weight, min, max). See module docstring for depth/driver-
+    state bounds and the few-hot-groups argument.
+
+    ``max_groups`` bounds the driver state the grouped descent holds
+    (O(|groups| · buckets) histogram rows per level, |groups| stats
+    rows up front — r7 verdict): the stats aggregate collects at most
+    ``max_groups + 1`` rows and raises an actionable ``ValueError``
+    beyond it, BEFORE any unbounded collect. When |groups| is genuinely
+    large, every group is small by pigeonhole and the plain per-group
+    window (``row_number().over(Window.partitionBy(key).orderBy(col))``)
+    is the right plan — this primitive exists for FEW HOT groups.
+
+    ``stats`` skips the (min, max, count) job with caller-supplied
+    per-group ``(lo, hi, n)`` (or ``(lo, hi, n, nrows)``; weighted
+    descents require the 4-tuple since n is then Σw, not rows): bounds
+    need only CONTAIN the group's values (loose bounds cost bucket
+    resolution, never correctness — per-bucket min/max re-tighten at
+    the first histogram), but ``n``/``nrows`` must be exact. This is
+    the stacked-descent fast path: a second descent over a derived
+    column (e.g. MAD's |v − median|) whose count equals the first's
+    and whose bounds follow arithmetically skips one full-scan job.
+    ``return_stats=True`` returns ``(values, counts, stats)`` so the
+    first descent can hand its stats to the second.
+
+    ``cache=True`` (default) persists the projected (group, value[,
+    weight]) rows for the descent's lifetime (MEMORY_AND_DISK,
+    unpersisted before returning) — the stats, histogram, and resolve
+    jobs scan the source once instead of once per job.
     """
     gcols_in = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
@@ -234,24 +389,73 @@ def kth_smallest_by(
         vals = vals.where(~F.isnan("_v"))
     if weighted:
         vals = vals.where(F.col("_w").isNotNull() & (F.col("_w") > 0))
-    wagg = F.sum("_w") if weighted else F.count(F.lit(1))
-    st = (
-        vals.groupBy(*gcols)
-        .agg(
-            F.min("_v").alias("lo"),
-            F.max("_v").alias("hi"),
-            F.count(F.lit(1)).alias("rows"),
-            wagg.alias("n"),
+    if cache:
+        from pyspark import StorageLevel
+
+        vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _descend(
+            vals, gcols, gfields, vtype, spark, ranks, col,
+            buckets=buckets, max_rows_exact=max_rows_exact,
+            weighted=weighted, max_groups=max_groups,
+            stats_in=stats, return_stats=return_stats,
         )
-        .collect()
-    )
-    stats = {
-        tuple(r[g] for g in gcols): (r["lo"], r["hi"], int(r["n"]), int(r["rows"]))
-        for r in st
-    }
-    counts = {g: n for g, (_, _, n, _) in stats.items()}
+    finally:
+        if cache:
+            vals.unpersist(blocking=False)
+
+
+def _descend(
+    vals, gcols, gfields, vtype, spark, ranks, col, *,
+    buckets, max_rows_exact, weighted, max_groups, stats_in, return_stats,
+):
+    wagg = F.sum("_w") if weighted else F.count(F.lit(1))
+    if stats_in is not None:
+        gstats = {}
+        for g, tup in stats_in.items():
+            if len(tup) == 3:
+                if weighted:
+                    raise ValueError(
+                        "kth_smallest_by: weighted descents need "
+                        "stats 4-tuples (lo, hi, n, nrows) — n is Σw"
+                    )
+                lo, hi, n = tup
+                gstats[tuple(g)] = (lo, hi, int(n), int(n))
+            else:
+                lo, hi, n, nrows = tup
+                gstats[tuple(g)] = (lo, hi, int(n), int(nrows))
+    else:
+        st = (
+            vals.groupBy(*gcols)
+            .agg(
+                F.min("_v").alias("lo"),
+                F.max("_v").alias("hi"),
+                F.count(F.lit(1)).alias("rows"),
+                wagg.alias("n"),
+            )
+            .limit(max_groups + 1)
+            .collect()
+        )
+        if len(st) > max_groups:
+            raise ValueError(
+                f"kth_smallest_by: more than max_groups={max_groups} "
+                f"distinct groups in {gcols!r} — the grouped descent "
+                "holds O(|groups|·buckets) driver rows per level and "
+                "targets FEW HOT groups. At this cardinality every "
+                "group is small by pigeonhole: use the per-group "
+                "window plan instead (row_number().over("
+                "Window.partitionBy(key).orderBy(col))), or raise "
+                "max_groups= explicitly if the driver can hold it."
+            )
+        gstats = {
+            tuple(r[g] for g in gcols): (
+                r["lo"], r["hi"], int(r["n"]), int(r["rows"])
+            )
+            for r in st
+        }
+    counts = {g: n for g, (_, _, n, _) in gstats.items()}
     if not callable(ranks):
-        missing = set(ranks) - set(stats)
+        missing = set(ranks) - set(gstats)
         if missing:
             raise ValueError(
                 f"kth_smallest_by: groups {sorted(missing)!r} have no "
@@ -262,7 +466,7 @@ def kth_smallest_by(
     # weighted], rows-in-range, cap) — refinement/resolve bounds are
     # ROW counts regardless of weighting (memory is rows)
     pending = []
-    for g, (lo, hi, n, nrows) in stats.items():
+    for g, (lo, hi, n, nrows) in gstats.items():
         ks = ranks(n) if callable(ranks) else ranks.get(g)
         if not ks:
             continue
@@ -335,6 +539,8 @@ def kth_smallest_by(
                     pending.append((g, k, blo, bhi, rank - acc, c, cap))
                     break
                 acc += ws
+    if return_stats:
+        return out, counts, gstats
     return out, counts
 
 
@@ -344,7 +550,7 @@ def kth_smallest(
     ks: "list[int]",
     *,
     buckets: int = 1024,
-    max_rows_exact: int = 65536,
+    max_rows_exact: int = 1 << 20,
 ) -> "dict[int, float]":
     """Exact k-th smallest values (1-based ranks over non-null,
     non-NaN rows) for every k in ``ks``, as ``{k: value}`` — the
@@ -358,7 +564,7 @@ def kth_smallest(
 
 
 def exact_median(
-    df: DataFrame, col: str, *, buckets: int = 1024, max_rows_exact: int = 65536
+    df: DataFrame, col: str, *, buckets: int = 1024, max_rows_exact: int = 1 << 20
 ) -> "tuple[int, float]":
     """Exact interpolated median (``quantile_cont(0.5)`` semantics:
     even n averages the two middle order statistics) without a global
@@ -387,7 +593,7 @@ def exact_median_by(
     col: str,
     *,
     buckets: int = 1024,
-    max_rows_exact: int = 65536,
+    max_rows_exact: int = 1 << 20,
 ) -> "dict[tuple, tuple[int, float]]":
     """Per-group exact interpolated medians: ``{group_tuple: (n,
     median)}`` — one grouped bucketed selection, no per-group sort,
@@ -415,7 +621,7 @@ def equi_depth_boundaries_by(
     n_bins: int,
     *,
     buckets: int = 1024,
-    max_rows_exact: int = 65536,
+    max_rows_exact: int = 1 << 20,
     weight_col: "str | None" = None,
 ) -> "dict[tuple, list]":
     """Per-group exact equi-depth boundaries: for each group, the
@@ -447,7 +653,7 @@ def equi_depth_boundaries(
     n_bins: int,
     *,
     buckets: int = 1024,
-    max_rows_exact: int = 65536,
+    max_rows_exact: int = 1 << 20,
 ) -> "list[float]":
     """Exact equi-depth bin boundaries: the order statistics at ranks
     ``floor(n·i/n_bins)`` for i = 1..n_bins-1 (n_bins-1 values,

@@ -1234,17 +1234,27 @@ def events_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     not rank-based, so the cut is deterministic), and the mean is an
     integer fixed-point sum (``Σ floor(v·10⁶)`` as BIGINT — order-
     independent, oracle-hashable) divided by the kept count."""
-    from ..operators.orderstats import kth_smallest
+    from ..operators.orderstats import kth_smallest_by
 
     ev = table(spark, sf_dir, "events", access="scan")
     v = ev.where(F.col("value").isNotNull())
-    n = v.count()
     import math
 
+    # callable ranks: the descent's own (min, max, count) aggregate
+    # supplies n — no separate count job (r8)
+    vals, counts = kth_smallest_by(
+        v,
+        (),
+        "value",
+        lambda n: {
+            max(int(math.ceil(n * 0.05)), 1),
+            max(int(math.floor(n * 0.95)), 1),
+        },
+    )
+    n = counts[()]
     k_lo = max(int(math.ceil(n * 0.05)), 1)
     k_hi = max(int(math.floor(n * 0.95)), 1)
-    got = kth_smallest(v, "value", sorted({k_lo, k_hi}))
-    lo, hi = got[k_lo], got[k_hi]
+    lo, hi = vals[()][k_lo], vals[()][k_hi]
     kept = v.where((F.col("value") >= F.lit(lo)) & (F.col("value") <= F.lit(hi)))
     return kept.agg(
         F.lit(n).cast("bigint").alias("n_total"),
@@ -1406,14 +1416,21 @@ def events_value_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed selection (integer-arithmetic ranks), the clamp is a
     map-side ``least(greatest(...))``, and the mean is an
     order-independent fixed-point integer sum over ALL rows."""
-    from ..operators.orderstats import kth_smallest
+    from ..operators.orderstats import kth_smallest_by
 
     ev = table(spark, sf_dir, "events", access="scan")
     v = ev.where(F.col("value").isNotNull())
-    n = v.count()
+    # callable ranks: the descent's stats aggregate supplies n — no
+    # separate count job (r8)
+    vals, counts = kth_smallest_by(
+        v,
+        (),
+        "value",
+        lambda n: {max((n * 5 + 99) // 100, 1), max((n * 95) // 100, 1)},
+    )
+    n = counts[()]
     k_lo, k_hi = max((n * 5 + 99) // 100, 1), max((n * 95) // 100, 1)
-    got = kth_smallest(v, "value", sorted({k_lo, k_hi}))
-    lo, hi = got[k_lo], got[k_hi]
+    lo, hi = vals[()][k_lo], vals[()][k_hi]
     clamped = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
     return v.agg(
         F.lit(n).cast("bigint").alias("n"),
@@ -1465,11 +1482,18 @@ def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile window can't do at scale — no group is ever sorted,
     twice. Deviations are scalar IEEE ops on identical operands, so
     the second selection's input is bit-identical cross-engine."""
-    from ..operators.orderstats import exact_median_by
+    from ..operators.orderstats import kth_smallest_by
 
     ev = table(spark, sf_dir, "events", access="scan")
     v = ev.where(F.col("value").isNotNull())
-    meds = exact_median_by(v, "event_type", "value")
+    mid = lambda n: {(n + 1) // 2, n // 2 + 1}  # noqa: E731
+    got, counts, st = kth_smallest_by(
+        v, "event_type", "value", mid, return_stats=True
+    )
+    meds = {}
+    for g, n in counts.items():
+        k1, k2 = (n + 1) // 2, n // 2 + 1
+        meds[g] = (n, (float(got[g][k1]) + float(got[g][k2])) / 2.0)
     meddf = spark.createDataFrame(
         [(g[0], n, med) for g, (n, med) in meds.items()],
         "event_type string, n bigint, median_value double",
@@ -1479,7 +1503,20 @@ def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", F.abs(F.col("value") - F.col("median_value")).alias("dev")
     )
-    mads = exact_median_by(dev, "event_type", "dev")
+    # second descent reuses the first's stats arithmetically (r8):
+    # |v − med| is bounded by [0, max(hi − med, med − lo)] and has the
+    # same row count — no second (min, max, count) full-scan job.
+    dev_stats = {
+        g: (0.0, max(hi - meds[g][1], meds[g][1] - lo), n)
+        for g, (lo, hi, n, _) in st.items()
+    }
+    dgot, dcounts = kth_smallest_by(
+        dev, "event_type", "dev", mid, stats=dev_stats
+    )
+    mads = {}
+    for g, n in dcounts.items():
+        k1, k2 = (n + 1) // 2, n // 2 + 1
+        mads[g] = (n, (float(dgot[g][k1]) + float(dgot[g][k2])) / 2.0)
     return spark.createDataFrame(
         [
             (g[0], meds[g][0], meds[g][1], mads[g][1])

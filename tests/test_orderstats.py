@@ -248,3 +248,73 @@ def test_kth_smallest_decimal_column(spark):
     s = sorted(r[0] for r in rows)
     got = kth_smallest(df, "x", [1, 150, 300], buckets=8, max_rows_exact=16)
     assert got == {1: s[0], 150: s[149], 300: s[299]}
+
+
+def test_max_groups_guard_fires_before_driver_collect(spark):
+    """Planted high-cardinality key: the guard must raise an
+    actionable error naming the per-group-window fallback instead of
+    collecting O(|groups|) driver rows (r7 verdict)."""
+    df = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("g"), (F.col("id") % 7).alias("x")
+    )
+    try:
+        kth_smallest_by(df, "g", "x", lambda n: [1], max_groups=100)
+        raise AssertionError("expected ValueError from max_groups guard")
+    except ValueError as e:
+        assert "max_groups" in str(e) and "window" in str(e)
+    # raising the bound explicitly still works
+    vals, counts = kth_smallest_by(df, "g", "x", lambda n: [1], max_groups=2000)
+    assert len(counts) == 2000
+
+
+def test_precomputed_stats_and_return_stats(spark):
+    """stats= skips the aggregate job; loose bounds must not change
+    the answer (per-bucket min/max re-tighten at the first histogram);
+    return_stats hands back the exact (lo, hi, n, nrows) table."""
+    rng = random.Random(41)
+    rows = [(f"g{i % 3}", rng.randint(10, 10**6)) for i in range(600)]
+    df = _gdf(spark, rows)
+    vals0, counts0, st = kth_smallest_by(
+        df, "g", "x", lambda n: {(n + 1) // 2}, return_stats=True
+    )
+    for g, (lo, hi, n, nrows) in st.items():
+        s = sorted(x for gg, x in rows if (gg,) == g)
+        assert (lo, hi, n, nrows) == (s[0], s[-1], len(s), len(s))
+    # exact stats reproduce; loose bounds reproduce too
+    vals1, _ = kth_smallest_by(df, "g", "x", lambda n: {(n + 1) // 2}, stats=st)
+    loose = {g: (0, 2 * 10**6, n) for g, (_, _, n, _) in st.items()}
+    vals2, _ = kth_smallest_by(
+        df, "g", "x", lambda n: {(n + 1) // 2}, stats=loose,
+        buckets=8, max_rows_exact=16,
+    )
+    assert vals1 == vals0 and vals2 == vals0
+    # weighted descents reject 3-tuples (n is Σw there, not rows)
+    dfw = df.withColumn("w", F.lit(2))
+    try:
+        kth_smallest_by(
+            dfw, "g", "x", lambda n: {1}, weight_col="w", stats=loose
+        )
+        raise AssertionError("expected ValueError for weighted 3-tuple stats")
+    except ValueError as e:
+        assert "4-tuple" in str(e)
+
+
+def test_weighted_wide_row_spans_multiple_ranks(spark):
+    """One heavy row whose cumulative-weight span contains SEVERAL
+    requested ranks: the literal pick path (explode over the wanted-
+    rank array) must emit one hit per rank, like the join would."""
+    rows = [(1, 1), (2, 100), (3, 1)]
+    df = spark.createDataFrame(rows, "x bigint, w bigint")
+    ks = [2, 50, 101]  # all inside row (2, w=100)'s span (2..101)
+    vals, counts = kth_smallest_by(df, (), "x", {(): ks}, weight_col="w")
+    assert counts[()] == 102
+    assert vals[()] == {2: 2, 50: 2, 101: 2}
+
+
+def test_cache_false_matches_cached(spark):
+    rng = random.Random(77)
+    rows = [(f"g{i % 2}", rng.randint(0, 999)) for i in range(200)]
+    df = _gdf(spark, rows)
+    a = kth_smallest_by(df, "g", "x", lambda n: {1, n}, cache=False)
+    b = kth_smallest_by(df, "g", "x", lambda n: {1, n}, cache=True)
+    assert a == b
