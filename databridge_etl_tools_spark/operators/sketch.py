@@ -333,7 +333,7 @@ def kmv_minhashes_by(
 
 
 def kmv_pair_overlap(
-    sketches: DataFrame, key: str, *, k: int = 64
+    sketches: DataFrame, key: str, *, k: int = 64, max_groups: int = 1024
 ) -> DataFrame:
     """Sketch SET ALGEBRA over grouped KMV sketches (Beyer et al.
     2007): for every unordered group pair, merge the two k-min sets,
@@ -351,8 +351,26 @@ def kmv_pair_overlap(
     Everything is k-row arithmetic per pair — comparing every group
     pair costs |pairs|·k rows TOTAL, where the exact answer pays an
     inverted-index join over the full value sets. Deterministic
-    (md5 hashes, integer memberships), so oracle-checkable."""
+    (md5 hashes, integer memberships), so oracle-checkable.
+
+    ``max_groups`` guards the QUADRATIC pair fan-out (|groups|²·k/2
+    rows — r7 verdict): a bounded ``limit`` probe over the sketch
+    table's distinct groups raises an actionable error before the
+    pair join. All-pairs overlap is a few-groups operation by design;
+    at large |groups| compare a chosen pair subset (filter the
+    sketches to the groups you care about, or join a pairs table of
+    candidates from LSH/blocking) instead of the full cross."""
     sk = sketches.select(F.col(key).alias("_g"), "hv")
+    n_groups = sk.select("_g").distinct().limit(max_groups + 1).count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"kmv_pair_overlap: more than max_groups={max_groups} "
+            f"distinct groups in {key!r} — the all-pairs overlap is "
+            "quadratic in |groups| (|pairs|·k rows). Compare a "
+            "candidate pair subset instead (filter the sketch table "
+            "to the groups of interest, or supply LSH/blocking "
+            "candidates), or raise max_groups= explicitly."
+        )
     ga = sk.select(F.col("_g").alias("ga")).distinct()
     gb = sk.select(F.col("_g").alias("gb")).distinct()
     pairs = ga.join(gb, F.col("ga") < F.col("gb"))
@@ -465,6 +483,7 @@ def heavy_hitters_by(
     col: str,
     *,
     denom: int = 500,
+    max_groups: int = 65536,
 ) -> DataFrame:
     """PER-GROUP exact φ-heavy hitters (φ = 1/``denom`` of each
     GROUP's rows) — :func:`heavy_hitters` with the Misra-Gries
@@ -480,7 +499,16 @@ def heavy_hitters_by(
     vocabulary the full (group, token) shuffle would move; at large
     |groups| every group is small (pigeonhole on rows) and the plain
     grouped count IS the cheap plan. Returns
-    ``(key..., item, n, n_group)``."""
+    ``(key..., item, n, n_group)``.
+
+    ``max_groups`` bounds the per-(partition, group) executor MG
+    state and the candidate broadcast (≤ partitions·|groups|·k rows
+    — r7 verdict): the per-group totals aggregate runs FIRST (it is
+    needed for the threshold test anyway) with a ``limit`` probe, and
+    raises an actionable error before the MG pass builds any executor
+    dict when the group key is too wide. At that cardinality every
+    group is small by pigeonhole and the plain (group, item) count
+    IS the cheap plan."""
     import pandas as pd
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -490,6 +518,23 @@ def heavy_hitters_by(
         F.col(col).cast("string").alias("_v"),
     ).where(F.col("_v").isNotNull())
     gcols = [f"_g{i}" for i in range(len(keys))]
+    from .materialize import materialize
+
+    totals = materialize(
+        vals.groupBy(*gcols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_group"))
+        .limit(max_groups + 1)
+    )
+    if totals.count() > max_groups:
+        raise ValueError(
+            f"heavy_hitters_by: more than max_groups={max_groups} "
+            f"distinct groups in {keys!r} — per-(partition, group) "
+            "Misra-Gries summaries and the candidate broadcast scale "
+            "with |groups|·k. At this cardinality every group is "
+            "small by pigeonhole: use the plain grouped count "
+            "(groupBy(key, col).count() + a per-group threshold "
+            "join), or raise max_groups= explicitly."
+        )
 
     def mg(batches):
         sums: dict = {}
@@ -506,13 +551,8 @@ def heavy_hitters_by(
         rows = [(*g, v) for g, d in sums.items() for v in d]
         yield pd.DataFrame(rows, columns=[*gcols, "_v"])
 
-    from .materialize import materialize
-
     schema = ", ".join(f"{c} string" for c in [*gcols, "_v"])
     cands = materialize(vals.mapInPandas(mg, schema).distinct())
-    totals = vals.groupBy(*gcols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_group")
-    )
     return (
         vals.join(F.broadcast(cands), [*gcols, "_v"], "left_semi")
         .groupBy(*gcols, "_v")
