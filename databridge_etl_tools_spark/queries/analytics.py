@@ -1445,6 +1445,83 @@ def events_value_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_winsorized_by_type",
+    oracle="""
+    WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    c AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+    o AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+          FROM v),
+    b AS (SELECT o.event_type,
+                 MAX(CASE WHEN o.rn = greatest((c.n * 5 + 99) // 100, 1)
+                     THEN o.value END) AS lo,
+                 MAX(CASE WHEN o.rn = greatest((c.n * 95) // 100, 1)
+                     THEN o.value END) AS hi
+          FROM o JOIN c ON o.event_type = c.event_type
+          GROUP BY 1)
+    SELECT v.event_type,
+           CAST(MAX(c.n) AS BIGINT) AS n,
+           MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+           CAST(SUM(CAST(floor(least(greatest(v.value, b.lo), b.hi) * 1000000)
+                    AS BIGINT)) AS DOUBLE)
+             / MAX(c.n) / 1000000 AS mean_winsorized
+    FROM v
+    JOIN c ON v.event_type = c.event_type
+    JOIN b ON v.event_type = b.event_type
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def events_value_winsorized_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SEGMENT winsorized means — the grouped sibling of
+    ``events_value_winsorized_mean``, completing the per-type robust
+    battery (median/MAD/trimmed/winsorized): both clamp thresholds
+    for EVERY type come from one grouped bucketed selection
+    (integer-arithmetic ranks — no float ceil boundary hazard), the
+    clamp is a map-side broadcast-join ``least(greatest(...))``, and
+    the mean is an order-independent fixed-point integer sum over ALL
+    rows (winsorize keeps n constant — the right robustification when
+    downstream weights assume every row contributes). No per-group
+    sort anywhere."""
+    from ..operators.orderstats import kth_smallest_by
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    v = ev.where(F.col("value").isNotNull())
+
+    def lo_rank(n: int) -> int:
+        return max((n * 5 + 99) // 100, 1)
+
+    def hi_rank(n: int) -> int:
+        return max((n * 95) // 100, 1)
+
+    vals, counts = kth_smallest_by(
+        v, "event_type", "value", lambda n: {lo_rank(n), hi_rank(n)}
+    )
+    thr = spark.createDataFrame(
+        [
+            (g[0], counts[g], vals[g][lo_rank(counts[g])], vals[g][hi_rank(counts[g])])
+            for g in counts
+        ],
+        "event_type string, _n bigint, _lo double, _hi double",
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    return (
+        v.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("_n").cast("bigint").alias("n"),
+            F.max("_lo").alias("lo"),
+            F.max("_hi").alias("hi"),
+            (
+                F.sum(F.floor(clamped * 1000000).cast("bigint")).cast("double")
+                / F.max("_n")
+                / F.lit(1000000)
+            ).alias("mean_winsorized"),
+        )
+    )
+
+
+@query(
     "events_value_mad_by_type",
     oracle="""
     WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),

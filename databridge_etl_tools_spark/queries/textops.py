@@ -798,6 +798,75 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_budget_shards_by_source",
+    oracle=f"""
+    WITH d AS (SELECT source, doc_id, len({_TOK}) AS n_tokens FROM documents),
+    w AS (SELECT source, doc_id, n_tokens FROM d WHERE n_tokens > 0),
+    tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS W
+            FROM w GROUP BY 1),
+    o AS (SELECT source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens
+                                     ROWS UNBOUNDED PRECEDING) AS cw
+          FROM w),
+    b AS (SELECT t.source, i.i,
+                 (SELECT MIN(o.n_tokens) FROM o
+                  WHERE o.source = t.source
+                    AND o.cw >= greatest((t.W * i.i) // 4, 1)) AS bval
+          FROM tot t, (SELECT unnest(range(1, 4)) AS i) i),
+    bins AS (SELECT w.source, w.doc_id, w.n_tokens,
+                    1 + SUM(CASE WHEN w.n_tokens > b.bval THEN 1 ELSE 0 END)
+                      AS shard
+             FROM w JOIN b ON w.source = b.source GROUP BY 1, 2, 3)
+    SELECT source, CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM bins GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def token_budget_shards_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE equal-token-budget sharding — the real mixing
+    primitive (r7 verdict #6): balanced length-range slices WITHIN
+    each source, so a mixture schedule can draw equal-token work
+    units per source without a long-doc shard dominating. All
+    boundaries for all sources come from ONE grouped WEIGHTED
+    bucketed-selection descent (``equi_depth_boundaries_by(
+    weight_col=)``: histograms locate ranks by per-bucket token sums,
+    ranks run over 1..W_source); assignment is the map-side
+    value-threshold bin against a broadcast 3-boundary array per
+    source. No per-source sort; tie blocks land whole (the residual
+    token imbalance is exactly the tie mass). Grouped sibling of the
+    global ``token_budget_shards``."""
+    from ..operators.orderstats import equi_depth_boundaries_by
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    lens = docs.select("source", TS.token_count("text").alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    bnds = equi_depth_boundaries_by(
+        lens, "source", "n_tokens", 4, weight_col="n_tokens"
+    )
+    bounds = spark.createDataFrame(
+        [(g[0], [int(b) for b in bs]) for g, bs in bnds.items()],
+        "source string, _b array<bigint>",
+    )
+
+    def _above(acc, x):
+        return acc + F.when(F.col("n_tokens") > x, 1).otherwise(0)
+
+    shard = F.lit(1) + F.aggregate(F.col("_b"), F.lit(0), _above)
+    return (
+        lens.join(F.broadcast(bounds), "source")
+        .select("source", shard.cast("int").alias("shard"), "n_tokens")
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+@query(
     "source_vocab_overlap_sketch",
     oracle=f"""
     WITH tok AS (SELECT DISTINCT source, unnest({_TOK}) AS token FROM documents),
