@@ -546,6 +546,129 @@ def cosine_topk_vectorized(
     )
 
 
+def dot_topk_vectorized(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int = 8,
+    scale_bits: int = 20,
+    max_query_rows: int = 65536,
+) -> DataFrame:
+    """EXACT vectorized top-k by QUANTIZED dot product — the
+    oracle-checkable sibling of :func:`cosine_topk_vectorized`
+    (r7 verdict #5: shrink the rows-only tier).
+
+    Two determinism moves make a GEMM-powered retrieval score
+    hash-reproducible by a plain SQL engine:
+
+    - **integer fixed-point scoring**: each coordinate quantizes
+      JVM-side to ``floor(double(x) · 2^scale_bits)`` (float32 →
+      double is exact; one double multiply + floor — identical IEEE
+      ops on identical operands in any engine), and the score is the
+      INT64 dot product of the quantized vectors. numpy integer
+      matmul never touches BLAS — it is exact 64-bit arithmetic, so
+      unlike the float GEMM there is no sum-reassociation drift.
+      Overflow headroom: |q| ≤ 2^20 ⇒ |Σ| ≤ d·2^40 — safe for
+      d ≤ 2^22.
+    - **hash sharding instead of k-means cells**: candidates shard by
+      ``pmod(xxhash64(id), n_shards)`` (deterministic, SQL-free of
+      iterative fixpoints), queries replicate to every shard, each
+      cogrouped task GEMMs one query-block × candidate-shard and
+      emits its LOCAL top-k, and a bounded global window (per query:
+      n_shards·k rows) merges. Exact brute-force result by
+      construction — sharding is plumbing, not semantics.
+
+    At scale: per-task memory is one shard of candidates + the query
+    block; the query side is replicated n_shards×, which is why
+    ``max_query_rows`` guards self-mode like :func:`cosine_topk` —
+    brute force is for bounded query sets; unbounded self-joins
+    belong to the LSH/IVF paths. Ties break on neighbor id.
+    Returns ``(query_id, neighbor_id, score, rank)``; ``score`` is
+    the raw int64 fixed-point dot product (monotone in the double
+    dot product up to quantization)."""
+    import numpy as np
+    import pandas as pd
+
+    q = emb.where(query_pred) if query_pred is not None else emb
+    n_q = q.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"dot_topk_vectorized: {n_q} query rows exceed "
+            f"max_query_rows={max_query_rows}. Brute-force scoring "
+            "replicates the query block to every candidate shard — "
+            "use a query subset (query_pred=), or the LSH/IVF paths "
+            "for corpus-scale self-mode; see SCALE.md."
+        )
+    scale = float(1 << scale_bits)
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    qsel = q.select(
+        F.explode(F.array(*[F.lit(i) for i in range(n_shards)])).alias("_qs"),
+        F.col(id_col).alias("_qid"),
+        quant.alias("_qv"),
+    )
+    csel = emb.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("_cs"),
+        F.col(id_col).alias("_cid"),
+        quant.alias("_cv"),
+    )
+
+    def topk_shard(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="int64"),
+                }
+            )
+        ids = np.asarray(cpdf["_cid"].values, dtype=np.int64)
+        mat = np.vstack(cpdf["_cv"].values).astype(np.int64)
+        qm = np.vstack(qpdf["_qv"].values).astype(np.int64)
+        scores = qm @ mat.T  # exact int64 — no BLAS, no reassociation
+        out = []
+        for row_i, qid in enumerate(qpdf["_qid"].values):
+            s = scores[row_i]
+            mask = ids != qid
+            # local top-k by (score desc, id asc); lexsort is stable
+            order = np.lexsort((ids, -s))
+            rank = 0
+            for j in order:
+                if not mask[j]:
+                    continue
+                rank += 1
+                if rank > k:
+                    break
+                out.append((int(qid), int(ids[j]), int(s[j])))
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "score"]
+        )
+
+    from pyspark.sql import Window
+
+    local = (
+        qsel.groupBy("_qs")
+        .cogroup(csel.groupBy("_cs"))
+        .applyInPandas(
+            topk_shard, "query_id bigint, neighbor_id bigint, score bigint"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.9,

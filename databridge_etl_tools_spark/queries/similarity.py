@@ -147,17 +147,47 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_topk_vectorized")  # no oracle: BLAS sum order ≠ fold (rows-only check)
+@query(
+    "ann_topk_vectorized",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0)
+                                  AS BIGINT)) AS q
+               FROM embeddings),
+    qs AS (SELECT vec_id, q FROM e WHERE vec_id % 50 = 0),
+    pr AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  qs.q AS qa, c.q AS qb
+           FROM qs JOIN e c ON c.vec_id <> qs.vec_id),
+    sc AS (SELECT query_id, neighbor_id,
+                  CAST(SUM(qa[i] * qb[i]) AS BIGINT) AS score
+           FROM pr, unnest(range(1, len(qa) + 1)) AS t(i)
+           GROUP BY 1, 2),
+    r AS (SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM sc)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    gate=False,
+)
 def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput ANN: IVF-cell-sharded numpy GEMM via cogrouped
-    applyInPandas — the vectorized twin of ann_ivf_kmeans (same
-    deterministic k-means cells, k=8/3 iters). Nothing is collected
-    to the driver; each task multiplies one cell's query block against
-    that cell's candidate block. Checked rows-only because BLAS
-    reassociates the float sums."""
+    """Throughput retrieval: hash-sharded numpy GEMM via cogrouped
+    applyInPandas, EXACT and oracle-checked (promoted from rows-only,
+    r7 verdict #5). The float-GEMM/IVF-cell variant
+    (``cosine_topk_vectorized``) stays the recall-tunable scale path;
+    this is its determinism-hardened sibling: coordinates quantize to
+    int64 fixed point (floor(double(x)·2²⁰) — float32→double exact,
+    one IEEE multiply + floor), candidates shard by xxhash64, each
+    task GEMMs one query-block × candidate-shard with numpy INTEGER
+    matmul (no BLAS, no sum reassociation — bit-exact), local top-k
+    per shard, and a bounded per-query window (n_shards·k rows) merges
+    the exact global answer. Nothing reaches the driver; the DuckDB
+    twin reproduces every score with a plain positional-sum join."""
     emb = table(spark, sf_dir, "embeddings")
-    return SIM.cosine_topk_vectorized(
-        emb, k=5, query_pred=F.col("vec_id") % 50 == 0, n_cells=8, iters=3
+    return SIM.dot_topk_vectorized(
+        emb, k=5, query_pred=F.col("vec_id") % 50 == 0, n_shards=8
     )
 
 

@@ -74,3 +74,41 @@ def test_matches_pure_python_twin(spark):
             assert got[vid].max_cos_kept == pytest.approx(mc, abs=1e-9)
             if expect_keep:
                 kept.append(vn)
+
+
+def test_dot_topk_vectorized_matches_numpy_twin_and_guard(spark):
+    """Quantized int64 GEMM top-k == exhaustive numpy twin (exact by
+    construction — hash sharding is plumbing); self-mode guard fires."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark.operators.similarity import (
+        dot_topk_vectorized,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.uniform(-1, 1, size=(60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in dot_topk_vectorized(
+            df, k=3, query_pred=F.col("vec_id") % 20 == 0, n_shards=4
+        ).collect()
+    }
+    q64 = np.floor(vecs.astype(np.float64) * (1 << 20)).astype(np.int64)
+    for qid in (0, 20, 40):
+        scores = q64 @ q64[qid]
+        order = sorted(
+            (int(i) for i in range(60) if i != qid),
+            key=lambda i: (-int(scores[i]), i),
+        )
+        for rank, nid in enumerate(order[:3], 1):
+            assert got[(qid, rank)] == (nid, int(scores[nid]))
+    try:
+        dot_topk_vectorized(df, k=3, max_query_rows=10)
+        raise AssertionError("expected ValueError from max_query_rows guard")
+    except ValueError as e:
+        assert "max_query_rows" in str(e)
