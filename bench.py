@@ -118,6 +118,11 @@ HEADLINE = [
     "source_vocab_overlap_sketch",
     "max_concurrent_sessions",
     "text_heavy_hitters_by_lang",
+    # round 8: descent-optimization tracking (grouped winsorize,
+    # per-source token shards), the promoted quantized exact GEMM
+    "events_value_winsorized_by_type",
+    "token_budget_shards_by_source",
+    "ann_topk_vectorized",
 ]
 
 
@@ -209,7 +214,13 @@ def main() -> None:
         "sf": sf,
         "sentinel_sec": round(min(sent_before, sent_after), 3),
     }
-    print(json.dumps(out))
+    # Stop Spark BEFORE emitting so no JVM shutdown chatter lands
+    # after the JSON; the dict must be the LAST stdout line and
+    # arrive whole even under a tail-capture (r7: the driver's
+    # capture recorded only 62 of 78 queries).
+    spark.stop()
+    sys.stderr.flush()
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

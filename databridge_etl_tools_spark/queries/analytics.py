@@ -1167,6 +1167,64 @@ def events_percentrank_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_daily_delta_trend",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS micros
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    l AS (SELECT event_type, day, micros,
+                 lag(micros) OVER (PARTITION BY event_type ORDER BY day)
+                   AS prev
+          FROM d)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(micros) AS BIGINT) AS total_micros,
+           CAST(MAX(micros - prev) AS BIGINT) AS max_rise_micros,
+           CAST(MIN(micros - prev) AS BIGINT) AS max_drop_micros,
+           CAST(SUM(CASE WHEN micros > prev THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_up_days
+    FROM l GROUP BY 1
+    """,
+    gate=False,
+)
+def events_daily_delta_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta profile per event type (largest single-day
+    rise/drop, up-day count) — change detection done SCALE-SAFE: the
+    corpus aggregates FIRST to bounded (type, day) fixed-point daily
+    sums (one map-side-combinable shuffle), and the lag window runs
+    over that bounded summary only (|types|·|days| rows — never the
+    raw corpus; the naive per-type window over raw events is the
+    hot-key sort this family always avoids). Deltas and extrema are
+    exact integer arithmetic — oracle-hashable."""
+    ev = table(spark, sf_dir, "events", access="scan")
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("micros")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.withColumn("prev", F.lag("micros").over(w))
+    return l.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("micros").cast("bigint").alias("total_micros"),
+        F.max(F.col("micros") - F.col("prev")).cast("bigint").alias(
+            "max_rise_micros"
+        ),
+        F.min(F.col("micros") - F.col("prev")).cast("bigint").alias(
+            "max_drop_micros"
+        ),
+        F.sum(F.when(F.col("micros") > F.col("prev"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up_days"),
+    )
+
+
+@query(
     "grouping_sets_orders",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,

@@ -798,6 +798,119 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "epoch_shuffle_shards",
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      CAST('0x'||substr(md5('shuf:'||CAST(doc_id AS VARCHAR)),
+                                        1, 8) AS BIGINT) AS hv
+               FROM documents),
+    p AS (SELECT doc_id, hv,
+                 hv % 16 AS shard,
+                 row_number() OVER (PARTITION BY hv % 16
+                                    ORDER BY hv, doc_id) AS pos
+          FROM h)
+    SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           CAST(pos AS BIGINT) AS pos,
+           CAST((pos - 1) * 16 + shard + 1 AS BIGINT) AS global_pos
+    FROM p
+    """,
+    gate=False,
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC epoch shuffle — the global pseudorandom
+    permutation a pretraining data loader needs, WITHOUT a global
+    sort: each document hashes to a shard (md5-prefix — seedable,
+    engine-reproducible), takes its in-shard position from a
+    SHARD-LOCAL window (shards sort independently — n_shards is the
+    parallelism/scale knob: size it so one shard ≈ one task, e.g.
+    2²⁰ docs/shard at corpus scale), and the round-robin interleave
+    ``(pos−1)·n_shards + shard + 1`` composes a full deterministic
+    permutation of 1..N (shards are balanced ±hash variance; readers
+    stream shard files in interleave order). No Exchange
+    SinglePartition anywhere; re-running any subset of shards
+    reproduces identical positions — what makes the shuffle
+    RESUMABLE, unlike rand()-ordered sorts."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = docs.select("doc_id", hv.alias("hv"), (hv % 16).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    pos = F.row_number().over(w).cast("bigint")
+    return h.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        pos.alias("pos"),
+        ((pos - 1) * 16 + F.col("shard") + 1).cast("bigint").alias("global_pos"),
+    )
+
+
+@query(
+    "tokenizer_fertility_by_source",
+    oracle=f"""
+    WITH d AS (SELECT source, length(text) AS n_chars,
+                      octet_length(CAST(text AS BLOB)) AS n_bytes,
+                      len({_TOK}) AS n_tokens
+               FROM documents WHERE text IS NOT NULL),
+    a AS (SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                 CAST(SUM(n_bytes) AS BIGINT) AS n_bytes
+          FROM d GROUP BY 1)
+    SELECT source, n_docs, n_tokens, n_chars, n_bytes,
+           CAST((n_chars * 1000000) // n_tokens AS BIGINT)
+             AS chars_per_token_micros,
+           CAST((n_tokens * 1000000) // n_docs AS BIGINT)
+             AS tokens_per_doc_micros
+    FROM a
+    """,
+    gate=False,
+)
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source — chars-per-token and
+    tokens-per-doc (the compression/fertility numbers that size a
+    token budget from raw bytes, and flag sources whose scripts the
+    tokenizer fragments). Pure JVM scan-agg (whitespace tokens via
+    the shared ``_TOK`` recipe, byte lengths via octet_length);
+    ratios in exact integer fixed point (``DIV`` — no float
+    division, no rounding divergence). One shuffle of |sources|
+    partial aggregates."""
+    docs = table(spark, sf_dir, "documents", access="scan")
+    d = docs.where(F.col("text").isNotNull()).select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.octet_length("text").alias("n_bytes"),
+        TS.token_count("text").alias("n_tokens"),
+    )
+    a = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+    return a.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        F.expr("CAST((n_chars * 1000000) DIV n_tokens AS BIGINT)").alias(
+            "chars_per_token_micros"
+        ),
+        F.expr("CAST((n_tokens * 1000000) DIV n_docs AS BIGINT)").alias(
+            "tokens_per_doc_micros"
+        ),
+    )
+
+
+@query(
     "token_budget_shards_by_source",
     oracle=f"""
     WITH d AS (SELECT source, doc_id, len({_TOK}) AS n_tokens FROM documents),
