@@ -1225,6 +1225,88 @@ def events_daily_delta_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS micros
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    i AS (SELECT event_type, day - DATE '1970-01-01' AS di, micros FROM d),
+    p AS (SELECT a.event_type,
+                 ((b.micros - a.micros) * 1000000) // (b.di - a.di) AS slope
+          FROM i a JOIN i b
+            ON a.event_type = b.event_type AND b.di > a.di),
+    c AS (SELECT event_type, COUNT(*) AS n FROM p GROUP BY 1),
+    o AS (SELECT event_type, slope,
+                 row_number() OVER (PARTITION BY event_type ORDER BY slope)
+                   AS rn
+          FROM p)
+    SELECT o.event_type, CAST(c.n AS BIGINT) AS n_pairs,
+           AVG(CAST(o.slope AS DOUBLE)) AS theil_sen_slope
+    FROM o JOIN c ON o.event_type = c.event_type
+    WHERE o.rn = (c.n + 1) // 2 OR o.rn = c.n // 2 + 1
+    GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise day-over-day slopes: the outlier-proof complement of the
+    OLS ``value_trend_by_type`` (one anomalous day cannot move it,
+    where it drags the least-squares line). Scale shape: the
+    QUADRATIC pair expansion runs over the BOUNDED (type, day) daily
+    fixed-point aggregate — |types|·C(|days|, 2) rows (≤ a few
+    thousand per year-type), never the raw corpus — and the median
+    window sorts only those pairs. Slopes are exact integer
+    micro-units per day (``DIV`` truncation matches DuckDB ``//``
+    even for negative rises); even pair counts average the two middle
+    slopes (≤ 2 doubles — commutative-safe)."""
+    ev = table(spark, sf_dir, "events", access="scan")
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("micros")
+        )
+    )
+    i = d.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("di"),
+        "micros",
+    )
+    a = i.alias("a")
+    b = i.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.di") > F.col("a.di")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr("((b.micros - a.micros) * 1000000) DIV (b.di - a.di)").alias(
+            "slope"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wc = Window.partitionBy("event_type")
+    o = p.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mid = o.where(
+        (F.col("rn") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rn") == F.expr("n DIV 2 + 1"))
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.avg(F.col("slope").cast("double")).alias("theil_sen_slope"),
+    )
+
+
+@query(
     "grouping_sets_orders",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,

@@ -75,87 +75,72 @@ DRIVER_GATE_WINDOW = 50
 #: registration so the per-query ``gate=`` default stays the stable
 #: tier and this overlay stays one auditable per-round edit.
 #:
-#: r7 cohort (recency-based; the r6 overlay — for the audit trail —
-#: was 6 round-6-built queries + 22 of the 42 r4-verified-once
-#: overflow queries IN, the 28 r5-verified stable queries OUT; its
-#: original comment miscounted that as 5 + 23, advisor r6 finding).
-#: This round the gate takes the 50 queries that have NEVER been
-#: driver-hash-verified or were last verified in r4:
-#:   - 30 never-verified: the 14 r6-built mirror-green queries
-#:     (corpus_curation_v4 … emb_nearest_centroid_eval) + the 16
-#:     r7-built (median_value_by_type, the grouped robust stats, the
-#:     rolling/running family, the two sketch audits promoted from
-#:     rows-only) — the r7 comment originally miscounted this as
-#:     25 = 14 + 11 (advisor r7 finding; set contents were correct);
-#:   - 20 r4-verified-once overflow returners (pii_scrub_contacts …
-#:     volume_shipping).
-#: All 28 r5-verified + 22 r6-verified stable queries park: the r7
-#: build produced 30 never-driver-verified queries, which with the
-#: 20 r4-verified-once returners fill the window exactly — the
-#: first all-rotated gate. Still queued after r7: the 4 r4-latest
-#: prepare/geometry overflow queries (geom_kind_census,
-#: prepare_cell_cleanup, prepare_header_normalize,
-#: tz_carto_midnight), then the r5-green stable cohort — r8.
+#: r8 cohort (recency-based; the r7 overlay — for the audit trail —
+#: was the first all-rotated gate: 30 never-verified (14 r6-built +
+#: 16 r7-built) + 20 r4-verified-once returners IN, all 28 r5- and 22
+#: r6-verified stable queries OUT; CORRECTNESS_r07 came back 50/50
+#: green, zero errs). This round the window takes the 50 queries with
+#: the highest re-verification priority:
+#:   - 7 r8-built, never driver-verified: the 6 new queries
+#:     (token_budget_shards_by_source, events_value_winsorized_by_type,
+#:     epoch_shuffle_shards, tokenizer_fertility_by_source,
+#:     events_daily_delta_trend, theil_sen_daily_trend) + the promoted
+#:     ann_topk_vectorized (oracle-backed as of r8);
+#:   - 2 r7-built, never driver-verified (built after the r7 gate
+#:     filled): max_concurrent_sessions, text_heavy_hitters_by_lang;
+#:   - 4 last-verified-r4 overflow returners: geom_kind_census,
+#:     prepare_cell_cleanup, prepare_header_normalize, tz_carto_midnight;
+#:   - 37 of the 50-query last-verified-r5 cohort, lowest green-count
+#:     first: all 22 verified exactly once (corpus_curation_v3 …
+#:     vocab_growth_curve) + the first 15 (alphabetical) of the 27
+#:     three-times-green (above_customer_average … pivot_priority_status
+#:     — these are stable-tier defaults, so they need no IN entry).
+#: OUT parks the 22 r6-verified stable queries + the 13 remaining
+#: r5-verified ones (12 three-times-green + dedup_simhash_pairs,
+#: four-times-green) — all r7-gate queries are late-registered
+#: (gate=False defaults) and park automatically. Still queued after
+#: r8: those 13 r5 returners + whatever r9 builds.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        # -- never driver-verified: built in r6 (mirror-green) --
-        "corpus_curation_v4",
-        "dedup_internal_cleaned",
-        "dedup_internal_spans",
-        "dedup_minhash_estimate_quality",
-        "dsir_importance_select",
-        "emb_label_centroids",
-        "emb_nearest_centroid_eval",
-        "events_percentrank_by_type",
-        "events_value_trimmed_mean",
-        "features_hashing_trick",
-        "grouping_sets_orders",
-        "sample_bottomk_documents",
-        "text_heavy_hitters",
-        "text_skipgram_pmi",
-        # -- never driver-verified: built/promoted in r7 --
-        "approx_sketches",
-        "events_rolling_active_users",
-        "events_running_total",
-        "events_value_mad_by_type",
-        "events_value_trimmed_mean_by_type",
-        "events_value_winsorized_mean",
-        "length_deciles_by_source",
-        "median_value_by_type",
-        "sketch_bucketmin_daily_users",
-        "sketch_rolling_active_users",
-        "sketch_vocabulary_report",
-        "token_weighted_median_length",
-        "token_budget_shards",
-        "sketch_hll_rolling_users",
-        "value_trend_by_type",
-        "source_vocab_overlap_sketch",
-        # -- r4-verified-once overflow returners --
-        "pii_scrub_contacts",
-        "profit_by_nation_year",
-        "promo_revenue_share",
-        "quality_gopher_rules",
-        "returned_item_report",
-        "sample_split_documents",
-        "scd2_customer_history",
-        "session_funnel",
-        "small_quantity_revenue",
-        "source_capped_topn",
-        "source_segment_overlap",
-        "supplier_part_census",
-        "text_bm25_topk",
-        "text_rare_token_ratio",
-        "text_repetition_stats",
-        "top_supplier",
-        "user_daily_features",
-        "user_event_sequences",
-        "vocab_encode_documents",
-        "volume_shipping",
+        "ann_topk_vectorized",
+        "corpus_curation_v3",
+        "dedup_keep_best",
+        "dedup_shared_spans",
+        "dedup_spans_removed",
+        "doc_gram_novelty",
+        "emb_standardize_dims",
+        "epoch_shuffle_shards",
+        "events_daily_delta_trend",
+        "events_trending_types",
+        "events_value_winsorized_by_type",
+        "geom_kind_census",
+        "gram_duplication_census",
+        "length_percentile_filter",
+        "max_concurrent_sessions",
+        "paired_text_embedding",
+        "prepare_cell_cleanup",
+        "prepare_header_normalize",
+        "reranker_training_triplets",
+        "sample_weighted_length",
+        "scd2_point_in_time",
+        "sketch_countmin_topk",
+        "text_clean_normalize",
+        "text_heavy_hitters_by_lang",
+        "text_keywords_tfidf",
+        "text_lm_bigram_score",
+        "text_pmi_collocations",
+        "theil_sen_daily_trend",
+        "token_budget_shards_by_source",
+        "tokenizer_fertility_by_source",
+        "tz_carto_midnight",
+        "user_activity_anomalies",
+        "user_activity_anomalies_mad",
+        "user_retention_cohorts",
+        "vocab_growth_curve",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
-        # parked: driver-hash-green in r6
         "ann_cosine_topk",
         "ann_ivf_label",
         "asof_purchase_last_view",
@@ -164,6 +149,7 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
         "dedupe_events_by_user",
         "delete_stale",
         "events_sessionize",
@@ -171,33 +157,12 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "order_priority_check",
         "ordered_collect",
         "prepare_synthetic_objectid",
-        "proj_webmercator",
-        "range_join_interval_counts",
-        "record_diff",
-        "text_token_stats",
-        "topk_per_group",
-        "tz_policies",
-        "upsert_orders",
-        # parked: driver-hash-green in r5
-        "above_customer_average",
-        "ann_lsh_bucketed",
-        "cube_flag_status",
-        "dedup_fuzzy_levenshtein",
-        "dedup_simhash_pairs",
-        "emb_neardup_pairs",
-        "events_hourly_rollup",
-        "events_json_props",
-        "exact_percentiles",
-        "forecast_revenue",
-        "forest_part_suppliers",
-        "geom_normalize",
-        "important_nation_stock",
-        "min_cost_supplier",
-        "mm_binary_stats",
-        "pivot_priority_status",
         "pricing_summary",
+        "proj_webmercator",
         "qa_report",
+        "range_join_interval_counts",
         "range_join_left_outer",
+        "record_diff",
         "region_revenue",
         "rollup_region_nation",
         "scan_probes",
@@ -205,7 +170,11 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "shipping_priority",
         "skew_salted_agg",
         "text_quality_language",
+        "text_token_stats",
         "text_vocabulary_topk",
+        "topk_per_group",
+        "tz_policies",
+        "upsert_orders",
         "waiting_sole_late_supplier",
     }
 )
