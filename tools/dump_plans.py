@@ -76,6 +76,13 @@ SHOW = [
     "sketch_bucketmin_daily_users",
     "sketch_hll_rolling_users",
     "value_trend_by_type",
+    # round 8 (the descent drivers — grouped winsorize, per-source
+    # token shards, the promoted quantized GEMM — are bounded-job
+    # compositions; below are the single-plan round-8 queries)
+    "epoch_shuffle_shards",
+    "tokenizer_fertility_by_source",
+    "events_daily_delta_trend",
+    "theil_sen_daily_trend",
 ]
 
 
