@@ -564,7 +564,12 @@ def kth_smallest(
 
 
 def exact_median(
-    df: DataFrame, col: str, *, buckets: int = 1024, max_rows_exact: int = 1 << 20
+    df: DataFrame,
+    col: str,
+    *,
+    buckets: int = 1024,
+    max_rows_exact: int = 1 << 20,
+    cache: bool = True,
 ) -> "tuple[int, float]":
     """Exact interpolated median (``quantile_cont(0.5)`` semantics:
     even n averages the two middle order statistics) without a global
@@ -578,6 +583,7 @@ def exact_median(
         lambda n: {(n + 1) // 2, n // 2 + 1},
         buckets=buckets,
         max_rows_exact=max_rows_exact,
+        cache=cache,
     )
     if not counts:
         raise ValueError(f"exact_median: no non-null rows in {col!r}")

@@ -2317,7 +2317,9 @@ def corpus_curation_v3(
         from ..operators.orderstats import exact_median
 
         scored = materialize(scored)
-        _, m = exact_median(scored, "mean_p")
+        # scored is already materialized for the two consumers below —
+        # the descent's own persist would be a redundant second pass
+        _, m = exact_median(scored, "mean_p", cache=False)
         q = scored.where(F.col("mean_p") >= F.lit(m))
     else:
         if quantile == "approx":
