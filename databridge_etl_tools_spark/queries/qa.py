@@ -97,3 +97,53 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_fixed(
         ev, "value", bins=20, lo=0.0, hi=500.0, group_col="event_type"
     )
+
+
+@query(
+    "documents_column_profile",
+    oracle="""
+    SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT)
+             AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(n_chars AS VARCHAR)) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    gate=False,
+)
+def documents_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the documents table — the
+    queryable twin of the reference's vacuum/analyze lifecycle step
+    (SURVEY §2.6 D9): per column, row/null/distinct counts and typed
+    min/max, the stats table a load-drift monitor diffs across runs.
+    Two Expand-free jobs (``operators.profile.profile_columns``): one
+    scalar aggregate for counts/nulls/min/max, one map-side unpivot →
+    per-column distinct aggregate (deliberately NOT the
+    multi-distinct single-aggregate spelling, whose Expand fans the
+    corpus ×|cols| through one aggregation — the measured
+    approx_sketches hazard). At 100 TB the distinct pass swaps to
+    approx_count_distinct/HLL; the exact spelling is the audit."""
+    from ..operators.profile import profile_columns
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])

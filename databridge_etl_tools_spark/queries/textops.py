@@ -2964,3 +2964,96 @@ def text_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("lang", F.explode(_tokens(F.col("text"))).alias("t"))
     return heavy_hitters_by(tok, "lang", "t", denom=300)
+
+
+@query(
+    "token_lang_chi2_topk",
+    oracle=f"""
+    WITH dt AS (SELECT DISTINCT doc_id, lang, unnest({_TOK}) AS token
+                FROM documents WHERE text IS NOT NULL),
+    tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+    nl AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_l
+           FROM dt GROUP BY 1),
+    ntk AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_t
+            FROM dt GROUP BY 1),
+    a AS (SELECT lang, token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_a
+          FROM dt GROUP BY 1, 2),
+    x AS (SELECT a.lang, a.token, a.n_a, ntk.n_t, nl.n_l, tot.n,
+                 (a.n_a * (tot.n - ntk.n_t - nl.n_l + a.n_a)
+                  - (ntk.n_t - a.n_a) * (nl.n_l - a.n_a)) AS det
+          FROM a JOIN ntk USING (token) JOIN nl USING (lang), tot
+          WHERE ntk.n_t >= 5 AND ntk.n_t < tot.n AND nl.n_l < tot.n),
+    chi AS (SELECT lang, token, n_a, n_t, n_l,
+                   CAST(n AS DOUBLE) * CAST(det AS DOUBLE) * CAST(det AS DOUBLE)
+                     / CAST(n_t * (n - n_t) AS DOUBLE)
+                     / CAST(n_l * (n - n_l) AS DOUBLE) AS chi2
+            FROM x),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY chi2 DESC, token) AS rank
+          FROM chi)
+    SELECT lang, CAST(rank AS INTEGER) AS rank, token, n_a, n_t, n_l, chi2
+    FROM r WHERE rank <= 5
+    """,
+    gate=False,
+)
+def token_lang_chi2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² token–language association, top 5 per language — the
+    classic feature-selection / distribution-shift statistic over a
+    2×2 presence contingency (docs-with-token × docs-in-language).
+    All four cell counts are EXACT integers from doc-level distinct
+    aggregates; χ² evaluates as one fixed-order scalar expression
+    ``n·det²/(n_t(n−n_t))/(n_l(n−n_l))`` on those integers (det =
+    ad−bc — identical IEEE ops on identical operands, so the double
+    is oracle-hashable; no float SUM over rows anywhere). min-df 5
+    prunes the candidate vocabulary before the per-language ranking
+    window; at corpus scale the candidate set comes from the
+    heavy-hitters pass instead (the window then ranks a bounded
+    candidate table — same shape as text_heavy_hitters_by_lang).
+    Integer headroom: det² stays in DOUBLE (det can reach n²/4);
+    ``n_t·(n−n_t)`` ≤ n²/4 stays BIGINT to n ≈ 3·10⁹ docs."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    dt = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.explode(TS.tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    from ..operators.materialize import materialize
+
+    dt = materialize(dt)
+    n = dt.select("doc_id").distinct().count()
+    nl = dt.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_l")
+    )
+    ntk = dt.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_t")
+    )
+    a = dt.groupBy("lang", "token").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_a")
+    )
+    x = (
+        a.join(ntk, "token")
+        .join(F.broadcast(nl), "lang")
+        .where((F.col("n_t") >= 5) & (F.col("n_t") < n) & (F.col("n_l") < n))
+        .withColumn("n", F.lit(n).cast("bigint"))
+        .withColumn(
+            "det",
+            F.col("n_a") * (F.col("n") - F.col("n_t") - F.col("n_l") + F.col("n_a"))
+            - (F.col("n_t") - F.col("n_a")) * (F.col("n_l") - F.col("n_a")),
+        )
+    )
+    chi = x.withColumn(
+        "chi2",
+        F.col("n").cast("double")
+        * F.col("det").cast("double")
+        * F.col("det").cast("double")
+        / (F.col("n_t") * (F.col("n") - F.col("n_t"))).cast("double")
+        / (F.col("n_l") * (F.col("n") - F.col("n_l"))).cast("double"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("token"))
+    return (
+        chi.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "rank", "token", "n_a", "n_t", "n_l", "chi2")
+    )

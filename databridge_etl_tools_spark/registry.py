@@ -81,25 +81,26 @@ DRIVER_GATE_WINDOW = 50
 #: r6-verified stable queries OUT; CORRECTNESS_r07 came back 50/50
 #: green, zero errs). This round the window takes the 50 queries with
 #: the highest re-verification priority:
-#:   - 7 r8-built, never driver-verified: the 6 new queries
+#:   - 9 r8-built, never driver-verified: the 8 new queries
 #:     (token_budget_shards_by_source, events_value_winsorized_by_type,
 #:     epoch_shuffle_shards, tokenizer_fertility_by_source,
-#:     events_daily_delta_trend, theil_sen_daily_trend) + the promoted
+#:     events_daily_delta_trend, theil_sen_daily_trend,
+#:     documents_column_profile, token_lang_chi2_topk) + the promoted
 #:     ann_topk_vectorized (oracle-backed as of r8);
 #:   - 2 r7-built, never driver-verified (built after the r7 gate
 #:     filled): max_concurrent_sessions, text_heavy_hitters_by_lang;
 #:   - 4 last-verified-r4 overflow returners: geom_kind_census,
 #:     prepare_cell_cleanup, prepare_header_normalize, tz_carto_midnight;
-#:   - 37 of the 50-query last-verified-r5 cohort, lowest green-count
+#:   - 35 of the 50-query last-verified-r5 cohort, lowest green-count
 #:     first: all 22 verified exactly once (corpus_curation_v3 …
-#:     vocab_growth_curve) + the first 15 (alphabetical) of the 27
-#:     three-times-green (above_customer_average … pivot_priority_status
-#:     — these are stable-tier defaults, so they need no IN entry).
-#: OUT parks the 22 r6-verified stable queries + the 13 remaining
-#: r5-verified ones (12 three-times-green + dedup_simhash_pairs,
+#:     vocab_growth_curve) + the first 13 (alphabetical) of the 27
+#:     three-times-green (above_customer_average … min_cost_supplier —
+#:     these are stable-tier defaults, so they need no IN entry).
+#: OUT parks the 22 r6-verified stable queries + the 15 remaining
+#: r5-verified ones (14 three-times-green + dedup_simhash_pairs,
 #: four-times-green) — all r7-gate queries are late-registered
 #: (gate=False defaults) and park automatically. Still queued after
-#: r8: those 13 r5 returners + whatever r9 builds.
+#: r8: those 15 r5 returners + whatever r9 builds.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
         "ann_topk_vectorized",
@@ -108,6 +109,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "dedup_shared_spans",
         "dedup_spans_removed",
         "doc_gram_novelty",
+        "documents_column_profile",
         "emb_standardize_dims",
         "epoch_shuffle_shards",
         "events_daily_delta_trend",
@@ -130,6 +132,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "text_lm_bigram_score",
         "text_pmi_collocations",
         "theil_sen_daily_trend",
+        "token_lang_chi2_topk",
         "token_budget_shards_by_source",
         "tokenizer_fertility_by_source",
         "tz_carto_midnight",
@@ -151,6 +154,8 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs",
         "dedupe_events_by_user",
+        "mm_binary_stats",
+        "pivot_priority_status",
         "delete_stale",
         "events_sessionize",
         "filter_project",
