@@ -123,6 +123,12 @@ HEADLINE = [
     "events_value_winsorized_by_type",
     "token_budget_shards_by_source",
     "ann_topk_vectorized",
+    "epoch_shuffle_shards",
+    "tokenizer_fertility_by_source",
+    "events_daily_delta_trend",
+    "theil_sen_daily_trend",
+    "documents_column_profile",
+    "token_lang_chi2_topk",
 ]
 
 

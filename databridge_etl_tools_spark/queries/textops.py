@@ -824,9 +824,10 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHARD-LOCAL window (shards sort independently — n_shards is the
     parallelism/scale knob: size it so one shard ≈ one task, e.g.
     2²⁰ docs/shard at corpus scale), and the round-robin interleave
-    ``(pos−1)·n_shards + shard + 1`` composes a full deterministic
-    permutation of 1..N (shards are balanced ±hash variance; readers
-    stream shard files in interleave order). No Exchange
+    ``(pos−1)·n_shards + shard + 1`` composes a deterministic total
+    order (injective by construction; where hash variance leaves
+    shards unequal the tail has gaps — readers stream shard files in
+    interleave order, they never need contiguous ranks). No Exchange
     SinglePartition anywhere; re-running any subset of shards
     reproduces identical positions — what makes the shuffle
     RESUMABLE, unlike rand()-ordered sorts."""

@@ -83,6 +83,8 @@ SHOW = [
     "tokenizer_fertility_by_source",
     "events_daily_delta_trend",
     "theil_sen_daily_trend",
+    "documents_column_profile",
+    "token_lang_chi2_topk",
 ]
 
 
