@@ -284,3 +284,61 @@ def sample_weighted(
         .withColumn("draw_u", F.col("_h") / F.lit(_UNIT))
         .drop("_h", "_wmax")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: "int | None" = None,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic epoch shuffle: the global pseudorandom ordering a
+    pretraining data loader needs, with NO global sort. Each row hashes
+    to a shard (md5 prefix — seedable via ``salt``, engine-
+    reproducible), takes its in-shard position from a SHARD-LOCAL
+    window, and the round-robin interleave ``(pos−1)·S + shard + 1``
+    yields a deterministic total order (injective; tail gaps where
+    hash variance leaves shards unequal — readers stream shards in
+    interleave order and never need contiguous ranks).
+
+    ``n_shards`` is the scale knob: each shard is one window task, so
+    size it to ~task-sized row counts. The default derives from the
+    input — ``max(input partitions, spark.sql.shuffle.partitions)`` —
+    the same input-scaled rule as ``prefixsum.running_sum`` (r7
+    advisor): a fixed constant means corpus/constant rows sorted per
+    task at 100 TB. Hash-seeded ⇒ RESUMABLE: re-running any subset of
+    shards reproduces identical positions, which rand()-ordered sorts
+    cannot. Appends (shard, pos, global_pos) to the input columns.
+    """
+    from pyspark.sql import Window
+
+    if n_shards is None:
+        spark = df.sparkSession
+        n_shards = max(
+            df.rdd.getNumPartitions(),
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = df.select("*", hv.alias("_hv"), (hv % n_shards).alias("_shard"))
+    w = Window.partitionBy("_shard").orderBy("_hv", id_col)
+    pos = F.row_number().over(w).cast("bigint")
+    return (
+        h.withColumn("pos", pos)
+        .select(
+            *df.columns,
+            F.col("_shard").cast("int").alias("shard"),
+            "pos",
+            ((F.col("pos") - 1) * n_shards + F.col("_shard") + 1)
+            .cast("bigint")
+            .alias("global_pos"),
+        )
+    )

@@ -831,25 +831,13 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     SinglePartition anywhere; re-running any subset of shards
     reproduces identical positions — what makes the shuffle
     RESUMABLE, unlike rand()-ordered sorts."""
-    from pyspark.sql import Window
+    from ..operators.sampling import epoch_shuffle
 
     docs = table(spark, sf_dir, "documents", access="scan")
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    h = docs.select("doc_id", hv.alias("hv"), (hv % 16).alias("shard"))
-    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
-    pos = F.row_number().over(w).cast("bigint")
-    return h.select(
-        "doc_id",
-        F.col("shard").cast("int").alias("shard"),
-        pos.alias("pos"),
-        ((pos - 1) * 16 + F.col("shard") + 1).cast("bigint").alias("global_pos"),
-    )
+    # n_shards pinned to 16 so the oracle is reproducible at any SF;
+    # the operator's default derives it from the input (one shard ≈
+    # one task — the running_sum input-scaled rule)
+    return epoch_shuffle(docs.select("doc_id"), "doc_id", n_shards=16)
 
 
 @query(

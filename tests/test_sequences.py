@@ -79,3 +79,27 @@ def test_negative_samples_deterministic_and_self_free(spark):
     assert sum(len(js) for js in per.values()) >= 40 * 3 - 10  # few self-drops
     with pytest.raises(ValueError):
         negative_samples(df, k=0)
+
+
+def test_epoch_shuffle_derived_shards_injective_and_resumable(spark):
+    """epoch_shuffle: default n_shards derives from the input (the
+    running_sum input-scaled rule), global_pos is injective, and
+    positions are layout-independent (repartitioned input reproduces
+    identical positions — the resumability contract)."""
+    from databridge_etl_tools_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, "doc_id", n_shards=8).collect()
+    assert len({r["global_pos"] for r in out}) == 500  # injective
+    assert {r["shard"] for r in out} <= set(range(8))
+    # resumable: a different physical layout gives identical positions
+    out2 = epoch_shuffle(df.repartition(13), "doc_id", n_shards=8).collect()
+    assert {(r["doc_id"], r["global_pos"]) for r in out} == {
+        (r["doc_id"], r["global_pos"]) for r in out2
+    }
+    # derived default scales with the session/shuffle width
+    auto = epoch_shuffle(df, "doc_id")
+    n_sh = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert auto.agg({"shard": "max"}).collect()[0][0] <= max(
+        df.rdd.getNumPartitions(), n_sh
+    )
