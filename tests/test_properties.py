@@ -406,3 +406,28 @@ def test_kth_smallest_matches_sorted_list(spark, vals, data):
     got = kth_smallest(df, "x", ks, buckets=4, max_rows_exact=4)
     s = sorted(vals)
     assert got == {k: s[k - 1] for k in ks}
+
+
+def test_profile_columns_nulls_nan_numeric_ordering(spark):
+    """profile_columns: numeric min/max use NUMERIC ordering (not the
+    string form's lexicographic), NaN counts as a distinct value but
+    never wins min/max, nulls counted per column."""
+    import math
+
+    from databridge_etl_tools_spark.operators.profile import profile_columns
+
+    rows = [
+        (9, 1.5, "b"),
+        (10, float("nan"), None),
+        (None, -2.0, "a"),
+        (2, None, "a"),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, d double, s string")
+    got = {r["col_name"]: r for r in profile_columns(df, ["i", "d", "s"]).collect()}
+    assert got["i"]["n_rows"] == 4 and got["i"]["n_null"] == 1
+    assert (got["i"]["min_value"], got["i"]["max_value"]) == ("2", "10")  # numeric
+    assert got["i"]["n_distinct"] == 3
+    assert (got["d"]["min_value"], got["d"]["max_value"]) == ("-2.0", "1.5")  # NaN out
+    assert got["d"]["n_distinct"] == 3  # NaN is a value
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_value"], got["s"]["max_value"]) == ("a", "b")
