@@ -502,8 +502,18 @@ def _descend(
                 rows.append((rid, *g, lo, hi))
         # bucket 0..buckets-1 over [_lo, _hi]; the hi edge and any
         # float-rounding overshoot clamp into the last bucket
-        width = (F.col("_hi") - F.col("_lo")).cast("double") / F.lit(float(buckets))
-        raw = F.floor((F.col("_v") - F.col("_lo")).cast("double") / width).cast("int")
+        # cast BEFORE subtracting: a bigint range straddling ±2^62
+        # overflows int64 under ANSI mode (hi − lo ≥ 2^63 — caught by
+        # the r8 extremes test). double() is monotone, so bucket
+        # assignment stays order-preserving; per-bucket blo/bhi are
+        # actual values, so any precision collapse only costs a
+        # refinement level, never correctness.
+        width = (
+            F.col("_hi").cast("double") - F.col("_lo").cast("double")
+        ) / F.lit(float(buckets))
+        raw = F.floor(
+            (F.col("_v").cast("double") - F.col("_lo").cast("double")) / width
+        ).cast("int")
         idx = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
         bucket_w = F.sum("_w") if weighted else F.count(F.lit(1))
         hist = (

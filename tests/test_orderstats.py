@@ -318,3 +318,27 @@ def test_cache_false_matches_cached(spark):
     a = kth_smallest_by(df, "g", "x", lambda n: {1, n}, cache=False)
     b = kth_smallest_by(df, "g", "x", lambda n: {1, n}, cache=True)
     assert a == b
+
+
+def test_kth_smallest_negative_and_extreme_values(spark):
+    """Negative ranges, sign-straddling buckets, and int64 extremes:
+    the bucket arithmetic ((v−lo)/width in double) and the literal
+    range filters must hold."""
+    rng = random.Random(55)
+    vals = [rng.randint(-(10**9), 10**9) for _ in range(400)] + [
+        -(2**62), 2**62, 0, -1, 1
+    ]
+    s = sorted(vals)
+    ks = [1, 100, 203, len(vals)]
+    got = kth_smallest(_df(spark, vals), "x", ks, buckets=8, max_rows_exact=16)
+    assert got == {k: s[k - 1] for k in ks}
+    # grouped + weighted with negatives
+    rows = [(f"g{v % 3}", v, (abs(v) % 5) + 1) for v in vals]
+    df = spark.createDataFrame(rows, "g string, x bigint, w bigint")
+    vals2, counts2 = kth_smallest_by(
+        df, "g", "x", lambda W: {(W + 1) // 2}, weight_col="w", buckets=8
+    )
+    for g in counts2:
+        slice_rows = [(x, w) for gg, x, w in rows if (gg,) == g]
+        W = sum(w for _, w in slice_rows)
+        assert vals2[g] == {(W + 1) // 2: _wtwin(slice_rows, (W + 1) // 2)}
