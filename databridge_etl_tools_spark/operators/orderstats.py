@@ -454,6 +454,22 @@ def _descend(
             for r in st
         }
     counts = {g: n for g, (_, _, n, _) in gstats.items()}
+    import math
+
+    bad_inf = [
+        g
+        for g, (lo, hi, _, _) in gstats.items()
+        if isinstance(lo, float) and (math.isinf(lo) or math.isinf(hi))
+    ]
+    if bad_inf:
+        raise ValueError(
+            f"kth_smallest_by: groups {bad_inf[:5]!r} contain ±Infinity "
+            f"in {col!r} — an infinite range cannot be bucketed "
+            "(width becomes Inf, indices NaN). Filter infinities out "
+            "(they rank first/last trivially: k-th smallest over the "
+            "finite rows + the two infinity counts recovers any rank) "
+            "or replace them with finite sentinels first."
+        )
     if not callable(ranks):
         missing = set(ranks) - set(gstats)
         if missing:

@@ -342,3 +342,21 @@ def test_kth_smallest_negative_and_extreme_values(spark):
         slice_rows = [(x, w) for gg, x, w in rows if (gg,) == g]
         W = sum(w for _, w in slice_rows)
         assert vals2[g] == {(W + 1) // 2: _wtwin(slice_rows, (W + 1) // 2)}
+
+
+def test_infinity_values_raise_actionable_error(spark):
+    """±Inf makes the bucket range un-partitionable (Inf width → NaN
+    indices) — the descent must refuse with the filter-and-recombine
+    recipe instead of erroring mid-histogram or silently degenerating
+    to a full-range sort."""
+    vals = [1.0, float("inf"), 2.0, float("-inf"), 3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    try:
+        kth_smallest(df, "x", [2], buckets=4, max_rows_exact=2)
+        raise AssertionError("expected ValueError for infinite range")
+    except ValueError as e:
+        assert "Infinity" in str(e)
+    # finite rows resolve fine after the recommended filter
+    fin = df.where(~F.col("x").isin([float("inf"), float("-inf")]))
+    got = kth_smallest(fin, "x", [2], buckets=4, max_rows_exact=2)
+    assert got == {2: 2.0}
