@@ -764,3 +764,122 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         "est_jaccard",
         F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
     )
+
+
+def _contam_block(n: int) -> str:
+    return f"""
+    SELECT {n} AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT unnest(gs_{n}) AS gram FROM g WHERE is_eval)
+              e JOIN
+              (SELECT DISTINCT unnest(gs_{n}) AS gram FROM g WHERE NOT is_eval)
+              t USING (gram)) AS shared_grams,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE is_eval)
+             AS eval_docs,
+           (SELECT CAST(COUNT(DISTINCT e.doc_id) AS BIGINT)
+            FROM (SELECT doc_id, unnest(gs_{n}) AS gram FROM g WHERE is_eval) e
+            JOIN (SELECT DISTINCT unnest(gs_{n}) AS gram FROM g
+                  WHERE NOT is_eval) t USING (gram)) AS eval_docs_contaminated,
+           (SELECT CAST(COUNT(DISTINCT t.doc_id) AS BIGINT)
+            FROM (SELECT doc_id, unnest(gs_{n}) AS gram FROM g
+                  WHERE NOT is_eval) t
+            JOIN (SELECT DISTINCT unnest(gs_{n}) AS gram FROM g WHERE is_eval)
+              e USING (gram)) AS train_docs_contaminated
+    """
+
+
+def _contam_gs(n: int) -> str:
+    cat = "||' '||".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(range(1, len(t) - {n - 2}), i -> {cat}) "
+        f"ELSE [] END) AS gs_{n}"
+    )
+
+
+@query(
+    "contamination_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+             list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')
+               AS t
+      FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, is_eval, {_contam_gs(3)}, {_contam_gs(5)}, {_contam_gs(7)}
+      FROM base)
+    {_contam_block(3)}
+    UNION ALL {_contam_block(5)}
+    UNION ALL {_contam_block(7)}
+    """,
+    gate=False,
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination telemetry across n-gram sizes — the
+    report a decontamination run publishes BEFORE deciding a cut:
+    for n in (3, 5, 7), how many distinct n-grams the train and eval
+    (doc_id % 20 == 0) splits share, and how many docs on EACH side
+    carry at least one shared gram (the eval-side rate is what
+    benchmark cards quote; the train-side count is the removal cost
+    of a hard filter). Tokens materialize ONCE (checkpointed — the
+    interpreted-HOF discipline of operators/dedup.py); each n re-
+    shingles from that column map-side, the per-n overlap is a
+    gram-keyed join of distinct gram sets (never docs × docs), and
+    the five counts per n are scalar aggregates (SinglePartition on
+    one-row sides only). At corpus scale the eval side broadcasts
+    (benchmark-sized) while train-side gram sets stay shuffle-joined
+    — same shape as ``decontaminate``."""
+    from ..operators import textstats as TS
+    from ..operators.dedup import word_shingles
+    from ..operators.materialize import materialize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = materialize(
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 20 == 0).alias("is_eval"),
+            TS.tokens(F.col("text")).alias("toks"),
+        ),
+        cut_lineage=True,
+    )
+    out = None
+    for n in (3, 5, 7):
+        grams = toks.select(
+            "doc_id", "is_eval", F.explode(word_shingles("toks", n)).alias("gram")
+        )
+        tg = grams.where(~F.col("is_eval")).select("doc_id", "gram").distinct()
+        eg = grams.where(F.col("is_eval")).select("doc_id", "gram").distinct()
+        tset = tg.select("gram").distinct()
+        eset = eg.select("gram").distinct()
+        shared = tset.join(eset, "gram").agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_grams")
+        )
+        ev_total = toks.where(F.col("is_eval")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("eval_docs")
+        )
+        ev_cont = (
+            eg.join(tset, "gram", "left_semi")
+            .agg(F.count_distinct("doc_id").cast("bigint").alias(
+                "eval_docs_contaminated"
+            ))
+        )
+        tr_cont = (
+            tg.join(eset, "gram", "left_semi")
+            .agg(F.count_distinct("doc_id").cast("bigint").alias(
+                "train_docs_contaminated"
+            ))
+        )
+        row = (
+            shared.crossJoin(ev_total)
+            .crossJoin(ev_cont)
+            .crossJoin(tr_cont)
+            .select(
+                F.lit(n).cast("int").alias("n"),
+                "shared_grams",
+                "eval_docs",
+                "eval_docs_contaminated",
+                "train_docs_contaminated",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3046,3 +3046,152 @@ def token_lang_chi2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("lang", "rank", "token", "n_a", "n_t", "n_l", "chi2")
     )
+
+
+@query(
+    "ttr_length_correlation_by_source",
+    oracle=f"""
+    WITH d AS (SELECT source, {_TOK} AS t FROM documents
+               WHERE text IS NOT NULL),
+    xy AS (SELECT source,
+                  CAST(len(t) AS BIGINT) AS x,
+                  CAST((len(list_distinct(t)) * 1000000) // len(t) AS BIGINT)
+                    AS y
+           FROM d WHERE len(t) > 0),
+    m AS (SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM xy GROUP BY 1)
+    SELECT source, n AS n_docs, sx AS sum_tokens,
+           (CAST(n * sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS r_ttr_length
+    FROM m
+    WHERE n * sxx - sx * sx > 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """,
+    gate=False,
+)
+def ttr_length_correlation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length and type-token
+    ratio per source — the length-vs-diversity diagnostic (TTR falls
+    with length; a source where it does NOT is template/boilerplate
+    suspect). Same determinism recipe as ``value_trend_by_type``:
+    x = token count, y = fixed-point TTR (``distinct·10⁶ DIV total``
+    — integer, no rounding divergence), ONE grouped aggregate of
+    exact integer moments (n, Σx, Σy, Σx², Σy², Σxy), and the
+    correlation in closed form as fixed-order scalar ops (n·Σy² and
+    (Σy)² cross 2⁶³ near 10⁷ docs/source, so the y-side moments go
+    through double — exact-int inputs, deterministic scalar
+    products; the x-side stays pure BIGINT). Degenerate-variance
+    groups are filtered identically on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.where(F.col("text").isNotNull()).select(
+        "source", TS.tokens(F.col("text")).alias("t")
+    )
+    xy = d.where(F.size("t") > 0).select(
+        "source",
+        F.size("t").cast("bigint").alias("x"),
+        F.expr(
+            "CAST((size(array_distinct(t)) * 1000000) DIV size(t) AS BIGINT)"
+        ).alias("y"),
+    )
+    m = xy.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n").cast("double") * F.col("syy").cast("double") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy").cast("double")
+    num = (F.col("n") * F.col("sxy")).cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return (
+        m.where((dx > 0) & (dy > F.lit(0.0)))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("sx").alias("sum_tokens"),
+            (num / F.sqrt(dx.cast("double")) / F.sqrt(dy)).alias(
+                "r_ttr_length"
+            ),
+        )
+    )
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH d AS (SELECT source, len({_TOK}) AS n_tokens FROM documents
+               WHERE text IS NOT NULL),
+    s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail
+          FROM d WHERE n_tokens > 0 GROUP BY 1),
+    w AS (SELECT source, avail,
+                 CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS wq
+          FROM s),
+    t AS (SELECT CAST(SUM(avail) AS BIGINT) AS budget,
+                 CAST(SUM(wq) AS BIGINT) AS wsum
+          FROM w)
+    SELECT w.source, w.avail AS tokens_available, w.wq AS weight_isqrt,
+           CAST((t.budget * w.wq) // t.wsum AS BIGINT) AS target_tokens,
+           CAST(((t.budget * w.wq) // t.wsum) * 1000000 // w.avail AS BIGINT)
+             AS repeat_micro,
+           CAST(((t.budget * w.wq) // t.wsum + w.avail - 1) // w.avail
+             AS BIGINT) AS epochs_needed
+    FROM w, t
+    """,
+    gate=False,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture epoch planner — given per-source token inventories and
+    a temperature-smoothed target mixture (α = 0.5), how many tokens
+    to DRAW from each source under a one-corpus-size budget, the
+    per-source repeat factor that implies, and the epochs of each
+    source that requires (the up-sampling schedule a pretraining run
+    is configured from; repeat_micro > 10⁶ means that source repeats).
+    Determinism: temperature weights are INTEGER isqrt(avail)
+    (floor∘sqrt — one correctly-rounded IEEE op each, no float SUM:
+    the weight normalizer is an integer Σ), and every derived number
+    is integer ``DIV`` arithmetic — fully oracle-hashable. One
+    |sources|-row aggregate + a broadcast scalar total; the corpus is
+    scanned once."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.where(F.col("text").isNotNull()).select(
+        "source", TS.token_count("text").alias("n_tokens")
+    )
+    s = (
+        d.where(F.col("n_tokens") > 0)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("avail"))
+    )
+    w = s.withColumn(
+        "wq", F.floor(F.sqrt(F.col("avail").cast("double"))).cast("bigint")
+    )
+    t = w.agg(
+        F.sum("avail").cast("bigint").alias("budget"),
+        F.sum("wq").cast("bigint").alias("wsum"),
+    )
+    target = F.expr("(budget * wq) DIV wsum")
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("avail").alias("tokens_available"),
+        F.col("wq").alias("weight_isqrt"),
+        target.cast("bigint").alias("target_tokens"),
+        F.expr("((budget * wq) DIV wsum) * 1000000 DIV avail")
+        .cast("bigint")
+        .alias("repeat_micro"),
+        F.expr("((budget * wq) DIV wsum + avail - 1) DIV avail")
+        .cast("bigint")
+        .alias("epochs_needed"),
+    )

@@ -81,32 +81,36 @@ DRIVER_GATE_WINDOW = 50
 #: r6-verified stable queries OUT; CORRECTNESS_r07 came back 50/50
 #: green, zero errs). This round the window takes the 50 queries with
 #: the highest re-verification priority:
-#:   - 9 r8-built, never driver-verified: the 8 new queries
+#:   - 12 r8-built, never driver-verified: the 11 new queries
 #:     (token_budget_shards_by_source, events_value_winsorized_by_type,
 #:     epoch_shuffle_shards, tokenizer_fertility_by_source,
 #:     events_daily_delta_trend, theil_sen_daily_trend,
-#:     documents_column_profile, token_lang_chi2_topk) + the promoted
-#:     ann_topk_vectorized (oracle-backed as of r8);
+#:     documents_column_profile, token_lang_chi2_topk,
+#:     contamination_report, ttr_length_correlation_by_source,
+#:     mixture_epoch_plan) + the promoted ann_topk_vectorized
+#:     (oracle-backed as of r8);
 #:   - 2 r7-built, never driver-verified (built after the r7 gate
 #:     filled): max_concurrent_sessions, text_heavy_hitters_by_lang;
 #:   - 4 last-verified-r4 overflow returners: geom_kind_census,
 #:     prepare_cell_cleanup, prepare_header_normalize, tz_carto_midnight;
-#:   - 35 of the 50-query last-verified-r5 cohort, lowest green-count
+#:   - 32 of the 50-query last-verified-r5 cohort, lowest green-count
 #:     first: all 22 verified exactly once (corpus_curation_v3 …
-#:     vocab_growth_curve) + the first 13 (alphabetical) of the 27
-#:     three-times-green (above_customer_average … min_cost_supplier —
-#:     these are stable-tier defaults, so they need no IN entry).
-#: OUT parks the 22 r6-verified stable queries + the 15 remaining
-#: r5-verified ones (14 three-times-green + dedup_simhash_pairs,
+#:     vocab_growth_curve) + the first 10 (alphabetical) of the 27
+#:     three-times-green (above_customer_average …
+#:     forest_part_suppliers — these are stable-tier defaults, so
+#:     they need no IN entry).
+#: OUT parks the 22 r6-verified stable queries + the 18 remaining
+#: r5-verified ones (17 three-times-green + dedup_simhash_pairs,
 #: four-times-green) — all r7-gate queries are late-registered
 #: (gate=False defaults) and park automatically. Still queued after
-#: r8: those 15 r5 returners + whatever r9 builds.
+#: r8: those 18 r5 returners + whatever r9 builds.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
         "ann_topk_vectorized",
         "corpus_curation_v3",
         "dedup_keep_best",
         "dedup_shared_spans",
+        "contamination_report",
         "dedup_spans_removed",
         "doc_gram_novelty",
         "documents_column_profile",
@@ -133,6 +137,8 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "text_pmi_collocations",
         "theil_sen_daily_trend",
         "token_lang_chi2_topk",
+        "ttr_length_correlation_by_source",
+        "mixture_epoch_plan",
         "token_budget_shards_by_source",
         "tokenizer_fertility_by_source",
         "tz_carto_midnight",
@@ -156,6 +162,9 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "dedupe_events_by_user",
         "mm_binary_stats",
         "pivot_priority_status",
+        "geom_normalize",
+        "important_nation_stock",
+        "min_cost_supplier",
         "delete_stale",
         "events_sessionize",
         "filter_project",

@@ -85,6 +85,9 @@ SHOW = [
     "theil_sen_daily_trend",
     "documents_column_profile",
     "token_lang_chi2_topk",
+    "contamination_report",
+    "ttr_length_correlation_by_source",
+    "mixture_epoch_plan",
 ]
 
 
