@@ -132,6 +132,7 @@ HEADLINE = [
     "contamination_report",
     "ttr_length_correlation_by_source",
     "mixture_epoch_plan",
+    "source_dup_matrix",
 ]
 
 

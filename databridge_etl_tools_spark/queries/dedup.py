@@ -883,3 +883,77 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "source_dup_matrix",
+    oracle="""
+    WITH f AS (SELECT DISTINCT source,
+                      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                        AS fp
+               FROM documents),
+    nf AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM f GROUP BY 1),
+    x AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared_fp
+          FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT x.source_a, x.source_b, x.shared_fp,
+           na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+           CAST(x.shared_fp * 1000000 // LEAST(na.n_fp, nb.n_fp) AS BIGINT)
+             AS containment_micro
+    FROM x
+    JOIN nf na ON na.source = x.source_a
+    JOIN nf nb ON nb.source = x.source_b
+    """,
+    gate=False,
+)
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source EXACT-duplicate transfer matrix — for every source
+    pair, how many normalized-content fingerprints they share and the
+    containment rate vs the smaller side (the crawl-redundancy signal
+    at the DOCUMENT level, complementing the token-level
+    ``source_vocab_overlap_sketch``: two mirrors of the same site show
+    up here long before their vocabularies merge). Scale shape: one
+    (source, fingerprint) distinct projection, and the pair counts
+    come from a FINGERPRINT-keyed self-join — only fingerprints
+    present in ≥2 sources produce join rows, so the output is the
+    collision volume, never |sources|²·|docs|; per-source totals ride
+    a broadcast join; containment in integer fixed point."""
+    docs = table(spark, sf_dir, "documents")
+    f = (
+        docs.select(
+            "source",
+            F.md5(
+                F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    from ..operators.materialize import materialize
+
+    f = materialize(f)
+    nf = f.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    a = f.select(F.col("source").alias("source_a"), "fp")
+    b = f.select(F.col("source").alias("source_b"), "fp")
+    x = (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+    )
+    na = nf.select(F.col("source").alias("source_a"), F.col("n_fp").alias("n_fp_a"))
+    nb = nf.select(F.col("source").alias("source_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        x.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                "CAST(shared_fp * 1000000 DIV LEAST(n_fp_a, n_fp_b) AS BIGINT)"
+            ).alias("containment_micro"),
+        )
+    )

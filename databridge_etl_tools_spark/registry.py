@@ -81,29 +81,28 @@ DRIVER_GATE_WINDOW = 50
 #: r6-verified stable queries OUT; CORRECTNESS_r07 came back 50/50
 #: green, zero errs). This round the window takes the 50 queries with
 #: the highest re-verification priority:
-#:   - 12 r8-built, never driver-verified: the 11 new queries
+#:   - 13 r8-built, never driver-verified: the 12 new queries
 #:     (token_budget_shards_by_source, events_value_winsorized_by_type,
 #:     epoch_shuffle_shards, tokenizer_fertility_by_source,
 #:     events_daily_delta_trend, theil_sen_daily_trend,
 #:     documents_column_profile, token_lang_chi2_topk,
 #:     contamination_report, ttr_length_correlation_by_source,
-#:     mixture_epoch_plan) + the promoted ann_topk_vectorized
-#:     (oracle-backed as of r8);
+#:     mixture_epoch_plan, source_dup_matrix) + the promoted
+#:     ann_topk_vectorized (oracle-backed as of r8);
 #:   - 2 r7-built, never driver-verified (built after the r7 gate
 #:     filled): max_concurrent_sessions, text_heavy_hitters_by_lang;
 #:   - 4 last-verified-r4 overflow returners: geom_kind_census,
 #:     prepare_cell_cleanup, prepare_header_normalize, tz_carto_midnight;
-#:   - 32 of the 50-query last-verified-r5 cohort, lowest green-count
+#:   - 31 of the 50-query last-verified-r5 cohort, lowest green-count
 #:     first: all 22 verified exactly once (corpus_curation_v3 …
-#:     vocab_growth_curve) + the first 10 (alphabetical) of the 27
-#:     three-times-green (above_customer_average …
-#:     forest_part_suppliers — these are stable-tier defaults, so
-#:     they need no IN entry).
-#: OUT parks the 22 r6-verified stable queries + the 18 remaining
-#: r5-verified ones (17 three-times-green + dedup_simhash_pairs,
+#:     vocab_growth_curve) + the first 9 (alphabetical) of the 27
+#:     three-times-green (above_customer_average … forecast_revenue —
+#:     these are stable-tier defaults, so they need no IN entry).
+#: OUT parks the 22 r6-verified stable queries + the 19 remaining
+#: r5-verified ones (18 three-times-green + dedup_simhash_pairs,
 #: four-times-green) — all r7-gate queries are late-registered
 #: (gate=False defaults) and park automatically. Still queued after
-#: r8: those 18 r5 returners + whatever r9 builds.
+#: r8: those 19 r5 returners + whatever r9 builds.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
         "ann_topk_vectorized",
@@ -130,6 +129,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "sample_weighted_length",
         "scd2_point_in_time",
         "sketch_countmin_topk",
+        "source_dup_matrix",
         "text_clean_normalize",
         "text_heavy_hitters_by_lang",
         "text_keywords_tfidf",
@@ -162,6 +162,7 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "dedupe_events_by_user",
         "mm_binary_stats",
         "pivot_priority_status",
+        "forest_part_suppliers",
         "geom_normalize",
         "important_nation_stock",
         "min_cost_supplier",

@@ -88,6 +88,7 @@ SHOW = [
     "contamination_report",
     "ttr_length_correlation_by_source",
     "mixture_epoch_plan",
+    "source_dup_matrix",
 ]
 
 
