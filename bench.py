@@ -133,6 +133,7 @@ HEADLINE = [
     "ttr_length_correlation_by_source",
     "mixture_epoch_plan",
     "source_dup_matrix",
+    "semdedup_keep",
 ]
 
 

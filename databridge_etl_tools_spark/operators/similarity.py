@@ -741,6 +741,126 @@ def semdedup(
     )
 
 
+def sign_planes(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 sign hyperplanes from md5 — the integer
+    sibling of :func:`hyperplanes`. With ±1 coefficients the plane
+    dot product of an int64-quantized vector stays in exact integer
+    arithmetic, so the sign (and hence the LSH cell) is reproducible
+    bit-for-bit by any engine — no float dot, no rounding seam."""
+    import hashlib
+
+    out = []
+    for j in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"sp:{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(1 if h % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def semdedup_exact(
+    emb: DataFrame,
+    threshold: tuple[int, int] = (1, 4),
+    n_bits: int = 4,
+    dim: int = 64,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Determinism-hardened SemDeDup sibling of :func:`semdedup`
+    (same greedy min-id-survivor prune; reference has no embedding
+    ops — beyond-reference training-pipeline primitive).
+
+    Three moves make the keep/drop decision reproducible by a plain
+    SQL engine, the same playbook as :func:`dot_topk_vectorized`:
+
+    - **integer fixed-point coordinates**: ``floor(double(x) ·
+      2^scale_bits)`` per coordinate (float32→double exact, one IEEE
+      multiply + floor — identical in any engine).
+    - **sign-LSH cells instead of k-means**: cell bit j =
+      [dot(qv, s_j) > 0] with ±1 planes from :func:`sign_planes` —
+      an exact integer dot, so the cell id has no float seam, and
+      unlike hash-mod bucketing the cells still group similar
+      vectors (near-duplicates agree on every sign bit with high
+      probability; exact duplicates always share a cell).
+    - **rational threshold test**: cos(a, b) > p/q  ⇔  dot > 0 AND
+      q²·dot² > p²·‖a‖²·‖b‖², evaluated in arbitrary-precision
+      Python ints on the Spark side and HUGEINT in the oracle —
+      no sqrt, no division, no epsilon.
+
+    Scale shape: one narrow projection computes (cell, qv, ‖qv‖²)
+    JVM-side, one shuffle co-locates each cell, then per-cell
+    Arrow-batched numpy — int64 GEMM for the pairwise dots (exact:
+    |dot| ≤ d·2^(2·scale_bits) — 2^46 at d=64), greedy scan in
+    ascending id order. Per-task memory is the m² cell budget, the
+    documented SemDeDup constraint (size n_bits so cells stay
+    small). No driver collect.
+
+    Returns df[id_col, cell, keep] for every input row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    p_num, q_den = threshold
+    planes = sign_planes(n_bits, dim)
+    scale = float(1 << scale_bits)
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    qcol = F.col("_qv")
+    cell = F.lit(0)
+    for j, plane in enumerate(planes):
+        signs = F.array(*[F.lit(s) for s in plane])
+        dot_j = F.aggregate(
+            F.zip_with(qcol, signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cell = cell + F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    indexed = (
+        emb.select(F.col(id_col).alias("_id"), quant.alias("_qv"))
+        .withColumn("cell", cell.cast("int"))
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        m = len(pdf)
+        mat = np.vstack(pdf["_qv"].values).astype(np.int64)
+        dots = mat @ mat.T  # exact int64 — no BLAS, no reassociation
+        norms = [int(v) for v in np.einsum("ij,ij->i", mat, mat)]
+        keep = np.zeros(m, dtype=bool)
+        kept_idx: list[int] = []
+        p2, q2 = p_num * p_num, q_den * q_den
+        for i in range(m):
+            ni = norms[i]
+            sim = False
+            for j in kept_idx:
+                d = int(dots[i, j])
+                # arbitrary-precision: q²·dot² overflows int64 at 2^92
+                if d > 0 and q2 * d * d > p2 * ni * norms[j]:
+                    sim = True
+                    break
+            if not sim:
+                keep[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "_id": pdf["_id"].astype("int64"),
+                "cell": pdf["cell"].astype("int32"),
+                "keep": keep,
+            }
+        )
+
+    schema = "_id bigint, cell int, keep boolean"
+    return (
+        indexed.groupBy("cell")
+        .applyInPandas(prune, schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jégou et al. 2011, "Product Quantization for
 # Nearest Neighbor Search"): the 100 TB ANN memory path. Vectors are

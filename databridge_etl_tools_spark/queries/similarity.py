@@ -191,30 +191,88 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("semdedup_keep")  # no oracle: iterative k-means isn't SQL-expressible
-def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): cluster embeddings with the
-    deterministic k-means fit, then within each cluster greedily drop
-    any vector whose cosine to an already-kept vector exceeds the
-    threshold (min-id representative survives). The paper's 0.9 is
-    vacuous on this synthetic corpus (random vectors are
-    near-orthogonal), so the demo prunes at 0.5 to prove the drop
-    path executes; planted-duplicate behavior at 0.9+ is pinned in
-    tests. Emits the per-cell keep/drop census. Rows-only check for the same reason as ``ann_ivf_kmeans``
-    (the k-means fixpoint isn't SQL-expressible); the greedy-prune
-    contract itself is pinned against an independent pure-python twin
-    in tests/test_semdedup.py."""
-    emb = table(spark, sf_dir, "embeddings")
-    marked = SIM.semdedup(emb, threshold=0.5, n_cells=8)
-    return (
-        marked.groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
-            F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
-        )
-        .orderBy("cell")
+def _semdedup_oracle(n_bits: int = 4, dim: int = 64, scale_bits: int = 20,
+                     p_num: int = 1, q_den: int = 4) -> str:
+    """DuckDB twin of SIM.semdedup_exact: same md5 ±1 sign planes
+    (embedded as literals from the SAME python helper the Spark plan
+    uses), same fixed-point quantization, and the greedy min-id prune
+    as a recursive CTE — one iteration per in-cell rank, carrying the
+    kept-rank list; the similar-pair test is exact HUGEINT
+    q²·dot² > p²·‖a‖²·‖b‖²."""
+    planes = SIM.sign_planes(n_bits, dim)
+    signs_sql = ", ".join(
+        f"[{', '.join(str(s) for s in row)}] AS s{b}"
+        for b, row in enumerate(planes)
     )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> qv[i] * h.s{b}[i])) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+    WITH RECURSIVE h AS (SELECT {signs_sql}),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                 * {float(1 << scale_bits)}) AS BIGINT)) AS qv
+      FROM embeddings),
+    cellq AS (
+      SELECT vec_id, qv, {bit_terms} AS cell,
+             list_sum(list_transform(qv, x -> x * x)) AS norm
+      FROM q, h),
+    ranked AS (
+      SELECT vec_id, cell, qv, norm,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+      FROM cellq),
+    pairs AS (
+      SELECT cell, ra, rb FROM (
+        SELECT a.cell AS cell, a.rk AS ra, b.rk AS rb,
+               list_sum(list_transform(range(1, {dim + 1}),
+                   i -> a.qv[i] * b.qv[i])) AS dot,
+               a.norm AS na, b.norm AS nb
+        FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.rk < b.rk)
+      WHERE dot > 0
+        AND {q_den * q_den} * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+            > {p_num * p_num} * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)),
+    maxrk AS (SELECT cell, max(rk) AS mx FROM ranked GROUP BY cell),
+    greedy AS (
+      SELECT cell, CAST(1 AS BIGINT) AS rk, [CAST(1 AS BIGINT)] AS kept
+      FROM maxrk
+      UNION ALL
+      SELECT g.cell, g.rk + 1,
+        CASE WHEN EXISTS (
+               SELECT 1 FROM pairs p
+               WHERE p.cell = g.cell AND p.rb = g.rk + 1
+                 AND list_contains(g.kept, p.ra))
+             THEN g.kept ELSE list_append(g.kept, g.rk + 1) END
+      FROM greedy g JOIN maxrk m ON m.cell = g.cell
+      WHERE g.rk < m.mx),
+    final AS (
+      SELECT g.cell, g.kept FROM greedy g
+      JOIN maxrk m ON m.cell = g.cell AND g.rk = m.mx)
+    SELECT r.vec_id, r.cell, list_contains(f.kept, r.rk) AS keep
+    FROM ranked r JOIN final f ON r.cell = f.cell
+    """
+
+
+@query("semdedup_keep", oracle=_semdedup_oracle())
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then within
+    each cluster greedily drop any vector whose cosine to an
+    already-kept vector exceeds the threshold (min-id representative
+    survives). Runs the determinism-hardened sibling
+    ``SIM.semdedup_exact`` — sign-LSH cells from exact integer ±1
+    plane dots and a rational-threshold prune in arbitrary-precision
+    integers — so every keep/drop bit is reproduced by the DuckDB
+    recursive-CTE twin (promoted from rows-only in r8; the paper's
+    k-means-cell variant ``SIM.semdedup`` stays engine-tested against
+    a pure-python twin in tests/test_semdedup.py — the iterative
+    fixpoint itself isn't SQL-expressible). Threshold 1/4 because the
+    paper's 0.9 is vacuous on this synthetic corpus (random vectors
+    are near-orthogonal); planted-duplicate behavior at high
+    thresholds is pinned in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.semdedup_exact(emb, threshold=(1, 4), n_bits=4)
 
 
 @query("ann_pq_adc")  # no oracle: iterative subspace k-means isn't SQL-expressible

@@ -81,22 +81,25 @@ DRIVER_GATE_WINDOW = 50
 #: r6-verified stable queries OUT; CORRECTNESS_r07 came back 50/50
 #: green, zero errs). This round the window takes the 50 queries with
 #: the highest re-verification priority:
-#:   - 13 r8-built, never driver-verified: the 12 new queries
+#:   - 14 r8-built, never driver-verified: the 12 new queries
 #:     (token_budget_shards_by_source, events_value_winsorized_by_type,
 #:     epoch_shuffle_shards, tokenizer_fertility_by_source,
 #:     events_daily_delta_trend, theil_sen_daily_trend,
 #:     documents_column_profile, token_lang_chi2_topk,
 #:     contamination_report, ttr_length_correlation_by_source,
-#:     mixture_epoch_plan, source_dup_matrix) + the promoted
-#:     ann_topk_vectorized (oracle-backed as of r8);
+#:     mixture_epoch_plan, source_dup_matrix) + the 2 promoted
+#:     rows-only queries (ann_topk_vectorized, then semdedup_keep —
+#:     oracle-backed as of r8; its late promotion parks
+#:     forecast_revenue, three-times-green, making the stable-default
+#:     slice "the first 8 alphabetical" rather than 9);
 #:   - 2 r7-built, never driver-verified (built after the r7 gate
 #:     filled): max_concurrent_sessions, text_heavy_hitters_by_lang;
 #:   - 4 last-verified-r4 overflow returners: geom_kind_census,
 #:     prepare_cell_cleanup, prepare_header_normalize, tz_carto_midnight;
-#:   - 31 of the 50-query last-verified-r5 cohort, lowest green-count
+#:   - 30 of the 50-query last-verified-r5 cohort, lowest green-count
 #:     first: all 22 verified exactly once (corpus_curation_v3 …
-#:     vocab_growth_curve) + the first 9 (alphabetical) of the 27
-#:     three-times-green (above_customer_average … forecast_revenue —
+#:     vocab_growth_curve) + the first 8 (alphabetical) of the 27
+#:     three-times-green (above_customer_average … exact_percentiles —
 #:     these are stable-tier defaults, so they need no IN entry).
 #: OUT parks the 22 r6-verified stable queries + the 19 remaining
 #: r5-verified ones (18 three-times-green + dedup_simhash_pairs,
@@ -128,6 +131,7 @@ GATE_ROTATE_IN: frozenset[str] = frozenset(
         "reranker_training_triplets",
         "sample_weighted_length",
         "scd2_point_in_time",
+        "semdedup_keep",
         "sketch_countmin_topk",
         "source_dup_matrix",
         "text_clean_normalize",
@@ -162,6 +166,7 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "dedupe_events_by_user",
         "mm_binary_stats",
         "pivot_priority_status",
+        "forecast_revenue",
         "forest_part_suppliers",
         "geom_normalize",
         "important_nation_stock",

@@ -76,6 +76,61 @@ def test_matches_pure_python_twin(spark):
                 kept.append(vn)
 
 
+def test_semdedup_exact_planted_duplicates_and_twin(spark):
+    """semdedup_exact: planted exact/scaled duplicates share a sign-LSH
+    cell (identical signs) and drop at a high rational threshold; the
+    full keep set equals an arbitrary-precision python twin built from
+    the same quantized integers."""
+    from databridge_etl_tools_spark.operators.similarity import (
+        semdedup_exact,
+        sign_planes,
+    )
+
+    emb = _emb(spark).limit(20)
+    rows = emb.collect()
+    base = rows[0]
+    dup = [(9001, list(base.embedding), base.label),
+           (9002, [x * 2.0 for x in base.embedding], base.label)]
+    planted = emb.unionByName(spark.createDataFrame(dup, emb.schema))
+    m = {r.vec_id: r for r in
+         semdedup_exact(planted, threshold=(19, 20), n_bits=3).collect()}
+    assert m[base.vec_id].keep
+    assert not m[9001].keep and not m[9002].keep
+    assert m[9001].cell == m[base.vec_id].cell == m[9002].cell
+
+    # exhaustive twin at a low threshold so drops actually occur
+    got = {r.vec_id: r for r in
+           semdedup_exact(_emb(spark), threshold=(1, 4), n_bits=3).collect()}
+    planes = np.array(sign_planes(3, 64), dtype=np.int64)
+    q = {r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * (1 << 20)
+         ).astype(np.int64)
+         for r in _emb(spark).collect()}
+    cells: dict[int, list[int]] = {}
+    for vid, v in q.items():
+        bits = (planes @ v) > 0
+        cell = int((bits * (1 << np.arange(3))).sum())
+        assert got[vid].cell == cell, vid
+        cells.setdefault(cell, []).append(vid)
+    n_dropped = 0
+    for cell, vids in cells.items():
+        kept: list[int] = []
+        for vid in sorted(vids):
+            ni = int(q[vid] @ q[vid])
+            sim = False
+            for kv in kept:
+                d = int(q[vid] @ q[kv])
+                if d > 0 and 16 * d * d > ni * int(q[kv] @ q[kv]):
+                    sim = True
+                    break
+            assert got[vid].keep == (not sim), (cell, vid)
+            if sim:
+                n_dropped += 1
+            else:
+                kept.append(vid)
+    assert n_dropped > 0  # threshold 1/4 must exercise the drop path
+
+
 def test_dot_topk_vectorized_matches_numpy_twin_and_guard(spark):
     """Quantized int64 GEMM top-k == exhaustive numpy twin (exact by
     construction — hash sharding is plumbing); self-mode guard fires."""
