@@ -134,6 +134,7 @@ HEADLINE = [
     "mixture_epoch_plan",
     "source_dup_matrix",
     "semdedup_keep",
+    "stratified_split_exact",
 ]
 
 

@@ -342,3 +342,111 @@ def epoch_shuffle(
             .alias("global_pos"),
         )
     )
+
+
+def largest_remainder_quotas(
+    counts: "dict[object, int]", num: int, den: int
+) -> "dict[object, int]":
+    """Largest-remainder (Hamilton) apportionment: split a total
+    budget of ``floor(N·num/den)`` selections across strata exactly
+    proportionally. ``base_s = floor(n_s·B/N)`` underfills by at most
+    |strata| − 1; the shortfall goes to the strata with the largest
+    integer remainders ``n_s·B mod N`` (ties broken by stratum key,
+    ascending — deterministic). Pure-integer driver arithmetic on the
+    bounded |strata| table (python ints — no int64 overflow at any
+    corpus size)."""
+    n_total = sum(counts.values())
+    if n_total == 0:
+        return {s: 0 for s in counts}
+    budget = (n_total * num) // den
+    base = {s: (n * budget) // n_total for s, n in counts.items()}
+    extras = budget - sum(base.values())
+    by_rem = sorted(
+        counts,
+        key=lambda s: (-((counts[s] * budget) % n_total), str(s)),
+    )
+    for s in by_rem[:extras]:
+        base[s] += 1
+    return base
+
+
+def stratified_split_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    frac: "tuple[int, int]" = (1, 10),
+    salt: str = "split",
+    hash_hex: int = 6,
+) -> DataFrame:
+    """EXACT stratified eval/train split: each stratum contributes its
+    largest-remainder share of a ``floor(N·num/den)`` eval budget —
+    the allocation is exact in COUNT (unlike the rate-threshold
+    :func:`train_val_split`, whose per-stratum counts are binomial),
+    while membership stays content-hashed (uniform within the
+    stratum, stable against reordering).
+
+    Scale shape — the percentrank-by-type playbook, NOT a per-stratum
+    sort window (one hot stratum = one task sorting its whole
+    stratum):
+
+    1. one (count, max-id) aggregate keyed by stratum — bounded
+       |strata| rows to the driver;
+    2. quotas via :func:`largest_remainder_quotas` (python-int
+       driver arithmetic on that bounded table);
+    3. ONE grouped bucketed-selection descent
+       (:func:`orderstats.kth_smallest_by`, stats supplied — no
+       second full scan) finds each stratum's quota-th smallest
+       COMBINED KEY ``hv·M + id`` (hv = leading ``hash_hex`` md5 hex
+       chars, M = max_id + 1 ⇒ keys unique, order = (hv, id)
+       lexicographic; 6 hex ⇒ hv < 2^24, so the key stays int64 for
+       ids up to 2^39);
+    4. map-side filter ``key ≤ threshold`` — exactly quota rows per
+       stratum because keys are unique. No per-stratum sort anywhere.
+
+    Returns ``df[id_col, stratum_col, split]`` with split ∈
+    {'eval', 'train'}."""
+    from .orderstats import kth_smallest_by
+
+    num, den = frac
+    agg = {
+        tuple_row[0]: (int(tuple_row[1]), int(tuple_row[2]))
+        for tuple_row in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)), F.max(F.col(id_col)))
+        .collect()
+    }
+    counts = {s: n for s, (n, _) in agg.items()}
+    quotas = largest_remainder_quotas(counts, num, den)
+    mult = max(mx for _, mx in agg.values()) + 1
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1,
+            hash_hex,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        (hv * F.lit(mult) + F.col(id_col)).alias("_key"),
+    )
+    ranks = {(s,): [q] for s, q in quotas.items() if q > 0}
+    split = F.lit("train")
+    if ranks:
+        hi_key = (1 << (4 * hash_hex)) * mult - 1
+        stats = {(s,): (0, hi_key, counts[s]) for (s,), _ in ranks.items()}
+        values, _ = kth_smallest_by(
+            keyed, stratum_col, "_key", ranks, stats=stats
+        )
+        thr = None
+        for (s,), picked in values.items():
+            t = F.lit(int(picked[quotas[s]])).cast("bigint")
+            m = F.col(stratum_col) == F.lit(s)
+            thr = F.when(m, t) if thr is None else thr.when(m, t)
+        split = F.when(F.col("_key") <= thr, F.lit("eval")).otherwise(
+            F.lit("train")
+        )
+    return keyed.select(
+        id_col, stratum_col, split.alias("split")
+    )

@@ -841,6 +841,62 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_split_exact",
+    oracle="""
+    WITH h AS (SELECT doc_id, source,
+                      CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),
+                                        1, 6) AS BIGINT) AS hv
+               FROM documents),
+    m AS (SELECT max(doc_id) + 1 AS mult FROM documents),
+    k AS (SELECT doc_id, source, hv * mult + doc_id AS key FROM h, m),
+    c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+                 CAST(sum(n_s) // 10 AS BIGINT) AS b FROM c),
+    q0 AS (SELECT source, n_s, (n_s * b) // n AS base, (n_s * b) % n AS rem
+           FROM c, t),
+    e AS (SELECT CAST((SELECT b FROM t) - sum(base) AS BIGINT) AS extras FROM q0),
+    q1 AS (SELECT source, base,
+                  row_number() OVER (ORDER BY rem DESC, source) AS rr
+           FROM q0),
+    quota AS (SELECT source,
+                     base + CASE WHEN rr <= (SELECT extras FROM e)
+                                 THEN 1 ELSE 0 END AS quota
+              FROM q1),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY key) AS rk
+          FROM k)
+    SELECT r.doc_id, r.source,
+           CASE WHEN r.rk <= q.quota THEN 'eval' ELSE 'train' END AS split
+    FROM r JOIN quota q ON r.source = q.source
+    """,
+    gate=False,
+)
+def stratified_split_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified eval split — each source contributes its
+    largest-remainder share of a floor(N/10) eval budget, membership
+    decided by content hash within the source (uniform, append-stable
+    ordering). Unlike the rate-threshold ``train_val_split`` the
+    per-stratum COUNTS are exact, which is what a held-out eval set
+    needs (a binomial 10%±noise per source skews small sources).
+
+    Scale path (``operators.sampling.stratified_split_exact``): one
+    bounded (count, max-id) aggregate, python-int Hamilton quotas on
+    the |strata| table, ONE grouped bucketed-selection descent for the
+    per-source quota-th smallest combined key hv·M + id (unique ⇒
+    threshold filter hits the quota exactly), then a map-side filter —
+    never a per-source sort window (a hot source would sort its whole
+    stratum in one task). The DuckDB twin IS the per-source window
+    rank, which is exactly the cross-check: selection descent ==
+    window rank."""
+    from ..operators.sampling import stratified_split_exact
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    return stratified_split_exact(
+        docs.select("doc_id", "source"), "source", "doc_id", frac=(1, 10)
+    )
+
+
+@query(
     "tokenizer_fertility_by_source",
     oracle=f"""
     WITH d AS (SELECT source, length(text) AS n_chars,

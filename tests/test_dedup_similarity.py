@@ -987,3 +987,43 @@ def test_internal_spans_gram_occurrence_cap_bounds_pathological_doc(spark):
     }
     capped = {tuple(r) for r in got if r[0] == 2}
     assert capped == uncapped and (2, 0, 10, 10, 5) in capped
+
+
+def test_stratified_split_exact_counts_and_determinism(spark):
+    """Exact-allocation split: per-stratum eval counts equal the
+    Hamilton quotas exactly (not binomially), the total hits
+    floor(N·num/den) exactly, quota-0 strata stay all-train, and the
+    assignment is partition-invariant."""
+    from databridge_etl_tools_spark.operators import sampling as SP
+
+    # skewed strata: 700 / 250 / 49 / 1 rows
+    rows = (
+        [(i, "big") for i in range(700)]
+        + [(700 + i, "mid") for i in range(250)]
+        + [(950 + i, "small") for i in range(49)]
+        + [(999, "tiny")]
+    )
+    df = spark.createDataFrame(rows, "k long, src string")
+    quotas = SP.largest_remainder_quotas(
+        {"big": 700, "mid": 250, "small": 49, "tiny": 1}, 1, 10
+    )
+    assert sum(quotas.values()) == 100  # floor(1000/10) exactly
+    assert quotas["big"] == 70 and quotas["mid"] == 25
+    assert quotas["small"] + quotas["tiny"] == 5  # remainders fill to budget
+
+    out = SP.stratified_split_exact(df, "src", "k", frac=(1, 10))
+    got = {
+        (r.src): r.n
+        for r in out.where(F.col("split") == "eval")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s, q in quotas.items():
+        assert got.get(s, 0) == q, (s, q, got)
+
+    # partition-invariant: same fate for every row under a reshuffle
+    out2 = SP.stratified_split_exact(df.repartition(13), "src", "k", frac=(1, 10))
+    assert {(r.k, r.split) for r in out.collect()} == {
+        (r.k, r.split) for r in out2.collect()
+    }
