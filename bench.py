@@ -135,6 +135,7 @@ HEADLINE = [
     "source_dup_matrix",
     "semdedup_keep",
     "stratified_split_exact",
+    "sketch_quantile_rollup",
 ]
 
 

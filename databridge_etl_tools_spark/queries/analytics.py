@@ -2049,6 +2049,156 @@ def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_quantile_rollup",
+    oracle="""
+    WITH v AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(floor(value * 1000000.0) AS BIGINT) AS v_us
+               FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+    g AS (SELECT min(v_us) AS gmin,
+                 (max(v_us) - min(v_us)) // 256 + 1 AS width FROM v),
+    days AS (SELECT DISTINCT day FROM v),
+    b AS (SELECT day, (v_us - gmin) // width AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM v, g GROUP BY 1, 2),
+    m AS (SELECT d.day AS day, b.bin, CAST(SUM(b.cnt) AS BIGINT) AS cnt
+          FROM days d JOIN b ON b.day BETWEEN d.day - 6 AND d.day
+          GROUP BY 1, 2),
+    tot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS n FROM m GROUP BY 1),
+    cum AS (SELECT m.day, m.bin,
+                   SUM(m.cnt) OVER (PARTITION BY m.day ORDER BY m.bin) AS c,
+                   t.n
+            FROM m JOIN tot t ON m.day = t.day),
+    est AS (SELECT day, n,
+                   MIN(CASE WHEN c >= (n + 1) // 2 THEN bin END) AS b50,
+                   MIN(CASE WHEN c >= (95 * n + 99) // 100 THEN bin END) AS b95
+            FROM cum GROUP BY day, n),
+    ex AS (SELECT d.day AS day, v.v_us,
+                  row_number() OVER (PARTITION BY d.day ORDER BY v.v_us) AS rn
+           FROM days d JOIN v ON v.day BETWEEN d.day - 6 AND d.day),
+    exact AS (SELECT e.day,
+                     MIN(CASE WHEN rn = (t.n + 1) // 2 THEN v_us END) AS x50,
+                     MIN(CASE WHEN rn = (95 * t.n + 99) // 100 THEN v_us END) AS x95
+              FROM ex e JOIN tot t ON e.day = t.day GROUP BY e.day)
+    SELECT est.day, est.n,
+           CAST(gmin + b50 * width AS BIGINT) AS est_p50_us,
+           CAST(x50 AS BIGINT) AS exact_p50_us,
+           CAST(gmin + b95 * width AS BIGINT) AS est_p95_us,
+           CAST(x95 AS BIGINT) AS exact_p95_us,
+           (x50 - (gmin + b50 * width) BETWEEN 0 AND width - 1
+            AND x95 - (gmin + b95 * width) BETWEEN 0 AND width - 1)
+             AS in_band
+    FROM est JOIN exact ON est.day = exact.day, g
+    """,
+    gate=False,
+)
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE ROLLUP — the percentile sibling of the
+    HLL/bucket-min rollups: per-day fixed-bin integer histograms
+    (the sketch: ≤256 (bin, count) rows per day, mergeable by
+    ADDITION — the property that lets a 100 TB pipeline keep one
+    tiny summary per day/partition and answer any trailing-window
+    quantile from summaries alone), merged over each trailing 7-day
+    window, quantile estimated as the lower bound of the bin where
+    the cumulative count crosses the rank. Every number is exact
+    integer arithmetic (micro fixed-point values, ``DIV`` bins), so
+    unlike t-digest/KLL the estimate itself is oracle-checkable, and
+    its error bound is a THEOREM: exact_q − est_q ∈ [0, width) —
+    emitted as the in_band flag, audited per window against the
+    true quantiles from ONE grouped bucketed-selection descent over
+    the exploded windows (the audit is the expensive side, same
+    honest-audit pattern as approx_sketches). Plan shape: one
+    (min, max) scalar probe, one (day, bin) aggregate (the sketch
+    build), a ≤7× explode of the BOUNDED sketch table (never raw
+    rows) + one merge aggregate, and bounded summary windows over
+    ≤ days·256 rows."""
+    from ..operators.orderstats import kth_smallest_by
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    v = ev.where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    ).select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_us"),
+    )
+    gmin, gmax = v.agg(F.min("v_us"), F.max("v_us")).first()
+    gmin = int(gmin)
+    width = (int(gmax) - gmin) // 256 + 1
+    days = v.select("day").distinct()
+    # integer DIV, not float division: (a/b).cast("long") can land one
+    # ulp off an integer boundary; DuckDB's // is exact integer too
+    binned = v.groupBy(
+        "day", F.expr(f"(v_us - {gmin}) DIV {width}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    merged = (
+        binned.select(
+            F.explode(F.expr("sequence(day, day + INTERVAL 6 DAYS)")).alias("day"),
+            "bin",
+            "cnt",
+        )
+        .join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day", "bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    tot = merged.groupBy("day").agg(F.sum("cnt").cast("bigint").alias("n"))
+    w = Window.partitionBy("day").orderBy("bin")
+    cum = (
+        merged.join(tot, "day")
+        .withColumn("c", F.sum("cnt").over(w))
+    )
+    est = cum.groupBy("day", "n").agg(
+        F.min(
+            F.when(F.col("c") >= F.expr("(n + 1) DIV 2"), F.col("bin"))
+        ).alias("b50"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(95 * n + 99) DIV 100"), F.col("bin"))
+        ).alias("b95"),
+    )
+    exploded = v.select(
+        F.explode(F.expr("sequence(day, day + INTERVAL 6 DAYS)")).alias("day"),
+        "v_us",
+    ).join(F.broadcast(days), "day", "left_semi")
+    # per-window counts are already in the bounded merge table — hand
+    # them to the descent as stats (loose global bounds are fine, the
+    # first histogram re-tightens) so it skips a full scan of the
+    # 7×-exploded frame
+    n_by_day = {row[0]: int(row[1]) for row in tot.collect()}
+    vals, _counts = kth_smallest_by(
+        exploded,
+        "day",
+        "v_us",
+        {(d,): {(n + 1) // 2, (95 * n + 99) // 100} for d, n in n_by_day.items()},
+        stats={(d,): (gmin, int(gmax), n) for d, n in n_by_day.items()},
+    )
+    exact = spark.createDataFrame(
+        [
+            (
+                d,
+                int(picked[(n_by_day[d] + 1) // 2]),
+                int(picked[(95 * n_by_day[d] + 99) // 100]),
+            )
+            for (d,), picked in vals.items()
+        ],
+        "day date, x50 bigint, x95 bigint",
+    )
+    e50 = (F.lit(gmin) + F.col("b50") * F.lit(width)).cast("bigint")
+    e95 = (F.lit(gmin) + F.col("b95") * F.lit(width)).cast("bigint")
+    return est.join(exact, "day").select(
+        "day",
+        "n",
+        e50.alias("est_p50_us"),
+        F.col("x50").alias("exact_p50_us"),
+        e95.alias("est_p95_us"),
+        F.col("x95").alias("exact_p95_us"),
+        (
+            (F.col("x50") - e50).between(0, width - 1)
+            & (F.col("x95") - e95).between(0, width - 1)
+        ).alias("in_band"),
+    )
+
+
+@query(
     "max_concurrent_sessions",
     oracle="""
     WITH w AS (
