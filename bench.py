@@ -136,6 +136,7 @@ HEADLINE = [
     "semdedup_keep",
     "stratified_split_exact",
     "sketch_quantile_rollup",
+    "curriculum_schedule",
 ]
 
 

@@ -897,6 +897,94 @@ def stratified_split_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curriculum_schedule",
+    oracle="""
+    WITH m AS (SELECT max(doc_id) + 1 AS mult,
+                      CAST(count(*) AS BIGINT) AS n FROM documents),
+    k AS (SELECT doc_id, n_chars * mult + doc_id AS ck FROM documents, m),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY ck) AS rn FROM k),
+    dec AS (SELECT doc_id,
+                   CAST(((rn - 1) * 10) // (SELECT n FROM m) AS INTEGER)
+                     AS decile
+            FROM r),
+    h AS (SELECT doc_id, decile,
+                 CAST('0x'||substr(md5('curr:'||CAST(doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) AS hv
+          FROM dec),
+    p AS (SELECT doc_id, decile, hv % 16 AS shard,
+                 row_number() OVER (PARTITION BY decile, hv % 16
+                                    ORDER BY hv, doc_id) AS sp
+          FROM h)
+    SELECT doc_id, decile, CAST((sp - 1) * 16 + shard + 1 AS BIGINT) AS pos
+    FROM p
+    """,
+    gate=False,
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ordering — easy→hard difficulty deciles (n_chars as
+    the difficulty proxy), pseudo-randomly interleaved WITHIN each
+    decile: the data order for length/difficulty-staged pretraining
+    (train reads stream ``ORDER BY (decile, pos)``). Composes the
+    repo's two ordering primitives instead of a global sort:
+
+    - decile membership from NINE selection-descent thresholds over
+      the unique combined key ``n_chars·M + doc_id`` (rank
+      ⌈(d+1)·N/10⌉ each) + a map-side comparison count — never a
+      global ``row_number`` (one task sorting the corpus);
+    - within-decile position from the epoch-shuffle interleave
+      (md5 shard + shard-local window + round-robin formula), so each
+      (decile, shard) is one bounded task and the order is resumable.
+
+    The DuckDB twin IS the global-rank definition (``((rn−1)·10) DIV
+    N`` over the ck order), cross-checking thresholds == ranks."""
+    from pyspark.sql import Window
+
+    from ..operators.orderstats import kth_smallest
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    mult, n = docs.agg(
+        F.max("doc_id") + 1, F.count(F.lit(1)).cast("bigint")
+    ).first()
+    mult, n = int(mult), int(n)
+    keyed = docs.select(
+        "doc_id",
+        (F.col("n_chars") * F.lit(mult) + F.col("doc_id")).alias("ck"),
+    )
+    ranks = sorted({((d + 1) * n + 9) // 10 for d in range(9)})
+    thresholds = kth_smallest(keyed, "ck", ranks)
+    tarr = F.array(
+        *[F.lit(int(thresholds[r])).cast("bigint") for r in ranks]
+    )
+    decile = F.aggregate(
+        tarr,
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.col("ck") > t, 1).otherwise(0),
+    ).cast("int")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    staged = keyed.select(
+        "doc_id",
+        decile.alias("decile"),
+        hv.alias("_hv"),
+        (hv % 16).alias("_shard"),
+    )
+    w = Window.partitionBy("decile", "_shard").orderBy("_hv", "doc_id")
+    sp = F.row_number().over(w).cast("bigint")
+    return staged.select(
+        "doc_id",
+        "decile",
+        ((sp - 1) * 16 + F.col("_shard") + 1).cast("bigint").alias("pos"),
+    )
+
+
+@query(
     "tokenizer_fertility_by_source",
     oracle=f"""
     WITH d AS (SELECT source, length(text) AS n_chars,

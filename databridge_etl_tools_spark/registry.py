@@ -105,7 +105,9 @@ DRIVER_GATE_WINDOW = 50
 #: r5-verified ones (18 three-times-green + dedup_simhash_pairs,
 #: four-times-green) — all r7-gate queries are late-registered
 #: (gate=False defaults) and park automatically. Still queued after
-#: r8: those 19 r5 returners + whatever r9 builds.
+#: r8: those 19 r5 returners, the late-r8 builds that landed after
+#: the window filled (stratified_split_exact, sketch_quantile_rollup,
+#: …), + whatever r9 builds.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
         "ann_topk_vectorized",
