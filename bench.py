@@ -137,6 +137,7 @@ HEADLINE = [
     "stratified_split_exact",
     "sketch_quantile_rollup",
     "curriculum_schedule",
+    "boilerplate_prefix_clusters",
 ]
 
 

@@ -985,6 +985,49 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "boilerplate_prefix_clusters",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, n_chars,
+                      md5(array_to_string(list_slice({_TOK}, 1, 12), ' '))
+                        AS prefix_fp
+               FROM documents WHERE text IS NOT NULL)
+    SELECT prefix_fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM t GROUP BY 1 HAVING count(*) >= 2
+    """,
+    gate=False,
+)
+def boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE / TEMPLATE detection — documents sharing their
+    first 12 whitespace tokens are template instances (scraped
+    headers, license banners, form letters); curation wants the
+    cluster census before deciding to strip prefixes or drop copies.
+    One md5 fingerprint per doc (map-side, O(prefix) regardless of
+    doc length — this is the cheap prefilter that runs BEFORE any
+    expensive pairwise dedup), one groupBy(fp) shuffle of short
+    fingerprints, HAVING n≥2. Min-id representative, cross-source
+    spread, and reclaimable chars per cluster."""
+    docs = table(spark, sf_dir, "documents", access="scan")
+    fp = F.md5(F.array_join(F.slice(TS.tokens("text"), 1, 12), " "))
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", "source", "n_chars", fp.alias("prefix_fp")
+    )
+    return (
+        t.groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("rep_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@query(
     "tokenizer_fertility_by_source",
     oracle=f"""
     WITH d AS (SELECT source, length(text) AS n_chars,
