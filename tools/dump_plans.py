@@ -89,6 +89,11 @@ SHOW = [
     "ttr_length_correlation_by_source",
     "mixture_epoch_plan",
     "source_dup_matrix",
+    # late round 8 (semdedup_keep / stratified_split_exact /
+    # sketch_quantile_rollup / curriculum_schedule are descent- or
+    # probe-driven bounded-job compositions; below are the
+    # single-plan late-r8 queries)
+    "boilerplate_prefix_clusters",
 ]
 
 
