@@ -138,6 +138,8 @@ HEADLINE = [
     "sketch_quantile_rollup",
     "curriculum_schedule",
     "boilerplate_prefix_clusters",
+    "join_skew_diagnostics",
+    "join_cardinality_estimate",
 ]
 
 

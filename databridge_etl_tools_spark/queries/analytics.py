@@ -2199,6 +2199,60 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_diagnostics",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 10)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INTEGER)
+             AS rank,
+           user_id, n,
+           CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST((32 * n + total - 1) // total AS BIGINT) AS rec_salt
+    FROM top, t
+    """,
+    gate=False,
+)
+def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW census — the pre-flight a 100 TB join needs:
+    the hottest join-key values, their corpus share (exact integer
+    ppm), and the salting factor that would spread each hot key
+    across ~task-sized slices at 32-way parallelism
+    (``ceil(32·n/total)`` — >1 means salt or rely on AQE skew-join).
+    Plan shape: one map-side-combinable key count, then
+    ``orderBy().limit(10)`` — Spark plans TakeOrderedAndProject
+    (per-partition partial top-k, NO full sort shuffle — the global
+    window-rank alternative would sort |keys| rows in one task), and
+    the rank/share arithmetic runs over the bounded 10-row result ×
+    a broadcast scalar total."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events", access="scan")
+    c = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = c.agg(F.sum("n").cast("bigint").alias("total"))
+    top = c.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            "user_id",
+            "n",
+            F.expr("CAST(n * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST((32 * n + total - 1) DIV total AS BIGINT)").alias(
+                "rec_salt"
+            ),
+        )
+    )
+
+
+@query(
     "max_concurrent_sessions",
     oracle="""
     WITH w AS (

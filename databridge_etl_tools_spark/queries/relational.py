@@ -833,3 +833,90 @@ def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH co AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1),
+    cl AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1),
+    exact AS (SELECT CAST(sum(co.c * cl.c) AS BIGINT) AS exact_rows
+              FROM co JOIN cl USING (k)),
+    so AS (SELECT k, c FROM co
+           WHERE CAST('0x'||substr(md5('jce:'||CAST(k AS VARCHAR)), 1, 8)
+                      AS BIGINT) < 268435456),
+    sl AS (SELECT k, c FROM cl
+           WHERE CAST('0x'||substr(md5('jce:'||CAST(k AS VARCHAR)), 1, 8)
+                      AS BIGINT) < 268435456),
+    est AS (SELECT CAST(16 * COALESCE(sum(so.c * sl.c), 0) AS BIGINT)
+                     AS est_rows
+            FROM so JOIN sl USING (k))
+    SELECT est_rows, exact_rows,
+           CAST(abs(est_rows - exact_rows) * 1000000 // exact_rows AS BIGINT)
+             AS err_ppm
+    FROM est, exact
+    """,
+    gate=False,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-JOIN CARDINALITY ESTIMATE — the planner-grade probe a
+    100 TB pipeline runs before committing to a join strategy:
+    |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), estimated from a DETERMINISTIC
+    1/16 hash sample of the KEY UNIVERSE (include key k iff the
+    md5-prefix hash < 2^32/16 — the same key set on both sides by
+    construction, so matched keys survive sampling together; the
+    estimator is unbiased over the key population, Horvitz–Thompson
+    with uniform inclusion). The hash predicate is a map-side filter
+    BEFORE each side's count aggregate — the probe touches ~1/16 of
+    the key space end to end, never the join. Audited in-row against
+    the exact Σ cnt·cnt (the expensive side — one full count + join
+    per side), with the error in exact integer ppm. Content-hash
+    sampling ⇒ reproducible across engines, layouts, and appends."""
+    T = 268435456  # 2^32 // 16
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+
+    def hv(c):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("jce:"), c.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    def counts(df):
+        return df.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    co, cl = counts(o), counts(li)
+    exact = (
+        co.join(cl, "k")
+        .select((co["c"] * cl["c"]).alias("p"))
+        .agg(F.sum("p").cast("bigint").alias("exact_rows"))
+    )
+    so = counts(o.where(hv(F.col("k")) < T))
+    sl = counts(li.where(hv(F.col("k")) < T))
+    est = (
+        so.join(sl, "k")
+        .select((so["c"] * sl["c"]).alias("p"))
+        .agg(
+            (F.lit(16) * F.coalesce(F.sum("p"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_rows")
+        )
+    )
+    return (
+        est.crossJoin(exact)
+        .select(
+            "est_rows",
+            "exact_rows",
+            F.expr(
+                "CAST(abs(est_rows - exact_rows) * 1000000 DIV exact_rows"
+                " AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
