@@ -140,6 +140,7 @@ HEADLINE = [
     "boilerplate_prefix_clusters",
     "join_skew_diagnostics",
     "join_cardinality_estimate",
+    "layout_curve_codes",
 ]
 
 

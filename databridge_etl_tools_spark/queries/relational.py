@@ -920,3 +920,74 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+def _curve_codes_oracle(bits: int = 8) -> str:
+    """DuckDB twin of the layout curve codes: Morton as a literal
+    bit-interleave sum, Hilbert as a recursive CTE running the SAME
+    per-level quadrant descent as ``zorder.hilbert_value``'s fold
+    (rx/ry from integer division, full-order flip ``mask − coord``
+    so intermediates never go negative — the cross-engine ``%``
+    hazard the operator documents)."""
+    mask = (1 << bits) - 1
+    morton = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    return f"""
+    WITH RECURSIVE g AS (
+      SELECT p_partkey, CAST(p_partkey % 256 AS BIGINT) AS x,
+             CAST(p_size AS BIGINT) AS y
+      FROM part),
+    hil AS (
+      SELECT p_partkey, x AS cx, y AS cy,
+             CAST({1 << (bits - 1)} AS BIGINT) AS s,
+             CAST({4 ** (bits - 1)} AS BIGINT) AS m,
+             CAST(0 AS BIGINT) AS d, 0 AS lvl
+      FROM g
+      UNION ALL
+      SELECT p_partkey,
+             CASE WHEN (cy // s) % 2 = 1 THEN cx
+                  WHEN (cx // s) % 2 = 0 THEN cy
+                  ELSE {mask} - cy END,
+             CASE WHEN (cy // s) % 2 = 1 THEN cy
+                  WHEN (cx // s) % 2 = 0 THEN cx
+                  ELSE {mask} - cx END,
+             s // 2, m // 4,
+             d + m * xor(3 * ((cx // s) % 2), (cy // s) % 2),
+             lvl + 1
+      FROM hil WHERE lvl < {bits})
+    SELECT g.p_partkey, g.x AS gx, g.y AS gy,
+           CAST({morton} AS BIGINT) AS zval,
+           h.d AS hval
+    FROM g JOIN (SELECT p_partkey, d FROM hil WHERE lvl = {bits}) h
+      ON g.p_partkey = h.p_partkey
+    """
+
+
+@query("layout_curve_codes", oracle=_curve_codes_oracle(), gate=False)
+def layout_curve_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPACE-FILLING-CURVE CODES — the per-row Morton and Hilbert
+    indexes behind `layout zorder` (the data-clustering move that
+    makes multi-column range scans skip files at 100 TB), surfaced
+    as an oracle-checked query so the curve arithmetic itself sits
+    in the driver gate, not only in pytest: the Morton interleave is
+    a pure JVM bit expression, the Hilbert index is the per-level
+    quadrant-descent fold (`zorder.hilbert_value`), and the DuckDB
+    twin re-runs the same descent as a recursive CTE — every row's
+    code must agree bit-for-bit. Coordinates: p_partkey mod 256 ×
+    p_size on an 8-bit grid (the operator's masking contract)."""
+    from ..operators.zorder import hilbert_value, zvalue
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_partkey") % 256).cast("bigint").alias("gx"),
+        F.col("p_size").cast("bigint").alias("gy"),
+    )
+    return p.select(
+        "p_partkey",
+        "gx",
+        "gy",
+        zvalue(["gx", "gy"], bits=8).alias("zval"),
+        hilbert_value("gx", "gy", bits=8).alias("hval"),
+    )
