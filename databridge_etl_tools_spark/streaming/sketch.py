@@ -123,3 +123,48 @@ def stream_windowed_distinct(
             "min_hv",
         )
     )
+
+
+def stream_quantile_histogram(
+    stream: DataFrame,
+    col: str = "value",
+    *,
+    ts_col: str = "ts",
+    watermark: str = "2 days",
+    gmin: int = 0,
+    width: int = 1,
+    bins: int = 256,
+) -> DataFrame:
+    """Running per-day fixed-bin HISTOGRAM sketch over a value
+    stream — the incremental builder for the batch
+    ``sketch_quantile_rollup`` summaries: one row of state per
+    (day, bin), counters ADDITIVE, so Spark's state store IS the
+    mergeable quantile sketch (≤ days·bins rows; the watermark drops
+    closed days). Bin arithmetic is the batch query's exact integer
+    recipe — ``(floor(value·1e6) − gmin) DIV width`` — so an
+    ``availableNow`` drain over the same files equals the batch
+    (day, bin) table bit-for-bit (pinned in tests).
+
+    Bounds are CALLER-FIXED: a streaming job cannot re-scan history
+    to re-bin, so the domain comes from config/batch calibration;
+    out-of-range values CLAMP to the edge bins (state stays bounded
+    and every merge of shards built with the same (gmin, width,
+    bins) remains exact)."""
+    raw_bin = F.expr(
+        f"(cast(floor({col} * 1000000.0) as bigint) - {int(gmin)})"
+        f" DIV {int(width)}"
+    )
+    clamped = F.least(
+        F.greatest(raw_bin, F.lit(0).cast("bigint")),
+        F.lit(int(bins) - 1).cast("bigint"),
+    )
+    return (
+        stream.withColumn("_ts_ltz", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts_ltz", watermark)
+        .where(F.col(col).isNotNull() & ~F.isnan(F.col(col)))
+        .select(
+            F.to_date("_ts_ltz").alias("day"), clamped.alias("bin")
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )

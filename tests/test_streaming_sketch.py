@@ -155,3 +155,85 @@ def test_stream_windowed_distinct_equals_batch(spark, tmp_path):
     )
     est = bucketmin_estimate(one, k=16)
     assert abs(est - n) / max(n, 1) < 1.0
+
+
+def test_stream_quantile_histogram_equals_batch(spark, tmp_path):
+    """Per-day histogram sketch drained availableNow must equal the
+    batch (day, bin) table built with the same (gmin, width) — the
+    incremental builder for sketch_quantile_rollup — and out-of-range
+    values must clamp to the edge bins instead of growing state."""
+    from databridge_etl_tools_spark.registry import table as load_table
+    from databridge_etl_tools_spark.streaming import events as SE
+    from databridge_etl_tools_spark.streaming.sketch import (
+        stream_quantile_histogram,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    v = ev.where(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+    gmin, gmax = [
+        int(x)
+        for x in v.select(
+            F.min(F.floor(F.col("value") * 1e6).cast("long")),
+            F.max(F.floor(F.col("value") * 1e6).cast("long")),
+        ).first()
+    ]
+    width = (gmax - gmin) // 256 + 1
+
+    staging = str(tmp_path / "ev_staging_q")
+    ev.repartition(3).write.parquet(staging)
+    sk = stream_quantile_histogram(
+        SE.read_event_stream(spark, staging), "value",
+        gmin=gmin, width=width, bins=256,
+    )
+    q = (
+        sk.writeStream.format("memory")
+        .queryName("qh_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["day"], r["bin"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM qh_stream").collect()
+    }
+    batch = (
+        v.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.expr(
+                f"(cast(floor(value * 1000000.0) as bigint) - {gmin})"
+                f" DIV {width}"
+            ).alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    exp = {(r["day"], r["bin"]): r["cnt"] for r in batch.collect()}
+    assert got == exp
+    assert all(0 <= b < 256 for _, b in got)
+
+    # clamping: values far outside [gmin, gmax] land in bins 0/255
+    extreme = spark.createDataFrame(
+        [("2024-01-01 00:00:00", -1e9), ("2024-01-01 00:00:00", 1e12)],
+        "ts string, value double",
+    )
+    st2 = str(tmp_path / "ev_extreme")
+    extreme.select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).write.parquet(st2)
+    sk2 = stream_quantile_histogram(
+        spark.readStream.schema("ts timestamp, value double").parquet(st2),
+        "value", gmin=gmin, width=width, bins=256,
+    )
+    q2 = (
+        sk2.writeStream.format("memory")
+        .queryName("qh_extreme")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qh2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    bins2 = {r["bin"] for r in spark.sql("SELECT * FROM qh_extreme").collect()}
+    assert bins2 == {0, 255}
