@@ -199,3 +199,31 @@ def test_bottomk_sample_compiles_to_take_ordered(spark):
     plan = _plan(spark, "sample_bottomk_documents")
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan
+
+
+def test_join_skew_diagnostics_takeordered_not_global_sort(spark):
+    """The hottest-keys census must plan TakeOrderedAndProject
+    (per-partition partial top-k) — a global window-rank over the key
+    census would sort |keys| rows in one task at 100 TB."""
+    plan = _plan(spark, "join_skew_diagnostics")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_split_no_per_stratum_sort_window(spark):
+    """The exact stratified split assigns eval membership by a
+    map-side threshold filter from the grouped selection descent —
+    the executed plan must contain NO Window and NO Sort over the
+    per-row frame (a hot stratum would otherwise sort its whole
+    stratum in one task)."""
+    plan = _plan(spark, "stratified_split_exact")
+    assert "Window" not in plan
+    assert "window" not in plan.lower().replace("windowspec", "")
+
+
+def test_curriculum_decile_tag_is_map_side(spark):
+    """Decile membership in curriculum_schedule comes from a literal
+    9-threshold comparison count (map-side aggregate over a literal
+    array) — the plan must window only per (decile, shard), never
+    rank the corpus globally (no Exchange SinglePartition)."""
+    plan = _plan(spark, "curriculum_schedule")
+    assert "SinglePartition" not in plan
