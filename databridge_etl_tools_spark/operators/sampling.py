@@ -377,6 +377,7 @@ def stratified_split_exact(
     frac: "tuple[int, int]" = (1, 10),
     salt: str = "split",
     hash_hex: int = 6,
+    max_strata: int = 65536,
 ) -> DataFrame:
     """EXACT stratified eval/train split: each stratum contributes its
     largest-remainder share of a ``floor(N·num/den)`` eval budget —
@@ -403,16 +404,38 @@ def stratified_split_exact(
     4. map-side filter ``key ≤ threshold`` — exactly quota rows per
        stratum because keys are unique. No per-stratum sort anywhere.
 
+    ``max_strata`` bounds the driver state (the quota table and the
+    descent's per-group histograms — same guard discipline as
+    ``kth_smallest_by``'s ``max_groups``): the strata aggregate
+    collects at most ``max_strata + 1`` rows and raises an actionable
+    error beyond it, BEFORE any unbounded collect. A genuinely
+    high-cardinality stratum column means every stratum is small by
+    pigeonhole — use the rate-threshold :func:`train_val_split`
+    there (binomial counts are fine for tiny strata).
+
     Returns ``df[id_col, stratum_col, split]`` with split ∈
     {'eval', 'train'}."""
     from .orderstats import kth_smallest_by
 
     num, den = frac
+    probe = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)), F.max(F.col(id_col)))
+        .limit(max_strata + 1)
+        .collect()
+    )
+    if len(probe) > max_strata:
+        raise ValueError(
+            f"stratified_split_exact: more than max_strata={max_strata} "
+            f"distinct {stratum_col!r} values. The exact-allocation split "
+            "holds one quota row per stratum on the driver — with this "
+            "many strata every stratum is small by pigeonhole, so use "
+            "the rate-threshold train_val_split instead, or raise "
+            "max_strata deliberately."
+        )
     agg = {
         tuple_row[0]: (int(tuple_row[1]), int(tuple_row[2]))
-        for tuple_row in df.groupBy(stratum_col)
-        .agg(F.count(F.lit(1)), F.max(F.col(id_col)))
-        .collect()
+        for tuple_row in probe
     }
     counts = {s: n for s, (n, _) in agg.items()}
     quotas = largest_remainder_quotas(counts, num, den)

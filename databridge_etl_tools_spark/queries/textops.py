@@ -936,7 +936,10 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
       (decile, shard) is one bounded task and the order is resumable.
 
     The DuckDB twin IS the global-rank definition (``((rn−1)·10) DIV
-    N`` over the ck order), cross-checking thresholds == ranks."""
+    N`` over the ck order), cross-checking thresholds == ranks.
+    Shards pinned to 16 so the oracle reproduces at any SF — the
+    scale knob is the same as ``epoch_shuffle``'s input-scaled
+    default: size n_shards so one (decile, shard) ≈ one task."""
     from pyspark.sql import Window
 
     from ..operators.orderstats import kth_smallest

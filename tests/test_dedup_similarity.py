@@ -1027,3 +1027,19 @@ def test_stratified_split_exact_counts_and_determinism(spark):
     assert {(r.k, r.split) for r in out.collect()} == {
         (r.k, r.split) for r in out2.collect()
     }
+
+
+def test_stratified_split_exact_strata_guard(spark):
+    """The max_strata guard must fire with an actionable error BEFORE
+    any unbounded driver collect (the kth_smallest_by max_groups
+    discipline)."""
+    from databridge_etl_tools_spark.operators import sampling as SP
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("src")
+    )
+    try:
+        SP.stratified_split_exact(df, "src", "k", max_strata=100)
+        raise AssertionError("expected ValueError from max_strata guard")
+    except ValueError as e:
+        assert "max_strata" in str(e) and "train_val_split" in str(e)

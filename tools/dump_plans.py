@@ -94,6 +94,9 @@ SHOW = [
     # probe-driven bounded-job compositions; below are the
     # single-plan late-r8 queries)
     "boilerplate_prefix_clusters",
+    "join_skew_diagnostics",
+    "join_cardinality_estimate",
+    "layout_curve_codes",
 ]
 
 
