@@ -225,5 +225,74 @@ def test_hilbert_layout_not_worse_than_morton_and_content_identical(spark, tmp_p
     assert score(hil) < 2.0  # skips SOMETHING on the combined workload
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="exactly 2"):
+    # d > 2 is now the Skilling path (r8); a single column still has
+    # no curve to follow
+    with _pytest.raises(ValueError, match=">= 2"):
         write_zordered(ev, str(tmp_path / "bad"), ["user_id"], curve="hilbert")
+
+
+def test_hilbert_nd_matches_twin_bijective_adjacent(spark):
+    """The d-dimensional Skilling fold must equal its python twin
+    bit-exactly for d = 2, 3, 4, and the twin itself must be a
+    bijection with unit-step adjacency — the property that makes
+    Hilbert clustering worth it over Morton in ANY dimension."""
+    import itertools
+
+    from databridge_etl_tools_spark.operators.zorder import (
+        hilbert_index_nd_py,
+        hilbert_value_nd,
+    )
+
+    for d, bits in [(2, 3), (3, 2), (4, 2)]:
+        order = 1 << bits
+        pts = list(itertools.product(range(order), repeat=d))
+        exp = {p: hilbert_index_nd_py(list(p), bits) for p in pts}
+        inv = {h: p for p, h in exp.items()}
+        assert sorted(inv) == list(range(order**d)), (d, bits)
+        assert all(
+            sum(abs(a - b) for a, b in zip(inv[i], inv[i + 1])) == 1
+            for i in range(order**d - 1)
+        ), (d, bits)
+        cols = [f"c{i}" for i in range(d)]
+        df = spark.createDataFrame(
+            pts, ", ".join(f"{c} bigint" for c in cols)
+        )
+        got = {
+            tuple(r[c] for c in cols): r["h"]
+            for r in df.select(
+                *cols, hilbert_value_nd(cols, bits=bits).alias("h")
+            ).collect()
+        }
+        assert got == exp, (d, bits)
+
+
+def test_hilbert_nd_layout_3col_content_identical_and_skips(spark, tmp_path):
+    """3-column curve='hilbert' (the d>2 path Skilling unlocked) must
+    serve identical rows to Morton and skip comparably on a 3-D
+    workload."""
+    ev = table(spark, SF, "events").withColumn(
+        "hour",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast(
+            "bigint"
+        ),
+    )
+    ev = ev.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+    ev = ev.select(
+        "event_id", "user_id", "hour", (F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    mpath, hpath = str(tmp_path / "m3"), str(tmp_path / "h3")
+    write_zordered(ev, mpath, ["user_id", "hour", "cents"], n_files=8)
+    write_zordered(
+        ev, hpath, ["user_id", "hour", "cents"], n_files=8, curve="hilbert"
+    )
+    a = sorted(tuple(r) for r in spark.read.parquet(mpath).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(hpath).collect())
+    assert a == b
+    # both layouts must actually skip: a point probe on each column
+    # touches a strict subset of files
+    for path in (mpath, hpath):
+        ranges = file_column_ranges(path, ["user_id", "hour", "cents"])
+        assert len(ranges) > 1
+        probe = a[len(a) // 2]
+        for col, val in [("user_id", probe[1]), ("hour", probe[2])]:
+            assert overlap_fraction(ranges, col, val) < 1.0
