@@ -141,6 +141,7 @@ HEADLINE = [
     "join_skew_diagnostics",
     "join_cardinality_estimate",
     "layout_curve_codes",
+    "layout_hilbert3_codes",
 ]
 
 

@@ -991,3 +991,96 @@ def layout_curve_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         zvalue(["gx", "gy"], bits=8).alias("zval"),
         hilbert_value("gx", "gy", bits=8).alias("hval"),
     )
+
+
+def _hilbert3_oracle(bits: int = 8) -> str:
+    """DuckDB twin of the d=3 Skilling transform: one recursive-CTE
+    ITERATION per (Q level, dimension) pair — the inner per-dim loop
+    is sequential (x0 evolves within a level), so each step applies
+    exactly one dimension's update (i = step mod 3, Q = 2^(bits−1−
+    step div 3)); Gray code, the t-correction XOR chain, and the bit
+    interleave run on the final state."""
+    d, steps = 3, (bits - 1) * 3
+    mexp = bits - 1
+
+    def q(s="s"):
+        return f"(1 << ({mexp} - {s} // 3))"
+
+    t_terms = [
+        f"(CASE WHEN (g2 & {1 << e}) != 0 THEN {(1 << e) - 1} ELSE 0 END)"
+        for e in range(bits - 1, 0, -1)
+    ]
+    t_chain = t_terms[0]
+    for t in t_terms[1:]:
+        t_chain = f"xor({t_chain}, {t})"
+    h_terms = " + ".join(
+        f"(((f{i} >> {b}) & 1) << {b * d + (d - 1 - i)})"
+        for b in range(bits)
+        for i in range(d)
+    )
+    return f"""
+    WITH RECURSIVE g AS (
+      SELECT p_partkey,
+             CAST(p_partkey % 256 AS BIGINT) AS gx,
+             CAST(p_size AS BIGINT) AS gy,
+             CAST((p_partkey // 7) % 256 AS BIGINT) AS gz
+      FROM part),
+    st AS (
+      SELECT p_partkey, gx AS x0, gy AS x1, gz AS x2, 0 AS s FROM g
+      UNION ALL
+      SELECT p_partkey,
+        CASE s % 3
+          WHEN 0 THEN CASE WHEN (x0 & {q()}) != 0
+                           THEN xor(x0, {q()} - 1) ELSE x0 END
+          WHEN 1 THEN CASE WHEN (x1 & {q()}) != 0
+                           THEN xor(x0, {q()} - 1)
+                           ELSE xor(x0, xor(x0, x1) & ({q()} - 1)) END
+          ELSE        CASE WHEN (x2 & {q()}) != 0
+                           THEN xor(x0, {q()} - 1)
+                           ELSE xor(x0, xor(x0, x2) & ({q()} - 1)) END
+        END,
+        CASE WHEN s % 3 = 1 AND (x1 & {q()}) = 0
+             THEN xor(x1, xor(x0, x1) & ({q()} - 1)) ELSE x1 END,
+        CASE WHEN s % 3 = 2 AND (x2 & {q()}) = 0
+             THEN xor(x2, xor(x0, x2) & ({q()} - 1)) ELSE x2 END,
+        s + 1
+      FROM st WHERE s < {steps}),
+    fin AS (
+      SELECT p_partkey, x0 AS g0, xor(x1, x0) AS g1,
+             xor(x2, xor(x1, x0)) AS g2
+      FROM st WHERE s = {steps}),
+    tt AS (SELECT p_partkey, g0, g1, g2, {t_chain} AS t FROM fin),
+    ff AS (SELECT p_partkey, xor(g0, t) AS f0, xor(g1, t) AS f1,
+                  xor(g2, t) AS f2
+           FROM tt)
+    SELECT ff.p_partkey, g.gx, g.gy, g.gz,
+           CAST({h_terms} AS BIGINT) AS h3
+    FROM ff JOIN g ON ff.p_partkey = g.p_partkey
+    """
+
+
+@query("layout_hilbert3_codes", oracle=_hilbert3_oracle(), gate=False)
+def layout_hilbert3_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d=3 HILBERT CODES — puts the Skilling transpose algorithm
+    (``zorder.hilbert_value_nd``, the r8 lift of the 2-D limit)
+    under the driver gate: per-row 3-column Hilbert indexes on an
+    8-bit grid, with a DuckDB twin that re-runs the transform as a
+    recursive CTE advancing one (Q level, dimension) update per
+    iteration — 21 exact integer steps per row, bit-for-bit. The
+    curve is what 3-column `layout zorder --curve hilbert`
+    range-sorts on."""
+    from ..operators.zorder import hilbert_value_nd
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_partkey") % 256).cast("bigint").alias("gx"),
+        F.col("p_size").cast("bigint").alias("gy"),
+        F.expr("CAST((p_partkey DIV 7) % 256 AS BIGINT)").alias("gz"),
+    )
+    return p.select(
+        "p_partkey",
+        "gx",
+        "gy",
+        "gz",
+        hilbert_value_nd(["gx", "gy", "gz"], bits=8).alias("h3"),
+    )

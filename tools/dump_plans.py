@@ -97,6 +97,7 @@ SHOW = [
     "join_skew_diagnostics",
     "join_cardinality_estimate",
     "layout_curve_codes",
+    "layout_hilbert3_codes",
 ]
 
 
