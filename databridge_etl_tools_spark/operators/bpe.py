@@ -40,9 +40,12 @@ state is re-materialized (lineage cut), so the plan never grows with
 the merge count — the k-means/connected-components iteration
 discipline.
 
-Rows-only in the catalog (an iterative fixpoint has no DuckDB twin);
-exact merge semantics for BOTH constructions are pinned against
-pure-python twins in tests/test_bpe.py.
+Oracle-backed in the catalog since r8: the fixed merge count
+unrolls the loop into a CTE chain (queries/textops.py
+``_bpe_oracle`` — per-level pair recount + argmax + sentinel-
+wrapped greedy string replace), so both constructions are
+cross-engine-verified end to end; exact merge semantics are ALSO
+pinned against pure-python twins in tests/test_bpe.py.
 """
 
 from __future__ import annotations

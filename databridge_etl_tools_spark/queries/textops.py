@@ -2116,10 +2116,79 @@ def sample_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "n_chars", "draw_u")
 
 
-@query("bpe_learn_merges")  # no oracle: iterative argmax fixpoint (each
-# round's pair counts depend on the previous round's merges) isn't
-# SQL-expressible; exact merge semantics are pinned against a
-# pure-python BPE twin in tests/test_bpe.py
+def _bpe_oracle(n_merges: int, weighted: bool) -> str:
+    """DuckDB replay of the BPE merge loop as ``n_merges`` UNROLLED
+    CTE levels (the loop count is a query constant, so "iterative
+    fixpoint" dissolves into a fixed chain — the same move as the
+    recursive-CTE greedy prune, unrolled because each level needs an
+    aggregation over the previous level's table, which recursive
+    CTEs disallow). Each level: adjacent-pair counts (overlaps
+    counted, freq-weighted in the word variant) → (count desc, a, b)
+    argmax → ONE string ``replace`` applying the greedy
+    left-to-right non-overlapping fuse.
+
+    The replace is exact BECAUSE of the encoding: every symbol is
+    wrapped in U+0001 sentinels and symbols join with single spaces,
+    so the pattern ``\\x01a\\x01 \\x01b\\x01`` can only match at
+    symbol boundaries (no suffix false-positives), SQL replace's
+    single left-to-right non-rescanning pass IS the greedy fuse, and
+    consecutive overlapping occurrences resolve exactly like the
+    python/Arrow pass ([a,a,a] → [a▁a, a]). Assumes corpus tokens
+    never contain U+0001 (an oracle-representation assumption only —
+    the engine path has no such restriction; a violating corpus
+    would fail the mirror, which is the point)."""
+    if weighted:
+        base = f"""
+    wf AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOK}) AS w FROM documents) GROUP BY 1),
+    w0 AS MATERIALIZED (
+      SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                 i -> chr(1) || w[i] || chr(1)), ' ') AS repr, freq
+      FROM wf)"""
+        weight_sel, weight_carry = "CAST(SUM(freq) AS BIGINT)", ", freq"
+        after = "SUM(freq * len(string_split(repr, ' ')))"
+        after_col = "corpus_tokens_after"
+    else:
+        base = f"""
+    w0 AS MATERIALIZED (
+      SELECT array_to_string(list_transform(t, x -> chr(1) || x || chr(1)),
+                             ' ') AS repr
+      FROM (SELECT {_TOK} AS t FROM documents WHERE text IS NOT NULL)
+      WHERE len(t) >= 1)"""
+        weight_sel, weight_carry = "CAST(count(*) AS BIGINT)", ""
+        after = "SUM(len(string_split(repr, ' ')))"
+        after_col = "corpus_units_after"
+    parts, tops = [base], []
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+    p{k} AS (
+      SELECT s[i] AS wa, s[i + 1] AS wb, {weight_sel} AS c
+      FROM (SELECT string_split(repr, ' ') AS s{weight_carry} FROM w{k - 1}),
+           unnest(range(1, len(s))) AS u(i)
+      GROUP BY 1, 2),
+    t{k} AS MATERIALIZED (
+      SELECT wa, wb, c, trim(wa, chr(1)) AS a, trim(wb, chr(1)) AS b
+      FROM p{k} ORDER BY c DESC, trim(wa, chr(1)), trim(wb, chr(1)) LIMIT 1),
+    w{k} AS MATERIALIZED (
+      SELECT replace(repr, t.wa || ' ' || t.wb,
+                     chr(1) || t.a || chr(9601) || t.b || chr(1))
+               AS repr{weight_carry}
+      FROM w{k - 1}, t{k} t)""")
+        tops.append(f"SELECT {k - 1} AS step, a, b, c FROM t{k}")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    fin AS (SELECT CAST({after} AS BIGINT) AS {after_col}
+            FROM w{n_merges}),
+    m AS ({" UNION ALL ".join(tops)})
+    SELECT CAST(step AS INTEGER) AS step, a, b, c AS count, {after_col}
+    FROM m, fin"""
+    )
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle(8, weighted=False), gate=False)
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level BPE merge learning (``operators.bpe.bpe_fit``):
     8 rounds of most-frequent-adjacent-pair fusion over the corpus.
@@ -2128,7 +2197,13 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the winning pair and patches the count table with their
     before/after delta. Returns the learned rule table
     ``(step, a, b, count, corpus_units_after)`` — the tokenizer-
-    training step every subword pipeline runs before vocab/encoding."""
+    training step every subword pipeline runs before vocab/encoding.
+    PROMOTED from rows-only in r8: the fixed merge count unrolls the
+    "iterative fixpoint" into an 8-level CTE chain whose sentinel-
+    wrapped string replace reproduces the greedy fuse bit-for-bit
+    (see ``_bpe_oracle``) — so the DELTA-PATCHED count table is now
+    cross-checked against a full per-level recount by another
+    engine, not only the python twin."""
     from ..operators.bpe import bpe_fit
 
     docs = table(spark, sf_dir, "documents")
@@ -2140,9 +2215,11 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_learn_merges_words")  # no oracle: iterative argmax fixpoint;
-# semantics pinned against the pure-python char-BPE twin in
-# tests/test_bpe.py (test_bpe_fit_words_matches_python_twin)
+@query(
+    "bpe_learn_merges_words",
+    oracle=_bpe_oracle(12, weighted=True),
+    gate=False,
+)
 def bpe_learn_merges_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standard subword BPE over the distinct-word frequency table
     (``operators.bpe.bpe_fit_words``): one corpus shuffle builds
@@ -2152,7 +2229,11 @@ def bpe_learn_merges_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainers use, and the scale path at 100 TB. Returns
     ``(step, a, b, count, corpus_tokens_after)`` where the token
     count comes from one ``bpe_apply_words`` encode pass (distinct-
-    word replay + size-aware map join)."""
+    word replay + size-aware map join). PROMOTED from rows-only in
+    r8 via the unrolled-CTE replay (``_bpe_oracle`` — 12 levels of
+    freq-weighted pair recount + argmax + sentinel-wrapped greedy
+    replace); the gate data exercises a real count TIE resolved by
+    the (a asc, b asc) total order on both engines."""
     from ..operators.bpe import bpe_apply_words, bpe_fit_words
 
     docs = table(spark, sf_dir, "documents")
