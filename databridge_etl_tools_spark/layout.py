@@ -167,7 +167,7 @@ def build_embeddings_by_cell(
     registry.LAYOUT.pop((sf_dir.rstrip("/"), "embeddings"), None)
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
     path = f"{out_dir.rstrip('/')}/embeddings_by_cell"
-    sig = _source_sig(src, k=k, iters=iters)
+    sig = _source_sig(src, k=k, iters=iters, algo="kmeans-fp40")
     emb = registry.table(spark, sf_dir, "embeddings")
     cols = emb.columns
     if not _marker_fresh(os.path.join(path, _MARKER), sig):

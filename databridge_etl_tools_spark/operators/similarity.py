@@ -283,8 +283,17 @@ def kmeans_fit(
         # determinism discipline (same as the query layer): never
         # average raw doubles — partial-agg order varies with
         # partitioning, so last-ulp drift could flip borderline cell
-        # assignments across cluster layouts. Exact decimal sum, one
-        # deterministic cast to double, divide by exact count.
+        # assignments across cluster layouts. INTEGER fixed-point sum
+        # (floor(double(x)·2^40) — float32→double exact, power-of-two
+        # multiply exact, so quantization is the ONLY rounding), then
+        # int→double and two divisions — every op correctly rounded
+        # on identical operands in any engine. (r8: replaced the
+        # DECIMAL(38,12) sum whose decimal→double cast double-rounds
+        # in DuckDB — the documented last-ulp seam — so the whole
+        # fixpoint is now replayable by the ann_ivf_kmeans oracle.)
+        q40 = F.floor(
+            F.col("v").cast("double") * F.lit(float(1 << 40))
+        ).cast("long")
         means = (
             assigned.select(
                 "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
@@ -292,8 +301,9 @@ def kmeans_fit(
             .groupBy("cell", "pos")
             .agg(
                 (
-                    F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                    F.sum(q40).cast("double")
                     / F.count(F.lit(1))
+                    / F.lit(float(1 << 40))
                 ).alias("m")
             )
             .collect()
@@ -927,12 +937,19 @@ def pq_fit(
                 )
             ).alias("e")
         ).select("e.sub", "e.code", F.posexplode("e.sv").alias("pos", "v"))
+        # integer fixed-point means (r8, the kmeans_fit discipline):
+        # the only rounding is the quantization itself, so the whole
+        # codebook fixpoint is replayable by the ann_pq_adc oracle
+        q40 = F.floor(
+            F.col("v").cast("double") * F.lit(float(1 << 40))
+        ).cast("long")
         means = (
             parts.groupBy("sub", "code", "pos")
             .agg(
                 (
-                    F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                    F.sum(q40).cast("double")
                     / F.count(F.lit(1))
+                    / F.lit(float(1 << 40))
                 ).alias("mean")
             )
             .collect()
@@ -992,7 +1009,13 @@ def pq_topk_adc(
     full vectors, candidates only codes. Each Arrow batch builds the
     per-query LUT (m × ksub squared distances) and scores candidates
     with numpy fancy indexing — M lookups per candidate, no float
-    decode. Squared-L2 ranking (the PQ-native metric).
+    decode. Squared-L2 ranking (the PQ-native metric), computed in
+    INTEGER fixed point (r8: query sub-vectors and codebook entries
+    quantize to floor(x·2^20); LUT and distances are exact int64 —
+    |dist| ≤ d·2^42 — so the score is summation-order-independent
+    and the DuckDB oracle reproduces it bit-for-bit; emitted as
+    dist/2^40, an exact power-of-two double conversion). Ties break
+    on neighbor id at BOTH the chunk-local and global ranks.
 
     Scale shape: the code table is M bytes/vector (64× smaller than
     the floats). Candidates are hash-chunked (``n_chunks``) and each
@@ -1019,7 +1042,13 @@ def pq_topk_adc(
     ).crossJoin(F.broadcast(chunks))
     m = len(books)
     dsub = len(books[0][0])
-    cb = np.asarray(books, dtype=np.float64)  # m × ksub × dsub
+    # quantize the codebook ONCE: int64 LUT arithmetic is exact, so
+    # distances are independent of numpy's pairwise-summation order
+    # (a float LUT would differ from any SQL left-fold in last ulps)
+    cb_q = np.floor(
+        np.asarray(books, dtype=np.float64) * float(1 << 20)
+    ).astype(np.int64)  # m × ksub × dsub
+    scale = float(1 << 40)
 
     def topk_chunk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["query_id", "neighbor_id", "adc_dist", "rank"]
@@ -1036,17 +1065,23 @@ def pq_topk_adc(
         cmat = np.vstack(cpdf["codes"].values).astype(np.int64)  # n × m
         sub_idx = np.arange(m)[None, :]
         out = []
+        big = np.int64(1) << 62
         for qid, qv in zip(qpdf["_qid"].values, qpdf["_qv"].values):
-            qm = np.asarray(qv, dtype=np.float64).reshape(m, dsub)
-            # LUT[s, j] = ||q_s − c_sj||²
-            lut = ((qm[:, None, :] - cb) ** 2).sum(axis=2)  # m × ksub
+            qm_q = np.floor(
+                np.asarray(qv, dtype=np.float64).reshape(m, dsub)
+                * float(1 << 20)
+            ).astype(np.int64)
+            # LUT[s, j] = Σ (q20(q_s) − q20(c_sj))² — exact int64
+            diff = qm_q[:, None, :] - cb_q
+            lut = (diff * diff).sum(axis=2)  # m × ksub
             dist = lut[sub_idx, cmat].sum(axis=1)
             mask = ids != qid
-            order = np.argsort(np.where(mask, dist, np.inf), kind="stable")[:k]
+            order = np.lexsort((ids, np.where(mask, dist, big)))[:k]
             for rank, j in enumerate(order, start=1):
                 if not mask[j]:
                     break
-                out.append((int(qid), int(ids[j]), float(dist[j]), rank))
+                # exact: |dist| ≤ d·2^42 < 2^53, power-of-two divide
+                out.append((int(qid), int(ids[j]), float(dist[j]) / scale, rank))
         return pd.DataFrame(out, columns=cols)
 
     schema = "query_id bigint, neighbor_id bigint, adc_dist double, rank int"

@@ -133,13 +133,107 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh(emb, k=5, query_pred=F.col("vec_id") % 50 == 0)
 
 
-@query("ann_ivf_kmeans")  # no oracle: iterative k-means isn't SQL-expressible
+def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, kq: int = 5, mod: int = 50) -> str:
+    """DuckDB replay of the FULL Lloyd's k-means fixpoint + IVF probe
+    (r8 promotion — the BPE unrolling move applied to k-means): the
+    fixed iteration count unrolls into CTE levels, and every float op
+    in the loop is reproducible because the operator's centroid mean
+    is integer fixed point (Σ floor(x·2^40) exact, then int→double
+    and two correctly-rounded divisions — r8 change replacing the
+    DECIMAL cast whose decimal→double conversion double-rounds in
+    DuckDB). Per level: argmin assignment as list_position of the
+    max of the per-cell left-fold scores (first-occurrence = the
+    operator's earliest-centroid tie-break), then per-(cell, pos)
+    quantized means with empty cells keeping their previous centroid.
+    Early convergence in the operator needs no special case: once
+    new == old, further unrolled levels recompute identical
+    centroids."""
+    q40 = float(1 << 40)
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1,65),"
+        " i -> {a}[i] * {b}[i])), (x,y) -> x+y)"
+    )
+    score = (
+        dot.format(a="e.v", b="c.c")
+        + " - list_reduce(list_prepend(0.0, list_transform(c.c,"
+        " x -> x*x)), (x,y) -> x+y) / 2.0"
+    )
+    parts = [f"""
+    e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {q40}) AS BIGINT)) AS q
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, q,
+             CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER)
+               AS cell
+      FROM (
+        SELECT e.vec_id, any_value(e.q) AS q,
+               list({score} ORDER BY c.cell) AS scores
+        FROM e, c{i - 1} c
+        GROUP BY e.vec_id)),
+    m{i} AS (
+      SELECT cell, pos,
+             CAST(SUM(qv) AS DOUBLE) / COUNT(*) / {q40} AS m
+      FROM (SELECT cell, unnest(q) AS qv,
+                   unnest(range(1, len(q) + 1)) AS pos
+            FROM a{i})
+      GROUP BY 1, 2),
+    c{i} AS MATERIALIZED (
+      SELECT p.cell, COALESCE(n.c, p.c) AS c
+      FROM c{i - 1} p LEFT JOIN
+           (SELECT cell, list(m ORDER BY pos) AS c FROM m{i} GROUP BY 1) n
+        ON p.cell = n.cell)""")
+    parts.append(f"""
+    fa AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER)
+               AS cell
+      FROM (
+        SELECT e.vec_id, list({score} ORDER BY c.cell) AS scores
+        FROM e, c{iters} c
+        GROUP BY e.vec_id)),
+    base AS MATERIALIZED (
+      SELECT e.vec_id, e.v, fa.cell,
+             sqrt({dot.format(a="e.v", b="e.v")}) AS nrm
+      FROM e JOIN fa ON e.vec_id = fa.vec_id),
+    qs AS (SELECT * FROM base WHERE vec_id % {mod} = 0),
+    p AS (
+      SELECT qs.vec_id AS query_id, cnd.vec_id AS neighbor_id,
+             {dot.format(a="qs.v", b="cnd.v")} / (qs.nrm * cnd.nrm) AS cosine
+      FROM qs JOIN base cnd
+        ON qs.cell = cnd.cell AND qs.vec_id <> cnd.vec_id)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p) t
+    WHERE rank <= {kq}"""
+    )
+
+
+@query("ann_ivf_kmeans", oracle=_ivf_kmeans_oracle(), gate=False)
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real IVF: deterministic Lloyd's k-means builds the cells
     (driver-coordinated centroids, argmin assignment as column
-    expressions), then cell-restricted exact top-k probes. Rows-only
-    check (iterative fixpoint has no DuckDB twin); determinism and
-    recall are pinned by tests/test_dedup_similarity.py."""
+    expressions), then cell-restricted exact top-k probes. PROMOTED
+    from rows-only in r8: the fixed iteration count unrolls the
+    fixpoint into CTE levels (the BPE move), and the r8 switch of the
+    centroid mean to integer fixed point removes the one
+    cross-engine float seam (DuckDB's double-rounding decimal→double
+    cast), so the DuckDB twin replays the ENTIRE clustering — seeds,
+    argmin assignments, quantized means, empty-cell carry — plus the
+    cell-restricted probe, bit-for-bit. Determinism and recall stay
+    pinned by tests/test_dedup_similarity.py."""
     emb = table(spark, sf_dir, "embeddings")
     indexed = SIM.ivf_build(emb, k=8, iters=3)
     return SIM.cosine_topk(
@@ -275,16 +369,114 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semdedup_exact(emb, threshold=(1, 4), n_bits=4)
 
 
-@query("ann_pq_adc")  # no oracle: iterative subspace k-means isn't SQL-expressible
+def _pq_adc_oracle(
+    m: int = 8, ksub: int = 16, iters: int = 2, kq: int = 5, mod: int = 50
+) -> str:
+    """DuckDB replay of the WHOLE PQ pipeline (r8 promotion):
+    per-subspace Lloyd's rounds unrolled into CTE levels (codebook
+    table keyed (sub, code); the operator batches all subspaces into
+    one job per round, the oracle into one CTE per round), argmin
+    encoding as list_position-of-max over per-code left-fold scores,
+    and ADC distances in exact int64 (q20-quantized query coords and
+    codebook entries — summation-order-independent, emitted as
+    dist/2^40, an exact power-of-two double). Codebook means are the
+    operator's r8 integer fixed-point recipe, so every float in the
+    fixpoint is reproducible."""
+    dsub = 64 // m
+    q40, q20 = float(1 << 40), float(1 << 20)
+    dot_sub = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}),"
+        " i -> e.v[b.sub * {d} + i] * b.c[i])), (x,y) -> x+y)"
+    ).replace("{d}", str(dsub))
+    normhalf = (
+        "list_reduce(list_prepend(0.0, list_transform(b.c, x -> x*x)),"
+        " (x,y) -> x+y) / 2.0"
+    )
+    assign = f"""
+      SELECT vec_id, sub,
+             CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER)
+               AS code
+      FROM (
+        SELECT e.vec_id, b.sub,
+               list({dot_sub} - {normhalf} ORDER BY b.code) AS scores
+        FROM e, {{B}} b
+        GROUP BY e.vec_id, b.sub)"""
+    parts = [f"""
+    e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {q40}) AS BIGINT)) AS q
+      FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS code, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {ksub})),
+    b0 AS MATERIALIZED (
+      SELECT s.sub, seeds.code,
+             list_slice(seeds.v, s.sub * {dsub} + 1,
+                        s.sub * {dsub} + {dsub}) AS c
+      FROM seeds, (SELECT unnest(range(0, {m})) AS sub) s)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    as{i} AS MATERIALIZED ({assign.format(B=f"b{i - 1}")}),
+    mm{i} AS (
+      SELECT a.sub, a.code, p.pos,
+             CAST(SUM(e.q[a.sub * {dsub} + p.pos]) AS DOUBLE)
+               / COUNT(*) / {q40} AS mn
+      FROM as{i} a JOIN e ON a.vec_id = e.vec_id,
+           (SELECT unnest(range(1, {dsub + 1})) AS pos) p
+      GROUP BY 1, 2, 3),
+    b{i} AS MATERIALIZED (
+      SELECT pb.sub, pb.code, COALESCE(n.c, pb.c) AS c
+      FROM b{i - 1} pb LEFT JOIN
+           (SELECT sub, code, list(mn ORDER BY pos) AS c
+            FROM mm{i} GROUP BY 1, 2) n
+        ON pb.sub = n.sub AND pb.code = n.code)""")
+    parts.append(f"""
+    enc AS MATERIALIZED ({assign.format(B=f"b{iters}")}),
+    bq AS MATERIALIZED (
+      SELECT sub, code,
+             list_transform(c, x -> CAST(floor(x * {q20}) AS BIGINT)) AS cq
+      FROM b{iters}),
+    eq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * {q20}) AS BIGINT)) AS qq
+      FROM e),
+    dist AS (
+      SELECT q.vec_id AS query_id, cand.vec_id AS neighbor_id,
+             CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, {dsub + 1}),
+                   i -> (q.qq[b.sub * {dsub} + i] - b.cq[i])
+                      * (q.qq[b.sub * {dsub} + i] - b.cq[i]))),
+                 (x, y) -> x + y)) AS DOUBLE) / {q40} AS adc_dist
+      FROM (SELECT * FROM eq WHERE vec_id % {mod} = 0) q
+      JOIN eq cand ON cand.vec_id <> q.vec_id
+      JOIN enc c ON c.vec_id = cand.vec_id
+      JOIN bq b ON b.sub = c.sub AND b.code = c.code
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
+      FROM dist) t
+    WHERE rank <= {kq}""")
+    return "WITH " + ",".join(parts)
+
+
+@query("ann_pq_adc", oracle=_pq_adc_oracle(), gate=False)
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): per-subspace
     codebooks (8 subspaces × 16 centroids — 8 bytes/vector, 32×
     smaller than the floats), JVM-side encoding, then asymmetric-
     distance top-k via per-chunk LUT scoring (cogrouped numpy, local
     top-k per chunk, windowed global merge — no driver collect, no
-    q×n blowup). Rows-only check like ann_ivf_kmeans (iterative
-    fixpoint); the exactness anchor (codebook-aligned vectors give
-    true L2), chunk invariance, and the recall floor are pinned in
+    q×n blowup). PROMOTED from rows-only in r8 alongside
+    ann_ivf_kmeans: integer fixed-point codebook means + q20 integer
+    ADC make every number in the pipeline order-independent, so the
+    DuckDB twin replays seeding, both Lloyd's rounds, encoding, and
+    the LUT distances bit-for-bit. The exactness anchor
+    (codebook-aligned vectors give true L2 within the quantization
+    bound), chunk invariance, and the recall floor stay pinned in
     tests/test_pq.py. Measured recall@5 ≈ 0.25 at 8 bytes on this
     synthetic corpus — random near-orthogonal vectors are PQ's
     worst case (no correlation across subspaces to exploit); real

@@ -34,7 +34,10 @@ def test_pq_exact_on_codebook_aligned_vectors(spark):
     got = pq_topk_adc(emb, books, k=3).collect()
     for r in got:
         true = float(((vecs[r.query_id] - vecs[r.neighbor_id]) ** 2).sum())
-        assert abs(r.adc_dist - true) < 1e-9
+        # r8: ADC is integer fixed point (q20 coords) — exactness is
+        # now up to the quantization bound, ~2·d·2·2^-20 ≈ 2.5e-4 for
+        # unit-range coords, not float ulps
+        assert abs(r.adc_dist - true) < 1e-3
 
 
 def test_pq_chunk_invariance(spark):
