@@ -142,6 +142,9 @@ HEADLINE = [
     "join_cardinality_estimate",
     "layout_curve_codes",
     "layout_hilbert3_codes",
+    "ann_ivf_kmeans",
+    "ann_pq_adc",
+    "bpe_learn_merges_words",
 ]
 
 

@@ -107,7 +107,12 @@ DRIVER_GATE_WINDOW = 50
 #: (gate=False defaults) and park automatically. Still queued after
 #: r8: those 19 r5 returners, the late-r8 builds that landed after
 #: the window filled (stratified_split_exact, sketch_quantile_rollup,
-#: …), + whatever r9 builds.
+#: curriculum_schedule, boilerplate_prefix_clusters,
+#: join_skew_diagnostics, join_cardinality_estimate,
+#: layout_curve_codes, layout_hilbert3_codes), the 4 late-r8
+#: rows-only promotions (bpe_learn_merges, bpe_learn_merges_words,
+#: ann_ivf_kmeans, ann_pq_adc — never driver-verified with an
+#: oracle), + whatever r9 builds.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
         "ann_topk_vectorized",
