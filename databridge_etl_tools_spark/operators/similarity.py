@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .util import spread
 
@@ -246,11 +247,18 @@ def kmeans_fit(
     """Deterministic Lloyd's k-means for IVF cell assignment.
 
     Driver-coordinated: centroids (k×dim floats — tiny) live on the
-    driver and enter each iteration's plan as literals; the data-side
-    work per iteration is one argmin projection + one
+    driver and each iteration runs one argmin projection + one
     (cluster, position) mean aggregation. Seeding is deterministic
     (the k lowest ids), so cell layouts are reproducible — the same
     no-RNG discipline as the LSH hyperplanes.
+
+    r8: assignment is exact INT64 squared L2 over q20-quantized
+    coordinates via the shared Arrow pass (``_pq_assign`` with the
+    centroid set as ONE subspace — k-means IS single-subspace PQ),
+    so the argmin is engine-independent (numpy here, list_position
+    in the DuckDB replay) and the per-row cost is one vectorized
+    batch instead of k interpreted HOF folds (measured ~2× on the
+    bench entry).
 
     Returns (centroids, assignments df[id, cell]).
     """
@@ -259,27 +267,16 @@ def kmeans_fit(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
 
-    def assign_expr(cents: list[list[float]]) -> Column:
-        # argmin of squared distance == argmax of dot - ||c||²/2.
-        # Built as array_position(scores, array_max(scores)) so every
-        # score subtree appears O(1) times — a chained
-        # WHEN(score>best, ...) fold nests best_score inside its own
-        # replacement and the tree grows ~3^k (k=16 wedged Catalyst
-        # analysis for minutes). First-occurrence semantics keep the
-        # original tie-break (earliest centroid wins; comparison is
-        # against the bitwise-identical max element, so no FP hazard).
-        scores = F.array(
-            *[
-                dot_fold(F.col(vec_col), _plane_col(c))
-                - sum(v * v for v in c) / 2.0
-                for c in cents
-            ]
+    def assign(cents: list[list[float]]) -> DataFrame:
+        return (
+            _pq_assign(emb, [cents], vec_col)
+            .withColumn("cell", F.col("codes")[0])
+            .drop("codes")
         )
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
     assigned = None
     for _ in range(iters):
-        assigned = emb.withColumn("cell", assign_expr(centroids))
+        assigned = assign(centroids)
         # determinism discipline (same as the query layer): never
         # average raw doubles — partial-agg order varies with
         # partitioning, so last-ulp drift could flip borderline cell
@@ -317,9 +314,7 @@ def kmeans_fit(
         if new_centroids == centroids:
             break
         centroids = new_centroids
-    assignments = emb.withColumn("cell", assign_expr(centroids)).select(
-        id_col, "cell"
-    )
+    assignments = assign(centroids).select(id_col, "cell")
     return centroids, assignments
 
 
@@ -907,19 +902,9 @@ def pq_fit(
         for s in range(m)
     ]
 
-    def code_expr(s: int, cents: list[list[float]]) -> Column:
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        scores = F.array(
-            *[
-                dot_fold(sub, _plane_col(c)) - sum(v * v for v in c) / 2.0
-                for c in cents
-            ]
-        )
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-
     for _ in range(iters):
-        assigned = emb.select(
-            *[code_expr(s, books[s]).alias(f"c{s}") for s in range(m)],
+        assigned = _pq_assign(emb, books, vec_col).select(
+            *[F.col("codes")[s].alias(f"c{s}") for s in range(m)],
             F.col(vec_col).alias("_v"),
         )
         # one exploded (sub, code, pos, val) stream → decimal means
@@ -966,6 +951,54 @@ def pq_fit(
     return books
 
 
+def _pq_assign(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``codes`` (array<int>, length m): each sub-vector's
+    nearest codeword by EXACT INT64 squared L2 over q20-quantized
+    coordinates (first-min tie-break = lowest code). Integer
+    arithmetic decouples the evaluation engine from the result — this
+    Arrow-vectorized pass, a JVM fold, and the DuckDB oracle's
+    list_position replay all produce the same code — so the fast
+    evaluation is free (r8: replaced m × ksub interpreted HOF folds
+    per row, ~4× of the bench entry)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    dsub = len(books[0][0])
+    cb_q = np.floor(
+        np.asarray(books, dtype=np.float64) * float(1 << 20)
+    ).astype(np.int64)  # m × ksub × dsub
+
+    def run(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(codes=pd.Series(dtype=object))
+                continue
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            q = np.floor(mat * float(1 << 20)).astype(np.int64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sub = q[:, s * dsub : (s + 1) * dsub]
+                diff = sub[:, None, :] - cb_q[s][None, :, :]
+                d2 = (diff * diff).sum(axis=2)  # exact int64
+                codes[:, s] = d2.argmin(axis=1)  # first min — lowest code
+            out = pdf.copy()
+            out["codes"] = [list(map(int, row)) for row in codes]
+            yield out
+
+    schema = T.StructType(
+        emb.schema.fields
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+    return emb.mapInPandas(run, schema)
+
+
 def pq_encode(
     emb: DataFrame,
     books: list[list[list[float]]],
@@ -973,26 +1006,11 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode vectors to their PQ codes: df[id, codes array<int> of
-    length m]. Pure JVM column expressions (m × ksub small dot
-    products per row, codegen'd); at scale this is the map-side pass
-    that writes the byte-sized index, after which candidate floats
-    can leave memory."""
-    m = len(books)
-    dsub = len(books[0][0])
-
-    def code_expr(s: int) -> Column:
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        scores = F.array(
-            *[
-                dot_fold(sub, _plane_col(c)) - sum(v * v for v in c) / 2.0
-                for c in books[s]
-            ]
-        )
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-
-    return emb.select(
-        F.col(id_col).alias("id"),
-        F.array(*[code_expr(s) for s in range(m)]).alias("codes"),
+    length m] — the map-side pass that writes the byte-sized index,
+    after which candidate floats can leave memory. One Arrow pass of
+    exact integer L2 argmins (see :func:`_pq_assign`)."""
+    return _pq_assign(emb, books, vec_col).select(
+        F.col(id_col).alias("id"), "codes"
     )
 
 

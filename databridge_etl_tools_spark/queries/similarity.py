@@ -142,28 +142,37 @@ def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, kq: int = 5, mod: int = 50) -
     and two correctly-rounded divisions — r8 change replacing the
     DECIMAL cast whose decimal→double conversion double-rounds in
     DuckDB). Per level: argmin assignment as list_position of the
-    max of the per-cell left-fold scores (first-occurrence = the
-    operator's earliest-centroid tie-break), then per-(cell, pos)
+    MIN of the per-cell exact INT64 squared-L2 scores over q20
+    coords (the _pq_assign metric — first-occurrence = the
+    operator's earliest-centroid/numpy-argmin tie-break), then
+    per-(cell, pos)
     quantized means with empty cells keeping their previous centroid.
     Early convergence in the operator needs no special case: once
     new == old, further unrolled levels recompute identical
     centroids."""
-    q40 = float(1 << 40)
+    q40, q20 = float(1 << 40), float(1 << 20)
     dot = (
         "list_reduce(list_prepend(0.0, list_transform(range(1,65),"
         " i -> {a}[i] * {b}[i])), (x,y) -> x+y)"
     )
+    # assignment score: exact INT64 squared L2 over q20 coords against
+    # the q20-quantized centroid (r8 _pq_assign metric — k-means is
+    # single-subspace PQ); argmin = list_position of the MIN
     score = (
-        dot.format(a="e.v", b="c.c")
-        + " - list_reduce(list_prepend(0.0, list_transform(c.c,"
-        " x -> x*x)), (x,y) -> x+y) / 2.0"
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(1,65),"
+        f" i -> (e.qq[i] - CAST(floor(c.c[i] * {q20}) AS BIGINT))"
+        f" * (e.qq[i] - CAST(floor(c.c[i] * {q20}) AS BIGINT)))),"
+        " (x,y) -> x+y)"
     )
     parts = [f"""
     e AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * {q40}) AS BIGINT)) AS q
+               x -> CAST(floor(CAST(x AS DOUBLE) * {q40}) AS BIGINT)) AS q,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {q20}) AS BIGINT)) AS qq
       FROM embeddings),
     c0 AS MATERIALIZED (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
@@ -173,7 +182,7 @@ def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, kq: int = 5, mod: int = 50) -
         parts.append(f"""
     a{i} AS MATERIALIZED (
       SELECT vec_id, q,
-             CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER)
+             CAST(list_position(scores, list_min(scores)) - 1 AS INTEGER)
                AS cell
       FROM (
         SELECT e.vec_id, any_value(e.q) AS q,
@@ -195,7 +204,7 @@ def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, kq: int = 5, mod: int = 50) -
     parts.append(f"""
     fa AS MATERIALIZED (
       SELECT vec_id,
-             CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER)
+             CAST(list_position(scores, list_min(scores)) - 1 AS INTEGER)
                AS cell
       FROM (
         SELECT e.vec_id, list({score} ORDER BY c.cell) AS scores
@@ -384,21 +393,22 @@ def _pq_adc_oracle(
     fixpoint is reproducible."""
     dsub = 64 // m
     q40, q20 = float(1 << 40), float(1 << 20)
-    dot_sub = (
-        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}),"
-        " i -> e.v[b.sub * {d} + i] * b.c[i])), (x,y) -> x+y)"
-    ).replace("{d}", str(dsub))
-    normhalf = (
-        "list_reduce(list_prepend(0.0, list_transform(b.c, x -> x*x)),"
-        " (x,y) -> x+y) / 2.0"
+    # assignment scores are exact INT64 squared L2 over q20 coords
+    # (r8: _pq_assign) — list_position of the MIN, first occurrence =
+    # lowest code, matching numpy argmin
+    l2_sub = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, {dsub + 1}),"
+        f" i -> (e.qq[b.sub * {dsub} + i] - b.cq[i])"
+        f" * (e.qq[b.sub * {dsub} + i] - b.cq[i]))), (x,y) -> x+y)"
     )
     assign = f"""
       SELECT vec_id, sub,
-             CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER)
+             CAST(list_position(scores, list_min(scores)) - 1 AS INTEGER)
                AS code
       FROM (
         SELECT e.vec_id, b.sub,
-               list({dot_sub} - {normhalf} ORDER BY b.code) AS scores
+               list({l2_sub} ORDER BY b.code) AS scores
         FROM e, {{B}} b
         GROUP BY e.vec_id, b.sub)"""
     parts = [f"""
@@ -406,7 +416,9 @@ def _pq_adc_oracle(
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * {q40}) AS BIGINT)) AS q
+               x -> CAST(floor(CAST(x AS DOUBLE) * {q40}) AS BIGINT)) AS q,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {q20}) AS BIGINT)) AS qq
       FROM embeddings),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
@@ -417,9 +429,13 @@ def _pq_adc_oracle(
              list_slice(seeds.v, s.sub * {dsub} + 1,
                         s.sub * {dsub} + {dsub}) AS c
       FROM seeds, (SELECT unnest(range(0, {m})) AS sub) s)"""]
+    bquant = (
+        "(SELECT sub, code, list_transform(c,"
+        f" x -> CAST(floor(x * {q20}) AS BIGINT)) AS cq FROM b{{lvl}})"
+    )
     for i in range(1, iters + 1):
         parts.append(f"""
-    as{i} AS MATERIALIZED ({assign.format(B=f"b{i - 1}")}),
+    as{i} AS MATERIALIZED ({assign.format(B=bquant.format(lvl=i - 1))}),
     mm{i} AS (
       SELECT a.sub, a.code, p.pos,
              CAST(SUM(e.q[a.sub * {dsub} + p.pos]) AS DOUBLE)
@@ -434,11 +450,11 @@ def _pq_adc_oracle(
             FROM mm{i} GROUP BY 1, 2) n
         ON pb.sub = n.sub AND pb.code = n.code)""")
     parts.append(f"""
-    enc AS MATERIALIZED ({assign.format(B=f"b{iters}")}),
     bq AS MATERIALIZED (
       SELECT sub, code,
              list_transform(c, x -> CAST(floor(x * {q20}) AS BIGINT)) AS cq
       FROM b{iters}),
+    enc AS MATERIALIZED ({assign.format(B="bq")}),
     eq AS MATERIALIZED (
       SELECT vec_id,
              list_transform(v, x -> CAST(floor(x * {q20}) AS BIGINT)) AS qq
