@@ -504,8 +504,10 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pca_embeddings_project")  # no oracle: eigendecomposition isn't
-# SQL-expressible; numerics pinned against a full numpy twin in
+@query("pca_embeddings_project")  # no oracle: LAPACK eigh — unlike the
+# fixed-count fixpoints promoted in r8 (BPE/k-means/PQ unrolled into
+# CTE levels), the driver-side eigendecomposition's internals are not
+# replayable arithmetic; numerics pinned against a full numpy twin in
 # tests/test_pca.py (moments, eigenstructure, projection, determinism)
 def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (``operators.pca``): one Arrow-batched pass
@@ -646,8 +648,9 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pca_prefilter")  # no oracle: the PCA fit (eigendecomposition)
-# isn't SQL-expressible; the exactness anchor (corpus-sized shortlist ==
+@query("ann_pca_prefilter")  # no oracle: the PCA fit's LAPACK eigh (see
+# pca_embeddings_project — the one fixpoint class the r8 unrolling
+# playbook can't replay); the exactness anchor (corpus-sized shortlist ==
 # exact brute force) and the measured recall floor are pinned in
 # tests/test_pca.py
 def ann_pca_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,7 +773,8 @@ def emb_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("ridge_probe_embeddings")  # no oracle: the d×d normal-equation
-# solve isn't SQL-expressible; coefficient/RMSE parity vs a numpy
+# LAPACK solve (same blocker class as eigh — not a loop to unroll, an
+# engine-internal factorization); coefficient/RMSE parity vs a numpy
 # closed-form twin and layout-stability are pinned in
 # tests/test_linear.py
 def ridge_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
