@@ -75,134 +75,88 @@ DRIVER_GATE_WINDOW = 50
 #: registration so the per-query ``gate=`` default stays the stable
 #: tier and this overlay stays one auditable per-round edit.
 #:
-#: r8 cohort (recency-based; the r7 overlay — for the audit trail —
-#: was the first all-rotated gate: 30 never-verified (14 r6-built +
-#: 16 r7-built) + 20 r4-verified-once returners IN, all 28 r5- and 22
-#: r6-verified stable queries OUT; CORRECTNESS_r07 came back 50/50
-#: green, zero errs). This round the window takes the 50 queries with
-#: the highest re-verification priority:
-#:   - 14 r8-built, never driver-verified: the 12 new queries
-#:     (token_budget_shards_by_source, events_value_winsorized_by_type,
-#:     epoch_shuffle_shards, tokenizer_fertility_by_source,
-#:     events_daily_delta_trend, theil_sen_daily_trend,
-#:     documents_column_profile, token_lang_chi2_topk,
-#:     contamination_report, ttr_length_correlation_by_source,
-#:     mixture_epoch_plan, source_dup_matrix) + the 2 promoted
-#:     rows-only queries (ann_topk_vectorized, then semdedup_keep —
-#:     oracle-backed as of r8; its late promotion parks
-#:     forecast_revenue, three-times-green, making the stable-default
-#:     slice "the first 8 alphabetical" rather than 9);
-#:   - 2 r7-built, never driver-verified (built after the r7 gate
-#:     filled): max_concurrent_sessions, text_heavy_hitters_by_lang;
-#:   - 4 last-verified-r4 overflow returners: geom_kind_census,
-#:     prepare_cell_cleanup, prepare_header_normalize, tz_carto_midnight;
-#:   - 30 of the 50-query last-verified-r5 cohort, lowest green-count
-#:     first: all 22 verified exactly once (corpus_curation_v3 …
-#:     vocab_growth_curve) + the first 8 (alphabetical) of the 27
-#:     three-times-green (above_customer_average … exact_percentiles —
-#:     these are stable-tier defaults, so they need no IN entry).
-#: OUT parks the 22 r6-verified stable queries + the 19 remaining
-#: r5-verified ones (18 three-times-green + dedup_simhash_pairs,
-#: four-times-green) — all r7-gate queries are late-registered
-#: (gate=False defaults) and park automatically. Still queued after
-#: r8: those 19 r5 returners, the late-r8 builds that landed after
-#: the window filled (stratified_split_exact, sketch_quantile_rollup,
-#: curriculum_schedule, boilerplate_prefix_clusters,
-#: join_skew_diagnostics, join_cardinality_estimate,
-#: layout_curve_codes, layout_hilbert3_codes), the 4 late-r8
-#: rows-only promotions (bpe_learn_merges, bpe_learn_merges_words,
-#: ann_ivf_kmeans, ann_pq_adc — never driver-verified with an
-#: oracle), + whatever r9 builds.
+#: r9 cohort — GENERATED, not hand-counted: run
+#:   python tools/gate_coverage.py --suggest
+#: which ranks the oracle catalog by (never-driver-green first, then
+#: ascending last_green_round, green_count, name) from the actual
+#: CORRECTNESS_r*.json records, and emits exactly this window. The r9
+#: window = the 12 never-driver-verified late-r8 entries (8 builds:
+#: stratified_split_exact, sketch_quantile_rollup, curriculum_schedule,
+#: boilerplate_prefix_clusters, join_skew_diagnostics,
+#: join_cardinality_estimate, layout_curve_codes, layout_hilbert3_codes;
+#: 4 oracle promotions: bpe_learn_merges, bpe_learn_merges_words,
+#: ann_ivf_kmeans, ann_pq_adc) + the 20-query last-green-r5 cohort +
+#: the 18 oldest of the last-green-r6 cohort by green-count. IN holds
+#: the members of that window whose registration default is overflow;
+#: OUT parks every stable-tier (gate=True) query not in the window.
+#: New r9 queries register gate=False and queue for r10.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        "ann_topk_vectorized",
-        "corpus_curation_v3",
-        "dedup_keep_best",
-        "dedup_shared_spans",
-        "contamination_report",
-        "dedup_spans_removed",
-        "doc_gram_novelty",
-        "documents_column_profile",
-        "emb_standardize_dims",
-        "epoch_shuffle_shards",
-        "events_daily_delta_trend",
-        "events_trending_types",
-        "events_value_winsorized_by_type",
-        "geom_kind_census",
-        "gram_duplication_census",
-        "length_percentile_filter",
-        "max_concurrent_sessions",
-        "paired_text_embedding",
-        "prepare_cell_cleanup",
-        "prepare_header_normalize",
-        "reranker_training_triplets",
-        "sample_weighted_length",
-        "scd2_point_in_time",
-        "semdedup_keep",
-        "sketch_countmin_topk",
-        "source_dup_matrix",
-        "text_clean_normalize",
-        "text_heavy_hitters_by_lang",
-        "text_keywords_tfidf",
-        "text_lm_bigram_score",
-        "text_pmi_collocations",
-        "theil_sen_daily_trend",
-        "token_lang_chi2_topk",
-        "ttr_length_correlation_by_source",
-        "mixture_epoch_plan",
-        "token_budget_shards_by_source",
-        "tokenizer_fertility_by_source",
-        "tz_carto_midnight",
-        "user_activity_anomalies",
-        "user_activity_anomalies_mad",
-        "user_retention_cohorts",
-        "vocab_growth_curve",
+        "ann_ivf_kmeans",
+        "ann_pq_adc",
+        "asof_attribution_window",
+        "boilerplate_prefix_clusters",
+        "bpe_learn_merges",
+        "bpe_learn_merges_words",
+        "bracket_revenue",
+        "chunk_dedup_reassembled",
+        "chunk_dedup_segments",
+        "chunk_documents_windows",
+        "contrastive_negatives",
+        "corpus_curation",
+        "corpus_curation_v2",
+        "curriculum_schedule",
+        "decontaminate_train_eval",
+        "dedup_containment",
+        "dedup_winnow_overlap",
+        "emb_quantize_int8",
+        "events_markov_transitions",
+        "events_value_equidepth",
+        "join_cardinality_estimate",
+        "join_skew_diagnostics",
+        "kwic_concordance",
+        "layout_curve_codes",
+        "layout_hilbert3_codes",
+        "median_doc_length",
+        "sketch_kmv_distinct",
+        "sketch_quantile_rollup",
+        "stratified_split_exact",
+        "token_odds_ratio_langs",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
+        "above_customer_average",
         "ann_cosine_topk",
         "ann_ivf_label",
+        "ann_lsh_bucketed",
         "asof_purchase_last_view",
+        "cube_flag_status",
         "customer_order_distribution",
         "dedup_components",
         "dedup_exact",
+        "dedup_fuzzy_levenshtein",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
-        "dedup_simhash_pairs",
         "dedupe_events_by_user",
-        "mm_binary_stats",
-        "pivot_priority_status",
-        "forecast_revenue",
-        "forest_part_suppliers",
-        "geom_normalize",
-        "important_nation_stock",
-        "min_cost_supplier",
         "delete_stale",
+        "emb_neardup_pairs",
+        "events_hourly_rollup",
+        "events_json_props",
         "events_sessionize",
+        "exact_percentiles",
         "filter_project",
         "order_priority_check",
         "ordered_collect",
         "prepare_synthetic_objectid",
-        "pricing_summary",
         "proj_webmercator",
-        "qa_report",
         "range_join_interval_counts",
-        "range_join_left_outer",
         "record_diff",
-        "region_revenue",
-        "rollup_region_nation",
-        "scan_probes",
-        "set_ops",
-        "shipping_priority",
-        "skew_salted_agg",
-        "text_quality_language",
+        "semdedup_keep",
         "text_token_stats",
-        "text_vocabulary_topk",
         "topk_per_group",
         "tz_policies",
         "upsert_orders",
-        "waiting_sole_late_supplier",
     }
 )
 
