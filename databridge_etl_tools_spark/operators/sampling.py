@@ -344,6 +344,102 @@ def epoch_shuffle(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    *,
+    n_deciles: int = 10,
+    n_shards: "int | None" = None,
+    salt: str = "curr",
+) -> DataFrame:
+    """Curriculum ordering: easy→hard difficulty deciles, pseudo-
+    randomly interleaved WITHIN each decile — the data order for
+    difficulty-staged pretraining (readers stream ``ORDER BY (decile,
+    pos)``). Composes the repo's two ordering primitives instead of a
+    global sort:
+
+    - decile membership from ``n_deciles − 1`` selection-descent
+      thresholds over the unique combined key ``difficulty·M + id``
+      (rank ⌈(d+1)·N/D⌉ each) + a map-side comparison count — never a
+      global ``row_number`` (one task sorting the corpus). Threshold
+      ranks are counted WITH multiplicity: for tiny inputs (N < D)
+      distinct deciles share a rank, and each occurrence must bump the
+      decile separately or boundary rows land one decile low vs the
+      global-rank definition ``((rn−1)·D) DIV N`` (r8 advisor).
+    - within-decile position from the :func:`epoch_shuffle` interleave
+      (md5 shard + shard-local window + round-robin formula), so each
+      (decile, shard) is one bounded task and the order is resumable.
+
+    ``n_shards`` defaults to the same input-scaled rule as
+    :func:`epoch_shuffle` — ``max(input partitions,
+    spark.sql.shuffle.partitions)`` — so one (decile, shard) stays
+    ~task-sized at any corpus size; pass an explicit constant only to
+    pin reproducibility across environments (the oracle-gated demo
+    query pins 16).
+
+    Returns ``df[id_col, decile, pos]`` with decile ∈ [0, n_deciles)
+    and pos the 1-based within-decile interleave position."""
+    from pyspark.sql import Window
+
+    from .orderstats import kth_smallest
+
+    if n_shards is None:
+        spark = df.sparkSession
+        n_shards = max(
+            df.rdd.getNumPartitions(),
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+    mult, n = df.agg(
+        F.max(F.col(id_col)) + 1, F.count(F.lit(1)).cast("bigint")
+    ).first()
+    mult, n = int(mult), int(n)
+    keyed = df.select(
+        F.col(id_col),
+        (F.col(difficulty_col) * F.lit(mult) + F.col(id_col)).alias("ck"),
+    )
+    # duplicates preserved: rank_list, not a set (see docstring)
+    rank_list = [
+        ((d + 1) * n + n_deciles - 1) // n_deciles
+        for d in range(n_deciles - 1)
+    ]
+    thresholds = kth_smallest(keyed, "ck", sorted(set(rank_list)))
+    tarr = F.array(
+        *[F.lit(int(thresholds[r])).cast("bigint") for r in rank_list]
+    )
+    decile = F.aggregate(
+        tarr,
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.col("ck") > t, 1).otherwise(0),
+    ).cast("int")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    staged = keyed.select(
+        F.col(id_col),
+        decile.alias("decile"),
+        hv.alias("_hv"),
+        (hv % n_shards).alias("_shard"),
+    )
+    w = Window.partitionBy("decile", "_shard").orderBy("_hv", id_col)
+    sp = F.row_number().over(w).cast("bigint")
+    return staged.select(
+        id_col,
+        "decile",
+        ((sp - 1) * n_shards + F.col("_shard") + 1)
+        .cast("bigint")
+        .alias("pos"),
+    )
+
+
 def largest_remainder_quotas(
     counts: "dict[object, int]", num: int, den: int
 ) -> "dict[object, int]":
@@ -351,8 +447,11 @@ def largest_remainder_quotas(
     budget of ``floor(N·num/den)`` selections across strata exactly
     proportionally. ``base_s = floor(n_s·B/N)`` underfills by at most
     |strata| − 1; the shortfall goes to the strata with the largest
-    integer remainders ``n_s·B mod N`` (ties broken by stratum key,
-    ascending — deterministic). Pure-integer driver arithmetic on the
+    integer remainders ``n_s·B mod N`` (ties broken by ``str(key)``
+    ascending — deterministic for ANY key type, but note it is the
+    string order: integer strata tie-break as '10' < '2', not 2 < 10;
+    a numeric ORDER BY oracle must mirror the string cast). Pure-
+    integer driver arithmetic on the
     bounded |strata| table (python ints — no int64 overflow at any
     corpus size)."""
     n_total = sum(counts.values())
@@ -462,11 +561,22 @@ def stratified_split_exact(
         values, _ = kth_smallest_by(
             keyed, stratum_col, "_key", ranks, stats=stats
         )
-        thr = None
+        # (stratum → threshold) as ONE flat map literal + element_at
+        # lookup, not a chained F.when: a per-stratum when() nests one
+        # CASE WHEN level per stratum, and at max_strata=65536 the
+        # ~65k-deep expression tree can wedge or stack-overflow
+        # Catalyst analysis (the same expression-growth hazard the old
+        # k-means when-chain documented). The map literal is width,
+        # not depth — one expression node with 2·|strata| children —
+        # and stays a map-side lookup. Strata with quota 0 are absent
+        # from the map: element_at yields NULL, the comparison yields
+        # NULL, and otherwise() lands them in 'train', exactly the
+        # old chain's fall-through.
+        pairs: list = []
         for (s,), picked in values.items():
-            t = F.lit(int(picked[quotas[s]])).cast("bigint")
-            m = F.col(stratum_col) == F.lit(s)
-            thr = F.when(m, t) if thr is None else thr.when(m, t)
+            pairs.append(F.lit(s))
+            pairs.append(F.lit(int(picked[quotas[s]])).cast("bigint"))
+        thr = F.element_at(F.create_map(*pairs), F.col(stratum_col))
         split = F.when(F.col("_key") <= thr, F.lit("eval")).otherwise(
             F.lit("train")
         )

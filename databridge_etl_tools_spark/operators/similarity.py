@@ -237,6 +237,31 @@ def neardup_pairs_lsh(
     )
 
 
+def _audit_q40_sum(rows, where: str) -> None:
+    """Overflow audit for the integer fixed-point mean aggregates.
+
+    ``sum(int64 q40)`` wraps silently in Spark once a group's true sum
+    leaves int64 — for unit-ish coordinates that's ~2^23 rows per
+    (cell, pos) group (n · 2^40 > 2^63) — while DuckDB's HUGEINT sum
+    stays exact, so a wrap would corrupt centroids on one engine only
+    and break the cross-engine bit-for-bit contract. Each mean row
+    carries its group count ``_n`` and max |q40| ``_ma``; the product
+    (arbitrary-precision Python ints) bounds |true sum|, so
+    ``_n · _ma < 2^63`` proves no wrap occurred. Raises with the
+    remediation (hierarchically pre-aggregate per partition at a
+    coarser fixed point, or sub-sample the fit set) instead of
+    fitting on garbage."""
+    for r in rows:
+        if r["_n"] * (r["_ma"] or 0) >= 1 << 63:
+            raise ValueError(
+                f"{where}: fixed-point mean group (count={r['_n']}, "
+                f"max|q40|={r['_ma']}) could exceed int64 — the q40 sum "
+                "may have wrapped. Fit on a sample (bounded per-cell "
+                "count) or pre-aggregate hierarchically at a coarser "
+                "fixed point before the global mean."
+            )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -301,10 +326,13 @@ def kmeans_fit(
                     F.sum(q40).cast("double")
                     / F.count(F.lit(1))
                     / F.lit(float(1 << 40))
-                ).alias("m")
+                ).alias("m"),
+                F.count(F.lit(1)).alias("_n"),
+                F.max(F.abs(q40)).alias("_ma"),
             )
             .collect()
         )
+        _audit_q40_sum(means, "kmeans_fit")
         new_centroids = [list(c) for c in centroids]  # keep empty cells put
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
@@ -935,10 +963,13 @@ def pq_fit(
                     F.sum(q40).cast("double")
                     / F.count(F.lit(1))
                     / F.lit(float(1 << 40))
-                ).alias("mean")
+                ).alias("mean"),
+                F.count(F.lit(1)).alias("_n"),
+                F.max(F.abs(q40)).alias("_ma"),
             )
             .collect()
         )
+        _audit_q40_sum(means, "pq_fit")
         new_books = [[list(c) for c in book] for book in books]
         acc: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:

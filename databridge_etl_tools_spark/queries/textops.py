@@ -937,53 +937,15 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DuckDB twin IS the global-rank definition (``((rn−1)·10) DIV
     N`` over the ck order), cross-checking thresholds == ranks.
-    Shards pinned to 16 so the oracle reproduces at any SF — the
-    scale knob is the same as ``epoch_shuffle``'s input-scaled
-    default: size n_shards so one (decile, shard) ≈ one task."""
-    from pyspark.sql import Window
-
-    from ..operators.orderstats import kth_smallest
+    Delegates to :func:`operators.sampling.curriculum_order`, whose
+    ``n_shards`` DEFAULT is input-scaled (the ``epoch_shuffle`` rule);
+    the explicit ``n_shards=16`` here is the oracle pin only, so the
+    twin reproduces at any SF."""
+    from ..operators.sampling import curriculum_order
 
     docs = table(spark, sf_dir, "documents", access="scan")
-    mult, n = docs.agg(
-        F.max("doc_id") + 1, F.count(F.lit(1)).cast("bigint")
-    ).first()
-    mult, n = int(mult), int(n)
-    keyed = docs.select(
-        "doc_id",
-        (F.col("n_chars") * F.lit(mult) + F.col("doc_id")).alias("ck"),
-    )
-    ranks = sorted({((d + 1) * n + 9) // 10 for d in range(9)})
-    thresholds = kth_smallest(keyed, "ck", ranks)
-    tarr = F.array(
-        *[F.lit(int(thresholds[r])).cast("bigint") for r in ranks]
-    )
-    decile = F.aggregate(
-        tarr,
-        F.lit(0),
-        lambda acc, t: acc + F.when(F.col("ck") > t, 1).otherwise(0),
-    ).cast("int")
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    staged = keyed.select(
-        "doc_id",
-        decile.alias("decile"),
-        hv.alias("_hv"),
-        (hv % 16).alias("_shard"),
-    )
-    w = Window.partitionBy("decile", "_shard").orderBy("_hv", "doc_id")
-    sp = F.row_number().over(w).cast("bigint")
-    return staged.select(
-        "doc_id",
-        "decile",
-        ((sp - 1) * 16 + F.col("_shard") + 1).cast("bigint").alias("pos"),
+    return curriculum_order(
+        docs, "doc_id", "n_chars", n_shards=16, salt="curr"
     )
 
 

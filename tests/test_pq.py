@@ -80,3 +80,18 @@ def test_pq_fit_rejects_bad_m(spark):
 
     with pytest.raises(ValueError):
         pq_fit(_emb(spark), m=7)
+
+
+def test_q40_overflow_audit_fires():
+    # ADVICE r8: the int64 q40 mean sum wraps silently past ~2^23
+    # unit-ish rows per group; the audit must raise before a wrapped
+    # sum corrupts a codebook. count * max|q40| >= 2^63 triggers.
+    import pytest
+
+    from databridge_etl_tools_spark.operators.similarity import _audit_q40_sum
+
+    ok = [{"_n": 1 << 23, "_ma": (1 << 40) - 1}]
+    _audit_q40_sum(ok, "test")  # bound not exceeded: no raise
+    bad = [{"_n": (1 << 23) + 1, "_ma": 1 << 40}]
+    with pytest.raises(ValueError, match="wrapped"):
+        _audit_q40_sum(bad, "test")

@@ -103,3 +103,50 @@ def test_epoch_shuffle_derived_shards_injective_and_resumable(spark):
     assert auto.agg({"shard": "max"}).collect()[0][0] <= max(
         df.rdd.getNumPartitions(), n_sh
     )
+
+
+def test_curriculum_order_tiny_corpus_matches_global_rank(spark):
+    """r8 advisor: with n < n_deciles the decile thresholds collide
+    (ceil((d+1)n/10) equal for distinct d) and MUST be counted with
+    multiplicity, or boundary rows land one decile low vs the global
+    definition ((rn-1)*10) DIV n. n=3 exercises the collision."""
+    from databridge_etl_tools_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(0, 30), (1, 10), (2, 20)], "doc_id long, n_chars long"
+    )
+    got = {
+        r.doc_id: r.decile
+        for r in curriculum_order(df, "doc_id", "n_chars", n_shards=4).collect()
+    }
+    # global ranks over n_chars*M+doc_id: doc 1 rn=1, doc 2 rn=2, doc 0 rn=3
+    # decile = ((rn-1)*10) DIV 3 -> doc1: 0, doc2: 3, doc0: 6
+    assert got == {1: 0, 2: 3, 0: 6}, got
+
+
+def test_curriculum_order_default_shards_input_scaled(spark):
+    """The n_shards default must follow the epoch_shuffle input-scaled
+    rule, not a pinned constant (r8 verdict task #6)."""
+    from databridge_etl_tools_spark.operators.sampling import curriculum_order
+
+    df = spark.range(200).selectExpr("id AS doc_id", "id % 17 AS n_chars")
+    expected = max(
+        df.rdd.getNumPartitions(),
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    got = sorted(
+        (r.doc_id, r.decile, r.pos)
+        for r in curriculum_order(df, "doc_id", "n_chars").collect()
+    )
+    # the default must equal the epoch_shuffle rule exactly: same
+    # positions as passing the rule's value explicitly, and NOT the
+    # old pinned 16 (expected != 16 in any session configuration here)
+    explicit = sorted(
+        (r.doc_id, r.decile, r.pos)
+        for r in curriculum_order(
+            df, "doc_id", "n_chars", n_shards=expected
+        ).collect()
+    )
+    assert got == explicit
+    assert expected != 16
+    assert len({(d, p) for _, d, p in got}) == len(got)  # injective
