@@ -5,20 +5,28 @@ regressors, probe heads over frozen embeddings, feature-importance
 audits — the linear models a training-data pipeline fits on corpus
 features. Same Spark-first shape as the PCA fit:
 
-- **fit** is ONE Arrow pass of per-partition sufficient statistics
-  (n, Σx, Σy, XᵀX, Xᵀy): executors reduce any corpus to
-  ``num_partitions`` bounded rows of d² + 2d + 2 doubles; the driver
-  sums the partials in partition-id order (run-deterministic float
-  reduction) and solves the (d+ridge)×d normal equations locally —
-  d is the embedding width, tiny next to the data. Centering is
-  algebraic (XcᵀXc = XᵀX − n·μμᵀ), so no second pass.
-- **predict** is pure map-side JVM: the weight vector becomes a
-  literal-array fold (the ANN dot product), intercept a scalar —
-  zero shuffles, zero Python in the scoring plan.
+- **fit** is ONE Arrow pass of per-partition INTEGER sufficient
+  statistics (n, Σxᵢ, Σyᵢ, Σyᵢ², XᵀX, Xᵀy over q20-quantized values
+  ``xi = floor(x·2^20)``, ``yi = floor(y·2^20)``): executors reduce
+  any corpus to ``num_partitions`` bounded rows; the driver sums the
+  partials in exact Python ints and solves the (d+ridge)×d normal
+  equations with fraction-free Gaussian elimination in replayable
+  integer fixed point (``operators.intlin.gauss_solve_fixed`` — the
+  r8 promotion discipline replacing ``np.linalg.solve``, r8 verdict
+  task #4: every elimination and back-substitution step is integer
+  arithmetic + trunc division, so a DuckDB twin unrolls the d pivots
+  into CTE levels and reproduces the coefficients bit-for-bit).
+  Centering is algebraic (``n·XcᵀXc = n·XᵀX − s·sᵀ``), so no second
+  pass.
+- **predict** is pure map-side JVM: the q30 integer weight vector
+  becomes a literal-array integer fold (exact int64 per row), one
+  power-of-two division and one IEEE addition of the intercept —
+  zero shuffles, zero Python, bit-reproducible scoring.
 
-Rows-only in the catalog (a matrix solve is not SQL-expressible);
-numerics are pinned against a numpy closed-form twin in
-tests/test_linear.py.
+The catalog query (``ridge_probe_embeddings``) is full
+DuckDB-oracle-backed (promoted from rows-only in r9); coefficient
+quality vs the numpy closed form is additionally pinned in
+``tests/test_linear.py``.
 """
 
 from __future__ import annotations
@@ -28,7 +36,96 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import dot_fold
+from . import intlin as IL
+
+_Q20 = 1 << IL.Q_COORD
+_Q40 = 1 << (2 * IL.Q_COORD)
+_Q50 = 1 << (IL.Q_COORD + IL.Q_BETA)
+_Q70 = 1 << (2 * IL.Q_COORD + IL.Q_BETA)
+
+
+def _int_xy_moments(df: DataFrame, label_col: str, vec_col: str):
+    """ONE Arrow pass → exact integer sufficient statistics
+    ``(n, s, sy, syy, G, xty)`` over q20-quantized x and y, int64
+    partials per partition (overflow-audited) reduced driver-side in
+    unbounded Python ints."""
+    import numpy as np
+
+    def partials(it: Iterator) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        n, s, sy, syy, g, xty, ma = 0, None, 0, 0, None, None, 1
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            y = np.asarray(pdf[label_col], dtype=np.float64)
+            xi = np.floor(x * _Q20).astype(np.int64)
+            yi = np.floor(y * _Q20).astype(np.int64)
+            n += xi.shape[0]
+            ma = max(
+                ma,
+                int(np.abs(xi).max(initial=0)),
+                int(np.abs(yi).max(initial=0)),
+            )
+            if n > (1 << 63) // (ma * ma):
+                raise ValueError(
+                    "ridge_fit: partition too large for exact int64 "
+                    f"moment partials (rows={n}, max|quantized|={ma}); "
+                    "repartition the input or rescale features/labels"
+                )
+            s = xi.sum(axis=0) if s is None else s + xi.sum(axis=0)
+            sy += int(yi.sum())
+            syy += int((yi * yi).sum())
+            gg = xi.T @ xi
+            g = gg if g is None else g + gg
+            v = xi.T @ yi
+            xty = v if xty is None else xty + v
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": [TaskContext.get().partitionId()],
+                "n": [n],
+                "s": [s.tolist()],
+                "sy": [sy],
+                "syy": [syy],
+                "g": [g.reshape(-1).tolist()],
+                "xty": [xty.tolist()],
+            }
+        )
+
+    rows = (
+        df.select(vec_col, label_col)
+        .mapInPandas(
+            partials,
+            "pid int, n long, s array<long>, sy long, syy long, "
+            "g array<long>, xty array<long>",
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ridge_fit: empty input")
+    d = len(rows[0].s)
+    n, sy, syy = 0, 0, 0
+    s = [0] * d
+    xty = [0] * d
+    g = [[0] * d for _ in range(d)]
+    for r in rows:
+        n += r.n
+        sy += int(r.sy)
+        syy += int(r.syy)
+        for j in range(d):
+            s[j] += int(r.s[j])
+            xty[j] += int(r.xty[j])
+        flat = r.g
+        for i in range(d):
+            base = i * d
+            gi = g[i]
+            for j in range(d):
+                gi[j] += int(flat[base + j])
+    return n, s, sy, syy, g, xty
 
 
 def ridge_fit(
@@ -38,93 +135,87 @@ def ridge_fit(
     lam: float = 1.0,
 ) -> dict:
     """Fit ``y ≈ intercept + x·w`` with L2 penalty ``lam`` on ``w``
-    (intercept unpenalized — the standard convention). Returns
-    ``{"weights", "intercept", "n", "rmse"}`` as plain python values
-    (broadcast-safe). ``rmse`` is the training error, computed from
-    the same sufficient statistics (no second data pass)."""
-    import numpy as np
-
-    def partials(it: Iterator) -> Iterator:
-        import pandas as pd
-        from pyspark import TaskContext
-
-        n, sx, sy, syy, xtx, xty = 0, None, 0.0, 0.0, None, None
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            y = np.asarray(pdf[label_col], dtype=np.float64)
-            n += m.shape[0]
-            sx = m.sum(axis=0) if sx is None else sx + m.sum(axis=0)
-            sy += float(y.sum())
-            syy += float((y * y).sum())
-            g = m.T @ m
-            xtx = g if xtx is None else xtx + g
-            v = m.T @ y
-            xty = v if xty is None else xty + v
-        if n == 0:
-            return
-        yield pd.DataFrame(
-            {
-                "pid": [TaskContext.get().partitionId()],
-                "n": [n],
-                "sx": [sx.tolist()],
-                "sy": [sy],
-                "syy": [syy],
-                "xtx": [xtx.reshape(-1).tolist()],
-                "xty": [xty.tolist()],
-            }
+    (intercept unpenalized — the standard convention; ``lam`` must be
+    integer-valued so the ridge term stays exact integer arithmetic).
+    Returns ``{"weights", "intercept", "n", "rmse"}`` as plain python
+    values (broadcast-safe) plus the integer state ``{"b_int",
+    "s_int", "sy_int"}`` for oracle-replayable scoring. ``rmse`` is
+    the training error, computed from the same sufficient statistics
+    (no second data pass)."""
+    if lam != int(lam) or lam < 0:
+        raise ValueError(f"lam must be a non-negative integer, got {lam}")
+    lam_i = int(lam)
+    n, s, sy, syy, g, xty = _int_xy_moments(df, label_col, vec_col)
+    d = len(s)
+    if n < 2:
+        raise ValueError("ridge_fit: need >= 2 rows")
+    # n·XcᵀXc (q40) and n·Xcᵀyc (q40), exact; + λ·n·2^40 on the diag
+    scat = IL.scatter(n, s, g)
+    a = [
+        [scat[i][j] + (lam_i * n * _Q40 if i == j else 0) for j in range(d)]
+        for i in range(d)
+    ]
+    bvec = [n * xty[j] - s[j] * sy for j in range(d)]
+    b_int = IL.gauss_solve_fixed(a, bvec)
+    mb = max(abs(v) for v in b_int)
+    if mb and d * _Q20 * mb >= 1 << 62:
+        raise ValueError(
+            f"ridge_fit: solution magnitude max|B|={mb} would overflow "
+            "int64 prediction folds — the probe is ill-conditioned; "
+            "raise lam or rescale features"
         )
-
-    rows = (
-        df.select(vec_col, label_col)
-        .mapInPandas(
-            partials,
-            "pid int, n long, sx array<double>, sy double, syy double, "
-            "xtx array<double>, xty array<double>",
+    # every float below mirrors the DuckDB twin's op sequence exactly
+    sb = sum(s[j] * b_int[j] for j in range(d))
+    intercept = float(sy) / n / float(_Q20) - float(sb) / n / float(_Q50)
+    # n²·sse from exact moments + B̂ (all ints until the final divides):
+    # n·Σ(y−ŷ)² = n·Σyc²/.. computed in the twin's exact sequence
+    t1 = float(n * syy - sy * sy) / float(_Q40)
+    t2 = float(sum(b_int[j] * bvec[j] for j in range(d))) / float(_Q70)
+    z = [
+        IL.tdiv(
+            sum(scat[i][j] * b_int[j] for j in range(d)), 1 << IL.Q_BETA
         )
-        .collect()
-    )
-    if not rows:
-        raise ValueError("ridge_fit: empty input")
-    rows = sorted(rows, key=lambda r: r["pid"])
-    d = len(rows[0]["sx"])
-    n = sum(r["n"] for r in rows)
-    sx = np.zeros(d)
-    xtx = np.zeros((d, d))
-    xty = np.zeros(d)
-    sy = syy = 0.0
-    for r in rows:
-        sx += np.array(r["sx"])
-        sy += r["sy"]
-        syy += r["syy"]
-        xtx += np.array(r["xtx"]).reshape(d, d)
-        xty += np.array(r["xty"])
-    mu = sx / n
-    ybar = sy / n
-    xc = xtx - n * np.outer(mu, mu)
-    yc = xty - n * mu * ybar
-    w = np.linalg.solve(xc + lam * np.eye(d), yc)
-    intercept = ybar - float(mu @ w)
-    # training SSE from the same moments:
-    # Σ(y−ŷ)² = Σyc² − 2 wᵀXcᵀyc + wᵀ XcᵀXc w, with Σyc² = Σy² − n·ȳ²
-    syy_c = syy - n * ybar * ybar
-    sse = syy_c - 2.0 * float(w @ yc) + float(w @ xc @ w)
-    rmse = float(np.sqrt(max(sse, 0.0) / n))
+        for i in range(d)
+    ]
+    t3 = float(sum(b_int[i] * z[i] for i in range(d))) / float(_Q70)
+    nsse = (t1 - 2.0 * t2) + t3
+    import math
+
+    rmse = math.sqrt(max(nsse, 0.0) / n / n)
     return {
-        "weights": [float(v) for v in w],
+        "weights": [v / float(1 << IL.Q_BETA) for v in b_int],
         "intercept": intercept,
         "n": int(n),
         "rmse": rmse,
+        "b_int": b_int,
+        "s_int": s,
+        "sy_int": sy,
     }
+
+
+def ridge_pq_col(model: dict, vec_col: str | Column) -> Column:
+    """The EXACT integer prediction fold ``Σ_j floor(x_j·2^20)·B_j``
+    (q50, int64-bounded by the fit's audit) — bit-reproducible on any
+    engine; ``prediction = intercept + pq/2^50``."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    blit = F.array(*[F.lit(int(v)).cast("long") for v in model["b_int"]])
+    prod = F.zip_with(
+        vec,
+        blit,
+        lambda x, bj: F.floor(x.cast("double") * F.lit(float(_Q20)))
+        .cast("long")
+        * bj,
+    )
+    return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def ridge_predict(
     df: DataFrame, model: dict, vec_col: str = "embedding"
 ) -> Column:
-    """Score column ``intercept + x·w`` — a literal-array JVM fold,
-    no shuffle, no Python."""
-    w = F.array(*[F.lit(float(v)) for v in model["weights"]])
+    """Score column ``intercept + x·w`` — an integer literal-array JVM
+    fold + one exact power-of-two division + one IEEE addition; no
+    shuffle, no Python, engine-independent doubles."""
     return (
-        dot_fold(F.col(vec_col), w) + F.lit(model["intercept"])
+        F.lit(float(model["intercept"]))
+        + ridge_pq_col(model, vec_col).cast("double") / F.lit(float(_Q50))
     ).alias("prediction")

@@ -6,27 +6,38 @@ pre-processing in front of the IVF/PQ operators in
 ``operators.similarity``). The reference engine has no linear-algebra
 surface at all; this is a Spark-first design:
 
-- **fit** is ONE distributed pass computing per-partition second
-  moments (count, Σx, ΣxxT) via Arrow-batched ``mapInPandas`` — the
+- **fit** is ONE distributed pass computing per-partition INTEGER
+  second moments (count, Σxᵢ, Σxᵢxᵢᵀ over q20-quantized coordinates
+  ``xi = floor(x·2^20)``) via Arrow-batched ``mapInPandas`` — the
   executors reduce 100 TB of vectors to ``num_partitions`` rows of
-  d + d² doubles; the driver sums those bounded partials (in
-  partition-id order, so the float reduction is deterministic) and
-  eigendecomposes the d×d covariance locally (d is the embedding
-  width — tiny next to the data);
+  d + d² int64s; the driver sums those bounded partials in exact
+  Python-int arithmetic and extracts the top-k directions of the d×d
+  scatter with fixed-count power iteration + Hotelling deflation in
+  replayable integer fixed point (``operators.intlin`` — the r8
+  promotion discipline that replaced ``np.linalg.eigh``, r8 verdict
+  task #2: a fixpoint with a query-constant iteration count unrolls
+  into DuckDB CTE levels, and integer arithmetic kills every
+  cross-engine float seam);
 - **project** is pure map-side JVM column expressions: each component
-  becomes a literal array folded against the vector with the same
-  ``aggregate``/``zip_with`` dot product the ANN operators use
-  (sequential fold — deterministic), with the mean-centering folded
-  into a precomputed scalar offset (``(x-μ)·c = x·c - μ·c``), so
-  projection adds zero shuffles and zero Python to the query plan.
+  folds the q20-quantized vector against its q15 integer direction
+  (exact int64 per row), converts with one power-of-two division
+  (exact), and subtracts a precomputed mean-centering offset — zero
+  shuffles, zero Python in the query plan, and every projected value
+  bit-reproducible on any engine.
 
 Eigenvector sign is fixed (largest-magnitude coordinate made
 positive) so fits are reproducible across runs and cluster layouts.
+Explained variance is the exact-integer Rayleigh quotient of each
+direction on the ORIGINAL scatter — for converged directions it IS
+the eigenvalue; for a direction still converging (tiny spectral gaps)
+it is the honest variance captured by the direction actually used.
 
-No DuckDB oracle is possible — eigendecomposition is not
-SQL-expressible — so the catalog query registers rows-only; the
-numerics are pinned against a full numpy twin in
-``tests/test_pca.py`` instead.
+The catalog queries (``pca_embeddings_project``,
+``ann_pca_prefilter``) are full DuckDB-oracle-backed: the twin
+replays moments, truncation, every power-iteration level, deflation,
+sign-fix, and projection bit-for-bit (promoted from rows-only in r9).
+Numerics are additionally pinned against numpy eigh on a spiked
+well-conditioned fixture in ``tests/test_pca.py``.
 """
 
 from __future__ import annotations
@@ -36,28 +47,47 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import dot_fold
+from . import intlin as IL
+
+_Q20 = 1 << IL.Q_COORD
+_Q35 = 1 << (IL.Q_COORD + IL.Q_VEC)
 
 
-def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 4) -> dict:
-    """Fit a PCA model; returns ``{"mean", "components",
-    "explained_variance", "total_variance", "n"}`` with plain-python
-    lists (broadcast-safe, JSON-serializable)."""
+def int_moments(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, list[int], list[list[int]]]:
+    """ONE Arrow pass → exact integer second moments ``(n, s, G)``
+    with ``s_j = Σ xi_j``, ``G_jk = Σ xi_j·xi_k``, ``xi =
+    floor(x·2^20)`` (float32→double exact, power-of-two multiply
+    exact, so the quantization is the ONLY rounding). Per-partition
+    partials accumulate in int64 with an overflow audit (rows ·
+    max|xi|² must stay under 2^63 — raise with remediation instead of
+    wrapping); the driver reduces the ≤ num_partitions partials in
+    unbounded Python ints."""
     import numpy as np
 
     def partials(it: Iterator) -> Iterator:
         import pandas as pd
         from pyspark import TaskContext
 
-        n, s, xtx = 0, None, None
+        n, s, g, ma = 0, None, None, 0
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            n += m.shape[0]
-            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
-            g = m.T @ m
-            xtx = g if xtx is None else xtx + g
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            xi = np.floor(x * _Q20).astype(np.int64)
+            n += xi.shape[0]
+            ma = max(ma, int(np.abs(xi).max(initial=0)))
+            if ma and n > (1 << 63) // (ma * ma):
+                raise ValueError(
+                    "int_moments: partition too large for exact int64 "
+                    f"moment partials (rows={n}, max|xi|={ma}); "
+                    "repartition the input to smaller partitions or "
+                    "rescale coordinates below |x| < 2"
+                )
+            s = xi.sum(axis=0) if s is None else s + xi.sum(axis=0)
+            gg = xi.T @ xi
+            g = gg if g is None else g + gg
         if n == 0:
             return
         yield pd.DataFrame(
@@ -65,64 +95,126 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 4) -> dict:
                 "pid": [TaskContext.get().partitionId()],
                 "n": [n],
                 "s": [s.tolist()],
-                "xtx": [xtx.reshape(-1).tolist()],
+                "g": [g.reshape(-1).tolist()],
             }
         )
 
     rows = (
         df.select(vec_col)
-        .mapInPandas(partials, "pid int, n long, s array<double>, xtx array<double>")
+        .mapInPandas(partials, "pid int, n long, s array<long>, g array<long>")
         .collect()
     )
     if not rows:
-        raise ValueError("pca_fit: empty input")
-    # driver-side reduction of <= num_partitions bounded partials, in
-    # partition-id order so the float sum is run-deterministic
-    rows.sort(key=lambda r: r.pid)
-    n = sum(r.n for r in rows)
+        raise ValueError("pca: empty input")
     d = len(rows[0].s)
+    n = 0
+    s = [0] * d
+    g = [[0] * d for _ in range(d)]
+    for r in rows:
+        n += r.n
+        for j, v in enumerate(r.s):
+            s[j] += int(v)
+        flat = r.g
+        for i in range(d):
+            base = i * d
+            gi = g[i]
+            for j in range(d):
+                gi[j] += int(flat[base + j])
+    return n, s, g
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 4, iters: int = 16
+) -> dict:
+    """Fit a PCA model; returns ``{"mean", "components",
+    "explained_variance", "total_variance", "n"}`` (plain-python,
+    broadcast-safe) plus the exact integer state ``{"w_int", "s_int",
+    "offsets"}`` the oracle-replayable projection uses."""
+    n, s, g = int_moments(df, vec_col)
+    d = len(s)
     if not 1 <= k <= d:
         raise ValueError(f"k={k} outside [1, {d}]")
     if n < 2:
         raise ValueError("pca_fit: need >= 2 vectors")
-    s = np.zeros(d)
-    xtx = np.zeros((d, d))
-    for r in rows:
-        s += np.asarray(r.s)
-        xtx += np.asarray(r.xtx).reshape(d, d)
-    mean = s / n
-    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
-    evals, evecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(evals)[::-1][:k]
-    comps = []
-    for j in order:
-        v = evecs[:, j]
-        if v[np.argmax(np.abs(v))] < 0:  # sign convention: dominant coord > 0
-            v = -v
-        comps.append(v.tolist())
+    import math
+
+    cp = IL.scatter(n, s, g)
+    comps = IL.power_components(cp, k, iters)
+    q40 = float(1 << IL.Q_MAT)
+    qv = float(1 << IL.Q_VEC)
+    trace = sum(cp[j][j] for j in range(d))
+    # unit-normalization: the integer iterate w is max-coordinate
+    # scaled; dividing by ‖w‖ = sqrt(wᵀw)/2^15 restores the classic
+    # PCA contract (projection = (x−μ)·unit_c). sqrt and division are
+    # correctly rounded on identical operands in every engine, so the
+    # normalized floats stay bit-replayable.
+    norms = [math.sqrt(float(c["rq_den"])) / qv for c in comps]
     return {
-        "mean": mean.tolist(),
-        "components": comps,
-        "explained_variance": [float(evals[j]) for j in order],
-        "total_variance": float(evals.sum()),
+        # every float below is derived from exact ints by the SAME
+        # correctly-rounded op sequence the DuckDB twin uses
+        "mean": [float(v) / n / float(_Q20) for v in s],
+        "components": [
+            [wj / qv / norms[i] for wj in c["w"]]
+            for i, c in enumerate(comps)
+        ],
+        "explained_variance": [
+            float(c["rq_num"]) / float(c["rq_den"]) / n / (n - 1) / q40
+            for c in comps
+        ],
+        "total_variance": float(trace) / n / (n - 1) / q40,
         "n": int(n),
+        "w_int": [c["w"] for c in comps],
+        "s_int": s,
+        "norms": norms,
+        "offsets": [
+            float(sum(s[j] * c["w"][j] for j in range(d)))
+            / n
+            / float(_Q35)
+            / norms[i]
+            for i, c in enumerate(comps)
+        ],
     }
 
 
-def pca_project_cols(model: dict, vec_col: str | Column) -> list[Column]:
-    """One JVM column per principal component: ``(x - μ)·cⱼ`` computed
-    as ``x·cⱼ - μ·cⱼ`` with the μ·cⱼ offset precomputed driver-side —
-    the vector is folded once per component, never centered into an
-    intermediate array."""
-    import numpy as np
-
+def pca_pcq_cols(model: dict, vec_col: str | Column) -> list[Column]:
+    """The EXACT integer projections: one int64 column per component,
+    ``pcq_c = Σ_j floor(x_j·2^20)·w_cj`` — a JVM fold over ints (≤
+    d·2^20·2^15 per row, far inside int64), shuffle-free, and
+    bit-reproducible on any engine (the DuckDB twin computes the same
+    sum). ``pc_c = pcq_c/2^35/‖w_c‖ − offset_c``."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    mean = np.asarray(model["mean"])
+    zero = F.lit(0).cast("long")
     cols = []
-    for j, comp in enumerate(model["components"]):
-        lit = F.array(*[F.lit(float(c)) for c in comp])
-        offset = float(np.dot(mean, np.asarray(comp)))
-        cols.append((dot_fold(vec, lit) - F.lit(offset)).alias(f"pc{j + 1}"))
+    for c, w in enumerate(model["w_int"]):
+        wlit = F.array(*[F.lit(int(v)).cast("long") for v in w])
+        prod = F.zip_with(
+            vec,
+            wlit,
+            lambda x, wj: F.floor(x.cast("double") * F.lit(float(_Q20)))
+            .cast("long")
+            * wj,
+        )
+        cols.append(
+            F.aggregate(prod, zero, lambda acc, v: acc + v).alias(
+                f"pcq{c + 1}"
+            )
+        )
+    return cols
+
+
+def pca_project_cols(model: dict, vec_col: str | Column) -> list[Column]:
+    """One JVM column per principal component: ``(x − μ)·ĉ_c`` as
+    ``pcq_c/2^35/‖w_c‖ − offset_c`` — integer fold (exact), one
+    power-of-two division (exact), one correctly-rounded division by
+    the component norm, and one IEEE subtraction against the
+    precomputed normalized ``μ·ĉ`` offset, so the projected double is
+    IDENTICAL on every engine and cluster layout."""
+    cols = []
+    for c, pcq in enumerate(pca_pcq_cols(model, vec_col)):
+        pc = pcq.cast("double") / F.lit(float(_Q35)) / F.lit(
+            float(model["norms"][c])
+        ) - F.lit(float(model["offsets"][c]))
+        cols.append(pc.alias(f"pc{c + 1}"))
     return cols
 
 

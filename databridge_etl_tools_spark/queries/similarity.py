@@ -504,40 +504,195 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pca_embeddings_project")  # no oracle: LAPACK eigh — unlike the
-# fixed-count fixpoints promoted in r8 (BPE/k-means/PQ unrolled into
-# CTE levels), the driver-side eigendecomposition's internals are not
-# replayable arithmetic; numerics pinned against a full numpy twin in
-# tests/test_pca.py (moments, eigenstructure, projection, determinism)
+def _pca_renorm_cte(src: str, dst: str, keys: str) -> str:
+    """Two-step magnitude renormalization of an integer CTE column
+    ``c`` to max |·| = 2^40 — the exact SQL twin of
+    ``intlin.renorm`` (coarse ``// greatest(max // 2^40, 1)`` first so
+    the ``· 2^40`` product stays inside HUGEINT, then the exact
+    rescale; DuckDB ``//`` truncates toward zero exactly like
+    ``intlin.tdiv``)."""
+    t = 1 << 40
+    return f"""
+    {dst}_c1 AS (SELECT {keys},
+        c // greatest((SELECT MAX(ABS(c)) FROM {src}) // {t}, 1) AS v1
+      FROM {src}),
+    {dst} AS MATERIALIZED (
+      SELECT {keys},
+             CASE WHEN (SELECT MAX(ABS(v1)) FROM {dst}_c1) = 0 THEN v1
+                  ELSE (v1 * {t}) // (SELECT MAX(ABS(v1)) FROM {dst}_c1)
+             END AS a
+      FROM {dst}_c1)"""
+
+
+def _pca_power_cte(k: int, iters: int) -> str:
+    """CTE prefix replaying ``operators.pca.pca_fit`` bit-for-bit:
+    integer moments (q20 coords), centered scatter ``cp = n·G −
+    s·sᵀ``, truncation to ``a0``, and per component the seed
+    (dominant diagonal, ties lowest index), ``iters`` unrolled power-
+    iteration levels (``w ← (A·w · 2^15) // max|A·w|``, zero-update
+    keeps the previous iterate), sign-fix, exact Rayleigh scalars on
+    the original scatter (``rq{c}``), and Hotelling deflation cleared
+    of denominators (``ss²·A − t·w·wᵀ``, renormalized). Defines
+    ``ex`` (vec_id, pos, xi), ``cnt``, ``sv``, ``cp`` and ``v0..v{k-1}``
+    (j, w) — everything a projection or variance report needs."""
+    q20f, qv = float(1 << 20), 1 << 15
+    parts = [f"""
+    ex AS MATERIALIZED (
+      SELECT vec_id, CAST(pos1 - 1 AS INTEGER) AS pos,
+             CAST(floor(CAST(embedding[pos1] AS DOUBLE) * {q20f})
+                  AS HUGEINT) AS xi
+      FROM (SELECT vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS pos1
+            FROM embeddings)),
+    cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    sv AS MATERIALIZED (
+      SELECT pos AS j, CAST(SUM(xi) AS HUGEINT) AS s FROM ex GROUP BY 1),
+    gm AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.xi * b.xi) AS HUGEINT) AS g
+      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+    cp AS MATERIALIZED (
+      SELECT g.i, g.j, (SELECT n FROM cnt) * g.g - si.s * sj.s AS c
+      FROM gm g JOIN sv si ON si.j = g.i
+                JOIN sv sj ON sj.j = g.j),{_pca_renorm_cte('cp', 'a0', 'i, j')}"""]
+    for c in range(k):
+        parts.append(f"""
+    sd{c} AS (SELECT i AS j FROM a{c} WHERE i = j ORDER BY a DESC, i LIMIT 1),
+    w{c}_0 AS MATERIALIZED (
+      SELECT DISTINCT i AS j,
+             CASE WHEN i = (SELECT j FROM sd{c}) THEN CAST({qv} AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END AS w
+      FROM a{c})""")
+        for t in range(1, iters + 1):
+            parts.append(f"""
+    u{c}_{t} AS MATERIALIZED (
+      SELECT a.i AS j, SUM(a.a * w.w) AS u
+      FROM a{c} a JOIN w{c}_{t - 1} w ON w.j = a.j GROUP BY 1),
+    w{c}_{t} AS MATERIALIZED (
+      SELECT u.j, CASE WHEN (SELECT MAX(ABS(u)) FROM u{c}_{t}) = 0 THEN pw.w
+                  ELSE (u.u * {qv}) // (SELECT MAX(ABS(u)) FROM u{c}_{t})
+                  END AS w
+      FROM u{c}_{t} u JOIN w{c}_{t - 1} pw ON pw.j = u.j)""")
+        parts.append(f"""
+    sf{c} AS (SELECT w FROM w{c}_{iters} ORDER BY ABS(w) DESC, j LIMIT 1),
+    v{c} AS MATERIALIZED (
+      SELECT j, CASE WHEN (SELECT w FROM sf{c}) < 0 THEN -w ELSE w END AS w
+      FROM w{c}_{iters}),
+    rq{c} AS (SELECT
+      (SELECT SUM(wi.w * c.c * wj.w) FROM cp c
+         JOIN v{c} wi ON wi.j = c.i JOIN v{c} wj ON wj.j = c.j) AS num,
+      (SELECT SUM(w * w) FROM v{c}) AS den)""")
+        if c < k - 1:
+            parts.append(f"""
+    uf{c} AS MATERIALIZED (
+      SELECT a.i AS j, SUM(a.a * v.w) AS u
+      FROM a{c} a JOIN v{c} v ON v.j = a.j GROUP BY 1),
+    tt{c} AS (SELECT
+      (SELECT SUM(v.w * u.u) FROM v{c} v JOIN uf{c} u ON u.j = v.j) AS t,
+      (SELECT SUM(w * w) FROM v{c}) AS ss),
+    df{c} AS MATERIALIZED (
+      SELECT a.i, a.j,
+             (SELECT ss FROM tt{c}) * (SELECT ss FROM tt{c}) * a.a
+             - (SELECT t FROM tt{c}) * wi.w * wj.w AS c
+      FROM a{c} a JOIN v{c} wi ON wi.j = a.i
+                  JOIN v{c} wj ON wj.j = a.j),{_pca_renorm_cte(f'df{c}', f'a{c + 1}', 'i, j')}""")
+    return ",".join(parts)
+
+
+def _pca_project_oracle(k: int = 4, iters: int = 16) -> str:
+    """Twin of pca_embeddings_project: the power-iteration replay plus
+    per-vector integer projections, per-label centroid means (exact
+    HUGEINT sums → the same correctly-rounded division sequence the
+    Spark side uses), and the Rayleigh variance fraction."""
+    q35f = float(1 << 35)
+    q40f = float(1 << 40)
+    pj = ",".join(
+        f"""
+    pj{c} AS MATERIALIZED (
+      SELECT e.vec_id, SUM(e.xi * v.w) AS pcq
+      FROM ex e JOIN v{c} v ON v.j = e.pos GROUP BY 1),
+    o{c} AS (SELECT (SELECT SUM(s.s * v.w)
+                     FROM sv s JOIN v{c} v ON v.j = s.j) AS oq)"""
+        for c in range(k)
+    )
+    nrm = (
+        "(sqrt(CAST((SELECT den FROM rq{c}) AS DOUBLE)) / 32768.0)"
+    )
+    cent = ",\n           ".join(
+        f"CAST(SUM(p{c}.pcq) AS DOUBLE) / COUNT(*) / {q35f}"
+        f" / {nrm.format(c=c)}"
+        f" - (SELECT CAST(oq AS DOUBLE) / (SELECT n FROM cnt) / {q35f}"
+        f"    / {nrm.format(c=c)} FROM o{c}) AS centroid_pc{c + 1}"
+        for c in range(k)
+    )
+    joins = " ".join(
+        f"JOIN pj{c} p{c} ON p{c}.vec_id = l.vec_id" for c in range(k)
+    )
+    ev = "(" * (k - 1) + " + ".join(
+        f"(SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" / (SELECT n FROM cnt) / ((SELECT n FROM cnt) - 1) / {q40f}"
+        f" FROM rq{c})" + (")" if c > 0 else "")
+        for c in range(k)
+    )
+    return f"""
+    WITH {_pca_power_cte(k, iters)},{pj},
+    tv AS (SELECT CAST((SELECT SUM(c) FROM cp WHERE i = j) AS DOUBLE)
+                  / (SELECT n FROM cnt) / ((SELECT n FROM cnt) - 1)
+                  / {q40f} AS v)
+    SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {cent},
+           {ev} / (SELECT v FROM tv) AS explained_variance_frac
+    FROM embeddings l {joins}
+    GROUP BY 1
+    """
+
+
+@query("pca_embeddings_project", oracle=_pca_project_oracle(), gate=False)
 def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (``operators.pca``): one Arrow-batched pass
-    reduces the corpus to per-partition second moments (count, Σx,
-    ΣxxT — num_partitions rows of d+d² doubles), the driver
-    eigendecomposes the d×d covariance, and projection returns to the
-    executors as pure JVM fold expressions with mean-centering folded
-    into scalar offsets. The demo projects every embedding onto the
-    top-4 components and reports per-label projected centroids plus
-    the captured-variance summary — the compaction step that fronts
-    the IVF/PQ ANN operators."""
-    from ..operators.pca import pca_fit, pca_project
+    reduces the corpus to per-partition INTEGER second moments (count,
+    Σxᵢ, Σxᵢxᵢᵀ — num_partitions rows of d+d² int64s), the driver
+    extracts the top-4 directions of the d×d scatter with fixed-count
+    power iteration + Hotelling deflation in replayable integer fixed
+    point (``operators.intlin``), and projection returns to the
+    executors as exact integer JVM folds. PROMOTED from rows-only in
+    r9 (the verdict's task #2, by the r8 k-means playbook): the
+    LAPACK ``eigh`` was the blocker, and the power-iteration fixpoint
+    unrolls into CTE levels — the DuckDB twin replays moments,
+    truncation, every iteration, deflation, sign-fix, projection, and
+    the per-label centroid means bit-for-bit. The demo projects every
+    embedding onto the top-4 components and reports per-label
+    projected centroids plus the captured-variance summary — the
+    compaction step that fronts the IVF/PQ ANN operators. Subspace
+    quality vs numpy eigh stays pinned in tests/test_pca.py."""
+    from ..operators.pca import pca_fit, pca_pcq_cols
 
     emb = table(spark, sf_dir, "embeddings")
-    model = pca_fit(emb, "embedding", k=4)
-    proj = pca_project(emb, model, "embedding")
+    model = pca_fit(emb, "embedding", k=4, iters=16)
+    proj = emb.select("label", *pca_pcq_cols(model, "embedding"))
     ev = model["explained_variance"]
+    frac = ev[0]
+    for e in ev[1:]:
+        frac = frac + e
+    q35 = float(1 << 35)
     return (
         proj.groupBy("label")
         .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
             *[
-                (F.sum(F.col(f"pc{j}").cast("decimal(38,12)")).cast("double")
-                 / F.count(F.lit(1))).alias(f"centroid_pc{j}")
-                for j in (1, 2, 3, 4)
+                (
+                    F.sum(F.col(f"pcq{c + 1}").cast("decimal(38,0)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(q35)
+                    / F.lit(float(model["norms"][c]))
+                    - F.lit(float(model["offsets"][c]))
+                ).alias(f"centroid_pc{c + 1}")
+                for c in range(4)
             ],
         )
         .withColumn(
             "explained_variance_frac",
-            F.lit(float(sum(ev)) / model["total_variance"]),
+            F.lit(frac / model["total_variance"]),
         )
         .orderBy("label")
     )
@@ -648,21 +803,96 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pca_prefilter")  # no oracle: the PCA fit's LAPACK eigh (see
-# pca_embeddings_project — the one fixpoint class the r8 unrolling
-# playbook can't replay); the exactness anchor (corpus-sized shortlist ==
-# exact brute force) and the measured recall floor are pinned in
-# tests/test_pca.py
+def _pca_prefilter_oracle(
+    k: int = 8, iters: int = 16, shortlist: int = 50, kq: int = 5,
+    mod: int = 50,
+) -> str:
+    """Twin of ann_pca_prefilter: the k=8 power-iteration replay, the
+    exact integer projection per vector (pc doubles identical by
+    construction — integer fold, power-of-two division, one IEEE
+    subtraction), the coarse top-``shortlist`` in projected space
+    (left-fold dot, the knn_label_vote convention), and the exact
+    full-vector cosine rerank."""
+    q35f = float(1 << 35)
+    pj = ",".join(
+        f"""
+    pj{c} AS MATERIALIZED (
+      SELECT e.vec_id, SUM(e.xi * v.w) AS pcq
+      FROM ex e JOIN v{c} v ON v.j = e.pos GROUP BY 1),
+    o{c} AS (SELECT (SELECT SUM(s.s * v.w)
+                     FROM sv s JOIN v{c} v ON v.j = s.j) AS oq)"""
+        for c in range(k)
+    )
+    nrm = (
+        "(sqrt(CAST((SELECT den FROM rq{c}) AS DOUBLE)) / 32768.0)"
+    )
+    pc_elems = ", ".join(
+        f"CAST(p{c}.pcq AS DOUBLE) / {q35f} / {nrm.format(c=c)}"
+        f" - (SELECT CAST(oq AS DOUBLE) / (SELECT n FROM cnt) / {q35f}"
+        f"    / {nrm.format(c=c)} FROM o{c})"
+        for c in range(k)
+    )
+    joins = " ".join(
+        f"JOIN pj{c} p{c} ON p{c}.vec_id = p0.vec_id" for c in range(1, k)
+    )
+    pcdot = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1,{k + 1}),"
+        " i -> {a}[i] * {b}[i])), (x,y) -> x+y)"
+    )
+    return f"""
+    WITH {_pca_power_cte(k, iters)},{pj},
+    pcv AS MATERIALIZED (
+      SELECT p0.vec_id, [{pc_elems}] AS pc
+      FROM pj0 p0 {joins}),
+    pn AS MATERIALIZED (
+      SELECT vec_id, pc, sqrt({pcdot.format(a='pc', b='pc')}) AS pnrm
+      FROM pcv),
+    cq AS (SELECT * FROM pn WHERE vec_id % {mod} = 0),
+    coarse AS (
+      SELECT cq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {pcdot.format(a='cq.pc', b='c.pc')} / (cq.pnrm * c.pnrm)
+               AS ccos
+      FROM cq JOIN pn c ON c.vec_id <> cq.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY ccos DESC, neighbor_id) AS rk
+        FROM coarse) t
+      WHERE rk <= {shortlist}),
+    fullv AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_DOT.format(a="q.embedding", b="c.embedding")}
+               / (q.nrm * c.nrm) AS cosine
+      FROM short s JOIN fullv q ON q.vec_id = s.query_id
+                   JOIN fullv c ON c.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM rr) t
+    WHERE rank <= {kq}
+    """
+
+
+@query("ann_pca_prefilter", oracle=_pca_prefilter_oracle(), gate=False)
 def ann_pca_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensionality-reduced ANN (``operators.pca.pca_prefilter_topk``):
     coarse top-50 search in 8-dim PCA space (per-candidate fold cost
     drops 8×), exact full-vector cosine rerank of the shortlist. The
     recall/throughput dial between brute force and the IVF/LSH/PQ
-    paths; shortlist → corpus reproduces exact (test-pinned)."""
+    paths; shortlist → corpus reproduces exact (test-pinned).
+    PROMOTED from rows-only in r9 with pca_embeddings_project: the
+    integer power-iteration fit plus the exact integer projection
+    make every coarse score and the shortlist cut engine-independent,
+    so the DuckDB twin replays fit → project → coarse top-50 → exact
+    rerank bit-for-bit."""
     from ..operators.pca import pca_fit, pca_prefilter_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    model = pca_fit(emb, "embedding", k=8)
+    model = pca_fit(emb, "embedding", k=8, iters=16)
     return pca_prefilter_topk(
         emb, model, k=5, shortlist=50, query_pred=F.col("vec_id") % 50 == 0
     )
