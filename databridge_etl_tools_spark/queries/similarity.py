@@ -1002,30 +1002,189 @@ def emb_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return standardize_dims(emb, "embedding", "vec_id")
 
 
-@query("ridge_probe_embeddings")  # no oracle: the d×d normal-equation
-# LAPACK solve (same blocker class as eigh — not a loop to unroll, an
-# engine-internal factorization); coefficient/RMSE parity vs a numpy
-# closed-form twin and layout-stability are pinned in
-# tests/test_linear.py
+def _ridge_row_renorm(src: str, dst: str) -> str:
+    """Per-ROW two-step magnitude renormalization (each augmented-
+    matrix row is an independent equation; row scaling never changes
+    the solution) — the SQL twin of ``intlin.renorm`` applied row-wise
+    inside ``gauss_solve_fixed``."""
+    t = 1 << 40
+    return f"""
+    {dst}_mx AS (SELECT i, MAX(ABS(val)) AS mx FROM {src} GROUP BY 1),
+    {dst}_c1 AS (SELECT r.i, r.j, r.val // greatest(x.mx // {t}, 1) AS v1
+                 FROM {src} r JOIN {dst}_mx x ON x.i = r.i),
+    {dst}_m1 AS (SELECT i, MAX(ABS(v1)) AS m1 FROM {dst}_c1 GROUP BY 1),
+    {dst} AS MATERIALIZED (
+      SELECT c.i, c.j, CASE WHEN x.m1 = 0 THEN c.v1
+                            ELSE (c.v1 * {t}) // x.m1 END AS val
+      FROM {dst}_c1 c JOIN {dst}_m1 x ON x.i = c.i)"""
+
+
+def _tdiv_sql(num: str, piv: str) -> str:
+    """Trunc-toward-zero division with a signed divisor and a zero
+    guard — ``intlin.tdiv`` (DuckDB ``//`` already truncates toward
+    zero, but only same-sign operands hit the plain branch)."""
+    return (
+        f"CASE WHEN {piv} = 0 THEN CAST(0 AS HUGEINT) "
+        f"WHEN ({num} < 0) = ({piv} < 0) THEN ABS({num}) // ABS({piv}) "
+        f"ELSE -(ABS({num}) // ABS({piv})) END"
+    )
+
+
+def _ridge_oracle(d: int = 64, lam: int = 1) -> str:
+    """Twin of ridge_probe_embeddings: integer moments, the augmented
+    normal-equation system ``(n·G − s·sᵀ + λ·n·2^40·I | n·Xᵀy −
+    s·Σy)``, all d−1 fraction-free elimination pivots unrolled into
+    CTE levels (single-step Bareiss update + per-row renormalization —
+    ``intlin.gauss_solve_fixed`` bit-for-bit), d back-substitution
+    levels in trunc-division integer arithmetic, then the exact
+    per-label mean predictions, intercept, and moments-based RMSE in
+    the operator's correctly-rounded float op sequence."""
+    t40 = 1 << 40
+    q20f = float(1 << 20)
+    q40f = float(t40)
+    q50f = float(1 << 50)
+    q70f = float(1 << 70)
+    parts = [f"""
+    ex AS MATERIALIZED (
+      SELECT vec_id, CAST(pos1 - 1 AS INTEGER) AS pos,
+             CAST(floor(CAST(embedding[pos1] AS DOUBLE) * {q20f})
+                  AS HUGEINT) AS xi
+      FROM (SELECT vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS pos1
+            FROM embeddings)),
+    cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    ey AS MATERIALIZED (
+      SELECT vec_id, CAST(floor(CAST(label AS DOUBLE) * {q20f})
+                          AS HUGEINT) AS yi
+      FROM embeddings),
+    ys AS (SELECT CAST(SUM(yi) AS HUGEINT) AS sy,
+                  CAST(SUM(yi * yi) AS HUGEINT) AS syy FROM ey),
+    sv AS MATERIALIZED (
+      SELECT pos AS j, CAST(SUM(xi) AS HUGEINT) AS s FROM ex GROUP BY 1),
+    gm AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.xi * b.xi) AS HUGEINT) AS g
+      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+    xty AS MATERIALIZED (
+      SELECT e.pos AS j, CAST(SUM(e.xi * y.yi) AS HUGEINT) AS v
+      FROM ex e JOIN ey y USING (vec_id) GROUP BY 1),
+    scat AS MATERIALIZED (
+      SELECT g.i, g.j, (SELECT n FROM cnt) * g.g - si.s * sj.s AS c
+      FROM gm g JOIN sv si ON si.j = g.i JOIN sv sj ON sj.j = g.j),
+    bv AS MATERIALIZED (
+      SELECT x.j AS i,
+             (SELECT n FROM cnt) * x.v - s.s * (SELECT sy FROM ys) AS val
+      FROM xty x JOIN sv s ON s.j = x.j),
+    aug AS (
+      SELECT i, j, c + CASE WHEN i = j
+                 THEN {lam} * (SELECT n FROM cnt) * {t40}
+                 ELSE 0 END AS val
+      FROM scat
+      UNION ALL
+      SELECT i, {d} AS j, val FROM bv),{_ridge_row_renorm('aug', 'm0')}"""]
+    for p in range(d - 1):
+        parts.append(f"""
+    raw{p} AS (
+      SELECT m.i, m.j,
+             m.val * (SELECT val FROM m{p} WHERE i = {p} AND j = {p})
+             - rp.val * ip.val AS val
+      FROM m{p} m
+      JOIN (SELECT j, val FROM m{p} WHERE i = {p}) rp ON rp.j = m.j
+      JOIN (SELECT i, val FROM m{p} WHERE j = {p}) ip ON ip.i = m.i
+      WHERE m.i > {p}),{_ridge_row_renorm(f'raw{p}', f'upd{p}')},
+    m{p + 1} AS MATERIALIZED (
+      SELECT i, j, val FROM m{p} WHERE i <= {p}
+      UNION ALL SELECT i, j, val FROM upd{p})""")
+    fin = f"m{d - 1}"
+    num = f"(SELECT val FROM {fin} WHERE i = {d - 1} AND j = {d}) * {1 << 30}"
+    piv = f"(SELECT val FROM {fin} WHERE i = {d - 1} AND j = {d - 1})"
+    parts.append(f"""
+    bb{d - 1} AS (SELECT {d - 1} AS j, {_tdiv_sql(num, piv)} AS b)""")
+    for i in range(d - 2, -1, -1):
+        num = (
+            f"((SELECT val FROM {fin} WHERE i = {i} AND j = {d}) * {1 << 30}"
+            f" - (SELECT COALESCE(SUM(r.val * b.b), 0) FROM {fin} r"
+            f"    JOIN bb{i + 1} b ON b.j = r.j WHERE r.i = {i} AND r.j > {i}))"
+        )
+        piv = f"(SELECT val FROM {fin} WHERE i = {i} AND j = {i})"
+        parts.append(f"""
+    bb{i} AS MATERIALIZED (
+      SELECT * FROM bb{i + 1}
+      UNION ALL SELECT {i} AS j, {_tdiv_sql(num, piv)} AS b)""")
+    parts.append(f"""
+    bt AS MATERIALIZED (SELECT j, b FROM bb0),
+    sb AS (SELECT (SELECT SUM(s.s * b.b)
+                   FROM sv s JOIN bt b ON b.j = s.j) AS v),
+    icte AS (SELECT
+      CAST((SELECT sy FROM ys) AS DOUBLE) / (SELECT n FROM cnt) / {q20f}
+      - CAST((SELECT v FROM sb) AS DOUBLE) / (SELECT n FROM cnt) / {q50f}
+        AS ic),
+    zc AS (SELECT r.i AS j,
+                  {_tdiv_sql('SUM(r.c * b.b)', str(1 << 30))} AS z
+           FROM scat r JOIN bt b ON b.j = r.j GROUP BY r.i),
+    rmse AS (SELECT
+      sqrt(greatest(
+        (CAST((SELECT n FROM cnt) * (SELECT syy FROM ys)
+              - (SELECT sy FROM ys) * (SELECT sy FROM ys) AS DOUBLE) / {q40f}
+         - 2.0 * (CAST((SELECT SUM(b.b * v.val)
+                        FROM bt b JOIN bv v ON v.i = b.j) AS DOUBLE) / {q70f}))
+        + CAST((SELECT SUM(b.b * z.z)
+                FROM bt b JOIN zc z ON z.j = b.j) AS DOUBLE) / {q70f},
+        0.0) / (SELECT n FROM cnt) / (SELECT n FROM cnt)) AS r),
+    pq AS MATERIALIZED (
+      SELECT e.vec_id, SUM(e.xi * b.b) AS p
+      FROM ex e JOIN bt b ON b.j = e.pos GROUP BY 1)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n,
+           (SELECT ic FROM icte)
+             + CAST(SUM(p.p) AS DOUBLE) / COUNT(*) / {q50f}
+             AS mean_prediction,
+           (SELECT r FROM rmse) AS train_rmse,
+           CAST((SELECT n FROM cnt) AS BIGINT) AS model_n
+    FROM embeddings l JOIN pq p ON p.vec_id = l.vec_id
+    GROUP BY 1
+    """
+    )
+
+
+@query("ridge_probe_embeddings", oracle=_ridge_oracle(), gate=False)
 def ridge_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear probe over frozen embeddings
     (``operators.linear.ridge_fit``): closed-form ridge regression of
     the label from the embedding — ONE Arrow pass of per-partition
-    sufficient statistics (n, Σx, Σy, XᵀX, Xᵀy; bounded d²-size
-    partials), driver-side solve, then pure map-side JVM scoring.
-    Reports per-label prediction means and the training RMSE — the
-    'are these embeddings linearly informative?' audit every
-    embedding pipeline runs."""
-    from ..operators.linear import ridge_fit, ridge_predict
+    INTEGER sufficient statistics (n, Σx, Σy, Σy², XᵀX, Xᵀy; bounded
+    d²-size partials), a driver-side fraction-free Gaussian
+    elimination in replayable integer fixed point
+    (``operators.intlin.gauss_solve_fixed``), then pure map-side JVM
+    scoring via the exact integer prediction fold. PROMOTED from
+    rows-only in r9 (the verdict's task #4): the LAPACK normal-
+    equation solve was the last linear-algebra blocker, and the
+    elimination's d−1 pivots + d back-substitution steps unroll into
+    CTE levels — the DuckDB twin replays moments, every pivot, every
+    coefficient, the intercept, per-label mean predictions, and the
+    moments-based training RMSE bit-for-bit. Reports per-label
+    prediction means and the training RMSE — the 'are these
+    embeddings linearly informative?' audit every embedding pipeline
+    runs. Coefficient quality vs the numpy closed form stays pinned
+    in tests/test_linear.py."""
+    from ..operators.linear import ridge_fit, ridge_pq_col
 
     emb = table(spark, sf_dir, "embeddings")
     model = ridge_fit(emb, "label", lam=1.0)
-    scored = emb.select("label", ridge_predict(emb, model))
+    q50 = float(1 << 50)
+    scored = emb.select(
+        "label", ridge_pq_col(model, "embedding").alias("_pq")
+    )
     return (
         scored.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.avg("prediction").alias("mean_prediction"),
+            (
+                F.lit(float(model["intercept"]))
+                + F.sum(F.col("_pq").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(q50)
+            ).alias("mean_prediction"),
         )
         .withColumn("train_rmse", F.lit(model["rmse"]))
         .withColumn("model_n", F.lit(model["n"]).cast("bigint"))
