@@ -360,7 +360,16 @@ def kmv_pair_overlap(
     at large |groups| compare a chosen pair subset (filter the
     sketches to the groups you care about, or join a pairs table of
     candidates from LSH/blocking) instead of the full cross."""
-    sk = sketches.select(F.col(key).alias("_g"), "hv")
+    from .materialize import materialize
+
+    # the sketch table is consumed FIVE times below (guard probe, ga,
+    # gb, and both membership joins) and its upstream is the whole
+    # bottom-k pipeline — materialize the ≤ |groups|·k-row result ONCE
+    # (tiny checkpoint; this is the opposite regime from the
+    # documented materialize-trap, where the checkpointed intermediate
+    # was corpus-sized). r9: the r8 guard probe alone re-ran the
+    # pipeline end-to-end and cost ~25% of the bench entry.
+    sk = materialize(sketches.select(F.col(key).alias("_g"), "hv"))
     n_groups = sk.select("_g").distinct().limit(max_groups + 1).count()
     if n_groups > max_groups:
         raise ValueError(
