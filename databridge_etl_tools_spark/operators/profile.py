@@ -106,3 +106,46 @@ def profile_columns(df: DataFrame, cols: "list[str]") -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def key_census(
+    counts: DataFrame,
+    key_col: str,
+    *,
+    top: int = 10,
+    parallelism: int = 32,
+) -> DataFrame:
+    """JOIN-KEY SKEW report over a ``(key, n)`` count table: the
+    hottest ``top`` key values, their exact integer share (ppm of all
+    occurrences), and the salting factor that would spread each hot
+    key across ~task-sized slices at ``parallelism``-way execution
+    (``ceil(parallelism·n/total)`` — >1 means salt or rely on AQE
+    skew-join).
+
+    Shared by the batch pre-flight (``join_skew_diagnostics``, which
+    feeds it one map-side-combinable key count) and the streaming
+    census (``streaming.sketch.stream_key_census``, whose drained
+    state snapshot is the same (key, n) table — the report over an
+    availableNow drain equals the batch report by construction).
+    Plan shape: ``orderBy().limit(top)`` plans TakeOrderedAndProject
+    (per-partition partial top-k, NO full-sort shuffle), and the
+    rank/share arithmetic runs over the bounded ``top``-row result ×
+    a broadcast scalar total."""
+    from pyspark.sql import Window
+
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    topk = counts.orderBy(F.desc("n"), F.asc(key_col)).limit(top)
+    w = Window.orderBy(F.desc("n"), F.asc(key_col))
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            key_col,
+            "n",
+            F.expr("CAST(n * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
+            F.expr(
+                f"CAST(({int(parallelism)} * n + total - 1) DIV total AS BIGINT)"
+            ).alias("rec_salt"),
+        )
+    )

@@ -2225,8 +2225,11 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-partition partial top-k, NO full sort shuffle — the global
     window-rank alternative would sort |keys| rows in one task), and
     the rank/share arithmetic runs over the bounded 10-row result ×
-    a broadcast scalar total."""
-    from pyspark.sql import Window
+    a broadcast scalar total. The report arithmetic is the shared
+    ``operators.profile.key_census`` (r9) — the streaming census
+    (``streaming.sketch.stream_key_census``) feeds the same helper
+    from its drained state snapshot."""
+    from ..operators.profile import key_census
 
     ev = table(spark, sf_dir, "events", access="scan")
     c = (
@@ -2234,22 +2237,7 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    total = c.agg(F.sum("n").cast("bigint").alias("total"))
-    top = c.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
-    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
-    return (
-        top.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .select(
-            "rank",
-            "user_id",
-            "n",
-            F.expr("CAST(n * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
-            F.expr("CAST((32 * n + total - 1) DIV total AS BIGINT)").alias(
-                "rec_salt"
-            ),
-        )
-    )
+    return key_census(c, "user_id", top=10, parallelism=32)
 
 
 @query(

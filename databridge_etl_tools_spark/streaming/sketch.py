@@ -168,3 +168,30 @@ def stream_quantile_histogram(
         .groupBy("day", "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def stream_key_census(
+    stream: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Running per-key occurrence counts ``(key, n)`` — the streaming
+    state behind the join-skew pre-flight (r8 verdict stretch #8):
+    maintain the key histogram incrementally on the event stream, so
+    the skew report is current BEFORE the big batch join launches
+    instead of requiring its own full scan.
+
+    Counts are ADDITIVE, so the aggregate is a pure streaming
+    ``groupBy(key).count()`` — Spark's state store holds one row per
+    DISTINCT key (the honest state bound of any exact census; for a
+    join-key audit the key domain is the dimension being audited, and
+    a heavy-hitter sketch — ``stream_countmin`` — is the fallback when
+    even that is too wide). An ``availableNow`` drain equals the batch
+    key count over the same files bit-for-bit, so feeding the drained
+    snapshot to ``operators.profile.key_census`` reproduces the batch
+    ``join_skew_diagnostics`` report exactly (pinned in
+    tests/test_streaming_sketch.py)."""
+    return (
+        stream.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

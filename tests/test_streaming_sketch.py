@@ -237,3 +237,53 @@ def test_stream_quantile_histogram_equals_batch(spark, tmp_path):
     q2.awaitTermination(120)
     bins2 = {r["bin"] for r in spark.sql("SELECT * FROM qh_extreme").collect()}
     assert bins2 == {0, 255}
+
+
+def test_stream_key_census_equals_batch_skew_report(spark, tmp_path):
+    """The running key census drained availableNow equals the batch
+    key count bit-for-bit, and key_census() over the drained snapshot
+    reproduces the batch join_skew_diagnostics report exactly."""
+    from databridge_etl_tools_spark.operators.profile import key_census
+    from databridge_etl_tools_spark.registry import table as load_table
+    from databridge_etl_tools_spark.streaming import events as SE
+    from databridge_etl_tools_spark.streaming.sketch import stream_key_census
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    staging = str(tmp_path / "ev_staging_census")
+    ev.repartition(3).write.parquet(staging)
+
+    cs = stream_key_census(SE.read_event_stream(spark, staging), "user_id")
+    q = (
+        cs.writeStream.format("memory")
+        .queryName("census_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_census"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.sql("SELECT * FROM census_stream")
+    batch_counts = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    got = {(r["user_id"], r["n"]) for r in drained.collect()}
+    exp = {(r["user_id"], r["n"]) for r in batch_counts.collect()}
+    assert got == exp
+
+    rep_stream = [
+        tuple(r)
+        for r in key_census(drained, "user_id").orderBy("rank").collect()
+    ]
+    rep_batch = [
+        tuple(r)
+        for r in key_census(batch_counts, "user_id").orderBy("rank").collect()
+    ]
+    assert rep_stream == rep_batch
+    assert len(rep_stream) == 10
+    # shares are exact integer ppm of the total occurrence mass
+    total = sum(n for _, n in exp)
+    for _, _, n, ppm, salt in rep_stream:
+        assert ppm == n * 1000000 // total
+        assert salt == (32 * n + total - 1) // total
