@@ -1,0 +1,145 @@
+"""Graph centrality over edge tables — crawl-graph quality signals.
+
+Web-scale corpus curation weighs documents by the link-graph standing
+of their source (Common Crawl pipelines rank hosts by
+PageRank/harmonic centrality before sampling); the same primitive
+ranks suppliers in a purchase graph or users in an interaction graph.
+The reference engine has no graph surface; this is a Spark-first
+design:
+
+- the graph stays a DataFrame of edges — nodes are never collected;
+- each PageRank iteration is ONE equi-join (ranks ⋈ edges on src) +
+  ONE dst-keyed aggregation, both shuffle-partitioned on the node
+  key, so a 100 TB edge table runs as ``iters`` co-partitioned
+  hash joins (pre-bucket both tables by node id to delete the
+  per-iteration exchange entirely);
+- arithmetic is INTEGER FIXED POINT (the r8/r9 oracle-promotion
+  discipline, ``operators/intlin.py``): rank mass is a q40 int64 per
+  node, per-edge contributions are trunc divisions ``r // outdeg``,
+  and the damping blend is integer ``(num·r) // den`` — every
+  intermediate is engine-independent, so the fixed iteration count
+  unrolls into DuckDB CTE levels and the oracle replays the whole
+  fixpoint bit-for-bit. Aggregation sums run in DECIMAL(38,0)
+  (Spark) / HUGEINT (DuckDB): exact at any node count, while
+  per-node ranks stay < 2^63 by construction (total mass is
+  conserved up to trunc-division floors, so a node's rank never
+  exceeds the initial total N·2^40 ≪ int64 for the per-node value).
+
+Semantics (deterministic fixed-point PageRank): with damping d =
+num/den and N nodes,
+
+    r⁰(v)   = 2^40
+    contrib = r(u) // outdeg(u)              per edge (u → v)
+    dangling = Σ_{outdeg(u)=0} r(u)
+    rᵗ⁺¹(v) = ((den−num)·2^40) // den
+              + (num · (Σ_in contrib + dangling // N)) // den
+
+Floors lose ≤ 1 ulp of mass per term — fixed-point PageRank, exactly
+reproducible everywhere, converging to the float fixpoint within
+~2⁻⁴⁰·iters relative (quality pinned vs a float twin in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q_RANK = 40  #: per-node rank fixed point (initial rank = 2^40)
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+    damping: tuple[int, int] = (85, 100),
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge DataFrame.
+
+    Returns ``(node, rank_q, rank)`` — the exact q40 integer rank
+    (oracle-hashable) and its float form ``rank_q / 2^40`` (one exact
+    power-of-two division). Duplicate edges count once (the standard
+    unweighted formulation); self-loops are legal. ``iters`` is the
+    replay contract: the DuckDB twin unrolls exactly this many CTE
+    levels."""
+    num, den = damping
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    # node table with outdeg (0 for dangling) — reused every iteration
+    from .materialize import materialize
+
+    base = materialize(
+        nodes.join(outdeg, "node", "left").select(
+            "node",
+            F.coalesce(F.col("outdeg"), F.lit(0).cast("long")).alias(
+                "outdeg"
+            ),
+        )
+    )
+    n_nodes = base.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty graph")
+    teleport = ((den - num) * (1 << Q_RANK)) // den
+    ranks = base.select(
+        "node", "outdeg", F.lit(1 << Q_RANK).cast("long").alias("rank_q")
+    )
+    for _ in range(iters):
+        # trunc division: Spark's integer DIV truncates toward zero,
+        # same as DuckDB // (ranks are non-negative, so floor == trunc)
+        contrib = (
+            ranks.where(F.col("outdeg") > 0)
+            .join(e, ranks["node"] == e["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank_q DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("in_q"))
+        )
+        # dangling mass stays IN-PLAN as a 1-row broadcast scalar (no
+        # per-iteration driver action — an eager .first() here would
+        # re-execute the whole lineage every round, O(iters²))
+        dang = ranks.where(F.col("outdeg") == 0).agg(
+            F.coalesce(
+                F.sum(F.col("rank_q").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("dang_q")
+        )
+        # materialize each iterate: the ranks table feeds THREE
+        # consumers next round (contrib join, dangling sum, rebuild) —
+        # the lineage cut makes every iteration cost one pass, the
+        # GraphX-style discipline for iterative graph jobs
+        ranks = materialize(
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"CAST({num} * (CAST(coalesce(in_q, 0)"
+                        f" AS DECIMAL(38,0))"
+                        f" + CAST(dang_q AS DECIMAL(38,0)) DIV {n_nodes})"
+                        f" DIV {den} AS BIGINT)"
+                    )
+                ).alias("rank_q"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_q",
+        (F.col("rank_q").cast("double") / F.lit(float(1 << Q_RANK))).alias(
+            "rank"
+        ),
+    )

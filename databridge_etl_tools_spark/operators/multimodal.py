@@ -361,12 +361,17 @@ def image_ahash(df: DataFrame, content_col: str = "content", id_col: str = "item
     within a few bits; cf. exact-byte md5 in ``binary_stats`` which
     any single pixel change defeats).
 
-    Recipe: decode → grayscale (channel mean) → 8×8 nearest-neighbor
-    downsample → bit i set iff cell i > the 64-cell mean, keeping the
-    first ``AHASH_BITS`` = 60 bits so the signature stays inside a
-    signed int64 on every engine (the SimHash convention). Arrow-
-    batched decode (the justified Python seam); everything downstream
-    — banding, hamming — is JVM bit arithmetic via
+    Recipe: decode → per-pixel channel SUM (integer grayscale ×ch) →
+    8×8 nearest-neighbor downsample → bit i set iff ``64·cell_i >
+    Σcells`` (the mean compare cleared of denominators — EXACT
+    integer arithmetic, r9: the float ``cell > mean`` differed from
+    any SQL replay in sub-ulp ties, and with integer pixels the whole
+    hash is now engine-independent, which is what promoted
+    ``mm_image_neardup`` to oracle-backed), keeping the first
+    ``AHASH_BITS`` = 60 bits so the signature stays inside a signed
+    int64 on every engine (the SimHash convention). Arrow-batched
+    decode (the justified Python seam); everything downstream —
+    banding, hamming — is JVM bit arithmetic via
     ``dedup.hamming_near_pairs``."""
     schema = f"`{id_col}` bigint, ahash bigint"
 
@@ -378,16 +383,17 @@ def image_ahash(df: DataFrame, content_col: str = "content", id_col: str = "item
             ids, hashes = [], []
             for item_id, content in zip(pdf[id_col], pdf[content_col]):
                 _kind, w, h, ch, px = _decode_image(bytes(content))
-                arr = (
+                s3 = (
                     np.frombuffer(px, dtype=np.uint8)
                     .reshape(h, w, ch)
-                    .astype(np.float64)
-                    .mean(axis=2)
+                    .astype(np.int64)
+                    .sum(axis=2)
                 )
                 yi = np.arange(8) * h // 8
                 xi = np.arange(8) * w // 8
-                small = arr[np.ix_(yi, xi)].ravel()
-                bits = small > small.mean()
+                cells = s3[np.ix_(yi, xi)].ravel()
+                total = int(cells.sum())
+                bits = 64 * cells > total
                 v = 0
                 for i in range(AHASH_BITS):
                     if bits[i]:

@@ -776,11 +776,64 @@ def user_activity_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_neardup")  # no oracle: the aHash needs pixel decode
-# (Python/Arrow seam) — not SQL-expressible; banded-join exactness and
-# the perceptual-stability contract are pinned in
-# tests/test_multimodal_streaming.py (brute-force parity on planted
-# noised copies)
+def _mm_image_oracle(n_docs: int = 200, w: int = 24, h: int = 18) -> str:
+    """DuckDB replay of mm_image_neardup (r9 promotion — the last
+    'pixel decode seam' excuse dissolved for the DEMO data, which is
+    md5-synthetic by construction): the P6 pixel stream is
+    md5('ppm:{seed}:{k}') digests, so every sampled byte is
+    substr(md5(...)) arithmetic; the r9 integer aHash (channel-sum
+    cells, ``64·cell > Σcells`` mean compare cleared of denominators)
+    has no float op left; and the banded hamming join is pigeonhole-
+    EXACT for distance ≤ 4 at 5 bands, so the twin's brute-force
+    bit_count(xor) ≤ 4 pair set equals the operator's banded output
+    by theorem (pinned in tests/test_multimodal_streaming.py). The
+    real-image decode (PPM/Pillow) stays the operator's honest
+    Python/Arrow seam — the oracle covers the full hash+join
+    pipeline over bytes it can regenerate."""
+    hdr = len(f"P6\n{w} {h}\n255\n".encode())
+    cellbytes = []
+    for ci in range(64):
+        r, c = ci // 8, ci % 8
+        p = (r * h // 8) * w + (c * w // 8)
+        for ch in range(3):
+            cellbytes.append((ci, 3 * p + ch))
+    cb_values = ", ".join(f"({ci}, {pb})" for ci, pb in cellbytes)
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_docs}),
+    ds AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
+                    AS seed,
+                  doc_id % 10 = 9 AS noised
+           FROM d),
+    cb(ci, pb) AS (VALUES {cb_values}),
+    bytes AS (
+      SELECT ds.doc_id, cb.ci,
+             CAST('0x' || substr(md5('ppm:' || CAST(ds.seed AS VARCHAR) || ':'
+                                     || CAST(cb.pb // 16 AS VARCHAR)),
+                                 2 * (cb.pb % 16) + 1, 2) AS BIGINT) AS raw,
+             ds.noised AND cb.pb BETWEEN {20 - hdr} AND {31 - hdr} AS bump
+      FROM ds, cb),
+    cells AS (
+      SELECT doc_id, ci,
+             CAST(SUM(CASE WHEN bump THEN least(255, raw + 1) ELSE raw END)
+                  AS BIGINT) AS s
+      FROM bytes GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS total
+            FROM cells GROUP BY 1),
+    sig AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.ci < 60 AND 64 * c.s > t.total
+                           THEN CAST(1 AS HUGEINT) << c.ci ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM cells c JOIN tot t USING (doc_id) GROUP BY 1)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+    """
+
+
+@query("mm_image_neardup", oracle=_mm_image_oracle(), gate=False)
 def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection on the multimodal seam
     (``operators.multimodal.image_ahash`` + ``dedup.
@@ -789,7 +842,9 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its predecessor's image — the pipeline must find exactly those
     planted near-dups. One Arrow decode pass → 60-bit perceptual
     hash → pigeonhole-exact banded hamming join; never n² image
-    comparisons."""
+    comparisons. PROMOTED from rows-only in r9: the r9 integer aHash
+    plus the md5-synthetic demo pixels make decode → hash → pairs
+    fully replayable (see ``_mm_image_oracle``)."""
     from ..operators.multimodal import image_neardup_pairs, pack_ppm_random
 
     # orderBy before limit: LIMIT without ORDER BY is not
@@ -2404,4 +2459,103 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.lit(1000000.0)
         ).alias("intercept"),
+    )
+
+
+def _pagerank_oracle(iters: int = 8, num: int = 85, den: int = 100) -> str:
+    """DuckDB replay of the FULL fixed-point PageRank fixpoint
+    (``operators.graph.pagerank`` — the r8/r9 unrolling playbook on a
+    graph algorithm): the purchase graph's edges, out-degrees, and
+    every one of the ``iters`` rank updates are integer arithmetic
+    (q40 rank mass, trunc-division contributions, integer damping
+    blend), so each iteration is one CTE level joining the previous
+    rank table with the edge table — bit-for-bit the operator's
+    update, dangling-mass share included."""
+    q40 = 1 << 40
+    teleport = ((den - num) * q40) // den
+    parts = [f"""
+    ed AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey) t),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+    od AS (SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS outdeg
+           FROM ed GROUP BY 1),
+    base AS MATERIALIZED (
+      SELECT n.node, COALESCE(o.outdeg, 0) AS outdeg
+      FROM nodes n LEFT JOIN od o USING (node)),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base),
+    r0 AS MATERIALIZED (
+      SELECT node, outdeg, CAST({q40} AS HUGEINT) AS rq FROM base)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r.rq // r.outdeg) AS in_q
+      FROM r{i - 1} r JOIN ed e ON e.src = r.node
+      WHERE r.outdeg > 0 GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(rq), 0) AS dang
+             FROM r{i - 1} WHERE outdeg = 0),
+    r{i} AS MATERIALIZED (
+      SELECT b.node, b.outdeg,
+             {teleport} + ({num} * (COALESCE(c.in_q, 0)
+               + (SELECT dang FROM d{i}) // (SELECT n FROM nn)))
+               // {den} AS rq
+      FROM base b LEFT JOIN c{i} c USING (node))""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rq AS BIGINT) AS rank_q,
+           CAST(r.rq AS DOUBLE) / {float(1 << 40)} AS rank
+    FROM r{iters} r JOIN supplier s ON r.node = 2 * s.s_suppkey + 1
+    """
+    )
+
+
+@query("graph_pagerank_suppliers", oracle=_pagerank_oracle(), gate=False)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL-GRAPH CENTRALITY — fixed-point PageRank
+    (``operators.graph.pagerank``) over the customer↔supplier
+    purchase graph (both directions of every distinct trading pair,
+    node ids namespaced even/odd). The corpus-curation primitive
+    behind link-graph quality weighting (Common Crawl pipelines rank
+    hosts by centrality before sampling pretraining data); here it
+    ranks suppliers by their standing in the trade network rather
+    than raw order counts — a hub trading with well-connected
+    customers outranks one with the same volume from peripheral
+    buyers.
+
+    Scale shape: the graph never leaves the cluster — each of the 8
+    iterations is one src-keyed equi-join plus one dst-keyed
+    aggregation (co-partition/bucket both on the node key to delete
+    the exchanges), the iterate is checkpointed (lineage cut — the
+    GraphX discipline), and the dangling-mass term is a 1-row
+    broadcast scalar. Integer fixed point makes every iteration
+    engine-independent; the DuckDB twin unrolls all 8 levels."""
+    from ..operators.graph import pagerank
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = ord_.join(
+        li, ord_["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).alias("cust_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, iters=8)
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ranks.join(
+            supp, ranks["node"] == supp["s_suppkey"] * 2 + 1
+        ).select("s_suppkey", "s_name", "rank_q", "rank")
     )
