@@ -149,6 +149,12 @@ HEADLINE = [
     "ann_ivf_kmeans",
     "ann_pq_adc",
     "bpe_learn_merges_words",
+    # r9 additions: the integer-fixed-point promotions + the graph family
+    "pca_embeddings_project",
+    "ann_pca_prefilter",
+    "ridge_probe_embeddings",
+    "mm_image_neardup",
+    "graph_pagerank_suppliers",
 ]
 
 
