@@ -53,3 +53,48 @@ def mask_digits_keep_last(col: Column | str, keep: int = 4) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # digits followed by `keep` more digits (lookahead) become '*'
     return F.regexp_replace(c, rf"\d(?=(?:[^\d]*\d){{{keep}}})", "*")
+
+
+def luhn_card_scrub(
+    text_col: str, min_len: int = 13, max_len: int = 19
+) -> Column:
+    """Payment-card detection with CHECKSUM VALIDATION — the
+    precision upgrade over bare digit-run regexes: a 13–19-digit run
+    is redacted only when it passes the Luhn check (ISO/IEC 7812), so
+    order ids and timestamps with card-shaped lengths survive while
+    real PANs are scrubbed — the high-precision card rule of
+    published curation pipelines (bare runs false-positive heavily at
+    corpus scale).
+
+    Pure JVM column expressions — candidate extraction is one
+    ``regexp_extract_all`` of maximal digit runs (no lookarounds, so
+    the pattern stays in the Java∩RE2 subset the oracle needs),
+    length-filtered in a HOF; the Luhn sum is integer arithmetic over
+    ``sequence(1, len)`` (double every second digit from the right,
+    subtract 9 past 9, total ≡ 0 mod 10); redaction left-folds
+    ``replace(acc, candidate, \'[CARD]\')`` over the validated list —
+    every step bit-identical in DuckDB's list algebra.
+
+    Takes a column NAME (the expression template inlines it); returns
+    ``struct(redacted, n_candidates, n_valid_cards)``."""
+    t = f"`{text_col}`"
+    cands = (
+        f"filter(regexp_extract_all({t}, '\\\\d+', 0),"
+        f" x -> length(x) >= {int(min_len)} AND length(x) <= {int(max_len)})"
+    )
+    luhn = (
+        "aggregate(sequence(1, length(x)), 0, (acc, i) -> acc + ("
+        "CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN 2 * CAST(substr(x, length(x) - i + 1, 1) AS INT) > 9 "
+        "THEN 2 * CAST(substr(x, length(x) - i + 1, 1) AS INT) - 9 "
+        "ELSE 2 * CAST(substr(x, length(x) - i + 1, 1) AS INT) END "
+        "ELSE CAST(substr(x, length(x) - i + 1, 1) AS INT) END)) % 10 = 0"
+    )
+    valid = f"filter({cands}, x -> {luhn})"
+    return F.expr(
+        "named_struct("
+        f"'redacted', aggregate({valid}, {t}, (acc, x) ->"
+        " replace(acc, x, '[CARD]')),"
+        f"'n_candidates', CAST(size({cands}) AS BIGINT),"
+        f"'n_valid_cards', CAST(size({valid}) AS BIGINT))"
+    )

@@ -353,6 +353,96 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.rare_token_stats(docs, "text", "doc_id")
 
 
+_LUHN_SQL = (
+    "list_sum(list_transform(range(1, len(x) + 1), i -> "
+    "CASE WHEN i % 2 = 0 THEN "
+    "CASE WHEN 2 * CAST(substr(x, len(x) - i + 1, 1) AS INT) > 9 "
+    "THEN 2 * CAST(substr(x, len(x) - i + 1, 1) AS INT) - 9 "
+    "ELSE 2 * CAST(substr(x, len(x) - i + 1, 1) AS INT) END "
+    "ELSE CAST(substr(x, len(x) - i + 1, 1) AS INT) END)) % 10 = 0"
+)
+
+
+@query(
+    "pii_card_audit",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || CASE WHEN doc_id % 7 = 0 THEN ' 4539578763621486'
+                          WHEN doc_id % 7 = 3 THEN ' 4539578763621480'
+                          ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL),
+    scr AS (
+      SELECT doc_id, source, t,
+             list_filter(regexp_extract_all(t, '\d+'),
+                         x -> len(x) BETWEEN 13 AND 19) AS cands
+      FROM aug),
+    v AS (
+      SELECT doc_id, source, t, cands,
+             list_filter(cands, x -> {{_LUHN}}) AS valid
+      FROM scr),
+    red AS (
+      SELECT doc_id, source, cands, valid,
+             list_reduce(list_prepend(t, valid),
+                         (acc, x) -> replace(acc, x, '[CARD]')) AS redacted,
+             t
+      FROM v)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(cands)) AS BIGINT) AS n_candidates,
+           CAST(SUM(len(valid)) AS BIGINT) AS n_valid_cards,
+           CAST(SUM(CASE WHEN len(valid) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_flagged,
+           CAST(SUM(length(t) - length(redacted)) AS BIGINT)
+             AS chars_removed
+    FROM red GROUP BY 1
+    """.replace("{_LUHN}", _LUHN_SQL),
+    gate=False,
+)
+def pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PII audit (``operators.pii.luhn_card_scrub``) —
+    checksum-VALIDATED card redaction: 13-19-digit runs are scrubbed
+    only when the Luhn check passes, so card-shaped order ids and
+    timestamps survive (precision matters at corpus scale, where a
+    bare digit-run rule would redact billions of benign tokens). The
+    synthetic corpus carries no card numbers, so the query plants a
+    deterministic valid PAN on every 7th document and a
+    checksum-FAILING near-miss on every doc_id%7==3 — the audit must
+    count exactly the planted valid set. Map-side JVM HOF arithmetic
+    (regexp extraction, integer Luhn fold, replace fold), one
+    source-keyed aggregate; the DuckDB twin replays candidate
+    extraction, the checksum, and the redaction fold in list algebra."""
+    from ..operators.pii import luhn_card_scrub
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    aug = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" 4539578763621486"))
+            .when(F.col("doc_id") % 7 == 3, F.lit(" 4539578763621480"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    scrubbed = aug.select(
+        "source",
+        F.length("t").alias("_len"),
+        luhn_card_scrub("t").alias("s"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("s.n_candidates").cast("bigint").alias("n_candidates"),
+        F.sum("s.n_valid_cards").cast("bigint").alias("n_valid_cards"),
+        F.sum(
+            F.when(F.col("s.n_valid_cards") > 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_docs_flagged"),
+        F.sum(F.col("_len") - F.length("s.redacted"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+
+
 @query(
     "pii_scrub_contacts",
     oracle=r"""

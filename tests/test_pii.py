@@ -49,3 +49,37 @@ def test_mask_digits_keep_last(spark):
     assert out[1] == "card **** **** **** 1234 ok"
     # runs of <= keep digits stay untouched
     assert out[2] == "pin 123"
+
+
+def _cards(spark, text):
+    from databridge_etl_tools_spark.operators.pii import luhn_card_scrub
+
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(luhn_card_scrub("t").alias("s")).select("s.*").first()
+
+
+def test_luhn_valid_card_redacted(spark):
+    r = _cards(spark, "pay 4539578763621486 today")
+    assert r.redacted == "pay [CARD] today"
+    assert (r.n_candidates, r.n_valid_cards) == (1, 1)
+
+
+def test_luhn_checksum_failure_survives(spark):
+    # same digits, last one off by 6: candidate but NOT redacted
+    r = _cards(spark, "ref 4539578763621480 kept")
+    assert r.redacted == "ref 4539578763621480 kept"
+    assert (r.n_candidates, r.n_valid_cards) == (1, 0)
+
+
+def test_luhn_length_window(spark):
+    # 12 digits (too short) and 20 digits (too long) are not candidates;
+    # a 14-digit timestamp-like run is a candidate but fails the checksum
+    r = _cards(spark, "a 123456789012 b 12345678901234567890 c 20260815120001")
+    assert (r.n_candidates, r.n_valid_cards) == (1, 0)
+    assert "[CARD]" not in r.redacted
+
+
+def test_luhn_multiple_occurrences_all_redacted(spark):
+    r = _cards(spark, "x 4539578763621486 y 4539578763621486 z")
+    assert r.redacted == "x [CARD] y [CARD] z"
+    assert r.n_valid_cards == 2
