@@ -1226,3 +1226,127 @@ def remove_internal_spans(
             ).alias("text"),
         )
     )
+
+
+IDF_Q = 1 << 10  #: rational-idf fixed point: weight = tf · (2^10 // df)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: "tuple[int, int]" = (3, 5),
+    max_df: int = 32,
+) -> DataFrame:
+    """Lexical near-duplicate pairs by IDF-WEIGHTED COSINE — the
+    order-insensitive sibling of n-gram Jaccard/MinHash (a shuffled
+    paragraph keeps its cosine but loses its shingles) with the
+    df-weighting SimHash lacks (rare terms dominate the score, so two
+    docs sharing boilerplate stopwords never pair).
+
+    Every number is an exact integer, so the whole pipeline is
+    oracle-replayable (r8/r9 discipline):
+
+    - weight(t, d) = tf(t, d) · (2^10 // df(t)) — RATIONAL idf, no
+      logs. Terms with df > 2^10 weight exactly 0: the common-term
+      mass that plain cosine wastes vanishes by construction (the
+      trunc division IS the stop-term filter).
+    - candidates: pairs sharing ≥ 1 term with 2 ≤ df ≤ ``max_df`` —
+      rare-term blocking; the (term, doc) join fans out Σ_t df² over
+      rare terms only, never n². Near-dups share rare terms by
+      definition; a pair overlapping ONLY in terms commoner than
+      max_df is out of scope (documented recall trade of every
+      blocked dedup in this repo).
+    - the threshold test is exact rational arithmetic (the SemDeDup
+      move): cos ≥ p/q ⟺ q²·dot² ≥ p²·‖a‖²·‖b‖² with dot > 0, in
+      DECIMAL(38,0) (dot ≤ ~2^50 ⇒ dot² ≤ ~2^100, inside both
+      decimal128 and HUGEINT).
+
+    Returns ``(id_a, id_b, dot_q, cosine)`` — the integer dot (hash-
+    exact) and the double cosine (sqrt + divisions, correctly rounded
+    on identical operands in any engine)."""
+    from .textstats import tokens
+
+    p_num, q_den = threshold
+    tf = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(tokens(F.col(text_col))).alias("_t"),
+        )
+        .groupBy("_doc", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    )
+    from .materialize import materialize
+
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    w = materialize(
+        tf.join(dfreq, "_t").select(
+            "_doc",
+            "_t",
+            "_df",
+            (F.col("_tf") * F.expr(f"CAST({IDF_Q} DIV _df AS BIGINT)")).alias(
+                "_w"
+            ),
+        )
+    )
+    # per-term products fit int64 (w ≤ tf·2^10); the SUMS go through
+    # DECIMAL(38,0) so no document length can wrap them
+    norms = w.groupBy("_doc").agg(
+        F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,0)")).alias(
+            "_n2"
+        )
+    )
+    rare = w.where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "_t")
+        .where(F.col("a._doc") < F.col("b._doc"))
+        .select(
+            F.col("a._doc").alias("_da"), F.col("b._doc").alias("_db")
+        )
+        .distinct()
+    )
+    wa = w.select(
+        F.col("_doc").alias("_da"), "_t", F.col("_w").alias("_wa")
+    )
+    wb = w.select(
+        F.col("_doc").alias("_db"), "_t", F.col("_w").alias("_wb")
+    )
+    dots = (
+        cand.join(wa, "_da")
+        .join(wb, ["_db", "_t"])
+        .groupBy("_da", "_db")
+        .agg(
+            F.sum((F.col("_wa") * F.col("_wb")).cast("decimal(38,0)")).alias(
+                "_dot"
+            )
+        )
+    )
+    na = norms.select(F.col("_doc").alias("_da"), F.col("_n2").alias("_na"))
+    nb = norms.select(F.col("_doc").alias("_db"), F.col("_n2").alias("_nb"))
+    d38 = "decimal(38,0)"
+    keep = (
+        (F.col("_dot") > 0)
+        & (
+            F.lit(q_den * q_den).cast(d38)
+            * F.col("_dot")
+            * F.col("_dot")
+            >= F.lit(p_num * p_num).cast(d38) * F.col("_na") * F.col("_nb")
+        )
+    )
+    cos = F.col("_dot").cast("double") / F.sqrt(
+        F.col("_na").cast("double") * F.col("_nb").cast("double")
+    )
+    return (
+        dots.join(na, "_da")
+        .join(nb, "_db")
+        .where(keep)
+        .select(
+            F.col("_da").alias("id_a"),
+            F.col("_db").alias("id_b"),
+            F.col("_dot").cast("long").alias("dot_q"),
+            cos.alias("cosine"),
+        )
+    )

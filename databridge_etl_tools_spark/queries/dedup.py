@@ -957,3 +957,59 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_micro"),
         )
     )
+
+
+@query(
+    "dedup_tfidf_cosine",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t
+                 FROM documents WHERE text IS NOT NULL),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (SELECT tf.doc_id, tf.t, dfq.df,
+                 tf.tf * (1024 // dfq.df) AS w
+          FROM tf JOIN dfq USING (t)),
+    norms AS (SELECT doc_id,
+                     CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS n2
+              FROM w GROUP BY 1),
+    rare AS (SELECT doc_id, t FROM w WHERE df BETWEEN 2 AND 32),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM rare a JOIN rare b
+               ON a.t = b.t AND a.doc_id < b.doc_id),
+    dots AS (SELECT c.da, c.db,
+                    CAST(SUM(CAST(wa.w AS HUGEINT) * wb.w) AS HUGEINT) AS dot
+             FROM cand c
+             JOIN w wa ON wa.doc_id = c.da
+             JOIN w wb ON wb.doc_id = c.db AND wb.t = wa.t
+             GROUP BY 1, 2),
+    res AS (SELECT d.da, d.db, d.dot, na.n2 AS na, nb.n2 AS nb
+            FROM dots d
+            JOIN norms na ON na.doc_id = d.da
+            JOIN norms nb ON nb.doc_id = d.db)
+    SELECT da AS id_a, db AS id_b, CAST(dot AS BIGINT) AS dot_q,
+           CAST(dot AS DOUBLE)
+             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+    FROM res
+    WHERE dot > 0 AND 25 * dot * dot >= 9 * na * nb
+    """,
+    gate=False,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup pairs by IDF-weighted cosine ≥ 0.6
+    (``operators.dedup.tfidf_cosine_pairs``) — the order-insensitive
+    companion to the shingle family (Jaccard/MinHash/SimHash): a
+    reshuffled paragraph keeps its cosine but loses its shingles, and
+    the rational idf ``2^10 // df`` zeroes common terms so boilerplate
+    can never pair two documents. Rare-term blocking (2 ≤ df ≤ 32)
+    bounds the candidate join to Σ_t df² — never n² — and the 0.6
+    threshold is the exact rational test 25·dot² ≥ 9·‖a‖²·‖b‖² in
+    DECIMAL(38,0)/HUGEINT; every retained number is integer-derived,
+    so the twin replays weights, candidates, dots, and the cosine
+    doubles bit-for-bit."""
+    from ..operators.dedup import tfidf_cosine_pairs
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    return tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=(3, 5), max_df=32
+    )

@@ -1043,3 +1043,47 @@ def test_stratified_split_exact_strata_guard(spark):
         raise AssertionError("expected ValueError from max_strata guard")
     except ValueError as e:
         assert "max_strata" in str(e) and "train_val_split" in str(e)
+
+
+def test_tfidf_cosine_order_insensitive_and_boilerplate_immune(spark):
+    """The two contracts that distinguish idf-cosine from shingles:
+    (1) a token-reordered copy still pairs (cosine is a bag measure);
+    (2) docs sharing ONLY corpus-common boilerplate never pair (the
+    rational idf 2^10 // df zeroes terms with df > 1024, and common
+    terms are excluded from candidate blocking anyway)."""
+    from databridge_etl_tools_spark.operators.dedup import tfidf_cosine_pairs
+
+    common = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, "zebra quasar nebula plasma " + common),
+        (2, common + " plasma nebula quasar zebra"),  # reordered copy
+        (3, common + " unique1 unique2 unique3 unique4"),
+        (4, common + " other5 other6 other7 other8"),
+    ]
+    # pad the corpus so 'common' words exceed max_df blocking
+    rows += [(10 + i, common) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=(3, 5), max_df=8
+        ).collect()
+    }
+    assert (1, 2) in pairs  # reordering cannot break the match
+    # 3 and 4 share only the 44-df common words: never candidates
+    assert not any({a, b} == {3, 4} for a, b in pairs)
+
+
+def test_tfidf_cosine_threshold_is_exact_rational(spark):
+    """Pairs on the threshold boundary resolve by exact integer
+    arithmetic: identical rare-term docs have cosine exactly 1."""
+    from databridge_etl_tools_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    got = tfidf_cosine_pairs(df, "doc_id", "text", threshold=(1, 1)).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+    assert got[0].cosine == 1.0
