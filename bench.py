@@ -155,6 +155,10 @@ HEADLINE = [
     "ridge_probe_embeddings",
     "mm_image_neardup",
     "graph_pagerank_suppliers",
+    "pii_card_audit",
+    "dedup_tfidf_cosine",
+    "text_textrank_keywords",
+    "retrieval_eval_knn",
 ]
 
 

@@ -163,3 +163,98 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+MRR_Q = 1 << 30  #: reciprocal-rank fixed point: floor(2^30 / rank)
+
+
+def ranking_eval(
+    results: DataFrame,
+    truth: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """IR ranking metrics — the evaluation side every retrieval/ANN
+    pipeline needs next to its index: given ranked ``results``
+    (query, item, rank ≤ k) and a ``truth`` relevance table (query,
+    item), compute
+
+    - **MRR**: mean reciprocal rank of the FIRST relevant hit
+      (0 contribution for queries with no hit in the top-k),
+    - **recall@k**: relevant-hits / min(|relevant|, k) summed over
+      queries (the R-capped convention, so a query with 100 relevant
+      items is not penalized for a k of 5),
+    - **precision@k**: relevant-hits / k.
+
+    Every per-query number is an exact integer (reciprocal ranks in
+    q30 fixed point — ``floor(2^30 / rank)`` with rank ≤ k, so the
+    quantization is the only rounding and any engine replays it);
+    the three means are single correctly-rounded double divisions at
+    the end. Queries in ``results`` with NO truth rows count as
+    zero-relevant (skipped in recall's denominator-capped sum but
+    present in MRR/precision means — the honest convention when truth
+    covers only labeled queries is to pre-filter ``results``).
+
+    One hit-tagging join + one query-keyed aggregate + one scalar
+    merge; nothing driver-side."""
+    q = F.col(query_col)
+    res = results.select(
+        q.alias("_q"), F.col(item_col).alias("_i"), F.col(rank_col).alias("_r")
+    )
+    tr = truth.select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_rel = tr.groupBy("_q").agg(F.count(F.lit(1)).cast("long").alias("_nrel"))
+    hits = res.join(tr, ["_q", "_i"], "left_semi")
+    per_q = (
+        res.select("_q")
+        .distinct()
+        .join(
+            hits.groupBy("_q").agg(
+                F.count(F.lit(1)).cast("long").alias("_nhit"),
+                F.min("_r").cast("long").alias("_first"),
+            ),
+            "_q",
+            "left",
+        )
+        .join(n_rel, "_q", "left")
+        .select(
+            "_q",
+            F.coalesce(F.col("_nhit"), F.lit(0)).alias("_nhit"),
+            F.coalesce(F.col("_nrel"), F.lit(0)).alias("_nrel"),
+            F.coalesce(
+                F.expr(f"CAST({MRR_Q} DIV _first AS BIGINT)"), F.lit(0)
+            ).alias("_rr_q"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (
+            F.sum(F.col("_rr_q").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(MRR_Q))
+        ).alias("mrr"),
+        (
+            F.sum(
+                F.when(
+                    F.least(F.col("_nrel"), F.lit(k).cast("long")) > 0,
+                    # integer DIV (trunc), NOT /: the q30 recall share
+                    # must be exact for the oracle replay
+                    F.expr(
+                        f"CAST(_nhit * {MRR_Q}"
+                        f" DIV LEAST(_nrel, CAST({k} AS BIGINT)) AS BIGINT)"
+                    ),
+                ).otherwise(F.lit(0).cast("long")).cast("decimal(38,0)")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(MRR_Q))
+        ).alias(f"recall_at_{k}"),
+        (
+            F.sum(F.col("_nhit").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(k))
+        ).alias(f"precision_at_{k}"),
+    )

@@ -2462,25 +2462,22 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int = 8, num: int = 85, den: int = 100) -> str:
-    """DuckDB replay of the FULL fixed-point PageRank fixpoint
+def pagerank_oracle_levels(
+    ed_cte: str, iters: int = 8, num: int = 85, den: int = 100
+) -> str:
+    """Reusable DuckDB replay of the fixed-point PageRank fixpoint
     (``operators.graph.pagerank`` — the r8/r9 unrolling playbook on a
-    graph algorithm): the purchase graph's edges, out-degrees, and
-    every one of the ``iters`` rank updates are integer arithmetic
-    (q40 rank mass, trunc-division contributions, integer damping
-    blend), so each iteration is one CTE level joining the previous
-    rank table with the edge table — bit-for-bit the operator's
-    update, dangling-mass share included."""
+    graph algorithm): given an ``ed(src, dst)`` CTE body supplied by
+    the caller (the graph construction), emit the WITH-parts for
+    nodes/out-degrees and every one of the ``iters`` rank updates —
+    integer arithmetic throughout (q40 rank mass, trunc-division
+    contributions, integer damping blend), each iteration one CTE
+    level, dangling-mass share included — bit-for-bit the operator's
+    update. The final rank table is ``r{iters}(node, outdeg, rq)``."""
     q40 = 1 << 40
     teleport = ((den - num) * q40) // den
     parts = [f"""
-    ed AS MATERIALIZED (
-      SELECT DISTINCT src, dst FROM (
-        SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
-        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        UNION ALL
-        SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
-        FROM orders JOIN lineitem ON l_orderkey = o_orderkey) t),
+    ed AS MATERIALIZED ({ed_cte}),
     nodes AS (SELECT DISTINCT node FROM (
         SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
     od AS (SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS outdeg
@@ -2505,8 +2502,21 @@ def _pagerank_oracle(iters: int = 8, num: int = 85, den: int = 100) -> str:
                + (SELECT dang FROM d{i}) // (SELECT n FROM nn)))
                // {den} AS rq
       FROM base b LEFT JOIN c{i} c USING (node))""")
+    return ",".join(parts)
+
+
+def _pagerank_oracle(iters: int = 8) -> str:
+    """Twin of graph_pagerank_suppliers: the purchase-graph edges fed
+    to the reusable unrolled-fixpoint generator."""
+    ed = """
+        SELECT DISTINCT src, dst FROM (
+          SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          UNION ALL
+          SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey) t"""
     return (
-        "WITH " + ",".join(parts) + f"""
+        "WITH " + pagerank_oracle_levels(ed, iters) + f"""
     SELECT s.s_suppkey, s.s_name,
            CAST(r.rq AS BIGINT) AS rank_q,
            CAST(r.rq AS DOUBLE) / {float(1 << 40)} AS rank

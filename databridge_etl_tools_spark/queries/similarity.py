@@ -1312,3 +1312,79 @@ def emb_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pick.groupBy("label", "pred").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@query(
+    "retrieval_eval_knn",
+    oracle=f"""
+    WITH {_BASE_CTE},
+    q AS (SELECT * FROM base WHERE vec_id % 50 = 0),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN base c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM p) t
+      WHERE rank <= 5),
+    tr AS (SELECT q.vec_id AS query_id, c.vec_id AS item
+           FROM q JOIN base c ON c.label = q.label AND c.vec_id <> q.vec_id),
+    nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nrel
+             FROM tr GROUP BY 1),
+    hits AS (SELECT r.query_id, r.rank
+             FROM ranked r JOIN tr t
+               ON t.query_id = r.query_id AND t.item = r.neighbor_id),
+    perq AS (
+      SELECT d.query_id,
+             COALESCE(h.nhit, 0) AS nhit,
+             COALESCE(n.nrel, 0) AS nrel,
+             COALESCE(1073741824 // h.first, 0) AS rrq
+      FROM (SELECT DISTINCT query_id FROM ranked) d
+      LEFT JOIN (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nhit,
+                        CAST(MIN(rank) AS BIGINT) AS first
+                 FROM hits GROUP BY 1) h USING (query_id)
+      LEFT JOIN nrel n USING (query_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(rrq) AS DOUBLE) / COUNT(*) / 1073741824.0 AS mrr,
+           CAST(SUM(CASE WHEN LEAST(nrel, 5) > 0
+                         THEN nhit * 1073741824 // LEAST(nrel, 5)
+                         ELSE 0 END) AS DOUBLE) / COUNT(*) / 1073741824.0
+             AS recall_at_5,
+           CAST(SUM(nhit) AS DOUBLE) / COUNT(*) / 5.0 AS precision_at_5
+    FROM perq
+    """,
+    gate=False,
+)
+def retrieval_eval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING EVALUATION (``operators.retrieval.ranking_eval``) —
+    the metrics side every ANN/retrieval index needs: exact
+    brute-force cosine top-5 scored against same-label relevance,
+    reporting MRR, R-capped recall@5, and precision@5. Per-query
+    numbers are exact integers (q30 reciprocal ranks and recall
+    shares — trunc division is the only rounding, replayable on any
+    engine); the corpus-level means are single correctly-rounded
+    double divisions. One relevance semi-join + one query-keyed
+    aggregate + a scalar merge — the evaluation costs two bounded
+    aggregates on top of whatever index produced the rankings, at
+    any corpus size."""
+    from ..operators.retrieval import ranking_eval
+
+    emb = table(spark, sf_dir, "embeddings")
+    results = SIM.cosine_topk(
+        emb, k=5, query_pred=F.col("vec_id") % 50 == 0
+    ).select("query_id", "neighbor_id", "rank")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    truth = (
+        q.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("label").alias("_lb")),
+            F.col("label") == F.col("_lb"),
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return ranking_eval(results, truth, k=5)

@@ -3518,3 +3518,86 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("epochs_needed"),
     )
+
+
+def _textrank_oracle(iters: int = 8, min_len: int = 4, k: int = 20) -> str:
+    from .analytics import pagerank_oracle_levels
+
+    ed = f"""
+        SELECT DISTINCT src, dst FROM (
+          SELECT a.t AS src, b.t AS dst
+          FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE len(a.t) >= {min_len} AND len(b.t) >= {min_len}
+          UNION ALL
+          SELECT b.t AS src, a.t AS dst
+          FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE len(a.t) >= {min_len} AND len(b.t) >= {min_len}) x"""
+    return (
+        f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, pos, toks[pos] AS t
+      FROM (SELECT doc_id, {_TOK} AS toks
+            FROM documents WHERE text IS NOT NULL),
+           unnest(range(1, len(toks) + 1)) AS u(pos)),
+    """
+        + pagerank_oracle_levels(ed, iters)
+        + f"""
+    SELECT node AS token, CAST(rq AS BIGINT) AS rank_q,
+           CAST(rq AS DOUBLE) / {float(1 << 40)} AS rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY rq DESC, node) AS INTEGER)
+             AS position
+    FROM r{iters}
+    ORDER BY rq DESC, node LIMIT {k}
+    """
+    )
+
+
+@query("text_textrank_keywords", oracle=_textrank_oracle(), gate=False)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — corpus
+    keywords as the PageRank of the word co-occurrence graph: nodes
+    are content tokens (length ≥ 4 — the deterministic stand-in for a
+    POS filter), edges join tokens adjacent in the original sequence
+    (both directions — the undirected random walk), and importance is
+    the stationary mass, which rewards words that co-occur with OTHER
+    central words rather than merely frequent ones (the distinction
+    from the tf-idf keyword query). Composes the r9 graph family
+    directly: ``operators.graph.pagerank`` runs unchanged on the word
+    graph, and the oracle reuses the same unrolled-fixpoint generator
+    (``pagerank_oracle_levels``) on a different edge CTE — one
+    operator, two graphs, bit-exact both times. Top-20 by rank (rank
+    desc, token asc)."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank
+    from ..operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    tk = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    a = tk.alias("a")
+    b = tk.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .where(
+            (F.length("a.t") >= 4) & (F.length("b.t") >= 4)
+        )
+        .select(F.col("a.t").alias("src"), F.col("b.t").alias("dst"))
+    )
+    edges = adj.unionByName(
+        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=8)
+    w = Window.orderBy(F.desc("rank_q"), F.asc("node"))
+    return (
+        ranks.withColumn("position", F.row_number().over(w).cast("int"))
+        .where(F.col("position") <= 20)
+        .select(
+            F.col("node").alias("token"), "rank_q", "rank", "position"
+        )
+    )

@@ -110,3 +110,35 @@ def test_bm25_unknown_idf_rejected(corpus):
     df, qdf, _ = corpus
     with pytest.raises(ValueError):
         bm25_scores(df, qdf, idf="bm25L")
+
+
+def test_ranking_eval_known_values(spark):
+    """Hand-computed metrics on a 3-query fixture: first-hit ranks
+    1, 3, none -> MRR = (1 + 1/3 + 0)/3; R-capped recall and
+    precision likewise (q30 trunc is the only rounding)."""
+    from databridge_etl_tools_spark.operators.retrieval import ranking_eval
+
+    results = spark.createDataFrame(
+        [(q, i, r) for q, items in {
+            1: [(10, 1), (11, 2), (12, 3)],
+            2: [(20, 1), (21, 2), (22, 3)],
+            3: [(30, 1), (31, 2), (32, 3)],
+        }.items() for i, r in items],
+        "query_id long, neighbor_id long, rank int",
+    )
+    truth = spark.createDataFrame(
+        # q1: relevant {10, 12} (hits at ranks 1 and 3)
+        # q2: relevant {22, 99} (hit at rank 3; 99 unreachable)
+        # q3: relevant {77} (no hit)
+        [(1, 10), (1, 12), (2, 22), (2, 99), (3, 77)],
+        "query_id long, neighbor_id long",
+    )
+    r = ranking_eval(results, truth, k=3).first()
+    assert r["n_queries"] == 3
+    q30 = 1 << 30
+    exp_mrr = (q30 // 1 + q30 // 3 + 0) / 3 / q30
+    assert r["mrr"] == exp_mrr
+    # recall: q1 2/min(2,3)=1, q2 1/min(2,3) -> q30//2, q3 0/1 -> 0
+    exp_recall = (q30 + (1 * q30) // 2 + 0) / 3 / q30
+    assert r["recall_at_3"] == exp_recall
+    assert r["precision_at_3"] == (2 + 1 + 0) / 3 / 3
