@@ -159,6 +159,7 @@ HEADLINE = [
     "dedup_tfidf_cosine",
     "text_textrank_keywords",
     "retrieval_eval_knn",
+    "text_word_communities",
 ]
 
 

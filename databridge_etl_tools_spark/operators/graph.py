@@ -173,3 +173,67 @@ def pagerank(
             "rank"
         ),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) —
+    community detection over an edge DataFrame: every node starts as
+    its own label, and each round adopts the most frequent label among
+    its neighbors PLUS ITSELF (the self-vote damps the oscillation
+    synchronous updates suffer on bipartite graphs), ties to the
+    SMALLEST label. Fully deterministic — no RNG, no update order —
+    so the fixed round count unrolls into oracle CTE levels exactly
+    like the PageRank fixpoint; after ``iters`` rounds the label is
+    the community id (min-id representative in converged regions).
+
+    Per round: one src-keyed equi-join + one (node, label) count +
+    one per-node argmax window over ≤ degree+1 rows, iterate
+    checkpointed (the same lineage-cut discipline as ``pagerank``).
+    Supply both edge directions for an undirected graph. Returns
+    ``(node, label)``."""
+    from pyspark.sql import Window
+
+    from .materialize import materialize
+
+    e = materialize(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).distinct()
+    )
+    nodes = materialize(
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("label_propagation: empty graph")
+    hint = (lambda d: F.broadcast(d)) if n_nodes <= 2_000_000 else (
+        lambda d: d
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.desc("_n"), F.asc("label")
+    )
+    for _ in range(iters):
+        neigh = (
+            hint(labels)
+            .join(e, F.col("node") == e["_src"])
+            .select(F.col("_dst").alias("node"), "label")
+        )
+        votes = neigh.unionByName(labels.select("node", "label"))
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        labels = materialize(
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("node", "label")
+        )
+    return labels

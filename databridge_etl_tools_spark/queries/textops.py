@@ -3601,3 +3601,96 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("token"), "rank_q", "rank", "position"
         )
     )
+
+
+def _word_communities_oracle(iters: int = 4, min_len: int = 4, k: int = 20) -> str:
+    parts = [f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, pos, toks[pos] AS t
+      FROM (SELECT doc_id, {_TOK} AS toks
+            FROM documents WHERE text IS NOT NULL),
+           unnest(range(1, len(toks) + 1)) AS u(pos)),
+    ed AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT a.t AS src, b.t AS dst
+        FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE len(a.t) >= {min_len} AND len(b.t) >= {min_len}
+        UNION ALL
+        SELECT b.t AS src, a.t AS dst
+        FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE len(a.t) >= {min_len} AND len(b.t) >= {min_len}) x),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    v{i} AS (SELECT e.dst AS node, l.label
+             FROM l{i - 1} l JOIN ed e ON e.src = l.node
+             UNION ALL SELECT node, label FROM l{i - 1}),
+    c{i} AS (SELECT node, label, CAST(COUNT(*) AS BIGINT) AS n
+             FROM v{i} GROUP BY 1, 2),
+    l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                  ORDER BY n DESC, label) AS rk
+        FROM c{i}) t
+      WHERE rk = 1)""")
+    parts.append(f"""
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_words,
+           MIN(node) AS first_word,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, label)
+                AS INTEGER) AS position
+    FROM l{iters}
+    GROUP BY label
+    ORDER BY n_words DESC, community
+    LIMIT {k}
+    """)
+    return "".join(parts)
+
+
+@query("text_word_communities", oracle=_word_communities_oracle(), gate=False)
+def text_word_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD COMMUNITIES — synchronous label propagation
+    (``operators.graph.label_propagation``) over the same word
+    co-occurrence graph TextRank ranks: after 4 deterministic rounds
+    (self-vote damping, smallest-label ties) each word carries its
+    community's min-id representative — the topic-cluster census a
+    curation pipeline uses to spot vocabulary domains (and the graph
+    family's third member next to centrality and keyword ranking).
+    Top-20 communities by size. No RNG and no update order anywhere,
+    so the DuckDB twin unrolls all 4 vote→count→argmax rounds and
+    replays every label bit-for-bit."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import label_propagation
+    from ..operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    tk = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    a, b = tk.alias("a"), tk.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .where((F.length("a.t") >= 4) & (F.length("b.t") >= 4))
+        .select(F.col("a.t").alias("src"), F.col("b.t").alias("dst"))
+    )
+    edges = adj.unionByName(
+        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = label_propagation(edges, iters=4)
+    w = Window.orderBy(F.desc("n_words"), F.asc("community"))
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.min("node").alias("first_word"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("int"))
+        .where(F.col("position") <= 20)
+        .select("community", "n_words", "first_word", "position")
+    )

@@ -103,3 +103,33 @@ def test_pagerank_empty_graph_raises(spark):
     df = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(df)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by nothing: each collapses to its min-id
+    label; the bridge-free components never mix."""
+    from databridge_etl_tools_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    und = [(a, b) for a, b in tri1 + tri2] + [
+        (b, a) for a, b in tri1 + tri2
+    ]
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iters=4).collect()}
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_label_propagation_layout_invariant_and_deterministic(spark):
+    from databridge_etl_tools_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 7) % 23 + 1) for i in range(1, 23)]
+    und = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(und, "src long, dst long")
+    a = sorted((r.node, r.label) for r in label_propagation(df).collect())
+    b = sorted(
+        (r.node, r.label)
+        for r in label_propagation(df.repartition(9)).collect()
+    )
+    assert a == b
