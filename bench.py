@@ -160,6 +160,7 @@ HEADLINE = [
     "text_textrank_keywords",
     "retrieval_eval_knn",
     "text_word_communities",
+    "graph_bfs_supplier_radius",
 ]
 
 

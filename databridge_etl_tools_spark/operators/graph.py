@@ -237,3 +237,51 @@ def label_propagation(
             .select("node", "label")
         )
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Bounded-hop BFS — exact shortest-path distances (in hops) from
+    a source set, the traversal primitive behind neighborhood
+    expansion (crawl frontier growth, fraud-ring radius, 'customers
+    within k hops of this supplier'). ``max_hops`` is both the state
+    bound and the replay contract: each hop is ONE frontier⋈edges
+    equi-join + ONE min-distance aggregate (frontier stays
+    node-bounded; the checkpointed iterate is the lineage cut), and
+    the fixed hop count unrolls into oracle CTE levels. Returns
+    ``(node, dist)`` for every node within ``max_hops`` (unreached
+    nodes are absent — at web scale you never materialize the
+    unreachable complement)."""
+    from .materialize import materialize
+
+    e = materialize(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).distinct()
+    )
+    dist = materialize(
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+    )
+    for _ in range(max_hops):
+        stepped = (
+            dist.join(e, dist["node"] == e["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("dist") + 1).cast("int").alias("dist"),
+            )
+        )
+        dist = materialize(
+            dist.unionByName(stepped)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+    return dist

@@ -2569,3 +2569,76 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             supp, ranks["node"] == supp["s_suppkey"] * 2 + 1
         ).select("s_suppkey", "s_name", "rank_q", "rank")
     )
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    """Twin of graph_bfs_supplier_radius: the purchase-graph edges,
+    then ``max_hops`` unrolled frontier-expansion levels (join + min),
+    then the per-hop census."""
+    parts = ["""
+    WITH ed AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey) t),
+    d0 AS (SELECT CAST(3 AS BIGINT) AS node, 0 AS dist)"""]
+    for i in range(1, max_hops + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d{i - 1} d JOIN ed e ON e.src = d.node) t
+      GROUP BY 1)""")
+    parts.append(f"""
+    SELECT dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers,
+           CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers
+    FROM d{max_hops}
+    GROUP BY 1
+    """)
+    return "".join(parts)
+
+
+@query("graph_bfs_supplier_radius", oracle=_bfs_oracle(), gate=False)
+def graph_bfs_supplier_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-HOP BFS (``operators.graph.bfs_distances``) — exact
+    hop distances from supplier #1's node through the purchase graph,
+    reported as a per-hop census (how many suppliers/customers sit at
+    each radius): the neighborhood-expansion primitive (crawl
+    frontier, fraud-ring radius) and the graph family's traversal
+    member next to centrality and communities. Each hop is one
+    frontier⋈edges equi-join + one min-distance aggregate with the
+    iterate checkpointed; 4 hops unroll into 4 oracle CTE levels."""
+    from ..operators.graph import bfs_distances
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("cust_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    sources = spark.createDataFrame([(3,)], "node long")  # supplier #1
+    dist = bfs_distances(edges, sources, max_hops=4)
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_customers"),
+    )

@@ -133,3 +133,17 @@ def test_label_propagation_layout_invariant_and_deterministic(spark):
         for r in label_propagation(df.repartition(9)).collect()
     )
     assert a == b
+
+
+def test_bfs_distances_exact_hops(spark):
+    """Path graph 1-2-3-4-5 (+ an unreachable 100-101 pair): exact
+    hop distances from node 1, unreached nodes absent, max_hops cap
+    respected."""
+    from databridge_etl_tools_spark.operators.graph import bfs_distances
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5), (100, 101)]
+    und = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops: beyond cap
