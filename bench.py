@@ -161,6 +161,7 @@ HEADLINE = [
     "retrieval_eval_knn",
     "text_word_communities",
     "graph_bfs_supplier_radius",
+    "corpus_curation_v5",
 ]
 
 

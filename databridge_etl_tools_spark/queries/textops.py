@@ -3694,3 +3694,121 @@ def text_word_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("position") <= 20)
         .select("community", "n_words", "first_word", "position")
     )
+
+
+def _curation_v5_oracle() -> str:
+    quality = (
+        "(CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))"
+        f" / len({_TOK}) >= 3.0"
+        " AND length(regexp_replace(text, '\\s+', '', 'g'))"
+        f" / len({_TOK}) <= 8.0 THEN 1.0 ELSE 0.0 END"
+        f" + least(len(list_filter({_TOK},"
+        f" x -> list_contains({_EN}, lower(x))))"
+        f" / CAST(len({_TOK}) AS DOUBLE) * 4.0, 1.0)"
+        " + 1.0 - least(len(regexp_extract_all(text, '[^\\w\\s]'))"
+        " / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) / 3.0"
+    )
+    toks_g = "list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')"
+    return f"""
+    WITH gated AS MATERIALIZED (
+      SELECT doc_id, source, n_chars, text
+      FROM documents
+      WHERE text IS NOT NULL AND {quality} >= 0.4),
+    tok AS (SELECT doc_id, unnest({toks_g}) AS t FROM gated),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (SELECT tf.doc_id, tf.t, dfq.df,
+                 tf.tf * (1024 // dfq.df) AS w
+          FROM tf JOIN dfq USING (t)),
+    norms AS (SELECT doc_id,
+                     CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS n2
+              FROM w GROUP BY 1),
+    rare AS (SELECT doc_id, t FROM w WHERE df BETWEEN 2 AND 32),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM rare a JOIN rare b
+               ON a.t = b.t AND a.doc_id < b.doc_id),
+    dots AS (SELECT c.da, c.db,
+                    CAST(SUM(CAST(wa.w AS HUGEINT) * wb.w) AS HUGEINT) AS dot
+             FROM cand c
+             JOIN w wa ON wa.doc_id = c.da
+             JOIN w wb ON wb.doc_id = c.db AND wb.t = wa.t
+             GROUP BY 1, 2),
+    dup AS (SELECT DISTINCT d.db AS doc_id
+            FROM dots d
+            JOIN norms na ON na.doc_id = d.da
+            JOIN norms nb ON nb.doc_id = d.db
+            WHERE d.dot > 0 AND 25 * d.dot * d.dot >= 9 * na.n2 * nb.n2),
+    surv AS MATERIALIZED (
+      SELECT g.doc_id, g.source, g.n_chars FROM gated g
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM dup)),
+    m AS (SELECT max(doc_id) + 1 AS mult,
+                 CAST(count(*) AS BIGINT) AS n FROM surv),
+    k2 AS (SELECT doc_id, source, n_chars,
+                  n_chars * mult + doc_id AS ck FROM surv, m),
+    r AS (SELECT *, row_number() OVER (ORDER BY ck) AS rn FROM k2),
+    dec AS (SELECT doc_id, source, n_chars,
+                   CAST(((rn - 1) * 10) // (SELECT n FROM m) AS INTEGER)
+                     AS decile
+            FROM r),
+    h AS (SELECT *,
+                 CAST('0x'||substr(md5('curr:'||CAST(doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) AS hv
+          FROM dec),
+    p AS (SELECT *, hv % 16 AS shard,
+                 row_number() OVER (PARTITION BY decile, hv % 16
+                                    ORDER BY hv, doc_id) AS sp
+          FROM h)
+    SELECT source, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN((sp - 1) * 16 + shard + 1) AS BIGINT) AS min_pos
+    FROM p GROUP BY 1, 2
+    """
+
+
+@query("corpus_curation_v5", oracle=_curation_v5_oracle(), gate=False)
+def corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 capstone curation pipeline, ONE composition with a
+    full end-to-end oracle — the r9 families chained: (1) the
+    composite quality gate (≥ 0.4), (2) IDF-COSINE near-dup removal
+    (``tfidf_cosine_pairs`` at 0.6 — for every near-dup pair the
+    higher doc_id is dropped, keep-first greedy), (3) CURRICULUM
+    staging of the survivors (``curriculum_order`` — easy→hard
+    n_chars deciles, hash-interleaved within deciles), reported per
+    (source, decile) with the interleave's first position. Every
+    stage is a previously-oracle-verified operator; scale shapes
+    inherit from each (map-side gate, rare-term-blocked pair join,
+    descent thresholds + bounded shard windows — no global sort
+    anywhere)."""
+    from ..operators import textstats as TS
+    from ..operators.dedup import tfidf_cosine_pairs
+    from ..operators.materialize import materialize
+    from ..operators.sampling import curriculum_order
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    gated = materialize(
+        docs.where(
+            F.col("text").isNotNull()
+            & (TS.quality_score("text") >= 0.4)
+        ).select("doc_id", "source", "n_chars", "text")
+    )
+    pairs = tfidf_cosine_pairs(
+        gated, "doc_id", "text", threshold=(3, 5), max_df=32
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surv = materialize(
+        gated.join(drop, "doc_id", "left_anti").select(
+            "doc_id", "source", "n_chars"
+        )
+    )
+    cur = curriculum_order(surv, "doc_id", "n_chars", n_shards=16, salt="curr")
+    return (
+        cur.join(surv, "doc_id")
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("pos").cast("bigint").alias("min_pos"),
+        )
+    )
