@@ -72,7 +72,7 @@ def luhn_card_scrub(
     length-filtered in a HOF; the Luhn sum is integer arithmetic over
     ``sequence(1, len)`` (double every second digit from the right,
     subtract 9 past 9, total ≡ 0 mod 10); redaction left-folds
-    ``replace(acc, candidate, \'[CARD]\')`` over the validated list —
+    ``replace(acc, candidate, '[CARD]')`` over the validated list —
     every step bit-identical in DuckDB's list algebra.
 
     Takes a column NAME (the expression template inlines it); returns
