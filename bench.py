@@ -162,6 +162,7 @@ HEADLINE = [
     "text_word_communities",
     "graph_bfs_supplier_radius",
     "corpus_curation_v5",
+    "graph_pagerank_weighted",
 ]
 
 

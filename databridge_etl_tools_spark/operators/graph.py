@@ -54,15 +54,20 @@ def pagerank(
     dst: str = "dst",
     iters: int = 8,
     damping: tuple[int, int] = (85, 100),
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge DataFrame.
 
     Returns ``(node, rank_q, rank)`` — the exact q40 integer rank
     (oracle-hashable) and its float form ``rank_q / 2^40`` (one exact
-    power-of-two division). Duplicate edges count once (the standard
-    unweighted formulation); self-loops are legal. ``iters`` is the
-    replay contract: the DuckDB twin unrolls exactly this many CTE
-    levels."""
+    power-of-two division). Unweighted (default): duplicate edges
+    count once, contributions are ``rank // outdeg``. Weighted
+    (``weight_col`` — positive integers; duplicate (src, dst) rows
+    sum): contributions are the per-edge trunc division
+    ``(rank · w) // out_strength`` in DECIMAL(38,0)/HUGEINT, so the
+    weighted walk is exactly as replayable as the unweighted one.
+    Self-loops are legal. ``iters`` is the replay contract: the
+    DuckDB twin unrolls exactly this many CTE levels."""
     num, den = damping
     from .materialize import materialize
 
@@ -71,19 +76,32 @@ def pagerank(
     # whatever join built the graph; without the cut each of the
     # iters iterations re-runs that upstream: measured 11.3 s → the
     # per-iteration cost of the demo graph's orders⋈lineitem build)
-    e = materialize(
-        edges.select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst")
-        ).distinct()
-    )
+    if weight_col is None:
+        e = materialize(
+            edges.select(
+                F.col(src).alias("_src"), F.col(dst).alias("_dst")
+            ).distinct()
+        )
+        outdeg_agg = F.count(F.lit(1)).cast("long").alias("outdeg")
+    else:
+        e = materialize(
+            edges.groupBy(
+                F.col(src).alias("_src"), F.col(dst).alias("_dst")
+            ).agg(F.sum(F.col(weight_col)).cast("long").alias("_w"))
+        )
+        wmin = e.agg(F.min("_w")).first()[0]
+        if wmin is not None and wmin <= 0:
+            raise ValueError(
+                f"pagerank: weights must be positive integers, found {wmin}"
+            )
+        # outdeg = out-STRENGTH in the weighted walk
+        outdeg_agg = F.sum("_w").cast("long").alias("outdeg")
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy(F.col("_src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("outdeg")
-    )
+    outdeg = e.groupBy(F.col("_src").alias("node")).agg(outdeg_agg)
     # node table with outdeg (0 for dangling) — reused every iteration
     base = materialize(
         nodes.join(outdeg, "node", "left").select(
@@ -119,12 +137,18 @@ def pagerank(
     for _ in range(iters):
         # trunc division: Spark's integer DIV truncates toward zero,
         # same as DuckDB // (ranks are non-negative, so floor == trunc)
+        contrib_expr = (
+            "rank_q DIV outdeg"
+            if weight_col is None
+            else "CAST(CAST(rank_q AS DECIMAL(38,0)) * _w"
+            " DIV outdeg AS BIGINT)"
+        )
         contrib = (
             rank_hint(ranks.where(F.col("outdeg") > 0))
             .join(e, F.col("node") == e["_src"])
             .select(
                 F.col("_dst").alias("node"),
-                F.expr("rank_q DIV outdeg").alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("in_q"))

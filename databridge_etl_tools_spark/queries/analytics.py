@@ -2642,3 +2642,107 @@ def graph_bfs_supplier_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_customers"),
     )
+
+
+def pagerank_weighted_levels(
+    ed_cte: str, iters: int = 8, num: int = 85, den: int = 100
+) -> str:
+    """Weighted twin of :func:`pagerank_oracle_levels`: the caller's
+    ``ed(src, dst, w)`` CTE carries positive integer weights,
+    out-degree becomes out-STRENGTH (Σw), and each edge contributes
+    the per-edge trunc division ``(rank · w) // out_strength`` —
+    exactly the operator's DECIMAL(38,0) expression."""
+    q40 = 1 << 40
+    teleport = ((den - num) * q40) // den
+    parts = [f"""
+    ed AS MATERIALIZED ({ed_cte}),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+    od AS (SELECT src AS node, CAST(SUM(w) AS HUGEINT) AS outdeg
+           FROM ed GROUP BY 1),
+    base AS MATERIALIZED (
+      SELECT n.node, COALESCE(o.outdeg, 0) AS outdeg
+      FROM nodes n LEFT JOIN od o USING (node)),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base),
+    r0 AS MATERIALIZED (
+      SELECT node, outdeg, CAST({q40} AS HUGEINT) AS rq FROM base)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, SUM((r.rq * e.w) // r.outdeg) AS in_q
+      FROM r{i - 1} r JOIN ed e ON e.src = r.node
+      WHERE r.outdeg > 0 GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(rq), 0) AS dang
+             FROM r{i - 1} WHERE outdeg = 0),
+    r{i} AS MATERIALIZED (
+      SELECT b.node, b.outdeg,
+             {teleport} + ({num} * (COALESCE(c.in_q, 0)
+               + (SELECT dang FROM d{i}) // (SELECT n FROM nn)))
+               // {den} AS rq
+      FROM base b LEFT JOIN c{i} c USING (node))""")
+    return ",".join(parts)
+
+
+def _pagerank_weighted_oracle(iters: int = 8) -> str:
+    ed = """
+        SELECT src, dst, w FROM (
+          SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1, 2
+          UNION ALL
+          SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1, 2) t"""
+    return (
+        "WITH " + pagerank_weighted_levels(ed, iters) + f"""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rq AS BIGINT) AS rank_q,
+           CAST(r.rq AS DOUBLE) / {float(1 << 40)} AS rank
+    FROM r{iters} r JOIN supplier s ON r.node = 2 * s.s_suppkey + 1
+    """
+    )
+
+
+@query(
+    "graph_pagerank_weighted", oracle=_pagerank_weighted_oracle(), gate=False
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the purchase graph — the trade-VOLUME
+    random walk: each customer↔supplier edge carries its line-item
+    count, so a walker follows heavy trading relationships
+    proportionally instead of treating one order like a thousand
+    (``operators.graph.pagerank(weight_col=...)``; contributions are
+    per-edge trunc divisions ``(rank·w) // out_strength`` in
+    DECIMAL(38,0)/HUGEINT — the weighted walk is exactly as
+    replayable as the unweighted one, and the twin unrolls the same
+    8 levels with Σw out-strengths)."""
+    from ..operators.graph import pagerank
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"),
+        F.col("supp_node").alias("dst"),
+        "w",
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"),
+            F.col("cust_node").alias("dst"),
+            "w",
+        )
+    )
+    ranks = pagerank(edges, iters=8, weight_col="w")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return ranks.join(
+        supp, ranks["node"] == supp["s_suppkey"] * 2 + 1
+    ).select("s_suppkey", "s_name", "rank_q", "rank")

@@ -147,3 +147,56 @@ def test_bfs_distances_exact_hops(spark):
     src = spark.createDataFrame([(1,)], "node long")
     got = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=3).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops: beyond cap
+
+
+def test_weighted_pagerank_python_replay_and_weight_sensitivity(spark):
+    """Weighted walk: bit-exact python replay, and a heavy edge pulls
+    rank toward its target vs the unweighted walk."""
+    from databridge_etl_tools_spark.operators.graph import pagerank
+
+    wedges = [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        r.node: r.rank_q
+        for r in pagerank(df, iters=8, weight_col="w").collect()
+    }
+
+    # pure-python replay of the weighted fixpoint
+    nodes = sorted({u for u, _, _ in wedges} | {v for _, v, _ in wedges})
+    wout = {n: 0 for n in nodes}
+    for u, _, w in wedges:
+        wout[u] += w
+    n_nodes = len(nodes)
+    teleport = (15 * (1 << 40)) // 100
+    r = {n: 1 << 40 for n in nodes}
+    for _ in range(8):
+        inc = {n: 0 for n in nodes}
+        for u, v, w in wedges:
+            if wout[u] > 0:
+                inc[v] += (r[u] * w) // wout[u]
+        dang = sum(r[n] for n in nodes if wout[n] == 0)
+        share = dang // n_nodes
+        r = {n: teleport + (85 * (inc[n] + share)) // 100 for n in nodes}
+    assert got == r
+
+    # unweighted: 2 and 3 are symmetric; weighted: 2 dominates 3
+    un = {
+        x.node: x.rank_q
+        for x in pagerank(
+            df.select("src", "dst"), iters=8
+        ).collect()
+    }
+    assert un[2] == un[3]
+    assert got[2] > got[3]
+
+
+def test_weighted_pagerank_rejects_nonpositive_weights(spark):
+    import pytest
+
+    from databridge_etl_tools_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 0), (2, 1, 3)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(df, weight_col="w")
