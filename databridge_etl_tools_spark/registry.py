@@ -75,88 +75,85 @@ DRIVER_GATE_WINDOW = 50
 #: registration so the per-query ``gate=`` default stays the stable
 #: tier and this overlay stays one auditable per-round edit.
 #:
-#: r9 cohort — GENERATED, not hand-counted: run
+#: r10 cohort — GENERATED, not hand-counted: run
 #:   python tools/gate_coverage.py --suggest
 #: which ranks the oracle catalog by (never-driver-green first, then
 #: ascending last_green_round, green_count, name) from the actual
-#: CORRECTNESS_r*.json records, and emits exactly this window. The r9
-#: window = the 12 never-driver-verified late-r8 entries (8 builds:
-#: stratified_split_exact, sketch_quantile_rollup, curriculum_schedule,
-#: boilerplate_prefix_clusters, join_skew_diagnostics,
-#: join_cardinality_estimate, layout_curve_codes, layout_hilbert3_codes;
-#: 4 oracle promotions: bpe_learn_merges, bpe_learn_merges_words,
-#: ann_ivf_kmeans, ann_pq_adc) + the 20-query last-green-r5 cohort +
-#: the 18 oldest of the last-green-r6 cohort by green-count. IN holds
+#: CORRECTNESS_r*.json records, and emits exactly this window. The r10
+#: window = the 13 never-driver-verified r9 entries (4 oracle
+#: promotions: pca_embeddings_project, ann_pca_prefilter,
+#: ridge_probe_embeddings, mm_image_neardup; 9 new:
+#: graph_pagerank_suppliers, graph_pagerank_weighted,
+#: graph_bfs_supplier_radius, text_textrank_keywords,
+#: text_word_communities, pii_card_audit, dedup_tfidf_cosine,
+#: retrieval_eval_knn, corpus_curation_v5) + the oldest last-green-r6
+#: cohort (greens ascending) + the last-green-r7 singles. IN holds
 #: the members of that window whose registration default is overflow;
 #: OUT parks every stable-tier (gate=True) query not in the window.
-#: New r9 queries register gate=False and queue for r10.
+#: New r10 queries register gate=False and queue for r11.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        "ann_ivf_kmeans",
-        "ann_pq_adc",
-        "asof_attribution_window",
-        "boilerplate_prefix_clusters",
-        "bpe_learn_merges",
-        "bpe_learn_merges_words",
-        "bracket_revenue",
-        "chunk_dedup_reassembled",
-        "chunk_dedup_segments",
-        "chunk_documents_windows",
-        "contrastive_negatives",
-        "corpus_curation",
-        "corpus_curation_v2",
-        "curriculum_schedule",
-        "decontaminate_train_eval",
-        "dedup_containment",
-        "dedup_winnow_overlap",
-        "emb_quantize_int8",
-        "events_markov_transitions",
-        "events_value_equidepth",
-        "join_cardinality_estimate",
-        "join_skew_diagnostics",
-        "kwic_concordance",
-        "layout_curve_codes",
-        "layout_hilbert3_codes",
-        "median_doc_length",
-        "sketch_kmv_distinct",
-        "sketch_quantile_rollup",
-        "stratified_split_exact",
-        "token_odds_ratio_langs",
+        "ann_pca_prefilter",
+        "approx_sketches",
+        "corpus_curation_v4",
+        "corpus_curation_v5",
+        "dedup_internal_cleaned",
+        "dedup_internal_spans",
+        "dedup_minhash_estimate_quality",
+        "dedup_tfidf_cosine",
+        "events_value_histogram",
+        "graph_bfs_supplier_radius",
+        "graph_pagerank_suppliers",
+        "graph_pagerank_weighted",
+        "idle_customer_balance",
+        "kfold_documents",
+        "knn_label_vote",
+        "large_volume_customers",
+        "latency_priority_classes",
+        "market_share",
+        "mixture_documents",
+        "mixture_temperature",
+        "mm_image_neardup",
+        "pack_documents_sequences",
+        "pca_embeddings_project",
+        "pii_card_audit",
+        "retrieval_eval_knn",
+        "ridge_probe_embeddings",
+        "text_textrank_keywords",
+        "text_word_communities",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
         "above_customer_average",
-        "ann_cosine_topk",
-        "ann_ivf_label",
         "ann_lsh_bucketed",
-        "asof_purchase_last_view",
         "cube_flag_status",
-        "customer_order_distribution",
-        "dedup_components",
-        "dedup_exact",
         "dedup_fuzzy_levenshtein",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedupe_events_by_user",
-        "delete_stale",
+        "dedup_simhash_pairs",
         "emb_neardup_pairs",
         "events_hourly_rollup",
         "events_json_props",
-        "events_sessionize",
         "exact_percentiles",
-        "filter_project",
-        "order_priority_check",
-        "ordered_collect",
-        "prepare_synthetic_objectid",
-        "proj_webmercator",
-        "range_join_interval_counts",
-        "record_diff",
+        "forecast_revenue",
+        "forest_part_suppliers",
+        "geom_normalize",
+        "important_nation_stock",
+        "min_cost_supplier",
+        "mm_binary_stats",
+        "pivot_priority_status",
+        "pricing_summary",
+        "qa_report",
+        "range_join_left_outer",
+        "region_revenue",
+        "rollup_region_nation",
+        "scan_probes",
         "semdedup_keep",
-        "text_token_stats",
-        "topk_per_group",
-        "tz_policies",
-        "upsert_orders",
+        "set_ops",
+        "shipping_priority",
+        "skew_salted_agg",
+        "text_quality_language",
+        "text_vocabulary_topk",
+        "waiting_sole_late_supplier",
     }
 )
 
