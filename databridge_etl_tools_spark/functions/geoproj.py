@@ -135,6 +135,76 @@ def pa_south_to_webmercator(
     return x + F.lit(nudge_x_m), y + F.lit(nudge_y_m)
 
 
+def pa_south_fixed_steps(
+    sb,
+    e_ft: str,
+    n_ft: str,
+    nudge_x_m: float = -0.20,
+    nudge_y_m: float = 1.18,
+    iters: int = 5,
+) -> dict[str, str]:
+    """F14 datum pipeline (2272 → 4326 → 3857 + affine nudge) emitted
+    as cross-engine-deterministic steps on a ``fixtrig.StepBuilder``.
+
+    The closed-form LCC inverse + Web Mercator forward contain exactly
+    four transcendental families (pow, atan, sin, ln); everything else
+    is IEEE ``+ - * / sqrt`` which is correctly rounded and therefore
+    bit-identical between Spark's JVM and DuckDB's libm.  The
+    transcendentals are evaluated in Q40 integer fixed point
+    (operators/fixtrig.py), so the WHOLE pipeline replays hash-exact
+    on both engines — this is what promoted the last rows-only query
+    to a full DuckDB oracle.  Mercator-y uses the identity
+    ln(tan(π/4+φ/2)) = atanh(sin φ) = ½·ln((1+sinφ)/(1−sinφ)) to
+    reuse sin/ln instead of needing a separate tan.
+
+    Accuracy vs the double-precision path (lonlat_to_webmercator /
+    pa_south_ft_to_lonlat): ≤ 1e-8° lon/lat, ≤ 1e-2 m mercator —
+    pinned in tests/test_fixtrig.py.
+
+    Returns the output column names {lon, lat, merc_x, merc_y,
+    merc_x_nudged, merc_y_nudged}.
+    """
+    from ..operators.fixtrig import dlit
+
+    x = sb.emit(f"(({e_ft}) * {dlit(FT_US)} - {dlit(_FE_M)})")
+    y = sb.emit(f"({dlit(_RHO0)} - (({n_ft}) * {dlit(FT_US)} - {dlit(_FN_M)}))")
+    # N > 0 for EPSG:2272 and y > 0 on the PA-South domain, so
+    # rho = +sqrt, theta = atan(x/y) without the atan2 quadrant logic.
+    rho = sb.emit(f"SQRT(({x}) * ({x}) + ({y}) * ({y}))")
+    t_ = sb.pow(f"(({rho}) / {dlit(_A * _BIGF)})", 1.0 / _N)
+    theta = sb.atan(f"(({x}) / ({y}))")
+    lam = sb.emit(f"(({theta}) / {dlit(_N)} + {dlit(_LON0)})")
+    lon = sb.emit(f"(({lam}) * {dlit(180.0 / math.pi)})")
+    # φ fixpoint: φ = π/2 − 2·atan(t·((1−e·sinφ)/(1+e·sinφ))^(e/2));
+    # linear contraction ~e² ≈ 0.0067 per iteration, so 5 unrolled
+    # iterations land ≤ 1e-13 rad from the double-path fixpoint.
+    phi = sb.emit(f"({dlit(math.pi / 2)} - {dlit(2.0)} * ({sb.atan(t_)}))")
+    for _ in range(iters):
+        s = sb.sin(phi)
+        v = (
+            f"(({dlit(1.0)} - {dlit(_E)} * ({s}))"
+            f" / ({dlit(1.0)} + {dlit(_E)} * ({s})))"
+        )
+        w = sb.exp(f"(({sb.ln(v)}) * {dlit(_E / 2)})")
+        at = sb.atan(f"(({t_}) * ({w}))")
+        phi = sb.emit(f"({dlit(math.pi / 2)} - {dlit(2.0)} * ({at}))")
+    lat = sb.emit(f"(({phi}) * {dlit(180.0 / math.pi)})")
+    mx = sb.emit(f"(({lam}) * {dlit(_A)})")
+    sfin = sb.sin(phi)
+    lnarg = f"((({dlit(1.0)} + ({sfin})) / ({dlit(1.0)} - ({sfin}))))"
+    my = sb.emit(f"({dlit(_A * 0.5)} * ({sb.ln(lnarg)}))")
+    mxn = sb.emit(f"(({mx}) + {dlit(nudge_x_m)})")
+    myn = sb.emit(f"(({my}) + {dlit(nudge_y_m)})")
+    return {
+        "lon": lon,
+        "lat": lat,
+        "merc_x": mx,
+        "merc_y": my,
+        "merc_x_nudged": mxn,
+        "merc_y_nudged": myn,
+    }
+
+
 def reproject_point_wkt(
     wkt: Column, from_srid: int, to_srid: int, **kw
 ) -> Column:

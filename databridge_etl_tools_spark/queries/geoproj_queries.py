@@ -1,12 +1,13 @@
 """Reprojection queries (F13/F14) with DuckDB oracles.
 
 Transcendentals (ln/tan) differ between the JVM and libm in the last
-ulp (measured ~5% of values at ~1e-9 relative), so outputs are
-rounded to integer metres / 6-decimal degrees before hashing — the
-inputs are deterministic, so agreement at this precision is stable
-across runs. The PA-South LCC legs have no closed-form DuckDB twin
-and are covered by unit tests (round-trip closure + known-location
-assertions) instead.
+ulp (measured ~5% of values at ~1e-9 relative). F13 (Web Mercator)
+keeps the libm path and rounds outputs to integer metres before
+hashing. F14 (the PA-South LCC datum pipeline) replays hash-exact
+UNROUNDED: its transcendental seam is evaluated in Q40 integer fixed
+point (operators/fixtrig.py) emitted by one generator for both
+dialects, so Spark and DuckDB execute bit-identical arithmetic —
+the r10 promotion that emptied the rows-only tier.
 """
 
 from __future__ import annotations
@@ -15,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import geoproj as GP
+from ..operators.fixtrig import StepBuilder
 from ..registry import query, table
 
 
@@ -51,27 +53,64 @@ def proj_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("proj_pa_south_datum_pipeline")  # no oracle: LCC has no DuckDB twin
+#: synthetic PA-South coordinates around the reference fixture's
+#: location — IDENTICAL SQL text on both sides (integer arithmetic,
+#: exact cast to double).
+_PTS_E = "CAST(2690000 + (c_custkey % 1000) * 50 AS DOUBLE)"
+_PTS_N = "CAST(230000 + (c_custkey % 700) * 40 AS DOUBLE)"
+
+
+def _pa_south_oracle() -> str:
+    """Generate the DuckDB twin of the fixtrig datum pipeline: the
+    SAME StepBuilder emits the arithmetic (dialect seam = int128 type
+    name + trunc-div operator), chained as single-reference CTEs."""
+    sb = StepBuilder("duckdb")
+    cols = GP.pa_south_fixed_steps(sb, "e_ft", "n_ft")
+    parts = [
+        "WITH pts AS (SELECT c_custkey, "
+        f"{_PTS_E} AS e_ft, {_PTS_N} AS n_ft FROM customer)"
+    ]
+    prev = "pts"
+    for i, (name, expr) in enumerate(sb.steps):
+        parts.append(f", s{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})")
+        prev = f"s{i}"
+    parts.append(
+        f" SELECT c_custkey, e_ft, n_ft, {cols['lon']} AS lon, "
+        f"{cols['lat']} AS lat, {cols['merc_x_nudged']} AS merc_x_nudged, "
+        f"{cols['merc_y_nudged']} AS merc_y_nudged FROM {prev}"
+    )
+    return "\n".join(parts)
+
+
+@query("proj_pa_south_datum_pipeline", oracle=_pa_south_oracle(), gate=False)
 def proj_pa_south_datum_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14: the db2 2272→(4269→4326)→3857 pipeline with the ArcGIS
-    affine nudge, on synthetic PA-South coordinates around the
-    reference fixture's location. Rows-only check; correctness is
-    pinned by unit tests (round-trip < 1e-3 ft, fixture point lands
-    in Philadelphia)."""
-    cust = table(spark, sf_dir, "customer")
-    pts = cust.select(
-        "c_custkey",
-        (F.lit(2690000.0) + (F.col("c_custkey") % 1000) * 50.0).alias("e_ft"),
-        (F.lit(230000.0) + (F.col("c_custkey") % 700) * 40.0).alias("n_ft"),
-    )
-    x, y = GP.pa_south_to_webmercator(F.col("e_ft"), F.col("n_ft"))
-    lon, lat = GP.pa_south_ft_to_lonlat(F.col("e_ft"), F.col("n_ft"))
-    return pts.select(
+    affine nudge (db2/db2.py:731-819), on synthetic PA-South
+    coordinates around the reference fixture's location.
+
+    Promoted from rows-only to full DuckDB-oracle-backed in r10: the
+    transcendental seam (pow/atan/sin/ln differ from libm in the last
+    ulp) is replaced by Q40 integer fixed-point evaluation
+    (operators/fixtrig.py) whose every operation replays bit-exact on
+    both engines; the remaining arithmetic is IEEE-correctly-rounded
+    (+ − × ÷ sqrt) and deterministic by the standard.  Outputs hash
+    UNROUNDED doubles.  Agreement with the double-precision path
+    (≤1e-8° / ≤1e-2 m) and with the reference fixture location is
+    pinned in tests/test_fixtrig.py; at 100 TB this is a pure
+    per-row projection inside the scan — no shuffle, no Python, no
+    driver state."""
+    cust = table(spark, sf_dir, "customer", access="scan")
+    df = cust.selectExpr("c_custkey", f"{_PTS_E} AS e_ft", f"{_PTS_N} AS n_ft")
+    sb = StepBuilder("spark")
+    cols = GP.pa_south_fixed_steps(sb, "e_ft", "n_ft")
+    for name, expr in sb.steps:
+        df = df.selectExpr("*", f"({expr}) AS {name}")
+    return df.select(
         "c_custkey",
         "e_ft",
         "n_ft",
-        lon.alias("lon"),
-        lat.alias("lat"),
-        x.alias("merc_x_nudged"),
-        y.alias("merc_y_nudged"),
+        F.col(cols["lon"]).alias("lon"),
+        F.col(cols["lat"]).alias("lat"),
+        F.col(cols["merc_x_nudged"]).alias("merc_x_nudged"),
+        F.col(cols["merc_y_nudged"]).alias("merc_y_nudged"),
     )
