@@ -114,6 +114,21 @@ def pagerank(
     n_nodes = base.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty graph")
+    # int64 headroom audit: mass is conserved up to floors, so a
+    # per-node rank is bounded by the TOTAL mass N·2^40 — provably
+    # < 2^63 only for N < 2^22 (one spare bit for the num· multiply
+    # before its DIV den). Beyond that a fully-concentrated hub could
+    # wrap the BIGINT cast silently (Spark non-ANSI) — raise loudly
+    # with the remediation instead of advertising a bound we can't
+    # keep (r9 advice).
+    if n_nodes >= (1 << 22):
+        raise ValueError(
+            f"pagerank: {n_nodes} nodes — per-node q40 rank is only "
+            "provably < 2^63 for N < 2^22 (total mass N·2^40 could "
+            "concentrate on one hub). Keep rank_q in DECIMAL(38,0) "
+            "end-to-end (swap the BIGINT casts) or partition the "
+            "graph before ranking."
+        )
     # dangling nodes are a STATIC property of the graph — probe once
     # at setup (one count over the checkpointed base) and skip the
     # per-iteration dangling-mass scalar entirely when there are none
@@ -277,12 +292,19 @@ def bfs_distances(
     expansion (crawl frontier growth, fraud-ring radius, 'customers
     within k hops of this supplier'). ``max_hops`` is both the state
     bound and the replay contract: each hop is ONE frontier⋈edges
-    equi-join + ONE min-distance aggregate (frontier stays
-    node-bounded; the checkpointed iterate is the lineage cut), and
-    the fixed hop count unrolls into oracle CTE levels. Returns
-    ``(node, dist)`` for every node within ``max_hops`` (unreached
-    nodes are absent — at web scale you never materialize the
-    unreachable complement)."""
+    equi-join + ONE min-distance merge (the checkpointed iterate is
+    the lineage cut), and the fixed hop count unrolls into oracle CTE
+    levels. FRONTIER-DELTA expansion (r10): only the nodes settled in
+    the PREVIOUS hop (``dist == hop-1``) join against edges — classic
+    unweighted-BFS optimality makes re-expanding earlier-settled
+    nodes pure waste (any path re-entering them carries a strictly
+    larger distance, which the min-merge discards), so each hop's
+    join cost tracks the NEW frontier, not the accumulated settled
+    set. Results are bit-identical to full re-expansion (pinned in
+    tests); the oracle unrolling keeps the full-re-expansion form —
+    the min-merge absorbs the difference. Returns ``(node, dist)``
+    for every node within ``max_hops`` (unreached nodes are absent —
+    at web scale you never materialize the unreachable complement)."""
     from .materialize import materialize
 
     e = materialize(
@@ -295,13 +317,16 @@ def bfs_distances(
         .distinct()
         .select("node", F.lit(0).cast("int").alias("dist"))
     )
-    for _ in range(max_hops):
-        stepped = (
-            dist.join(e, dist["node"] == e["_src"])
-            .select(
-                F.col("_dst").alias("node"),
-                (F.col("dist") + 1).cast("int").alias("dist"),
-            )
+    for hop in range(1, max_hops + 1):
+        # after hop k the settled set holds exactly the nodes at true
+        # distance ≤ k, each with its final dist — so the only rows
+        # that can DISCOVER nodes at distance hop are last hop's
+        # frontier (dist == hop-1); older rows only re-derive larger
+        # distances the min-merge would drop anyway
+        frontier = dist.where(F.col("dist") == hop - 1)
+        stepped = frontier.join(e, frontier["node"] == e["_src"]).select(
+            F.col("_dst").alias("node"),
+            F.lit(hop).cast("int").alias("dist"),
         )
         dist = materialize(
             dist.unionByName(stepped)

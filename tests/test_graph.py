@@ -149,6 +149,37 @@ def test_bfs_distances_exact_hops(spark):
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops: beyond cap
 
 
+def test_bfs_frontier_delta_high_expansion(spark):
+    """High-expansion fixture where settled ≫ frontier after hop 1:
+    a 120-leaf star (all leaves back-edged to the hub) plus a thin
+    tail. Frontier-delta expansion must still produce EXACTLY the
+    distances of a reference python BFS (full re-expansion) — the
+    min-merge absorbs every re-derived larger distance."""
+    from collections import deque
+
+    from databridge_etl_tools_spark.operators.graph import bfs_distances
+
+    edges = [(0, i) for i in range(1, 121)] + [(i, 0) for i in range(1, 121)]
+    edges += [(1, 201), (201, 202), (202, 203), (203, 204)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(df, src, max_hops=4).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    want, dq = {0: 0}, deque([0])
+    while dq:
+        u = dq.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    assert got == want
+
+
 def test_weighted_pagerank_python_replay_and_weight_sensitivity(spark):
     """Weighted walk: bit-exact python replay, and a heavy edge pulls
     rank toward its target vs the unweighted walk."""
