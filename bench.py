@@ -163,6 +163,8 @@ HEADLINE = [
     "graph_bfs_supplier_radius",
     "corpus_curation_v5",
     "graph_pagerank_weighted",
+    # r10 additions
+    "proj_pa_south_datum_pipeline",
 ]
 
 

@@ -141,7 +141,7 @@ def pa_south_fixed_steps(
     n_ft: str,
     nudge_x_m: float = -0.20,
     nudge_y_m: float = 1.18,
-    iters: int = 5,
+    iters: int = 4,
 ) -> dict[str, str]:
     """F14 datum pipeline (2272 → 4326 → 3857 + affine nudge) emitted
     as cross-engine-deterministic steps on a ``fixtrig.StepBuilder``.
@@ -159,7 +159,14 @@ def pa_south_fixed_steps(
 
     Accuracy vs the double-precision path (lonlat_to_webmercator /
     pa_south_ft_to_lonlat): ≤ 1e-8° lon/lat, ≤ 1e-2 m mercator —
-    pinned in tests/test_fixtrig.py.
+    pinned in tests/test_fixtrig.py.  Plan-cost choices (each level
+    is a projection Spark pays fixed analysis+codegen for): 4 φ
+    iterations (converged to the poly floor, measured 1.3e-9° at 4),
+    2-halving atan (every atan argument here is |u| ≤ 1), the
+    iteration's ``v^(e/2)`` as exp(−e·atanh_small(e·sinφ)) — the
+    identity (e/2)·ln((1−z)/(1+z)) = −e·atanh(z) replaces the 6-level
+    general-ln with a 3-level deg-9 poly (|e·sinφ| ≤ 0.06 on any
+    valid LCC latitude).
 
     Returns the output column names {lon, lat, merc_x, merc_y,
     merc_x_nudged, merc_y_nudged}.
@@ -170,23 +177,29 @@ def pa_south_fixed_steps(
     y = sb.emit(f"({dlit(_RHO0)} - (({n_ft}) * {dlit(FT_US)} - {dlit(_FN_M)}))")
     # N > 0 for EPSG:2272 and y > 0 on the PA-South domain, so
     # rho = +sqrt, theta = atan(x/y) without the atan2 quadrant logic.
-    rho = sb.emit(f"SQRT(({x}) * ({x}) + ({y}) * ({y}))")
-    t_ = sb.pow(f"(({rho}) / {dlit(_A * _BIGF)})", 1.0 / _N)
-    theta = sb.atan(f"(({x}) / ({y}))")
+    # rho stays inline (single consumer); t = (rho/(a·F))^(1/N) with
+    # |ln·(1/N)| ≤ 1 on any LCC-valid input → unit-exponent pow; every
+    # atan argument in this pipeline is |u| < 0.5 (x/y is a small
+    # bearing; t·w ≈ tan(π/4−φ/2) < 0.5 for φ > 36.9°, and stays ≤ 1
+    # down to φ = 0 where the one-halving tail is still < 1.5e-9) →
+    # one halving
+    rho = f"SQRT(({x}) * ({x}) + ({y}) * ({y}))"
+    t_ = sb.pow(f"(({rho}) / {dlit(_A * _BIGF)})", 1.0 / _N, unit=True)
+    theta = sb.atan(f"(({x}) / ({y}))", halvings=1)
     lam = sb.emit(f"(({theta}) / {dlit(_N)} + {dlit(_LON0)})")
     lon = sb.emit(f"(({lam}) * {dlit(180.0 / math.pi)})")
     # φ fixpoint: φ = π/2 − 2·atan(t·((1−e·sinφ)/(1+e·sinφ))^(e/2));
-    # linear contraction ~e² ≈ 0.0067 per iteration, so 5 unrolled
-    # iterations land ≤ 1e-13 rad from the double-path fixpoint.
-    phi = sb.emit(f"({dlit(math.pi / 2)} - {dlit(2.0)} * ({sb.atan(t_)}))")
+    # linear contraction ~e² ≈ 0.0067 per iteration, so 4 unrolled
+    # iterations converge to the poly floor (measured 1.3e-9°; 5
+    # changes nothing).
+    phi = sb.emit(
+        f"({dlit(math.pi / 2)} - {dlit(2.0)} * ({sb.atan(t_, halvings=1)}))"
+    )
     for _ in range(iters):
         s = sb.sin(phi)
-        v = (
-            f"(({dlit(1.0)} - {dlit(_E)} * ({s}))"
-            f" / ({dlit(1.0)} + {dlit(_E)} * ({s})))"
-        )
-        w = sb.exp(f"(({sb.ln(v)}) * {dlit(_E / 2)})")
-        at = sb.atan(f"(({t_}) * ({w}))")
+        at_es = sb.atanh_small(f"({dlit(_E)} * ({s}))")
+        w = sb.exp_unit(f"({dlit(-_E)} * ({at_es}))")
+        at = sb.atan(f"(({t_}) * ({w}))", halvings=1)
         phi = sb.emit(f"({dlit(math.pi / 2)} - {dlit(2.0)} * ({at}))")
     lat = sb.emit(f"(({phi}) * {dlit(180.0 / math.pi)})")
     mx = sb.emit(f"(({lam}) * {dlit(_A)})")

@@ -22,14 +22,25 @@ per-row column expressions: they run distributed inside the scan
 projection, no Python, no collect — at 100 TB each executor evaluates
 its own partition's rows with zero coordination.
 
+Plan-cost discipline (measured r10): each emitted step becomes one
+projection level, and Spark's fixed cost per level (analysis +
+codegen) dwarfs the per-row arithmetic at demo scale — so only
+MULTIPLY-REFERENCED intermediates get a step; single-use values are
+inlined into the consuming expression (no duplication, fewer levels).
+``apply_steps_spark`` applies the whole step list as ONE selectExpr
+using lateral column aliases (one py4j round-trip, one analysis pass)
+after raising ``spark.sql.analyzer.maxIterations`` to cover the
+alias-chain depth.
+
 Accuracy (vs true libm, pinned in tests/test_fixtrig.py):
-- ``sin``  |x| ≤ π/2       : ≤ 2e-11 abs (deg-19 Taylor + Q40 trunc)
-- ``atan`` any finite x     : ≤ 2e-11 abs (3 sqrt-halvings → |u|<0.2,
-  deg-17 Taylor, ×8)
+- ``sin``  |x| ≤ π/2        : ≤ 2e-10 abs (deg-19 Taylor + Q40 trunc)
+- ``atan`` halvings=3, any x: ≤ 2e-11 abs (sqrt-halvings → |u|<0.199,
+  deg-17 Taylor, ×2^halvings); halvings=2 needs |u| ≤ 1
 - ``ln``   x ∈ [2^-5, 32)   : ≤ 4e-11 abs (power-of-two CASE ladder →
   m ∈ [1,2), 2·atanh((m-1)/(m+1)) deg-19, + k·ln2)
-- ``exp``  |x| ≤ 4          : ≤ 1e-11 rel (x/4 exact, deg-15 Taylor,
-  two integer squarings)
+- ``exp``  |x| ≤ 4          : ≤ 1e-10 rel (x/4 exact, deg-15 Taylor,
+  two integer squarings); pass ``degree=11`` when |x| ≤ 1
+- ``atanh_small`` |z| ≤ 0.11: ≤ 3e-11 abs (deg-9 odd Taylor)
 
 Q40 keeps every Horner intermediate ≤ ~2^84 — comfortably inside both
 int128 ranges (DECIMAL(38,0) ≈ 1.7e38 ≈ 2^127); overflow would THROW
@@ -51,9 +62,20 @@ _QF = float(Q)
 SIN_C = [round((-1) ** k / math.factorial(2 * k + 1) * Q) for k in range(10)]
 ATAN_C = [round((-1) ** k / (2 * k + 1) * Q) for k in range(9)]
 ATANH_C = [round(1 / (2 * k + 1) * Q) for k in range(10)]
+ATANH_SMALL_C = ATANH_C[:5]  #: |z| ≤ 0.11 → deg-9 suffices (3e-11)
 EXP_C = [round(Q / math.factorial(k)) for k in range(16)]
+EXP_C_UNIT = [round(Q / math.factorial(k)) for k in range(18)]
 
 _LN2 = math.log(2.0)
+_LN_LADDER = [(16.0, 4), (8.0, 3), (4.0, 2), (2.0, 1), (1.0, 0),
+              (0.5, -1), (0.25, -2), (0.125, -3), (0.0625, -4)]
+
+
+_BARE_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _is_bare_column(expr: str) -> bool:
+    return bool(_BARE_RE.match(expr.strip()))
 
 
 def dlit(v: float) -> str:
@@ -65,12 +87,11 @@ def dlit(v: float) -> str:
 
 class StepBuilder:
     """Emits a shared-arithmetic step list ``[(col_name, sql_expr)]``
-    for one of the two dialects.  Each transcendental call spans a few
-    steps so multiply-referenced intermediates become COLUMNS (cheap
-    attribute refs) instead of duplicated subtrees — Spark's
-    CollapseProject keeps non-cheap aliases un-inlined, DuckDB inlines
-    single-reference CTEs; either way no exponential expression
-    blowup."""
+    for one of the two dialects.  Only multiply-referenced
+    intermediates become steps (columns — cheap attribute refs);
+    single-use values stay inline in the consuming expression, so the
+    level count (≈ Spark projection depth ≈ DuckDB CTE depth) stays
+    near the information-theoretic minimum."""
 
     def __init__(self, dialect: str, prefix: str = "_fx"):
         if dialect not in ("spark", "duckdb"):
@@ -96,10 +117,11 @@ class StepBuilder:
         return name
 
     def quant(self, dexpr: str) -> str:
-        """double → Q40 int.  x·2^40 is an exact exponent shift; FLOOR
-        is exact; casting an integral double to int is exact on both
-        (Spark truncates, DuckDB rounds — integral value, same)."""
-        return self.emit(f"CAST(FLOOR(({dexpr}) * {dlit(_QF)}) AS BIGINT)")
+        """double → Q40 int (an EXPRESSION, not a step).  x·2^40 is an
+        exact exponent shift; FLOOR is exact; casting an integral
+        double to int is exact on both (Spark truncates, DuckDB
+        rounds — integral value, same)."""
+        return f"CAST(FLOOR(({dexpr}) * {dlit(_QF)}) AS BIGINT)"
 
     def dequant(self, qexpr: str) -> str:
         """Q40 int → double; exact for |q| < 2^53 (all our outputs)."""
@@ -109,73 +131,111 @@ class StepBuilder:
         return self._tdiv_q(f"{self._big(a)} * {self._big(b)}")
 
     def _horner(self, xq: str, coefs: list[int]) -> str:
-        """acc = c0 + (c1 + (... )·x >> 40)·x >> 40, emitted as one
-        nested expression over the COLUMN xq (cheap to reference)."""
+        """c0 + (c1 + (...)·x >> 40)·x >> 40 as one nested expression
+        over the COLUMN xq (cheap to reference ``len(coefs)`` times)."""
         acc = str(coefs[-1])
         for c in reversed(coefs[:-1]):
             acc = f"({c} + {self._mulq(f'({acc})', xq)})"
         return acc
 
+    def _odd_poly(
+        self, z_dexpr: str, coefs: list[int], postscale: float = 1.0
+    ) -> str:
+        """z·P(z²)·postscale in Q40 — the shared shape of
+        sin/atan/atanh.  Emits zq and wq (multiply-referenced),
+        returns the result column. 3 levels."""
+        zq = self.emit(self.quant(z_dexpr))
+        wq = self.emit(self._mulq(zq, zq))
+        res = self.dequant(self._mulq(self._horner(wq, coefs), zq))
+        if postscale != 1.0:
+            res = f"(({res}) * {dlit(postscale)})"
+        return self.emit(res)
+
     # --- transcendentals ------------------------------------------------
     def sin(self, z_dexpr: str) -> str:
-        """sin(z) for |z| ≤ π/2, as z·P(z²)."""
-        zq = self.quant(z_dexpr)
-        wq = self.emit(self._mulq(zq, zq))
-        acc = self.emit(self._horner(wq, SIN_C))
-        return self.emit(self.dequant(self._mulq(acc, zq)))
+        """sin(z) for |z| ≤ π/2, as z·P(z²). 3 levels."""
+        return self._odd_poly(z_dexpr, SIN_C)
 
-    def atan(self, u_dexpr: str) -> str:
-        """atan(u), any finite u: three angle-halvings
-        u ← u/(1+sqrt(1+u²)) (sqrt is IEEE-exact) bring |u| < 0.199,
-        then deg-17 Taylor, ×8."""
-        u = self.emit(u_dexpr)
-        for _ in range(3):
+    def atanh_small(self, z_dexpr: str) -> str:
+        """atanh(z) for |z| ≤ 0.11 (deg-9). 3 levels."""
+        return self._odd_poly(z_dexpr, ATANH_SMALL_C)
+
+    def atan(self, u_dexpr: str, halvings: int = 3) -> str:
+        """atan(u): ``halvings`` angle-halvings u ← u/(1+sqrt(1+u²))
+        (sqrt is IEEE-exact), then deg-17 Taylor, ×2^halvings.
+        halvings=3 covers any finite u (|u₃| < 0.199, tail < 3e-14);
+        halvings=2 needs |u| ≤ 1 (|u₂| ≤ 0.207); halvings=1 keeps the
+        tail < 2e-12 for |u| ≤ 0.5 and < 1.5e-9 up to |u| = 1. A
+        bare-column input skips its alias level. 3+halvings(+1)
+        levels."""
+        u = u_dexpr if _is_bare_column(u_dexpr) else self.emit(u_dexpr)
+        for _ in range(halvings):
             u = self.emit(
                 f"(({u}) / ({dlit(1.0)} + SQRT({dlit(1.0)} + ({u}) * ({u}))))"
             )
-        zq = self.quant(u)
-        wq = self.emit(self._mulq(zq, zq))
-        acc = self.emit(self._horner(wq, ATAN_C))
-        res = self.emit(self.dequant(self._mulq(acc, zq)))
-        return self.emit(f"(({res}) * {dlit(8.0)})")
+        return self._odd_poly(u, ATAN_C, postscale=float(1 << halvings))
 
     def ln(self, u_dexpr: str) -> str:
         """ln(u) for u ∈ [2^-5, 32): CASE ladder picks the power-of-two
         scale (comparisons + power-of-two divides are exact), then
-        ln(m) = 2·atanh((m-1)/(m+1)) on m ∈ [1,2), plus k·ln2."""
+        ln(m) = 2·atanh((m-1)/(m+1)) on m ∈ [1,2), plus k·ln2.
+        6 levels."""
         u = self.emit(u_dexpr)
-        ladder = [(16.0, 4), (8.0, 3), (4.0, 2), (2.0, 1), (1.0, 0),
-                  (0.5, -1), (0.25, -2), (0.125, -3), (0.0625, -4)]
         k_expr = "CASE " + " ".join(
-            f"WHEN ({u}) >= {dlit(b)} THEN {dlit(float(k))}" for b, k in ladder
+            f"WHEN ({u}) >= {dlit(b)} THEN {dlit(float(k))}"
+            for b, k in _LN_LADDER
         ) + f" ELSE {dlit(-5.0)} END"
         s_expr = "CASE " + " ".join(
-            f"WHEN ({u}) >= {dlit(b)} THEN {dlit(2.0 ** k)}" for b, k in ladder
+            f"WHEN ({u}) >= {dlit(b)} THEN {dlit(2.0 ** k)}"
+            for b, k in _LN_LADDER
         ) + f" ELSE {dlit(2.0 ** -5)} END"
-        k = self.emit(k_expr)
         m = self.emit(f"(({u}) / ({s_expr}))")
-        z = self.emit(f"((({m}) - {dlit(1.0)}) / (({m}) + {dlit(1.0)}))")
-        zq = self.quant(z)
-        wq = self.emit(self._mulq(zq, zq))
-        acc = self.emit(self._horner(wq, ATANH_C))
-        at = self.emit(self.dequant(self._mulq(acc, zq)))
-        return self.emit(
-            f"(({k}) * {dlit(_LN2)} + {dlit(2.0)} * ({at}))"
+        at = self._odd_poly(
+            f"((({m}) - {dlit(1.0)}) / (({m}) + {dlit(1.0)}))", ATANH_C
         )
+        return self.emit(f"(({k_expr}) * {dlit(_LN2)} + {dlit(2.0)} * ({at}))")
 
-    def exp(self, x_dexpr: str) -> str:
-        """exp(x) for |x| ≤ 4: r = x/4 (exact), deg-15 Taylor in Q40,
-        two integer squarings (trunc — replayed identically)."""
-        rq = self.quant(f"(({x_dexpr}) * {dlit(0.25)})")
-        acc = self.emit(self._horner(rq, EXP_C))
+    def exp(self, x_dexpr: str, degree: int = 15) -> str:
+        """exp(x) for |x| ≤ 4: r = x/4 (exact), deg-``degree`` Taylor
+        in Q40, two integer squarings (trunc — replayed identically).
+        4 levels."""
+        rq = self.emit(self.quant(f"(({x_dexpr}) * {dlit(0.25)})"))
+        acc = self.emit(self._horner(rq, EXP_C[: degree + 1]))
         sq1 = self.emit(self._mulq(acc, acc))
-        sq2 = self.emit(self._mulq(sq1, sq1))
-        return self.emit(self.dequant(sq2))
+        return self.emit(self.dequant(self._mulq(sq1, sq1)))
 
-    def pow(self, u_dexpr: str, c: float) -> str:
-        """u^c = exp(c·ln u) for u ∈ [2^-5, 32) with |c·ln u| ≤ 4."""
+    def exp_unit(self, x_dexpr: str) -> str:
+        """exp(x) for |x| ≤ 1: direct deg-17 Taylor, no range
+        reduction, no squarings (their two extra levels cost more than
+        the longer Horner — levels are the scarce resource, per-row
+        multiplies are not). 2 levels."""
+        xq = self.emit(self.quant(x_dexpr))
+        return self.emit(self.dequant(self._horner(xq, EXP_C_UNIT)))
+
+    def pow(self, u_dexpr: str, c: float, unit: bool = False) -> str:
+        """u^c = exp(c·ln u) for u ∈ [2^-5, 32) with |c·ln u| ≤ 4;
+        pass ``unit=True`` when |c·ln u| ≤ 1 (2 fewer levels)."""
         lnu = self.ln(u_dexpr)
-        return self.exp(f"(({lnu}) * {dlit(c)})")
+        arg = f"(({lnu}) * {dlit(c)})"
+        return self.exp_unit(arg) if unit else self.exp(arg)
+
+
+def apply_steps_spark(df, sb: StepBuilder):
+    """Apply a step list to a Spark DataFrame as ONE selectExpr using
+    lateral column aliases — one py4j round-trip and one analysis pass
+    instead of len(steps) chained projections (measured: the chained
+    form cost ~2.5 s construct + ~3 s codegen at 196 levels).  The
+    analyzer resolves one alias-chain level per Resolution iteration,
+    so raise its iteration cap to the step depth first (runtime conf —
+    works under the driver's vanilla session)."""
+    spark = df.sparkSession
+    # measured: resolution needs a bit over one analyzer iteration
+    # per alias-chain level; 3× + slack is comfortably above
+    need = 3 * len(sb.steps) + 100
+    cur = int(spark.conf.get("spark.sql.analyzer.maxIterations", "100"))
+    if cur < need:
+        spark.conf.set("spark.sql.analyzer.maxIterations", str(need))
+    return df.selectExpr("*", *[f"({e}) AS {n}" for n, e in sb.steps])
 
 
 # --- Python twin (bit-exact replay of the emitted arithmetic) ---------
@@ -194,43 +254,48 @@ def _py_horner(xq: int, coefs: list[int]) -> int:
     return acc
 
 
-def py_sin(z: float) -> float:
+def _py_odd(z: float, coefs: list[int]) -> float:
     zq = _pq(z)
     wq = tdiv(zq * zq, Q)
-    return _dq(tdiv(_py_horner(wq, SIN_C) * zq, Q))
+    return _dq(tdiv(_py_horner(wq, coefs) * zq, Q))
 
 
-def py_atan(u: float) -> float:
-    for _ in range(3):
+def py_sin(z: float) -> float:
+    return _py_odd(z, SIN_C)
+
+
+def py_atanh_small(z: float) -> float:
+    return _py_odd(z, ATANH_SMALL_C)
+
+
+def py_atan(u: float, halvings: int = 3) -> float:
+    for _ in range(halvings):
         u = u / (1.0 + math.sqrt(1.0 + u * u))
-    zq = _pq(u)
-    wq = tdiv(zq * zq, Q)
-    return _dq(tdiv(_py_horner(wq, ATAN_C) * zq, Q)) * 8.0
+    return _py_odd(u, ATAN_C) * float(1 << halvings)
 
 
 def py_ln(u: float) -> float:
-    ladder = [(16.0, 4), (8.0, 3), (4.0, 2), (2.0, 1), (1.0, 0),
-              (0.5, -1), (0.25, -2), (0.125, -3), (0.0625, -4)]
     k = -5
-    for b, kk in ladder:
+    for b, kk in _LN_LADDER:
         if u >= b:
             k = kk
             break
     m = u / (2.0 ** k)
-    z = (m - 1.0) / (m + 1.0)
-    zq = _pq(z)
-    wq = tdiv(zq * zq, Q)
-    at = _dq(tdiv(_py_horner(wq, ATANH_C) * zq, Q))
+    at = _py_odd((m - 1.0) / (m + 1.0), ATANH_C)
     return float(k) * _LN2 + 2.0 * at
 
 
-def py_exp(x: float) -> float:
+def py_exp(x: float, degree: int = 15) -> float:
     rq = _pq(x * 0.25)
-    acc = _py_horner(rq, EXP_C)
+    acc = _py_horner(rq, EXP_C[: degree + 1])
     sq1 = tdiv(acc * acc, Q)
-    sq2 = tdiv(sq1 * sq1, Q)
-    return _dq(sq2)
+    return _dq(tdiv(sq1 * sq1, Q))
 
 
-def py_pow(u: float, c: float) -> float:
-    return py_exp(py_ln(u) * c)
+def py_exp_unit(x: float) -> float:
+    return _dq(_py_horner(_pq(x), EXP_C_UNIT))
+
+
+def py_pow(u: float, c: float, unit: bool = False) -> float:
+    arg = py_ln(u) * c
+    return py_exp_unit(arg) if unit else py_exp(arg)

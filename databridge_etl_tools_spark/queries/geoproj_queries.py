@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import geoproj as GP
-from ..operators.fixtrig import StepBuilder
+from ..operators.fixtrig import StepBuilder, apply_steps_spark
 from ..registry import query, table
 
 
@@ -103,8 +103,7 @@ def proj_pa_south_datum_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cust.selectExpr("c_custkey", f"{_PTS_E} AS e_ft", f"{_PTS_N} AS n_ft")
     sb = StepBuilder("spark")
     cols = GP.pa_south_fixed_steps(sb, "e_ft", "n_ft")
-    for name, expr in sb.steps:
-        df = df.selectExpr("*", f"({expr}) AS {name}")
+    df = apply_steps_spark(df, sb)
     return df.select(
         "c_custkey",
         "e_ft",

@@ -19,9 +19,19 @@ GRID = {
     "atan": [-37.5, -5.0, -1.0, -0.51, -0.007, 0.0, 0.013, 0.47, 1.0, 8.25, 44.0],
     "ln": [2.0**-5, 0.04, 0.11, 0.26, 0.53, 0.99, 1.0, 1.7, 2.0, 3.9, 4.6, 9.3, 18.0, 31.9],
     "exp": [x / 8.0 for x in range(-32, 33, 3)],
+    "atanh_small": [x / 1000.0 for x in range(-110, 111, 13)],
 }
-PY = {"sin": FX.py_sin, "atan": FX.py_atan, "ln": FX.py_ln, "exp": FX.py_exp}
-REF = {"sin": math.sin, "atan": math.atan, "ln": math.log, "exp": math.exp}
+PY = {"sin": FX.py_sin, "atan": FX.py_atan, "ln": FX.py_ln, "exp": FX.py_exp,
+      "atanh_small": FX.py_atanh_small}
+REF = {"sin": math.sin, "atan": math.atan, "ln": math.log, "exp": math.exp,
+       "atanh_small": math.atanh}
+
+
+def test_atan_two_halvings_unit_domain():
+    """halvings=2 is the in-pipeline variant (|u| ≤ 1)."""
+    for u in [x / 40.0 for x in range(-40, 41)]:
+        got = FX.py_atan(u, halvings=2)
+        assert abs(got - math.atan(u)) <= 2e-9, u
 
 
 def test_python_twin_accuracy_vs_libm():
@@ -85,16 +95,15 @@ def _py_pipeline(e_ft: float, n_ft: float) -> dict[str, float]:
     x = e_ft * FT - GP._FE_M
     y = GP._RHO0 - (n_ft * FT - GP._FN_M)
     rho = math.sqrt(x * x + y * y)
-    t_ = FX.py_pow(rho / (GP._A * GP._BIGF), 1.0 / GP._N)
-    theta = FX.py_atan(x / y)
+    t_ = FX.py_pow(rho / (GP._A * GP._BIGF), 1.0 / GP._N, unit=True)
+    theta = FX.py_atan(x / y, halvings=1)
     lam = theta / GP._N + GP._LON0
     lon = lam * (180.0 / math.pi)
-    phi = math.pi / 2 - 2.0 * FX.py_atan(t_)
-    for _ in range(5):
+    phi = math.pi / 2 - 2.0 * FX.py_atan(t_, halvings=1)
+    for _ in range(4):
         s = FX.py_sin(phi)
-        v = (1.0 - GP._E * s) / (1.0 + GP._E * s)
-        w = FX.py_exp(FX.py_ln(v) * (GP._E / 2))
-        phi = math.pi / 2 - 2.0 * FX.py_atan(t_ * w)
+        w = FX.py_exp_unit(-GP._E * FX.py_atanh_small(GP._E * s))
+        phi = math.pi / 2 - 2.0 * FX.py_atan(t_ * w, halvings=1)
     lat = phi * (180.0 / math.pi)
     mx = lam * GP._A
     sfin = FX.py_sin(phi)
