@@ -209,6 +209,70 @@ def ranking_eval(
     ).distinct()
     n_rel = tr.groupBy("_q").agg(F.count(F.lit(1)).cast("long").alias("_nrel"))
     hits = res.join(tr, ["_q", "_i"], "left_semi")
+    return _metrics_from_hits(res, hits, n_rel, k)
+
+
+def ranking_eval_labeled(
+    results: DataFrame,
+    item_labels: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """``ranking_eval`` for LABEL-relevance truth ("an item is
+    relevant to a query iff they share a label") WITHOUT ever
+    materializing the truth expansion.  The generic path would build
+    queries ⋈ items-on-label — |Q|·(corpus/label) rows through a join
+    whose only uses are a per-query count and a membership probe; on
+    a skewed-label corpus at 100× that expansion IS the query's cost.
+    Here instead:
+
+    - ``_nrel`` comes from the label HISTOGRAM (one groupBy over the
+      item table, |labels| rows, broadcast to the queries): a query's
+      relevant count is hist(label) − 1 (itself excluded);
+    - hits are tagged by joining the ≤ k·|Q| RESULT rows to the item
+      table on item id and comparing the two labels directly
+      (self-matches dropped, mirroring the expansion's
+      ``item ≠ query`` rule).
+
+    Same exact metrics as ``ranking_eval`` on the expanded truth —
+    the r10 driver gate pins this equivalence via the unchanged
+    oracle."""
+    res = results.select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_r"),
+    )
+    items = item_labels.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lb")
+    )
+    qlab = items.join(
+        res.select(F.col("_q").alias("_id")).distinct(), "_id"
+    ).select(F.col("_id").alias("_q"), F.col("_lb").alias("_qlb"))
+    hist = items.groupBy("_lb").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    n_rel = qlab.join(F.broadcast(hist), qlab["_qlb"] == hist["_lb"]).select(
+        "_q", (F.col("_n") - 1).alias("_nrel")
+    )
+    hits = (
+        res.join(items, res["_i"] == items["_id"])
+        .join(qlab, "_q")
+        .where((F.col("_lb") == F.col("_qlb")) & (F.col("_i") != F.col("_q")))
+        .select("_q", "_i", "_r")
+    )
+    return _metrics_from_hits(res, hits, n_rel, k)
+
+
+def _metrics_from_hits(
+    res: DataFrame, hits: DataFrame, n_rel: DataFrame, k: int
+) -> DataFrame:
+    """Shared aggregation tail: per-query exact-integer metrics, then
+    the three corpus means as single double divisions."""
     per_q = (
         res.select("_q")
         .distinct()

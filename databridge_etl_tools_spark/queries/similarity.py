@@ -1365,26 +1365,17 @@ def retrieval_eval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers are exact integers (q30 reciprocal ranks and recall
     shares — trunc division is the only rounding, replayable on any
     engine); the corpus-level means are single correctly-rounded
-    double divisions. One relevance semi-join + one query-keyed
-    aggregate + a scalar merge — the evaluation costs two bounded
-    aggregates on top of whatever index produced the rankings, at
-    any corpus size."""
-    from ..operators.retrieval import ranking_eval
+    double divisions. De-expanded in r10 (``ranking_eval_labeled``):
+    the |Q|·(corpus/label) truth expansion is gone — relevant counts
+    come from a broadcast label histogram and hits from joining the
+    ≤ k·|Q| result rows back to the embeddings on neighbor id; same
+    metrics, same oracle, no skew-sensitive intermediate."""
+    from ..operators.retrieval import ranking_eval_labeled
 
     emb = table(spark, sf_dir, "embeddings")
     results = SIM.cosine_topk(
         emb, k=5, query_pred=F.col("vec_id") % 50 == 0
     ).select("query_id", "neighbor_id", "rank")
-    q = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), "label"
+    return ranking_eval_labeled(
+        results, emb.select("vec_id", "label"), k=5
     )
-    truth = (
-        q.join(
-            emb.select(F.col("vec_id").alias("neighbor_id"),
-                       F.col("label").alias("_lb")),
-            F.col("label") == F.col("_lb"),
-        )
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
-    return ranking_eval(results, truth, k=5)

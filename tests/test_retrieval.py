@@ -142,3 +142,42 @@ def test_ranking_eval_known_values(spark):
     exp_recall = (q30 + (1 * q30) // 2 + 0) / 3 / q30
     assert r["recall_at_3"] == exp_recall
     assert r["precision_at_3"] == (2 + 1 + 0) / 3 / 3
+
+
+def test_ranking_eval_labeled_equals_expanded(spark):
+    """ranking_eval_labeled (histogram + result-side label probe)
+    must produce EXACTLY the metrics of ranking_eval on the expanded
+    same-label truth — including on a skewed-label corpus where the
+    expansion the labeled path avoids would dominate."""
+    from databridge_etl_tools_spark.operators.retrieval import (
+        ranking_eval,
+        ranking_eval_labeled,
+    )
+
+    # 40 items, heavily skewed labels: label 0 has 30 members
+    items = [(i, 0 if i < 30 else i % 5 + 1) for i in range(40)]
+    emb = spark.createDataFrame(items, "vec_id long, label long")
+    # 4 queries with deterministic fake top-3 results (self excluded)
+    results = spark.createDataFrame(
+        [
+            (0, 1, 1), (0, 35, 2), (0, 2, 3),      # q0 label 0
+            (5, 31, 1), (5, 6, 2), (5, 99, 3),     # q5 label 0 (99: no label)
+            (31, 36, 2), (31, 30, 1), (31, 7, 3),  # q31 label 2
+            (33, 33, 1), (33, 34, 2), (33, 38, 3), # q33 label 4; self in results
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    lab = {i: l for i, l in items}
+    truth = spark.createDataFrame(
+        [
+            (q, i)
+            for q in (0, 5, 31, 33)
+            for i, l in items
+            if l == lab[q] and i != q
+        ],
+        "query_id long, neighbor_id long",
+    )
+    a = ranking_eval(results, truth, k=3).first()
+    b = ranking_eval_labeled(results, emb, k=3).first()
+    assert a.asDict() == b.asDict()
+    assert a["n_queries"] == 4
