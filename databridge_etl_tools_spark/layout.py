@@ -209,6 +209,77 @@ def build_documents_by_lang(spark: SparkSession, sf_dir: str, out_dir: str) -> s
     return path
 
 
+def build_purchase_edges(
+    spark: SparkSession, sf_dir: str, buckets: int | None = None
+) -> str:
+    """Write the customer↔supplier purchase-graph edge table (the
+    graph the pagerank/BFS demos iterate over — both directions of
+    every distinct trading pair, node ids namespaced even/odd) as a
+    catalog table BUCKETED BY src — the pagerank docstring's own
+    100 TB story made physical: each of the fixpoint's per-iteration
+    contrib joins (ranks ⋈ edges ON node = src) consumes the bucketed
+    scan with NO edge-side exchange (the scan's HashPartitioning(src)
+    already satisfies the join's required distribution; plan-pinned
+    in tests/test_layout.py), so an iteration's only shuffle is the
+    unavoidable dst-keyed mass aggregation. The graph is DERIVED
+    (orders ⋈ lineitem), so this is also a one-time cut of the build
+    join that the operator would otherwise checkpoint per run —
+    bucket once per load, iterate many."""
+    if buckets is None:
+        buckets = spark.sparkContext.defaultParallelism
+    tname = f"purchase_edges_bkt_{_token(sf_dir)}"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    loc = f"{wh}/{tname}"
+    src_o = f"{sf_dir.rstrip('/')}/orders.parquet"
+    src_l = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    sig = _source_sig(src_o, buckets=buckets, lineitem=_source_sig(src_l))
+    if _marker_fresh(os.path.join(loc, _MARKER), sig):
+        if not spark.catalog.tableExists(tname):
+            spark.sql(
+                f"CREATE TABLE {tname} (src BIGINT, dst BIGINT) USING parquet "
+                f"CLUSTERED BY (src) SORTED BY (src) "
+                f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+            )
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        shutil.rmtree(loc, ignore_errors=True)
+        ord_ = spark.read.parquet(src_o).select("o_orderkey", "o_custkey")
+        li = spark.read.parquet(src_l).select("l_orderkey", "l_suppkey")
+        pairs = ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"]).select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        edges = (
+            pairs.select(
+                F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+            )
+            .unionByName(
+                pairs.select(
+                    F.col("supp_node").alias("src"),
+                    F.col("cust_node").alias("dst"),
+                )
+            )
+            .distinct()
+        )
+        (
+            edges.write.mode("overwrite")
+            .bucketBy(buckets, "src")
+            .sortBy("src")
+            .option("path", loc)
+            .saveAsTable(tname)
+        )
+        _write_marker(os.path.join(loc, _MARKER), sig)
+    registry.register_layout(
+        sf_dir,
+        "purchase_edges",
+        lambda spark, tname=tname: spark.table(tname),
+        kind="bucketed",
+    )
+    return tname
+
+
 def build_all(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> None:
     """Build (or reuse) every layout for ``sf_dir`` (bench/startup
     hook). ``out_dir`` defaults to a stable per-SF scratch dir so
@@ -219,3 +290,4 @@ def build_all(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> N
     build_events_by_day(spark, sf_dir, out)
     build_embeddings_by_cell(spark, sf_dir, out)
     build_documents_by_lang(spark, sf_dir, out)
+    build_purchase_edges(spark, sf_dir)

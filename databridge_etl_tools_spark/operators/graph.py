@@ -55,6 +55,8 @@ def pagerank(
     iters: int = 8,
     damping: tuple[int, int] = (85, 100),
     weight_col: "str | None" = None,
+    edges_ready: bool = False,
+    broadcast_node_budget: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge DataFrame.
 
@@ -67,7 +69,25 @@ def pagerank(
     ``(rank · w) // out_strength`` in DECIMAL(38,0)/HUGEINT, so the
     weighted walk is exactly as replayable as the unweighted one.
     Self-loops are legal. ``iters`` is the replay contract: the
-    DuckDB twin unrolls exactly this many CTE levels."""
+    DuckDB twin unrolls exactly this many CTE levels.
+
+    ``edges_ready=True`` declares the caller's edge table is ALREADY
+    deduplicated (per-pair weights pre-summed in the weighted case),
+    cheap to rescan, and — the 100 TB lever — stored so its scan
+    satisfies the contrib join's required distribution: a catalog
+    table bucketed on the src column (layout.build_purchase_edges).
+    The operator then skips its own dedup+checkpoint and joins the
+    scan directly: every one of the ``iters`` contrib joins consumes
+    the bucketed layout with NO edge-side exchange (plan-pinned in
+    tests/test_layout.py), leaving the unavoidable dst-keyed
+    aggregation shuffle as each iteration's only data movement.
+    Results are bit-identical either way (integer fixpoint, pinned).
+
+    ``broadcast_node_budget``: rank tables at or below this node
+    count are broadcast-hinted into the contrib join (checkpointed
+    iterates lose size stats, so Spark would otherwise plan
+    sort-merge); above it the shuffle join is the honest path —
+    that's the regime where the bucketed layout pays."""
     num, den = damping
     from .materialize import materialize
 
@@ -75,20 +95,27 @@ def pagerank(
     # node/out-degree setup — materialize it once (its upstream is
     # whatever join built the graph; without the cut each of the
     # iters iterations re-runs that upstream: measured 11.3 s → the
-    # per-iteration cost of the demo graph's orders⋈lineitem build)
+    # per-iteration cost of the demo graph's orders⋈lineitem build).
+    # edges_ready callers skip this: their table is already distinct
+    # and a (bucketed) scan per iteration is the cheaper re-read.
     if weight_col is None:
-        e = materialize(
-            edges.select(
-                F.col(src).alias("_src"), F.col(dst).alias("_dst")
-            ).distinct()
-        )
+        e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        if not edges_ready:
+            e = materialize(e.distinct())
         outdeg_agg = F.count(F.lit(1)).cast("long").alias("outdeg")
     else:
-        e = materialize(
-            edges.groupBy(
-                F.col(src).alias("_src"), F.col(dst).alias("_dst")
-            ).agg(F.sum(F.col(weight_col)).cast("long").alias("_w"))
-        )
+        if edges_ready:
+            e = edges.select(
+                F.col(src).alias("_src"),
+                F.col(dst).alias("_dst"),
+                F.col(weight_col).cast("long").alias("_w"),
+            )
+        else:
+            e = materialize(
+                edges.groupBy(
+                    F.col(src).alias("_src"), F.col(dst).alias("_dst")
+                ).agg(F.sum(F.col(weight_col)).cast("long").alias("_w"))
+            )
         wmin = e.agg(F.min("_w")).first()[0]
         if wmin is not None and wmin <= 0:
             raise ValueError(
@@ -146,9 +173,28 @@ def pagerank(
     # while it fits (node tables at web-graph scale exceed any
     # broadcast budget — there the shuffle join IS the honest path,
     # and bucketing edges+ranks on node id deletes the exchange).
-    rank_hint = (lambda d: F.broadcast(d)) if n_nodes <= 2_000_000 else (
-        lambda d: d
+    rank_hint = (
+        (lambda d: F.broadcast(d))
+        if n_nodes <= broadcast_node_budget
+        else (lambda d: d)
     )
+    if edges_ready:
+        # regime-aware edge residency (both ways measured at sf0.1):
+        # broadcast regime — the contrib join is a BroadcastHashJoin
+        # that streams the edge side, and checkpointed row blocks
+        # scan faster than re-decoding a columnar cache (5.40 s vs
+        # 4.66 s the other way around); shuffle regime — persist()
+        # keeps the BUCKETED scan's HashPartitioning through
+        # InMemoryRelation, so every iteration's sort-merge join
+        # consumes the cache with NO edge-side exchange (a
+        # localCheckpoint would lose the partitioning and re-shuffle
+        # the big side every iteration).
+        if n_nodes <= broadcast_node_budget:
+            e = materialize(e)
+        else:
+            from pyspark import StorageLevel
+
+            e = e.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
         # trunc division: Spark's integer DIV truncates toward zero,
         # same as DuckDB // (ranks are non-negative, so floor == trunc)

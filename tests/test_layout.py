@@ -158,3 +158,57 @@ def test_documents_lang_layout_prunes_partitions(spark, tmp_path):
             registry.LAYOUT.update(backup)
     finally:
         registry.clear_layouts()
+
+
+def test_purchase_edges_bucketed_iteration_join_no_edge_exchange(spark):
+    """The pagerank contrib join (checkpointed node-keyed ranks ⋈
+    edges ON node = src) must consume the bucketed purchase-edge
+    layout with NO edge-side exchange: vs the same join over raw
+    edges, the bucketed plan has exactly one fewer Exchange and
+    reads a bucketed scan."""
+    from databridge_etl_tools_spark.operators.materialize import materialize
+
+    tname = layout.build_purchase_edges(spark, SF)
+    try:
+        eb = spark.table(tname)
+        raw = materialize(eb)  # same rows, bucketing lost
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plans = {}
+            for label, e in (("bucketed", eb), ("raw", raw)):
+                ranks = materialize(
+                    e.groupBy(F.col("src").alias("node")).agg(
+                        F.count(F.lit(1)).alias("rank_q")
+                    )
+                )
+                contrib = (
+                    ranks.join(e, ranks["node"] == e["src"])
+                    .groupBy("dst")
+                    .agg(F.sum("rank_q").alias("in_q"))
+                )
+                plans[label] = (
+                    contrib._jdf.queryExecution().executedPlan().toString()
+                )
+            assert "Bucketed: true" in plans["bucketed"]
+            n_b = plans["bucketed"].count("Exchange")
+            n_r = plans["raw"].count("Exchange")
+            assert n_b == n_r - 1, (n_b, n_r)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        registry.clear_layouts()
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_pagerank_bucketed_layout_identical_ranks(spark):
+    """graph_pagerank_suppliers over the bucketed edges_ready layout
+    must produce bit-identical rank_q to the raw-edge path (the
+    integer fixpoint is layout-invariant)."""
+    want = _rows(spark, "graph_pagerank_suppliers")  # raw path
+    tname = layout.build_purchase_edges(spark, SF)
+    try:
+        got = _rows(spark, "graph_pagerank_suppliers")  # layout path
+        assert got == want
+    finally:
+        registry.clear_layouts()
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
