@@ -227,3 +227,57 @@ def test_curriculum_decile_tag_is_map_side(spark):
     rank the corpus globally (no Exchange SinglePartition)."""
     plan = _plan(spark, "curriculum_schedule")
     assert "SinglePartition" not in plan
+
+
+def test_pagerank_contrib_join_broadcasts_below_node_budget(spark):
+    """The per-iteration contrib join must broadcast the rank side
+    when the node count fits the budget (checkpointed iterates lose
+    size stats, so without the hint Spark plans sort-merge with both
+    sides shuffled — measured ~40% of iteration cost). Pinned on the
+    uncut plan (materialize strategy 'none' keeps the iteration
+    lineage visible)."""
+    from databridge_etl_tools_spark.operators.graph import pagerank
+    from databridge_etl_tools_spark.operators.materialize import strategy
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    with strategy("none"):
+        plan = (
+            pagerank(edges, iters=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bfs_expands_frontier_delta_only(spark):
+    """Each BFS hop must join ONLY the previous hop's frontier
+    (dist == hop-1) against edges — the uncut 2-hop plan carries the
+    hop-2 frontier filter (hop 1's folds away against the literal
+    source distance)."""
+    import re
+
+    from databridge_etl_tools_spark.operators.graph import bfs_distances
+    from databridge_etl_tools_spark.operators.materialize import strategy
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    with strategy("none"):
+        plan = (
+            bfs_distances(edges, src, max_hops=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    assert re.search(r"dist#\d+ = 1", plan), "hop-2 frontier filter missing"
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_textrank_top20_compiles_to_take_ordered(spark):
+    """The textrank demo's global top-20 window must compile to
+    TakeOrderedAndProject (LimitPushDownThroughWindow), never a
+    single-partition global sort."""
+    plan = _plan(spark, "text_textrank_keywords")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan

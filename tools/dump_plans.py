@@ -105,6 +105,16 @@ SHOW = [
     "pca_embeddings_project",
     "ridge_probe_embeddings",
     "mm_image_neardup",
+    # round 10 (pagerank/BFS/LPA are checkpointed iterative
+    # compositions — their per-iteration join shape is dumped in the
+    # constructed "iteration shapes" section at the end and pinned in
+    # tests/test_plans.py; below are the single-plan r10 demo tails.
+    # proj_pa_south_datum_pipeline is a 92-level pure projection —
+    # correct but ~3000 lines formatted, so its plan story lives in
+    # SCALE.md instead.)
+    "text_textrank_keywords",
+    "graph_bfs_supplier_radius",
+    "retrieval_eval_knn",
 ]
 
 
@@ -141,6 +151,68 @@ def main() -> None:
         print("```")
         print(plan.strip())
         print("```")
+
+    _iteration_shapes(spark)
+
+
+def _iteration_shapes(spark) -> None:
+    """The graph family checkpoints each iterate, so the demo tails
+    above never show the per-iteration join. Dump it explicitly: one
+    uncut pagerank iteration in the broadcast regime (the demo's
+    path — rank side broadcast-hinted below the node budget), and the
+    contrib join over the BUCKETED purchase-edge layout in the forced
+    shuffle regime (edge side exchange-free: the layout's 100 TB
+    claim, also pinned in tests/test_layout.py)."""
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark import layout, registry
+    from databridge_etl_tools_spark.operators.graph import pagerank
+    from databridge_etl_tools_spark.operators.materialize import (
+        materialize,
+        strategy,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    print("\n# Iteration shapes (constructed — checkpoints hide these)\n")
+
+    tname = layout.build_purchase_edges(spark, sf)
+    eb = spark.table(tname)
+    with strategy("none"):
+        plan = (
+            pagerank(eb, iters=1, edges_ready=True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    print("## pagerank iteration, broadcast regime (demo path)\n")
+    print("```")
+    print(plan.strip())
+    print("```")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranks = materialize(
+            eb.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("rank_q")
+            )
+        )
+        contrib = (
+            ranks.join(eb, ranks["node"] == eb["src"])
+            .groupBy("dst")
+            .agg(F.sum("rank_q").alias("in_q"))
+        )
+        plan = contrib._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    print(
+        "\n## pagerank contrib join over the bucketed purchase-edge"
+        " layout, shuffle regime\n"
+    )
+    print("(the edge side reads `Bucketed: true` with NO Exchange —")
+    print("the only shuffles are the rank side and the dst-keyed mass")
+    print("aggregation)\n")
+    print("```")
+    print(plan.strip())
+    print("```")
+    registry.clear_layouts()
 
 
 if __name__ == "__main__":
