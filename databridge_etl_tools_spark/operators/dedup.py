@@ -1291,10 +1291,14 @@ def tfidf_cosine_pairs(
             ),
         )
     )
-    # per-term products fit int64 (w ≤ tf·2^10); the SUMS go through
-    # DECIMAL(38,0) so no document length can wrap them
+    # per-term products multiply in DECIMAL(38,0) — cast-then-multiply,
+    # exactly the oracle's CAST(w AS HUGEINT) * w. (They'd fit int64
+    # for any sane document, but a pathological tf ≳ 2^26 of one rare
+    # term would cross-engine-diverge silently: Spark wraps/throws
+    # int64 while DuckDB widens — the r9-advice wrap hazard. The SUMS
+    # were already DECIMAL(38,0).)
     norms = w.groupBy("_doc").agg(
-        F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_w")).alias(
             "_n2"
         )
     )
@@ -1319,7 +1323,9 @@ def tfidf_cosine_pairs(
         .join(wb, ["_db", "_t"])
         .groupBy("_da", "_db")
         .agg(
-            F.sum((F.col("_wa") * F.col("_wb")).cast("decimal(38,0)")).alias(
+            # cast-then-multiply (see norms): int128 product, never a
+            # silent int64 wrap
+            F.sum(F.col("_wa").cast("decimal(38,0)") * F.col("_wb")).alias(
                 "_dot"
             )
         )

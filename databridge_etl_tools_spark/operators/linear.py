@@ -93,6 +93,7 @@ def _int_xy_moments(df: DataFrame, label_col: str, vec_col: str):
                 "syy": [syy],
                 "g": [g.reshape(-1).tolist()],
                 "xty": [xty.tolist()],
+                "ma": [ma],
             }
         )
 
@@ -101,14 +102,14 @@ def _int_xy_moments(df: DataFrame, label_col: str, vec_col: str):
         .mapInPandas(
             partials,
             "pid int, n long, s array<long>, sy long, syy long, "
-            "g array<long>, xty array<long>",
+            "g array<long>, xty array<long>, ma long",
         )
         .collect()
     )
     if not rows:
         raise ValueError("ridge_fit: empty input")
     d = len(rows[0].s)
-    n, sy, syy = 0, 0, 0
+    n, sy, syy, maxq = 0, 0, 0, 1
     s = [0] * d
     xty = [0] * d
     g = [[0] * d for _ in range(d)]
@@ -116,6 +117,7 @@ def _int_xy_moments(df: DataFrame, label_col: str, vec_col: str):
         n += r.n
         sy += int(r.sy)
         syy += int(r.syy)
+        maxq = max(maxq, int(r.ma))
         for j in range(d):
             s[j] += int(r.s[j])
             xty[j] += int(r.xty[j])
@@ -125,7 +127,7 @@ def _int_xy_moments(df: DataFrame, label_col: str, vec_col: str):
             gi = g[i]
             for j in range(d):
                 gi[j] += int(flat[base + j])
-    return n, s, sy, syy, g, xty
+    return n, s, sy, syy, g, xty, maxq
 
 
 def ridge_fit(
@@ -145,7 +147,7 @@ def ridge_fit(
     if lam != int(lam) or lam < 0:
         raise ValueError(f"lam must be a non-negative integer, got {lam}")
     lam_i = int(lam)
-    n, s, sy, syy, g, xty = _int_xy_moments(df, label_col, vec_col)
+    n, s, sy, syy, g, xty, maxq = _int_xy_moments(df, label_col, vec_col)
     d = len(s)
     if n < 2:
         raise ValueError("ridge_fit: need >= 2 rows")
@@ -158,11 +160,17 @@ def ridge_fit(
     bvec = [n * xty[j] - s[j] * sy for j in range(d)]
     b_int = IL.gauss_solve_fixed(a, bvec)
     mb = max(abs(v) for v in b_int)
-    if mb and d * _Q20 * mb >= 1 << 62:
+    # int64 prediction-fold audit against the OBSERVED quantized
+    # feature magnitude (r9 advice: the old constant-2^20 bound
+    # silently assumed |x| ≤ 1, which nothing validated). The bound
+    # certifies scoring data from the fitted distribution; the model
+    # records max_abs_q so ridge_pq_col's contract is checkable.
+    if mb and d * max(maxq, _Q20) * mb >= 1 << 62:
         raise ValueError(
-            f"ridge_fit: solution magnitude max|B|={mb} would overflow "
-            "int64 prediction folds — the probe is ill-conditioned; "
-            "raise lam or rescale features"
+            f"ridge_fit: solution magnitude max|B|={mb} with observed "
+            f"max|quantized x|={maxq} would overflow int64 prediction "
+            "folds — the probe is ill-conditioned; raise lam or "
+            "rescale features"
         )
     # every float below mirrors the DuckDB twin's op sequence exactly
     sb = sum(s[j] * b_int[j] for j in range(d))
@@ -190,13 +198,18 @@ def ridge_fit(
         "b_int": b_int,
         "s_int": s,
         "sy_int": sy,
+        "max_abs_q": maxq,
     }
 
 
 def ridge_pq_col(model: dict, vec_col: str | Column) -> Column:
     """The EXACT integer prediction fold ``Σ_j floor(x_j·2^20)·B_j``
-    (q50, int64-bounded by the fit's audit) — bit-reproducible on any
-    engine; ``prediction = intercept + pq/2^50``."""
+    (q50) — bit-reproducible on any engine; ``prediction =
+    intercept + pq/2^50``. CONTRACT: the fit's audit certifies the
+    int64 bound for inputs whose quantized magnitude stays within
+    ``model["max_abs_q"]`` (the fit pass's observed maximum) — i.e.
+    scoring data from the fitted distribution. Scoring inputs beyond
+    it needs a caller-side re-audit: d·max|x_q|·max|B| < 2^62."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     blit = F.array(*[F.lit(int(v)).cast("long") for v in model["b_int"]])
     prod = F.zip_with(

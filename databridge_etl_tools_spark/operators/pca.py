@@ -55,8 +55,9 @@ _Q35 = 1 << (IL.Q_COORD + IL.Q_VEC)
 
 def int_moments(
     df: DataFrame, vec_col: str = "embedding"
-) -> tuple[int, list[int], list[list[int]]]:
-    """ONE Arrow pass → exact integer second moments ``(n, s, G)``
+) -> tuple[int, list[int], list[list[int]], int]:
+    """ONE Arrow pass → exact integer second moments ``(n, s, G,
+    max|xi|)``
     with ``s_j = Σ xi_j``, ``G_jk = Σ xi_j·xi_k``, ``xi =
     floor(x·2^20)`` (float32→double exact, power-of-two multiply
     exact, so the quantization is the ONLY rounding). Per-partition
@@ -96,22 +97,28 @@ def int_moments(
                 "n": [n],
                 "s": [s.tolist()],
                 "g": [g.reshape(-1).tolist()],
+                "ma": [ma],
             }
         )
 
     rows = (
         df.select(vec_col)
-        .mapInPandas(partials, "pid int, n long, s array<long>, g array<long>")
+        .mapInPandas(
+            partials,
+            "pid int, n long, s array<long>, g array<long>, ma long",
+        )
         .collect()
     )
     if not rows:
         raise ValueError("pca: empty input")
     d = len(rows[0].s)
     n = 0
+    maxq = 1
     s = [0] * d
     g = [[0] * d for _ in range(d)]
     for r in rows:
         n += r.n
+        maxq = max(maxq, int(r.ma))
         for j, v in enumerate(r.s):
             s[j] += int(v)
         flat = r.g
@@ -120,7 +127,7 @@ def int_moments(
             gi = g[i]
             for j in range(d):
                 gi[j] += int(flat[base + j])
-    return n, s, g
+    return n, s, g, maxq
 
 
 def pca_fit(
@@ -130,7 +137,7 @@ def pca_fit(
     "explained_variance", "total_variance", "n"}`` (plain-python,
     broadcast-safe) plus the exact integer state ``{"w_int", "s_int",
     "offsets"}`` the oracle-replayable projection uses."""
-    n, s, g = int_moments(df, vec_col)
+    n, s, g, maxq = int_moments(df, vec_col)
     d = len(s)
     if not 1 <= k <= d:
         raise ValueError(f"k={k} outside [1, {d}]")
@@ -149,6 +156,17 @@ def pca_fit(
     # correctly rounded on identical operands in every engine, so the
     # normalized floats stay bit-replayable.
     norms = [math.sqrt(float(c["rq_den"])) / qv for c in comps]
+    # int64 projection-fold audit against the OBSERVED quantized
+    # magnitude (r9 advice: the "d·2^20·2^15 ≪ int64" comment silently
+    # assumed |x| ≤ 1): per-row pcq ≤ d · max|xi| · max|w| must stay
+    # inside int64 for the scoring data the fit has seen.
+    mw = max(max(abs(v) for v in c["w"]) for c in comps)
+    if d * maxq * mw >= 1 << 62:
+        raise ValueError(
+            f"pca_fit: observed max|quantized x|={maxq} with component "
+            f"magnitude max|w|={mw} would overflow the int64 projection "
+            "fold — rescale coordinates"
+        )
     return {
         # every float below is derived from exact ints by the SAME
         # correctly-rounded op sequence the DuckDB twin uses
@@ -166,6 +184,7 @@ def pca_fit(
         "w_int": [c["w"] for c in comps],
         "s_int": s,
         "norms": norms,
+        "max_abs_q": maxq,
         "offsets": [
             float(sum(s[j] * c["w"][j] for j in range(d)))
             / n
@@ -178,10 +197,13 @@ def pca_fit(
 
 def pca_pcq_cols(model: dict, vec_col: str | Column) -> list[Column]:
     """The EXACT integer projections: one int64 column per component,
-    ``pcq_c = Σ_j floor(x_j·2^20)·w_cj`` — a JVM fold over ints (≤
-    d·2^20·2^15 per row, far inside int64), shuffle-free, and
-    bit-reproducible on any engine (the DuckDB twin computes the same
-    sum). ``pc_c = pcq_c/2^35/‖w_c‖ − offset_c``."""
+    ``pcq_c = Σ_j floor(x_j·2^20)·w_cj`` — a JVM fold over ints,
+    shuffle-free, and bit-reproducible on any engine (the DuckDB twin
+    computes the same sum). ``pc_c = pcq_c/2^35/‖w_c‖ − offset_c``.
+    CONTRACT: the fit audits the int64 bound d·max|x_q|·max|w| < 2^62
+    against the OBSERVED quantized magnitude (``model["max_abs_q"]``);
+    it certifies scoring data from the fitted distribution — wilder
+    inputs need a caller-side re-audit."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     zero = F.lit(0).cast("long")
     cols = []

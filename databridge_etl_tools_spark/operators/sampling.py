@@ -390,10 +390,48 @@ def curriculum_order(
             df.rdd.getNumPartitions(),
             int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         )
-    mult, n = df.agg(
-        F.max(F.col(id_col)) + 1, F.count(F.lit(1)).cast("bigint")
+    # key-contract validation (r9 advice): the combined key
+    # difficulty·mult + id is injective and order-preserving ONLY for
+    # integral difficulty and non-negative integer ids within
+    # [0, mult) — a float difficulty would silently truncate against
+    # the integer thresholds and a negative id would alias across
+    # deciles. Validate loudly instead.
+    from pyspark.sql import types as T
+
+    for c, what in ((id_col, "id_col"), (difficulty_col, "difficulty_col")):
+        dt = df.schema[c].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"curriculum_order: {what} {c!r} must be integral, got "
+                f"{dt.simpleString()} — the combined decile key "
+                "difficulty*mult + id is only injective over integer "
+                "difficulties and non-negative integer ids; quantize "
+                "(e.g. floor(difficulty*2^20)) first"
+            )
+    mult, n, idmin, dmin, dmax = df.agg(
+        F.max(F.col(id_col)) + 1,
+        F.count(F.lit(1)).cast("bigint"),
+        F.min(F.col(id_col)),
+        F.min(F.col(difficulty_col)),
+        F.max(F.col(difficulty_col)),
     ).first()
+    if n is None or int(n) == 0:
+        raise ValueError("curriculum_order: empty input")
     mult, n = int(mult), int(n)
+    if int(idmin) < 0:
+        raise ValueError(
+            f"curriculum_order: id_col {id_col!r} has negative values "
+            f"(min={idmin}) — ids must be non-negative for the decile "
+            "key to stay injective"
+        )
+    if max(abs(int(dmin)), abs(int(dmax))) * mult + mult >= 1 << 63:
+        raise ValueError(
+            f"curriculum_order: difficulty range [{dmin}, {dmax}] times "
+            f"id multiplier {mult} overflows the int64 decile key — "
+            "rescale the difficulty column"
+        )
     keyed = df.select(
         F.col(id_col),
         (F.col(difficulty_col) * F.lit(mult) + F.col(id_col)).alias("ck"),

@@ -150,3 +150,28 @@ def test_curriculum_order_default_shards_input_scaled(spark):
     assert got == explicit
     assert expected != 16
     assert len({(d, p) for _, d, p in got}) == len(got)  # injective
+
+
+def test_curriculum_order_rejects_bad_key_inputs(spark):
+    """The decile key difficulty*mult + id is only injective for
+    integral difficulty and non-negative ids — both rejected loudly
+    (r9 advice)."""
+    import pytest
+
+    from databridge_etl_tools_spark.operators.sampling import curriculum_order
+
+    floaty = spark.createDataFrame(
+        [(1, 0.5), (2, 1.5)], "doc_id long, diff double"
+    )
+    with pytest.raises(ValueError, match="must be integral"):
+        curriculum_order(floaty, "doc_id", "diff", n_shards=2)
+    negative = spark.createDataFrame(
+        [(-1, 5), (2, 7)], "doc_id long, diff long"
+    )
+    with pytest.raises(ValueError, match="negative"):
+        curriculum_order(negative, "doc_id", "diff", n_shards=2)
+    huge = spark.createDataFrame(
+        [(1, 1 << 40), (2, 1 << 41)], "doc_id long, diff long"
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        curriculum_order(huge.withColumn("doc_id", huge["doc_id"] + (1 << 30)), "doc_id", "diff", n_shards=2)
