@@ -165,6 +165,8 @@ HEADLINE = [
     "graph_pagerank_weighted",
     # r10 additions
     "proj_pa_south_datum_pipeline",
+    "graph_components_trading_blocs",
+    "graph_communities_weighted",
 ]
 
 

@@ -266,6 +266,8 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iters: int = 4,
+    weight_col: "str | None" = None,
+    self_weight: int = 1,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) —
     community detection over an edge DataFrame: every node starts as
@@ -277,8 +279,15 @@ def label_propagation(
     like the PageRank fixpoint; after ``iters`` rounds the label is
     the community id (min-id representative in converged regions).
 
-    Per round: one src-keyed equi-join + one (node, label) count +
-    one per-node argmax window over ≤ degree+1 rows, iterate
+    WEIGHTED variant (``weight_col`` — positive integers; duplicate
+    (src, dst) rows sum): a neighbor's vote counts its edge weight
+    and the self-vote counts ``self_weight``, so strongly-attached
+    labels win over merely-numerous ones; vote sums run in
+    DECIMAL(38,0)/HUGEINT (exact at any strength), ties still to the
+    smallest label — exactly as replayable as the unweighted count.
+
+    Per round: one src-keyed equi-join + one (node, label) weight sum
+    + one per-node argmax window over ≤ degree+1 rows, iterate
     checkpointed (the same lineage-cut discipline as ``pagerank``).
     Supply both edge directions for an undirected graph. Returns
     ``(node, label)``."""
@@ -286,11 +295,24 @@ def label_propagation(
 
     from .materialize import materialize
 
-    e = materialize(
-        edges.select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst")
-        ).distinct()
-    )
+    if weight_col is None:
+        e = materialize(
+            edges.select(
+                F.col(src).alias("_src"), F.col(dst).alias("_dst")
+            ).distinct()
+        )
+    else:
+        e = materialize(
+            edges.groupBy(
+                F.col(src).alias("_src"), F.col(dst).alias("_dst")
+            ).agg(F.sum(F.col(weight_col)).cast("long").alias("_w"))
+        )
+        wmin = e.agg(F.min("_w")).first()[0]
+        if wmin is not None and wmin <= 0:
+            raise ValueError(
+                "label_propagation: weights must be positive integers, "
+                f"found {wmin}"
+            )
     nodes = materialize(
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
@@ -307,20 +329,102 @@ def label_propagation(
         F.desc("_n"), F.asc("label")
     )
     for _ in range(iters):
-        neigh = (
-            hint(labels)
-            .join(e, F.col("node") == e["_src"])
-            .select(F.col("_dst").alias("node"), "label")
-        )
-        votes = neigh.unionByName(labels.select("node", "label"))
-        counts = votes.groupBy("node", "label").agg(
-            F.count(F.lit(1)).cast("long").alias("_n")
+        if weight_col is None:
+            neigh = (
+                hint(labels)
+                .join(e, F.col("node") == e["_src"])
+                .select(
+                    F.col("_dst").alias("node"),
+                    "label",
+                    F.lit(1).cast("long").alias("_v"),
+                )
+            )
+            selfv = labels.select(
+                "node", "label", F.lit(1).cast("long").alias("_v")
+            )
+        else:
+            neigh = (
+                hint(labels)
+                .join(e, F.col("node") == e["_src"])
+                .select(
+                    F.col("_dst").alias("node"),
+                    "label",
+                    F.col("_w").alias("_v"),
+                )
+            )
+            selfv = labels.select(
+                "node",
+                "label",
+                F.lit(int(self_weight)).cast("long").alias("_v"),
+            )
+        counts = (
+            neigh.unionByName(selfv)
+            .groupBy("node", "label")
+            .agg(F.sum(F.col("_v").cast("decimal(38,0)")).alias("_n"))
         )
         labels = materialize(
             counts.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1)
             .select("node", "label")
         )
+    return labels
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 6,
+) -> DataFrame:
+    """Connected components as a min-label fixpoint: every node starts
+    as its own label, each round takes ``min(label, min over incoming
+    neighbors' labels)``. The update is MONOTONE (labels only
+    decrease), so like BFS it unrolls into oracle CTE levels, and the
+    engine may propagate only the CHANGED frontier — a node whose
+    label did not change last round has nothing new to offer its
+    neighbors (the min-merge would discard the re-delivery) — while
+    the unrolled twin re-propagates everything: identical labels at
+    every level, strictly less join work (the BFS frontier-delta
+    argument, pinned in tests). After ``iters`` rounds, nodes within
+    graph distance ``iters`` of their component's minimum carry it;
+    ``iters`` is the replay contract (covers diameter ≤ iters — at
+    web scale you'd run log-diameter rounds of the same plan shape).
+    Supply both edge directions for an undirected graph. Returns
+    ``(node, label)``."""
+    from .materialize import materialize
+
+    e = materialize(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).distinct()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    labels = materialize(nodes.select("node", F.col("node").alias("label")))
+    frontier = labels
+    for _ in range(iters):
+        prop = (
+            frontier.join(e, frontier["node"] == e["_src"])
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        merged = materialize(
+            labels.join(prop, "node", "left").select(
+                "node",
+                F.col("label").alias("_old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        frontier = merged.where(F.col("label") < F.col("_old")).select(
+            "node", "label"
+        )
+        labels = merged.select("node", "label")
     return labels
 
 

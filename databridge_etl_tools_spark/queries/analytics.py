@@ -2758,3 +2758,190 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         supp, ranks["node"] == supp["s_suppkey"] * 2 + 1
     ).select("s_suppkey", "s_name", "rank_q", "rank")
+
+
+_PAIR_CTE = """pair AS MATERIALIZED (
+      SELECT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2)"""
+
+
+def _components_oracle(min_trades: int = 4, iters: int = 6, k: int = 20) -> str:
+    """Min-label fixpoint unrolled (full re-propagation — the engine's
+    changed-frontier delta walks identical levels; the min-merge
+    absorbs re-deliveries)."""
+    parts = [f"""
+    WITH {_PAIR_CTE},
+    ed AS MATERIALIZED (
+      SELECT c AS src, s AS dst FROM pair WHERE w >= {min_trades}
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pair WHERE w >= {min_trades}),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    l{i} AS MATERIALIZED (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT node, label FROM l{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, l.label
+        FROM l{i - 1} l JOIN ed e ON e.src = l.node) t
+      GROUP BY 1)""")
+    parts.append(f"""
+    SELECT label AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, label)
+                AS INTEGER) AS position
+    FROM l{iters}
+    GROUP BY label
+    ORDER BY n_members DESC, component
+    LIMIT {k}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "graph_components_trading_blocs", oracle=_components_oracle(), gate=False
+)
+def graph_components_trading_blocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED COMPONENTS (``operators.graph.connected_components``,
+    the graph family's fifth member): the LOYAL-trade subgraph —
+    customer↔supplier pairs with ≥ 4 trades — fragments into isolated
+    trading blocs (73 components at sf0.01), and the min-label
+    fixpoint names each bloc by its minimum node id. The update is
+    monotone, so the engine propagates only the CHANGED frontier each
+    round while the DuckDB twin re-propagates everything — identical
+    labels at every one of the 6 unrolled levels (the BFS
+    frontier-delta argument). Census of the top-20 blocs by size."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .where(F.col("w") >= 4)
+    )
+    edges = pair.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pair.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    labels = connected_components(edges, iters=6)
+    w = Window.orderBy(F.desc("n_members"), F.asc("component"))
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(
+                F.when(F.col("node") % 2 == 1, 1).otherwise(0)
+            ).cast("bigint").alias("n_suppliers"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("int"))
+        .where(F.col("position") <= 20)
+        .select("component", "n_members", "n_suppliers", "position")
+    )
+
+
+def _communities_weighted_oracle(
+    min_trades: int = 2, iters: int = 4, k: int = 20
+) -> str:
+    """Weighted LPA unrolled: votes are trade COUNTS (not mere
+    adjacency), self-vote weight 1, smallest-label ties — HUGEINT
+    sums mirror the engine's DECIMAL(38,0)."""
+    parts = [f"""
+    WITH {_PAIR_CTE},
+    ed AS MATERIALIZED (
+      SELECT c AS src, s AS dst, w FROM pair WHERE w >= {min_trades}
+      UNION ALL
+      SELECT s AS src, c AS dst, w FROM pair WHERE w >= {min_trades}),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    v{i} AS (SELECT e.dst AS node, l.label, e.w AS v
+             FROM l{i - 1} l JOIN ed e ON e.src = l.node
+             UNION ALL SELECT node, label, CAST(1 AS BIGINT) FROM l{i - 1}),
+    c{i} AS (SELECT node, label, SUM(v) AS n
+             FROM v{i} GROUP BY 1, 2),
+    l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                  ORDER BY n DESC, label) AS rk
+        FROM c{i}) t
+      WHERE rk = 1)""")
+    parts.append(f"""
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, label)
+                AS INTEGER) AS position
+    FROM l{iters}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT {k}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "graph_communities_weighted",
+    oracle=_communities_weighted_oracle(),
+    gate=False,
+)
+def graph_communities_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED LABEL PROPAGATION
+    (``operators.graph.label_propagation`` with ``weight_col``, the
+    graph family's sixth member): communities of the repeat-trade
+    purchase graph where a neighbor's vote counts the TRADE FREQUENCY
+    — a customer follows the supplier bloc it trades with most, not
+    the one with the most one-off contacts (170 communities at
+    sf0.01; the strength-aware census a marketplace segmentation
+    wants). Same deterministic contract as unweighted LPA (self-vote
+    weight 1, smallest-label ties, DECIMAL(38,0)/HUGEINT vote sums);
+    the DuckDB twin unrolls all 4 weighted vote→sum→argmax rounds
+    bit-for-bit. Top-20 communities by size."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import label_propagation
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    edges = pair.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    labels = label_propagation(edges, iters=4, weight_col="w")
+    w = Window.orderBy(F.desc("n_members"), F.asc("community"))
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(
+                F.when(F.col("node") % 2 == 1, 1).otherwise(0)
+            ).cast("bigint").alias("n_suppliers"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("int"))
+        .where(F.col("position") <= 20)
+        .select("community", "n_members", "n_suppliers", "position")
+    )

@@ -231,3 +231,90 @@ def test_weighted_pagerank_rejects_nonpositive_weights(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         pagerank(df, weight_col="w")
+
+
+def test_connected_components_multi_component(spark):
+    """Three components (path, triangle, isolate-pair): every node
+    carries its component minimum after iters >= diameter, and the
+    changed-frontier engine equals a full-propagation python twin at
+    the SAME iteration count."""
+    from databridge_etl_tools_spark.operators.graph import (
+        connected_components,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 6):
+        got = {
+            (r.node, r.label)
+            for r in connected_components(df, iters=iters).collect()
+        }
+        # python twin: full re-propagation, same fixed iteration count
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(v, []).append(u)
+        lab = {n: n for n in {u for u, _ in edges} | {v for _, v in edges}}
+        for _ in range(iters):
+            lab = {
+                n: min([lab[n]] + [lab[u] for u in adj.get(n, [])])
+                for n in lab
+            }
+        assert got == {(n, l) for n, l in lab.items()}, iters
+    # converged labels = component minima
+    final = {r.node: r.label for r in connected_components(df, iters=6).collect()}
+    assert final == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_weighted_label_propagation_python_replay(spark):
+    """Weighted LPA: bit-exact python replay of the vote sums, and a
+    heavy edge flips a node's community vs the unweighted vote."""
+    from databridge_etl_tools_spark.operators.graph import label_propagation
+
+    # node 3 has two light edges into {1,2}'s community and one heavy
+    # edge to 9: unweighted it joins min-label 1, weighted it joins 9
+    wedges = [
+        (1, 2, 1), (2, 1, 1), (1, 3, 1), (3, 1, 1), (2, 3, 1), (3, 2, 1),
+        (3, 9, 5), (9, 3, 5),
+    ]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got_w = {
+        (r.node, r.label)
+        for r in label_propagation(df, iters=4, weight_col="w").collect()
+    }
+    got_u = {
+        (r.node, r.label)
+        for r in label_propagation(df.select("src", "dst"), iters=4).collect()
+    }
+
+    def py_lpa(weighted: bool) -> set:
+        nodes = sorted({u for u, _, _ in wedges} | {v for _, v, _ in wedges})
+        lab = {n: n for n in nodes}
+        inw = {}
+        for u, v, w in wedges:
+            inw.setdefault(v, []).append((u, w if weighted else 1))
+        for _ in range(4):
+            new = {}
+            for n in nodes:
+                votes = {}
+                votes[lab[n]] = votes.get(lab[n], 0) + 1  # self-vote
+                for u, w in inw.get(n, []):
+                    votes[lab[u]] = votes.get(lab[u], 0) + w
+                best = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0]
+                new[n] = best[0]
+            lab = new
+        return {(n, l) for n, l in lab.items()}
+
+    assert got_w == py_lpa(True)
+    assert got_u == py_lpa(False)
+    assert got_w != got_u  # the heavy edge changed at least one label
+
+
+def test_label_propagation_rejects_nonpositive_weights(spark):
+    import pytest
+
+    from databridge_etl_tools_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="positive"):
+        label_propagation(df, weight_col="w")
