@@ -167,6 +167,8 @@ HEADLINE = [
     "proj_pa_south_datum_pipeline",
     "graph_components_trading_blocs",
     "graph_communities_weighted",
+    "graph_triangles_copurchase",
+    "graph_affinity_distance",
 ]
 
 

@@ -484,3 +484,139 @@ def bfs_distances(
             .agg(F.min("dist").cast("int").alias("dist"))
         )
     return dist
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts — the local clustering signal (spam
+    farms and boilerplate rings are triangle-dense; organic link
+    neighborhoods are not). DEGREE-ORDERED enumeration, the standard
+    scale trick: orient every undirected edge from its lower-degree
+    endpoint to the higher (ties by node id), so each triangle is
+    enumerated exactly once at its lowest-degree apex and the wedge
+    join's fan-out is bounded by Σ d_i^(3/2) instead of Σ d_i² — a
+    hub of degree d contributes wedges only through its (few)
+    lower-degree neighbors, never d² of its own. Three joins total
+    (wedge build + closing-edge semi-join + count-back), no
+    iteration. Supply both edge directions; returns ``(node,
+    n_triangles)`` for every node in the graph (0 for
+    triangle-free)."""
+    from .materialize import materialize
+
+    e = materialize(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).where(F.col(src) != F.col(dst)).distinct()
+    )
+    deg = e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # total order on nodes: (degree, node id) — deterministic
+    da = deg.select(F.col("node").alias("_src"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("node").alias("_dst"), F.col("deg").alias("_degb"))
+    oriented = materialize(
+        e.join(da, "_src")
+        .join(db, "_dst")
+        .where(
+            (F.col("_dega") < F.col("_degb"))
+            | ((F.col("_dega") == F.col("_degb")) & (F.col("_src") < F.col("_dst")))
+        )
+        .select("_src", "_dst")
+    )
+    a = oriented.select(F.col("_src").alias("_apex"), F.col("_dst").alias("_b"))
+    b = oriented.select(F.col("_src").alias("_apex"), F.col("_dst").alias("_c"))
+    wedges = a.join(b, "_apex").where(F.col("_b") < F.col("_c"))
+    closing = oriented.select(
+        F.col("_src").alias("_b"), F.col("_dst").alias("_c")
+    ).unionByName(
+        oriented.select(F.col("_dst").alias("_b"), F.col("_src").alias("_c"))
+    )
+    tris = wedges.join(closing, ["_b", "_c"], "left_semi").select(
+        "_apex", "_b", "_c"
+    )
+    per_node = (
+        tris.select(F.col("_apex").alias("node"))
+        .unionByName(tris.select(F.col("_b").alias("node")))
+        .unionByName(tris.select(F.col("_c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    nodes = deg.select("node")
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+            "n_triangles"
+        ),
+    )
+
+
+def shortest_paths_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Bounded-hop weighted shortest paths (min-plus Bellman-Ford):
+    exact cheapest-path cost from a source set using at most
+    ``max_hops`` edges — BFS generalized to the tropical semiring.
+    Weights must be POSITIVE INTEGERS (costs stay exact int64, so the
+    fixed relaxation count unrolls into oracle CTE levels bit-for-bit;
+    guarded). Each round relaxes only the IMPROVED frontier — a node
+    whose cost did not improve last round already delivered every
+    relaxation it can (the min-merge discards re-deliveries), the
+    same delta argument as BFS/components; the unrolled twin relaxes
+    everything, identical costs per level. Returns ``(node, dist)``
+    for nodes reachable within ``max_hops`` edges."""
+    from .materialize import materialize
+
+    e = materialize(
+        edges.groupBy(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).agg(F.min(F.col(weight_col)).cast("long").alias("_w"))
+    )
+    wmin = e.agg(F.min("_w")).first()[0]
+    if wmin is not None and wmin <= 0:
+        raise ValueError(
+            f"shortest_paths_bounded: weights must be positive integers, "
+            f"found {wmin}"
+        )
+    dist = materialize(
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        relax = frontier.join(e, frontier["node"] == e["_src"]).select(
+            F.col("_dst").alias("node"),
+            (F.col("dist") + F.col("_w")).cast("long").alias("dist"),
+        )
+        merged = materialize(
+            dist.select("node", F.col("dist").alias("_old"))
+            .join(
+                relax.groupBy("node").agg(F.min("dist").alias("_new")),
+                "node",
+                "full",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("_old"), F.lit((1 << 62))).alias("_old"),
+                F.least(
+                    F.coalesce(F.col("_old"), F.lit((1 << 62))),
+                    F.coalesce(F.col("_new"), F.lit((1 << 62))),
+                ).alias("dist"),
+            )
+        )
+        frontier = merged.where(F.col("dist") < F.col("_old")).select(
+            "node", "dist"
+        )
+        dist = merged.select("node", "dist")
+    return dist

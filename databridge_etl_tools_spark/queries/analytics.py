@@ -2945,3 +2945,178 @@ def graph_communities_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("position") <= 20)
         .select("community", "n_members", "n_suppliers", "position")
     )
+
+
+def _triangles_oracle(min_shared: int = 4, k: int = 20) -> str:
+    """Degree-ordered triangle enumeration replayed in SQL: identical
+    (degree, id) total order, identical wedge+closing-edge logic."""
+    return f"""
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    co AS MATERIALIZED (
+      SELECT a.c AS x, b.c AS y
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT x AS node FROM co UNION ALL SELECT y FROM co) t
+      GROUP BY 1),
+    orient AS MATERIALIZED (
+      SELECT CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND co.x < co.y)
+                  THEN co.x ELSE co.y END AS s,
+             CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND co.x < co.y)
+                  THEN co.y ELSE co.x END AS d
+      FROM co
+      JOIN deg da ON da.node = co.x
+      JOIN deg db ON db.node = co.y),
+    tri AS (
+      SELECT o1.s AS apex, o1.d AS b, o2.d AS c
+      FROM orient o1 JOIN orient o2 ON o1.s = o2.s AND o1.d < o2.d
+      WHERE EXISTS (SELECT 1 FROM co e
+                    WHERE e.x = LEAST(o1.d, o2.d)
+                      AND e.y = GREATEST(o1.d, o2.d))),
+    pern AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT apex AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) t
+      GROUP BY 1)
+    SELECT d.node AS c_custkey,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY COALESCE(p.n_triangles, 0) DESC, d.node)
+             AS INTEGER) AS position
+    FROM deg d LEFT JOIN pern p USING (node)
+    ORDER BY n_triangles DESC, c_custkey
+    LIMIT {k}
+    """
+
+
+@query("graph_triangles_copurchase", oracle=_triangles_oracle(), gate=False)
+def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTS (``operators.graph.triangle_counts``, the graph
+    family's seventh member): local clustering over the customer
+    co-purchase graph — customers sharing ≥ 4 distinct parts — where
+    a triangle-dense neighborhood marks a tightly-clustered buying
+    circle (the same signal that flags link farms and boilerplate
+    rings on a web graph). Degree-ordered enumeration: every edge is
+    oriented from its lower-(degree, id) endpoint, so each triangle
+    is counted once at its lowest-degree apex and the wedge join's
+    fan-out stays Σ d^(3/2) — hub nodes never expand their own d²
+    neighborhoods. Three joins, no iteration, no Python; the DuckDB
+    twin replays the identical orientation and wedge logic. Top-20
+    customers by triangle membership."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import triangle_counts
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    co = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("x"), F.col("b.c").alias("y"))
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .where(F.col("_k") >= 4)
+        .select("x", "y")
+    )
+    edges = co.select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).unionByName(co.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+    counts = triangle_counts(edges)
+    w = Window.orderBy(F.desc("n_triangles"), F.asc("c_custkey"))
+    return (
+        counts.select(F.col("node").alias("c_custkey"), "n_triangles")
+        .withColumn("position", F.row_number().over(w).cast("int"))
+        .where(F.col("position") <= 20)
+        .select("c_custkey", "n_triangles", "position")
+    )
+
+
+def _affinity_distance_oracle(max_hops: int = 4, k: int = 20) -> str:
+    """Min-plus relaxation unrolled (full re-relaxation — the engine's
+    improved-only frontier walks identical levels)."""
+    parts = [f"""
+    WITH {_PAIR_CTE},
+    ed AS MATERIALIZED (
+      SELECT c AS src, s AS dst, GREATEST(1, 8 - w) AS cost FROM pair
+      UNION ALL
+      SELECT s AS src, c AS dst, GREATEST(1, 8 - w) AS cost FROM pair),
+    d0 AS (SELECT CAST(3 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"""]
+    for i in range(1, max_hops + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.cost AS dist
+        FROM d{i - 1} d JOIN ed e ON e.src = d.node) t
+      GROUP BY 1)""")
+    parts.append(f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist,
+           CAST(node % 2 = 1 AS BOOLEAN) AS is_supplier,
+           CAST(ROW_NUMBER() OVER (ORDER BY dist, node) AS INTEGER)
+             AS position
+    FROM d{max_hops}
+    ORDER BY dist, node
+    LIMIT {k}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "graph_affinity_distance", oracle=_affinity_distance_oracle(), gate=False
+)
+def graph_affinity_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED WEIGHTED SHORTEST PATHS
+    (``operators.graph.shortest_paths_bounded``, the graph family's
+    eighth member — min-plus Bellman-Ford): trade-affinity distance
+    from supplier 1 over the purchase graph, edge cost = max(1, 8 −
+    trades) so frequent trading partners are CLOSE — the weighted
+    generalization of the BFS radius demo (and of multi-hop
+    trust/affinity propagation on an interaction graph). Integer
+    costs make every relaxation exact; the engine relaxes only the
+    improved frontier each round while the DuckDB twin re-relaxes
+    everything — identical costs at all 4 unrolled levels. Top-20
+    closest nodes."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import shortest_paths_bounded
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    cost = F.greatest(F.lit(1).cast("long"), F.lit(8) - F.col("w"))
+    edges = pair.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), cost.alias("cost")
+    ).unionByName(
+        pair.select(
+            F.col("s").alias("src"), F.col("c").alias("dst"), cost.alias("cost")
+        )
+    )
+    srcs = spark.range(1).select(F.lit(3).cast("long").alias("node"))
+    dist = shortest_paths_bounded(
+        edges, srcs, weight_col="cost", max_hops=4
+    )
+    w = Window.orderBy(F.asc("dist"), F.asc("node"))
+    return (
+        dist.withColumn("is_supplier", (F.col("node") % 2 == 1))
+        .withColumn("position", F.row_number().over(w).cast("int"))
+        .where(F.col("position") <= 20)
+        .select("node", "dist", "is_supplier", "position")
+    )

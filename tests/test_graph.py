@@ -318,3 +318,84 @@ def test_label_propagation_rejects_nonpositive_weights(spark):
     df = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
     with pytest.raises(ValueError, match="positive"):
         label_propagation(df, weight_col="w")
+
+
+def test_triangle_counts_known_graph(spark):
+    """Two triangles sharing edge (2,3), a pendant, an isolate-pair:
+    hand-counted per-node triangle membership, zero for
+    triangle-free nodes."""
+    from databridge_etl_tools_spark.operators.graph import triangle_counts
+
+    und = [(1, 2), (2, 3), (3, 1), (2, 4), (3, 4), (4, 5), (10, 11)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1, 5: 0, 10: 0, 11: 0}
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    """Degree-ordered enumeration equals the brute-force count on a
+    pseudo-random graph (including hubs where the ordering matters)."""
+    from itertools import combinations
+
+    from databridge_etl_tools_spark.operators.graph import triangle_counts
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in (
+        ((i * 7919) % 30, (i * i * 104729 + i) % 30) for i in range(160)
+    ) if a != b})
+    edges = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    eset = set(pairs)
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    want = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    assert got == want
+
+
+def test_shortest_paths_bounded_exact_and_hop_capped(spark):
+    """Weighted path with a shortcut: the 2-edge cheap route beats the
+    1-edge expensive one; the hop cap excludes longer routes; python
+    Bellman-Ford twin at the same hop count agrees exactly."""
+    from databridge_etl_tools_spark.operators.graph import (
+        shortest_paths_bounded,
+    )
+
+    wedges = [
+        (1, 2, 10), (1, 3, 1), (3, 2, 2),          # 1→2 direct 10, via 3: 3
+        (2, 4, 1), (4, 5, 1), (5, 6, 1), (6, 7, 1)  # long tail
+    ]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    for hops in (1, 2, 4):
+        got = {
+            r.node: r.dist
+            for r in shortest_paths_bounded(
+                df, srcs, max_hops=hops
+            ).collect()
+        }
+        dist = {1: 0}
+        for _ in range(hops):
+            new = dict(dist)
+            for u, v, w in wedges:
+                if u in dist and dist[u] + w < new.get(v, 1 << 62):
+                    new[v] = dist[u] + w
+            dist = new
+        assert got == dist, hops
+
+
+def test_shortest_paths_rejects_nonpositive_weights(spark):
+    import pytest
+
+    from databridge_etl_tools_spark.operators.graph import (
+        shortest_paths_bounded,
+    )
+
+    df = spark.createDataFrame([(1, 2, -1)], "src long, dst long, w long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="positive"):
+        shortest_paths_bounded(df, srcs)
