@@ -169,6 +169,8 @@ HEADLINE = [
     "graph_communities_weighted",
     "graph_triangles_copurchase",
     "graph_affinity_distance",
+    "geo_haversine_customers",
+    "text_kneser_ney_bigram",
 ]
 
 

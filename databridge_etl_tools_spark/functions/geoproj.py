@@ -218,6 +218,44 @@ def pa_south_fixed_steps(
     }
 
 
+def haversine_steps(
+    sb,
+    lat1: str,
+    lon1: str,
+    lat2: str,
+    lon2: str,
+    radius_m: float = 6371008.8,
+) -> str:
+    """Great-circle distance (haversine) in metres as cross-engine
+    deterministic steps on a ``fixtrig.StepBuilder`` — the geodesic
+    twin of the datum pipeline: hav = sin²(Δφ/2) + cosφ₁·cosφ₂·
+    sin²(Δλ/2), d = 2R·atan(√h / √(1−h)). Transcendental seams via
+    Q40 fixed point (sin with |x| ≤ π/2 arguments by construction:
+    half-angles of coordinates; cos φ = 1 − 2·sin²(φ/2) keeps every
+    sin argument in (−π/4, π/4) for any latitude); everything else is
+    IEEE-exact glue (±×÷, sqrt). atan uses the any-domain 3-halving
+    form. Valid for non-antipodal pairs (1−h > 0). Mean Earth radius
+    default. Returns the distance column name."""
+    from ..operators.fixtrig import dlit
+
+    d2r = dlit(math.pi / 180.0)
+    p1h = sb.emit(f"(({lat1}) * {d2r} * {dlit(0.5)})")
+    p2h = sb.emit(f"(({lat2}) * {d2r} * {dlit(0.5)})")
+    dph = sb.emit(f"((({lat2}) - ({lat1})) * {d2r} * {dlit(0.5)})")
+    dlh = sb.emit(f"((({lon2}) - ({lon1})) * {d2r} * {dlit(0.5)})")
+    s1 = sb.sin(dph)
+    s2 = sb.sin(dlh)
+    sp1 = sb.sin(p1h)
+    sp2 = sb.sin(p2h)
+    c1 = sb.emit(f"({dlit(1.0)} - {dlit(2.0)} * ({sp1}) * ({sp1}))")
+    c2 = sb.emit(f"({dlit(1.0)} - {dlit(2.0)} * ({sp2}) * ({sp2}))")
+    h = sb.emit(
+        f"(({s1}) * ({s1}) + ({c1}) * ({c2}) * ({s2}) * ({s2}))"
+    )
+    at = sb.atan(f"(SQRT({h}) / SQRT({dlit(1.0)} - ({h})))")
+    return sb.emit(f"({dlit(2.0 * radius_m)} * ({at}))")
+
+
 def reproject_point_wkt(
     wkt: Column, from_srid: int, to_srid: int, **kw
 ) -> Column:

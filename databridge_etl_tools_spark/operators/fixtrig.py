@@ -67,8 +67,6 @@ EXP_C = [round(Q / math.factorial(k)) for k in range(16)]
 EXP_C_UNIT = [round(Q / math.factorial(k)) for k in range(18)]
 
 _LN2 = math.log(2.0)
-_LN_LADDER = [(16.0, 4), (8.0, 3), (4.0, 2), (2.0, 1), (1.0, 0),
-              (0.5, -1), (0.25, -2), (0.125, -3), (0.0625, -4)]
 
 
 _BARE_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -175,20 +173,23 @@ class StepBuilder:
             )
         return self._odd_poly(u, ATAN_C, postscale=float(1 << halvings))
 
-    def ln(self, u_dexpr: str) -> str:
-        """ln(u) for u ∈ [2^-5, 32): CASE ladder picks the power-of-two
-        scale (comparisons + power-of-two divides are exact), then
-        ln(m) = 2·atanh((m-1)/(m+1)) on m ∈ [1,2), plus k·ln2.
-        6 levels."""
+    def ln(self, u_dexpr: str, lo_exp: int = -5, hi_exp: int = 5) -> str:
+        """ln(u) for u ∈ [2^lo_exp, 2^hi_exp): CASE ladder picks the
+        power-of-two scale (comparisons + power-of-two divides are
+        exact), then ln(m) = 2·atanh((m-1)/(m+1)) on m ∈ [1,2), plus
+        k·ln2. Widen the ladder for small probabilities (e.g.
+        lo_exp=-60 covers p ≥ 8.7e-19 — each extra octave is one CASE
+        branch, zero extra levels). 6 levels."""
         u = self.emit(u_dexpr)
+        ladder = [(2.0 ** k, k) for k in range(hi_exp - 1, lo_exp, -1)]
         k_expr = "CASE " + " ".join(
             f"WHEN ({u}) >= {dlit(b)} THEN {dlit(float(k))}"
-            for b, k in _LN_LADDER
-        ) + f" ELSE {dlit(-5.0)} END"
+            for b, k in ladder
+        ) + f" ELSE {dlit(float(lo_exp))} END"
         s_expr = "CASE " + " ".join(
-            f"WHEN ({u}) >= {dlit(b)} THEN {dlit(2.0 ** k)}"
-            for b, k in _LN_LADDER
-        ) + f" ELSE {dlit(2.0 ** -5)} END"
+            f"WHEN ({u}) >= {dlit(b)} THEN {dlit(b)}"
+            for b, k in ladder
+        ) + f" ELSE {dlit(2.0 ** lo_exp)} END"
         m = self.emit(f"(({u}) / ({s_expr}))")
         at = self._odd_poly(
             f"((({m}) - {dlit(1.0)}) / (({m}) + {dlit(1.0)}))", ATANH_C
@@ -274,10 +275,10 @@ def py_atan(u: float, halvings: int = 3) -> float:
     return _py_odd(u, ATAN_C) * float(1 << halvings)
 
 
-def py_ln(u: float) -> float:
-    k = -5
-    for b, kk in _LN_LADDER:
-        if u >= b:
+def py_ln(u: float, lo_exp: int = -5, hi_exp: int = 5) -> float:
+    k = lo_exp
+    for kk in range(hi_exp - 1, lo_exp, -1):
+        if u >= 2.0 ** kk:
             k = kk
             break
     m = u / (2.0 ** k)

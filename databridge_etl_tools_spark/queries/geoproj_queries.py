@@ -113,3 +113,67 @@ def proj_pa_south_datum_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(cols["merc_x_nudged"]).alias("merc_x_nudged"),
         F.col(cols["merc_y_nudged"]).alias("merc_y_nudged"),
     )
+
+
+_HAV_LON = "CAST(-76 AS DOUBLE) + (c_custkey % 100) / CAST(100 AS DOUBLE)"
+_HAV_LAT = "CAST(39 AS DOUBLE) + (c_custkey % 37) / CAST(37 AS DOUBLE)"
+_CITY_HALL = (-75.16352, 39.95258)
+
+
+def _haversine_oracle(k: int = 20) -> str:
+    sb = StepBuilder("duckdb")
+    from ..operators.fixtrig import dlit
+
+    dist = GP.haversine_steps(
+        sb, "lat", "lon", dlit(_CITY_HALL[1]), dlit(_CITY_HALL[0])
+    )
+    parts = [
+        "WITH pts AS (SELECT c_custkey, "
+        f"{_HAV_LON} AS lon, {_HAV_LAT} AS lat FROM customer)"
+    ]
+    prev = "pts"
+    for i, (name, expr) in enumerate(sb.steps):
+        parts.append(f", s{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})")
+        prev = f"s{i}"
+    parts.append(
+        f" SELECT c_custkey, lon, lat, {dist} AS dist_m, "
+        f"CAST(ROW_NUMBER() OVER (ORDER BY {dist}, c_custkey) AS INTEGER)"
+        f" AS position FROM {prev} ORDER BY dist_m, c_custkey LIMIT {k}"
+    )
+    return "\n".join(parts)
+
+
+@query("geo_haversine_customers", oracle=_haversine_oracle(), gate=False)
+def geo_haversine_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREAT-CIRCLE DISTANCE (``geoproj.haversine_steps`` over
+    ``operators/fixtrig.py``): the 20 synthetic customer points
+    nearest Philadelphia City Hall by exact-replay haversine —
+    UNROUNDED double metres hash-matched cross-engine, because the
+    only transcendentals (sin on half-angles, any-domain atan) run in
+    Q40 integer fixed point emitted by the same generator for both
+    dialects. The geodesic every spatial join/radius query needs,
+    demonstrated as a reusable cross-engine function rather than a
+    one-off: the fixtrig seam now covers the LCC datum pipeline AND
+    spherical geodesy. Top-k compiles to TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    from ..operators.fixtrig import dlit
+
+    cust = table(spark, sf_dir, "customer", access="scan")
+    df = cust.selectExpr(
+        "c_custkey", f"{_HAV_LON} AS lon", f"{_HAV_LAT} AS lat"
+    )
+    sb = StepBuilder("spark")
+    dist = GP.haversine_steps(
+        sb, "lat", "lon", dlit(_CITY_HALL[1]), dlit(_CITY_HALL[0])
+    )
+    df = apply_steps_spark(df, sb)
+    w = Window.orderBy(F.asc(dist), F.asc("c_custkey"))
+    return (
+        df.withColumn("position", F.row_number().over(w).cast("int"))
+        .where(F.col("position") <= 20)
+        .select(
+            "c_custkey", "lon", "lat",
+            F.col(dist).alias("dist_m"), "position",
+        )
+    )

@@ -3812,3 +3812,146 @@ def corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").cast("bigint").alias("min_pos"),
         )
     )
+
+
+_TK_CTE = f"""tk AS MATERIALIZED (
+      SELECT doc_id, pos, toks[pos] AS t
+      FROM (SELECT doc_id, {_TOK} AS toks
+            FROM documents WHERE text IS NOT NULL),
+           unnest(range(1, len(toks) + 1)) AS u(pos))"""
+
+#: Kneser-Ney interpolated bigram probability with discount d = 3/4,
+#: over exact integer count columns (c12, c1, n1p, ncont, nt) —
+#: IDENTICAL SQL text on both engines: integer arithmetic + three
+#: correctly-rounded double divisions + one addition, so the double
+#: is deterministic; the subsequent ln runs in Q40 fixed point.
+_KN_P_EXPR = (
+    "(CAST(GREATEST(4 * c12 - 3, 0) AS DOUBLE) / CAST(4 * c1 AS DOUBLE)"
+    " + CAST(3 * n1p * ncont AS DOUBLE) / CAST(4 * c1 AS DOUBLE)"
+    " / CAST(nt AS DOUBLE))"
+)
+_KN_Q30 = float(1 << 30)
+
+
+def _kneser_ney_oracle() -> str:
+    from ..operators.fixtrig import StepBuilder, dlit
+
+    sb = StepBuilder("duckdb")
+    lncol = sb.ln(_KN_P_EXPR, lo_exp=-60, hi_exp=2)
+    parts = [f"""
+    WITH {_TK_CTE},
+    bg AS MATERIALIZED (
+      SELECT a.doc_id, a.t AS w1, b.t AS w2
+      FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    c12 AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS n1p
+           FROM c12 GROUP BY 1),
+    nc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM c12 GROUP BY 1),
+    ntt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c12),
+    p0 AS MATERIALIZED (
+      SELECT c12.w1, c12.w2, c12.c12, c1.c1, c1.n1p, nc.ncont,
+             (SELECT nt FROM ntt) AS nt
+      FROM c12 JOIN c1 USING (w1) JOIN nc USING (w2))"""]
+    prev = "p0"
+    for i, (name, expr) in enumerate(sb.steps):
+        parts.append(f", k{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})")
+        prev = f"k{i}"
+    parts.append(f""",
+    probs AS MATERIALIZED (
+      SELECT w1, w2,
+             CAST(FLOOR(({lncol}) * {dlit(_KN_Q30)}) AS BIGINT) AS lq
+      FROM {prev})
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p.lq) AS DOUBLE) / {dlit(_KN_Q30)} AS logprob,
+           CAST(SUM(p.lq) AS DOUBLE) / {dlit(_KN_Q30)} / COUNT(*)
+             AS avg_logprob
+    FROM bg JOIN probs p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+    GROUP BY 1
+    """)
+    return "".join(parts)
+
+
+@query("text_kneser_ney_bigram", oracle=_kneser_ney_oracle(), gate=False)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY BIGRAM LANGUAGE-MODEL SCORING — the quality signal a
+    curation pipeline wants beyond the add-one bigram LM
+    (``collocations.py``): interpolated KN with absolute discount
+    d = 3/4, where the backoff weight is the CONTINUATION probability
+    (how many distinct contexts a word follows) rather than raw
+    frequency — the smoothing that made n-gram LMs competitive, as
+    four exact count aggregates + rational arithmetic. Per-bigram
+    probabilities are deterministic doubles (exact integer counts,
+    correctly-rounded divisions), their logs run in Q40 fixed point
+    (``fixtrig.ln`` with the wide ladder, p ≥ 2^-60), and per-doc
+    log-probabilities sum the q30-quantized logs in DECIMAL(38,0) —
+    order-independent, hash-exact cross-engine. Scoring the training
+    corpus against itself ranks documents by typicality (low
+    avg-logprob = off-distribution → review queue). One token pass,
+    three count aggregates, one model join — no Python, no driver
+    state beyond nothing: even the bigram-type count stays in-plan as
+    a 1-row broadcast scalar."""
+    from ..operators.fixtrig import StepBuilder, apply_steps_spark, dlit
+    from ..operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    tk = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    a, b = tk.alias("a"), tk.alias("b")
+    bg = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.t").alias("w1"),
+        F.col("b.t").alias("w2"),
+    )
+    from ..operators.materialize import materialize
+
+    bg = materialize(bg)
+    c12 = materialize(
+        bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c12")
+        )
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    nc = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ncont")
+    )
+    ntt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    p0 = (
+        c12.join(c1, "w1")
+        .join(nc, "w2")
+        .crossJoin(F.broadcast(ntt))
+    )
+    sb = StepBuilder("spark")
+    lncol = sb.ln(_KN_P_EXPR, lo_exp=-60, hi_exp=2)
+    scored = apply_steps_spark(p0, sb)
+    probs = scored.selectExpr(
+        "w1",
+        "w2",
+        f"CAST(FLOOR(({lncol}) * {dlit(_KN_Q30)}) AS BIGINT) AS lq",
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(F.col("lq").cast("decimal(38,0)")).cast("double")
+                / F.lit(_KN_Q30)
+            ).alias("logprob"),
+            (
+                F.sum(F.col("lq").cast("decimal(38,0)")).cast("double")
+                / F.lit(_KN_Q30)
+                / F.count(F.lit(1))
+            ).alias("avg_logprob"),
+        )
+    )
