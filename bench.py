@@ -171,6 +171,7 @@ HEADLINE = [
     "graph_affinity_distance",
     "geo_haversine_customers",
     "text_kneser_ney_bigram",
+    "sample_weighted_reservoir",
 ]
 
 

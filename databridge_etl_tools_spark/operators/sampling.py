@@ -621,3 +621,66 @@ def stratified_split_exact(
     return keyed.select(
         id_col, stratum_col, split.alias("split")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws u from its content
+    hash and competes with key = ln(u)/w — the top-k keys are a
+    weight-proportional sample, exactly the distributed primitive for
+    importance-weighted corpus subsampling (keep 1M docs ∝ quality
+    score). Everything replays cross-engine: u = (h32+1)/2^32 is an
+    exact power-of-two quotient of the md5 head (the repo's shared
+    hash recipe), ln runs in Q40 fixed point (``fixtrig.ln``, ladder
+    down to 2^-33 covers the smallest u), and the division by the
+    positive weight is one correctly-rounded op. Selection is a
+    global top-k — row_number over (key DESC, id) compiles to
+    TakeOrderedAndProject, never a single-partition sort. Returns the
+    sampled rows with ``_wrs_key`` and 1-based ``position``."""
+    from pyspark.sql import Window
+
+    from .fixtrig import StepBuilder, apply_steps_spark, dlit
+
+    wmin = df.agg(F.min(F.col(weight_col))).first()[0]
+    if wmin is not None and float(wmin) <= 0:
+        raise ValueError(
+            f"weighted_sample_topk: weights must be positive, found {wmin}"
+        )
+    hashed = df.withColumn(
+        "_wrs_h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    sb = StepBuilder("spark", prefix="_wrs_fx")
+    lnu = sb.ln(
+        f"(CAST(_wrs_h + 1 AS DOUBLE) / {dlit(float(1 << 32))})",
+        lo_exp=-33,
+        hi_exp=1,
+    )
+    scored = apply_steps_spark(hashed, sb).withColumn(
+        "_wrs_key",
+        F.expr(f"({lnu}) / CAST({weight_col} AS DOUBLE)"),
+    )
+    w = Window.orderBy(F.desc("_wrs_key"), F.asc(key_col))
+    return (
+        scored.withColumn("position", F.row_number().over(w).cast("int"))
+        .where(F.col("position") <= k)
+        .drop("_wrs_h", *[n for n, _ in sb.steps])
+    )

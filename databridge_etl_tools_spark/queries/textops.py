@@ -3955,3 +3955,67 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+def _weighted_reservoir_oracle(k: int = 50) -> str:
+    from ..operators.fixtrig import StepBuilder, dlit
+
+    sb = StepBuilder("duckdb", prefix="_wrs_fx")
+    lnu = sb.ln(
+        f"(CAST(_wrs_h + 1 AS DOUBLE) / {dlit(float(1 << 32))})",
+        lo_exp=-33,
+        hi_exp=1,
+    )
+    parts = ["""
+    WITH d0 AS (
+      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST('0x' || substr(
+               md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               AS _wrs_h
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(text) > 0)"""]
+    prev = "d0"
+    for i, (name, expr) in enumerate(sb.steps):
+        parts.append(f", w{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})")
+        prev = f"w{i}"
+    parts.append(f"""
+    SELECT doc_id, n_chars,
+           ({lnu}) / CAST(n_chars AS DOUBLE) AS wrs_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ({lnu}) / CAST(n_chars AS DOUBLE) DESC, doc_id)
+             AS INTEGER) AS position
+    FROM {prev}
+    ORDER BY wrs_key DESC, doc_id
+    LIMIT {k}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=_weighted_reservoir_oracle(),
+    gate=False,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED SAMPLING WITHOUT REPLACEMENT
+    (``sampling.weighted_sample_topk`` — Efraimidis–Spirakis A-ES):
+    50 documents drawn ∝ length, deterministically — each row
+    competes with key = ln(u)/w where u comes from its content hash,
+    so the sample is reproducible across engines, cluster layouts,
+    retries, and appends (a row's key never changes when other rows
+    arrive) — the importance-weighted subsample step of a curation
+    pipeline (keep N docs ∝ quality) without RNG state anywhere.
+    The exponential keys replay exactly: u is an exact power-of-two
+    quotient of the md5 head, ln runs in Q40 fixed point
+    (``fixtrig.ln``, ladder to 2^-33), and the weight division is one
+    correctly-rounded op. Top-k compiles to TakeOrderedAndProject."""
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    d0 = docs.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).selectExpr("doc_id", "CAST(LENGTH(text) AS BIGINT) AS n_chars")
+    out = weighted_sample_topk(d0, "doc_id", "n_chars", k=50)
+    return out.select(
+        "doc_id", "n_chars", F.col("_wrs_key").alias("wrs_key"), "position"
+    )

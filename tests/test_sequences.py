@@ -175,3 +175,45 @@ def test_curriculum_order_rejects_bad_key_inputs(spark):
     )
     with pytest.raises(ValueError, match="overflows"):
         curriculum_order(huge.withColumn("doc_id", huge["doc_id"] + (1 << 30)), "doc_id", "diff", n_shards=2)
+
+
+def test_weighted_sample_topk_python_twin_exact(spark):
+    """A-ES exponential keys replay bit-for-bit against a python twin
+    (hashlib md5 + fixtrig py_ln); selection and positions match."""
+    import hashlib
+
+    from databridge_etl_tools_spark.operators import fixtrig as FX
+    from databridge_etl_tools_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, (i * 7) % 23 + 1) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r.doc_id, r.position, r._wrs_key)
+        for r in weighted_sample_topk(df, "doc_id", "w", k=10)
+        .orderBy("position")
+        .collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wrs:{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / float(1 << 32)
+        return FX.py_ln(u, lo_exp=-33, hi_exp=1) / float(w)
+
+    ranked = sorted(((key(i, w), i, w) for i, w in rows),
+                    key=lambda t: (-t[0], t[1]))[:10]
+    want = [(i, pos + 1, k) for pos, (k, i, w) in enumerate(ranked)]
+    assert got == want
+
+
+def test_weighted_sample_topk_rejects_nonpositive_weights(spark):
+    import pytest
+
+    from databridge_etl_tools_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample_topk(df, "doc_id", "w", k=1)
