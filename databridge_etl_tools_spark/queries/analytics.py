@@ -3013,9 +3013,14 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.graph import triangle_counts
 
+    from ..operators.materialize import materialize
+
     ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
+    # both sides of the pair self-join consume cp — materialize it
+    # once or the orders⋈lineitem+distinct upstream runs twice
+    # (measured: pair build 5.6 → 3.7 s at sf0.1)
+    cp = materialize(
         ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
