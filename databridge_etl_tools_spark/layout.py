@@ -234,12 +234,14 @@ def build_purchase_edges(
     loc = f"{wh}/{tname}"
     src_o = f"{sf_dir.rstrip('/')}/orders.parquet"
     src_l = f"{sf_dir.rstrip('/')}/lineitem.parquet"
-    sig = _source_sig(src_o, buckets=buckets, lineitem=_source_sig(src_l))
+    sig = _source_sig(
+        src_o, buckets=buckets, lineitem=_source_sig(src_l), schema="src_dst_w"
+    )
     if _marker_fresh(os.path.join(loc, _MARKER), sig):
         if not spark.catalog.tableExists(tname):
             spark.sql(
-                f"CREATE TABLE {tname} (src BIGINT, dst BIGINT) USING parquet "
-                f"CLUSTERED BY (src) SORTED BY (src) "
+                f"CREATE TABLE {tname} (src BIGINT, dst BIGINT, w BIGINT) "
+                f"USING parquet CLUSTERED BY (src) SORTED BY (src) "
                 f"INTO {buckets} BUCKETS LOCATION '{loc}'"
             )
     else:
@@ -247,21 +249,27 @@ def build_purchase_edges(
         shutil.rmtree(loc, ignore_errors=True)
         ord_ = spark.read.parquet(src_o).select("o_orderkey", "o_custkey")
         li = spark.read.parquet(src_l).select("l_orderkey", "l_suppkey")
-        pairs = ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"]).select(
-            (F.col("o_custkey") * 2).alias("cust_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        # one row per (cust, supp) per direction, with the trade count
+        # as weight — the unweighted consumer prunes w at the scan,
+        # the weighted walk reads it pre-summed (edges_ready contract)
+        pairs = (
+            ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+            .groupBy(
+                (F.col("o_custkey") * 2).alias("cust_node"),
+                (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
         )
-        edges = (
+        edges = pairs.select(
+            F.col("cust_node").alias("src"),
+            F.col("supp_node").alias("dst"),
+            "w",
+        ).unionByName(
             pairs.select(
-                F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+                F.col("supp_node").alias("src"),
+                F.col("cust_node").alias("dst"),
+                "w",
             )
-            .unionByName(
-                pairs.select(
-                    F.col("supp_node").alias("src"),
-                    F.col("cust_node").alias("dst"),
-                )
-            )
-            .distinct()
         )
         (
             edges.write.mode("overwrite")

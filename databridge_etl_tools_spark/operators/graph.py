@@ -57,6 +57,7 @@ def pagerank(
     weight_col: "str | None" = None,
     edges_ready: bool = False,
     broadcast_node_budget: int = 2_000_000,
+    weights_checked: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge DataFrame.
 
@@ -116,11 +117,17 @@ def pagerank(
                     F.col(src).alias("_src"), F.col(dst).alias("_dst")
                 ).agg(F.sum(F.col(weight_col)).cast("long").alias("_w"))
             )
-        wmin = e.agg(F.min("_w")).first()[0]
-        if wmin is not None and wmin <= 0:
-            raise ValueError(
-                f"pagerank: weights must be positive integers, found {wmin}"
-            )
+        if not weights_checked:
+            # an extra JOB over the edge table (the eager-guard-probe
+            # tax, SCALE.md) — callers whose weights are positive BY
+            # CONSTRUCTION (e.g. the layout's COUNT(*) column) attest
+            # with weights_checked=True and skip it
+            wmin = e.agg(F.min("_w")).first()[0]
+            if wmin is not None and wmin <= 0:
+                raise ValueError(
+                    f"pagerank: weights must be positive integers, "
+                    f"found {wmin}"
+                )
         # outdeg = out-STRENGTH in the weighted walk
         outdeg_agg = F.sum("_w").cast("long").alias("outdeg")
     nodes = (

@@ -2753,6 +2753,13 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
         )
     )
+    # measured r10: routing this demo through the bucketed layout
+    # (edges_ready + weights_checked) was consistently ~1.5 s SLOWER
+    # in the broadcast regime (8.1 vs 6.5 s medians, layout-first
+    # ordering) — the raw path's edge groupBy materializes from an
+    # AQE-coalesced shuffle while the layout path re-copies the
+    # 32-bucket scan. The layout stays the shuffle-regime answer
+    # (its w column is there for that path); the demo keeps raw.
     ranks = pagerank(edges, iters=8, weight_col="w")
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return ranks.join(
