@@ -115,6 +115,13 @@ SHOW = [
     "text_textrank_keywords",
     "graph_bfs_supplier_radius",
     "retrieval_eval_knn",
+    # late round 10: the single-plan additions (components/weighted
+    # communities/affinity-distance are checkpointed iterative
+    # compositions like pagerank)
+    "graph_triangles_copurchase",
+    "geo_haversine_customers",
+    "text_kneser_ney_bigram",
+    "sample_weighted_reservoir",
 ]
 
 
