@@ -443,6 +443,7 @@ def bfs_distances(
     dst: str = "dst",
     node_col: str = "node",
     max_hops: int = 4,
+    edges_ready: bool = False,
 ) -> DataFrame:
     """Bounded-hop BFS — exact shortest-path distances (in hops) from
     a source set, the traversal primitive behind neighborhood
@@ -464,11 +465,11 @@ def bfs_distances(
     at web scale you never materialize the unreachable complement)."""
     from .materialize import materialize
 
-    e = materialize(
-        edges.select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst")
-        ).distinct()
-    )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if not edges_ready:
+        # dedup + lineage-cut the edge build; edges_ready callers
+        # (a deduped catalog/bucketed table) re-scan per hop instead
+        e = materialize(e.distinct())
     dist = materialize(
         sources.select(F.col(node_col).alias("node"))
         .distinct()

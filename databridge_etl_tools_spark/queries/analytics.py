@@ -2644,6 +2644,12 @@ def graph_bfs_supplier_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sources = spark.createDataFrame([(3,)], "node long")  # supplier #1
+    # measured r10: serving this demo from the bucketed layout
+    # (edges_ready — re-scan per hop instead of build+checkpoint) was
+    # 3.7 vs 3.4 s raw at sf0.1: with only 4 hops the one-time build
+    # amortizes and checkpoint row blocks outscan the catalog re-read.
+    # The edges_ready path remains the operator's answer where the
+    # edge table doesn't fit executor memory.
     dist = bfs_distances(edges, sources, max_hops=4)
     return dist.groupBy("dist").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
