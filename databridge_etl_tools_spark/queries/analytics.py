@@ -2555,26 +2555,24 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("cust_node"),
         (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
     )
-    # optimized layout: a catalog copy of this derived edge table,
-    # pre-deduped and BUCKETED BY src (layout.build_purchase_edges) —
-    # every contrib join consumes the bucketed scan with no edge-side
-    # exchange, and the orders⋈lineitem build never runs here. The
-    # integer fixpoint is layout-invariant, so results are identical
-    # by construction (the oracle keeps reading raw parquet).
-    from ..registry import LAYOUT
-
-    opt = LAYOUT.get((sf_dir.rstrip("/"), "purchase_edges"))
-    if opt is not None:
-        ranks = pagerank(opt[0](spark), iters=8, edges_ready=True)
-    else:
-        edges = pairs.select(
-            F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
-        ).unionByName(
-            pairs.select(
-                F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
-            )
+    # The bucketed purchase-edge layout (layout.build_purchase_edges
+    # + pagerank(edges_ready=True)) serves this graph with NO
+    # edge-side exchange in the shuffle regime — plan-pinned in
+    # tests/test_layout.py and dumped in PLANS.md's iteration-shapes
+    # section. The DEMO stays on the raw path: at sf0.1 the walk is
+    # broadcast-regime, where controlled A/Bs measured parity within
+    # noise (5.3-5.5 s both paths across two windows) and checkpoint
+    # row blocks re-scan faster than the columnar cache — matching
+    # the r9 methodology keeps cross-round bench compares apples to
+    # apples. Ranks are bit-identical on all paths (layout test).
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
         )
-        ranks = pagerank(edges, iters=8)
+    )
+    ranks = pagerank(edges, iters=8)
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         ranks.join(

@@ -20,11 +20,22 @@ GRID = {
     "ln": [2.0**-5, 0.04, 0.11, 0.26, 0.53, 0.99, 1.0, 1.7, 2.0, 3.9, 4.6, 9.3, 18.0, 31.9],
     "exp": [x / 8.0 for x in range(-32, 33, 3)],
     "atanh_small": [x / 1000.0 for x in range(-110, 111, 13)],
+    "exp_unit": [x / 16.0 for x in range(-16, 17, 3)],
 }
 PY = {"sin": FX.py_sin, "atan": FX.py_atan, "ln": FX.py_ln, "exp": FX.py_exp,
-      "atanh_small": FX.py_atanh_small}
+      "atanh_small": FX.py_atanh_small, "exp_unit": FX.py_exp_unit}
 REF = {"sin": math.sin, "atan": math.atan, "ln": math.log, "exp": math.exp,
-       "atanh_small": math.atanh}
+       "atanh_small": math.atanh, "exp_unit": math.exp}
+
+
+def test_wide_ladder_ln_small_probabilities():
+    """The parametrized ladder (lo_exp=-60) tracks libm down to the
+    probability floor — each octave is one CASE branch."""
+    for e in range(-58, 1, 3):
+        for frac in (1.0, 1.31, 1.97):
+            u = frac * 2.0**e
+            got = FX.py_ln(u, lo_exp=-60, hi_exp=2)
+            assert abs(got - math.log(u)) <= 2e-11, u
 
 
 def test_atan_two_halvings_unit_domain():

@@ -201,14 +201,50 @@ def test_purchase_edges_bucketed_iteration_join_no_edge_exchange(spark):
 
 
 def test_pagerank_bucketed_layout_identical_ranks(spark):
-    """graph_pagerank_suppliers over the bucketed edges_ready layout
-    must produce bit-identical rank_q to the raw-edge path (the
-    integer fixpoint is layout-invariant)."""
-    want = _rows(spark, "graph_pagerank_suppliers")  # raw path
+    """pagerank over the bucketed edges_ready layout must produce
+    bit-identical rank_q to the raw-edge build, in BOTH join regimes
+    (the integer fixpoint is layout-invariant)."""
+    from databridge_etl_tools_spark.operators.graph import pagerank
+
+    want = {
+        (r["node"], r["rank_q"])
+        for r in _raw_purchase_ranks(spark).collect()
+    }
     tname = layout.build_purchase_edges(spark, SF)
     try:
-        got = _rows(spark, "graph_pagerank_suppliers")  # layout path
-        assert got == want
+        eb = spark.table(tname)
+        for budget in (2_000_000, 0):  # broadcast + shuffle regimes
+            got = {
+                (r["node"], r["rank_q"])
+                for r in pagerank(
+                    eb, iters=8, edges_ready=True,
+                    broadcast_node_budget=budget,
+                ).collect()
+            }
+            assert got == want, budget
     finally:
         registry.clear_layouts()
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def _raw_purchase_ranks(spark):
+    from databridge_etl_tools_spark.operators.graph import pagerank
+
+    ord_ = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("cust_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    return pagerank(edges, iters=8)
