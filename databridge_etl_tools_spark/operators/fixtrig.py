@@ -36,8 +36,9 @@ Accuracy (vs true libm, pinned in tests/test_fixtrig.py):
 - ``sin``  |x| ≤ π/2        : ≤ 2e-10 abs (deg-19 Taylor + Q40 trunc)
 - ``atan`` halvings=3, any x: ≤ 2e-11 abs (sqrt-halvings → |u|<0.199,
   deg-17 Taylor, ×2^halvings); halvings=2 needs |u| ≤ 1
-- ``ln``   x ∈ [2^-5, 32)   : ≤ 4e-11 abs (power-of-two CASE ladder →
-  m ∈ [1,2), 2·atanh((m-1)/(m+1)) deg-19, + k·ln2)
+- ``ln``   x ∈ [2^lo, 2^hi) : ≤ 4e-11 abs (power-of-two CASE ladder →
+  m ∈ [1,2), 2·atanh((m-1)/(m+1)) deg-19, + k·ln2; ladder
+  parametrized — default [2^-5, 32), lo_exp=-60 for probabilities)
 - ``exp``  |x| ≤ 4          : ≤ 1e-10 rel (x/4 exact, deg-15 Taylor,
   two integer squarings); pass ``degree=11`` when |x| ≤ 1
 - ``atanh_small`` |z| ≤ 0.11: ≤ 3e-11 abs (deg-9 odd Taylor)
