@@ -172,6 +172,7 @@ HEADLINE = [
     "geo_haversine_customers",
     "text_kneser_ney_bigram",
     "sample_weighted_reservoir",
+    "mixture_temperature_alpha",
 ]
 
 

@@ -214,6 +214,22 @@ class StepBuilder:
         xq = self.emit(self.quant(x_dexpr))
         return self.emit(self.dequant(self._horner(xq, EXP_C_UNIT)))
 
+    def exp_wide(self, x_dexpr: str) -> str:
+        """exp(x) for x ∈ [−16, 1]: r = x/16 (exact), deg-17 Taylor,
+        FOUR integer squarings. The non-positive-leaning domain keeps
+        every squaring carrier ≤ e·2^40 (results ≤ e ≈ 2.72 → q40
+        < 2^42), so the int64 stages never overflow — the shape for
+        temperature weights exp(α·(ln n − ln n_max)) ≤ 1. Accuracy
+        degrades with the RESULT's magnitude (the q40 carrier of a
+        tiny value keeps few bits): ≤ 1e-10 rel for results ≥ 1e-3,
+        ~1e-5 rel at exp(−16) ≈ 1e-7 — replay exactness is unaffected
+        (both engines run the same integers). 7 levels."""
+        rq = self.emit(self.quant(f"(({x_dexpr}) * {dlit(1.0 / 16.0)})"))
+        acc = self.emit(self._horner(rq, EXP_C_UNIT))
+        for _ in range(4):
+            acc = self.emit(self._mulq(acc, acc))
+        return self.emit(self.dequant(acc))
+
     def pow(self, u_dexpr: str, c: float, unit: bool = False) -> str:
         """u^c = exp(c·ln u) for u ∈ [2^-5, 32) with |c·ln u| ≤ 4;
         pass ``unit=True`` when |c·ln u| ≤ 1 (2 fewer levels)."""
@@ -296,6 +312,13 @@ def py_exp(x: float, degree: int = 15) -> float:
 
 def py_exp_unit(x: float) -> float:
     return _dq(_py_horner(_pq(x), EXP_C_UNIT))
+
+
+def py_exp_wide(x: float) -> float:
+    acc = _py_horner(_pq(x * (1.0 / 16.0)), EXP_C_UNIT)
+    for _ in range(4):
+        acc = tdiv(acc * acc, Q)
+    return _dq(acc)
 
 
 def py_pow(u: float, c: float, unit: bool = False) -> float:

@@ -146,8 +146,10 @@ def temperature_weights(counts: "dict[str, int]", alpha: float = 0.5) -> "dict[s
     keeps small corpora from drowning. α = 0.5 is computed with
     ``sqrt`` (correctly rounded by IEEE 754, so any engine reproduces
     the weights bit-for-bit); other α values use ``pow``, whose last
-    ulp is libm-specific — fine for real use, avoided by the
-    cross-engine-hashed gate query."""
+    ulp is libm-specific — fine for real use. For a fully
+    cross-engine-replayable arbitrary-α plan, use the fixtrig path
+    (exp(α·ln n) in Q40 fixed point — the
+    ``mixture_temperature_alpha`` query and ``fixtrig.py_pow``)."""
     import math
 
     if not counts:

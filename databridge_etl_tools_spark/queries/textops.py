@@ -4019,3 +4019,89 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_chars", F.col("_wrs_key").alias("wrs_key"), "position"
     )
+
+
+def _temp_alpha_oracle(alpha: float = 0.3) -> str:
+    from ..operators.fixtrig import StepBuilder, dlit
+
+    sb = StepBuilder("duckdb", prefix="_ta")
+    lnr = sb.ln(
+        "(CAST(n_docs AS DOUBLE) / CAST(n_max AS DOUBLE))",
+        lo_exp=-40, hi_exp=1,
+    )
+    wcol = sb.exp_wide(f"(({lnr}) * {dlit(alpha)})")
+    parts = ["""
+    WITH c AS MATERIALIZED (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1),
+    s AS (SELECT CAST(MAX(n_docs) AS BIGINT) AS n_max,
+                 CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+    c0 AS (SELECT c.*, s.n_max, s.total FROM c, s)"""]
+    prev = "c0"
+    for i, (name, expr) in enumerate(sb.steps):
+        parts.append(f", t{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})")
+        prev = f"t{i}"
+    parts.append(f""",
+    q AS MATERIALIZED (
+      SELECT lang, n_docs, total, ({wcol}) AS weight,
+             CAST(FLOOR(({wcol}) * {dlit(float(1 << 40))}) AS BIGINT) AS wq
+      FROM {prev}),
+    sw AS (SELECT CAST(SUM(wq) AS HUGEINT) AS swq FROM q)
+    SELECT lang, n_docs, weight,
+           CAST(CAST(total AS HUGEINT) * wq // (SELECT swq FROM sw)
+                AS BIGINT) AS planned_rows
+    FROM q
+    """)
+    return "".join(parts)
+
+
+@query(
+    "mixture_temperature_alpha", oracle=_temp_alpha_oracle(), gate=False
+)
+def mixture_temperature_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-α TEMPERATURE MIXTURE PLAN — dissolving
+    ``temperature_weights``' documented limitation ("other α values
+    use pow, whose last ulp is libm-specific — avoided by the
+    cross-engine-hashed gate query"): with fixtrig, n^α = exp(α·ln n)
+    replays exactly at ANY α, so the α = 0.3 plan is fully
+    oracle-backed. Weights are computed scale-invariantly as
+    exp(α·(ln n − ln n_max)) ≤ 1 (bounded exp carriers), quantized to
+    q40, and the per-language row budget is the integer split
+    total·wq // Σwq — every number deterministic end to end. One
+    groupBy over the corpus; everything downstream runs on the
+    |languages|-row table with the totals riding as 1-row broadcast
+    scalars."""
+    from ..operators.fixtrig import StepBuilder, apply_steps_spark, dlit
+
+    alpha = 0.3
+    docs = table(spark, sf_dir, "documents", access="scan")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    stats = counts.agg(
+        F.max("n_docs").cast("bigint").alias("n_max"),
+        F.sum("n_docs").cast("bigint").alias("total"),
+    )
+    c0 = counts.crossJoin(F.broadcast(stats))
+    sb = StepBuilder("spark", prefix="_ta")
+    lnr = sb.ln(
+        "(CAST(n_docs AS DOUBLE) / CAST(n_max AS DOUBLE))",
+        lo_exp=-40, hi_exp=1,
+    )
+    wcol = sb.exp_wide(f"(({lnr}) * {dlit(alpha)})")
+    scored = apply_steps_spark(c0, sb)
+    q = scored.selectExpr(
+        "lang",
+        "n_docs",
+        "total",
+        f"({wcol}) AS weight",
+        f"CAST(FLOOR(({wcol}) * {dlit(float(1 << 40))}) AS BIGINT) AS wq",
+    )
+    sw = q.agg(F.sum(F.col("wq").cast("decimal(38,0)")).alias("swq"))
+    return q.crossJoin(F.broadcast(sw)).selectExpr(
+        "lang",
+        "n_docs",
+        "weight",
+        "CAST(CAST(total AS DECIMAL(38,0)) * wq DIV swq AS BIGINT)"
+        " AS planned_rows",
+    )

@@ -174,3 +174,21 @@ def test_pipeline_spark_equals_python_twin(spark):
 def test_stepbuilder_rejects_unknown_dialect():
     with pytest.raises(ValueError):
         FX.StepBuilder("postgres")
+
+
+def test_exp_wide_accuracy_and_replay(spark):
+    """exp_wide tracks libm to ~1e-10 rel for results ≥ 1e-3 (the
+    temperature-weight range) and replays bit-exact on both engines."""
+    xs = sorted([x / 8.0 for x in range(-56, 9, 5)])
+    for x in xs:
+        got, want = FX.py_exp_wide(x), math.exp(x)
+        assert abs(got - want) <= 1e-9 * max(want, 1e-3), x
+    got_d = _steps_eval_duckdb("exp_wide", xs)
+    sb = FX.StepBuilder("spark")
+    out = sb.exp_wide("x")
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    for name, expr in sb.steps:
+        df = df.selectExpr("*", f"({expr}) AS {name}")
+    got_s = [r[0] for r in df.orderBy("x").select(out).collect()]
+    want = [FX.py_exp_wide(x) for x in xs]
+    assert got_d == want and got_s == want
