@@ -75,75 +75,115 @@ DRIVER_GATE_WINDOW = 50
 #: registration so the per-query ``gate=`` default stays the stable
 #: tier and this overlay stays one auditable per-round edit.
 #:
-#: r10 cohort — GENERATED, not hand-counted: run
+#: r11 cohort — GENERATED, not hand-counted: run
 #:   python tools/gate_coverage.py --suggest
 #: which ranks the oracle catalog by (never-driver-green first, then
 #: ascending last_green_round, green_count, name) from the actual
-#: CORRECTNESS_r*.json records, and emits exactly this window. The r10
-#: window = the 13 never-driver-verified r9 entries (4 oracle
-#: promotions: pca_embeddings_project, ann_pca_prefilter,
-#: ridge_probe_embeddings, mm_image_neardup; 9 new:
-#: graph_pagerank_suppliers, graph_pagerank_weighted,
-#: graph_bfs_supplier_radius, text_textrank_keywords,
-#: text_word_communities, pii_card_audit, dedup_tfidf_cosine,
-#: retrieval_eval_knn, corpus_curation_v5) + the oldest last-green-r6
-#: cohort (greens ascending) + the last-green-r7 singles. IN holds
-#: the members of that window whose registration default is overflow;
-#: OUT parks every stable-tier (gate=True) query not in the window.
-#: New r10 queries register gate=False and queue for r11.
+#: CORRECTNESS_r*.json records, and emits exactly this window. The r11
+#: window = the 9 never-driver-verified r10 entries
+#: (proj_pa_south_datum_pipeline, graph_components_trading_blocs,
+#: graph_communities_weighted, graph_triangles_copurchase,
+#: graph_affinity_distance, geo_haversine_customers,
+#: text_kneser_ney_bigram, sample_weighted_reservoir,
+#: mixture_temperature_alpha) + the last-green-r7 cohort (greens
+#: ascending). IN holds the members of that window whose registration
+#: default is overflow; OUT parks every stable-tier (gate=True) query
+#: not in the window. Both sets verified programmatically:
+#: (oracle − ((default_overflow − IN) ∪ OUT)) == suggest() window.
+#: New r11 queries register gate=False and queue for r12.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        "ann_pca_prefilter",
-        "approx_sketches",
-        "corpus_curation_v4",
-        "corpus_curation_v5",
-        "dedup_internal_cleaned",
-        "dedup_internal_spans",
-        "dedup_minhash_estimate_quality",
-        "dedup_tfidf_cosine",
-        "events_value_histogram",
-        "graph_bfs_supplier_radius",
-        "graph_pagerank_suppliers",
-        "graph_pagerank_weighted",
-        "idle_customer_balance",
-        "kfold_documents",
-        "knn_label_vote",
-        "large_volume_customers",
-        "latency_priority_classes",
-        "market_share",
-        "mixture_documents",
-        "mixture_temperature",
-        "mm_image_neardup",
-        "pack_documents_sequences",
-        "pca_embeddings_project",
-        "pii_card_audit",
-        "retrieval_eval_knn",
-        "ridge_probe_embeddings",
-        "text_textrank_keywords",
-        "text_word_communities",
+        "dsir_importance_select",
+        "emb_label_centroids",
+        "emb_nearest_centroid_eval",
+        "events_percentrank_by_type",
+        "events_rolling_active_users",
+        "events_running_total",
+        "events_value_mad_by_type",
+        "events_value_trimmed_mean",
+        "events_value_trimmed_mean_by_type",
+        "events_value_winsorized_mean",
+        "features_hashing_trick",
+        "geo_haversine_customers",
+        "graph_affinity_distance",
+        "graph_communities_weighted",
+        "graph_components_trading_blocs",
+        "graph_triangles_copurchase",
+        "grouping_sets_orders",
+        "length_deciles_by_source",
+        "median_value_by_type",
+        "mixture_temperature_alpha",
+        "pii_scrub_contacts",
+        "profit_by_nation_year",
+        "proj_pa_south_datum_pipeline",
+        "promo_revenue_share",
+        "quality_gopher_rules",
+        "returned_item_report",
+        "sample_bottomk_documents",
+        "sample_split_documents",
+        "sample_weighted_reservoir",
+        "scd2_customer_history",
+        "session_funnel",
+        "sketch_bucketmin_daily_users",
+        "sketch_hll_rolling_users",
+        "sketch_rolling_active_users",
+        "sketch_vocabulary_report",
+        "small_quantity_revenue",
+        "source_capped_topn",
+        "source_segment_overlap",
+        "source_vocab_overlap_sketch",
+        "supplier_part_census",
+        "text_bm25_topk",
+        "text_heavy_hitters",
+        "text_kneser_ney_bigram",
+        "text_rare_token_ratio",
+        "text_repetition_stats",
+        "text_skipgram_pmi",
+        "token_budget_shards",
+        "token_weighted_median_length",
+        "top_supplier",
+        "value_trend_by_type",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
         "above_customer_average",
+        "ann_cosine_topk",
+        "ann_ivf_label",
         "ann_lsh_bucketed",
+        "asof_purchase_last_view",
         "cube_flag_status",
+        "customer_order_distribution",
+        "dedup_components",
+        "dedup_exact",
         "dedup_fuzzy_levenshtein",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
         "dedup_simhash_pairs",
+        "dedupe_events_by_user",
+        "delete_stale",
         "emb_neardup_pairs",
         "events_hourly_rollup",
         "events_json_props",
+        "events_sessionize",
         "exact_percentiles",
+        "filter_project",
         "forecast_revenue",
         "forest_part_suppliers",
         "geom_normalize",
         "important_nation_stock",
         "min_cost_supplier",
         "mm_binary_stats",
+        "order_priority_check",
+        "ordered_collect",
         "pivot_priority_status",
+        "prepare_synthetic_objectid",
         "pricing_summary",
+        "proj_webmercator",
         "qa_report",
+        "range_join_interval_counts",
         "range_join_left_outer",
+        "record_diff",
         "region_revenue",
         "rollup_region_nation",
         "scan_probes",
@@ -152,7 +192,11 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "shipping_priority",
         "skew_salted_agg",
         "text_quality_language",
+        "text_token_stats",
         "text_vocabulary_topk",
+        "topk_per_group",
+        "tz_policies",
+        "upsert_orders",
         "waiting_sole_late_supplier",
     }
 )
