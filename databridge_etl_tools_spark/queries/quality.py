@@ -1,0 +1,372 @@
+"""Trained quality-classifier queries: fit, score, and curation v6.
+
+The capstone composition the production corpus pipelines use
+(GPT-3's WebText filter, CCNet, RefinedWeb): a *trained* linear
+quality model over hashed text features gating what enters the
+training set, layered on top of the rule heuristics. Everything —
+the deterministic self-supervised labeled slice, the one-pass
+integer moments, every Gaussian-elimination pivot, the integer score
+fold — replays in the DuckDB oracle bit-for-bit (the r9/r10
+promotion discipline: ``operators/intlin.py`` fixpoints unrolled
+into CTE levels).
+
+Reference parity: beyond-reference — the reference's quality gates
+are per-cell scrub rules (``databridge_etl_tools/utils.py``); the
+brief's training-data charter asks for the trained-model gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, table
+from .similarity import _ridge_row_renorm, _tdiv_sql
+from .textops import _TOK
+
+D = 16  # classifier feature width (see operators/quality.py)
+LAM = 1
+_Q20F = float(1 << 20)
+_Q40 = 1 << 40
+_Q50F = float(1 << 50)
+_Q70F = float(1 << 70)
+_JUNK = " qqjunk zzspam" * 8
+
+#: Gopher-pass doc_ids (original text, min_words=10,
+#: min_required_hits=1 — see operators/quality.labeled_slice: the
+#: synthetic vocabulary has only one of the paper's required words,
+#: so the published >= 2 would pass zero documents) — the positive-
+#: class predicate, copied from the hash-green quality_gopher_rules
+#: oracle with doc_id carried through.
+_GPASS = f"""
+    gst AS (
+      SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS n,
+             length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOK}) AS wl,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS sym
+      FROM documents),
+    gpass AS MATERIALIZED (
+      SELECT doc_id FROM gst
+      WHERE n >= 10 AND n <= 100000
+        AND wl >= 3.0 AND wl <= 10.0
+        AND n > 0 AND sym / CAST(n AS DOUBLE) <= 0.1
+        AND len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+              / CAST(n AS DOUBLE) >= 0.8
+        AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                w -> list_contains(list_transform(toks, t -> lower(t)), w)))
+              >= 1)"""
+
+#: token → feature-dim hash, shared by the fit and scoring CTEs
+#: (= operators.quality.hashed_tf_features's md5 map).
+_DIM = (
+    f"CAST(CAST('0x'||substr(md5('qf:'||t),1,8) AS BIGINT) % {D} AS INTEGER)"
+)
+
+
+def _fit_ctes() -> str:
+    """CTEs replaying ``quality_classifier_fit`` exactly: the labeled
+    slice (planted-junk negatives ∪ Gopher-pass positives), sparse
+    hashed-TF quantized features, DENSIFIED integer sufficient
+    statistics (a zero feature column must still produce its matrix
+    row — the ridge diagonal keeps it invertible and its coefficient
+    lands on 0 identically in ``gauss_solve_fixed``), all ``D−1``
+    fraction-free elimination pivots + per-row renormalizations, the
+    ``D`` back-substitution levels, intercept, and moments RMSE —
+    ``intlin.gauss_solve_fixed`` bit-for-bit (same unroll as
+    ``queries/similarity.py::_ridge_oracle``)."""
+    parts = [f"""{_GPASS},
+    slice AS (
+      SELECT doc_id, text || '{_JUNK}' AS text, 0 AS y
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT d.doc_id, d.text, 1 AS y
+      FROM documents d JOIN gpass g USING (doc_id)
+      WHERE d.doc_id % 7 <> 0),
+    sfn AS MATERIALIZED (
+      SELECT doc_id, y, toks, CAST(len(toks) AS BIGINT) AS n
+      FROM (SELECT doc_id, y, {_TOK} AS toks FROM slice)
+      WHERE len(toks) > 0),
+    scnt AS (
+      SELECT doc_id, pos, n, COUNT(*) AS c
+      FROM (SELECT doc_id, n, {_DIM} AS pos
+            FROM (SELECT doc_id, n, unnest(toks) AS t FROM sfn))
+      GROUP BY 1, 2, 3),
+    exf AS MATERIALIZED (
+      SELECT doc_id AS vec_id, pos,
+             CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * {_Q20F})
+                  AS HUGEINT) AS xi
+      FROM scnt),
+    cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM sfn),
+    eyf AS MATERIALIZED (
+      SELECT doc_id AS vec_id, CAST(y AS HUGEINT) * 1048576 AS yi FROM sfn),
+    dd AS (SELECT CAST(unnest(range(0, {D})) AS INTEGER) AS pos),
+    ys AS (SELECT CAST(SUM(yi) AS HUGEINT) AS sy,
+                  CAST(SUM(yi * yi) AS HUGEINT) AS syy FROM eyf),
+    sv AS MATERIALIZED (
+      SELECT d.pos AS j, CAST(COALESCE(SUM(e.xi), 0) AS HUGEINT) AS s
+      FROM dd d LEFT JOIN exf e ON e.pos = d.pos GROUP BY 1),
+    gm0 AS (
+      SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.xi * b.xi) AS HUGEINT) AS g
+      FROM exf a JOIN exf b USING (vec_id) GROUP BY 1, 2),
+    gm AS MATERIALIZED (
+      SELECT di.pos AS i, dj.pos AS j, CAST(COALESCE(g.g, 0) AS HUGEINT) AS g
+      FROM dd di CROSS JOIN dd dj
+      LEFT JOIN gm0 g ON g.i = di.pos AND g.j = dj.pos),
+    xty AS MATERIALIZED (
+      SELECT d.pos AS j, CAST(COALESCE(x.v, 0) AS HUGEINT) AS v
+      FROM dd d LEFT JOIN (
+        SELECT e.pos AS j, SUM(e.xi * y.yi) AS v
+        FROM exf e JOIN eyf y USING (vec_id) GROUP BY 1) x ON x.j = d.pos),
+    scat AS MATERIALIZED (
+      SELECT g.i, g.j, (SELECT n FROM cnt) * g.g - si.s * sj.s AS c
+      FROM gm g JOIN sv si ON si.j = g.i JOIN sv sj ON sj.j = g.j),
+    bv AS MATERIALIZED (
+      SELECT x.j AS i,
+             (SELECT n FROM cnt) * x.v - s.s * (SELECT sy FROM ys) AS val
+      FROM xty x JOIN sv s ON s.j = x.j),
+    aug AS (
+      SELECT i, j, c + CASE WHEN i = j
+                 THEN {LAM} * (SELECT n FROM cnt) * {_Q40}
+                 ELSE 0 END AS val
+      FROM scat
+      UNION ALL
+      SELECT i, {D} AS j, val FROM bv),{_ridge_row_renorm('aug', 'm0')}"""]
+    for p in range(D - 1):
+        parts.append(f"""
+    raw{p} AS (
+      SELECT m.i, m.j,
+             m.val * (SELECT val FROM m{p} WHERE i = {p} AND j = {p})
+             - rp.val * ip.val AS val
+      FROM m{p} m
+      JOIN (SELECT j, val FROM m{p} WHERE i = {p}) rp ON rp.j = m.j
+      JOIN (SELECT i, val FROM m{p} WHERE j = {p}) ip ON ip.i = m.i
+      WHERE m.i > {p}),{_ridge_row_renorm(f'raw{p}', f'upd{p}')},
+    m{p + 1} AS MATERIALIZED (
+      SELECT i, j, val FROM m{p} WHERE i <= {p}
+      UNION ALL SELECT i, j, val FROM upd{p})""")
+    fin = f"m{D - 1}"
+    num = f"(SELECT val FROM {fin} WHERE i = {D - 1} AND j = {D}) * {1 << 30}"
+    piv = f"(SELECT val FROM {fin} WHERE i = {D - 1} AND j = {D - 1})"
+    parts.append(f"""
+    bb{D - 1} AS (SELECT {D - 1} AS j, {_tdiv_sql(num, piv)} AS b)""")
+    for i in range(D - 2, -1, -1):
+        num = (
+            f"((SELECT val FROM {fin} WHERE i = {i} AND j = {D}) * {1 << 30}"
+            f" - (SELECT COALESCE(SUM(r.val * b.b), 0) FROM {fin} r"
+            f"    JOIN bb{i + 1} b ON b.j = r.j WHERE r.i = {i} AND r.j > {i}))"
+        )
+        piv = f"(SELECT val FROM {fin} WHERE i = {i} AND j = {i})"
+        parts.append(f"""
+    bb{i} AS MATERIALIZED (
+      SELECT * FROM bb{i + 1}
+      UNION ALL SELECT {i} AS j, {_tdiv_sql(num, piv)} AS b)""")
+    parts.append(f"""
+    bt AS MATERIALIZED (SELECT j, b FROM bb0),
+    sb AS (SELECT (SELECT SUM(s.s * b.b)
+                   FROM sv s JOIN bt b ON b.j = s.j) AS v),
+    icte AS (SELECT
+      CAST((SELECT sy FROM ys) AS DOUBLE) / (SELECT n FROM cnt) / {_Q20F}
+      - CAST((SELECT v FROM sb) AS DOUBLE) / (SELECT n FROM cnt) / {_Q50F}
+        AS ic),
+    zc AS (SELECT r.i AS j,
+                  {_tdiv_sql('SUM(r.c * b.b)', str(1 << 30))} AS z
+           FROM scat r JOIN bt b ON b.j = r.j GROUP BY r.i),
+    rmse AS (SELECT
+      sqrt(greatest(
+        (CAST((SELECT n FROM cnt) * (SELECT syy FROM ys)
+              - (SELECT sy FROM ys) * (SELECT sy FROM ys) AS DOUBLE) / {float(_Q40)}
+         - 2.0 * (CAST((SELECT SUM(b.b * v.val)
+                        FROM bt b JOIN bv v ON v.i = b.j) AS DOUBLE) / {_Q70F}))
+        + CAST((SELECT SUM(b.b * z.z)
+                FROM bt b JOIN zc z ON z.j = b.j) AS DOUBLE) / {_Q70F},
+        0.0) / (SELECT n FROM cnt) / (SELECT n FROM cnt)) AS r)""")
+    return ",".join(parts)
+
+
+#: full-corpus scoring CTEs: per-document exact integer score fold
+#: ``pq = Σ_dim floor(c/n · 2^20) · B_dim`` (zero-count dims
+#: contribute exactly 0, so the sparse sum equals the dense fold).
+_SCORE_CTES = f"""
+    afn AS MATERIALIZED (
+      SELECT doc_id, source, lang, toks, CAST(len(toks) AS BIGINT) AS n
+      FROM (SELECT doc_id, source, lang, {_TOK} AS toks FROM documents)
+      WHERE len(toks) > 0),
+    acnt AS (
+      SELECT doc_id, pos, n, COUNT(*) AS c
+      FROM (SELECT doc_id, n, {_DIM} AS pos
+            FROM (SELECT doc_id, n, unnest(toks) AS t FROM afn))
+      GROUP BY 1, 2, 3),
+    apq AS MATERIALIZED (
+      SELECT a.doc_id,
+             CAST(SUM(CAST(floor(CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                                 * {_Q20F}) AS HUGEINT) * b.b)
+                  AS HUGEINT) AS p
+      FROM acnt a JOIN bt b ON b.j = a.pos GROUP BY 1)"""
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH {_fit_ctes()},{_SCORE_CTES}
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (SELECT ic FROM icte)
+                              + CAST(p.p AS DOUBLE) / {_Q50F}
+                              >= CAST(5 AS DOUBLE) / 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           (SELECT ic FROM icte)
+             + CAST(SUM(p.p) AS DOUBLE) / COUNT(*) / {_Q50F} AS mean_score,
+           (SELECT r FROM rmse) AS train_rmse,
+           CAST((SELECT n FROM cnt) AS BIGINT) AS model_n
+    FROM afn f JOIN apq p USING (doc_id)
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the trained quality classifier on the deterministic
+    self-supervised slice (Gopher-pass positives vs planted-junk
+    negatives — ``operators.quality``), then score the WHOLE corpus
+    with the exact integer fold and report per-source pass rates at
+    the 0.5 threshold. Fit = one Arrow moments pass over the bounded
+    slice + a driver-side integer solve; scoring = zero-shuffle
+    map-side JVM column expressions; ONE final source-keyed
+    aggregation. The DuckDB oracle replays the slice, the moments,
+    all 15 elimination pivots, back-substitution, the intercept, the
+    RMSE, and every per-document score bit-for-bit."""
+    from ..operators.quality import (
+        hashed_tf_features,
+        quality_classifier_fit,
+        quality_pq_col,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    ic = float(model["intercept"])
+    scored = hashed_tf_features(docs, d=D).select(
+        "source", quality_pq_col(model).alias("_pq")
+    )
+    pred = F.lit(ic) + F.col("_pq").cast("double") / F.lit(_Q50F)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((pred >= F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_pass"),
+            (
+                F.lit(ic)
+                + F.sum(F.col("_pq").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(_Q50F)
+            ).alias("mean_score"),
+        )
+        .withColumn("train_rmse", F.lit(float(model["rmse"])))
+        .withColumn("model_n", F.lit(int(model["n"])).cast("bigint"))
+    )
+
+
+@query(
+    "corpus_curation_v6",
+    oracle=f"""
+    WITH {_fit_ctes()},{_SCORE_CTES},
+    keepfirst AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                     AS fp
+            FROM documents)
+      GROUP BY fp),
+    flags AS (
+      SELECT f.source, f.lang, f.n,
+             CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS u,
+             CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gp,
+             CASE WHEN p.p IS NOT NULL
+                       AND (SELECT ic FROM icte)
+                           + CAST(p.p AS DOUBLE) / {_Q50F}
+                           >= CAST(5 AS DOUBLE) / 10
+                  THEN 1 ELSE 0 END AS sc,
+             COALESCE(p.p, 0) AS pq
+      FROM afn f
+      LEFT JOIN keepfirst k USING (doc_id)
+      LEFT JOIN gpass g USING (doc_id)
+      LEFT JOIN apq p USING (doc_id))
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(u) AS BIGINT) AS n_unique,
+           CAST(SUM(u * gp) AS BIGINT) AS n_gopher,
+           CAST(SUM(u * gp * sc) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN u * gp * sc = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CASE WHEN SUM(u * gp * sc) > 0
+                THEN (SELECT ic FROM icte)
+                     + CAST(SUM(CASE WHEN u * gp * sc = 1 THEN pq
+                                     ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(u * gp * sc) AS BIGINT) / {_Q50F}
+                ELSE CAST(0 AS DOUBLE) END AS kept_mean_score
+    FROM flags GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def corpus_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v6 — the first chain gated by a TRAINED model:
+    exact-dedup (content-fingerprint keep-first) → Gopher rule
+    conjunction → trained-classifier score ≥ 0.5, reporting per
+    (source, lang) funnel counts, kept token mass, and the exact
+    mean kept score. Shuffle budget: one fingerprint aggregation,
+    one doc_id-keyed flag join, one final group-by — every gate
+    itself is map-side; at 100 TB the chain costs two exchanges
+    beyond the scan. The classifier fit (bounded labeled slice →
+    integer ridge solve) and every score replay in the oracle
+    bit-for-bit."""
+    from ..operators import textstats as TS
+    from ..operators.quality import (
+        hashed_tf_features,
+        quality_classifier_fit,
+        quality_pq_col,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    ic = float(model["intercept"])
+    keepers = (
+        docs.groupBy(TS.fingerprint("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("u"))
+    )
+    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
+    feats = hashed_tf_features(docs, d=D).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("_n").alias("n"),
+        g["passes"].cast("int").alias("gp"),
+        quality_pq_col(model).alias("pq"),
+    )
+    pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
+    flags = (
+        feats.join(keepers, "doc_id", "left")
+        .withColumn("u", F.coalesce(F.col("u"), F.lit(0)))
+        .withColumn("sc", (pred >= F.lit(0.5)).cast("int"))
+        .withColumn("k", F.col("u") * F.col("gp") * F.col("sc"))
+    )
+    kept_pq = F.when(F.col("k") == 1, F.col("pq")).otherwise(F.lit(0))
+    n_kept = F.sum("k").cast("bigint")
+    return flags.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("u").cast("bigint").alias("n_unique"),
+        F.sum(F.col("u") * F.col("gp")).cast("bigint").alias("n_gopher"),
+        n_kept.alias("n_kept"),
+        F.sum(F.when(F.col("k") == 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.when(
+            n_kept > 0,
+            F.lit(ic)
+            + F.sum(kept_pq.cast("decimal(38,0)")).cast("double")
+            / n_kept
+            / F.lit(_Q50F),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("kept_mean_score"),
+    )
