@@ -403,6 +403,143 @@ def _jaccard_prefix_filtered(sh: DataFrame, t: float, order: str = "df") -> Data
     )
 
 
+def _band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH band rows ``(doc, sig, band, key)`` from a ``(doc, sig)``
+    signature table: each k-wide signature splits into ``bands``
+    contiguous row-groups whose joined string is the bucket key —
+    one map-side explode, bands× row fan-out (k integers per doc, so
+    the banded table stays tiny relative to the corpus)."""
+    rows = k // bands
+    return sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice("sig", bi * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sig", "bk.band", "bk.key")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """``(doc, sig)`` MinHash signature table for ``df`` — the
+    persistable dedup state (k int64 per document). Map-side only."""
+    sh = _shingled(df, id_col, text_col, n, distinct=False)
+    return sh.select("doc", minhash_signature(F.col("shingles"), k).alias("sig"))
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against the corpus already kept — the
+    production shape for a growing 100 TB collection ("dedup today's
+    crawl against everything retained so far"), where corpus-internal
+    re-dedup from scratch would reprocess the whole store daily.
+
+    ``store_sigs`` is the persisted ``(doc, sig)`` signature table
+    (``minhash_signatures`` output, e.g. held in a ``TableStore`` —
+    see ``plans.pipelines.incremental_dedup_pipeline`` for the
+    exactly-once epoch choreography). Returns one row per batch
+    document with ≥ n tokens: ``(doc, sig, n_store, n_batch,
+    status)`` where
+
+    - ``n_store`` = distinct store documents sharing an LSH bucket
+      with signature agreement ≥ ceil(threshold·k),
+    - ``n_batch`` = distinct SMALLER-id batch documents likewise
+      (greedy keep-first-by-id within the batch — the standard
+      streaming-dedup tie-break; transitive closure is deliberately
+      not taken, matching the keep-first semantics of
+      ``streaming/curation.py``),
+    - ``status`` = ``'dup_store'`` | ``'dup_batch'`` | ``'kept'``
+      (store match wins).
+
+    Scale shape: signatures and band keys are map-side; the only
+    shuffles are the two (band, key) equi-joins. The batch side of
+    the store join is a day's crawl — small, broadcastable; at full
+    scale persist the STORE banded and bucketed on (band, key) so
+    the big side never re-shuffles (the bucketed-layout recipe
+    proven in tests/test_layout.py). Agreement is compared as an
+    INTEGER count (≥ ceil(threshold·k)) so the oracle replays the
+    predicate exactly."""
+    import math
+
+    min_agree = int(math.ceil(threshold * k))
+    bsig = materialize(minhash_signatures(batch, id_col, text_col, n=n, k=k))
+    bband = _band_rows(bsig, k, bands)
+    sband = _band_rows(store_sigs.select("doc", "sig"), k, bands)
+
+    def agree(a: Column, b: Column) -> Column:
+        return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda e: e))
+
+    vs_store = (
+        bband.alias("a")
+        .join(
+            sband.alias("s"),
+            (F.col("a.band") == F.col("s.band")) & (F.col("a.key") == F.col("s.key")),
+        )
+        .where(agree(F.col("a.sig"), F.col("s.sig")) >= min_agree)
+        .select(F.col("a.doc").alias("doc"), F.col("s.doc").alias("other"))
+        .distinct()
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_store"))
+    )
+    internal = (
+        bband.alias("a")
+        .join(
+            bband.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .where(agree(F.col("a.sig"), F.col("b.sig")) >= min_agree)
+        .select(F.col("b.doc").alias("doc"), F.col("a.doc").alias("other"))
+        .distinct()
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+    )
+    return (
+        bsig.join(vs_store, "doc", "left")
+        .join(internal, "doc", "left")
+        .select(
+            "doc",
+            "sig",
+            F.coalesce("n_store", F.lit(0)).cast("bigint").alias("n_store"),
+            F.coalesce("n_batch", F.lit(0)).cast("bigint").alias("n_batch"),
+            F.when(F.col("n_store") > 0, F.lit("dup_store"))
+            .when(F.col("n_batch") > 0, F.lit("dup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -438,27 +575,7 @@ def minhash_lsh_pairs(
     # recompute-tolerant strategies via operators.materialize.
     sig = materialize(sig)
 
-    band_rows = sig.select(
-        "doc",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            F.transform(
-                                F.slice("sig", bi * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", "sig", "bk.band", "bk.key")
+    band_rows = _band_rows(sig, k, bands)
 
     a, b = band_rows.alias("a"), band_rows.alias("b")
     est = (

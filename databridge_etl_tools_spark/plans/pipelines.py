@@ -390,3 +390,80 @@ def upsert_pipeline(
     qa.smoke_select(store.read(table), table)
     qa.raise_if_failed()
     return UpsertResult(staged=n_staged, final_count=final, qa=qa)
+
+
+# ---------------------------------------------------------------------
+# incremental corpus dedup vs a persisted signature store (r11)
+# ---------------------------------------------------------------------
+
+@dataclass
+class IncrementalDedupResult:
+    committed: bool
+    n_batch: int
+    n_kept: int
+    n_dup_store: int
+    n_dup_batch: int
+    store_size: int
+
+
+def incremental_dedup_pipeline(
+    store: TableStore,
+    table: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    epoch_id: int,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> IncrementalDedupResult:
+    """The growing-corpus dedup choreography: MinHash-screen a new
+    batch against the persisted ``(doc, sig)`` signature store
+    (``operators.dedup.incremental_minhash_dedup``), then append the
+    SURVIVORS' signatures exactly-once via ``TableStore.commit_epoch``
+    — a replayed epoch (same ``epoch_id``, e.g. a retried
+    micro-batch or a re-run orchestrator task) is detected by the
+    store's epoch watermark and skipped before any write, so
+    signatures are never double-inserted. (The replay's SCREEN runs
+    against the current store — which already holds the batch's own
+    signatures, so its counts read all-duplicate; idempotence lives
+    at the commit, exactly as in Delta's txnVersion recipe.)
+
+    State stays bounded: k int64 + one id per KEPT document — the
+    store grows with the deduplicated corpus, never with the raw
+    crawl. The batch screen's only shuffles are two (band, key)
+    equi-joins (batch side small/broadcastable; persist the store
+    banded+bucketed on (band, key) at full scale)."""
+    spark = batch.sparkSession
+    if store.exists(table):
+        sigs = store.read(table)
+    else:
+        sigs = spark.createDataFrame(
+            [], T.StructType(
+                [
+                    T.StructField("doc", T.LongType()),
+                    T.StructField("sig", T.ArrayType(T.LongType())),
+                ]
+            )
+        )
+    from ..operators.dedup import incremental_minhash_dedup
+
+    status = incremental_minhash_dedup(
+        batch, sigs, id_col, text_col, n=n, k=k, bands=bands, threshold=threshold
+    ).localCheckpoint()
+    counts = {
+        r["status"]: r["n"]
+        for r in status.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    survivors = status.filter(F.col("status") == "kept").select("doc", "sig")
+    committed = store.commit_epoch(table, sigs.unionByName(survivors), epoch_id)
+    return IncrementalDedupResult(
+        committed=committed,
+        n_batch=sum(counts.values()),
+        n_kept=counts.get("kept", 0),
+        n_dup_store=counts.get("dup_store", 0),
+        n_dup_batch=counts.get("dup_batch", 0),
+        store_size=store.read(table).count(),
+    )

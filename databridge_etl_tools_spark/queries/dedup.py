@@ -1013,3 +1013,65 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(
         docs, "doc_id", "text", threshold=(3, 5), max_df=32
     )
+
+
+@query(
+    "dedup_incremental_vs_store",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    bands AS (
+      SELECT doc_id, b,
+             sig[4*b+1]::VARCHAR||'-'||sig[4*b+2]::VARCHAR||'-'||
+             sig[4*b+3]::VARCHAR||'-'||sig[4*b+4]::VARCHAR AS key
+      FROM sig, (SELECT unnest(range(0,4)) AS b)),
+    bstore AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+    bbatch AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    ns AS (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_store FROM (
+        SELECT DISTINCT a.doc_id AS doc, s.doc_id AS other
+        FROM bbatch a JOIN bstore s ON a.b = s.b AND a.key = s.key
+        JOIN sig sa ON sa.doc_id = a.doc_id
+        JOIN sig sb ON sb.doc_id = s.doc_id
+        WHERE len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) >= 8)
+      GROUP BY 1),
+    nb AS (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_batch FROM (
+        SELECT DISTINCT b2.doc_id AS doc, a.doc_id AS other
+        FROM bbatch a JOIN bbatch b2
+          ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id
+        JOIN sig sa ON sa.doc_id = a.doc_id
+        JOIN sig sb ON sb.doc_id = b2.doc_id
+        WHERE len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) >= 8)
+      GROUP BY 1)
+    SELECT d.doc, COALESCE(ns.n_store, 0) AS n_store,
+           COALESCE(nb.n_batch, 0) AS n_batch,
+           CASE WHEN ns.n_store IS NOT NULL THEN 'dup_store'
+                WHEN nb.n_batch IS NOT NULL THEN 'dup_batch'
+                ELSE 'kept' END AS status
+    FROM (SELECT DISTINCT doc_id AS doc FROM bbatch) d
+    LEFT JOIN ns USING (doc) LEFT JOIN nb USING (doc)
+    """,
+    gate=False,
+)
+def dedup_incremental_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against the already-kept
+    corpus (``operators.dedup.incremental_minhash_dedup``) — the
+    production shape for a GROWING collection: the ``doc_id % 3 = 0``
+    slice plays today's crawl, the rest plays the persisted signature
+    store (the exactly-once epoch persistence itself is engine-tested
+    in ``tests/test_incremental_dedup.py`` via
+    ``plans.pipelines.incremental_dedup_pipeline``). Per batch doc:
+    distinct store/smaller-batch near-matches (LSH bucket + signature
+    agreement ≥ 8/16) and the keep/drop verdict, store match winning.
+    The oracle recomputes every signature lane, band key, and
+    agreement count independently in DuckDB."""
+    from ..operators.dedup import incremental_minhash_dedup, minhash_signatures
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    store_sigs = minhash_signatures(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text"
+    )
+    return incremental_minhash_dedup(
+        batch, store_sigs, "doc_id", "text"
+    ).select("doc", "n_store", "n_batch", "status")
