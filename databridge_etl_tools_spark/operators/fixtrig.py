@@ -251,9 +251,18 @@ def apply_steps_spark(df, sb: StepBuilder):
     # per alias-chain level; 3× + slack is comfortably above
     need = 3 * len(sb.steps) + 100
     cur = int(spark.conf.get("spark.sql.analyzer.maxIterations", "100"))
-    if cur < need:
-        spark.conf.set("spark.sql.analyzer.maxIterations", str(need))
-    return df.selectExpr("*", *[f"({e}) AS {n}" for n, e in sb.steps])
+    if cur >= need:
+        return df.selectExpr("*", *[f"({e}) AS {n}" for n, e in sb.steps])
+    # raise the cap only for THIS analysis: selectExpr analyzes the
+    # plan eagerly, and the lateral aliases are rewritten into nested
+    # Projects during that pass, so downstream re-analysis never needs
+    # the deep iteration count again — restore the session value
+    # (r10 advice: the raised cap used to leak for the session's life)
+    spark.conf.set("spark.sql.analyzer.maxIterations", str(need))
+    try:
+        return df.selectExpr("*", *[f"({e}) AS {n}" for n, e in sb.steps])
+    finally:
+        spark.conf.set("spark.sql.analyzer.maxIterations", str(cur))
 
 
 # --- Python twin (bit-exact replay of the emitted arithmetic) ---------

@@ -47,6 +47,26 @@ from pyspark.sql import functions as F
 Q_RANK = 40  #: per-node rank fixed point (initial rank = 2^40)
 
 
+def _require_integral(df: DataFrame, col: str, op: str) -> None:
+    """Reject non-integral weight columns LOUDLY: the replay contract
+    is 'positive integers', and a silent ``cast('long')`` would floor
+    fractional weights (1.5 → 1), quietly diverging from an oracle
+    fed the raw column (r10 advice). Quantize fractional weights
+    explicitly (e.g. ``floor(w * 2^20)``) before calling."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"{op}: weight column {col!r} must be integral, got "
+            f"{dt.simpleString()} — fractional weights would be "
+            "silently floored by the long cast; quantize them "
+            "explicitly (e.g. floor(w * 2^20)) first"
+        )
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -58,6 +78,7 @@ def pagerank(
     edges_ready: bool = False,
     broadcast_node_budget: int = 2_000_000,
     weights_checked: bool = False,
+    rank_bits: "int | None" = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge DataFrame.
 
@@ -88,8 +109,24 @@ def pagerank(
     count are broadcast-hinted into the contrib join (checkpointed
     iterates lose size stats, so Spark would otherwise plan
     sort-merge); above it the shuffle join is the honest path —
-    that's the regime where the bucketed layout pays."""
+    that's the regime where the bucketed layout pays.
+
+    ``rank_bits`` (default ``Q_RANK`` = 40): the rank quantization.
+    Total mass is N·2^rank_bits, so per-node int64 headroom is only
+    provable for ``N < 2^(62 − rank_bits)`` — the default certifies
+    ~4.2M nodes at q40 precision; web-scale graphs pass a smaller
+    value (e.g. ``rank_bits=20`` certifies N < 2^42 ≈ 4.4T nodes at
+    ~1e-6 rank precision, still far tighter than float PageRank's
+    accumulated error). The oracle twin must unroll with the same
+    quantization. This is the in-code remediation for the headroom
+    guard (r10 advice: the guard used to make the advertised
+    web-scale regime unreachable)."""
     num, den = damping
+    q = Q_RANK if rank_bits is None else int(rank_bits)
+    if not (8 <= q <= Q_RANK):
+        raise ValueError(f"pagerank: rank_bits must be in [8, {Q_RANK}], got {q}")
+    if weight_col is not None:
+        _require_integral(edges, weight_col, "pagerank")
     from .materialize import materialize
 
     # the edge table feeds every iteration's contrib join plus the
@@ -155,12 +192,12 @@ def pagerank(
     # wrap the BIGINT cast silently (Spark non-ANSI) — raise loudly
     # with the remediation instead of advertising a bound we can't
     # keep (r9 advice).
-    if n_nodes >= (1 << 22):
+    if n_nodes >= (1 << (62 - q)):
         raise ValueError(
-            f"pagerank: {n_nodes} nodes — per-node q40 rank is only "
-            "provably < 2^63 for N < 2^22 (total mass N·2^40 could "
-            "concentrate on one hub). Keep rank_q in DECIMAL(38,0) "
-            "end-to-end (swap the BIGINT casts) or partition the "
+            f"pagerank: {n_nodes} nodes — per-node q{q} rank is only "
+            f"provably < 2^63 for N < 2^{62 - q} (total mass N·2^{q} "
+            "could concentrate on one hub). Pass a smaller rank_bits "
+            "(e.g. rank_bits=20 certifies N < 2^42) or partition the "
             "graph before ranking."
         )
     # dangling nodes are a STATIC property of the graph — probe once
@@ -169,9 +206,9 @@ def pagerank(
     # (a bidirectional graph never has any; saves one broadcast
     # sub-job per iteration)
     has_dangling = base.where(F.col("outdeg") == 0).limit(1).count() > 0
-    teleport = ((den - num) * (1 << Q_RANK)) // den
+    teleport = ((den - num) * (1 << q)) // den
     ranks = base.select(
-        "node", "outdeg", F.lit(1 << Q_RANK).cast("long").alias("rank_q")
+        "node", "outdeg", F.lit(1 << q).cast("long").alias("rank_q")
     )
     # the checkpointed rank table has no size stats, so Spark would
     # plan the contrib join as a full sort-merge (BOTH sides shuffled
@@ -185,6 +222,7 @@ def pagerank(
         if n_nodes <= broadcast_node_budget
         else (lambda d: d)
     )
+    persisted = None
     if edges_ready:
         # regime-aware edge residency (both ways measured at sf0.1):
         # broadcast regime — the contrib join is a BroadcastHashJoin
@@ -202,6 +240,7 @@ def pagerank(
             from pyspark import StorageLevel
 
             e = e.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted = e
     for _ in range(iters):
         # trunc division: Spark's integer DIV truncates toward zero,
         # same as DuckDB // (ranks are non-negative, so floor == trunc)
@@ -258,10 +297,16 @@ def pagerank(
                 (F.lit(teleport).cast("long") + new_rank).alias("rank_q"),
             )
         )
+    if persisted is not None:
+        # the final ranks are materialized (checkpointed), so nothing
+        # downstream references the cached edge table — release it
+        # instead of letting repeated pagerank calls accumulate
+        # executor cache pressure (r10 advice)
+        persisted.unpersist()
     return ranks.select(
         "node",
         "rank_q",
-        (F.col("rank_q").cast("double") / F.lit(float(1 << Q_RANK))).alias(
+        (F.col("rank_q").cast("double") / F.lit(float(1 << q))).alias(
             "rank"
         ),
     )
@@ -309,6 +354,7 @@ def label_propagation(
             ).distinct()
         )
     else:
+        _require_integral(edges, weight_col, "label_propagation")
         e = materialize(
             edges.groupBy(
                 F.col(src).alias("_src"), F.col(dst).alias("_dst")
@@ -585,6 +631,7 @@ def shortest_paths_bounded(
     for nodes reachable within ``max_hops`` edges."""
     from .materialize import materialize
 
+    _require_integral(edges, weight_col, "shortest_paths_bounded")
     e = materialize(
         edges.groupBy(
             F.col(src).alias("_src"), F.col(dst).alias("_dst")

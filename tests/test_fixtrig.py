@@ -192,3 +192,18 @@ def test_exp_wide_accuracy_and_replay(spark):
     got_s = [r[0] for r in df.orderBy("x").select(out).collect()]
     want = [FX.py_exp_wide(x) for x in xs]
     assert got_d == want and got_s == want
+
+
+def test_apply_steps_spark_restores_analyzer_conf(spark):
+    """r10 advice: the deep-alias analysis must not leave the raised
+    spark.sql.analyzer.maxIterations stuck for the session."""
+    key = "spark.sql.analyzer.maxIterations"
+    before = spark.conf.get(key, "100")
+    sb = FX.StepBuilder("spark")
+    out = sb.ln("CAST(x AS DOUBLE)")
+    sb.emit(out)
+    df = FX.apply_steps_spark(
+        spark.createDataFrame([(2.0,), (3.5,)], "x double"), sb
+    )
+    assert spark.conf.get(key, "100") == before
+    assert len(df.collect()) == 2  # the deep projection still runs

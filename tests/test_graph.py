@@ -399,3 +399,54 @@ def test_shortest_paths_rejects_nonpositive_weights(spark):
     srcs = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError, match="positive"):
         shortest_paths_bounded(df, srcs)
+
+
+def test_fractional_weights_rejected_loudly(spark):
+    """r10 advice: a double weight column must raise, not silently
+    floor (1.5 → 1) against the integer replay contract."""
+    from databridge_etl_tools_spark.operators.graph import (
+        label_propagation,
+        shortest_paths_bounded,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.5), (2, 1, 2.5)], "src long, dst long, w double"
+    )
+    for fn in (
+        lambda: pagerank(e, weight_col="w", iters=1),
+        lambda: label_propagation(e, weight_col="w", iters=1),
+        lambda: shortest_paths_bounded(
+            e, spark.range(1).select(F.lit(1).alias("node")), max_hops=1
+        ),
+    ):
+        with pytest.raises(ValueError, match="must be integral"):
+            fn()
+
+
+def test_pagerank_rank_bits_scales_quantization(spark):
+    """rank_bits=20 (the web-scale headroom remediation) reproduces
+    the default ranking to ~2^-20 and keeps the same order."""
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    full = {r["node"]: r["rank"] for r in pagerank(e, iters=4).collect()}
+    narrow = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=4, rank_bits=20).collect()
+    }
+    assert set(full) == set(narrow)
+    for n in full:
+        assert abs(full[n] - narrow[n]) < 1e-4, (n, full[n], narrow[n])
+    assert sorted(full, key=full.get) == sorted(narrow, key=narrow.get)
+    with pytest.raises(ValueError, match="rank_bits"):
+        pagerank(e, iters=1, rank_bits=63)
+
+
+def test_pagerank_unpersists_edge_cache(spark):
+    """r10 advice: the shuffle-regime edges_ready persist() must be
+    released after the fixpoint — repeated calls must not accumulate
+    executor cache."""
+    e = spark.createDataFrame(EDGES, "src long, dst long").distinct()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pagerank(e, iters=1, edges_ready=True, broadcast_node_budget=0).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before

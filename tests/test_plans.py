@@ -281,3 +281,115 @@ def test_textrank_top20_compiles_to_take_ordered(spark):
     plan = _plan(spark, "text_textrank_keywords")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_datum_pipeline_is_pure_projection_zero_exchange(spark):
+    """proj_pa_south_datum_pipeline is the fixtrig mega-projection:
+    one parquet scan feeding a chain of whole-stage-codegen Projects
+    — no Exchange, no Python, ever (the per-row transcendental path
+    must stay map-side at any scale)."""
+    plan = _plan(spark, "proj_pa_south_datum_pipeline")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_mixture_temperature_alpha_scalar_weights_broadcast(spark):
+    """The arbitrary-α temperature mixture: per-source weights are a
+    bounded scalar frame crossed in via BROADCAST, the corpus side
+    carries no global window, and every SinglePartition exchange is
+    a 1-row SCALAR final aggregate (global max/sum over the tiny
+    per-lang count table — the benign class), never a corpus-wide
+    repartition."""
+    plan = _plan(spark, "mixture_temperature_alpha")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = lines[i + 1]
+            assert "HashAggregate(keys=[]" in nxt, (
+                "non-scalar SinglePartition exchange:\n" + ln + "\n" + nxt
+            )
+    assert "windowspecdefinition()" not in plan  # no unpartitioned window
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_components_round_shape(spark):
+    """One uncut connected-components round = frontier⋈edges +
+    dst-keyed MIN + left-join label merge; no cartesian, no
+    single-partition exchange."""
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark.operators.materialize import strategy
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    ).select(F.col("src").alias("_src"), F.col("dst").alias("_dst"))
+    nodes = e.select(F.col("_src").alias("node")).distinct()
+    with strategy("none"):
+        labels = nodes.select("node", F.col("node").alias("label"))
+        prop = (
+            labels.join(e, labels["node"] == e["_src"])
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        merged = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+            ).alias("label"),
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "min(label" in plan  # the dst-keyed MIN propagation
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_minplus_round_costs_stay_long(spark):
+    """One min-plus relaxation round: relax join + dst-keyed MIN +
+    full-outer merge, costs exact int64 end-to-end (no doubles in the
+    distance arithmetic), no single-partition exchange."""
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark.operators.graph import (
+        shortest_paths_bounded,
+    )
+    from databridge_etl_tools_spark.operators.materialize import strategy
+
+    e = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1), (3, 1, 2)], "src long, dst long, w long"
+    )
+    srcs = spark.range(1).select(F.lit(1).cast("long").alias("node"))
+    with strategy("none"):
+        plan = (
+            shortest_paths_bounded(e, srcs, max_hops=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    assert "min(dist" in plan
+    assert "FullOuter" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_weighted_lpa_argmax_window_partitions_by_node(spark):
+    """The weighted-LPA vote argmax must be a node-PARTITIONED window
+    (≤ degree+1 rows per partition) with the exact decimal weight
+    sum — never a global window, never a double sum."""
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark.operators.graph import label_propagation
+    from databridge_etl_tools_spark.operators.materialize import strategy
+
+    e = spark.createDataFrame(
+        [(1, 2, 2), (2, 1, 2), (2, 3, 1), (3, 2, 1)],
+        "src long, dst long, w long",
+    )
+    with strategy("none"):
+        plan = (
+            label_propagation(e, weight_col="w", iters=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    assert "windowspecdefinition(node" in plan
+    assert "as decimal(38,0)" in plan
+    assert "Exchange SinglePartition" not in plan
