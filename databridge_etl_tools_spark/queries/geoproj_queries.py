@@ -155,8 +155,6 @@ def geo_haversine_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrated as a reusable cross-engine function rather than a
     one-off: the fixtrig seam now covers the LCC datum pipeline AND
     spherical geodesy. Top-k compiles to TakeOrderedAndProject."""
-    from pyspark.sql import Window
-
     from ..operators.fixtrig import dlit
 
     cust = table(spark, sf_dir, "customer", access="scan")
@@ -168,12 +166,22 @@ def geo_haversine_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sb, "lat", "lon", dlit(_CITY_HALL[1]), dlit(_CITY_HALL[0])
     )
     df = apply_steps_spark(df, sb)
-    w = Window.orderBy(F.asc(dist), F.asc("c_custkey"))
+    # global top-20 first (TakeOrderedAndProject: per-partition heaps
+    # + a driver merge of 20 rows), THEN rank the bounded survivors
+    # with the house 1-row broadcast-scalar idiom — a sorted 20-slot
+    # array cross-joined back, position = array_position. No window,
+    # so no single-partition WindowExec on unbounded rows (r10 nit);
+    # localCheckpoint computes the 20 rows once for both consumers.
+    top = df.orderBy(F.asc(dist), F.asc("c_custkey")).limit(20).localCheckpoint(
+        eager=False
+    )
+    key = F.struct(F.col(dist).alias("d"), F.col("c_custkey").alias("k"))
+    order = top.agg(F.array_sort(F.collect_list(key)).alias("_order"))
     return (
-        df.withColumn("position", F.row_number().over(w).cast("int"))
-        .where(F.col("position") <= 20)
+        top.crossJoin(F.broadcast(order))
         .select(
             "c_custkey", "lon", "lat",
-            F.col(dist).alias("dist_m"), "position",
+            F.col(dist).alias("dist_m"),
+            F.array_position("_order", key).cast("int").alias("position"),
         )
     )
