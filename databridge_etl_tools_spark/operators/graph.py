@@ -79,6 +79,8 @@ def pagerank(
     broadcast_node_budget: int = 2_000_000,
     weights_checked: bool = False,
     rank_bits: "int | None" = None,
+    seeds: "DataFrame | None" = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge DataFrame.
 
@@ -120,7 +122,22 @@ def pagerank(
     accumulated error). The oracle twin must unroll with the same
     quantization. This is the in-code remediation for the headroom
     guard (r10 advice: the guard used to make the advertised
-    web-scale regime unreachable)."""
+    web-scale regime unreachable).
+
+    ``seeds`` switches the walk to PERSONALIZED PageRank (the
+    TrustRank family, Gyongyi et al. 2004): initial mass and the
+    teleport term go only to the seed set (one row per seed node id
+    in ``seed_col``; ids absent from the graph are ignored), and the
+    dangling mass is redistributed over the seeds instead of all
+    nodes. Rank then measures proximity-weighted reachability FROM
+    the seeds — the curation primitive for propagating trust from a
+    vetted whitelist (curated domains, human-audited documents)
+    through a link/interaction graph. Same integer fixpoint, same
+    replay contract: per-seed init 2^rank_bits, teleport
+    ``((den-num)·2^q) // den`` per seed, ``dang // n_seeds`` per
+    seed — the DuckDB twin unrolls identically
+    (``pagerank_personalized_levels``). Total mass is bounded by
+    n_seeds·2^q ≤ N·2^q, so the headroom guard is unchanged."""
     num, den = damping
     q = Q_RANK if rank_bits is None else int(rank_bits)
     if not (8 <= q <= Q_RANK):
@@ -200,6 +217,31 @@ def pagerank(
             "(e.g. rank_bits=20 certifies N < 2^42) or partition the "
             "graph before ranking."
         )
+    seeded = seeds is not None
+    n_seeds = 0
+    if seeded:
+        # mark the seed nodes on the (already materialized) node
+        # table — one bounded join; seed whitelists are small, so
+        # Catalyst broadcasts under the threshold without a forced
+        # hint (a forced hint would be a scale hazard if a caller
+        # ever passes a huge seed table)
+        sd = (
+            seeds.select(F.col(seed_col).cast("long").alias("node"))
+            .distinct()
+            .withColumn("_seed", F.lit(True))
+        )
+        base = materialize(
+            base.join(sd, "node", "left").select(
+                "node",
+                "outdeg",
+                F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed"),
+            )
+        )
+        n_seeds = base.where(F.col("_seed")).count()
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank: none of the seed ids occur in the graph"
+            )
     # dangling nodes are a STATIC property of the graph — probe once
     # at setup (one count over the checkpointed base) and skip the
     # per-iteration dangling-mass scalar entirely when there are none
@@ -207,8 +249,14 @@ def pagerank(
     # sub-job per iteration)
     has_dangling = base.where(F.col("outdeg") == 0).limit(1).count() > 0
     teleport = ((den - num) * (1 << q)) // den
+    keep_cols = ["node", "outdeg"] + (["_seed"] if seeded else [])
+    init_q = (
+        F.when(F.col("_seed"), F.lit(1 << q)).otherwise(F.lit(0))
+        if seeded
+        else F.lit(1 << q)
+    )
     ranks = base.select(
-        "node", "outdeg", F.lit(1 << q).cast("long").alias("rank_q")
+        *keep_cols, init_q.cast("long").alias("rank_q")
     )
     # the checkpointed rank table has no size stats, so Spark would
     # plan the contrib join as a full sort-merge (BOTH sides shuffled
@@ -273,9 +321,17 @@ def pagerank(
                 ).alias("dang_q")
             )
             rebuilt = rebuilt.crossJoin(F.broadcast(dang))
+            # seeded walk: dangling mass teleports back to the SEED
+            # set (TrustRank), not uniformly over all nodes
+            dshare = (
+                f"CASE WHEN _seed THEN CAST(dang_q AS DECIMAL(38,0))"
+                f" DIV {n_seeds} ELSE CAST(0 AS DECIMAL(38,0)) END"
+                if seeded
+                else f"CAST(dang_q AS DECIMAL(38,0)) DIV {n_nodes}"
+            )
             new_rank = F.expr(
                 f"CAST({num} * (CAST(coalesce(in_q, 0) AS DECIMAL(38,0))"
-                f" + CAST(dang_q AS DECIMAL(38,0)) DIV {n_nodes})"
+                f" + {dshare})"
                 f" DIV {den} AS BIGINT)"
             )
         else:
@@ -290,11 +346,15 @@ def pagerank(
         # independently, so un-cut lineage re-executes levels 1..t at
         # every level t — O(iters²), ~2× slower end-to-end. The cut
         # keeps every iteration one pass regardless of join strategy.
+        tele = (
+            F.when(F.col("_seed"), F.lit(teleport)).otherwise(F.lit(0))
+            if seeded
+            else F.lit(teleport)
+        )
         ranks = materialize(
             rebuilt.select(
-                "node",
-                "outdeg",
-                (F.lit(teleport).cast("long") + new_rank).alias("rank_q"),
+                *keep_cols,
+                (tele.cast("long") + new_rank).alias("rank_q"),
             )
         )
     if persisted is not None:

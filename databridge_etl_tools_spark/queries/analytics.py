@@ -2581,6 +2581,141 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pagerank_personalized_levels(
+    ed_cte: str,
+    seed_cte: str,
+    iters: int = 8,
+    num: int = 85,
+    den: int = 100,
+) -> str:
+    """Seeded twin of :func:`pagerank_oracle_levels` — the DuckDB
+    replay of ``operators.graph.pagerank(seeds=...)`` (personalized
+    PageRank / TrustRank): initial q40 mass and the teleport constant
+    go only to the caller's ``seed_cte`` node set (restricted to ids
+    actually in the graph), and each level's dangling mass is
+    redistributed ``dang // n_seeds`` over the seeds instead of
+    ``// n_nodes`` over everyone. Bit-for-bit the operator's update;
+    the final table is ``r{iters}(node, outdeg, is_seed, rq)`` with
+    ``sd``/``ns`` (seed set and its count) also in scope."""
+    q40 = 1 << 40
+    teleport = ((den - num) * q40) // den
+    parts = [f"""
+    ed AS MATERIALIZED ({ed_cte}),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+    od AS (SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS outdeg
+           FROM ed GROUP BY 1),
+    sd AS (SELECT DISTINCT node FROM ({seed_cte}) s
+           WHERE node IN (SELECT node FROM nodes)),
+    ns AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM sd),
+    base AS MATERIALIZED (
+      SELECT n.node, COALESCE(o.outdeg, 0) AS outdeg,
+             n.node IN (SELECT node FROM sd) AS is_seed
+      FROM nodes n LEFT JOIN od o USING (node)),
+    r0 AS MATERIALIZED (
+      SELECT node, outdeg, is_seed,
+             CASE WHEN is_seed THEN CAST({q40} AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END AS rq
+      FROM base)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r.rq // r.outdeg) AS in_q
+      FROM r{i - 1} r JOIN ed e ON e.src = r.node
+      WHERE r.outdeg > 0 GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(rq), 0) AS dang
+             FROM r{i - 1} WHERE outdeg = 0),
+    r{i} AS MATERIALIZED (
+      SELECT b.node, b.outdeg, b.is_seed,
+             CASE WHEN b.is_seed THEN {teleport} ELSE 0 END
+               + ({num} * (COALESCE(c.in_q, 0)
+                 + CASE WHEN b.is_seed
+                        THEN (SELECT dang FROM d{i}) // (SELECT n FROM ns)
+                        ELSE 0 END))
+               // {den} AS rq
+      FROM base b LEFT JOIN c{i} c USING (node))""")
+    return ",".join(parts)
+
+
+def _trustrank_oracle(iters: int = 8) -> str:
+    """Twin of graph_trustrank_seeded: purchase-graph edges + the
+    top-5-balance supplier seed set fed to the seeded generator."""
+    ed = """
+        SELECT DISTINCT src, dst FROM (
+          SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          UNION ALL
+          SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey) t"""
+    seeds = """SELECT 2 * s_suppkey + 1 AS node FROM (
+          SELECT s_suppkey FROM supplier
+          ORDER BY s_acctbal DESC, s_suppkey LIMIT 5) t"""
+    return (
+        "WITH " + pagerank_personalized_levels(ed, seeds, iters) + f"""
+    SELECT s.s_suppkey, s.s_name, r.is_seed,
+           CAST(r.rq AS BIGINT) AS rank_q,
+           CAST(r.rq AS DOUBLE) / {float(1 << 40)} AS rank
+    FROM r{iters} r JOIN supplier s ON r.node = 2 * s.s_suppkey + 1
+    """
+    )
+
+
+@query("graph_trustrank_seeded", oracle=_trustrank_oracle(), gate=False)
+def graph_trustrank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEED-PROPAGATED TRUST (personalized PageRank / TrustRank,
+    ``operators.graph.pagerank(seeds=...)``): rank every supplier by
+    proximity-weighted reachability from a vetted whitelist — the 5
+    suppliers with the highest account balance, standing in for the
+    human-audited seed set every production trust pipeline starts
+    from (Common Crawl host curation seeds with known-good domains and
+    propagates outward; spam detection propagates from audited pages).
+    Initial mass, teleport, and dangling redistribution all go only
+    to the seeds, so rank decays with graph distance from the
+    whitelist instead of rewarding raw in-degree. Same per-iteration
+    shape as global PageRank (one src-keyed join + one dst-keyed agg,
+    checkpointed iterates); the integer fixpoint unrolls into the
+    DuckDB twin level for level."""
+    from ..operators.graph import pagerank
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = ord_.join(
+        li, ord_["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).alias("cust_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    seeds = (
+        supp.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .limit(5)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    ranks = pagerank(edges, iters=8, seeds=seeds)
+    return (
+        ranks.join(supp, ranks["node"] == supp["s_suppkey"] * 2 + 1)
+        .join(
+            seeds.withColumn("_is", F.lit(True)), "node", "left"
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce(F.col("_is"), F.lit(False)).alias("is_seed"),
+            "rank_q",
+            "rank",
+        )
+    )
+
+
 def _bfs_oracle(max_hops: int = 4) -> str:
     """Twin of graph_bfs_supplier_radius: the purchase-graph edges,
     then ``max_hops`` unrolled frontier-expansion levels (join + min),

@@ -469,3 +469,80 @@ def test_pagerank_unpersists_edge_cache(spark, monkeypatch):
         assert not (lvl.useMemory or lvl.useDisk), (
             "edge cache still registered after the fixpoint"
         )
+
+
+def _py_pagerank_seeded(edges, seed_set, iters=4, num=85, den=100):
+    """Pure-python replay of the SEEDED integer fixpoint (TrustRank):
+    init/teleport/dangling confined to the seed set."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    seed_set = {s for s in seed_set if s in set(nodes)}
+    out = {n: 0 for n in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    teleport = ((den - num) * (1 << Q_RANK)) // den
+    r = {n: (1 << Q_RANK) if n in seed_set else 0 for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for u, v in edges:
+            if out[u] > 0:
+                inc[v] += r[u] // out[u]
+        dang = sum(r[n] for n in nodes if out[n] == 0)
+        share = dang // len(seed_set)
+        r = {
+            n: (teleport if n in seed_set else 0)
+            + (num * (inc[n] + (share if n in seed_set else 0))) // den
+            for n in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_seed_semantics(spark):
+    """Seeded walk (TrustRank): bit-exact vs the pure-python seeded
+    replay; nodes unreachable from the seed set stay exactly 0."""
+    # path graph 1 -> 2 -> 3 plus an isolated pair 10 -> 11
+    edges = [(1, 2), (2, 3), (10, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    r = {
+        row["node"]: row["rank_q"]
+        for row in pagerank(e, iters=4, seeds=seeds).collect()
+    }
+    assert r == _py_pagerank_seeded(edges, {1}, iters=4)
+    assert r[1] > 0 and r[2] > 0 and r[3] > 0
+    assert r[10] == 0 and r[11] == 0  # unreachable from the seed set
+
+
+def test_personalized_pagerank_all_seeds_equals_global(spark):
+    """Seeding EVERY node degenerates to global PageRank bit-for-bit:
+    same init (2^q each), same teleport, dangling share // n_seeds ==
+    // n_nodes."""
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    nodes = (
+        e.selectExpr("src AS node")
+        .unionByName(e.selectExpr("dst AS node"))
+        .distinct()
+    )
+    seeded = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(e, iters=4, seeds=nodes).collect()
+    }
+    global_ = {
+        r["node"]: r["rank_q"] for r in pagerank(e, iters=4).collect()
+    }
+    assert seeded == global_
+
+
+def test_personalized_pagerank_seed_validation(spark):
+    """Seed ids absent from the graph are ignored; an all-absent seed
+    set raises instead of silently returning zeros."""
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    mixed = spark.createDataFrame([(1,), (99,)], "node long")
+    r = {
+        row["node"]: row["rank_q"]
+        for row in pagerank(e, iters=2, seeds=mixed).collect()
+    }
+    assert set(r) == {1, 2} and r[1] > 0
+    absent = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="seed ids"):
+        pagerank(e, iters=1, seeds=absent)
