@@ -868,6 +868,96 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(items, max_hamming=4)
 
 
+def _mm_audio_oracle(n_docs: int = 200, n_samples: int = 488) -> str:
+    """DuckDB replay of mm_audio_neardup — the audio twin of
+    ``_mm_image_oracle``: FAKEAUD samples are md5('aud:{seed}:{k}')
+    digest bytes, so every sample is substr(md5(...)) arithmetic. The
+    derivative-sign fingerprint needs only INTEGER frame sums (n=488
+    makes every one of the 61 frames exactly 8 samples, so the
+    mean compare frames[i+1] > frames[i] is the sum compare
+    s[i+1] > s[i] with equal counts), and the banded hamming join is
+    pigeonhole-exact ≤ 4 bits at 5 bands — the twin's brute-force
+    bit_count(xor) ≤ 4 pair set equals the operator's banded output
+    by theorem. The real WAV decode stays the operator's honest
+    Arrow seam; the oracle covers fingerprint → pairs over bytes it
+    can regenerate."""
+    assert n_samples % 61 == 0 and n_samples % 16 != 1
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_docs}),
+    ds AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
+                    AS seed,
+                  doc_id % 10 = 9 AS noised
+           FROM d),
+    bytes AS (
+      SELECT ds.doc_id, CAST(u.j // 8 AS INTEGER) AS fi,
+             CAST('0x' || substr(md5('aud:' || CAST(ds.seed AS VARCHAR) || ':'
+                                     || CAST(u.j // 16 AS VARCHAR)),
+                                 2 * (u.j % 16) + 1, 2) AS BIGINT) AS raw,
+             ds.noised AND u.j BETWEEN 100 AND 111 AS bump
+      FROM ds, range({n_samples}) AS u(j)),
+    sums AS (
+      SELECT doc_id, fi,
+             CAST(SUM(CASE WHEN bump THEN least(255, raw + 1) ELSE raw END)
+                  AS BIGINT) AS s
+      FROM bytes GROUP BY 1, 2),
+    sig AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN b.s > a.s
+                           THEN CAST(1 AS HUGEINT) << a.fi ELSE 0 END)
+                  AS BIGINT) AS afp
+      FROM sums a JOIN sums b ON a.doc_id = b.doc_id AND b.fi = a.fi + 1
+      WHERE a.fi < 60 GROUP BY 1)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 4
+    """
+
+
+@query("mm_audio_neardup", oracle=_mm_audio_oracle(), gate=False)
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection on the multimodal seam
+    (``operators.multimodal.audio_fingerprint`` + banded hamming
+    join): deterministic FAKEAUD clips derived from doc ids, with
+    every 10th document carrying a lightly-bumped copy of its
+    predecessor's clip (an offset bump only moves frame means where
+    it lands, flipping ≤ 3 derivative-sign bits — the gain/offset
+    robustness the fingerprint is built for). One Arrow decode pass →
+    60-bit derivative-sign fingerprint → pigeonhole-exact banded
+    hamming join; never n² waveform comparisons. Fully
+    DuckDB-replayable because the demo samples are md5-synthetic and
+    n=488 makes the frame means integer sum compares
+    (``_mm_audio_oracle``)."""
+    from ..operators.multimodal import (
+        audio_neardup_pairs,
+        pack_fake_audio_random,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    rows = docs.collect()
+    hdr = len(b"FAKEAUD:8000:488:")
+
+    def content(i: int) -> bytes:
+        if i % 10 == 9:  # bumped copy of the previous doc's clip
+            base = bytearray(pack_fake_audio_random(8000, 488, seed=i - 1))
+            for off in range(100, 112):
+                base[hdr + off] = min(255, base[hdr + off] + 1)
+            return bytes(base)
+        return pack_fake_audio_random(8000, 488, seed=i)
+
+    items = spark.createDataFrame(
+        [(int(r["doc_id"]), content(int(r["doc_id"]))) for r in rows],
+        "item_id bigint, content binary",
+    )
+    return audio_neardup_pairs(items, max_hamming=4)
+
+
 @query(
     "user_activity_anomalies_mad",
     oracle="""

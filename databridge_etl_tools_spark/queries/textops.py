@@ -3833,13 +3833,16 @@ _KN_P_EXPR = (
 _KN_Q30 = float(1 << 30)
 
 
-def _kneser_ney_oracle() -> str:
+def _kn_docscore_parts() -> str:
+    """Shared DuckDB WITH-parts for per-document KN scoring, ending
+    at ``docscore(doc_id, n_bigrams, lq_sum)`` — the oracle twin of
+    :func:`_kn_doc_scores`, consumed by both the typicality report
+    and the CCNet perplexity bucketer."""
     from ..operators.fixtrig import StepBuilder, dlit
 
     sb = StepBuilder("duckdb")
     lncol = sb.ln(_KN_P_EXPR, lo_exp=-60, hi_exp=2)
-    parts = [f"""
-    WITH {_TK_CTE},
+    parts = [f"""{_TK_CTE},
     bg AS MATERIALIZED (
       SELECT a.doc_id, a.t AS w1, b.t AS w2
       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
@@ -3862,16 +3865,91 @@ def _kneser_ney_oracle() -> str:
     probs AS MATERIALIZED (
       SELECT w1, w2,
              CAST(FLOOR(({lncol}) * {dlit(_KN_Q30)}) AS BIGINT) AS lq
-      FROM {prev})
-    SELECT bg.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(p.lq) AS DOUBLE) / {dlit(_KN_Q30)} AS logprob,
-           CAST(SUM(p.lq) AS DOUBLE) / {dlit(_KN_Q30)} / COUNT(*)
-             AS avg_logprob
-    FROM bg JOIN probs p ON bg.w1 = p.w1 AND bg.w2 = p.w2
-    GROUP BY 1
-    """)
+      FROM {prev}),
+    docscore AS MATERIALIZED (
+      SELECT bg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(p.lq) AS BIGINT) AS lq_sum
+      FROM bg JOIN probs p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+      GROUP BY 1)""")
     return "".join(parts)
+
+
+def _kneser_ney_oracle() -> str:
+    from ..operators.fixtrig import dlit
+
+    return (
+        "WITH "
+        + _kn_docscore_parts()
+        + f"""
+    SELECT doc_id, n_bigrams,
+           CAST(lq_sum AS DOUBLE) / {dlit(_KN_Q30)} AS logprob,
+           CAST(lq_sum AS DOUBLE) / {dlit(_KN_Q30)} / n_bigrams
+             AS avg_logprob
+    FROM docscore
+    """
+    )
+
+
+def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-document Kneser-Ney bigram scoring pipeline:
+    returns ``(doc_id, n_bigrams, lq_sum)`` where ``lq_sum`` is the
+    exact BIGINT sum of q30-quantized per-bigram log-probabilities
+    (see ``text_kneser_ney_bigram`` for the model; magnitude is
+    bounded by n_bigrams · 60·ln2·2^30 ≈ 2^45 for the q40 ladder's
+    p ≥ 2^-60 domain, far inside int64). Consumed by the per-doc
+    typicality report AND the CCNet-style perplexity bucketer."""
+    from ..operators.fixtrig import StepBuilder, apply_steps_spark, dlit
+    from ..operators.materialize import materialize
+    from ..operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    tk = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    a, b = tk.alias("a"), tk.alias("b")
+    bg = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.t").alias("w1"),
+        F.col("b.t").alias("w2"),
+    )
+    bg = materialize(bg)
+    c12 = materialize(
+        bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c12")
+        )
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    nc = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ncont")
+    )
+    ntt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    p0 = c12.join(c1, "w1").join(nc, "w2").crossJoin(F.broadcast(ntt))
+    sb = StepBuilder("spark")
+    lncol = sb.ln(_KN_P_EXPR, lo_exp=-60, hi_exp=2)
+    scored = apply_steps_spark(p0, sb)
+    probs = scored.selectExpr(
+        "w1",
+        "w2",
+        f"CAST(FLOOR(({lncol}) * {dlit(_KN_Q30)}) AS BIGINT) AS lq",
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("lq").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("lq_sum"),
+        )
+    )
 
 
 @query("text_kneser_ney_bigram", oracle=_kneser_ney_oracle(), gate=False)
@@ -3893,66 +3971,109 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     three count aggregates, one model join — no Python, no driver
     state beyond nothing: even the bigram-type count stays in-plan as
     a 1-row broadcast scalar."""
-    from ..operators.fixtrig import StepBuilder, apply_steps_spark, dlit
-    from ..operators.textstats import tokens
+    sc = _kn_doc_scores(spark, sf_dir)
+    logprob = F.col("lq_sum").cast("double") / F.lit(_KN_Q30)
+    return sc.select(
+        "doc_id",
+        "n_bigrams",
+        logprob.alias("logprob"),
+        (logprob / F.col("n_bigrams")).alias("avg_logprob"),
+    )
+
+
+def _ccnet_oracle() -> str:
+    return (
+        "WITH "
+        + _kn_docscore_parts()
+        + """,
+    d AS MATERIALIZED (
+      SELECT doc.lang, doc.doc_id, doc.n_chars,
+             CAST(CAST(-s.lq_sum AS HUGEINT) * 1048576 // s.n_bigrams
+                  AS BIGINT) AS pq
+      FROM docscore s JOIN documents doc USING (doc_id)),
+    c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+    o AS (SELECT lang, pq,
+                 row_number() OVER (PARTITION BY lang ORDER BY pq) AS rn
+          FROM d),
+    b AS (SELECT o.lang, o.pq AS bval
+          FROM o JOIN c ON o.lang = c.lang,
+               (SELECT unnest(range(1, 3)) AS i)
+          WHERE o.rn = greatest((c.n * i) // 3, 1)),
+    bins AS (SELECT d.lang, d.doc_id, d.n_chars, d.pq,
+                    1 + SUM(CASE WHEN d.pq > b.bval THEN 1 ELSE 0 END)
+                      AS bucket
+             FROM d JOIN b ON d.lang = b.lang GROUP BY 1, 2, 3, 4)
+    SELECT lang,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(pq) AS BIGINT) AS max_pq
+    FROM bins GROUP BY 1, 2
+    """
+    )
+
+
+@query(
+    "text_ccnet_perplexity_buckets", oracle=_ccnet_oracle(), gate=False
+)
+def text_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNET-STYLE PERPLEXITY BUCKETING — the selection step of the
+    CCNet pipeline (Wenzek et al. 2020) that LLaMA/RedPajama copied:
+    score every document with a language model, then split EACH
+    LANGUAGE into head/middle/tail perplexity terciles so downstream
+    sampling can favor the head without comparing scores across
+    languages. The LM is the oracle-replayable Kneser-Ney bigram
+    model (``_kn_doc_scores``); per-doc perplexity is quantized to an
+    integer ``pq = (-lq_sum)·2^20 // n_bigrams`` (non-negative, so
+    trunc == floor on both engines); tercile boundaries are EXACT
+    per-language order statistics from the grouped bucketed-selection
+    descent (no per-language sort — the ``length_deciles_by_source``
+    discipline), broadcast back for a map-side value-threshold bucket
+    assignment that puts ties in one bucket deterministically. At
+    100 TB: the LM join is vocabulary-sized, boundaries are one
+    grouped descent over integer scores, and the bucket gate never
+    shuffles the corpus."""
+    from ..operators.materialize import materialize
+    from ..operators.orderstats import equi_depth_boundaries_by
 
     docs = table(spark, sf_dir, "documents", access="scan")
-    tk = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
-    )
-    a, b = tk.alias("a"), tk.alias("b")
-    bg = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("b.pos") == F.col("a.pos") + 1),
-    ).select(
-        F.col("a.doc_id").alias("doc_id"),
-        F.col("a.t").alias("w1"),
-        F.col("b.t").alias("w2"),
-    )
-    from ..operators.materialize import materialize
-
-    bg = materialize(bg)
-    c12 = materialize(
-        bg.groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).cast("bigint").alias("c12")
+    sc = _kn_doc_scores(spark, sf_dir)
+    d = materialize(
+        sc.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .selectExpr(
+            "lang",
+            "doc_id",
+            "n_chars",
+            "CAST(CAST(-lq_sum AS DECIMAL(38,0)) * 1048576"
+            " DIV n_bigrams AS BIGINT) AS pq",
         )
     )
-    c1 = c12.groupBy("w1").agg(
-        F.sum("c12").cast("bigint").alias("c1"),
-        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    bnds = equi_depth_boundaries_by(d, "lang", "pq", 3)
+    bounds = spark.createDataFrame(
+        [(g[0], [int(x) for x in bs]) for g, bs in bnds.items()],
+        "lang string, _b array<bigint>",
     )
-    nc = c12.groupBy("w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ncont")
-    )
-    ntt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
-    p0 = (
-        c12.join(c1, "w1")
-        .join(nc, "w2")
-        .crossJoin(F.broadcast(ntt))
-    )
-    sb = StepBuilder("spark")
-    lncol = sb.ln(_KN_P_EXPR, lo_exp=-60, hi_exp=2)
-    scored = apply_steps_spark(p0, sb)
-    probs = scored.selectExpr(
-        "w1",
-        "w2",
-        f"CAST(FLOOR(({lncol}) * {dlit(_KN_Q30)}) AS BIGINT) AS lq",
+
+    def _above(acc, x):
+        return acc + F.when(F.col("pq") > x, 1).otherwise(0)
+
+    bucket_i = F.lit(1) + F.aggregate(F.col("_b"), F.lit(0), _above)
+    bucket = (
+        F.when(bucket_i == 1, "head")
+        .when(bucket_i == 2, "middle")
+        .otherwise("tail")
     )
     return (
-        bg.join(probs, ["w1", "w2"])
-        .groupBy("doc_id")
+        d.join(F.broadcast(bounds), "lang")
+        .select("lang", bucket.alias("bucket"), "n_chars", "pq")
+        .groupBy("lang", "bucket")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            (
-                F.sum(F.col("lq").cast("decimal(38,0)")).cast("double")
-                / F.lit(_KN_Q30)
-            ).alias("logprob"),
-            (
-                F.sum(F.col("lq").cast("decimal(38,0)")).cast("double")
-                / F.lit(_KN_Q30)
-                / F.count(F.lit(1))
-            ).alias("avg_logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.max("pq").cast("bigint").alias("max_pq"),
         )
     )
 
