@@ -173,6 +173,13 @@ HEADLINE = [
     "text_kneser_ney_bigram",
     "sample_weighted_reservoir",
     "mixture_temperature_alpha",
+    # r11 additions
+    "quality_classifier_score",
+    "corpus_curation_v6",
+    "dedup_incremental_vs_store",
+    "graph_trustrank_seeded",
+    "mm_audio_neardup",
+    "text_ccnet_perplexity_buckets",
 ]
 
 
