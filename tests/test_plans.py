@@ -393,3 +393,55 @@ def test_weighted_lpa_argmax_window_partitions_by_node(spark):
     assert "windowspecdefinition(node" in plan
     assert "as decimal(38,0)" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_haversine_topk_has_no_window_exec(spark):
+    """r10 nit closed: geo_haversine_customers ranks the bounded
+    top-20 with the in-plan sorted-array broadcast scalar — the tail
+    plan must contain NO WindowExec at all (the old shape ran an
+    unpartitioned row_number over the TakeOrdered output and warned),
+    and the rank side must be a broadcast of the 1-row aggregate."""
+    plan = _plan(spark, "geo_haversine_customers")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar cross
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_ccnet_bucket_gate_is_map_side(spark):
+    """text_ccnet_perplexity_buckets: per-language tercile boundaries
+    come back as a BROADCAST array join and the head/middle/tail gate
+    is a map-side expression over it — the tail plan is one
+    broadcast join + one partial/final aggregate pair, with no
+    per-language sort window and no corpus repartition."""
+    plan = _plan(spark, "text_ccnet_perplexity_buckets")
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # final agg only
+    assert "partial_count" in plan  # map-side combine before it
+
+
+def test_trustrank_tail_no_python_no_unbounded_single_partition(spark):
+    """graph_trustrank_seeded's demo tail (checkpointed ranks joined
+    back to supplier + the 5-row seed table): pure JVM, and any
+    SinglePartition exchange is a bounded scalar/seed-limit stage,
+    never a corpus repartition."""
+    plan = _plan(spark, "graph_trustrank_seeded")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = lines[i + 1]
+            assert (
+                "HashAggregate(keys=[]" in nxt or "GlobalLimit" in nxt
+            ), "non-bounded SinglePartition exchange:\n" + ln + "\n" + nxt
+
+
+def test_audio_neardup_banded_join_not_cartesian(spark):
+    """mm_audio_neardup: the fingerprint pass is the one legitimate
+    Arrow seam; candidate generation must stay the banded (band, key)
+    equi-join — never a cartesian/nested-loop pair product."""
+    plan = _plan(spark, "mm_audio_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

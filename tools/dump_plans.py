@@ -132,6 +132,12 @@ SHOW = [
     "quality_classifier_score",
     "corpus_curation_v6",
     "dedup_incremental_vs_store",
+    # late round 11: trustrank is a checkpointed iterative composition
+    # (same per-iteration shape as pagerank — constructed section);
+    # below are the single-plan demo tails
+    "mm_audio_neardup",
+    "text_ccnet_perplexity_buckets",
+    "graph_trustrank_seeded",
 ]
 
 #: formatted plans longer than this print tree + census only
