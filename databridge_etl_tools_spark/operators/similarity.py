@@ -1209,3 +1209,77 @@ def knn_classify(
         "n_votes",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """K-CENTER GREEDY coreset selection (Gonzalez 1985 farthest-point
+    traversal, the 2-approximation for the k-center cover): start from
+    the min-id vector, then k−1 times pick the point FARTHEST from the
+    already-chosen set — the diversity-selection primitive behind
+    coreset pretraining-data pruning (pick maximally-spread
+    representatives instead of random samples; Sener & Savarese 2018
+    for the active-learning form).
+
+    Deterministic and oracle-replayable by construction: coordinates
+    quantize to int64 fixed point (``floor(double(x)·2^scale_bits)``
+    — float32→double exact, one IEEE multiply + floor), distances are
+    exact integer squared L2 (order-independent sums), and ties break
+    on the lower id. Returns exactly ``k`` rows ``(sel_round, id,
+    mind_q)`` where ``mind_q`` is the selected point's exact squared
+    distance to the set chosen before it (0 for the first pick) — the
+    nonincreasing-after-round-1 coverage-radius curve.
+
+    Scale shape: each round is ONE map-side pass over the corpus (the
+    ≤k chosen centers ride along as in-plan literal arrays — no join,
+    no shuffle) + one TakeOrdered(1) merge; the running min-distance
+    column is materialized between rounds (lineage cut, so round t
+    never re-evaluates rounds 1..t−1's HOF folds). Driver state is
+    the k chosen vectors — bounded by construction. int64 headroom:
+    |coord| ≤ c ⇒ per-dim diff² ≤ (2c·2^s)², summed over dim; for
+    unit-ish embeddings at q20 that is ≪ 2^63 for any realistic dim.
+    """
+    from .materialize import materialize
+
+    if k < 1:
+        raise ValueError(f"kcenter_greedy: k must be >= 1, got {k}")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(1 << scale_bits))).cast(
+            "long"
+        ),
+    )
+    base = materialize(
+        spread(df).select(F.col(id_col).alias("_id"), qv.alias("_qv"))
+    )
+
+    def dist_to(center: list[int]) -> Column:
+        lit = F.array(*[F.lit(int(v)).cast("long") for v in center])
+        diffs = F.zip_with(F.col("_qv"), lit, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    first = base.orderBy(F.asc("_id")).limit(1).collect()
+    if not first:
+        raise ValueError("kcenter_greedy: empty input")
+    chosen = [(0, first[0]["_id"], 0)]
+    cur = base.withColumn("_mind", dist_to(list(first[0]["_qv"])))
+    for t in range(1, k):
+        cur = materialize(cur)
+        top = (
+            cur.orderBy(F.desc("_mind"), F.asc("_id")).limit(1).collect()
+        )
+        row = top[0]
+        chosen.append((t, row["_id"], row["_mind"]))
+        cur = cur.withColumn(
+            "_mind", F.least(F.col("_mind"), dist_to(list(row["_qv"])))
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        chosen, f"sel_round int, {id_col} long, mind_q long"
+    )

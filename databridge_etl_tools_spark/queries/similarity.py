@@ -1379,3 +1379,64 @@ def retrieval_eval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_eval_labeled(
         results, emb.select("vec_id", "label"), k=5
     )
+
+
+def _kcenter_oracle(k: int = 8, dim: int = 64, scale_bits: int = 20) -> str:
+    """DuckDB twin of SIM.kcenter_greedy: k unrolled farthest-point
+    levels — each one cross-joins the 1-row previously-chosen center
+    into an exact integer min-distance update (list_sum of per-dim
+    squared diffs over the q20 coords), then picks the (mind DESC,
+    vec_id ASC) top-1. Bit-for-bit the operator's update."""
+
+    def dist(a: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> ({a}.qv[i] - {c}.qv[i]) * ({a}.qv[i] - {c}.qv[i])))"
+        )
+
+    parts = [f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * {float(1 << scale_bits)})
+               AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT a.vec_id, a.qv, {dist('a', 'c')} AS mind
+      FROM q a, c0 c)"""]
+    for t in range(1, k):
+        parts.append(f""",
+    c{t} AS (SELECT vec_id, qv, mind FROM d{t}
+             ORDER BY mind DESC, vec_id LIMIT 1)""")
+        if t < k - 1:
+            parts.append(f""",
+    d{t + 1} AS MATERIALIZED (
+      SELECT a.vec_id, a.qv, least(a.mind, {dist('a', 'c')}) AS mind
+      FROM d{t} a, c{t} c)""")
+    sels = [
+        "SELECT CAST(0 AS INTEGER) AS sel_round, vec_id,"
+        " CAST(0 AS BIGINT) AS mind_q FROM c0"
+    ]
+    for t in range(1, k):
+        sels.append(
+            f"SELECT CAST({t} AS INTEGER), vec_id, CAST(mind AS BIGINT)"
+            f" FROM c{t}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
+    return "".join(parts)
+
+
+@query("coreset_kcenter_embeddings", oracle=_kcenter_oracle(), gate=False)
+def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER CORESET SELECTION (``SIM.kcenter_greedy``): the 8
+    maximally-spread embedding representatives by Gonzalez
+    farthest-point traversal — the diversity-pruning primitive
+    (coreset selection / facility-location family) that complements
+    near-dup REMOVAL: instead of dropping what is too close, pick the
+    set that covers the space, with the selection-time coverage
+    radius reported per round. Exact integer squared-L2 over q20
+    fixed-point coords; each greedy level is one map-side pass + a
+    TakeOrdered(1) merge, chosen centers ride as in-plan literals, and
+    the DuckDB twin unrolls all 8 levels."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.kcenter_greedy(emb, k=8)

@@ -1087,3 +1087,69 @@ def test_tfidf_cosine_threshold_is_exact_rational(spark):
     got = tfidf_cosine_pairs(df, "doc_id", "text", threshold=(1, 1)).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
     assert got[0].cosine == 1.0
+
+
+def test_kcenter_greedy_matches_python_replay(spark):
+    """Farthest-point traversal: bit-exact vs a pure-python replay of
+    the integer fixpoint (q20 quantization, exact squared L2, ties on
+    lower id), and the geometric sanity check — on a cluster plus two
+    far outliers, the outliers are picked before any second cluster
+    member."""
+    from databridge_etl_tools_spark.operators.similarity import kcenter_greedy
+
+    vecs = {
+        1: [0.0, 0.0], 2: [0.01, 0.0], 3: [0.0, 0.02], 4: [0.015, 0.01],
+        10: [5.0, 5.0],   # far outlier A
+        11: [-4.0, 6.0],  # far outlier B
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["sel_round"], r["vec_id"], r["mind_q"])
+        for r in kcenter_greedy(df, k=4)
+        .orderBy("sel_round")
+        .collect()
+    ]
+
+    # pure-python replay (float32 -> double is exact; q20 floor)
+    import struct
+
+    def q(v):
+        return [
+            int(
+                float(struct.unpack("f", struct.pack("f", x))[0]) * (1 << 20)
+                // 1
+            )
+            for x in v
+        ]
+
+    qv = {i: q(v) for i, v in vecs.items()}
+
+    def d(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [min(qv)]
+    want = [(0, chosen[0], 0)]
+    mind = {i: d(qv[i], qv[chosen[0]]) for i in qv}
+    for t in range(1, 4):
+        nxt = max(qv, key=lambda i: (mind[i], -i))
+        want.append((t, nxt, mind[nxt]))
+        for i in qv:
+            mind[i] = min(mind[i], d(qv[i], qv[nxt]))
+    assert got == want
+    # geometric: both outliers selected in rounds 1-2
+    assert {got[1][1], got[2][1]} == {10, 11}
+
+
+def test_kcenter_greedy_validation(spark):
+    from databridge_etl_tools_spark.operators.similarity import kcenter_greedy
+
+    import pytest
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        kcenter_greedy(df, k=2)
+    with pytest.raises(ValueError, match="k must"):
+        kcenter_greedy(df, k=0)
