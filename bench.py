@@ -180,6 +180,8 @@ HEADLINE = [
     "graph_trustrank_seeded",
     "mm_audio_neardup",
     "text_ccnet_perplexity_buckets",
+    "coreset_kcenter_embeddings",
+    "corpus_curation_v7",
 ]
 
 

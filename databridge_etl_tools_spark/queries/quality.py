@@ -370,3 +370,143 @@ def corpus_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("kept_mean_score"),
     )
+
+
+def _v7_oracle() -> str:
+    from .textops import _kn_docscore_parts
+
+    return f"""
+    WITH {_fit_ctes()},{_SCORE_CTES},{_kn_docscore_parts()},
+    keepfirst AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                     AS fp
+            FROM documents)
+      GROUP BY fp),
+    knd AS MATERIALIZED (
+      SELECT doc.lang, s.doc_id,
+             CAST(CAST(-s.lq_sum AS HUGEINT) * 1048576 // s.n_bigrams
+                  AS BIGINT) AS ppl_q
+      FROM docscore s JOIN documents doc USING (doc_id)),
+    kc AS (SELECT lang, COUNT(*) AS n FROM knd GROUP BY 1),
+    ko AS (SELECT lang, ppl_q,
+                  row_number() OVER (PARTITION BY lang ORDER BY ppl_q) AS rn
+           FROM knd),
+    kb AS (SELECT ko.lang, ko.ppl_q AS b2
+           FROM ko JOIN kc ON ko.lang = kc.lang
+           WHERE ko.rn = greatest((kc.n * 2) // 3, 1)),
+    pxt AS (SELECT knd.doc_id,
+                   CASE WHEN knd.ppl_q <= kb.b2 THEN 1 ELSE 0 END AS px
+            FROM knd JOIN kb ON knd.lang = kb.lang),
+    flags AS (
+      SELECT f.source, f.lang, f.n,
+             CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS u,
+             CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gp,
+             CASE WHEN p.p IS NOT NULL
+                       AND (SELECT ic FROM icte)
+                           + CAST(p.p AS DOUBLE) / {_Q50F}
+                           >= CAST(5 AS DOUBLE) / 10
+                  THEN 1 ELSE 0 END AS sc,
+             COALESCE(x.px, 0) AS px
+      FROM afn f
+      LEFT JOIN keepfirst k USING (doc_id)
+      LEFT JOIN gpass g USING (doc_id)
+      LEFT JOIN apq p USING (doc_id)
+      LEFT JOIN pxt x USING (doc_id))
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(u) AS BIGINT) AS n_unique,
+           CAST(SUM(u * gp) AS BIGINT) AS n_gopher,
+           CAST(SUM(u * gp * sc) AS BIGINT) AS n_classifier,
+           CAST(SUM(u * gp * sc * px) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN u * gp * sc * px = 1 THEN n ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM flags GROUP BY 1, 2
+    """
+
+
+@query("corpus_curation_v7", oracle=_v7_oracle(), gate=False)
+def corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v7 — v6's trained-classifier chain plus the CCNet
+    PERPLEXITY GATE: exact-dedup keep-first → Gopher rules → trained
+    classifier score ≥ 0.5 → keep only the head/middle per-language
+    perplexity terciles of the Kneser-Ney LM (docs the LM can't score
+    — under two tokens — don't pass). This is the production stack:
+    rule gates catch boilerplate, the trained model catches junk the
+    rules miss, the LM gate catches fluent-but-off-distribution text.
+    Per-(source, lang) funnel: raw → unique → gopher → classifier →
+    kept, with kept token mass. Shuffle budget unchanged from v6 plus
+    the LM's own bounded aggregates: every GATE is still a map-side
+    flag join on doc_id; tercile boundaries come from the grouped
+    bucketed-selection descent (no per-language sort) exactly as in
+    ``text_ccnet_perplexity_buckets``."""
+    from ..operators import textstats as TS
+    from ..operators.materialize import materialize
+    from ..operators.orderstats import equi_depth_boundaries_by
+    from ..operators.quality import (
+        hashed_tf_features,
+        quality_classifier_fit,
+        quality_pq_col,
+    )
+    from .textops import _kn_doc_scores
+
+    docs = table(spark, sf_dir, "documents")
+    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    ic = float(model["intercept"])
+    keepers = (
+        docs.groupBy(TS.fingerprint("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("u"))
+    )
+    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
+    feats = hashed_tf_features(docs, d=D).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("_n").alias("n"),
+        g["passes"].cast("int").alias("gp"),
+        quality_pq_col(model).alias("pq"),
+    )
+    kn = materialize(
+        _kn_doc_scores(spark, sf_dir)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "CAST(CAST(-lq_sum AS DECIMAL(38,0)) * 1048576"
+            " DIV n_bigrams AS BIGINT) AS ppl_q",
+        )
+    )
+    bnds = equi_depth_boundaries_by(kn, "lang", "ppl_q", 3)
+    bounds = spark.createDataFrame(
+        [(grp[0], int(bs[1])) for grp, bs in bnds.items()],
+        "lang string, _b2 bigint",
+    )
+    px_tbl = kn.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        (F.col("ppl_q") <= F.col("_b2")).cast("int").alias("px"),
+    )
+    pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
+    flags = (
+        feats.join(keepers, "doc_id", "left")
+        .join(px_tbl, "doc_id", "left")
+        .withColumn("u", F.coalesce(F.col("u"), F.lit(0)))
+        .withColumn("px", F.coalesce(F.col("px"), F.lit(0)))
+        .withColumn("sc", (pred >= F.lit(0.5)).cast("int"))
+        .withColumn(
+            "k", F.col("u") * F.col("gp") * F.col("sc") * F.col("px")
+        )
+    )
+    return flags.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("u").cast("bigint").alias("n_unique"),
+        F.sum(F.col("u") * F.col("gp")).cast("bigint").alias("n_gopher"),
+        F.sum(F.col("u") * F.col("gp") * F.col("sc"))
+        .cast("bigint")
+        .alias("n_classifier"),
+        F.sum("k").cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("k") == 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
