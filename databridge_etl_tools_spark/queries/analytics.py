@@ -2655,6 +2655,11 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row blocks re-scan faster than the columnar cache — matching
     # the r9 methodology keeps cross-round bench compares apples to
     # apples. Ranks are bit-identical on all paths (layout test).
+    # r11 measured the crossover the layout promised: at ~sf1 (10×
+    # edges, tools/scale_curve.py --ab-pagerank) the bucketed
+    # edges_ready scan runs 8.78 s vs 13.13 s raw — SCALE.md's
+    # "Measured scale curve" section; past ~10× bench data, serve
+    # graph walks from the layout.
     edges = pairs.select(
         F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
     ).unionByName(

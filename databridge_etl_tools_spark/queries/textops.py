@@ -4226,3 +4226,129 @@ def mixture_temperature_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(total AS DECIMAL(38,0)) * wq DIV swq AS BIGINT)"
         " AS planned_rows",
     )
+
+
+_ZIPF_TOPK = 64
+_ZIPF_Q20 = 1 << 20
+
+
+def _zipf_oracle() -> str:
+    from ..operators.fixtrig import StepBuilder
+
+    sb = StepBuilder("duckdb")
+    lnc = sb.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=40)
+    lnr = sb.ln("CAST(rk AS DOUBLE)", lo_exp=0, hi_exp=7)
+    parts = [f"""
+    WITH tok AS MATERIALIZED (
+      SELECT source, unnest({_TOK}) AS t
+      FROM documents WHERE text IS NOT NULL),
+    cnt AS MATERIALIZED (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2),
+    topk AS MATERIALIZED (
+      SELECT source, cnt, rk FROM (
+        SELECT source, cnt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, t) AS rk
+        FROM cnt) WHERE rk <= {_ZIPF_TOPK})"""]
+    prev = "topk"
+    for i, (name, expr) in enumerate(sb.steps):
+        parts.append(f", z{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})")
+        prev = f"z{i}"
+    parts.append(f""",
+    pts AS MATERIALIZED (
+      SELECT source, rk,
+             CAST(FLOOR(({lnc}) * {float(1 << 30)}) AS BIGINT) AS lc,
+             CAST(FLOOR(({lnr}) * {float(1 << 30)}) AS BIGINT) AS lr
+      FROM {prev}),
+    p AS (SELECT a.source,
+                 ((a.lc - b.lc) * {_ZIPF_Q20}) // (b.lr - a.lr) AS aq
+          FROM pts a JOIN pts b
+            ON a.source = b.source AND b.rk > a.rk),
+    c AS (SELECT source, COUNT(*) AS n FROM p GROUP BY 1),
+    o AS (SELECT source, aq,
+                 row_number() OVER (PARTITION BY source ORDER BY aq) AS rn
+          FROM p)
+    SELECT o.source, CAST(c.n AS BIGINT) AS n_pairs,
+           AVG(CAST(o.aq AS DOUBLE)) / {float(_ZIPF_Q20)} AS zipf_alpha
+    FROM o JOIN c ON o.source = c.source
+    WHERE o.rn = (c.n + 1) // 2 OR o.rn = c.n // 2 + 1
+    GROUP BY 1, 2
+    """)
+    return "".join(parts)
+
+
+@query("source_zipf_alpha", oracle=_zipf_oracle(), gate=False)
+def source_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF EXPONENT PER SOURCE — fit ln(freq) = −α·ln(rank) + c over
+    each source's top-64 token frequencies and report α, the
+    vocabulary-concentration diagnostic of corpus profiling (natural
+    text sits near α ≈ 1; boilerplate-heavy or templated sources
+    skew away — a drift alarm for an ingest segment). Robust fit via
+    THEIL-SEN (median of all pairwise slopes, C(64,2) = 2016 bounded
+    pairs per source — one anomalous head token can't move it, where
+    it would drag least squares). Exact replay end to end: both lns
+    run the fixtrig Q40 ladder and quantize to q30 ints, each
+    pairwise slope is one integer `DIV` (non-negative: counts are
+    rank-sorted), and the median is the theil_sen_daily_trend
+    selection. Scale shape: the pair expansion runs over the BOUNDED
+    64-row-per-source rank table, never the vocabulary — upstream is
+    one (source, token) count aggregate + a per-source top-k rank
+    filter window."""
+    from pyspark.sql import Window
+
+    from ..operators.fixtrig import StepBuilder, apply_steps_spark
+    from ..operators.materialize import materialize
+    from ..operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("t"))
+    topk = materialize(
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ZIPF_TOPK)
+        .select("source", "cnt", "rk")
+    )
+    sb = StepBuilder("spark")
+    lnc = sb.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=40)
+    lnr = sb.ln("CAST(rk AS DOUBLE)", lo_exp=0, hi_exp=7)
+    pts = apply_steps_spark(topk, sb).selectExpr(
+        "source",
+        "rk",
+        f"CAST(FLOOR(({lnc}) * {float(1 << 30)}) AS BIGINT) AS lc",
+        f"CAST(FLOOR(({lnr}) * {float(1 << 30)}) AS BIGINT) AS lr",
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.rk") > F.col("a.rk")),
+    ).select(
+        F.col("a.source").alias("source"),
+        F.expr(f"((a.lc - b.lc) * {_ZIPF_Q20}) DIV (b.lr - a.lr)").alias(
+            "aq"
+        ),
+    )
+    wo = Window.partitionBy("source").orderBy("aq")
+    wc = Window.partitionBy("source")
+    o = p.select(
+        "source",
+        "aq",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mid = o.where(
+        (F.col("rn") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rn") == F.expr("n DIV 2 + 1"))
+    )
+    return mid.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        (F.avg(F.col("aq").cast("double")) / F.lit(float(_ZIPF_Q20))).alias(
+            "zipf_alpha"
+        ),
+    )
