@@ -88,3 +88,51 @@ def test_model_shape_and_training_fit(model):
     # labels are {0,1}; a useful model fits well inside the trivial
     # predict-the-mean RMSE (~0.35 for an ~85/15 split)
     assert 0.0 <= model["rmse"] < 0.3
+
+
+def test_curation_v7_funnel_monotone_and_perplexity_gate(spark):
+    """v7's funnel must be monotone per (source, lang) — raw >=
+    unique >= gopher >= classifier >= kept — and the CCNet gate must
+    actually bite somewhere (kept < classifier in aggregate: by
+    construction roughly the tail tercile of scorable docs drops)."""
+    from databridge_etl_tools_spark.queries.quality import corpus_curation_v7
+
+    rows = corpus_curation_v7(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_docs"] >= r["n_unique"] >= r["n_gopher"]
+            >= r["n_classifier"] >= r["n_kept"] >= 0
+        ), r
+        if r["n_kept"] == 0:
+            assert r["kept_tokens"] == 0
+    total_cls = sum(r["n_classifier"] for r in rows)
+    total_kept = sum(r["n_kept"] for r in rows)
+    assert total_kept < total_cls, "perplexity gate dropped nothing"
+    assert total_kept > 0, "perplexity gate dropped everything"
+
+
+def test_ccnet_buckets_partition_each_language(spark):
+    """head/middle/tail bucket doc counts per language must sum to
+    the number of KN-scorable docs of that language, and the head
+    bucket's max perplexity must not exceed the tail's."""
+    from databridge_etl_tools_spark.queries.textops import (
+        text_ccnet_perplexity_buckets,
+    )
+
+    rows = text_ccnet_perplexity_buckets(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    assert by_lang
+    for lang, bs in by_lang.items():
+        assert set(bs) <= {"head", "middle", "tail"}, (lang, set(bs))
+        if "head" in bs and "tail" in bs:
+            assert bs["head"]["max_pq"] <= bs["tail"]["max_pq"], lang
+        # terciles: no bucket is empty when all three exist, and the
+        # three are within one of each other only for tiny langs —
+        # just require every reported bucket non-empty
+        for b in bs.values():
+            assert b["n_docs"] > 0
