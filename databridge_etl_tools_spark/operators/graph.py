@@ -735,3 +735,59 @@ def shortest_paths_bounded(
         )
         dist = merged.select("node", "dist")
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K-CORE PEELING — the maximal subgraph where every node keeps
+    at least ``k`` neighbors, by iterated deletion of under-degree
+    nodes (Seidman 1983; the graph-curation primitive for pruning
+    weakly-connected spam/low-signal hosts before trust or community
+    passes — a node's core membership is robust where raw degree is
+    gameable by one burst of edges).
+
+    ``edges`` is the undirected convention used across this module:
+    both directions of every edge present; duplicates are deduped
+    once up front, so degree = distinct-neighbor count. Each round is
+    one src-keyed degree aggregation plus two node-keyed semi-join
+    restrictions, with the iterate checkpointed (the same
+    shuffle-per-round discipline as the other fixpoints; co-bucketing
+    edges on the node key deletes the join exchanges at 100 TB).
+
+    ``rounds`` is the REPLAY CONTRACT, exactly like ``pagerank``'s
+    ``iters``: the DuckDB twin unrolls this many peel levels, and the
+    result after ``rounds`` peels equals the true k-core iff one more
+    round changes nothing (converged — at most |V| rounds ever;
+    demo-scale convergence is pinned in tests). Returns the remaining
+    ``(node, deg)`` table — degrees measured in the surviving
+    subgraph."""
+    from .materialize import materialize
+
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    e = materialize(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).distinct()
+    )
+    for _ in range(rounds):
+        keep = (
+            e.groupBy(F.col("_src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        e = materialize(
+            e.join(keep.withColumnRenamed("node", "_src"), "_src")
+            .join(keep.withColumnRenamed("node", "_dst"), "_dst")
+            .select("_src", "_dst")
+        )
+    return e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )

@@ -3366,3 +3366,75 @@ def graph_affinity_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("position") <= 20)
         .select("node", "dist", "is_supplier", "position")
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 6, min_trades: int = 3) -> str:
+    """Twin of graph_kcore_suppliers: the >= min_trades purchase
+    subgraph, then ``rounds`` unrolled peel levels (degree filter +
+    two node restrictions per level)."""
+    parts = [f"""
+    WITH ed AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst,
+               COUNT(*) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2) t
+      WHERE w >= {min_trades}),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ed
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM ed) u)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    n{r} AS (SELECT src AS node FROM e{r - 1}
+             GROUP BY 1 HAVING COUNT(*) >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN n{r} a ON e.src = a.node
+      JOIN n{r} b ON e.dst = b.node)""")
+    parts.append(f"""
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e{rounds} e JOIN supplier s ON e.src = 2 * s.s_suppkey + 1
+    GROUP BY 1, 2
+    """)
+    return "".join(parts)
+
+
+@query("graph_kcore_suppliers", oracle=_kcore_oracle(), gate=False)
+def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE MEMBERSHIP (``operators.graph.kcore``): the suppliers
+    inside the 3-core of the repeat-trade purchase graph (pairs with
+    ≥ 3 trades), with their in-core degree — the graph-curation
+    primitive for separating structurally-embedded participants from
+    peripheral ones (a host's k-core number resists the single-burst
+    edge spam that inflates raw degree; production crawl pipelines
+    peel low-core hosts before trust propagation). Each peel level is
+    one degree aggregation + two node-keyed semi-restrictions with
+    the iterate checkpointed; 6 levels unroll into the DuckDB twin,
+    and level-6 == level-7 (converged) is pinned in tests."""
+    from ..operators.graph import kcore
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 3)
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    core = kcore(edges, k=3, rounds=6)
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return core.join(supp, core["node"] == supp["s_suppkey"] * 2 + 1).select(
+        "s_suppkey", "s_name", "deg"
+    )

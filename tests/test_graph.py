@@ -546,3 +546,66 @@ def test_personalized_pagerank_seed_validation(spark):
     absent = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError, match="seed ids"):
         pagerank(e, iters=1, seeds=absent)
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    """A 4-clique with a pendant path: the 3-core is exactly the
+    clique (degree 3 each); the path peels away across rounds. Also
+    bit-matches a pure-python peel replay."""
+    from databridge_etl_tools_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    path = [(4, 5), (5, 4), (5, 6), (6, 5)]
+    df = spark.createDataFrame(clique + path, "src long, dst long")
+    got = {r["node"]: r["deg"] for r in kcore(df, k=3, rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # python replay of the bounded peel
+    edges = set(clique + path)
+    for _ in range(4):
+        deg = {}
+        for u, _v in edges:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, d in deg.items() if d >= 3}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    want = {}
+    for u, _v in edges:
+        want[u] = want.get(u, 0) + 1
+    assert got == want
+
+
+def test_kcore_demo_rounds_converged(spark):
+    """The demo's replay contract: 6 peel rounds equal 7 on the demo
+    subgraph (converged), so the unrolled oracle computes the true
+    3-core."""
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark.operators.graph import kcore
+    from databridge_etl_tools_spark.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    ord_ = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 3)
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    a = sorted((r["node"], r["deg"]) for r in kcore(edges, k=3, rounds=6).collect())
+    b = sorted((r["node"], r["deg"]) for r in kcore(edges, k=3, rounds=7).collect())
+    assert a == b and a
+
+
+def test_kcore_validation(spark):
+    from databridge_etl_tools_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must"):
+        kcore(df, k=0)
