@@ -182,6 +182,8 @@ HEADLINE = [
     "text_ccnet_perplexity_buckets",
     "coreset_kcenter_embeddings",
     "corpus_curation_v7",
+    "source_zipf_alpha",
+    "graph_kcore_suppliers",
 ]
 
 

@@ -139,3 +139,31 @@ def segment_stream_into_store(
     stream_upsert_into_store(
         deduped, store, table, keys=["seg_fp"], checkpoint_dir=checkpoint_dir
     )
+
+
+def score_stream(
+    stream: DataFrame,
+    model: dict,
+    *,
+    d: int | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a TRAINED quality classifier to a document stream — the
+    incremental form of ``corpus_curation_v6``'s model gate: fit the
+    model once in batch (``quality_classifier_fit`` — the bounded
+    driver fixpoint cannot run inside a micro-batch plan and doesn't
+    need to: production pipelines train offline, score online), then
+    score every arriving document with the pure integer-fold column
+    expression. Featurizer and fold are map-side only, so the SAME
+    fragment is batch/stream agnostic — availableNow drain == batch
+    scoring, pinned in tests. ``threshold`` adds a boolean ``passes``
+    gate column; None keeps scores only."""
+    from ..operators.quality import hashed_tf_features, quality_prediction_col
+
+    n_dims = d if d is not None else len(model["b_int"])
+    feats = hashed_tf_features(stream, text_col, d=n_dims)
+    out = feats.withColumn("score", quality_prediction_col(model))
+    if threshold is not None:
+        out = out.withColumn("passes", F.col("score") >= F.lit(threshold))
+    return out.drop("feat", "_n")

@@ -213,3 +213,65 @@ def test_stream_scd2_evolves_history_exactly_once(spark, tmp_path):
     drain()
     assert {(r.k, r.v, r.valid_from, r.valid_to)
             for r in store.read("dim_hist").collect()} == got
+
+
+def test_score_stream_matches_batch_scoring(spark, tmp_path):
+    """Trained-classifier scoring is a pure column fragment: an
+    availableNow drain over staged files produces EXACTLY the batch
+    scores (same doc set, same doubles), and the threshold gate
+    passes organic docs while failing planted-junk ones."""
+    from databridge_etl_tools_spark.operators.quality import (
+        JUNK_SUFFIX,
+        hashed_tf_features,
+        quality_classifier_fit,
+        quality_prediction_col,
+    )
+
+    docs, staging = _stage(spark, tmp_path)
+    model = quality_classifier_fit(docs)
+
+    scored = C.score_stream(
+        C.read_document_stream(spark, staging), model, threshold=0.5
+    )
+    out = str(tmp_path / "scored_out")
+    (
+        scored.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_score"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["passes"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch = hashed_tf_features(docs).withColumn(
+        "score", quality_prediction_col(model)
+    )
+    want = {
+        r["doc_id"]: (r["score"], r["score"] >= 0.5)
+        for r in batch.collect()
+    }
+    assert got == want  # bit-identical doubles, same doc set
+
+    # behavioral: junk-degraded text scores strictly below organic
+    degraded = C.score_stream(
+        C.read_document_stream(spark, staging).withColumn(
+            "text", F.concat(F.col("text"), F.lit(JUNK_SUFFIX))
+        ),
+        model,
+    )
+    out2 = str(tmp_path / "scored_deg")
+    (
+        degraded.writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ckpt_deg"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    deg = {r["doc_id"]: r["score"] for r in spark.read.parquet(out2).collect()}
+    worse = sum(1 for i, (s, _) in got.items() if deg[i] < s)
+    assert worse == len(got)
