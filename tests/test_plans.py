@@ -445,3 +445,41 @@ def test_audio_neardup_banded_join_not_cartesian(spark):
     plan = _plan(spark, "mm_audio_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_v7_no_python_single_partition_scalar_only(spark):
+    """v7's executed tail: pure JVM; every SinglePartition exchange is
+    a 1-row scalar final aggregate (global counts feeding bounded
+    driver state upstream), never a corpus repartition."""
+    plan = _plan(spark, "corpus_curation_v7")
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = lines[i + 1]
+            assert "HashAggregate(keys=[]" in nxt, (
+                "non-scalar SinglePartition exchange:\n" + ln + "\n" + nxt
+            )
+
+
+def test_zipf_windows_partition_by_source_pairs_not_cartesian(spark):
+    """source_zipf_alpha: both windows (top-64 rank upstream, median
+    rank downstream) must partition by source — never an unpartitioned
+    global sort — and the C(64,2) pair expansion must be an equi-join
+    on source, not a cartesian product."""
+    plan = _plan(spark, "source_zipf_alpha")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition()" not in plan
+    assert "windowspecdefinition(source" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_kcore_tail_pure_jvm_equi_joins(spark):
+    """graph_kcore_suppliers' demo tail (final degree agg joined to
+    supplier): pure JVM, equi-joins only."""
+    plan = _plan(spark, "graph_kcore_suppliers")
+    assert "CartesianProduct" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan

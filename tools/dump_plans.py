@@ -132,12 +132,16 @@ SHOW = [
     "quality_classifier_score",
     "corpus_curation_v6",
     "dedup_incremental_vs_store",
-    # late round 11: trustrank is a checkpointed iterative composition
-    # (same per-iteration shape as pagerank — constructed section);
-    # below are the single-plan demo tails
+    # late round 11: trustrank/kcore are checkpointed iterative
+    # compositions (per-iteration shapes in the constructed section /
+    # the same join+agg family); below are the single-plan demo tails
     "mm_audio_neardup",
     "text_ccnet_perplexity_buckets",
     "graph_trustrank_seeded",
+    "coreset_kcenter_embeddings",
+    "corpus_curation_v7",
+    "source_zipf_alpha",
+    "graph_kcore_suppliers",
 ]
 
 #: formatted plans longer than this print tree + census only
