@@ -4352,3 +4352,98 @@ def source_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_alpha"
         ),
     )
+
+
+def _entropy_oracle() -> str:
+    from ..operators.fixtrig import StepBuilder
+
+    sb1 = StepBuilder("duckdb")
+    lnc = sb1.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=40)
+    sb2 = StepBuilder("duckdb")
+    lnn = sb2.ln("CAST(n_tokens AS DOUBLE)", lo_exp=0, hi_exp=40)
+    parts = [f"""
+    WITH tok AS MATERIALIZED (
+      SELECT source, unnest({_TOK}) AS t
+      FROM documents WHERE text IS NOT NULL),
+    cnt AS MATERIALIZED (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2)"""]
+    prev = "cnt"
+    for i, (name, expr) in enumerate(sb1.steps):
+        parts.append(f", h{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})")
+        prev = f"h{i}"
+    parts.append(f""",
+    agg AS MATERIALIZED (
+      SELECT source,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             SUM(CAST(cnt AS HUGEINT)
+                 * CAST(FLOOR(({lnc}) * {float(1 << 30)}) AS BIGINT)) AS clc
+      FROM {prev} GROUP BY 1)""")
+    prev = "agg"
+    for i, (name, expr) in enumerate(sb2.steps):
+        parts.append(f", g{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})")
+        prev = f"g{i}"
+    parts.append(f"""
+    SELECT source, n_tokens, vocab_size,
+           CAST(CAST(FLOOR(({lnn}) * {float(1 << 30)}) AS BIGINT)
+                - clc // n_tokens AS BIGINT) AS entropy_q,
+           CAST(CAST(FLOOR(({lnn}) * {float(1 << 30)}) AS BIGINT)
+                - clc // n_tokens AS DOUBLE) / {float(1 << 30)} AS entropy
+    FROM {prev}
+    """)
+    return "".join(parts)
+
+
+@query("source_token_entropy", oracle=_entropy_oracle(), gate=False)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHANNON VOCABULARY ENTROPY PER SOURCE — H = ln n − (Σ c·ln c)/n
+    over each source's full token distribution, the
+    information-theoretic diversity signal of corpus profiling
+    (templated/boilerplate sources concentrate mass on few types →
+    low H; organic text sits near its Zipf-implied entropy — read
+    next to ``source_zipf_alpha``). Exact replay: both lns run the
+    fixtrig Q40 ladder (the per-type ladder BEFORE aggregation, the
+    per-source ladder after), Σ c·ln_q(c) accumulates in
+    DECIMAL(38,0)/HUGEINT (order-independent), and the final
+    ``entropy_q = ln_q(n) − Σc·ln_q(c) // n`` is one non-negative
+    trunc division. Scale shape: one (source, token) count aggregate
+    + one per-source aggregate — bounded state, no windows, no
+    per-source sort anywhere."""
+    from ..operators.fixtrig import StepBuilder, apply_steps_spark
+    from ..operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents", access="scan")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    sb1 = StepBuilder("spark")
+    lnc = sb1.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=40)
+    scored = apply_steps_spark(cnt, sb1)
+    agg = scored.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(
+            F.expr(
+                f"CAST(cnt AS DECIMAL(38,0))"
+                f" * CAST(FLOOR(({lnc}) * {float(1 << 30)}) AS BIGINT)"
+            )
+        ).alias("clc"),
+    )
+    sb2 = StepBuilder("spark")
+    lnn = sb2.ln("CAST(n_tokens AS DOUBLE)", lo_exp=0, hi_exp=40)
+    out = apply_steps_spark(agg, sb2)
+    hq = (
+        f"CAST(CAST(FLOOR(({lnn}) * {float(1 << 30)}) AS BIGINT)"
+        f" - clc DIV n_tokens AS BIGINT)"
+    )
+    return out.selectExpr(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        f"{hq} AS entropy_q",
+        f"CAST({hq} AS DOUBLE) / {float(1 << 30)} AS entropy",
+    )
