@@ -184,6 +184,7 @@ HEADLINE = [
     "corpus_curation_v7",
     "source_zipf_alpha",
     "graph_kcore_suppliers",
+    "source_token_entropy",
 ]
 
 

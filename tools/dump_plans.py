@@ -142,6 +142,7 @@ SHOW = [
     "corpus_curation_v7",
     "source_zipf_alpha",
     "graph_kcore_suppliers",
+    "source_token_entropy",
 ]
 
 #: formatted plans longer than this print tree + census only
