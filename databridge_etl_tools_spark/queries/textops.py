@@ -4236,7 +4236,7 @@ def _zipf_oracle() -> str:
     from ..operators.fixtrig import StepBuilder
 
     sb = StepBuilder("duckdb")
-    lnc = sb.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=40)
+    lnc = sb.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=63)
     lnr = sb.ln("CAST(rk AS DOUBLE)", lo_exp=0, hi_exp=7)
     parts = [f"""
     WITH tok AS MATERIALIZED (
@@ -4315,7 +4315,7 @@ def source_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "cnt", "rk")
     )
     sb = StepBuilder("spark")
-    lnc = sb.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=40)
+    lnc = sb.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=63)
     lnr = sb.ln("CAST(rk AS DOUBLE)", lo_exp=0, hi_exp=7)
     pts = apply_steps_spark(topk, sb).selectExpr(
         "source",
@@ -4358,9 +4358,9 @@ def _entropy_oracle() -> str:
     from ..operators.fixtrig import StepBuilder
 
     sb1 = StepBuilder("duckdb")
-    lnc = sb1.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=40)
+    lnc = sb1.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=63)
     sb2 = StepBuilder("duckdb")
-    lnn = sb2.ln("CAST(n_tokens AS DOUBLE)", lo_exp=0, hi_exp=40)
+    lnn = sb2.ln("CAST(n_tokens AS DOUBLE)", lo_exp=0, hi_exp=63)
     parts = [f"""
     WITH tok AS MATERIALIZED (
       SELECT source, unnest({_TOK}) AS t
@@ -4421,7 +4421,7 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     sb1 = StepBuilder("spark")
-    lnc = sb1.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=40)
+    lnc = sb1.ln("CAST(cnt AS DOUBLE)", lo_exp=0, hi_exp=63)
     scored = apply_steps_spark(cnt, sb1)
     agg = scored.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_tokens"),
@@ -4434,7 +4434,7 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clc"),
     )
     sb2 = StepBuilder("spark")
-    lnn = sb2.ln("CAST(n_tokens AS DOUBLE)", lo_exp=0, hi_exp=40)
+    lnn = sb2.ln("CAST(n_tokens AS DOUBLE)", lo_exp=0, hi_exp=63)
     out = apply_steps_spark(agg, sb2)
     hq = (
         f"CAST(CAST(FLOOR(({lnn}) * {float(1 << 30)}) AS BIGINT)"
