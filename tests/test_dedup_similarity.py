@@ -1153,3 +1153,50 @@ def test_kcenter_greedy_validation(spark):
         kcenter_greedy(df, k=2)
     with pytest.raises(ValueError, match="k must"):
         kcenter_greedy(df, k=0)
+
+
+def test_kcenter_random_vectors_match_python_replay(spark):
+    """Property sweep: deterministic pseudo-random float vectors at
+    several sizes/dims — the farthest-point traversal matches the
+    pure-python integer replay exactly (ids, order, and distances)."""
+    import struct
+
+    from databridge_etl_tools_spark.operators.similarity import kcenter_greedy
+
+    def f32(x):
+        return float(struct.unpack("f", struct.pack("f", x))[0])
+
+    for seed, n, dim, k in [(7, 25, 4, 5), (11, 40, 8, 6)]:
+        x, vecs = seed, {}
+        for i in range(n):
+            v = []
+            for _ in range(dim):
+                x = (x * 1103515245 + 12345) % (1 << 31)
+                v.append(f32((x % 2000 - 1000) / 250.0))
+            vecs[i + 1] = v
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        got = [
+            (r["sel_round"], r["vec_id"], r["mind_q"])
+            for r in kcenter_greedy(df, k=k).orderBy("sel_round").collect()
+        ]
+
+        qv = {
+            i: [int(f32(c) * (1 << 20) // 1) for c in v]
+            for i, v in vecs.items()
+        }
+
+        def d(a, b):
+            return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+        chosen0 = min(qv)
+        want = [(0, chosen0, 0)]
+        mind = {i: d(qv[i], qv[chosen0]) for i in qv}
+        for t in range(1, k):
+            nxt = max(qv, key=lambda i: (mind[i], -i))
+            want.append((t, nxt, mind[nxt]))
+            for i in qv:
+                mind[i] = min(mind[i], d(qv[i], qv[nxt]))
+        assert got == want, (seed, n, dim, k)

@@ -609,3 +609,40 @@ def test_kcore_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="k must"):
         kcore(df, k=0)
+
+
+def test_kcore_random_graphs_match_python_peel(spark):
+    """Property sweep: on deterministic pseudo-random graphs of
+    several densities, bounded k-core peeling matches the pure-python
+    replay exactly (same surviving nodes AND degrees)."""
+    from databridge_etl_tools_spark.operators.graph import kcore
+
+    def py_peel(edges, k, rounds):
+        es = set(edges)
+        for _ in range(rounds):
+            deg = {}
+            for u, _v in es:
+                deg[u] = deg.get(u, 0) + 1
+            keep = {u for u, d in deg.items() if d >= k}
+            es = {(u, v) for u, v in es if u in keep and v in keep}
+        out = {}
+        for u, _v in es:
+            out[u] = out.get(u, 0) + 1
+        return out
+
+    for seed, n, m, k in [(1, 12, 18, 2), (2, 20, 45, 3), (3, 9, 8, 2)]:
+        # deterministic LCG edge set (no Math.random — replayable)
+        x, es = seed, set()
+        while len(es) < m:
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            a = x % n
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            b = x % n
+            if a != b:
+                es.add((a, b))
+                es.add((b, a))
+        df = spark.createDataFrame(sorted(es), "src long, dst long")
+        got = {
+            r["node"]: r["deg"] for r in kcore(df, k=k, rounds=5).collect()
+        }
+        assert got == py_peel(es, k, 5), (seed, n, m, k)
