@@ -791,3 +791,58 @@ def kcore(
     return e.groupBy(F.col("_src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
+
+
+def coreness(
+    edges: DataFrame,
+    *,
+    k_max: int = 4,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BOUNDED CORE DECOMPOSITION — each node's core number (the
+    largest k with the node inside the k-core), capped at ``k_max``:
+    the full-resolution version of :func:`kcore` membership, the
+    standard graph-robustness score (Batagelj-Zaversnik; curation
+    pipelines bucket hosts by coreness, not raw degree). Computed by
+    successive peeling — the k-core of G equals the k-core of the
+    (k−1)-core, so each k restarts from the previous survivor graph
+    and the total work is one monotonically-shrinking peel sequence,
+    (k_max−1)·rounds degree-agg + restriction rounds. Every node in
+    the edge table has coreness ≥ 1 (the 1-core peel removes only
+    isolated nodes, which an edge table cannot contain); values equal
+    to ``k_max`` mean "≥ k_max". ``rounds`` per k is the replay
+    contract, as in :func:`kcore`. Returns ``(node, coreness)``."""
+    from .materialize import materialize
+
+    if k_max < 1:
+        raise ValueError(f"coreness: k_max must be >= 1, got {k_max}")
+    e = materialize(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).distinct()
+    )
+    out = e.select(F.col("_src").alias("node")).distinct()
+    flags = []
+    for k in range(2, k_max + 1):
+        for _ in range(rounds):
+            keep = (
+                e.groupBy(F.col("_src").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= k)
+                .select("node")
+            )
+            e = materialize(
+                e.join(keep.withColumnRenamed("node", "_src"), "_src")
+                .join(keep.withColumnRenamed("node", "_dst"), "_dst")
+                .select("_src", "_dst")
+            )
+        surv = e.select(F.col("_src").alias("node")).distinct()
+        col = f"_m{k}"
+        flags.append(col)
+        out = out.join(surv.withColumn(col, F.lit(1)), "node", "left")
+    core = F.lit(1)
+    for col in flags:
+        core = core + F.coalesce(F.col(col), F.lit(0))
+    return out.select("node", core.cast("int").alias("coreness"))

@@ -3438,3 +3438,100 @@ def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.join(supp, core["node"] == supp["s_suppkey"] * 2 + 1).select(
         "s_suppkey", "s_name", "deg"
     )
+
+
+def _coreness_oracle(
+    k_max: int = 4, rounds: int = 6, min_trades: int = 2
+) -> str:
+    """Twin of graph_coreness_census: successive-peel core
+    decomposition unrolled — for each k in 2..k_max, ``rounds`` peel
+    levels continuing from the previous k's survivor graph; coreness
+    = 1 + Σ_k [node survives the k-peel]."""
+    parts = [f"""
+    WITH ed AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst,
+               COUNT(*) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2) t
+      WHERE w >= {min_trades}),
+    e2_0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ed
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM ed) u),
+    base AS (SELECT DISTINCT src AS node FROM e2_0)"""]
+    prev = "e2_0"
+    surv = []
+    for k in range(2, k_max + 1):
+        if k > 2:
+            parts.append(f",\n    e{k}_0 AS (SELECT * FROM {prev})")
+            prev = f"e{k}_0"
+        for r in range(1, rounds + 1):
+            parts.append(f""",
+    n{k}_{r} AS (SELECT src AS node FROM {prev}
+                 GROUP BY 1 HAVING COUNT(*) >= {k}),
+    e{k}_{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN n{k}_{r} a ON e.src = a.node
+      JOIN n{k}_{r} b ON e.dst = b.node)""")
+            prev = f"e{k}_{r}"
+        parts.append(f""",
+    s{k} AS (SELECT DISTINCT src AS node FROM {prev})""")
+        surv.append(f"s{k}")
+    flags = " + ".join(
+        f"CASE WHEN {s}.node IS NOT NULL THEN 1 ELSE 0 END" for s in surv
+    )
+    joins = " ".join(f"LEFT JOIN {s} ON {s}.node = b.node" for s in surv)
+    parts.append(f""",
+    cor AS (SELECT b.node, CAST(1 + {flags} AS INTEGER) AS coreness
+            FROM base b {joins})
+    SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
+             AS node_type,
+           coreness,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM cor GROUP BY 1, 2
+    """)
+    return "".join(parts)
+
+
+@query("graph_coreness_census", oracle=_coreness_oracle(), gate=False)
+def graph_coreness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORE-DECOMPOSITION CENSUS (``operators.graph.coreness``): how
+    many suppliers/customers sit at each core number (capped at 4) in
+    the ≥2-trades purchase graph — the robustness histogram that
+    degree distributions fake (one burst of edges inflates degree;
+    coreness requires the NEIGHBORS to be embedded too). Successive
+    peeling: the k-core of the (k−1)-core, so the three peel
+    sequences share one monotonically-shrinking edge set; every level
+    is a degree aggregate + two node restrictions, checkpointed. The
+    DuckDB twin unrolls all (k_max−1)·rounds levels."""
+    from ..operators.graph import coreness
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    cor = coreness(edges, k_max=4, rounds=6)
+    return cor.select(
+        F.when(F.col("node") % 2 == 1, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        "coreness",
+    ).groupBy("node_type", "coreness").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

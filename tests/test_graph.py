@@ -646,3 +646,91 @@ def test_kcore_random_graphs_match_python_peel(spark):
             r["node"]: r["deg"] for r in kcore(df, k=k, rounds=5).collect()
         }
         assert got == py_peel(es, k, 5), (seed, n, m, k)
+
+
+def test_coreness_nested_cores_match_python(spark):
+    """Constructed nesting: a 5-clique (coreness 4), a triangle
+    hanging off it (coreness 2), and a pendant node (coreness 1) —
+    plus the pure-python successive-peel replay on a random graph."""
+    from databridge_etl_tools_spark.operators.graph import coreness
+
+    clique = [
+        (a, b) for a in range(1, 6) for b in range(1, 6) if a != b
+    ]
+    tri = [(5, 10), (10, 11), (11, 5)]
+    tri = tri + [(b, a) for a, b in tri]
+    pend = [(11, 20), (20, 11)]
+    df = spark.createDataFrame(clique + tri + pend, "src long, dst long")
+    got = {
+        r["node"]: r["coreness"]
+        for r in coreness(df, k_max=4, rounds=5).collect()
+    }
+    assert got[1] == got[2] == got[3] == got[4] == 4
+    assert got[5] == 4  # clique member (also on the triangle)
+    assert got[10] == got[11] == 2
+    assert got[20] == 1
+
+    def py_coreness(edges, k_max, rounds):
+        es = set(edges)
+        nodes = {u for u, _ in es}
+        core = {n: 1 for n in nodes}
+        for k in range(2, k_max + 1):
+            for _ in range(rounds):
+                deg = {}
+                for u, _v in es:
+                    deg[u] = deg.get(u, 0) + 1
+                keep = {u for u, d in deg.items() if d >= k}
+                es = {(u, v) for u, v in es if u in keep and v in keep}
+            for u in {u for u, _ in es}:
+                core[u] = k
+        return core
+
+    x, es = 13, set()
+    while len(es) < 60:
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = x % 18
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % 18
+        if a != b:
+            es.add((a, b))
+            es.add((b, a))
+    rdf = spark.createDataFrame(sorted(es), "src long, dst long")
+    got_r = {
+        r["node"]: r["coreness"]
+        for r in coreness(rdf, k_max=4, rounds=6).collect()
+    }
+    assert got_r == py_coreness(es, 4, 6)
+
+
+def test_coreness_demo_rounds_converged(spark):
+    """Replay contract for graph_coreness_census: 6 peel rounds per k
+    equal 7 on the demo subgraph."""
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark.operators.graph import coreness
+    from databridge_etl_tools_spark.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    ord_ = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    a = sorted(
+        (r["node"], r["coreness"])
+        for r in coreness(edges, k_max=4, rounds=6).collect()
+    )
+    b = sorted(
+        (r["node"], r["coreness"])
+        for r in coreness(edges, k_max=4, rounds=7).collect()
+    )
+    assert a == b and a
