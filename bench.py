@@ -185,6 +185,7 @@ HEADLINE = [
     "source_zipf_alpha",
     "graph_kcore_suppliers",
     "source_token_entropy",
+    "graph_coreness_census",
 ]
 
 

@@ -143,6 +143,7 @@ SHOW = [
     "source_zipf_alpha",
     "graph_kcore_suppliers",
     "source_token_entropy",
+    "graph_coreness_census",
 ]
 
 #: formatted plans longer than this print tree + census only
