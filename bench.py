@@ -186,6 +186,7 @@ HEADLINE = [
     "graph_kcore_suppliers",
     "source_token_entropy",
     "graph_coreness_census",
+    "graph_score_suppliers",
 ]
 
 

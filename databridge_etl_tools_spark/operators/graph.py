@@ -744,6 +744,7 @@ def kcore(
     rounds: int = 6,
     src: str = "src",
     dst: str = "dst",
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """K-CORE PEELING — the maximal subgraph where every node keeps
     at least ``k`` neighbors, by iterated deletion of under-degree
@@ -766,31 +767,49 @@ def kcore(
     round changes nothing (converged — at most |V| rounds ever;
     demo-scale convergence is pinned in tests). Returns the remaining
     ``(node, deg)`` table — degrees measured in the surviving
-    subgraph."""
+    subgraph.
+
+    ``weight_col`` switches to the S-CORE (strength core, Eidsaa &
+    Almaas 2013): the threshold applies to each node's total incident
+    edge WEIGHT (positive integers; duplicate (src, dst) rows sum —
+    the same contract as weighted pagerank/LPA), so a node survives on
+    the combined strength of its ties rather than their count — the
+    weighted-graph robustness gate (a hub with many weak ties and one
+    with few strong ties rank the same when their strengths match).
+    Returned ``deg`` becomes the surviving STRENGTH."""
     from .materialize import materialize
 
     if k < 1:
         raise ValueError(f"kcore: k must be >= 1, got {k}")
-    e = materialize(
-        edges.select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst")
-        ).distinct()
-    )
+    if weight_col is not None:
+        _require_integral(edges, weight_col, "kcore")
+        e = materialize(
+            edges.groupBy(
+                F.col(src).alias("_src"), F.col(dst).alias("_dst")
+            ).agg(F.sum(F.col(weight_col)).cast("long").alias("_w"))
+        )
+        deg_agg = F.sum("_w").cast("long").alias("deg")
+    else:
+        e = materialize(
+            edges.select(
+                F.col(src).alias("_src"), F.col(dst).alias("_dst")
+            ).distinct()
+        )
+        deg_agg = F.count(F.lit(1)).cast("long").alias("deg")
+    cols = ["_src", "_dst"] + (["_w"] if weight_col is not None else [])
     for _ in range(rounds):
         keep = (
             e.groupBy(F.col("_src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(deg_agg)
             .where(F.col("deg") >= k)
             .select("node")
         )
         e = materialize(
             e.join(keep.withColumnRenamed("node", "_src"), "_src")
             .join(keep.withColumnRenamed("node", "_dst"), "_dst")
-            .select("_src", "_dst")
+            .select(*cols)
         )
-    return e.groupBy(F.col("_src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
+    return e.groupBy(F.col("_src").alias("node")).agg(deg_agg)
 
 
 def coreness(

@@ -3535,3 +3535,80 @@ def graph_coreness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("node_type", "coreness").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+def _score_oracle(k: int = 5, rounds: int = 6) -> str:
+    """Twin of graph_score_suppliers: the weighted purchase graph
+    (per-pair trade counts as strengths), then ``rounds`` unrolled
+    strength-peel levels."""
+    parts = [f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT src, dst, w FROM (
+        SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2) t
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM (
+        SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2) t2)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    n{r} AS (SELECT src AS node FROM e{r - 1}
+             GROUP BY 1 HAVING SUM(w) >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w FROM e{r - 1} e
+      JOIN n{r} a ON e.src = a.node
+      JOIN n{r} b ON e.dst = b.node)""")
+    parts.append(f"""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(SUM(e.w) AS BIGINT) AS strength
+    FROM e{rounds} e JOIN supplier s ON e.src = 2 * s.s_suppkey + 1
+    GROUP BY 1, 2
+    """)
+    return "".join(parts)
+
+
+@query("graph_score_suppliers", oracle=_score_oracle(), gate=False)
+def graph_score_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-CORE MEMBERSHIP (strength core, ``graph.kcore(weight_col=)``
+    — Eidsaa & Almaas 2013): suppliers inside the strength-5 core of
+    the trade-weighted purchase graph, with their surviving total
+    strength. The weighted twin of ``graph_kcore_suppliers``: the
+    peel threshold applies to total incident TRADE VOLUME, so a
+    supplier survives on the combined weight of its relationships
+    (many weak ties or few strong ties — either suffices when the
+    strength matches), the robustness gate for weighted interaction
+    graphs. Same per-level shape (one strength aggregation + two
+    node restrictions, checkpointed); integer weights keep the 6
+    unrolled oracle levels exact."""
+    from ..operators.graph import kcore
+
+    ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"),
+        F.col("supp_node").alias("dst"),
+        "w",
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"),
+            F.col("cust_node").alias("dst"),
+            "w",
+        )
+    )
+    core = kcore(edges, k=5, rounds=6, weight_col="w")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return core.join(supp, core["node"] == supp["s_suppkey"] * 2 + 1).select(
+        "s_suppkey", "s_name", F.col("deg").alias("strength")
+    )

@@ -734,3 +734,45 @@ def test_coreness_demo_rounds_converged(spark):
         for r in coreness(edges, k_max=4, rounds=7).collect()
     )
     assert a == b and a
+
+
+def test_score_weighted_kcore_python_replay_and_contract(spark):
+    """Weighted (strength) peeling matches a python replay, rejects
+    fractional weights, and differs from the unweighted peel where
+    one strong tie outweighs many weak ones."""
+    from databridge_etl_tools_spark.operators.graph import kcore
+
+    # node 1-2 bound by one strong tie (w=10); 3 has three weak ties
+    wed = [(1, 2, 10), (2, 1, 10), (3, 1, 1), (1, 3, 1),
+           (3, 2, 1), (2, 3, 1), (3, 4, 1), (4, 3, 1)]
+    df = spark.createDataFrame(wed, "src long, dst long, w long")
+    got = {
+        r["node"]: r["deg"]
+        for r in kcore(df, k=5, rounds=4, weight_col="w").collect()
+    }
+
+    def py_peel(edges, k, rounds):
+        es = {}
+        for u, v, w in edges:
+            es[(u, v)] = es.get((u, v), 0) + w
+        for _ in range(rounds):
+            s = {}
+            for (u, _v), w in es.items():
+                s[u] = s.get(u, 0) + w
+            keep = {u for u, x in s.items() if x >= k}
+            es = {
+                (u, v): w for (u, v), w in es.items()
+                if u in keep and v in keep
+            }
+        out = {}
+        for (u, _v), w in es.items():
+            out[u] = out.get(u, 0) + w
+        return out
+
+    assert got == py_peel(wed, 5, 4)
+    # strong-tie pair survives; weakly-tied 3 and 4 peel away
+    assert set(got) == {1, 2}
+
+    bad = spark.createDataFrame([(1, 2, 1.5)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="integral"):
+        kcore(bad, k=1, weight_col="w")

@@ -144,6 +144,7 @@ SHOW = [
     "graph_kcore_suppliers",
     "source_token_entropy",
     "graph_coreness_census",
+    "graph_score_suppliers",
 ]
 
 #: formatted plans longer than this print tree + census only
