@@ -776,3 +776,36 @@ def test_score_weighted_kcore_python_replay_and_contract(spark):
     bad = spark.createDataFrame([(1, 2, 1.5)], "src long, dst long, w double")
     with pytest.raises(ValueError, match="integral"):
         kcore(bad, k=1, weight_col="w")
+
+
+def test_score_demo_rounds_converged(spark):
+    """Replay contract for graph_score_suppliers: 6 strength-peel
+    rounds equal 7 on the demo graph."""
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark.operators.graph import kcore
+    from databridge_etl_tools_spark.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    ord_ = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst", "w").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst", "w")
+    )
+    a = sorted(
+        (r["node"], r["deg"])
+        for r in kcore(edges, k=5, rounds=6, weight_col="w").collect()
+    )
+    b = sorted(
+        (r["node"], r["deg"])
+        for r in kcore(edges, k=5, rounds=7, weight_col="w").collect()
+    )
+    assert a == b and a
