@@ -187,6 +187,7 @@ HEADLINE = [
     "source_token_entropy",
     "graph_coreness_census",
     "graph_score_suppliers",
+    "er_customer_entities",
 ]
 
 

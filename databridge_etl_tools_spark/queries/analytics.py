@@ -3612,3 +3612,122 @@ def graph_score_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.join(supp, core["node"] == supp["s_suppkey"] * 2 + 1).select(
         "s_suppkey", "s_name", F.col("deg").alias("strength")
     )
+
+
+def _er_oracle(iters: int = 6) -> str:
+    """Twin of er_customer_entities: planted dirty variants, blocked
+    multi-attribute levenshtein matching (both engines implement
+    classic edit distance), then the min-label component fixpoint
+    unrolled."""
+    parts = [f"""
+    WITH recs AS MATERIALIZED (
+      SELECT c_custkey AS rid, c_name AS name,
+             c_mktsegment AS seg, c_nationkey AS nat
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 100000000,
+             substr(c_name, 1, length(c_name) - 1) || 'X',
+             c_mktsegment, c_nationkey
+      FROM customer WHERE c_custkey % 7 = 0),
+    pairs AS MATERIALIZED (
+      SELECT a.rid AS ra, b.rid AS rb FROM recs a JOIN recs b
+        ON substr(a.name, 1, length(a.name) - 2)
+             = substr(b.name, 1, length(b.name) - 2)
+       AND a.seg = b.seg AND a.nat = b.nat AND a.rid < b.rid
+       AND levenshtein(a.name, b.name) <= 1),
+    ed AS MATERIALIZED (
+      SELECT ra AS src, rb AS dst FROM pairs
+      UNION ALL
+      SELECT rb AS src, ra AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    l{i} AS MATERIALIZED (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT node, label FROM l{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, l.label
+        FROM l{i - 1} l JOIN ed e ON e.src = l.node) t
+      GROUP BY 1)""")
+    parts.append(f"""
+    SELECT e.label AS entity,
+           CAST(e.n_records AS BIGINT) AS n_records,
+           CAST(e.n_dirty AS BIGINT) AS n_dirty,
+           r.name AS canonical_name
+    FROM (SELECT label, COUNT(*) AS n_records,
+                 SUM(CASE WHEN node >= 100000000 THEN 1 ELSE 0 END)
+                   AS n_dirty
+          FROM l{iters} GROUP BY 1) e
+    JOIN recs r ON r.rid = e.label
+    """)
+    return "".join(parts)
+
+
+@query("er_customer_entities", oracle=_er_oracle(), gate=False)
+def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION — the record-linkage pipeline (Fellegi-Sunter
+    family, rule-based form): every 7th customer gets a planted dirty
+    duplicate (last name character mangled — the typo/OCR failure
+    mode), and the pipeline must link records back into entities:
+    (1) BLOCKING on the name prefix (all but the last 2 chars) so
+    candidate generation is an equi-join, never n² comparisons;
+    (2) multi-attribute MATCH rule — levenshtein(name) ≤ 1 AND equal
+    market segment AND equal nation (classic edit distance, identical
+    in both engines; the auxiliary attributes kill most same-prefix
+    false matches exactly as production linkage rules do);
+    (3) TRANSITIVE CLOSURE via the min-label component fixpoint, so
+    chains of pairwise matches collapse into one entity keyed by its
+    minimum record id. Returns matched entities with record counts,
+    planted-variant counts, and the canonical (min-id) name. At
+    100 TB: blocking bounds every block to a handful of records, the
+    match join shuffles only (block, seg, nat) keys, and components
+    iterate one join + one min-agg per level."""
+    from ..operators.graph import connected_components
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    dirty = table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 7 == 0
+    ).select(
+        (F.col("c_custkey") + 100000000).alias("rid"),
+        F.expr(
+            "concat(substr(c_name, 1, length(c_name) - 1), 'X')"
+        ).alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    from ..operators.materialize import materialize
+
+    recs = materialize(
+        cust.unionByName(dirty).withColumn(
+            "block", F.expr("substr(name, 1, length(name) - 2)")
+        )
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.nat") == F.col("b.nat"))
+        & (F.col("a.rid") < F.col("b.rid"))
+        & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1),
+    ).select(F.col("a.rid").alias("ra"), F.col("b.rid").alias("rb"))
+    edges = pairs.selectExpr("ra AS src", "rb AS dst").unionByName(
+        pairs.selectExpr("rb AS src", "ra AS dst")
+    )
+    labels = connected_components(edges, iters=6)
+    ent = labels.groupBy(F.col("label").alias("entity")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.sum(F.when(F.col("node") >= 100000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dirty"),
+    )
+    return ent.join(recs, ent["entity"] == recs["rid"]).select(
+        "entity", "n_records", "n_dirty", F.col("name").alias("canonical_name")
+    )

@@ -809,3 +809,31 @@ def test_score_demo_rounds_converged(spark):
         for r in kcore(edges, k=5, rounds=7, weight_col="w").collect()
     )
     assert a == b and a
+
+
+def test_er_entities_link_every_planted_variant(spark):
+    """Entity resolution behavior: every planted dirty record lands
+    in an entity whose canonical record is its source customer (the
+    blocking never separates a variant from its original — the edit
+    is inside the block key's prefix), and component iteration has
+    converged at the demo depth."""
+    from databridge_etl_tools_spark.queries.analytics import (
+        er_customer_entities,
+    )
+    from databridge_etl_tools_spark.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    ents = er_customer_entities(spark, sf).collect()
+    cust = {
+        r["c_custkey"]: r["c_name"]
+        for r in table(spark, sf, "customer").collect()
+    }
+    planted = {k for k in cust if k % 7 == 0}
+    # every entity that contains a dirty record must be canonically
+    # named by SOME original (entity ids < 1e8 - labels are min ids)
+    n_dirty_total = sum(r["n_dirty"] for r in ents)
+    assert n_dirty_total == len(planted)
+    for r in ents:
+        assert r["entity"] < 100000000  # canonical record is original
+        assert r["n_records"] >= 2  # matched entities only
+        assert r["canonical_name"] == cust[r["entity"]]

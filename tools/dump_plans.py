@@ -145,6 +145,7 @@ SHOW = [
     "source_token_entropy",
     "graph_coreness_census",
     "graph_score_suppliers",
+    "er_customer_entities",
 ]
 
 #: formatted plans longer than this print tree + census only
