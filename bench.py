@@ -188,6 +188,7 @@ HEADLINE = [
     "graph_coreness_census",
     "graph_score_suppliers",
     "er_customer_entities",
+    "graph_harmonic_sampled",
 ]
 
 

@@ -837,3 +837,38 @@ def test_er_entities_link_every_planted_variant(spark):
         assert r["entity"] < 100000000  # canonical record is original
         assert r["n_records"] >= 2  # matched entities only
         assert r["canonical_name"] == cust[r["entity"]]
+
+
+def test_harmonic_product_trick_equals_per_seed_runs(spark):
+    """The graph-product multi-source BFS must produce exactly the
+    per-seed distances of separate runs: harmonic scores from the
+    replicated graph equal the sum of per-seed 1/d over individual
+    BFS traversals."""
+    from databridge_etl_tools_spark.operators.graph import bfs_distances
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    und = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    seeds = [1, 4]
+
+    # per-seed reference
+    want = {}
+    for s in seeds:
+        src = spark.createDataFrame([(s,)], "node long")
+        for r in bfs_distances(edges, src, max_hops=3).collect():
+            if r["dist"] > 0:
+                want[r["node"]] = want.get(r["node"], 0) + 6 // r["dist"]
+
+    reps = None
+    for si in range(len(seeds)):
+        r = edges.selectExpr(f"src * 8 + {si} AS src", f"dst * 8 + {si} AS dst")
+        reps = r if reps is None else reps.unionByName(r)
+    sources = spark.createDataFrame(
+        [(s * 8 + si,) for si, s in enumerate(seeds)], "node long"
+    )
+    got = {}
+    for r in bfs_distances(reps, sources, max_hops=3).collect():
+        if r["dist"] > 0:
+            n = r["node"] // 8
+            got[n] = got.get(n, 0) + 6 // r["dist"]
+    assert got == want

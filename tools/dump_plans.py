@@ -146,6 +146,7 @@ SHOW = [
     "graph_coreness_census",
     "graph_score_suppliers",
     "er_customer_entities",
+    "graph_harmonic_sampled",
 ]
 
 #: formatted plans longer than this print tree + census only
