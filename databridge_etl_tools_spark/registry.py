@@ -76,74 +76,72 @@ DRIVER_GATE_WINDOW = 50
 #: registration so the per-query ``gate=`` default stays the stable
 #: tier and this overlay stays one auditable per-round edit.
 #:
-#: r11 cohort — GENERATED, not hand-counted: run
+#: r12 cohort — GENERATED, not hand-counted: run
 #:   python tools/gate_coverage.py --suggest
 #: which ranks the oracle catalog by (never-driver-green first, then
 #: ascending last_green_round, green_count, name) from the actual
-#: CORRECTNESS_r*.json records, and emits exactly this window. The r11
-#: window = the 9 never-driver-verified r10 entries
-#: (proj_pa_south_datum_pipeline, graph_components_trading_blocs,
-#: graph_communities_weighted, graph_triangles_copurchase,
-#: graph_affinity_distance, geo_haversine_customers,
-#: text_kneser_ney_bigram, sample_weighted_reservoir,
-#: mixture_temperature_alpha) + the last-green-r7 cohort (greens
-#: ascending). IN holds the members of that window whose registration
-#: default is overflow; OUT parks every stable-tier (gate=True) query
-#: not in the window. Both sets verified programmatically:
+#: CORRECTNESS_r*.json records, and emits exactly this window. The r12
+#: window = the 15 never-driver-verified r11 entries (quality classifier
+#: + curation v6/v7, incremental dedup, k-center coreset, the five new
+#: graph members, entity resolution, audio near-dup, CCNet terciles,
+#: zipf/entropy) + the aging greens=1 last-green-r8 cohort plus the
+#: last-green-r7 stragglers (greens ascending). IN holds the members of
+#: that window whose registration default is overflow; OUT parks every
+#: stable-tier (gate=True) query not in the window. Both sets verified
+#: programmatically:
 #: (oracle − ((default_overflow − IN) ∪ OUT)) == suggest() window.
-#: New r11 queries register gate=False and queue for r12.
+#: New r12 queries register gate=False and queue for r13.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        "dsir_importance_select",
-        "emb_label_centroids",
-        "emb_nearest_centroid_eval",
-        "events_percentrank_by_type",
-        "events_rolling_active_users",
-        "events_running_total",
-        "events_value_mad_by_type",
-        "events_value_trimmed_mean",
-        "events_value_trimmed_mean_by_type",
-        "events_value_winsorized_mean",
-        "features_hashing_trick",
-        "geo_haversine_customers",
-        "graph_affinity_distance",
-        "graph_communities_weighted",
-        "graph_components_trading_blocs",
-        "graph_triangles_copurchase",
-        "grouping_sets_orders",
-        "length_deciles_by_source",
-        "median_value_by_type",
-        "mixture_temperature_alpha",
-        "pii_scrub_contacts",
-        "profit_by_nation_year",
-        "proj_pa_south_datum_pipeline",
-        "promo_revenue_share",
-        "quality_gopher_rules",
-        "returned_item_report",
-        "sample_bottomk_documents",
-        "sample_split_documents",
-        "sample_weighted_reservoir",
-        "scd2_customer_history",
-        "session_funnel",
-        "sketch_bucketmin_daily_users",
-        "sketch_hll_rolling_users",
-        "sketch_rolling_active_users",
-        "sketch_vocabulary_report",
-        "small_quantity_revenue",
-        "source_capped_topn",
-        "source_segment_overlap",
-        "source_vocab_overlap_sketch",
-        "supplier_part_census",
-        "text_bm25_topk",
-        "text_heavy_hitters",
-        "text_kneser_ney_bigram",
-        "text_rare_token_ratio",
-        "text_repetition_stats",
-        "text_skipgram_pmi",
-        "token_budget_shards",
-        "token_weighted_median_length",
-        "top_supplier",
-        "value_trend_by_type",
+        "ann_topk_vectorized",
+        "contamination_report",
+        "coreset_kcenter_embeddings",
+        "corpus_curation_v3",
+        "corpus_curation_v6",
+        "corpus_curation_v7",
+        "dedup_incremental_vs_store",
+        "dedup_keep_best",
+        "dedup_shared_spans",
+        "dedup_spans_removed",
+        "doc_gram_novelty",
+        "documents_column_profile",
+        "emb_standardize_dims",
+        "epoch_shuffle_shards",
+        "er_customer_entities",
+        "events_daily_delta_trend",
+        "events_trending_types",
+        "events_value_winsorized_by_type",
+        "gram_duplication_census",
+        "graph_coreness_census",
+        "graph_harmonic_sampled",
+        "graph_kcore_suppliers",
+        "graph_score_suppliers",
+        "graph_trustrank_seeded",
+        "length_percentile_filter",
+        "max_concurrent_sessions",
+        "mixture_epoch_plan",
+        "mm_audio_neardup",
+        "paired_text_embedding",
+        "quality_classifier_score",
+        "reranker_training_triplets",
+        "sample_weighted_length",
+        "scd2_point_in_time",
+        "sketch_countmin_topk",
+        "source_dup_matrix",
+        "source_token_entropy",
+        "source_zipf_alpha",
+        "text_ccnet_perplexity_buckets",
+        "text_clean_normalize",
+        "text_heavy_hitters_by_lang",
+        "theil_sen_daily_trend",
+        "token_budget_shards_by_source",
+        "token_lang_chi2_topk",
+        "tokenizer_fertility_by_source",
+        "ttr_length_correlation_by_source",
+        "user_daily_features",
+        "user_event_sequences",
+        "vocab_encode_documents",
+        "volume_shipping",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
@@ -188,7 +186,6 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "region_revenue",
         "rollup_region_nation",
         "scan_probes",
-        "semdedup_keep",
         "set_ops",
         "shipping_priority",
         "skew_salted_agg",
