@@ -193,3 +193,47 @@ def gauss_solve_fixed(
         )
         beta[i] = tdiv(num, rows[i][i])
     return beta
+
+
+def gauss_solve_multi(
+    a: list[list[int]], bs: list[list[int]]
+) -> list[list[int]]:
+    """Solve ``A·β_c = b_c`` for ``L`` right-hand sides SHARING one
+    fraction-free elimination (the one-vs-rest multiclass case:
+    the normal-equation matrix depends only on X, never on the
+    labels, so L class heads cost ONE elimination instead of L).
+
+    Same contract as :func:`gauss_solve_fixed` — single-step Bareiss
+    pivots + per-row :func:`renorm` over the FULL augmented row
+    ``[A | b_0 … b_{L-1}]`` (the renorm maximum may come from any
+    RHS column; that scaling is part of the replay contract, so the
+    DuckDB twin augments with the same L columns), then L
+    independent trunc-division back-substitution chains. For
+    ``L = 1`` the augmented row equals ``gauss_solve_fixed``'s and
+    the outputs are bit-identical (pinned in tests)."""
+    d = len(a)
+    nl = len(bs)
+    rows = [
+        renorm(list(a[i]) + [bs[c][i] for c in range(nl)])
+        for i in range(d)
+    ]
+    width = d + nl
+    for p in range(d - 1):
+        rp = rows[p]
+        app = rp[p]
+        for i in range(p + 1, d):
+            ri = rows[i]
+            aip = ri[p]
+            rows[i] = renorm(
+                [ri[j] * app - rp[j] * aip for j in range(width)]
+            )
+    out = []
+    for c in range(nl):
+        beta = [0] * d
+        for i in range(d - 1, -1, -1):
+            num = rows[i][d + c] * (1 << Q_BETA) - sum(
+                rows[i][j] * beta[j] for j in range(i + 1, d)
+            )
+            beta[i] = tdiv(num, rows[i][i])
+        out.append(beta)
+    return out

@@ -232,3 +232,181 @@ def ridge_predict(
         F.lit(float(model["intercept"]))
         + ridge_pq_col(model, vec_col).cast("double") / F.lit(float(_Q50))
     ).alias("prediction")
+
+
+def _int_xym_moments(df: DataFrame, label_cols: list[str], vec_col: str):
+    """Multi-label sibling of ``_int_xy_moments``: ONE Arrow pass →
+    ``(n, s, sy[c], syy[c], G, xty[c], maxq)`` for L label columns
+    over the SAME feature matrix. G (and therefore the whole
+    normal-equation matrix) is label-independent, so the L-class
+    one-vs-rest fit costs exactly the binary fit's single pass plus
+    L·d extra int64 partial sums per partition."""
+    import numpy as np
+
+    nl = len(label_cols)
+
+    def partials(it: Iterator) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        n, s, g, ma = 0, None, None, 1
+        sy = [0] * nl
+        syy = [0] * nl
+        xty = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            ys = [
+                np.asarray(pdf[c], dtype=np.float64) for c in label_cols
+            ]
+            xi = np.floor(x * _Q20).astype(np.int64)
+            yi = [np.floor(y * _Q20).astype(np.int64) for y in ys]
+            n += xi.shape[0]
+            ma = max(
+                ma,
+                int(np.abs(xi).max(initial=0)),
+                max(int(np.abs(v).max(initial=0)) for v in yi),
+            )
+            if n > (1 << 63) // (ma * ma):
+                raise ValueError(
+                    "ridge_fit_multi: partition too large for exact "
+                    f"int64 moment partials (rows={n}, "
+                    f"max|quantized|={ma}); repartition the input or "
+                    "rescale features/labels"
+                )
+            s = xi.sum(axis=0) if s is None else s + xi.sum(axis=0)
+            for c in range(nl):
+                sy[c] += int(yi[c].sum())
+                syy[c] += int((yi[c] * yi[c]).sum())
+            gg = xi.T @ xi
+            g = gg if g is None else g + gg
+            v = np.stack([xi.T @ yi[c] for c in range(nl)])
+            xty = v if xty is None else xty + v
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": [TaskContext.get().partitionId()],
+                "n": [n],
+                "s": [s.tolist()],
+                "sy": [sy],
+                "syy": [syy],
+                "g": [g.reshape(-1).tolist()],
+                "xty": [xty.reshape(-1).tolist()],
+                "ma": [ma],
+            }
+        )
+
+    rows = (
+        df.select(vec_col, *label_cols)
+        .mapInPandas(
+            partials,
+            "pid int, n long, s array<long>, sy array<long>, "
+            "syy array<long>, g array<long>, xty array<long>, ma long",
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ridge_fit_multi: empty input")
+    d = len(rows[0].s)
+    n, maxq = 0, 1
+    s = [0] * d
+    sy = [0] * nl
+    syy = [0] * nl
+    xty = [[0] * d for _ in range(nl)]
+    g = [[0] * d for _ in range(d)]
+    for r in rows:
+        n += r.n
+        maxq = max(maxq, int(r.ma))
+        for j in range(d):
+            s[j] += int(r.s[j])
+        for c in range(nl):
+            sy[c] += int(r.sy[c])
+            syy[c] += int(r.syy[c])
+            base = c * d
+            for j in range(d):
+                xty[c][j] += int(r.xty[base + j])
+        flat = r.g
+        for i in range(d):
+            base = i * d
+            gi = g[i]
+            for j in range(d):
+                gi[j] += int(flat[base + j])
+    return n, s, sy, syy, g, xty, maxq
+
+
+def ridge_fit_multi(
+    df: DataFrame,
+    label_cols: list[str],
+    vec_col: str = "embedding",
+    lam: float = 1.0,
+) -> list[dict]:
+    """One-vs-rest multiclass ridge: fit ``y_c ≈ ic_c + x·w_c`` for
+    every label column with ONE Arrow moments pass and ONE shared
+    fraction-free elimination (``intlin.gauss_solve_multi`` — the
+    normal-equation matrix is label-independent). Returns one
+    ``ridge_fit``-shaped model dict per label column; each is
+    bit-replayable by a DuckDB twin that augments the elimination
+    with the same L RHS columns."""
+    if lam != int(lam) or lam < 0:
+        raise ValueError(f"lam must be a non-negative integer, got {lam}")
+    lam_i = int(lam)
+    n, s, sy, syy, g, xty, maxq = _int_xym_moments(df, label_cols, vec_col)
+    d = len(s)
+    nl = len(label_cols)
+    if n < 2:
+        raise ValueError("ridge_fit_multi: need >= 2 rows")
+    scat = IL.scatter(n, s, g)
+    a = [
+        [scat[i][j] + (lam_i * n * _Q40 if i == j else 0) for j in range(d)]
+        for i in range(d)
+    ]
+    bvecs = [
+        [n * xty[c][j] - s[j] * sy[c] for j in range(d)] for c in range(nl)
+    ]
+    b_ints = IL.gauss_solve_multi(a, bvecs)
+    import math
+
+    out = []
+    for c in range(nl):
+        b_int = b_ints[c]
+        mb = max(abs(v) for v in b_int) if b_int else 0
+        if mb and d * max(maxq, _Q20) * mb >= 1 << 62:
+            raise ValueError(
+                f"ridge_fit_multi[{label_cols[c]}]: solution magnitude "
+                f"max|B|={mb} with observed max|quantized x|={maxq} "
+                "would overflow int64 prediction folds — raise lam or "
+                "rescale features"
+            )
+        sb = sum(s[j] * b_int[j] for j in range(d))
+        intercept = (
+            float(sy[c]) / n / float(_Q20) - float(sb) / n / float(_Q50)
+        )
+        t1 = float(n * syy[c] - sy[c] * sy[c]) / float(_Q40)
+        t2 = float(
+            sum(b_int[j] * bvecs[c][j] for j in range(d))
+        ) / float(_Q70)
+        z = [
+            IL.tdiv(
+                sum(scat[i][j] * b_int[j] for j in range(d)),
+                1 << IL.Q_BETA,
+            )
+            for i in range(d)
+        ]
+        t3 = float(sum(b_int[i] * z[i] for i in range(d))) / float(_Q70)
+        nsse = (t1 - 2.0 * t2) + t3
+        out.append(
+            {
+                "label": label_cols[c],
+                "weights": [v / float(1 << IL.Q_BETA) for v in b_int],
+                "intercept": intercept,
+                "n": int(n),
+                "rmse": math.sqrt(max(nsse, 0.0) / n / n),
+                "b_int": b_int,
+                "s_int": s,
+                "sy_int": sy[c],
+                "max_abs_q": maxq,
+            }
+        )
+    return out

@@ -1,0 +1,246 @@
+"""Language-ID classifier queries: the trained LID gate.
+
+The multiclass twin of ``queries/quality.py``: plant the per-language
+marker prefix (corpus adaptation — see ``operators/lid.py``), fit all
+five one-vs-rest integer ridge heads with ONE Arrow moments pass and
+ONE shared fraction-free elimination, score the HELD-OUT slice with
+exact integer folds, and report the confusion matrix as exact counts.
+The DuckDB oracle replays the plant, the char-trigram hash map, the
+moments, all 15 elimination pivots over the 5-RHS augmented matrix,
+the five back-substitution chains, every intercept, and every
+per-document argmax bit-for-bit.
+
+Reference parity: beyond-reference — the reference pipeline has no
+trained models; CCNet/RefinedWeb gate on fastText LID before every
+other filter, which is the capability this demonstrates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.lid import LANGS, MARK_REPEAT, MARKERS
+from ..registry import query, table
+from .similarity import _ridge_row_renorm, _tdiv_sql
+
+D = 16  # feature width (see operators/lid.py)
+CAP = 240
+LAM = 1
+HOLDOUT_MOD = 5
+NL = len(LANGS)
+_Q20F = float(1 << 20)
+_Q40 = 1 << 40
+_Q50F = float(1 << 50)
+
+_DIM = (
+    f"CAST(CAST('0x'||substr(md5('lid:'||g),1,8) AS BIGINT) % {D} AS INTEGER)"
+)
+
+#: (lang, marker-prefix) literal rows for the plant replay.
+_MARKS = ", ".join(
+    "('{}', '{}')".format(lg, (MARKERS[lg] * MARK_REPEAT).replace("'", "''"))
+    for lg in LANGS
+)
+
+
+def _gram_ctes(tag: str, pred: str) -> str:
+    """Plant → cap → char-trigram → hashed-dim count CTEs for the
+    document slice matching ``pred`` (the same pipeline serves the
+    train and eval slices under distinct ``tag`` prefixes)."""
+    return f"""
+    {tag}pl AS (
+      SELECT d.doc_id, d.lang, substr(m.mark || d.text, 1, {CAP}) AS t
+      FROM documents d JOIN marks m USING (lang)
+      WHERE {pred}),
+    {tag}tr AS MATERIALIZED (
+      SELECT doc_id, lang, t FROM {tag}pl WHERE length(t) >= 3),
+    {tag}gr AS (
+      SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
+      FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i
+            FROM {tag}tr)),
+    {tag}gn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM {tag}gr GROUP BY 1),
+    {tag}cnt AS (
+      SELECT doc_id, pos, COUNT(*) AS c
+      FROM (SELECT doc_id, {_DIM} AS pos FROM {tag}gr)
+      GROUP BY 1, 2),
+    {tag}xq AS MATERIALIZED (
+      SELECT c.doc_id AS vec_id, c.pos,
+             CAST(floor(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)
+                        * {_Q20F}) AS HUGEINT) AS xi
+      FROM {tag}cnt c JOIN {tag}gn n USING (doc_id))"""
+
+
+def _fit_ctes() -> str:
+    """CTEs replaying ``operators.lid.lid_fit`` exactly: the planted
+    train slice, quantized features, one set of label-independent
+    moments (n, s, G), per-class label moments, the 5-RHS augmented
+    normal-equation matrix, all ``D−1`` shared fraction-free
+    elimination pivots (``intlin.gauss_solve_multi`` bit-for-bit —
+    renorm maxima run over the FULL augmented row including every
+    RHS column), and five back-substitution chains."""
+    ycols = ", ".join(
+        f"CAST(CASE WHEN lang = '{lg}' THEN 1048576 ELSE 0 END AS HUGEINT)"
+        f" AS y{c}"
+        for c, lg in enumerate(LANGS)
+    )
+    parts = [f"""marks(lang, mark) AS (VALUES {_MARKS}),
+    {_gram_ctes("f", f"d.doc_id % {HOLDOUT_MOD} <> 0")},
+    ey AS MATERIALIZED (
+      SELECT doc_id AS vec_id, {ycols} FROM ftr),
+    cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM ftr),
+    ys AS (SELECT {", ".join(
+        f"CAST(SUM(y{c}) AS HUGEINT) AS sy{c}" for c in range(NL)
+    )} FROM ey),
+    dd AS (SELECT CAST(unnest(range(0, {D})) AS INTEGER) AS pos),
+    sv AS MATERIALIZED (
+      SELECT d.pos AS j, CAST(COALESCE(SUM(e.xi), 0) AS HUGEINT) AS s
+      FROM dd d LEFT JOIN fxq e ON e.pos = d.pos GROUP BY 1),
+    gm0 AS (
+      SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.xi * b.xi) AS HUGEINT) AS g
+      FROM fxq a JOIN fxq b USING (vec_id) GROUP BY 1, 2),
+    gm AS MATERIALIZED (
+      SELECT di.pos AS i, dj.pos AS j, CAST(COALESCE(g.g, 0) AS HUGEINT) AS g
+      FROM dd di CROSS JOIN dd dj
+      LEFT JOIN gm0 g ON g.i = di.pos AND g.j = dj.pos),
+    xty AS MATERIALIZED (
+      SELECT d.pos AS j, {", ".join(
+        f"CAST(COALESCE(x.v{c}, 0) AS HUGEINT) AS v{c}" for c in range(NL)
+      )}
+      FROM dd d LEFT JOIN (
+        SELECT e.pos AS j, {", ".join(
+            f"SUM(e.xi * y.y{c}) AS v{c}" for c in range(NL)
+        )}
+        FROM fxq e JOIN ey y USING (vec_id) GROUP BY 1) x ON x.j = d.pos),
+    scat AS MATERIALIZED (
+      SELECT g.i, g.j, (SELECT n FROM cnt) * g.g - si.s * sj.s AS c
+      FROM gm g JOIN sv si ON si.j = g.i JOIN sv sj ON sj.j = g.j),
+    aug AS (
+      SELECT i, j, c + CASE WHEN i = j
+                 THEN {LAM} * (SELECT n FROM cnt) * {_Q40}
+                 ELSE 0 END AS val
+      FROM scat{"".join(
+        f'''
+      UNION ALL
+      SELECT x.j AS i, {D + c} AS j,
+             (SELECT n FROM cnt) * x.v{c} - s.s * (SELECT sy{c} FROM ys)
+               AS val
+      FROM xty x JOIN sv s ON s.j = x.j''' for c in range(NL)
+      )}),{_ridge_row_renorm("aug", "m0")}"""]
+    for p in range(D - 1):
+        parts.append(f"""
+    raw{p} AS (
+      SELECT m.i, m.j,
+             m.val * (SELECT val FROM m{p} WHERE i = {p} AND j = {p})
+             - rp.val * ip.val AS val
+      FROM m{p} m
+      JOIN (SELECT j, val FROM m{p} WHERE i = {p}) rp ON rp.j = m.j
+      JOIN (SELECT i, val FROM m{p} WHERE j = {p}) ip ON ip.i = m.i
+      WHERE m.i > {p}),{_ridge_row_renorm(f"raw{p}", f"upd{p}")},
+    m{p + 1} AS MATERIALIZED (
+      SELECT i, j, val FROM m{p} WHERE i <= {p}
+      UNION ALL SELECT i, j, val FROM upd{p})""")
+    fin = f"m{D - 1}"
+    for c in range(NL):
+        rhs = D + c
+        num = (
+            f"(SELECT val FROM {fin} WHERE i = {D - 1} AND j = {rhs})"
+            f" * {1 << 30}"
+        )
+        piv = f"(SELECT val FROM {fin} WHERE i = {D - 1} AND j = {D - 1})"
+        parts.append(f"""
+    b{c}x{D - 1} AS (SELECT {D - 1} AS j, {_tdiv_sql(num, piv)} AS b)""")
+        for i in range(D - 2, -1, -1):
+            num = (
+                f"((SELECT val FROM {fin} WHERE i = {i} AND j = {rhs})"
+                f" * {1 << 30}"
+                f" - (SELECT COALESCE(SUM(r.val * b.b), 0) FROM {fin} r"
+                f"    JOIN b{c}x{i + 1} b ON b.j = r.j"
+                f"    WHERE r.i = {i} AND r.j > {i} AND r.j < {D}))"
+            )
+            piv = f"(SELECT val FROM {fin} WHERE i = {i} AND j = {i})"
+            parts.append(f"""
+    b{c}x{i} AS MATERIALIZED (
+      SELECT * FROM b{c}x{i + 1}
+      UNION ALL SELECT {i} AS j, {_tdiv_sql(num, piv)} AS b)""")
+        parts.append(f"""
+    bt{c} AS MATERIALIZED (SELECT j, b FROM b{c}x0)""")
+    parts.append(f"""
+    ic AS (SELECT {", ".join(
+        f'''CAST((SELECT sy{c} FROM ys) AS DOUBLE) / (SELECT n FROM cnt)
+            / {_Q20F}
+          - CAST((SELECT SUM(s.s * b.b) FROM sv s
+                  JOIN bt{c} b ON b.j = s.j) AS DOUBLE)
+            / (SELECT n FROM cnt) / {_Q50F} AS ic{c}'''
+        for c in range(NL)
+    )})""")
+    return ",".join(parts)
+
+
+def _score_case() -> str:
+    """Deterministic argmax CASE chain — first language in LANGS
+    (ascending) order attaining the maximum score."""
+    mx = f"greatest({', '.join(f's{c}' for c in range(NL))})"
+    arms = " ".join(
+        f"WHEN s{c} = {mx} THEN '{LANGS[c]}'" for c in range(NL - 1)
+    )
+    return f"CASE {arms} ELSE '{LANGS[-1]}' END"
+
+
+@query(
+    "lid_predict_eval",
+    oracle=f"""
+    WITH {_fit_ctes()},
+    {_gram_ctes("e", f"d.doc_id % {HOLDOUT_MOD} = 0")},{"".join(
+        f'''
+    apq{c} AS MATERIALIZED (
+      SELECT a.vec_id AS doc_id, CAST(SUM(a.xi * b.b) AS HUGEINT) AS p
+      FROM exq a JOIN bt{c} b ON b.j = a.pos GROUP BY 1),'''
+        for c in range(NL)
+    )}
+    sc AS (
+      SELECT t.doc_id, t.lang, {", ".join(
+        f"(SELECT ic{c} FROM ic) + CAST(p{c}.p AS DOUBLE) / {_Q50F} AS s{c}"
+        for c in range(NL)
+      )}
+      FROM etr t {" ".join(
+        f"JOIN apq{c} p{c} USING (doc_id)" for c in range(NL)
+      )})
+    SELECT lang, {_score_case()} AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sc GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def lid_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the trained language-ID classifier on the marker-planted
+    training slice (``doc_id % 5 != 0``) and report the HELD-OUT
+    confusion matrix (truth ``lang`` × predicted language, exact
+    counts). Fit = one Arrow moments pass over the bounded train
+    slice + one shared driver-side integer elimination for all five
+    one-vs-rest heads; scoring = five zero-shuffle integer folds +
+    a deterministic argmax; ONE final (lang, pred_lang)
+    aggregation. At 100 TB: the featurizer reads a 240-char prefix
+    per document (cost independent of document length), scoring is
+    embarrassingly parallel map work, and the only exchange is the
+    final tiny confusion-matrix group-by."""
+    from ..operators.lid import (
+        char_trigram_features,
+        lid_fit,
+        lid_predict_col,
+        lid_score_cols,
+        plant_markers,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    models = lid_fit(docs, d=D, cap=CAP, lam=LAM, holdout_mod=HOLDOUT_MOD)
+    held = plant_markers(docs.filter(F.col("doc_id") % HOLDOUT_MOD == 0))
+    feats = char_trigram_features(held, d=D, cap=CAP)
+    scored = feats.select("lang", *lid_score_cols(models))
+    pred = lid_predict_col([f"_s_{lg}" for lg in LANGS])
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "databridge_etl_tools_spark.queries.geometry",
     "databridge_etl_tools_spark.queries.geoproj_queries",
     "databridge_etl_tools_spark.queries.quality",
+    "databridge_etl_tools_spark.queries.lid",
 )
 
 #: The external driver gate evaluates only the FIRST 50 registered

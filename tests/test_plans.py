@@ -483,3 +483,22 @@ def test_kcore_tail_pure_jvm_equi_joins(spark):
     assert "CartesianProduct" not in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_lid_scoring_tail_pure_jvm_single_groupby(spark):
+    """lid_predict_eval's executed tail: the five integer score
+    folds + argmax are map-side JVM column expressions (the fit's
+    Arrow pass runs eagerly at build time and never appears here);
+    the only exchange is the tiny confusion-matrix group-by — no
+    Python, no joins, no windows in the scoring plan."""
+    plan = _plan(spark, "lid_predict_eval")
+    for bad in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "CartesianProduct",
+        "SortMergeJoin",
+        "WindowExec",
+    ):
+        assert bad not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

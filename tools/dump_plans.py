@@ -147,6 +147,8 @@ SHOW = [
     "graph_score_suppliers",
     "er_customer_entities",
     "graph_harmonic_sampled",
+    # r12 additions
+    "lid_predict_eval",
 ]
 
 #: formatted plans longer than this print tree + census only
