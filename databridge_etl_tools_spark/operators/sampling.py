@@ -509,6 +509,33 @@ def largest_remainder_quotas(
     return base
 
 
+def weighted_quotas(
+    weights: "dict[object, int]", budget: int
+) -> "dict[object, int]":
+    """Largest-remainder apportionment of a FIXED budget across
+    strata proportional to arbitrary non-negative integer WEIGHTS
+    (not the strata's own sizes — the rank-weighted sampling case:
+    Common Crawl's pipeline allocates crawl budget by host rank).
+    ``base_s = floor(w_s·B/ΣW)``; the shortfall goes to the largest
+    remainders ``(w_s·B) mod ΣW``, ties broken by ``str(key)``
+    ascending (same contract as :func:`largest_remainder_quotas` —
+    a SQL twin mirrors it with ``ORDER BY rem DESC, key``). Pure
+    integer driver arithmetic on the bounded |strata| table; all
+    weights zero (or a non-positive budget) allocates nothing."""
+    wt = sum(weights.values())
+    if wt == 0 or budget <= 0:
+        return {s: 0 for s in weights}
+    base = {s: (w * budget) // wt for s, w in weights.items()}
+    extras = budget - sum(base.values())
+    by_rem = sorted(
+        weights,
+        key=lambda s: (-((weights[s] * budget) % wt), str(s)),
+    )
+    for s in by_rem[:extras]:
+        base[s] += 1
+    return base
+
+
 def stratified_split_exact(
     df: DataFrame,
     stratum_col: str,

@@ -397,6 +397,7 @@ def kmv_pair_overlap(
     w = Window.partitionBy("ga", "gb").orderBy("hv")
     top = merged.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     return top.groupBy("ga", "gb").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("ovl"),
         (
             F.sum(F.col("in_a") * F.col("in_b")).cast("double")
             / F.least(F.count(F.lit(1)), F.lit(k)).cast("double")

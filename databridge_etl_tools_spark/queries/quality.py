@@ -510,3 +510,255 @@ def corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+def _v8_oracle() -> str:
+    from .analytics import pagerank_weighted_levels
+
+    sid = lambda c: f"CAST(substr({c}, 4) AS INTEGER)"  # noqa: E731
+    ed = f"""
+        SELECT {sid("sa")} AS src, {sid("sb")} AS dst, w FROM vew
+        UNION ALL
+        SELECT {sid("sb")} AS src, {sid("sa")} AS dst, w FROM vew"""
+    return f"""
+    WITH {_fit_ctes()},{_SCORE_CTES},
+    keepfirst AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                     AS fp
+            FROM documents)
+      GROUP BY fp),
+    vflags AS MATERIALIZED (
+      SELECT f.doc_id, f.source, f.n,
+             CASE WHEN kf.doc_id IS NOT NULL THEN 1 ELSE 0 END AS u,
+             CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gp,
+             CASE WHEN p.p IS NOT NULL
+                       AND (SELECT ic FROM icte)
+                           + CAST(p.p AS DOUBLE) / {_Q50F}
+                           >= CAST(5 AS DOUBLE) / 10
+                  THEN 1 ELSE 0 END AS sc
+      FROM afn f
+      LEFT JOIN keepfirst kf USING (doc_id)
+      LEFT JOIN gpass g USING (doc_id)
+      LEFT JOIN apq p USING (doc_id)),
+    vtok AS (SELECT DISTINCT source, unnest({_TOK}) AS token
+             FROM documents),
+    vh AS (SELECT DISTINCT source,
+                  CAST('0x'||substr(md5('kmv:'||token),1,8) AS BIGINT) AS hv
+           FROM vtok),
+    vsk AS MATERIALIZED (
+      SELECT source, hv FROM (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM vh) WHERE rn <= 64),
+    vpr AS (SELECT a.source AS sa, b.source AS sb
+            FROM (SELECT DISTINCT source FROM vsk) a
+            JOIN (SELECT DISTINCT source FROM vsk) b ON a.source < b.source),
+    vmg AS (
+      SELECT p.sa, p.sb, s.hv,
+             MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ia,
+             MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS ib
+      FROM vpr p JOIN vsk s ON s.source IN (p.sa, p.sb)
+      GROUP BY 1, 2, 3),
+    vtp AS (SELECT * FROM (
+              SELECT vmg.*, row_number() OVER (PARTITION BY sa, sb
+                                               ORDER BY hv) AS rn
+              FROM vmg) WHERE rn <= 64),
+    vew AS MATERIALIZED (
+      SELECT sa, sb, CAST(SUM(ia * ib) AS BIGINT) AS w
+      FROM vtp GROUP BY 1, 2 HAVING SUM(ia * ib) > 0),
+    {pagerank_weighted_levels(ed, iters=8)},
+    srcs AS (SELECT DISTINCT source FROM documents),
+    rks AS (SELECT s.source, COALESCE(r.rq, 0) AS rank_q
+            FROM srcs s LEFT JOIN r8 r
+              ON r.node = {sid("s.source")}),
+    sns AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n
+            FROM vflags WHERE u * gp * sc = 1 GROUP BY 1),
+    bdg AS (SELECT COALESCE(SUM(n), 0) // 2 AS b FROM sns),
+    wt AS (SELECT COALESCE(SUM(rank_q), 0) AS w FROM rks),
+    qb AS (
+      SELECT r.source, r.rank_q,
+             CASE WHEN (SELECT w FROM wt) = 0 THEN 0
+                  ELSE (r.rank_q * (SELECT b FROM bdg))
+                       // (SELECT w FROM wt) END AS base,
+             CASE WHEN (SELECT w FROM wt) = 0 THEN 0
+                  ELSE (r.rank_q * (SELECT b FROM bdg))
+                       % (SELECT w FROM wt) END AS rem
+      FROM rks r),
+    ext AS (SELECT CASE WHEN (SELECT w FROM wt) = 0 THEN 0
+                        ELSE (SELECT b FROM bdg) - SUM(base) END AS e
+            FROM qb),
+    qa AS MATERIALIZED (
+      SELECT source, rank_q,
+             base + CASE WHEN (SELECT w FROM wt) > 0
+                              AND row_number() OVER (ORDER BY rem DESC,
+                                                     source)
+                                  <= (SELECT e FROM ext)
+                         THEN 1 ELSE 0 END AS quota
+      FROM qb),
+    vsel AS (SELECT doc_id, source,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY doc_id) AS rn
+             FROM vflags WHERE u * gp * sc = 1),
+    vkept AS MATERIALIZED (
+      SELECT v.doc_id FROM vsel v
+      JOIN qa q USING (source)
+      LEFT JOIN sns s USING (source)
+      WHERE v.rn <= LEAST(q.quota, COALESCE(s.n, 0)))
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f.u) AS BIGINT) AS n_unique,
+           CAST(SUM(f.u * f.gp) AS BIGINT) AS n_gopher,
+           CAST(SUM(f.u * f.gp * f.sc) AS BIGINT) AS n_classifier,
+           CAST(MAX(q.rank_q) AS BIGINT) AS rank_q,
+           CAST(MAX(q.quota) AS BIGINT) AS quota,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN f.n ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM vflags f
+    JOIN qa q USING (source)
+    LEFT JOIN vkept k USING (doc_id)
+    GROUP BY 1
+    """
+
+
+@query("corpus_curation_v8", oracle=_v8_oracle(), gate=False)
+def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v8 — the graph↔curation loop closed: v6's trained
+    gates (exact-dedup keep-first → Gopher rules → classifier ≥ 0.5)
+    followed by RANK-WEIGHTED SAMPLING, the Common Crawl pattern
+    where crawl budget is allocated by host centrality rather than
+    volume. The source-affinity graph has sources as nodes and KMV
+    vocabulary-overlap counts as integer edge weights
+    (``sketch.kmv_pair_overlap``'s merged-k-min intersection — the
+    redundancy signal); 8 rounds of weighted integer PageRank
+    (``graph.pagerank``) rank the sources; half the surviving
+    documents form the budget, apportioned across sources by
+    largest-remainder quotas PROPORTIONAL TO RANK
+    (``sampling.weighted_quotas``), each source keeping its
+    quota-smallest doc_ids (``orderstats.kth_smallest_by`` — the
+    grouped bucketed-selection descent, never a per-source sort).
+
+    Scale shape: the gates are v6's (two exchanges beyond the scan);
+    the affinity graph lives at |sources| scale (sketches are k-row
+    per source, pairs |sources|²·k, the walk is tiny); quotas are
+    python-int arithmetic on the bounded |sources| table; selection
+    is one descent + a map-side threshold filter. The oracle replays
+    the classifier fit, every PageRank level, the quota
+    apportionment, and the per-source selection bit-for-bit."""
+    from ..operators import textstats as TS
+    from ..operators.graph import pagerank
+    from ..operators.orderstats import kth_smallest_by
+    from ..operators.quality import (
+        hashed_tf_features,
+        quality_classifier_fit,
+        quality_pq_col,
+    )
+    from ..operators.sampling import weighted_quotas
+    from ..operators.sketch import kmv_minhashes_by, kmv_pair_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    ic = float(model["intercept"])
+    keepers = (
+        docs.groupBy(TS.fingerprint("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("u"))
+    )
+    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
+    feats = hashed_tf_features(docs, d=D).select(
+        "doc_id",
+        "source",
+        F.col("_n").alias("n"),
+        g["passes"].cast("int").alias("gp"),
+        quality_pq_col(model).alias("pq"),
+    )
+    pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
+    from ..operators.materialize import materialize
+
+    flags = materialize(
+        feats.join(keepers, "doc_id", "left")
+        .withColumn("u", F.coalesce(F.col("u"), F.lit(0)))
+        .withColumn("sc", (pred >= F.lit(0.5)).cast("int"))
+        .withColumn("surv", F.col("u") * F.col("gp") * F.col("sc"))
+        .drop("pq")
+    )
+    # source-affinity graph: KMV vocab-overlap counts as edge weights
+    tok = docs.select(
+        "source", F.explode(TS.tokens(F.col("text"))).alias("token")
+    )
+    sk = kmv_minhashes_by(tok, "source", "token", k=64)
+    ovl = (
+        kmv_pair_overlap(sk, "source", k=64)
+        .filter(F.col("ovl") > 0)
+        .select("ga", "gb", "ovl")
+    )
+    sid = lambda c: F.substring(F.col(c), 4, 16).cast("int")  # noqa: E731
+    edges = ovl.select(
+        sid("ga").alias("src"), sid("gb").alias("dst"), F.col("ovl").alias("w")
+    ).unionByName(
+        ovl.select(
+            sid("gb").alias("src"),
+            sid("ga").alias("dst"),
+            F.col("ovl").alias("w"),
+        )
+    )
+    ranks = {
+        int(r["node"]): int(r["rank_q"])
+        for r in pagerank(edges, iters=8, weight_col="w")
+        .select("node", "rank_q")
+        .collect()
+    }  # bounded: |sources| rows (kmv_pair_overlap guards the fan-out)
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    n_surv = {
+        r["source"]: int(r["n"])
+        for r in flags.filter(F.col("surv") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = {s: ranks.get(int(s[3:]), 0) for s in sources}
+    budget = sum(n_surv.values()) // 2
+    quotas = weighted_quotas(weights, budget)
+    target = {s: min(quotas[s], n_surv.get(s, 0)) for s in sources}
+    ranks_arg = {(s,): [target[s]] for s in sources if target[s] >= 1}
+    surv = flags.filter(F.col("surv") == 1)
+    thr = {}
+    if ranks_arg:
+        vals, _ = kth_smallest_by(
+            surv.select("source", "doc_id"), "source", "doc_id", ranks_arg
+        )
+        thr = {grp[0]: int(ks[target[grp[0]]]) for grp, ks in vals.items()}
+    meta = spark.createDataFrame(
+        [
+            (s, weights[s], quotas[s], thr.get(s))
+            for s in sources
+        ],
+        "source string, rank_q long, quota long, _thr long",
+    )
+    kept = (
+        (F.col("surv") == 1)
+        & F.col("_thr").isNotNull()
+        & (F.col("doc_id") <= F.col("_thr"))
+    ).cast("int")
+    return (
+        flags.join(F.broadcast(meta), "source")
+        .withColumn("kp", kept)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("u").cast("bigint").alias("n_unique"),
+            F.sum(F.col("u") * F.col("gp")).cast("bigint").alias("n_gopher"),
+            F.sum("surv").cast("bigint").alias("n_classifier"),
+            F.max("rank_q").cast("bigint").alias("rank_q"),
+            F.max("quota").cast("bigint").alias("quota"),
+            F.sum("kp").cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kp") == 1, F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )

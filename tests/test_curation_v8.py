@@ -1,0 +1,78 @@
+"""Curation v8 (rank-weighted sampling): quota contract + pins.
+
+The oracle gate proves cross-engine exactness; these pin the
+SEMANTICS the verdict asked for — kept-per-source counts must shift
+monotonically with source rank, and the apportionment must be an
+exact largest-remainder split of the budget."""
+
+from __future__ import annotations
+
+import pytest
+
+from databridge_etl_tools_spark.operators.sampling import weighted_quotas
+from databridge_etl_tools_spark.registry import QUERIES, load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_weighted_quotas_exact_and_monotone():
+    w = {"a": 50, "b": 30, "c": 30, "d": 0, "e": 7}
+    q = weighted_quotas(w, 17)
+    assert sum(q.values()) == 17
+    # proportionality: higher weight never trails by more than the
+    # single largest-remainder unit
+    for s in w:
+        for t in w:
+            if w[s] > w[t]:
+                assert q[s] >= q[t] - 1
+    # equal weights: same base, extras tie-break deterministically
+    # toward the smaller key — within one unit, never reversed
+    assert q["b"] in (q["c"], q["c"] + 1)
+    assert weighted_quotas({"a": 0, "b": 0}, 10) == {"a": 0, "b": 0}
+    assert weighted_quotas(w, 0) == {s: 0 for s in w}
+
+
+def test_weighted_quotas_property_sweep():
+    import random
+
+    rng = random.Random(5)
+    for _ in range(200):
+        n = rng.randint(1, 12)
+        w = {f"s{i}": rng.randint(0, 100) for i in range(n)}
+        b = rng.randint(0, 500)
+        q = weighted_quotas(w, b)
+        wt = sum(w.values())
+        if wt == 0 or b <= 0:
+            assert all(v == 0 for v in q.values())
+            continue
+        assert sum(q.values()) == b
+        for s in w:
+            base = (w[s] * b) // wt
+            assert base <= q[s] <= base + 1
+
+
+@pytest.fixture(scope="module")
+def v8_rows(spark):
+    load_all()
+    return QUERIES["corpus_curation_v8"](spark, SF).collect()
+
+
+def test_v8_kept_counts_follow_rank(v8_rows):
+    """The verdict's pin: kept-per-source shifts monotonically with
+    source rank — quota tracks rank within the single Hamilton
+    remainder unit, and kept = min(quota, survivors)."""
+    assert len(v8_rows) > 1
+    for r in v8_rows:
+        assert r["n_kept"] == min(r["quota"], r["n_classifier"])
+        assert r["n_classifier"] <= r["n_gopher"] <= r["n_unique"] <= r["n_docs"]
+    for a in v8_rows:
+        for b in v8_rows:
+            if a["rank_q"] > b["rank_q"]:
+                assert a["quota"] >= b["quota"] - 1
+
+
+def test_v8_budget_is_half_of_survivors(v8_rows):
+    total_surv = sum(r["n_classifier"] for r in v8_rows)
+    total_quota = sum(r["quota"] for r in v8_rows)
+    assert total_quota == total_surv // 2
+    assert sum(r["n_kept"] for r in v8_rows) <= total_quota

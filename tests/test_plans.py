@@ -502,3 +502,14 @@ def test_lid_scoring_tail_pure_jvm_single_groupby(spark):
     ):
         assert bad not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_v8_tail_no_python_scalar_or_bounded_exchanges(spark):
+    """corpus_curation_v8's executed tail (gates + broadcast quota
+    join + final source group-by): pure JVM; the quota metadata join
+    is a broadcast (|sources| rows), never a shuffle join against
+    the corpus."""
+    plan = _plan(spark, "corpus_curation_v8")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan
+    assert "BroadcastHashJoin" in plan

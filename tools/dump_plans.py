@@ -149,6 +149,7 @@ SHOW = [
     "graph_harmonic_sampled",
     # r12 additions
     "lid_predict_eval",
+    "corpus_curation_v8",
 ]
 
 #: formatted plans longer than this print tree + census only
