@@ -1474,3 +1474,108 @@ def tfidf_cosine_pairs(
             cos.alias("cosine"),
         )
     )
+
+
+#: benchmark-gram hash salt — distinct draw from the kmv/simhash/
+#: minhash lanes.
+GRAM_STORE_SALT = "dg:"
+
+
+def _gram_hash(gram: Column | str, salt: str = GRAM_STORE_SALT) -> Column:
+    """60-bit integer fingerprint of a word n-gram: ``bigint(md5(
+    salt||gram)[:15 hex])`` — the persistable form (a gram STRING
+    store carries the benchmark text; the hash store leaks nothing
+    and joins as an int64). Collision odds at 60 bits are ~n²/2^61 —
+    one-in-a-billion at 10⁹ distinct grams — and deterministic, so
+    both engines replay the identical verdicts either way."""
+    g = F.col(gram) if isinstance(gram, str) else gram
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), g)), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+
+
+def benchmark_gram_hashes(
+    bench: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 7,
+    salt: str = GRAM_STORE_SALT,
+) -> DataFrame:
+    """The persistable benchmark fingerprint set: DISTINCT 60-bit
+    hashes of every word ``n``-gram in the benchmark corpus —
+    ``(gram_h)``. This is what ``TableStore`` keeps between epochs:
+    benchmark-sized (bounded), content-only (no benchmark text at
+    rest), and mergeable across benchmark waves by plain union +
+    distinct. One tokenize+shingle map pass; the distinct is the
+    only shuffle and it is benchmark-sized."""
+    toks = bench.select(TS.tokens(F.col(text_col)).alias("toks"))
+    grams = materialize(
+        toks.select(word_shingles("toks", n).alias("grams")),
+        cut_lineage=True,
+    )
+    return (
+        grams.select(F.explode("grams").alias("gram"))
+        .select(_gram_hash("gram", salt).alias("gram_h"))
+        .distinct()
+    )
+
+
+def decontaminate_vs_store(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 7,
+    salt: str = GRAM_STORE_SALT,
+) -> DataFrame:
+    """Screen a crawl batch against the PERSISTED benchmark n-gram
+    store (``store``: ``(gram_h, epoch)`` — epoch = the benchmark
+    wave that first contributed the gram): per batch document, the
+    number of DISTINCT grams colliding with the store, the earliest
+    contaminating wave, and the keep verdict. The production form of
+    :func:`decontaminate` — the benchmark set is ingested once per
+    wave (``plans.pipelines.register_benchmark_epoch``, exactly-once
+    via the store's epoch watermark), not rebuilt per run.
+
+    Scale shape: the store side collapses to one row per gram hash
+    (benchmark-sized) and broadcasts size-aware; the batch pays one
+    tokenize+shingle map pass; the only shuffles are the per-doc
+    distinct + hit aggregation (both doc-keyed, AQE-coalesced).
+
+    Returns ``(doc, n_gram_hits, first_epoch, clean)``;
+    ``first_epoch`` is NULL for clean documents."""
+    g = store.groupBy("gram_h").agg(F.min("epoch").alias("epoch"))
+    b_toks = batch.select(
+        F.col(id_col).alias("doc"), TS.tokens(F.col(text_col)).alias("toks")
+    )
+    b_grams = (
+        materialize(
+            b_toks.select("doc", word_shingles("toks", n).alias("grams")),
+            cut_lineage=True,
+        )
+        .select("doc", F.explode("grams").alias("gram"))
+        .select("doc", _gram_hash("gram", salt).alias("gram_h"))
+        .distinct()
+    )
+    hits = (
+        b_grams.join(maybe_broadcast(g, SPAN_BROADCAST_MAX_ROWS), "gram_h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gram_hits"),
+            F.min("epoch").cast("bigint").alias("first_epoch"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_gram_hits", F.lit(0)).cast("bigint").alias(
+                "n_gram_hits"
+            ),
+            "first_epoch",
+            F.col("n_gram_hits").isNull().alias("clean"),
+        )
+    )

@@ -467,3 +467,85 @@ def incremental_dedup_pipeline(
         n_dup_batch=counts.get("dup_batch", 0),
         store_size=store.read(table).count(),
     )
+
+
+# ---------------------------------------------------------------------
+# incremental decontamination vs a persisted benchmark n-gram store (r12)
+# ---------------------------------------------------------------------
+
+@dataclass
+class DecontamScreenResult:
+    n_batch: int
+    n_clean: int
+    n_contaminated: int
+    store_grams: int
+
+
+def register_benchmark_epoch(
+    store: TableStore,
+    table: str,
+    bench: DataFrame,
+    *,
+    epoch_id: int,
+    n: int = 7,
+) -> bool:
+    """Ingest one benchmark WAVE into the persisted n-gram store
+    exactly-once: the wave's distinct 60-bit gram hashes
+    (``operators.dedup.benchmark_gram_hashes``) merge into the
+    ``(gram_h, epoch)`` table keeping each gram's EARLIEST wave, and
+    the whole merge commits through ``TableStore.commit_epoch`` — a
+    replayed wave (same ``epoch_id``: retried micro-batch, re-run
+    orchestrator task) is detected by the epoch watermark and skipped
+    before any write, so the store never double-ingests. Returns
+    False on a skipped replay. The store stays benchmark-sized: one
+    int64 + one epoch per distinct gram across all waves."""
+    spark = bench.sparkSession
+    from ..operators.dedup import benchmark_gram_hashes
+
+    new = benchmark_gram_hashes(bench, n=n).select(
+        "gram_h", F.lit(epoch_id).cast("long").alias("epoch")
+    )
+    if store.exists(table):
+        cur = store.read(table)
+        merged = (
+            cur.unionByName(new)
+            .groupBy("gram_h")
+            .agg(F.min("epoch").alias("epoch"))
+        )
+    else:
+        merged = new
+    return store.commit_epoch(table, merged, epoch_id)
+
+
+def screen_batch_against_store(
+    store: TableStore,
+    table: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 7,
+) -> "tuple[DataFrame, DecontamScreenResult]":
+    """Screen a crawl batch against the persisted benchmark store
+    (``operators.dedup.decontaminate_vs_store``) and return the
+    per-document verdict table plus summary counts. Pure read path —
+    screening never mutates the store, so retries are naturally
+    idempotent; only :func:`register_benchmark_epoch` writes."""
+    from ..operators.dedup import decontaminate_vs_store
+
+    grams = store.read(table)
+    verdicts = decontaminate_vs_store(
+        batch, grams, text_col, id_col, n=n
+    ).localCheckpoint()
+    counts = {
+        r["clean"]: r["n"]
+        for r in verdicts.groupBy("clean")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return verdicts, DecontamScreenResult(
+        n_batch=sum(counts.values()),
+        n_clean=counts.get(True, 0),
+        n_contaminated=counts.get(False, 0),
+        store_grams=grams.count(),
+    )

@@ -1075,3 +1075,86 @@ def dedup_incremental_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(
         batch, store_sigs, "doc_id", "text"
     ).select("doc", "n_store", "n_batch", "status")
+
+
+@query(
+    "decontam_incremental_vs_store",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')
+               AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 7
+               THEN list_transform(range(1, len(t) - 5),
+                 i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '
+                      ||t[i+4]||' '||t[i+5]||' '||t[i+6])
+               ELSE [] END) AS gs
+      FROM base),
+    bg AS (
+      SELECT (doc_id // 20) % 3 AS epoch, unnest(gs) AS gram
+      FROM grams WHERE doc_id % 20 = 0),
+    storeg AS MATERIALIZED (
+      SELECT CAST('0x'||substr(md5('dg:'||gram),1,15) AS BIGINT) AS gram_h,
+             CAST(MIN(epoch) AS BIGINT) AS epoch
+      FROM bg GROUP BY 1),
+    tb AS (
+      SELECT doc_id AS doc, unnest(gs) AS gram
+      FROM grams WHERE doc_id % 20 <> 0 AND doc_id % 7 = 0),
+    tbh AS (
+      SELECT DISTINCT doc,
+             CAST('0x'||substr(md5('dg:'||gram),1,15) AS BIGINT) AS gram_h
+      FROM tb),
+    hits AS (
+      SELECT t.doc, CAST(COUNT(*) AS BIGINT) AS n_gram_hits,
+             CAST(MIN(s.epoch) AS BIGINT) AS first_epoch
+      FROM tbh t JOIN storeg s USING (gram_h) GROUP BY 1)
+    SELECT b.doc_id AS doc,
+           COALESCE(h.n_gram_hits, 0) AS n_gram_hits,
+           h.first_epoch,
+           h.n_gram_hits IS NULL AS clean
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % 20 <> 0 AND doc_id % 7 = 0) b
+    LEFT JOIN hits h ON h.doc = b.doc_id
+    """,
+    gate=False,
+)
+def decontam_incremental_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental decontamination against a PERSISTED benchmark
+    n-gram store (``operators.dedup.decontaminate_vs_store``) — the
+    production form of ``decontaminate_train_eval``: benchmark waves
+    ingest their distinct 60-bit gram hashes once (exactly-once via
+    ``plans.pipelines.register_benchmark_epoch`` — engine-tested in
+    ``tests/test_decontam_store.py``), and every crawl batch screens
+    against the ACCUMULATED store instead of rebuilding the gram set
+    per run. The ``doc_id % 20 = 0`` slice plays three benchmark
+    waves (epoch = ``(doc_id // 20) % 3``); the ``doc_id % 7 = 0``
+    remainder plays today's crawl. Per batch document: distinct
+    colliding grams, the EARLIEST contaminating wave, and the keep
+    verdict. Store side is benchmark-sized and broadcasts
+    size-aware; the batch pays one shingle map pass + two doc-keyed
+    exchanges. The oracle rebuilds every gram hash, the min-epoch
+    store merge, and every verdict independently."""
+    from ..operators.dedup import benchmark_gram_hashes, decontaminate_vs_store
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    wave = (F.floor(F.col("doc_id") / F.lit(20)) % 3).cast("long")
+    # per-wave distinct gram hashes, merged keeping the earliest wave
+    # — exactly what three register_benchmark_epoch calls persist
+    waves = [
+        benchmark_gram_hashes(
+            bench.filter(wave == e).select("doc_id", "text")
+        ).select("gram_h", F.lit(e).cast("long").alias("epoch"))
+        for e in (0, 1, 2)
+    ]
+    acc = waves[0]
+    for w in waves[1:]:
+        acc = acc.unionByName(w)
+    gram_store = acc.groupBy("gram_h").agg(F.min("epoch").alias("epoch"))
+    batch = docs.filter(
+        (F.col("doc_id") % 20 != 0) & (F.col("doc_id") % 7 == 0)
+    )
+    return decontaminate_vs_store(batch, gram_store)

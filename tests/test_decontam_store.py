@@ -1,0 +1,82 @@
+"""Incremental decontamination vs the persisted benchmark n-gram
+store: epoch exactly-once semantics + contamination behavior.
+
+The relational screen is oracle-gated
+(``decontam_incremental_vs_store``); these drive the persistence
+choreography the oracle can't see: replayed benchmark waves must not
+double-ingest, later waves must accumulate (earliest wave wins per
+gram), and planted benchmark text inside a crawl document must be
+flagged with the right wave."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from databridge_etl_tools_spark.plans.pipelines import (
+    register_benchmark_epoch,
+    screen_batch_against_store,
+)
+from databridge_etl_tools_spark.registry import table
+from databridge_etl_tools_spark.sources.table_store import TableStore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "store"))
+
+
+def _bench(spark, lo, hi):
+    return (
+        table(spark, SF, "documents")
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .select("doc_id", "text")
+    )
+
+
+def test_wave_replay_does_not_double_ingest(spark, store):
+    b0 = _bench(spark, 0, 40)
+    assert register_benchmark_epoch(store, "bench", b0, epoch_id=0)
+    n0 = store.read("bench").count()
+    assert n0 > 0
+    # replayed wave: watermark rejects before any write
+    assert not register_benchmark_epoch(store, "bench", b0, epoch_id=0)
+    assert store.read("bench").count() == n0
+    # a later wave accumulates new grams on top
+    b1 = _bench(spark, 40, 80)
+    assert register_benchmark_epoch(store, "bench", b1, epoch_id=1)
+    n1 = store.read("bench").count()
+    assert n1 > n0
+    # earliest wave wins for grams both waves contain
+    eps = {
+        r["epoch"]
+        for r in store.read("bench").select("epoch").distinct().collect()
+    }
+    assert eps <= {0, 1}
+
+
+def test_planted_benchmark_text_is_flagged_with_its_wave(spark, store):
+    register_benchmark_epoch(store, "bench", _bench(spark, 0, 40), epoch_id=0)
+    register_benchmark_epoch(store, "bench", _bench(spark, 40, 80), epoch_id=1)
+    # batch: clean docs from far outside the benchmark slice, plus one
+    # doc embedding a wave-1 benchmark document verbatim
+    docs = table(spark, SF, "documents")
+    leak_text = docs.filter(F.col("doc_id") == 41).select("text").first()["text"]
+    clean = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+    leak = spark.createDataFrame(
+        [(9001, "intro words before the leak " + leak_text)],
+        "doc_id long, text string",
+    )
+    verdicts, res = screen_batch_against_store(
+        store, "bench", clean.unionByName(leak)
+    )
+    by = {r["doc"]: r for r in verdicts.collect()}
+    assert not by[9001]["clean"]
+    assert by[9001]["n_gram_hits"] > 0
+    assert by[9001]["first_epoch"] == 1
+    assert res.n_contaminated >= 1
+    assert res.n_batch == len(by)
+    # screening is read-only: the store is unchanged
+    assert res.store_grams == store.read("bench").count()
