@@ -3683,8 +3683,18 @@ def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-variant counts, and the canonical (min-id) name. At
     100 TB: blocking bounds every block to a handful of records, the
     match join shuffles only (block, seg, nat) keys, and components
-    iterate one join + one min-agg per level."""
-    from ..operators.graph import connected_components
+    iterate one join + one min-agg per level.
+
+    FALSE-MERGE CONTRACT (``operators/er.py`` — the knob production
+    ER tunes): with these defaults the rule merges any two DISTINCT
+    customers whose names agree up to the last 2 characters and
+    differ by ≤ 1 edit there whenever segment+nation also collide —
+    e.g. ``Customer#…01`` vs ``Customer#…02`` in the same
+    (segment, nation) block. The oracle encodes the same rule, so
+    the result is exact BY THE RULE; precision against planted truth
+    is what ``tests/test_er_sweep.py`` measures across the
+    (block_suffix, max_edit, attrs) grid."""
+    from ..operators.er import link_records
 
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("rid"),
@@ -3704,24 +3714,10 @@ def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.materialize import materialize
 
-    recs = materialize(
-        cust.unionByName(dirty).withColumn(
-            "block", F.expr("substr(name, 1, length(name) - 2)")
-        )
+    recs = materialize(cust.unionByName(dirty))
+    labels = link_records(
+        recs, attrs=("seg", "nat"), block_suffix=2, max_edit=1, iters=6
     )
-    a, b = recs.alias("a"), recs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.block") == F.col("b.block"))
-        & (F.col("a.seg") == F.col("b.seg"))
-        & (F.col("a.nat") == F.col("b.nat"))
-        & (F.col("a.rid") < F.col("b.rid"))
-        & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1),
-    ).select(F.col("a.rid").alias("ra"), F.col("b.rid").alias("rb"))
-    edges = pairs.selectExpr("ra AS src", "rb AS dst").unionByName(
-        pairs.selectExpr("rb AS src", "ra AS dst")
-    )
-    labels = connected_components(edges, iters=6)
     ent = labels.groupBy(F.col("label").alias("entity")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_records"),
         F.sum(F.when(F.col("node") >= 100000000, 1).otherwise(0))

@@ -1,0 +1,110 @@
+"""Entity-resolution robustness sweep (r11 verdict nit → r12 task):
+engine linkage vs the exact-closure python replay on pseudo-random
+dirty corpora, plus the precision/recall trade of the match-rule
+knobs on planted duplicates."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from databridge_etl_tools_spark.operators.er import (
+    link_records,
+    link_records_py,
+)
+
+SEGS = ["AUTO", "BUILD", "HOUSE"]
+
+
+def _corpus(rng: random.Random, n_base: int, dirty_rate: float):
+    """Pseudo-random record corpus with PLANTED dirty duplicates:
+    base records rec<i>xx with random attrs; each planted twin
+    mangles the last character. Returns (recs, truth_pairs)."""
+    recs, truth = [], set()
+    next_id = 1000000
+    for i in range(n_base):
+        name = f"Record#{i:06d}{rng.choice('abcd')}{rng.choice('wxyz')}"
+        seg = rng.choice(SEGS)
+        nat = rng.randrange(5)
+        recs.append((i, name, seg, nat))
+        if rng.random() < dirty_rate:
+            mangled = name[:-1] + rng.choice("QRSTUV")
+            recs.append((next_id, mangled, seg, nat))
+            truth.add((i, next_id))
+            next_id += 1
+    return recs, truth
+
+
+def _engine_labels(spark, recs, **kw):
+    df = spark.createDataFrame(
+        recs, "rid long, name string, seg string, nat long"
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in link_records(df, **kw).collect()
+    }
+    # absent records are singletons
+    return {r[0]: labels.get(r[0], r[0]) for r in recs}
+
+
+def test_engine_matches_exact_python_closure(spark):
+    """Engine labels == the exact union-find closure on random dirty
+    corpora (several seeds), for multiple knob settings."""
+    for seed, kw in [
+        (3, dict(block_suffix=2, max_edit=1, attrs=("seg", "nat"))),
+        (7, dict(block_suffix=2, max_edit=1, attrs=("seg",))),
+        (11, dict(block_suffix=3, max_edit=2, attrs=("seg", "nat"))),
+    ]:
+        rng = random.Random(seed)
+        recs, _ = _corpus(rng, 120, 0.3)
+        got = _engine_labels(spark, recs, **kw)
+        want = link_records_py(
+            recs,
+            attrs_idx=tuple(
+                {"seg": 2, "nat": 3}[a] for a in kw["attrs"]
+            ),
+            block_suffix=kw["block_suffix"],
+            max_edit=kw["max_edit"],
+        )
+        assert got == want, f"seed={seed} kw={kw}"
+
+
+def _prf(labels: dict, recs, truth: set):
+    """Pairwise precision/recall of same-entity pairs vs truth."""
+    import itertools
+
+    by_ent: dict = {}
+    for rid, ent in labels.items():
+        by_ent.setdefault(ent, []).append(rid)
+    pred = {
+        (min(a, b), max(a, b))
+        for mem in by_ent.values()
+        for a, b in itertools.combinations(mem, 2)
+    }
+    tp = len(pred & truth)
+    prec = tp / len(pred) if pred else 1.0
+    rec = tp / len(truth) if truth else 1.0
+    return prec, rec
+
+
+def test_knob_trade_on_planted_duplicates(spark):
+    """The documented false-merge contract, measured: the default
+    rule recalls every planted twin; max_edit=0 kills recall; wider
+    blocks (block_suffix=3, max_edit=2) trade precision away."""
+    rng = random.Random(42)
+    recs, truth = _corpus(rng, 200, 0.35)
+
+    default = _engine_labels(spark, recs)
+    p1, r1 = _prf(default, recs, truth)
+    assert r1 == 1.0  # every planted twin relinks
+    assert p1 > 0.9  # same-prefix accidents are rare but legal
+
+    exact_only = _engine_labels(spark, recs, max_edit=0)
+    _, r0 = _prf(exact_only, recs, truth)
+    assert r0 == 0.0  # mangled names never match exactly
+
+    loose = _engine_labels(spark, recs, block_suffix=3, max_edit=2)
+    p2, r2 = _prf(loose, recs, truth)
+    assert r2 == 1.0
+    assert p2 <= p1  # looser rule can only lose precision
