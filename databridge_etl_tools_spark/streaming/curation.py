@@ -167,3 +167,64 @@ def score_stream(
     if threshold is not None:
         out = out.withColumn("passes", F.col("score") >= F.lit(threshold))
     return out.drop("feat", "_n")
+
+
+def minhash_stream_into_store(
+    stream: DataFrame,
+    store,
+    table: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """Streaming incremental MinHash dedup (r11 verdict stretch):
+    the signature store grows FROM A STREAM with the same
+    exactly-once epochs as the batch pipeline — each micro-batch
+    runs ``plans.pipelines.incremental_dedup_pipeline`` (screen
+    against the persisted store, append only the survivors'
+    signatures, commit data + epoch watermark in one atomic manifest
+    flip). A replayed micro-batch (crash between store commit and
+    checkpoint write, or a rerun against a fresh checkpoint) is
+    detected by the epoch watermark BEFORE any screening work and
+    skipped — signatures are never double-inserted, so
+    ``availableNow`` over a staging directory equals the batch
+    pipeline run file-for-file (pinned in
+    ``tests/test_streaming_dedup.py``).
+
+    Near-dup state lives in the STORE (k int64 per kept doc), not in
+    streaming state — restarts and late re-sends are fenced by
+    content, not by watermarks, which is what lets the dedup stream
+    run unbounded."""
+    from ..plans.pipelines import incremental_dedup_pipeline
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if (
+            store.exists(table)
+            and store.properties(table).get("last_epoch", -1) >= epoch_id
+        ):
+            return  # replayed epoch: already fully committed
+        incremental_dedup_pipeline(
+            store,
+            table,
+            batch_df,
+            id_col,
+            text_col,
+            epoch_id=epoch_id,
+            n=n,
+            k=k,
+            bands=bands,
+            threshold=threshold,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

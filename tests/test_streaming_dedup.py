@@ -1,0 +1,100 @@
+"""Streaming incremental MinHash dedup: availableNow == batch parity
++ the replayed-epoch no-double-insert pin (r11 verdict stretch)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from databridge_etl_tools_spark.plans.pipelines import (
+    incremental_dedup_pipeline,
+)
+from databridge_etl_tools_spark.registry import table
+from databridge_etl_tools_spark.sources.table_store import TableStore
+from databridge_etl_tools_spark.streaming.curation import (
+    DOC_SCHEMA,
+    minhash_stream_into_store,
+    read_document_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage(spark, path, lo, hi, fname):
+    (
+        table(spark, SF, "documents")
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(path / fname))
+    )
+
+
+def _kept_ids(store, table_name):
+    return {
+        r["doc"] for r in store.read(table_name).select("doc").collect()
+    }
+
+
+def test_available_now_equals_batch_pipeline(spark, tmp_path):
+    """One drain over the staged directory must leave the store in
+    exactly the state the batch pipeline produces on the same data."""
+    stage = tmp_path / "stage"
+    _stage(spark, stage, 0, 120, "f1")
+
+    batch_store = TableStore(spark, str(tmp_path / "batch_store"))
+    docs = (
+        table(spark, SF, "documents")
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") < 120))
+    )
+    incremental_dedup_pipeline(batch_store, "sigs", docs, epoch_id=0)
+
+    stream_store = TableStore(spark, str(tmp_path / "stream_store"))
+    minhash_stream_into_store(
+        read_document_stream(spark, str(stage) + "/*", DOC_SCHEMA),
+        stream_store,
+        "sigs",
+        str(tmp_path / "ckpt"),
+    )
+    assert _kept_ids(stream_store, "sigs") == _kept_ids(batch_store, "sigs")
+    # signature payloads identical too
+    b = {
+        r["doc"]: list(r["sig"])
+        for r in batch_store.read("sigs").collect()
+    }
+    s = {
+        r["doc"]: list(r["sig"])
+        for r in stream_store.read("sigs").collect()
+    }
+    assert b == s
+
+
+def test_replay_and_restart_never_double_insert(spark, tmp_path):
+    stage = tmp_path / "stage"
+    _stage(spark, stage, 0, 100, "f1")
+    store = TableStore(spark, str(tmp_path / "store"))
+    src = read_document_stream(spark, str(stage) + "/*", DOC_SCHEMA)
+
+    minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck1"))
+    n1 = store.read("sigs").count()
+    assert n1 > 0
+    last = store.properties("sigs")["last_epoch"]
+
+    # same checkpoint, no new files: no batches fire at all
+    minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck1"))
+    assert store.read("sigs").count() == n1
+
+    # FRESH checkpoint, same staged files: epoch ids restart at 0,
+    # the store watermark rejects them before any write
+    minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck2"))
+    assert store.read("sigs").count() == n1
+    assert store.properties("sigs")["last_epoch"] == last
+
+    # new files under the original checkpoint continue the epochs and
+    # are screened against the existing survivors
+    _stage(spark, stage, 100, 200, "f2")
+    minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck1"))
+    n2 = store.read("sigs").count()
+    assert n2 > n1
+    ids = _kept_ids(store, "sigs")
+    assert all(0 <= i < 200 for i in ids)

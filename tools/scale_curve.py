@@ -24,6 +24,8 @@ Usage:
   python tools/scale_curve.py --build            # derive .scale/sf1
   python tools/scale_curve.py [names...]         # measure (builds if needed)
   python tools/scale_curve.py --ab-pagerank      # raw vs bucketed edges at sf1
+  python tools/scale_curve.py --ab-trustrank     # seeded walk, same contrast
+  python tools/scale_curve.py --step2 [names...] # sf0.1 -> sf~1 -> sf~3 slope
 """
 
 from __future__ import annotations
@@ -157,6 +159,122 @@ def measure(names: list[str]) -> None:
     }))
 
 
+def dst_for(factor: int) -> str:
+    """Derived-tree path for a replication factor (sf~{factor/10})."""
+    if factor == FACTOR:
+        return DST
+    return os.path.join(os.path.dirname(DST), f"sf{factor // 10}")
+
+
+def measure_step2(names: list[str], big_factor: int = 30) -> None:
+    """The r11 watchlist probe: measure the SAME queries at sf0.1,
+    sf~1 (10x) and sf~{big_factor/10} ({big_factor}x) in one session,
+    and report the per-decade log-slope of each step — a flattening
+    slope certifies the first step's ratio was fixed cost + linear
+    tail, a steepening one flags a super-linear plan."""
+    import math
+
+    from databridge_etl_tools_spark import registry
+    from databridge_etl_tools_spark.session import get_session
+
+    registry.load_all()
+    spark = get_session("scale_step2")
+    spark.sparkContext.setCheckpointDir(os.path.join(DST, "..", "ckpt"))
+    build(spark)
+    dst3 = dst_for(big_factor)
+    build(spark, dst=dst3, factor=big_factor)
+    spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").count()
+    rows = []
+    for n in names:
+        q = registry.QUERIES[n]
+        t1 = timed(lambda: materialize(q(spark, SRC)))
+        t2 = timed(lambda: materialize(q(spark, DST)))
+        t3 = timed(lambda: materialize(q(spark, dst3)))
+        s12 = math.log(t2 / t1) / math.log(FACTOR) if t1 else float("nan")
+        s23 = (
+            math.log(t3 / t2) / math.log(big_factor / FACTOR)
+            if t2
+            else float("nan")
+        )
+        rows.append((n, t1, t2, t3, s12, s23))
+        print(
+            f"{n:30s} sf0.1={t1:6.2f}s sf~1={t2:7.2f}s "
+            f"sf~{big_factor // 10}={t3:7.2f}s  "
+            f"slope1={s12:4.2f} slope2={s23:4.2f}",
+            flush=True,
+        )
+    print(json.dumps({
+        "factors": [1, FACTOR, big_factor],
+        "rows": [
+            {"query": n, "sf01_sec": round(a, 3), "sf1_sec": round(b, 3),
+             "sf3_sec": round(c, 3), "slope_step1": round(x, 3),
+             "slope_step2": round(y, 3)}
+            for n, a, b, c, x, y in rows
+        ],
+    }))
+
+
+def ab_trustrank() -> None:
+    """Raw build+checkpoint vs bucketed edges_ready for the SEEDED
+    walk (graph_trustrank_seeded's shape) at sf~1 — the r11 verdict
+    asked whether the global walk's measured 1.50x layout win
+    carries over to the personalized iteration."""
+    from databridge_etl_tools_spark import layout, registry
+    from databridge_etl_tools_spark.operators.graph import pagerank
+    from databridge_etl_tools_spark.session import get_session
+
+    registry.load_all()
+    spark = get_session("scale_ab_tr")
+    spark.sparkContext.setCheckpointDir(os.path.join(DST, "..", "ckpt"))
+    build(spark)
+
+    def seeds():
+        return (
+            registry.table(spark, DST, "supplier")
+            .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+            .limit(5)
+            .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        )
+
+    def edges_raw():
+        ord_ = registry.table(spark, DST, "orders").select(
+            "o_orderkey", "o_custkey")
+        li = registry.table(spark, DST, "lineitem").select(
+            "l_orderkey", "l_suppkey")
+        pairs = ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"]).select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        return pairs.select(
+            F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+        ).unionByName(
+            pairs.select(
+                F.col("supp_node").alias("src"),
+                F.col("cust_node").alias("dst"),
+            )
+        )
+
+    t_raw = timed(
+        lambda: materialize(pagerank(edges_raw(), iters=8, seeds=seeds()))
+    )
+    print(f"raw build+checkpoint: {t_raw:.2f}s", flush=True)
+    layout.build_purchase_edges(spark, DST)
+    eb = registry.table(spark, DST, "purchase_edges")
+    t_bkt = timed(
+        lambda: materialize(
+            pagerank(
+                eb.select("src", "dst"), iters=8,
+                edges_ready=True, seeds=seeds(),
+            )
+        )
+    )
+    print(f"bucketed edges_ready: {t_bkt:.2f}s", flush=True)
+    print(json.dumps({
+        "mode": "trustrank", "raw_sec": round(t_raw, 2),
+        "bucketed_sec": round(t_bkt, 2), "factor": FACTOR,
+    }))
+
+
 def ab_pagerank() -> None:
     """Raw build+checkpoint vs bucketed edges_ready pagerank at sf~1.
 
@@ -213,5 +331,11 @@ if __name__ == "__main__":
         build(get_session("scale_build"))
     elif "--ab-pagerank" in argv:
         ab_pagerank()
+    elif "--ab-trustrank" in argv:
+        ab_trustrank()
+    elif "--step2" in argv:
+        names = [a for a in argv if not a.startswith("--")]
+        measure_step2(names or [
+            "graph_trustrank_seeded", "graph_triangles_copurchase"])
     else:
         measure(argv or DEFAULT_QUERIES)
