@@ -189,6 +189,11 @@ HEADLINE = [
     "graph_score_suppliers",
     "er_customer_entities",
     "graph_harmonic_sampled",
+    # r12 additions
+    "lid_predict_eval",
+    "corpus_curation_v8",
+    "decontam_incremental_vs_store",
+    "corpus_curation_v9",
 ]
 
 

@@ -44,14 +44,16 @@ _MARKS = ", ".join(
 )
 
 
-def _gram_ctes(tag: str, pred: str) -> str:
+def _gram_ctes(tag: str, pred: str, marks: str = "marks") -> str:
     """Plant → cap → char-trigram → hashed-dim count CTEs for the
     document slice matching ``pred`` (the same pipeline serves the
-    train and eval slices under distinct ``tag`` prefixes)."""
+    train and eval slices under distinct ``tag`` prefixes; ``marks``
+    names the marker VALUES table so prefixed compositions reuse
+    it)."""
     return f"""
     {tag}pl AS (
       SELECT d.doc_id, d.lang, substr(m.mark || d.text, 1, {CAP}) AS t
-      FROM documents d JOIN marks m USING (lang)
+      FROM documents d JOIN {marks} m USING (lang)
       WHERE {pred}),
     {tag}tr AS MATERIALIZED (
       SELECT doc_id, lang, t FROM {tag}pl WHERE length(t) >= 3),
@@ -72,7 +74,7 @@ def _gram_ctes(tag: str, pred: str) -> str:
       FROM {tag}cnt c JOIN {tag}gn n USING (doc_id))"""
 
 
-def _fit_ctes() -> str:
+def _fit_ctes(pfx: str = "") -> str:
     """CTEs replaying ``operators.lid.lid_fit`` exactly: the planted
     train slice, quantized features, one set of label-independent
     moments (n, s, G), per-class label moments, the 5-RHS augmented
@@ -85,63 +87,66 @@ def _fit_ctes() -> str:
         f" AS y{c}"
         for c, lg in enumerate(LANGS)
     )
-    parts = [f"""marks(lang, mark) AS (VALUES {_MARKS}),
-    {_gram_ctes("f", f"d.doc_id % {HOLDOUT_MOD} <> 0")},
-    ey AS MATERIALIZED (
-      SELECT doc_id AS vec_id, {ycols} FROM ftr),
-    cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM ftr),
-    ys AS (SELECT {", ".join(
+    P = pfx
+    parts = [f"""{P}marks(lang, mark) AS (VALUES {_MARKS}),
+    {_gram_ctes(P + "f", f"d.doc_id % {HOLDOUT_MOD} <> 0", marks=P + "marks")},
+    {P}ey AS MATERIALIZED (
+      SELECT doc_id AS vec_id, {ycols} FROM {P}ftr),
+    {P}cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM {P}ftr),
+    {P}ys AS (SELECT {", ".join(
         f"CAST(SUM(y{c}) AS HUGEINT) AS sy{c}" for c in range(NL)
-    )} FROM ey),
-    dd AS (SELECT CAST(unnest(range(0, {D})) AS INTEGER) AS pos),
-    sv AS MATERIALIZED (
+    )} FROM {P}ey),
+    {P}dd AS (SELECT CAST(unnest(range(0, {D})) AS INTEGER) AS pos),
+    {P}sv AS MATERIALIZED (
       SELECT d.pos AS j, CAST(COALESCE(SUM(e.xi), 0) AS HUGEINT) AS s
-      FROM dd d LEFT JOIN fxq e ON e.pos = d.pos GROUP BY 1),
-    gm0 AS (
+      FROM {P}dd d LEFT JOIN {P}fxq e ON e.pos = d.pos GROUP BY 1),
+    {P}gm0 AS (
       SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.xi * b.xi) AS HUGEINT) AS g
-      FROM fxq a JOIN fxq b USING (vec_id) GROUP BY 1, 2),
-    gm AS MATERIALIZED (
+      FROM {P}fxq a JOIN {P}fxq b USING (vec_id) GROUP BY 1, 2),
+    {P}gm AS MATERIALIZED (
       SELECT di.pos AS i, dj.pos AS j, CAST(COALESCE(g.g, 0) AS HUGEINT) AS g
-      FROM dd di CROSS JOIN dd dj
-      LEFT JOIN gm0 g ON g.i = di.pos AND g.j = dj.pos),
-    xty AS MATERIALIZED (
+      FROM {P}dd di CROSS JOIN {P}dd dj
+      LEFT JOIN {P}gm0 g ON g.i = di.pos AND g.j = dj.pos),
+    {P}xty AS MATERIALIZED (
       SELECT d.pos AS j, {", ".join(
         f"CAST(COALESCE(x.v{c}, 0) AS HUGEINT) AS v{c}" for c in range(NL)
       )}
-      FROM dd d LEFT JOIN (
+      FROM {P}dd d LEFT JOIN (
         SELECT e.pos AS j, {", ".join(
             f"SUM(e.xi * y.y{c}) AS v{c}" for c in range(NL)
         )}
-        FROM fxq e JOIN ey y USING (vec_id) GROUP BY 1) x ON x.j = d.pos),
-    scat AS MATERIALIZED (
-      SELECT g.i, g.j, (SELECT n FROM cnt) * g.g - si.s * sj.s AS c
-      FROM gm g JOIN sv si ON si.j = g.i JOIN sv sj ON sj.j = g.j),
-    aug AS (
+        FROM {P}fxq e JOIN {P}ey y USING (vec_id) GROUP BY 1) x
+        ON x.j = d.pos),
+    {P}scat AS MATERIALIZED (
+      SELECT g.i, g.j, (SELECT n FROM {P}cnt) * g.g - si.s * sj.s AS c
+      FROM {P}gm g JOIN {P}sv si ON si.j = g.i
+      JOIN {P}sv sj ON sj.j = g.j),
+    {P}aug AS (
       SELECT i, j, c + CASE WHEN i = j
-                 THEN {LAM} * (SELECT n FROM cnt) * {_Q40}
+                 THEN {LAM} * (SELECT n FROM {P}cnt) * {_Q40}
                  ELSE 0 END AS val
-      FROM scat{"".join(
+      FROM {P}scat{"".join(
         f'''
       UNION ALL
       SELECT x.j AS i, {D + c} AS j,
-             (SELECT n FROM cnt) * x.v{c} - s.s * (SELECT sy{c} FROM ys)
-               AS val
-      FROM xty x JOIN sv s ON s.j = x.j''' for c in range(NL)
-      )}),{_ridge_row_renorm("aug", "m0")}"""]
+             (SELECT n FROM {P}cnt) * x.v{c}
+               - s.s * (SELECT sy{c} FROM {P}ys) AS val
+      FROM {P}xty x JOIN {P}sv s ON s.j = x.j''' for c in range(NL)
+      )}),{_ridge_row_renorm(P + "aug", P + "m0")}"""]
     for p in range(D - 1):
         parts.append(f"""
-    raw{p} AS (
+    {P}raw{p} AS (
       SELECT m.i, m.j,
-             m.val * (SELECT val FROM m{p} WHERE i = {p} AND j = {p})
+             m.val * (SELECT val FROM {P}m{p} WHERE i = {p} AND j = {p})
              - rp.val * ip.val AS val
-      FROM m{p} m
-      JOIN (SELECT j, val FROM m{p} WHERE i = {p}) rp ON rp.j = m.j
-      JOIN (SELECT i, val FROM m{p} WHERE j = {p}) ip ON ip.i = m.i
-      WHERE m.i > {p}),{_ridge_row_renorm(f"raw{p}", f"upd{p}")},
-    m{p + 1} AS MATERIALIZED (
-      SELECT i, j, val FROM m{p} WHERE i <= {p}
-      UNION ALL SELECT i, j, val FROM upd{p})""")
-    fin = f"m{D - 1}"
+      FROM {P}m{p} m
+      JOIN (SELECT j, val FROM {P}m{p} WHERE i = {p}) rp ON rp.j = m.j
+      JOIN (SELECT i, val FROM {P}m{p} WHERE j = {p}) ip ON ip.i = m.i
+      WHERE m.i > {p}),{_ridge_row_renorm(P + f"raw{p}", P + f"upd{p}")},
+    {P}m{p + 1} AS MATERIALIZED (
+      SELECT i, j, val FROM {P}m{p} WHERE i <= {p}
+      UNION ALL SELECT i, j, val FROM {P}upd{p})""")
+    fin = f"{P}m{D - 1}"
     for c in range(NL):
         rhs = D + c
         num = (
@@ -150,29 +155,29 @@ def _fit_ctes() -> str:
         )
         piv = f"(SELECT val FROM {fin} WHERE i = {D - 1} AND j = {D - 1})"
         parts.append(f"""
-    b{c}x{D - 1} AS (SELECT {D - 1} AS j, {_tdiv_sql(num, piv)} AS b)""")
+    {P}b{c}x{D - 1} AS (SELECT {D - 1} AS j, {_tdiv_sql(num, piv)} AS b)""")
         for i in range(D - 2, -1, -1):
             num = (
                 f"((SELECT val FROM {fin} WHERE i = {i} AND j = {rhs})"
                 f" * {1 << 30}"
                 f" - (SELECT COALESCE(SUM(r.val * b.b), 0) FROM {fin} r"
-                f"    JOIN b{c}x{i + 1} b ON b.j = r.j"
+                f"    JOIN {P}b{c}x{i + 1} b ON b.j = r.j"
                 f"    WHERE r.i = {i} AND r.j > {i} AND r.j < {D}))"
             )
             piv = f"(SELECT val FROM {fin} WHERE i = {i} AND j = {i})"
             parts.append(f"""
-    b{c}x{i} AS MATERIALIZED (
-      SELECT * FROM b{c}x{i + 1}
+    {P}b{c}x{i} AS MATERIALIZED (
+      SELECT * FROM {P}b{c}x{i + 1}
       UNION ALL SELECT {i} AS j, {_tdiv_sql(num, piv)} AS b)""")
         parts.append(f"""
-    bt{c} AS MATERIALIZED (SELECT j, b FROM b{c}x0)""")
+    {P}bt{c} AS MATERIALIZED (SELECT j, b FROM {P}b{c}x0)""")
     parts.append(f"""
-    ic AS (SELECT {", ".join(
-        f'''CAST((SELECT sy{c} FROM ys) AS DOUBLE) / (SELECT n FROM cnt)
-            / {_Q20F}
-          - CAST((SELECT SUM(s.s * b.b) FROM sv s
-                  JOIN bt{c} b ON b.j = s.j) AS DOUBLE)
-            / (SELECT n FROM cnt) / {_Q50F} AS ic{c}'''
+    {P}ic AS (SELECT {", ".join(
+        f'''CAST((SELECT sy{c} FROM {P}ys) AS DOUBLE)
+            / (SELECT n FROM {P}cnt) / {_Q20F}
+          - CAST((SELECT SUM(s.s * b.b) FROM {P}sv s
+                  JOIN {P}bt{c} b ON b.j = s.j) AS DOUBLE)
+            / (SELECT n FROM {P}cnt) / {_Q50F} AS ic{c}'''
         for c in range(NL)
     )})""")
     return ",".join(parts)

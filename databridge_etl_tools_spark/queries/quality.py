@@ -762,3 +762,196 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+def _v9_oracle() -> str:
+    from .lid import LANGS as _LANGS
+    from .lid import NL as _NL
+    from .lid import _fit_ctes as _lid_fit_ctes
+    from .lid import _gram_ctes as _lid_gram_ctes
+    from .lid import _score_case as _lid_score_case
+    from .textops import _kn_docscore_parts
+
+    lid_apq = "".join(
+        f"""
+    laq{c} AS MATERIALIZED (
+      SELECT a.vec_id AS doc_id, CAST(SUM(a.xi * b.b) AS HUGEINT) AS p
+      FROM laxq a JOIN l_bt{c} b ON b.j = a.pos GROUP BY 1),"""
+        for c in range(_NL)
+    )
+    lid_scores = ", ".join(
+        f"(SELECT ic{c} FROM l_ic) + CAST(p{c}.p AS DOUBLE) / {_Q50F} AS s{c}"
+        for c in range(_NL)
+    )
+    lid_joins = " ".join(
+        f"JOIN laq{c} p{c} USING (doc_id)" for c in range(_NL)
+    )
+    return f"""
+    WITH {_lid_fit_ctes("l_")},
+    {_lid_gram_ctes("la", "TRUE", marks="l_marks")},{lid_apq}
+    lsc AS (
+      SELECT t.doc_id, {lid_scores}
+      FROM latr t {lid_joins}),
+    lpred AS MATERIALIZED (
+      SELECT doc_id, {_lid_score_case()} AS pred_lang FROM lsc),
+    {_fit_ctes()},{_SCORE_CTES},{_kn_docscore_parts()},
+    keepfirst AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                     AS fp
+            FROM documents)
+      GROUP BY fp),
+    knd AS MATERIALIZED (
+      SELECT lp.pred_lang, s.doc_id,
+             CAST(CAST(-s.lq_sum AS HUGEINT) * 1048576 // s.n_bigrams
+                  AS BIGINT) AS ppl_q
+      FROM docscore s JOIN lpred lp USING (doc_id)),
+    kc AS (SELECT pred_lang, COUNT(*) AS n FROM knd GROUP BY 1),
+    ko AS (SELECT pred_lang, ppl_q,
+                  row_number() OVER (PARTITION BY pred_lang
+                                     ORDER BY ppl_q) AS rn
+           FROM knd),
+    kb AS (SELECT ko.pred_lang, ko.ppl_q AS b2
+           FROM ko JOIN kc ON ko.pred_lang = kc.pred_lang
+           WHERE ko.rn = greatest((kc.n * 2) // 3, 1)),
+    pxt AS (SELECT knd.doc_id,
+                   CASE WHEN knd.ppl_q <= kb.b2 THEN 1 ELSE 0 END AS px
+            FROM knd JOIN kb ON knd.pred_lang = kb.pred_lang),
+    flags AS (
+      SELECT f.source, lp.pred_lang, f.n,
+             CASE WHEN f.lang = lp.pred_lang THEN 1 ELSE 0 END AS lm,
+             CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS u,
+             CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gp,
+             CASE WHEN p.p IS NOT NULL
+                       AND (SELECT ic FROM icte)
+                           + CAST(p.p AS DOUBLE) / {_Q50F}
+                           >= CAST(5 AS DOUBLE) / 10
+                  THEN 1 ELSE 0 END AS sc,
+             COALESCE(x.px, 0) AS px
+      FROM afn f
+      JOIN lpred lp USING (doc_id)
+      LEFT JOIN keepfirst k USING (doc_id)
+      LEFT JOIN gpass g USING (doc_id)
+      LEFT JOIN apq p USING (doc_id)
+      LEFT JOIN pxt x USING (doc_id))
+    SELECT source, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(lm) AS BIGINT) AS n_lang_match,
+           CAST(SUM(u) AS BIGINT) AS n_unique,
+           CAST(SUM(u * gp) AS BIGINT) AS n_gopher,
+           CAST(SUM(u * gp * sc) AS BIGINT) AS n_classifier,
+           CAST(SUM(u * gp * sc * px) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN u * gp * sc * px = 1 THEN n ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM flags GROUP BY 1, 2
+    """
+
+
+@query("corpus_curation_v9", oracle=_v9_oracle(), gate=False)
+def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v9 — the FULL production stack with the trained LID
+    gate in front: every per-language decision downstream runs on the
+    PREDICTED language (CCNet/RefinedWeb order — fastText LID first,
+    because crawl metadata lies), not the metadata ``lang`` column.
+    Chain: LID fit (train slice) + whole-corpus argmax prediction →
+    exact-dedup keep-first → Gopher rules → trained quality
+    classifier ≥ 0.5 → per-PREDICTED-language Kneser-Ney perplexity
+    terciles (keep head/middle). Output per (source, pred_lang)
+    funnel, with ``n_lang_match`` auditing prediction-vs-metadata
+    agreement. Shuffle budget: v7's two flag-join exchanges + LID's
+    zero-shuffle scoring (five integer folds over a 240-char prefix)
+    + one doc_id-keyed prediction join. Both classifier fits, every
+    elimination pivot, every score fold, the argmax, and the grouped
+    tercile selection replay in the oracle bit-for-bit."""
+    from ..operators import textstats as TS
+    from ..operators.lid import (
+        LANGS,
+        char_trigram_features,
+        lid_fit,
+        lid_predict_col,
+        lid_score_cols,
+        plant_markers,
+    )
+    from ..operators.materialize import materialize
+    from ..operators.orderstats import equi_depth_boundaries_by
+    from ..operators.quality import (
+        hashed_tf_features,
+        quality_classifier_fit,
+        quality_pq_col,
+    )
+    from .textops import _kn_doc_scores
+
+    docs = table(spark, sf_dir, "documents")
+    lid_models = lid_fit(docs, d=16, cap=240, lam=1, holdout_mod=5)
+    pred_tbl = materialize(
+        char_trigram_features(plant_markers(docs))
+        .select("doc_id", *lid_score_cols(lid_models))
+        .withColumn(
+            "pred_lang",
+            lid_predict_col([f"_s_{lg}" for lg in LANGS]),
+        )
+        .select("doc_id", "pred_lang")
+    )
+    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    ic = float(model["intercept"])
+    keepers = (
+        docs.groupBy(TS.fingerprint("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("u"))
+    )
+    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
+    feats = hashed_tf_features(docs, d=D).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("_n").alias("n"),
+        g["passes"].cast("int").alias("gp"),
+        quality_pq_col(model).alias("pq"),
+    )
+    kn = materialize(
+        _kn_doc_scores(spark, sf_dir)
+        .join(pred_tbl, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "pred_lang",
+            "CAST(CAST(-lq_sum AS DECIMAL(38,0)) * 1048576"
+            " DIV n_bigrams AS BIGINT) AS ppl_q",
+        )
+    )
+    bnds = equi_depth_boundaries_by(kn, "pred_lang", "ppl_q", 3)
+    bounds = spark.createDataFrame(
+        [(grp[0], int(bs[1])) for grp, bs in bnds.items()],
+        "pred_lang string, _b2 bigint",
+    )
+    px_tbl = kn.join(F.broadcast(bounds), "pred_lang").select(
+        "doc_id",
+        (F.col("ppl_q") <= F.col("_b2")).cast("int").alias("px"),
+    )
+    pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
+    flags = (
+        feats.join(pred_tbl, "doc_id")
+        .join(keepers, "doc_id", "left")
+        .join(px_tbl, "doc_id", "left")
+        .withColumn("u", F.coalesce(F.col("u"), F.lit(0)))
+        .withColumn("px", F.coalesce(F.col("px"), F.lit(0)))
+        .withColumn("sc", (pred >= F.lit(0.5)).cast("int"))
+        .withColumn(
+            "k", F.col("u") * F.col("gp") * F.col("sc") * F.col("px")
+        )
+    )
+    return flags.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("lang") == F.col("pred_lang")).cast("int"))
+        .cast("bigint")
+        .alias("n_lang_match"),
+        F.sum("u").cast("bigint").alias("n_unique"),
+        F.sum(F.col("u") * F.col("gp")).cast("bigint").alias("n_gopher"),
+        F.sum(F.col("u") * F.col("gp") * F.col("sc"))
+        .cast("bigint")
+        .alias("n_classifier"),
+        F.sum("k").cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("k") == 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

@@ -76,3 +76,28 @@ def test_v8_budget_is_half_of_survivors(v8_rows):
     total_quota = sum(r["quota"] for r in v8_rows)
     assert total_quota == total_surv // 2
     assert sum(r["n_kept"] for r in v8_rows) <= total_quota
+
+
+@pytest.fixture(scope="module")
+def v9_rows(spark):
+    load_all()
+    return QUERIES["corpus_curation_v9"](spark, SF).collect()
+
+
+def test_v9_funnel_monotone_and_lid_agrees_with_metadata(v9_rows):
+    """v9 semantics: the funnel is monotone per (source, pred_lang),
+    and on THIS corpus (markers derive from the metadata lang) the
+    LID prediction agrees with metadata almost everywhere — the
+    content-over-metadata behavior is pinned separately by the
+    cross-plant tests in test_lid.py."""
+    assert v9_rows
+    for r in v9_rows:
+        assert (
+            r["n_kept"] <= r["n_classifier"] <= r["n_gopher"]
+            <= r["n_unique"] <= r["n_docs"]
+        )
+    match = sum(r["n_lang_match"] for r in v9_rows)
+    total = sum(r["n_docs"] for r in v9_rows)
+    assert match / total >= 0.95
+    kept = sum(r["n_kept"] for r in v9_rows)
+    assert 0 < kept < total

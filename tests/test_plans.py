@@ -513,3 +513,36 @@ def test_v8_tail_no_python_scalar_or_bounded_exchanges(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontam_store_screen_no_cartesian_no_python(spark):
+    """decontam_incremental_vs_store: the screen is a gram-hash
+    equi-join (store side benchmark-sized/broadcastable), never a
+    cartesian pair product, with zero Python in the plan."""
+    plan = _plan(spark, "decontam_incremental_vs_store")
+    for bad in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert bad not in plan
+
+
+def test_v9_tail_no_python_scalar_only_single_partitions(spark):
+    """corpus_curation_v9's executed tail (LID argmax + trained
+    gates + tercile flag joins + final group-by): pure JVM — both
+    classifier fits run eagerly at build time; every SinglePartition
+    exchange is a 1-row scalar aggregate, never a corpus
+    repartition."""
+    plan = _plan(spark, "corpus_curation_v9")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = lines[i + 1]
+            assert "HashAggregate(keys=[]" in nxt, (
+                "non-scalar SinglePartition exchange:\n" + ln + "\n" + nxt
+            )

@@ -150,6 +150,8 @@ SHOW = [
     # r12 additions
     "lid_predict_eval",
     "corpus_curation_v8",
+    "decontam_incremental_vs_store",
+    "corpus_curation_v9",
 ]
 
 #: formatted plans longer than this print tree + census only
