@@ -194,6 +194,7 @@ HEADLINE = [
     "corpus_curation_v8",
     "decontam_incremental_vs_store",
     "corpus_curation_v9",
+    "lid_confidence_bands",
 ]
 
 

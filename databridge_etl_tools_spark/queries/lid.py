@@ -249,3 +249,94 @@ def lid_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+#: abstain threshold: predictions whose top-two score margin falls
+#: below this are "low confidence" — the band a production pipeline
+#: routes to review or drops (fastText LID's -threshold flag).
+CONF_TAU = 0.25
+
+_SCORES = ", ".join(f"s{c}" for c in range(NL))
+
+
+@query(
+    "lid_confidence_bands",
+    oracle=f"""
+    WITH {_fit_ctes()},
+    {_gram_ctes("a", "TRUE")},{"".join(
+        f'''
+    apq{c} AS MATERIALIZED (
+      SELECT a.vec_id AS doc_id, CAST(SUM(a.xi * b.b) AS HUGEINT) AS p
+      FROM axq a JOIN bt{c} b ON b.j = a.pos GROUP BY 1),'''
+        for c in range(NL)
+    )}
+    sc AS (
+      SELECT t.doc_id, {", ".join(
+        f"(SELECT ic{c} FROM ic) + CAST(p{c}.p AS DOUBLE) / {_Q50F} AS s{c}"
+        for c in range(NL)
+      )}
+      FROM atr t {" ".join(
+        f"JOIN apq{c} p{c} USING (doc_id)" for c in range(NL)
+      )}),
+    mg AS (
+      SELECT doc_id, {_score_case()} AS pred_lang,
+             CAST(floor((list_sort([{_SCORES}])[{NL}]
+                         - list_sort([{_SCORES}])[{NL - 1}]) * 1048576.0)
+                  AS BIGINT) AS margin_q
+      FROM sc)
+    SELECT pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN margin_q >= {int(CONF_TAU * (1 << 20))}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_confident,
+           CAST(SUM(margin_q) AS BIGINT) AS sum_margin_q,
+           CAST(SUM(margin_q) AS DOUBLE) / COUNT(*) / 1048576.0
+             AS mean_margin
+    FROM mg GROUP BY 1
+    """,
+    gate=False,
+)
+def lid_confidence_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LID CONFIDENCE / ABSTAIN report — the production knob on top
+    of argmax: per predicted language, how many documents clear the
+    top-two score-margin threshold (fastText's ``-threshold``
+    semantics; low-margin predictions get routed to review or
+    dropped, they never silently enter a monolingual corpus). The
+    margin is quantized ``floor((s₁−s₂)·2^20)`` so the per-language
+    sums are exact integers (order-free aggregation — doubles would
+    hash-diverge across engines); the mean is one final division.
+    Zero-shuffle scoring + one pred_lang-keyed aggregate."""
+    from ..operators.lid import (
+        char_trigram_features,
+        lid_fit,
+        lid_predict_col,
+        lid_score_cols,
+        plant_markers,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    models = lid_fit(docs, d=D, cap=CAP, lam=LAM, holdout_mod=HOLDOUT_MOD)
+    feats = char_trigram_features(plant_markers(docs), d=D, cap=CAP)
+    cols = [f"_s_{lg}" for lg in LANGS]
+    scored = feats.select("doc_id", *lid_score_cols(models))
+    arr = F.array_sort(F.array(*[F.col(c) for c in cols]))
+    margin_q = F.floor(
+        (F.element_at(arr, NL) - F.element_at(arr, NL - 1))
+        * F.lit(1048576.0)
+    ).cast("long")
+    tagged = scored.select(
+        lid_predict_col(cols).alias("pred_lang"),
+        margin_q.alias("_mq"),
+    )
+    tau_q = int(CONF_TAU * (1 << 20))
+    return tagged.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("_mq") >= tau_q).cast("bigint"))
+        .cast("bigint")
+        .alias("n_confident"),
+        F.sum("_mq").cast("bigint").alias("sum_margin_q"),
+        (
+            F.sum("_mq").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1048576.0)
+        ).alias("mean_margin"),
+    )

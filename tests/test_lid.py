@@ -153,3 +153,46 @@ def test_classifies_by_content_not_metadata(spark, models):
         assert preds and all(p == planted for p in preds), (
             f"cross-planted {planted} predicted {preds}"
         )
+
+
+def test_confidence_margin_separates_planted_from_cross_tie(spark, models):
+    """Margin semantics: a cleanly-marked document has a large
+    top-two margin; a document carrying TWO languages' markers in
+    equal measure sits in the low-confidence band."""
+    import pyspark.sql.functions as F
+
+    base = (
+        table(spark, SF, "documents")
+        .filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+        .limit(6)
+    )
+    clean = plant_markers(base)
+    mixed = base.withColumn(
+        "text",
+        F.concat(
+            F.lit(MARKERS["de"] * (MARK_REPEAT // 2)),
+            F.lit(MARKERS["fr"] * (MARK_REPEAT // 2)),
+            F.col("text"),
+        ),
+    )
+
+    def margins(df):
+        feats = char_trigram_features(df)
+        arr = F.array_sort(
+            F.array(*[F.col(c) for c in SCORE_COLS])
+        )
+        return [
+            r["m"]
+            for r in feats.select(*lid_score_cols(models))
+            .select(
+                (
+                    F.element_at(arr, len(LANGS))
+                    - F.element_at(arr, len(LANGS) - 1)
+                ).alias("m")
+            )
+            .collect()
+        ]
+
+    m_clean = margins(clean)
+    m_mixed = margins(mixed)
+    assert min(m_clean) > max(m_mixed)

@@ -152,6 +152,7 @@ SHOW = [
     "corpus_curation_v8",
     "decontam_incremental_vs_store",
     "corpus_curation_v9",
+    "lid_confidence_bands",
 ]
 
 #: formatted plans longer than this print tree + census only
