@@ -228,3 +228,43 @@ def minhash_stream_into_store(
         .start()
     )
     q.awaitTermination()
+
+
+def lid_score_stream(
+    stream: DataFrame,
+    models: "list[dict]",
+    *,
+    text_col: str = "text",
+    margin_threshold: float | None = None,
+) -> DataFrame:
+    """Apply a TRAINED language-ID classifier to a document stream —
+    train offline (``operators.lid.lid_fit``, typically persisted and
+    reloaded via ``operators.models``), predict online: the five
+    integer score folds + deterministic argmax are map-side column
+    expressions over a bounded text prefix, so the SAME fragment is
+    batch/stream agnostic (availableNow drain == batch prediction,
+    pinned). ``margin_threshold`` adds the fastText-style abstain
+    gate: a boolean ``confident`` from the top-two score margin.
+    Output: input columns + ``pred_lang`` (+ ``confident``)."""
+    from ..operators.lid import (
+        LANGS,
+        char_trigram_features,
+        lid_predict_col,
+        lid_score_cols,
+    )
+
+    cols = [f"_s_{lg}" for lg in LANGS]
+    feats = char_trigram_features(stream, text_col)
+    scored = feats.select(
+        *[c for c in stream.columns], *lid_score_cols(models)
+    )
+    out = scored.withColumn("pred_lang", lid_predict_col(cols))
+    if margin_threshold is not None:
+        arr = F.array_sort(F.array(*[F.col(c) for c in cols]))
+        margin = F.element_at(arr, len(LANGS)) - F.element_at(
+            arr, len(LANGS) - 1
+        )
+        out = out.withColumn(
+            "confident", margin >= F.lit(float(margin_threshold))
+        )
+    return out.drop(*cols)

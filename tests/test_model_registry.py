@@ -1,0 +1,120 @@
+"""Model registry (operators/models.py) + streaming LID scoring:
+persist trained heads, reload bit-exactly, and predict on a stream
+identically to batch."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from databridge_etl_tools_spark.operators.lid import (
+    LANGS,
+    char_trigram_features,
+    lid_fit,
+    lid_predict_col,
+    lid_score_cols,
+    plant_markers,
+)
+from databridge_etl_tools_spark.operators.models import (
+    load_models,
+    save_models,
+)
+from databridge_etl_tools_spark.registry import table
+from databridge_etl_tools_spark.sources.table_store import TableStore
+from databridge_etl_tools_spark.streaming import curation as C
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    models = lid_fit(table(spark, SF, "documents"))
+    for m, lg in zip(models, LANGS):
+        m["label"] = lg
+    return models
+
+
+def test_save_load_roundtrip_is_exact(spark, tmp_path, fitted):
+    store = TableStore(spark, str(tmp_path / "reg"))
+    assert save_models(store, "models", "lid_v1", fitted) == len(LANGS)
+    loaded = load_models(store, "models", "lid_v1")
+    assert [m["label"] for m in loaded] == list(LANGS)
+    for a, b in zip(fitted, loaded):
+        assert a["b_int"] == b["b_int"]
+        assert a["s_int"] == b["s_int"]
+        assert a["sy_int"] == b["sy_int"]
+        assert a["intercept"] == b["intercept"]  # IEEE bit-exact
+        assert a["n"] == b["n"]
+    # replacing a name keeps other names intact
+    save_models(store, "models", "other", fitted[:1])
+    save_models(store, "models", "lid_v1", fitted)
+    assert len(load_models(store, "models", "lid_v1")) == len(LANGS)
+    assert len(load_models(store, "models", "other")) == 1
+    with pytest.raises(KeyError):
+        load_models(store, "models", "missing")
+
+
+def test_loaded_model_predicts_identically(spark, tmp_path, fitted):
+    store = TableStore(spark, str(tmp_path / "reg"))
+    save_models(store, "models", "lid_v1", fitted)
+    loaded = load_models(store, "models", "lid_v1")
+    held = plant_markers(
+        table(spark, SF, "documents").filter(F.col("doc_id") % 5 == 0)
+    )
+    cols = [f"_s_{lg}" for lg in LANGS]
+
+    def preds(models):
+        feats = char_trigram_features(held)
+        return {
+            r["doc_id"]: r["p"]
+            for r in feats.select("doc_id", *lid_score_cols(models))
+            .select("doc_id", lid_predict_col(cols).alias("p"))
+            .collect()
+        }
+
+    assert preds(fitted) == preds(loaded)
+
+
+def test_lid_stream_equals_batch(spark, tmp_path, fitted):
+    docs = plant_markers(
+        table(spark, SF, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    staging = str(tmp_path / "stage")
+    docs.coalesce(2).write.mode("overwrite").parquet(staging)
+
+    # persist + reload: the production shape (train offline, load
+    # in the scoring job)
+    store = TableStore(spark, str(tmp_path / "reg"))
+    save_models(store, "models", "lid_v1", fitted)
+    models = load_models(store, "models", "lid_v1")
+
+    scored = C.lid_score_stream(
+        C.read_document_stream(spark, staging),
+        models,
+        margin_threshold=0.25,
+    )
+    out = str(tmp_path / "lid_out")
+    (
+        scored.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["confident"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["pred_lang"], r["confident"])
+        for r in C.lid_score_stream(
+            docs, models, margin_threshold=0.25
+        ).collect()
+    }
+    assert got == want
+    assert got  # stream produced rows
+    # predictions follow the planted metadata-derived markers
+    truth = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    agree = sum(1 for k, (p, _) in got.items() if p == truth[k])
+    assert agree / len(got) >= 0.95
