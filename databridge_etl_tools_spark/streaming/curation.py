@@ -268,3 +268,54 @@ def lid_score_stream(
             "confident", margin >= F.lit(float(margin_threshold))
         )
     return out.drop(*cols)
+
+
+def decontam_stream_screen(
+    stream: DataFrame,
+    store,
+    gram_table: str,
+    verdict_table: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 7,
+) -> None:
+    """Streaming decontamination: screen arriving documents against
+    the PERSISTED benchmark n-gram store at ingest time — the fence
+    production pipelines put in front of the training corpus so a
+    benchmark leak never lands at rest. Each micro-batch runs the
+    batch screen (``operators.dedup.decontaminate_vs_store`` — the
+    store side is static within a run) and upserts its per-document
+    verdicts exactly-once on ``doc``; re-screened documents (file
+    re-sends, checkpoint replays) overwrite their verdict row rather
+    than duplicating it. The gram store itself is read-only here —
+    only ``plans.pipelines.register_benchmark_epoch`` writes it."""
+    from ..operators.dedup import decontaminate_vs_store
+    from ..operators.merge import upsert
+
+    grams = store.read(gram_table)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if (
+            store.exists(verdict_table)
+            and store.properties(verdict_table).get("last_epoch", -1)
+            >= epoch_id
+        ):
+            return
+        verdicts = decontaminate_vs_store(
+            batch_df, grams, text_col, id_col, n=n
+        )
+        if store.exists(verdict_table):
+            merged = upsert(store.read(verdict_table), verdicts, ["doc"])
+        else:
+            merged = verdicts
+        store.commit_epoch(verdict_table, merged, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -80,3 +80,55 @@ def test_planted_benchmark_text_is_flagged_with_its_wave(spark, store):
     assert res.n_batch == len(by)
     # screening is read-only: the store is unchanged
     assert res.store_grams == store.read("bench").count()
+
+
+def test_stream_screen_matches_batch_and_is_exactly_once(spark, store, tmp_path):
+    """availableNow screening over staged files leaves the verdict
+    table exactly as the batch screen computes it, and replays
+    (fresh checkpoint, same files) never duplicate verdict rows."""
+    from databridge_etl_tools_spark.operators.dedup import (
+        decontaminate_vs_store,
+    )
+    from databridge_etl_tools_spark.streaming.curation import (
+        DOC_SCHEMA,
+        decontam_stream_screen,
+        read_document_stream,
+    )
+
+    register_benchmark_epoch(store, "bench", _bench(spark, 0, 40), epoch_id=0)
+    docs = (
+        table(spark, SF, "documents")
+        .filter(F.col("doc_id") >= 300)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    staging = str(tmp_path / "stage")
+    docs.coalesce(2).write.mode("overwrite").parquet(staging)
+
+    decontam_stream_screen(
+        read_document_stream(spark, staging, DOC_SCHEMA),
+        store,
+        "bench",
+        "verdicts",
+        str(tmp_path / "ck1"),
+    )
+    got = {
+        r["doc"]: (r["n_gram_hits"], r["first_epoch"], r["clean"])
+        for r in store.read("verdicts").collect()
+    }
+    want = {
+        r["doc"]: (r["n_gram_hits"], r["first_epoch"], r["clean"])
+        for r in decontaminate_vs_store(
+            docs, store.read("bench")
+        ).collect()
+    }
+    assert got == want and got
+
+    # fresh checkpoint, same staged files: watermark rejects, no dupes
+    decontam_stream_screen(
+        read_document_stream(spark, staging, DOC_SCHEMA),
+        store,
+        "bench",
+        "verdicts",
+        str(tmp_path / "ck2"),
+    )
+    assert store.read("verdicts").count() == len(got)
