@@ -129,6 +129,8 @@ def char_trigram_features(
     re-evaluation trap applies to derived arrays — same guard as
     ``quality.hashed_tf_features``). All JVM column expressions;
     map-side only, O(cap·d) per row at any scale."""
+    from .util import spread
+
     dim_of = lambda g: (  # noqa: E731
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), g)), 1, 8), 16, 10)
         .cast("bigint")
@@ -136,7 +138,10 @@ def char_trigram_features(
     ).cast("int")
     t = F.substring(F.col(text_col), 1, cap)
     out = (
-        df.withColumn("_t", t)
+        # the trigram hash map is interpreted-HOF work (~cap md5 per
+        # row): fan a byte-small scan out to cluster parallelism
+        # first (no-op-ish once the input is already many partitions)
+        spread(df).withColumn("_t", t)
         .filter(F.length("_t") >= NGRAM)
         .withColumn(
             "_grams",

@@ -84,13 +84,18 @@ def hashed_tf_features(
     division, so quantization downstream is engine-exact. Cost is
     O(d·n_tokens) comparisons per document, all inside JVM column
     expressions — map-side only, no shuffle at any scale."""
+    from .util import spread
+
     dim_of = lambda t: (  # noqa: E731
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 8), 16, 10)
         .cast("bigint")
         % d
     ).cast("int")
     out = (
-        df.withColumn("_toks", TS.tokens(text_col))
+        # token→dim hashing is interpreted-HOF work (~n_tokens md5
+        # per row): fan a byte-small scan out to cluster parallelism
+        # first (no-op-ish once the input is already many partitions)
+        spread(df).withColumn("_toks", TS.tokens(text_col))
         .filter(F.size("_toks") > 0)
         .withColumn("_n", F.size("_toks"))
         .withColumn("_dims", F.transform(F.col("_toks"), dim_of))
