@@ -195,6 +195,7 @@ HEADLINE = [
     "decontam_incremental_vs_store",
     "corpus_curation_v9",
     "lid_confidence_bands",
+    "quota_waterfall_sources",
 ]
 
 

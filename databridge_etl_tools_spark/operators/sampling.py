@@ -536,6 +536,45 @@ def weighted_quotas(
     return base
 
 
+def capped_weighted_quotas(
+    weights: "dict[object, int]",
+    caps: "dict[object, int]",
+    budget: int,
+    rounds: int = 8,
+) -> "dict[object, int]":
+    """Capacity-aware rank-weighted apportionment — the WATERFALL
+    :func:`weighted_quotas` production quota systems actually run:
+    a stratum cannot absorb more than its availability ``cap``, and
+    quota mass a saturated stratum leaves on the table reallocates
+    (proportionally by weight) to the still-unsaturated strata in
+    the next round, instead of silently shrinking the budget the
+    way a one-shot ``min(quota, cap)`` does.
+
+    Fixed ``rounds`` is the replay contract (the DuckDB twin unrolls
+    exactly this many levels; converged rounds re-allocate zero
+    identically on both engines). Each productive round saturates at
+    least one stratum or drains the budget, so ``rounds ≥ |strata|``
+    is always exact; the default 8 covers the demo corpus with
+    convergence pinned in tests. Pure integer driver arithmetic on
+    the bounded |strata| table."""
+    alloc = {s: 0 for s in weights}
+    remaining = int(budget)
+    for _ in range(rounds):
+        active = {
+            s: w
+            for s, w in weights.items()
+            if w > 0 and alloc[s] < caps.get(s, 0)
+        }
+        if remaining <= 0 or not active:
+            break  # == the twin's no-op levels (they allocate 0)
+        q = weighted_quotas(active, remaining)
+        for s, add in q.items():
+            take = min(add, caps[s] - alloc[s])
+            alloc[s] += take
+            remaining -= take
+    return alloc
+
+
 def stratified_split_exact(
     df: DataFrame,
     stratum_col: str,

@@ -4447,3 +4447,110 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{hq} AS entropy_q",
         f"CAST({hq} AS DOUBLE) / {float(1 << 30)} AS entropy",
     )
+
+
+def _waterfall_oracle(rounds: int = 8) -> str:
+    """Twin of ``sampling.capped_weighted_quotas``: the fixed-round
+    waterfall unrolled — each level recomputes the active set,
+    re-apportions the remaining budget by largest remainder over the
+    active weights (ties ``rem DESC, source``), caps each take by
+    remaining availability, and folds into the allocation state.
+    Converged levels allocate zero identically on both engines."""
+    parts = [f"""
+    WITH wtk AS (SELECT source, len({_TOK}) AS n FROM documents),
+    wts AS MATERIALIZED (
+      SELECT source, CAST(SUM(n) AS HUGEINT) AS w FROM wtk GROUP BY 1),
+    wcaps AS MATERIALIZED (
+      SELECT source, CAST(SUM(CASE WHEN n >= 50 THEN 1 ELSE 0 END)
+                          AS HUGEINT) AS cap
+      FROM wtk GROUP BY 1),
+    wbdg AS (SELECT COALESCE(SUM(cap), 0) // 2 AS b FROM wcaps),
+    wa0 AS MATERIALIZED (
+      SELECT source, CAST(0 AS HUGEINT) AS alloc FROM wts)"""]
+    for k in range(rounds):
+        parts.append(f""",
+    wrem{k} AS (SELECT (SELECT b FROM wbdg)
+                       - (SELECT COALESCE(SUM(alloc), 0) FROM wa{k})
+                         AS r),
+    wac{k} AS (
+      SELECT w.source, w.w FROM wts w
+      JOIN wa{k} a USING (source) JOIN wcaps c USING (source)
+      WHERE w.w > 0 AND a.alloc < c.cap),
+    wwt{k} AS (SELECT COALESCE(SUM(w), 0) AS wt FROM wac{k}),
+    wqb{k} AS (
+      SELECT source,
+             CASE WHEN (SELECT wt FROM wwt{k}) = 0 THEN 0
+                  ELSE (w * (SELECT r FROM wrem{k}))
+                       // (SELECT wt FROM wwt{k}) END AS base,
+             CASE WHEN (SELECT wt FROM wwt{k}) = 0 THEN 0
+                  ELSE (w * (SELECT r FROM wrem{k}))
+                       % (SELECT wt FROM wwt{k}) END AS rm
+      FROM wac{k}),
+    wex{k} AS (SELECT CASE WHEN (SELECT wt FROM wwt{k}) = 0 THEN 0
+                           ELSE (SELECT r FROM wrem{k}) - SUM(base) END
+                        AS e
+               FROM wqb{k}),
+    wqa{k} AS (
+      SELECT source,
+             base + CASE WHEN (SELECT wt FROM wwt{k}) > 0
+                              AND row_number() OVER (ORDER BY rm DESC,
+                                                     source)
+                                  <= (SELECT e FROM wex{k})
+                         THEN 1 ELSE 0 END AS q
+      FROM wqb{k}),
+    wa{k + 1} AS MATERIALIZED (
+      SELECT a.source,
+             a.alloc + CASE WHEN q.q IS NULL THEN 0
+                            ELSE LEAST(q.q, c.cap - a.alloc) END AS alloc
+      FROM wa{k} a
+      JOIN wcaps c USING (source)
+      LEFT JOIN wqa{k} q USING (source))""")
+    parts.append(f"""
+    SELECT w.source,
+           CAST(w.w AS BIGINT) AS weight_tokens,
+           CAST(c.cap AS BIGINT) AS cap,
+           CAST(a.alloc AS BIGINT) AS alloc
+    FROM wts w JOIN wcaps c USING (source)
+    JOIN wa{rounds} a USING (source)
+    """)
+    return "".join(parts)
+
+
+@query("quota_waterfall_sources", oracle=_waterfall_oracle(), gate=False)
+def quota_waterfall_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPACITY-AWARE quota apportionment
+    (``sampling.capped_weighted_quotas``) — the waterfall form of
+    v8's rank-weighted sampling: sources are weighted by total token
+    mass, capped by their supply of long documents (≥ 50 tokens),
+    and HALF the total supply is apportioned so that quota mass a
+    saturated source cannot absorb reallocates proportionally to the
+    unsaturated ones over fixed rounds — no budget silently lost to
+    the one-shot ``min(quota, cap)``. One source-keyed aggregate
+    feeds the bounded driver waterfall; the result joins back
+    broadcast. The oracle unrolls all 8 rounds (converged levels
+    allocate zero on both engines; convergence pinned in tests)."""
+    from ..operators.sampling import capped_weighted_quotas
+
+    docs = table(spark, sf_dir, "documents")
+    stats = (
+        docs.select("source", F.size(TS.tokens(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("weight_tokens"),
+            F.sum((F.col("n") >= 50).cast("long")).cast("long").alias("cap"),
+        )
+    )
+    from ..operators.materialize import materialize
+
+    stats = materialize(stats)
+    rows = stats.collect()  # bounded: |sources|
+    weights = {r["source"]: int(r["weight_tokens"]) for r in rows}
+    caps = {r["source"]: int(r["cap"]) for r in rows}
+    budget = sum(caps.values()) // 2
+    alloc = capped_weighted_quotas(weights, caps, budget, rounds=8)
+    alloc_df = spark.createDataFrame(
+        [(s, int(a)) for s, a in alloc.items()], "source string, alloc long"
+    )
+    return stats.join(F.broadcast(alloc_df), "source").select(
+        "source", "weight_tokens", "cap", "alloc"
+    )

@@ -101,3 +101,49 @@ def test_v9_funnel_monotone_and_lid_agrees_with_metadata(v9_rows):
     assert match / total >= 0.95
     kept = sum(r["n_kept"] for r in v9_rows)
     assert 0 < kept < total
+
+
+def test_capped_waterfall_reallocates_saturated_mass():
+    from databridge_etl_tools_spark.operators.sampling import (
+        capped_weighted_quotas,
+        weighted_quotas,
+    )
+
+    w = {"a": 90, "b": 10, "c": 10}
+    caps = {"a": 3, "b": 100, "c": 100}
+    # one-shot: a's quota (≈ 16 of 20) mostly exceeds its cap of 3 —
+    # min() would strand ~13 units; the waterfall hands them to b/c
+    alloc = capped_weighted_quotas(w, caps, 20)
+    assert alloc["a"] == 3
+    assert sum(alloc.values()) == 20
+    assert alloc["b"] + alloc["c"] == 17
+    assert abs(alloc["b"] - alloc["c"]) <= 1  # equal weights
+    # no caps binding -> identical to plain largest remainder
+    loose = {s: 1000 for s in w}
+    assert capped_weighted_quotas(w, loose, 20) == weighted_quotas(w, 20)
+    # convergence well inside the unroll: extra rounds change nothing
+    assert capped_weighted_quotas(w, caps, 20, rounds=20) == alloc
+    # budget beyond total capacity saturates everything and stops
+    tight = capped_weighted_quotas(w, {"a": 1, "b": 2, "c": 3}, 100)
+    assert tight == {"a": 1, "b": 2, "c": 3}
+
+
+def test_capped_waterfall_property_sweep():
+    import random
+
+    from databridge_etl_tools_spark.operators.sampling import (
+        capped_weighted_quotas,
+    )
+
+    rng = random.Random(9)
+    for _ in range(200):
+        n = rng.randint(1, 10)
+        w = {f"s{i}": rng.randint(0, 50) for i in range(n)}
+        caps = {f"s{i}": rng.randint(0, 30) for i in range(n)}
+        b = rng.randint(0, 300)
+        alloc = capped_weighted_quotas(w, caps, b, rounds=n + 1)
+        total_cap = sum(caps[s] for s in w if w[s] > 0)
+        assert all(0 <= alloc[s] <= caps[s] for s in w)
+        assert all(alloc[s] == 0 for s in w if w[s] == 0)
+        # exact: drains the budget or saturates all positive-weight caps
+        assert sum(alloc.values()) == min(b, total_cap) or b < 0

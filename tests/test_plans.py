@@ -546,3 +546,20 @@ def test_v9_tail_no_python_scalar_only_single_partitions(spark):
             assert "HashAggregate(keys=[]" in nxt, (
                 "non-scalar SinglePartition exchange:\n" + ln + "\n" + nxt
             )
+
+
+def test_waterfall_tail_single_agg_broadcast_join(spark):
+    """quota_waterfall_sources: one source-keyed aggregate + a
+    broadcast join of the bounded allocation table — no Python, no
+    sort-merge join, no window in the executed plan."""
+    plan = _plan(spark, "quota_waterfall_sources")
+    for bad in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "CartesianProduct",
+        "SortMergeJoin",
+        "WindowExec",
+    ):
+        assert bad not in plan
+    assert "BroadcastHashJoin" in plan

@@ -153,6 +153,7 @@ SHOW = [
     "decontam_incremental_vs_store",
     "corpus_curation_v9",
     "lid_confidence_bands",
+    "quota_waterfall_sources",
 ]
 
 #: formatted plans longer than this print tree + census only
