@@ -196,6 +196,7 @@ HEADLINE = [
     "corpus_curation_v9",
     "lid_confidence_bands",
     "quota_waterfall_sources",
+    "corpus_curation_v10",
 ]
 
 

@@ -2891,41 +2891,46 @@ def graph_bfs_supplier_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_weighted_levels(
-    ed_cte: str, iters: int = 8, num: int = 85, den: int = 100
+    ed_cte: str, iters: int = 8, num: int = 85, den: int = 100,
+    pfx: str = "",
 ) -> str:
     """Weighted twin of :func:`pagerank_oracle_levels`: the caller's
     ``ed(src, dst, w)`` CTE carries positive integer weights,
     out-degree becomes out-STRENGTH (Σw), and each edge contributes
     the per-edge trunc division ``(rank · w) // out_strength`` —
-    exactly the operator's DECIMAL(38,0) expression."""
+    exactly the operator's DECIMAL(38,0) expression. ``pfx``
+    prefixes every CTE name so the levels compose into oracles whose
+    other fragments already use ``c{i}``-style names (the default
+    keeps the historical names byte-identical)."""
     q40 = 1 << 40
     teleport = ((den - num) * q40) // den
+    P = pfx
     parts = [f"""
-    ed AS MATERIALIZED ({ed_cte}),
-    nodes AS (SELECT DISTINCT node FROM (
-        SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
-    od AS (SELECT src AS node, CAST(SUM(w) AS HUGEINT) AS outdeg
-           FROM ed GROUP BY 1),
-    base AS MATERIALIZED (
+    {P}ed AS MATERIALIZED ({ed_cte}),
+    {P}nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM {P}ed UNION ALL SELECT dst FROM {P}ed) t),
+    {P}od AS (SELECT src AS node, CAST(SUM(w) AS HUGEINT) AS outdeg
+           FROM {P}ed GROUP BY 1),
+    {P}base AS MATERIALIZED (
       SELECT n.node, COALESCE(o.outdeg, 0) AS outdeg
-      FROM nodes n LEFT JOIN od o USING (node)),
-    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base),
-    r0 AS MATERIALIZED (
-      SELECT node, outdeg, CAST({q40} AS HUGEINT) AS rq FROM base)"""]
+      FROM {P}nodes n LEFT JOIN {P}od o USING (node)),
+    {P}nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM {P}base),
+    {P}r0 AS MATERIALIZED (
+      SELECT node, outdeg, CAST({q40} AS HUGEINT) AS rq FROM {P}base)"""]
     for i in range(1, iters + 1):
         parts.append(f"""
-    c{i} AS (
+    {P}c{i} AS (
       SELECT e.dst AS node, SUM((r.rq * e.w) // r.outdeg) AS in_q
-      FROM r{i - 1} r JOIN ed e ON e.src = r.node
+      FROM {P}r{i - 1} r JOIN {P}ed e ON e.src = r.node
       WHERE r.outdeg > 0 GROUP BY 1),
-    d{i} AS (SELECT COALESCE(SUM(rq), 0) AS dang
-             FROM r{i - 1} WHERE outdeg = 0),
-    r{i} AS MATERIALIZED (
+    {P}d{i} AS (SELECT COALESCE(SUM(rq), 0) AS dang
+             FROM {P}r{i - 1} WHERE outdeg = 0),
+    {P}r{i} AS MATERIALIZED (
       SELECT b.node, b.outdeg,
              {teleport} + ({num} * (COALESCE(c.in_q, 0)
-               + (SELECT dang FROM d{i}) // (SELECT n FROM nn)))
+               + (SELECT dang FROM {P}d{i}) // (SELECT n FROM {P}nn)))
                // {den} AS rq
-      FROM base b LEFT JOIN c{i} c USING (node))""")
+      FROM {P}base b LEFT JOIN {P}c{i} c USING (node))""")
     return ",".join(parts)
 
 

@@ -955,3 +955,323 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+def _v10_oracle() -> str:
+    from .analytics import pagerank_weighted_levels
+    from .lid import LANGS as _LANGS
+    from .lid import NL as _NL
+    from .lid import _fit_ctes as _lid_fit_ctes
+    from .lid import _gram_ctes as _lid_gram_ctes
+    from .lid import _score_case as _lid_score_case
+    from .textops import _kn_docscore_parts, waterfall_levels
+
+    sid = lambda c: f"CAST(substr({c}, 4) AS INTEGER)"  # noqa: E731
+    ed = f"""
+        SELECT {sid("sa")} AS src, {sid("sb")} AS dst, w FROM vew
+        UNION ALL
+        SELECT {sid("sb")} AS src, {sid("sa")} AS dst, w FROM vew"""
+    lid_apq = "".join(
+        f"""
+    laq{c} AS MATERIALIZED (
+      SELECT a.vec_id AS doc_id, CAST(SUM(a.xi * b.b) AS HUGEINT) AS p
+      FROM laxq a JOIN l_bt{c} b ON b.j = a.pos GROUP BY 1),"""
+        for c in range(_NL)
+    )
+    lid_scores = ", ".join(
+        f"(SELECT ic{c} FROM l_ic) + CAST(p{c}.p AS DOUBLE) / {_Q50F} AS s{c}"
+        for c in range(_NL)
+    )
+    lid_joins = " ".join(
+        f"JOIN laq{c} p{c} USING (doc_id)" for c in range(_NL)
+    )
+    return f"""
+    WITH {_lid_fit_ctes("l_")},
+    {_lid_gram_ctes("la", "TRUE", marks="l_marks")},{lid_apq}
+    lsc AS (
+      SELECT t.doc_id, {lid_scores}
+      FROM latr t {lid_joins}),
+    lpred AS MATERIALIZED (
+      SELECT doc_id, {_lid_score_case()} AS pred_lang FROM lsc),
+    {_fit_ctes()},{_SCORE_CTES},{_kn_docscore_parts()},
+    keepfirst AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                     AS fp
+            FROM documents)
+      GROUP BY fp),
+    knd AS MATERIALIZED (
+      SELECT lp.pred_lang, s.doc_id,
+             CAST(CAST(-s.lq_sum AS HUGEINT) * 1048576 // s.n_bigrams
+                  AS BIGINT) AS ppl_q
+      FROM docscore s JOIN lpred lp USING (doc_id)),
+    kc AS (SELECT pred_lang, COUNT(*) AS n FROM knd GROUP BY 1),
+    ko AS (SELECT pred_lang, ppl_q,
+                  row_number() OVER (PARTITION BY pred_lang
+                                     ORDER BY ppl_q) AS rn
+           FROM knd),
+    kb AS (SELECT ko.pred_lang, ko.ppl_q AS b2
+           FROM ko JOIN kc ON ko.pred_lang = kc.pred_lang
+           WHERE ko.rn = greatest((kc.n * 2) // 3, 1)),
+    pxt AS (SELECT knd.doc_id,
+                   CASE WHEN knd.ppl_q <= kb.b2 THEN 1 ELSE 0 END AS px
+            FROM knd JOIN kb ON knd.pred_lang = kb.pred_lang),
+    vflags AS MATERIALIZED (
+      SELECT f.doc_id, f.source, f.n,
+             CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS u,
+             CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gp,
+             CASE WHEN p.p IS NOT NULL
+                       AND (SELECT ic FROM icte)
+                           + CAST(p.p AS DOUBLE) / {_Q50F}
+                           >= CAST(5 AS DOUBLE) / 10
+                  THEN 1 ELSE 0 END AS sc,
+             COALESCE(x.px, 0) AS px
+      FROM afn f
+      JOIN lpred lp USING (doc_id)
+      LEFT JOIN keepfirst k USING (doc_id)
+      LEFT JOIN gpass g USING (doc_id)
+      LEFT JOIN apq p USING (doc_id)
+      LEFT JOIN pxt x USING (doc_id)),
+    vtok AS (SELECT DISTINCT source, unnest({_TOK}) AS token
+             FROM documents),
+    vh AS (SELECT DISTINCT source,
+                  CAST('0x'||substr(md5('kmv:'||token),1,8) AS BIGINT) AS hv
+           FROM vtok),
+    vsk AS MATERIALIZED (
+      SELECT source, hv FROM (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM vh) WHERE rn <= 64),
+    vpr AS (SELECT a.source AS sa, b.source AS sb
+            FROM (SELECT DISTINCT source FROM vsk) a
+            JOIN (SELECT DISTINCT source FROM vsk) b ON a.source < b.source),
+    vmg AS (
+      SELECT p.sa, p.sb, s.hv,
+             MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ia,
+             MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS ib
+      FROM vpr p JOIN vsk s ON s.source IN (p.sa, p.sb)
+      GROUP BY 1, 2, 3),
+    vtp AS (SELECT * FROM (
+              SELECT vmg.*, row_number() OVER (PARTITION BY sa, sb
+                                               ORDER BY hv) AS rn
+              FROM vmg) WHERE rn <= 64),
+    vew AS MATERIALIZED (
+      SELECT sa, sb, CAST(SUM(ia * ib) AS BIGINT) AS w
+      FROM vtp GROUP BY 1, 2 HAVING SUM(ia * ib) > 0),
+    {pagerank_weighted_levels(ed, iters=8, pfx="g")},
+    srcs AS (SELECT DISTINCT source FROM documents),
+    rks AS (SELECT s.source, COALESCE(r.rq, 0) AS rank_q
+            FROM srcs s LEFT JOIN gr8 r
+              ON r.node = {sid("s.source")}),
+    sns AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n
+            FROM vflags WHERE u * gp * sc * px = 1 GROUP BY 1),
+    scap AS MATERIALIZED (
+      SELECT s.source, CAST(COALESCE(n.n, 0) AS HUGEINT) AS cap
+      FROM srcs s LEFT JOIN sns n USING (source)),
+    swts AS MATERIALIZED (
+      SELECT source, CAST(rank_q AS HUGEINT) AS w FROM rks),
+    sbdg AS (SELECT COALESCE(SUM(n), 0) // 2 AS b FROM sns)
+    {waterfall_levels("swts", "scap", "sbdg", 8, "wf")},
+    vsel AS (SELECT doc_id, source,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY doc_id) AS rn
+             FROM vflags WHERE u * gp * sc * px = 1),
+    vkept AS MATERIALIZED (
+      SELECT v.doc_id FROM vsel v
+      JOIN wfa8 a USING (source)
+      WHERE v.rn <= a.alloc)
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f.u) AS BIGINT) AS n_unique,
+           CAST(SUM(f.u * f.gp) AS BIGINT) AS n_gopher,
+           CAST(SUM(f.u * f.gp * f.sc) AS BIGINT) AS n_classifier,
+           CAST(SUM(f.u * f.gp * f.sc * f.px) AS BIGINT) AS n_survivors,
+           CAST(MAX(q.rank_q) AS BIGINT) AS rank_q,
+           CAST(MAX(a.alloc) AS BIGINT) AS alloc,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN f.n ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM vflags f
+    JOIN rks q USING (source)
+    JOIN wfa8 a USING (source)
+    LEFT JOIN vkept k USING (doc_id)
+    GROUP BY 1
+    """
+
+
+@query("corpus_curation_v10", oracle=_v10_oracle(), gate=False)
+def corpus_curation_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v10 — the COMPLETE stack, every capability this
+    repo's curation lineage built, composed end to end: trained LID
+    prediction first (v9), exact-dedup keep-first → Gopher rules →
+    trained quality classifier → per-PREDICTED-language perplexity
+    terciles, then RANK-WEIGHTED CAPACITY-WATERFALL sampling (v8's
+    source-affinity PageRank weights + ``capped_weighted_quotas``,
+    so quota mass a saturated source cannot absorb reallocates to
+    unsaturated sources instead of shrinking the budget). Per-source
+    funnel: raw → unique → gopher → classifier → survivors, with
+    rank, waterfall allocation, kept counts and kept token mass
+    (``n_kept == alloc`` by uniqueness wherever supply suffices —
+    the waterfall never over-allocates a source). Both classifier
+    fits, the KN LM, every PageRank level, all 8 waterfall rounds,
+    and the per-source selection replay in the oracle
+    bit-for-bit."""
+    from ..operators import textstats as TS
+    from ..operators.graph import pagerank
+    from ..operators.lid import (
+        LANGS,
+        char_trigram_features,
+        lid_fit,
+        lid_predict_col,
+        lid_score_cols,
+        plant_markers,
+    )
+    from ..operators.materialize import materialize
+    from ..operators.orderstats import (
+        equi_depth_boundaries_by,
+        kth_smallest_by,
+    )
+    from ..operators.quality import (
+        hashed_tf_features,
+        quality_classifier_fit,
+        quality_pq_col,
+    )
+    from ..operators.sampling import capped_weighted_quotas
+    from ..operators.sketch import kmv_minhashes_by, kmv_pair_overlap
+    from .textops import _kn_doc_scores
+
+    docs = table(spark, sf_dir, "documents")
+    lid_models = lid_fit(docs, d=16, cap=240, lam=1, holdout_mod=5)
+    pred_tbl = materialize(
+        char_trigram_features(plant_markers(docs))
+        .select("doc_id", *lid_score_cols(lid_models))
+        .withColumn(
+            "pred_lang", lid_predict_col([f"_s_{lg}" for lg in LANGS])
+        )
+        .select("doc_id", "pred_lang")
+    )
+    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    ic = float(model["intercept"])
+    keepers = (
+        docs.groupBy(TS.fingerprint("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("u"))
+    )
+    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
+    feats = hashed_tf_features(docs, d=D).select(
+        "doc_id",
+        "source",
+        F.col("_n").alias("n"),
+        g["passes"].cast("int").alias("gp"),
+        quality_pq_col(model).alias("pq"),
+    )
+    kn = materialize(
+        _kn_doc_scores(spark, sf_dir)
+        .join(pred_tbl, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "pred_lang",
+            "CAST(CAST(-lq_sum AS DECIMAL(38,0)) * 1048576"
+            " DIV n_bigrams AS BIGINT) AS ppl_q",
+        )
+    )
+    bnds = equi_depth_boundaries_by(kn, "pred_lang", "ppl_q", 3)
+    bounds = spark.createDataFrame(
+        [(grp[0], int(bs[1])) for grp, bs in bnds.items()],
+        "pred_lang string, _b2 bigint",
+    )
+    px_tbl = kn.join(F.broadcast(bounds), "pred_lang").select(
+        "doc_id", (F.col("ppl_q") <= F.col("_b2")).cast("int").alias("px")
+    )
+    pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
+    flags = materialize(
+        feats.join(pred_tbl.select("doc_id"), "doc_id")
+        .join(keepers, "doc_id", "left")
+        .join(px_tbl, "doc_id", "left")
+        .withColumn("u", F.coalesce(F.col("u"), F.lit(0)))
+        .withColumn("px", F.coalesce(F.col("px"), F.lit(0)))
+        .withColumn("sc", (pred >= F.lit(0.5)).cast("int"))
+        .withColumn(
+            "surv",
+            F.col("u") * F.col("gp") * F.col("sc") * F.col("px"),
+        )
+        .drop("pq")
+    )
+    tok = docs.select(
+        "source", F.explode(TS.tokens(F.col("text"))).alias("token")
+    )
+    sk = kmv_minhashes_by(tok, "source", "token", k=64)
+    ovl = (
+        kmv_pair_overlap(sk, "source", k=64)
+        .filter(F.col("ovl") > 0)
+        .select("ga", "gb", "ovl")
+    )
+    sid = lambda c: F.substring(F.col(c), 4, 16).cast("int")  # noqa: E731
+    edges = ovl.select(
+        sid("ga").alias("src"), sid("gb").alias("dst"),
+        F.col("ovl").alias("w"),
+    ).unionByName(
+        ovl.select(
+            sid("gb").alias("src"), sid("ga").alias("dst"),
+            F.col("ovl").alias("w"),
+        )
+    )
+    ranks = {
+        int(r["node"]): int(r["rank_q"])
+        for r in pagerank(edges, iters=8, weight_col="w")
+        .select("node", "rank_q")
+        .collect()
+    }
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    n_surv = {
+        r["source"]: int(r["n"])
+        for r in flags.filter(F.col("surv") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = {s: ranks.get(int(s[3:]), 0) for s in sources}
+    caps = {s: n_surv.get(s, 0) for s in sources}
+    budget = sum(caps.values()) // 2
+    alloc = capped_weighted_quotas(weights, caps, budget, rounds=8)
+    surv = flags.filter(F.col("surv") == 1)
+    ranks_arg = {(s,): [alloc[s]] for s in sources if alloc[s] >= 1}
+    thr = {}
+    if ranks_arg:
+        vals, _ = kth_smallest_by(
+            surv.select("source", "doc_id"), "source", "doc_id", ranks_arg
+        )
+        thr = {grp[0]: int(ks[alloc[grp[0]]]) for grp, ks in vals.items()}
+    meta = spark.createDataFrame(
+        [(s, weights[s], alloc[s], thr.get(s)) for s in sources],
+        "source string, rank_q long, alloc long, _thr long",
+    )
+    kept = (
+        (F.col("surv") == 1)
+        & F.col("_thr").isNotNull()
+        & (F.col("doc_id") <= F.col("_thr"))
+    ).cast("int")
+    return (
+        flags.join(F.broadcast(meta), "source")
+        .withColumn("kp", kept)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("u").cast("bigint").alias("n_unique"),
+            F.sum(F.col("u") * F.col("gp")).cast("bigint").alias("n_gopher"),
+            F.sum(F.col("u") * F.col("gp") * F.col("sc"))
+            .cast("bigint")
+            .alias("n_classifier"),
+            F.sum("surv").cast("bigint").alias("n_survivors"),
+            F.max("rank_q").cast("bigint").alias("rank_q"),
+            F.max("alloc").cast("bigint").alias("alloc"),
+            F.sum("kp").cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kp") == 1, F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )

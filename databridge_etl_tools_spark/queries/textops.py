@@ -4449,14 +4449,68 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def waterfall_levels(
+    wts: str, caps: str, bdg: str, rounds: int = 8, pfx: str = "w"
+) -> str:
+    """Reusable DuckDB replay of ``sampling.capped_weighted_quotas``
+    — the fixed-round capacity waterfall unrolled. The caller
+    supplies CTE NAMES: ``wts(source, w)``, ``caps(source, cap)``
+    and ``bdg(b)``; this emits the ``,``-prefixed level CTEs and
+    leaves the final allocation in ``{pfx}a{rounds}(source, alloc)``.
+    Each level recomputes the active set, re-apportions the
+    remaining budget by largest remainder over the active weights
+    (ties ``rem DESC, source``), caps each take by remaining
+    availability, and folds into the allocation state. Converged
+    levels allocate zero identically on both engines."""
+    parts = [f""",
+    {pfx}a0 AS MATERIALIZED (
+      SELECT source, CAST(0 AS HUGEINT) AS alloc FROM {wts})"""]
+    for k in range(rounds):
+        parts.append(f""",
+    {pfx}rem{k} AS (SELECT (SELECT b FROM {bdg})
+                       - (SELECT COALESCE(SUM(alloc), 0)
+                          FROM {pfx}a{k}) AS r),
+    {pfx}ac{k} AS (
+      SELECT w.source, w.w FROM {wts} w
+      JOIN {pfx}a{k} a USING (source) JOIN {caps} c USING (source)
+      WHERE w.w > 0 AND a.alloc < c.cap),
+    {pfx}wt{k} AS (SELECT COALESCE(SUM(w), 0) AS wt FROM {pfx}ac{k}),
+    {pfx}qb{k} AS (
+      SELECT source,
+             CASE WHEN (SELECT wt FROM {pfx}wt{k}) = 0 THEN 0
+                  ELSE (w * (SELECT r FROM {pfx}rem{k}))
+                       // (SELECT wt FROM {pfx}wt{k}) END AS base,
+             CASE WHEN (SELECT wt FROM {pfx}wt{k}) = 0 THEN 0
+                  ELSE (w * (SELECT r FROM {pfx}rem{k}))
+                       % (SELECT wt FROM {pfx}wt{k}) END AS rm
+      FROM {pfx}ac{k}),
+    {pfx}ex{k} AS (SELECT CASE WHEN (SELECT wt FROM {pfx}wt{k}) = 0
+                                    THEN 0
+                               ELSE (SELECT r FROM {pfx}rem{k})
+                                    - SUM(base) END AS e
+                   FROM {pfx}qb{k}),
+    {pfx}qa{k} AS (
+      SELECT source,
+             base + CASE WHEN (SELECT wt FROM {pfx}wt{k}) > 0
+                              AND row_number() OVER (ORDER BY rm DESC,
+                                                     source)
+                                  <= (SELECT e FROM {pfx}ex{k})
+                         THEN 1 ELSE 0 END AS q
+      FROM {pfx}qb{k}),
+    {pfx}a{k + 1} AS MATERIALIZED (
+      SELECT a.source,
+             a.alloc + CASE WHEN q.q IS NULL THEN 0
+                            ELSE LEAST(q.q, c.cap - a.alloc) END AS alloc
+      FROM {pfx}a{k} a
+      JOIN {caps} c USING (source)
+      LEFT JOIN {pfx}qa{k} q USING (source))""")
+    return "".join(parts)
+
+
 def _waterfall_oracle(rounds: int = 8) -> str:
-    """Twin of ``sampling.capped_weighted_quotas``: the fixed-round
-    waterfall unrolled — each level recomputes the active set,
-    re-apportions the remaining budget by largest remainder over the
-    active weights (ties ``rem DESC, source``), caps each take by
-    remaining availability, and folds into the allocation state.
-    Converged levels allocate zero identically on both engines."""
-    parts = [f"""
+    """Twin of ``quota_waterfall_sources``: token-mass weights,
+    long-doc caps, half-supply budget, the shared unrolled levels."""
+    head = f"""
     WITH wtk AS (SELECT source, len({_TOK}) AS n FROM documents),
     wts AS MATERIALIZED (
       SELECT source, CAST(SUM(n) AS HUGEINT) AS w FROM wtk GROUP BY 1),
@@ -4464,56 +4518,16 @@ def _waterfall_oracle(rounds: int = 8) -> str:
       SELECT source, CAST(SUM(CASE WHEN n >= 50 THEN 1 ELSE 0 END)
                           AS HUGEINT) AS cap
       FROM wtk GROUP BY 1),
-    wbdg AS (SELECT COALESCE(SUM(cap), 0) // 2 AS b FROM wcaps),
-    wa0 AS MATERIALIZED (
-      SELECT source, CAST(0 AS HUGEINT) AS alloc FROM wts)"""]
-    for k in range(rounds):
-        parts.append(f""",
-    wrem{k} AS (SELECT (SELECT b FROM wbdg)
-                       - (SELECT COALESCE(SUM(alloc), 0) FROM wa{k})
-                         AS r),
-    wac{k} AS (
-      SELECT w.source, w.w FROM wts w
-      JOIN wa{k} a USING (source) JOIN wcaps c USING (source)
-      WHERE w.w > 0 AND a.alloc < c.cap),
-    wwt{k} AS (SELECT COALESCE(SUM(w), 0) AS wt FROM wac{k}),
-    wqb{k} AS (
-      SELECT source,
-             CASE WHEN (SELECT wt FROM wwt{k}) = 0 THEN 0
-                  ELSE (w * (SELECT r FROM wrem{k}))
-                       // (SELECT wt FROM wwt{k}) END AS base,
-             CASE WHEN (SELECT wt FROM wwt{k}) = 0 THEN 0
-                  ELSE (w * (SELECT r FROM wrem{k}))
-                       % (SELECT wt FROM wwt{k}) END AS rm
-      FROM wac{k}),
-    wex{k} AS (SELECT CASE WHEN (SELECT wt FROM wwt{k}) = 0 THEN 0
-                           ELSE (SELECT r FROM wrem{k}) - SUM(base) END
-                        AS e
-               FROM wqb{k}),
-    wqa{k} AS (
-      SELECT source,
-             base + CASE WHEN (SELECT wt FROM wwt{k}) > 0
-                              AND row_number() OVER (ORDER BY rm DESC,
-                                                     source)
-                                  <= (SELECT e FROM wex{k})
-                         THEN 1 ELSE 0 END AS q
-      FROM wqb{k}),
-    wa{k + 1} AS MATERIALIZED (
-      SELECT a.source,
-             a.alloc + CASE WHEN q.q IS NULL THEN 0
-                            ELSE LEAST(q.q, c.cap - a.alloc) END AS alloc
-      FROM wa{k} a
-      JOIN wcaps c USING (source)
-      LEFT JOIN wqa{k} q USING (source))""")
-    parts.append(f"""
+    wbdg AS (SELECT COALESCE(SUM(cap), 0) // 2 AS b FROM wcaps)"""
+    tail = f"""
     SELECT w.source,
            CAST(w.w AS BIGINT) AS weight_tokens,
            CAST(c.cap AS BIGINT) AS cap,
            CAST(a.alloc AS BIGINT) AS alloc
     FROM wts w JOIN wcaps c USING (source)
     JOIN wa{rounds} a USING (source)
-    """)
-    return "".join(parts)
+    """
+    return head + waterfall_levels("wts", "wcaps", "wbdg", rounds) + tail
 
 
 @query("quota_waterfall_sources", oracle=_waterfall_oracle(), gate=False)

@@ -147,3 +147,28 @@ def test_capped_waterfall_property_sweep():
         assert all(alloc[s] == 0 for s in w if w[s] == 0)
         # exact: drains the budget or saturates all positive-weight caps
         assert sum(alloc.values()) == min(b, total_cap) or b < 0
+
+
+@pytest.fixture(scope="module")
+def v10_rows(spark):
+    load_all()
+    return QUERIES["corpus_curation_v10"](spark, SF).collect()
+
+
+def test_v10_waterfall_fills_the_budget_exactly(v10_rows):
+    """v10 semantics: the funnel is monotone; the waterfall never
+    over-allocates a source (alloc ≤ survivors), selection delivers
+    exactly the allocation, and — the waterfall's whole point —
+    the TOTAL kept equals min(budget, total supply), with no quota
+    mass stranded on saturated sources."""
+    assert v10_rows
+    for r in v10_rows:
+        assert (
+            r["n_survivors"] <= r["n_classifier"] <= r["n_gopher"]
+            <= r["n_unique"] <= r["n_docs"]
+        )
+        assert r["alloc"] <= r["n_survivors"]
+        assert r["n_kept"] == r["alloc"]
+    total_surv = sum(r["n_survivors"] for r in v10_rows)
+    budget = total_surv // 2
+    assert sum(r["n_kept"] for r in v10_rows) == min(budget, total_surv)

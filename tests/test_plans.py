@@ -563,3 +563,19 @@ def test_waterfall_tail_single_agg_broadcast_join(spark):
     ):
         assert bad not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_v10_tail_no_python_scalar_only_single_partitions(spark):
+    """corpus_curation_v10's executed tail: pure JVM (both fits,
+    the rank walk, and the waterfall run eagerly at build time);
+    every SinglePartition exchange is a 1-row scalar aggregate."""
+    plan = _plan(spark, "corpus_curation_v10")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = lines[i + 1]
+            assert "HashAggregate(keys=[]" in nxt, (
+                "non-scalar SinglePartition exchange:\n" + ln + "\n" + nxt
+            )

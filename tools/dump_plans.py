@@ -154,6 +154,7 @@ SHOW = [
     "corpus_curation_v9",
     "lid_confidence_bands",
     "quota_waterfall_sources",
+    "corpus_curation_v10",
 ]
 
 #: formatted plans longer than this print tree + census only
