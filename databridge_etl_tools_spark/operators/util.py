@@ -60,6 +60,11 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     the compute it parallelizes; at real scale the input is already
     many partitions and this becomes a cheap no-op-ish rebalance.
     """
+    if df.isStreaming:
+        # no partition probe on a streaming frame (.rdd is illegal);
+        # micro-batch parallelism is the source's trigger policy, and
+        # the fragment must stay batch/stream agnostic in results
+        return df
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
