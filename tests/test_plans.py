@@ -579,3 +579,29 @@ def test_v10_tail_no_python_scalar_only_single_partitions(spark):
             assert "HashAggregate(keys=[]" in nxt, (
                 "non-scalar SinglePartition exchange:\n" + ln + "\n" + nxt
             )
+
+
+def test_kn_bigram_stream_is_map_side_no_position_self_join(spark):
+    """_kn_doc_scores' bigram construction (r12 verdict weak mark):
+    adjacency within a token array must be map-side zip_with work —
+    the bigram stream's plan has NO join and NO exchange before the
+    (w1, w2) model aggregation (the former plan self-joined the
+    posexploded token table on (doc_id, pos+1), shuffling the
+    corpus's largest intermediate twice)."""
+    import pyspark.sql.functions as F
+
+    from databridge_etl_tools_spark.operators.collocations import (
+        _pair_stream,
+        _tok_base,
+    )
+    from databridge_etl_tools_spark.operators.materialize import strategy
+    from databridge_etl_tools_spark.registry import table
+
+    docs = table(spark, SF, "documents", access="scan")
+    with strategy("none"):
+        base = _tok_base(docs.where(F.col("text").isNotNull()), "text", "doc_id")
+        bg = _pair_stream(base, "doc_id")
+        plan = bg._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"bigram stream must be map-side, found {bad}"
+    assert "Generate explode" in plan
