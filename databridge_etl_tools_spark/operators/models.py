@@ -88,6 +88,8 @@ def load_models(store, table: str, name: str) -> "list[dict]":
     integer state is bit-identical to the fitted model's."""
     from pyspark.sql import functions as F
 
+    from . import intlin as IL
+
     rows = (
         store.read(table)
         .filter(F.col("name") == name)
@@ -101,8 +103,12 @@ def load_models(store, table: str, name: str) -> "list[dict]":
         out.append(
             {
                 "label": r["label"],
+                # float weights derive from the SOLVER's fixed point
+                # (intlin.Q_BETA, same divisor linear.py fits with) —
+                # a hard-coded shift would silently de-sync the float
+                # view from b_int if Q_BETA ever moved
                 "weights": [
-                    v / float(1 << 30) for v in r["b_int"]
+                    v / float(1 << IL.Q_BETA) for v in r["b_int"]
                 ],
                 "intercept": float(r["intercept"]),
                 "rmse": float(r["rmse"]),

@@ -521,7 +521,18 @@ def weighted_quotas(
     ascending (same contract as :func:`largest_remainder_quotas` —
     a SQL twin mirrors it with ``ORDER BY rem DESC, key``). Pure
     integer driver arithmetic on the bounded |strata| table; all
-    weights zero (or a non-positive budget) allocates nothing."""
+    weights zero (or a non-positive budget) allocates nothing.
+    Negative weights and non-integer inputs raise: Python's
+    floor-toward-negative-infinity division would silently produce
+    negative quotas AND desync from the DuckDB twin's ``//`` on the
+    same inputs."""
+    bad = {s: w for s, w in weights.items() if not isinstance(w, int) or w < 0}
+    if bad:
+        raise ValueError(
+            f"weighted_quotas: weights must be non-negative integers, got {bad}"
+        )
+    if not isinstance(budget, int):
+        raise ValueError(f"weighted_quotas: budget must be an integer, got {budget!r}")
     wt = sum(weights.values())
     if wt == 0 or budget <= 0:
         return {s: 0 for s in weights}

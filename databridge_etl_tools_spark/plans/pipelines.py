@@ -414,6 +414,7 @@ def incremental_dedup_pipeline(
     text_col: str = "text",
     *,
     epoch_id: int,
+    epoch_scope: str | None = None,
     n: int = 3,
     k: int = 16,
     bands: int = 4,
@@ -422,11 +423,14 @@ def incremental_dedup_pipeline(
     """The growing-corpus dedup choreography: MinHash-screen a new
     batch against the persisted ``(doc, sig)`` signature store
     (``operators.dedup.incremental_minhash_dedup``), then append the
-    SURVIVORS' signatures exactly-once via ``TableStore.commit_epoch``
-    — a replayed epoch (same ``epoch_id``, e.g. a retried
-    micro-batch or a re-run orchestrator task) is detected by the
-    store's epoch watermark and skipped before any write, so
-    signatures are never double-inserted. (The replay's SCREEN runs
+    SURVIVORS' signatures exactly-once via ``TableStore.append_epoch``
+    (O(delta): only the survivors' segment is written, never a store
+    rewrite) — a replayed epoch (same ``epoch_scope`` + ``epoch_id``,
+    e.g. a retried micro-batch or a re-run orchestrator task) is
+    detected by the store's scoped epoch watermark and skipped before
+    any write, so signatures are never double-inserted; epochs from a
+    DIFFERENT checkpoint/run identity are never mistaken for replays
+    (pass ``epoch_scope=checkpoint_identity(ckpt)`` from streaming). (The replay's SCREEN runs
     against the current store — which already holds the batch's own
     signatures, so its counts read all-duplicate; idempotence lives
     at the commit, exactly as in Delta's txnVersion recipe.)
@@ -458,7 +462,11 @@ def incremental_dedup_pipeline(
         for r in status.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     survivors = status.filter(F.col("status") == "kept").select("doc", "sig")
-    committed = store.commit_epoch(table, sigs.unionByName(survivors), epoch_id)
+    # O(delta) commit: the store grows by the survivors' segment only
+    # (append_epoch flips old-segments+[delta] with the watermark in
+    # one atomic manifest replace) — at 100 TB the signature store is
+    # corpus-sized and a per-batch rewrite would be the bottleneck.
+    committed = store.append_epoch(table, survivors, epoch_id, scope=epoch_scope)
     return IncrementalDedupResult(
         committed=committed,
         n_batch=sum(counts.values()),
@@ -487,6 +495,7 @@ def register_benchmark_epoch(
     bench: DataFrame,
     *,
     epoch_id: int,
+    epoch_scope: str | None = None,
     n: int = 7,
 ) -> bool:
     """Ingest one benchmark WAVE into the persisted n-gram store
@@ -514,7 +523,7 @@ def register_benchmark_epoch(
         )
     else:
         merged = new
-    return store.commit_epoch(table, merged, epoch_id)
+    return store.commit_epoch(table, merged, epoch_id, scope=epoch_scope)
 
 
 def screen_batch_against_store(

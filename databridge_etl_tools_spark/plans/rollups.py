@@ -56,6 +56,7 @@ def refresh_rollups(
     store: TableStore,
     batch: DataFrame,
     epoch_id: int | None = None,
+    epoch_scope: str | None = None,
 ) -> dict:
     """Fold a new batch of events into the hourly + daily rollup
     tables. Only buckets touched by the batch are recomputed: the
@@ -90,7 +91,7 @@ def refresh_rollups(
     if epoch_id is None:
         store.overwrite(HOURLY, new_hourly)
     else:
-        store.commit_epoch(HOURLY, new_hourly, epoch_id)
+        store.commit_epoch(HOURLY, new_hourly, epoch_id, scope=epoch_scope)
 
     # daily level derives from hourly (never from raw events)
     hourly_now = store.read(HOURLY)

@@ -1101,23 +1101,14 @@ def _v10_oracle() -> str:
     """
 
 
-@query("corpus_curation_v10", oracle=_v10_oracle(), gate=False)
-def corpus_curation_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation v10 — the COMPLETE stack, every capability this
-    repo's curation lineage built, composed end to end: trained LID
-    prediction first (v9), exact-dedup keep-first → Gopher rules →
-    trained quality classifier → per-PREDICTED-language perplexity
-    terciles, then RANK-WEIGHTED CAPACITY-WATERFALL sampling (v8's
-    source-affinity PageRank weights + ``capped_weighted_quotas``,
-    so quota mass a saturated source cannot absorb reallocates to
-    unsaturated sources instead of shrinking the budget). Per-source
-    funnel: raw → unique → gopher → classifier → survivors, with
-    rank, waterfall allocation, kept counts and kept token mass
-    (``n_kept == alloc`` by uniqueness wherever supply suffices —
-    the waterfall never over-allocates a source). Both classifier
-    fits, the KN LM, every PageRank level, all 8 waterfall rounds,
-    and the per-source selection replay in the oracle
-    bit-for-bit."""
+def _curation_v10_impl(
+    spark: SparkSession, sf_dir: str, *, use_registry: bool
+) -> DataFrame:
+    """Shared v10 body; ``use_registry=True`` routes BOTH trained
+    models through the persistent registry (``operators.models``:
+    save → load from a versioned store) before scoring — the
+    train-offline/score-online production shape, hash-gated because
+    the integer round-trip is bit-exact."""
     from ..operators import textstats as TS
     from ..operators.graph import pagerank
     from ..operators.lid import (
@@ -1144,6 +1135,20 @@ def corpus_curation_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     lid_models = lid_fit(docs, d=16, cap=240, lam=1, holdout_mod=5)
+    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    if use_registry:
+        import tempfile
+
+        from ..operators.models import load_models, save_models
+        from ..sources.table_store import TableStore
+
+        for m, lg in zip(lid_models, LANGS):
+            m["label"] = lg
+        reg = TableStore(spark, tempfile.mkdtemp(prefix="dbt_model_reg_"))
+        save_models(reg, "models", "lid_v10", lid_models)
+        save_models(reg, "models", "quality_v10", [model])
+        lid_models = load_models(reg, "models", "lid_v10")
+        model = load_models(reg, "models", "quality_v10")[0]
     pred_tbl = materialize(
         char_trigram_features(plant_markers(docs))
         .select("doc_id", *lid_score_cols(lid_models))
@@ -1152,7 +1157,6 @@ def corpus_curation_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pred_lang")
     )
-    model = quality_classifier_fit(docs, d=D, lam=LAM)
     ic = float(model["intercept"])
     keepers = (
         docs.groupBy(TS.fingerprint("text").alias("_fp"))
@@ -1275,3 +1279,39 @@ def corpus_curation_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+@query("corpus_curation_v10", oracle=_v10_oracle(), gate=False)
+def corpus_curation_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v10 — the COMPLETE stack, every capability this
+    repo's curation lineage built, composed end to end: trained LID
+    prediction first (v9), exact-dedup keep-first → Gopher rules →
+    trained quality classifier → per-PREDICTED-language perplexity
+    terciles, then RANK-WEIGHTED CAPACITY-WATERFALL sampling (v8's
+    source-affinity PageRank weights + ``capped_weighted_quotas``,
+    so quota mass a saturated source cannot absorb reallocates to
+    unsaturated sources instead of shrinking the budget). Per-source
+    funnel: raw → unique → gopher → classifier → survivors, with
+    rank, waterfall allocation, kept counts and kept token mass
+    (``n_kept == alloc`` by uniqueness wherever supply suffices —
+    the waterfall never over-allocates a source). Both classifier
+    fits, the KN LM, every PageRank level, all 8 waterfall rounds,
+    and the per-source selection replay in the oracle
+    bit-for-bit."""
+    return _curation_v10_impl(spark, sf_dir, use_registry=False)
+
+
+@query("corpus_curation_v10_registry", oracle=_v10_oracle(), gate=False)
+def corpus_curation_v10_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v10 through the MODEL REGISTRY (r12 verdict item 4):
+    identical stack, but both trained models cross a persistence
+    boundary before scoring — ``operators.models.save_models`` writes
+    the LID heads and the quality head to a versioned store,
+    ``load_models`` reads them back, and every downstream score runs
+    on the LOADED dicts. The production train-offline/score-online
+    shape: at 100 TB the fit runs in its own job and scoring jobs
+    only ever load. The oracle is v10's unchanged — the registry
+    stores the exact integer state (q30 ``b_int``, moment sums) plus
+    IEEE-double intercepts, so loaded models score bit-identically to
+    fitted ones (round-trip pinned in ``tests/test_model_registry.py``,
+    including across a real session boundary)."""
+    return _curation_v10_impl(spark, sf_dir, use_registry=True)

@@ -349,24 +349,88 @@ class TableStore:
         self.set_properties(table, rowcount=n)
         return {"rowcount": n}
 
-    def commit_epoch(self, table: str, df: DataFrame, epoch_id: int) -> bool:
+    def epoch_seen(
+        self, table: str, epoch_id: int, scope: "str | None" = None
+    ) -> bool:
+        """True when ``(scope, epoch_id)`` is already committed — the
+        replay test streaming ``foreachBatch`` sinks run before any
+        work. Spark epoch ids are CHECKPOINT-scoped: a query restarted
+        against a FRESH checkpoint (even at the same path) renumbers
+        from 0, so an unscoped ``last_epoch >= epoch_id`` compare
+        would silently skip genuinely new micro-batches — data loss,
+        not replay suppression. The watermark therefore pairs with an
+        ``epoch_scope`` (the checkpoint's identity —
+        ``streaming.events.checkpoint_identity``): a batch whose scope
+        differs from the stored one is never a replay, exactly why
+        Delta's recipe keys ``txnVersion`` by ``txnAppId``.
+        ``scope=None`` keeps the legacy unscoped compare for batch
+        orchestrators that manage their own epoch sequence."""
+        if not self.exists(table):
+            return False
+        props = self.properties(table)
+        if scope is not None and props.get("epoch_scope") != scope:
+            return False
+        return props.get("last_epoch", -1) >= epoch_id
+
+    def commit_epoch(
+        self,
+        table: str,
+        df: DataFrame,
+        epoch_id: int,
+        scope: "str | None" = None,
+    ) -> bool:
         """Exactly-once commit point for streaming ``foreachBatch``:
         the new data version and the epoch watermark flip in ONE
         atomic manifest replace, so a replayed epoch (Spark re-runs a
         failed micro-batch with the same epoch_id) is detected and
         skipped before any write. Returns False on a skipped replay.
+        ``scope`` keys the watermark by checkpoint identity (see
+        :meth:`epoch_seen`) so epochs from a different run/checkpoint
+        are never mistaken for replays.
 
-        This is the same idempotent-sink recipe Delta's ``txnVersion``
-        implements on a lakehouse; the versioned store makes it a
-        5-line property check. Creates the table when absent (first
-        epoch of a fresh sink)."""
-        last = (
-            self.properties(table).get("last_epoch", -1) if self.exists(table) else -1
-        )
-        if epoch_id <= last:
+        This is the same idempotent-sink recipe Delta's
+        ``txnAppId``/``txnVersion`` implements on a lakehouse; the
+        versioned store makes it a property check. Creates the table
+        when absent (first epoch of a fresh sink)."""
+        if self.epoch_seen(table, epoch_id, scope):
             return False
         v = self._write_version(table, df)
-        self._flip(table, v, {"last_epoch": epoch_id})
+        self._flip(table, v, {"last_epoch": epoch_id, "epoch_scope": scope})
+        return True
+
+    def append_epoch(
+        self,
+        table: str,
+        delta: DataFrame,
+        epoch_id: int,
+        scope: "str | None" = None,
+    ) -> bool:
+        """O(delta) exactly-once append: write ONLY the delta rows as
+        a fresh segment and flip old-segments+[delta] together with
+        the epoch watermark in one atomic manifest replace — the
+        :meth:`append` cost model under the :meth:`commit_epoch`
+        replay contract. At 100 TB a growing sink table (signature
+        store, verdict ledger) must pay per batch what the batch
+        brought, never a full-table rewrite; ``compact`` bin-packs
+        the accumulated segments on maintenance."""
+        if self.epoch_seen(table, epoch_id, scope):
+            return False
+        if not self.exists(table):
+            v = self._write_version(table, delta)
+            self._flip(table, v, {"last_epoch": epoch_id, "epoch_scope": scope})
+            return True
+        cols = self.read(table).columns
+        missing = set(cols) - set(delta.columns)
+        if missing:
+            raise ValueError(
+                f"append_epoch to {table} missing columns: {sorted(missing)}"
+            )
+        v = self._write_version(table, delta.select(*cols))
+        self._flip(
+            table,
+            self._segments(table) + [v],
+            {"last_epoch": epoch_id, "epoch_scope": scope},
+        )
         return True
 
     def enforce_privacy(self, table: str) -> str:

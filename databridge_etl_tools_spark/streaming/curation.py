@@ -189,24 +189,28 @@ def minhash_stream_into_store(
     against the persisted store, append only the survivors'
     signatures, commit data + epoch watermark in one atomic manifest
     flip). A replayed micro-batch (crash between store commit and
-    checkpoint write, or a rerun against a fresh checkpoint) is
-    detected by the epoch watermark BEFORE any screening work and
-    skipped — signatures are never double-inserted, so
+    checkpoint write, or restart of the SAME checkpoint) is detected
+    by the CHECKPOINT-SCOPED epoch watermark BEFORE any screening
+    work and skipped — signatures are never double-inserted, so
     ``availableNow`` over a staging directory equals the batch
     pipeline run file-for-file (pinned in
-    ``tests/test_streaming_dedup.py``).
+    ``tests/test_streaming_dedup.py``). The scope matters: epoch ids
+    renumber from 0 under a FRESH checkpoint, so an unscoped
+    watermark would silently skip genuinely new files staged since —
+    scoping by ``checkpoint_identity`` makes those process normally
+    (their re-screen of already-stored docs is idempotent by content:
+    dup-of-store rows are dropped, nothing re-inserts).
 
     Near-dup state lives in the STORE (k int64 per kept doc), not in
     streaming state — restarts and late re-sends are fenced by
     content, not by watermarks, which is what lets the dedup stream
     run unbounded."""
     from ..plans.pipelines import incremental_dedup_pipeline
+    from .events import checkpoint_identity
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if (
-            store.exists(table)
-            and store.properties(table).get("last_epoch", -1) >= epoch_id
-        ):
+        scope = checkpoint_identity(checkpoint_dir)
+        if store.epoch_seen(table, epoch_id, scope):
             return  # replayed epoch: already fully committed
         incremental_dedup_pipeline(
             store,
@@ -215,6 +219,7 @@ def minhash_stream_into_store(
             id_col,
             text_col,
             epoch_id=epoch_id,
+            epoch_scope=scope,
             n=n,
             k=k,
             bands=bands,
@@ -245,9 +250,17 @@ def lid_score_stream(
     batch/stream agnostic (availableNow drain == batch prediction,
     pinned). ``margin_threshold`` adds the fastText-style abstain
     gate: a boolean ``confident`` from the top-two score margin.
-    Output: input columns + ``pred_lang`` (+ ``confident``)."""
+    Output: input columns + ``pred_lang`` (+ ``confident``).
+
+    Row-preserving: documents too short to carry a trigram (text NULL
+    or under ``NGRAM`` chars — which ``char_trigram_features`` drops,
+    it has nothing to hash) are NOT dropped from the scored stream;
+    they come through with ``pred_lang`` NULL and ``confident`` false,
+    so downstream row accounting balances and the abstain/quarantine
+    path sees them instead of silently losing them."""
     from ..operators.lid import (
         LANGS,
+        NGRAM,
         char_trigram_features,
         lid_predict_col,
         lid_score_cols,
@@ -259,6 +272,9 @@ def lid_score_stream(
         *[c for c in stream.columns], *lid_score_cols(models)
     )
     out = scored.withColumn("pred_lang", lid_predict_col(cols))
+    short = stream.where(
+        F.coalesce(F.length(F.col(text_col)), F.lit(0)) < NGRAM
+    ).withColumn("pred_lang", F.lit(None).cast("string"))
     if margin_threshold is not None:
         arr = F.array_sort(F.array(*[F.col(c) for c in cols]))
         margin = F.element_at(arr, len(LANGS)) - F.element_at(
@@ -267,7 +283,8 @@ def lid_score_stream(
         out = out.withColumn(
             "confident", margin >= F.lit(float(margin_threshold))
         )
-    return out.drop(*cols)
+        short = short.withColumn("confident", F.lit(False))
+    return out.drop(*cols).unionByName(short)
 
 
 def decontam_stream_screen(
@@ -286,31 +303,50 @@ def decontam_stream_screen(
     production pipelines put in front of the training corpus so a
     benchmark leak never lands at rest. Each micro-batch runs the
     batch screen (``operators.dedup.decontaminate_vs_store`` — the
-    store side is static within a run) and upserts its per-document
-    verdicts exactly-once on ``doc``; re-screened documents (file
-    re-sends, checkpoint replays) overwrite their verdict row rather
-    than duplicating it. The gram store itself is read-only here —
-    only ``plans.pipelines.register_benchmark_epoch`` writes it."""
+    store side is static within a run) and commits its per-document
+    verdicts exactly-once on ``doc``, keyed by the CHECKPOINT-SCOPED
+    epoch watermark (epoch ids renumber from 0 under a fresh
+    checkpoint; an unscoped compare would silently skip genuinely new
+    batches). The gram store itself is read-only here — only
+    ``plans.pipelines.register_benchmark_epoch`` writes it.
+
+    O(delta) commit discipline: the verdict ledger grows with the
+    corpus, so the common path (all-new doc ids) appends ONLY the
+    batch's verdict segment (``TableStore.append_epoch``), never a
+    ledger rewrite. Re-screened documents whose verdict CHANGED (a
+    file re-send after the gram store grew between runs) take the
+    rare keyed-rewrite fallback so ``doc`` stays unique; an identical
+    re-send contributes no delta at all."""
     from ..operators.dedup import decontaminate_vs_store
     from ..operators.merge import upsert
+    from .events import checkpoint_identity
 
     grams = store.read(gram_table)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if (
-            store.exists(verdict_table)
-            and store.properties(verdict_table).get("last_epoch", -1)
-            >= epoch_id
-        ):
+        scope = checkpoint_identity(checkpoint_dir)
+        if store.epoch_seen(verdict_table, epoch_id, scope):
             return
         verdicts = decontaminate_vs_store(
             batch_df, grams, text_col, id_col, n=n
         )
-        if store.exists(verdict_table):
-            merged = upsert(store.read(verdict_table), verdicts, ["doc"])
+        if not store.exists(verdict_table):
+            store.commit_epoch(verdict_table, verdicts, epoch_id, scope=scope)
+            return
+        existing = store.read(verdict_table)
+        verdicts = verdicts.select(*existing.columns).localCheckpoint()
+        # rows for already-verdicted docs whose VALUES changed — the
+        # only case needing a rewrite (gram-store growth between runs
+        # plus a re-sent file); identical re-sends cancel in exceptAll
+        changed = verdicts.exceptAll(existing).join(
+            existing, ["doc"], "left_semi"
+        )
+        if changed.isEmpty():
+            delta = verdicts.join(existing, ["doc"], "left_anti")
+            store.append_epoch(verdict_table, delta, epoch_id, scope=scope)
         else:
-            merged = verdicts
-        store.commit_epoch(verdict_table, merged, epoch_id)
+            merged = upsert(existing, verdicts, ["doc"])
+            store.commit_epoch(verdict_table, merged, epoch_id, scope=scope)
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -10,6 +10,8 @@ windows for late data, and batch/stream-parity sessionization.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -248,6 +250,30 @@ def sessionize_batch_dynamic(df: DataFrame, gap_us_expr) -> DataFrame:
     )
 
 
+def checkpoint_identity(checkpoint_dir: str) -> str:
+    """Stable identity of a streaming checkpoint: the query id Spark
+    persists in ``<checkpoint>/metadata`` at first start — constant
+    across restarts of the SAME checkpoint (where epoch replays can
+    genuinely occur), regenerated whenever the checkpoint is created
+    fresh, even at the same path. This is what store epoch watermarks
+    must be scoped by: epoch ids are checkpoint-relative (a fresh
+    checkpoint renumbers from 0), so an unscoped watermark would
+    silently skip new micro-batches after a checkpoint reset — the
+    ``txnAppId`` half of Delta's idempotent-sink recipe. Falls back
+    to the absolute path when the metadata file isn't readable
+    (non-local checkpoint stores)."""
+    import json as _json
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            qid = _json.load(f).get("id")
+        if qid:
+            return str(qid)
+    except (OSError, ValueError):
+        pass
+    return os.path.abspath(checkpoint_dir)
+
+
 def stream_upsert_into_store(
     stream: DataFrame,
     store,
@@ -270,12 +296,13 @@ def stream_upsert_into_store(
     from ..operators.merge import upsert
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        scope = checkpoint_identity(checkpoint_dir)
         if not store.exists(table):
             store.create_table(table, batch_df.schema)
-        if store.properties(table).get("last_epoch", -1) >= epoch_id:
+        if store.epoch_seen(table, epoch_id, scope):
             return  # replayed epoch: already fully committed
         merged = upsert(store.read(table), batch_df, keys, staging_order)
-        store.commit_epoch(table, merged, epoch_id)
+        store.commit_epoch(table, merged, epoch_id, scope=scope)
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -295,7 +322,13 @@ def stream_rollup_into_store(stream: DataFrame, store, checkpoint_dir: str) -> N
     from ..plans.rollups import refresh_rollups
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        refresh_rollups(batch_df.sparkSession, store, batch_df, epoch_id=epoch_id)
+        refresh_rollups(
+            batch_df.sparkSession,
+            store,
+            batch_df,
+            epoch_id=epoch_id,
+            epoch_scope=checkpoint_identity(checkpoint_dir),
+        )
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -369,9 +402,10 @@ def stream_scd2_into_store(
                 "snapshot per trigger (maxFilesPerTrigger=1)"
             )
         batch_date = dates[0].isoformat()
+        scope = checkpoint_identity(checkpoint_dir)
         snap = batch_df.drop(date_col)
         if store.exists(table):
-            if store.properties(table).get("last_epoch", -1) >= epoch_id:
+            if store.epoch_seen(table, epoch_id, scope):
                 return  # replayed epoch: already committed
             hist = store.read(table)
         else:
@@ -386,7 +420,7 @@ def stream_scd2_into_store(
             hist = spark.createDataFrame([], hist_schema)
             store.create_table(table, hist_schema)
         evolved = scd2_apply(hist, snap, keys, track_cols, batch_date)
-        store.commit_epoch(table, evolved, epoch_id)
+        store.commit_epoch(table, evolved, epoch_id, scope=scope)
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -172,3 +172,18 @@ def test_v10_waterfall_fills_the_budget_exactly(v10_rows):
     total_surv = sum(r["n_survivors"] for r in v10_rows)
     budget = total_surv // 2
     assert sum(r["n_kept"] for r in v10_rows) == min(budget, total_surv)
+
+
+def test_weighted_quotas_rejects_negative_and_non_integer():
+    """r12 advice: a negative weight would floor-divide toward -inf
+    (negative quotas, desynced from the DuckDB twin's //); validate
+    at entry like ridge_fit_multi validates lam."""
+    import pytest
+
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_quotas({"a": -1, "b": 2}, 10)
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_quotas({"a": 1.5}, 10)
+    with pytest.raises(ValueError, match="budget"):
+        weighted_quotas({"a": 1}, 10.0)
+    assert weighted_quotas({"a": 0, "b": 0}, 10) == {"a": 0, "b": 0}

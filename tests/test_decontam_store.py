@@ -132,3 +132,120 @@ def test_stream_screen_matches_batch_and_is_exactly_once(spark, store, tmp_path)
         str(tmp_path / "ck2"),
     )
     assert store.read("verdicts").count() == len(got)
+
+
+def test_stream_screen_fresh_checkpoint_new_files_not_skipped(
+    spark, store, tmp_path
+):
+    """The r12-advice data-loss scenario: a FRESH checkpoint pointed
+    at a staging dir that accumulated new files. Epoch ids restart at
+    0; an unscoped watermark would skip the new batches silently. The
+    checkpoint-scoped watermark screens them; replayed files re-screen
+    to identical verdicts and contribute no delta."""
+    from databridge_etl_tools_spark.streaming.curation import (
+        DOC_SCHEMA,
+        decontam_stream_screen,
+        read_document_stream,
+    )
+
+    register_benchmark_epoch(store, "bench", _bench(spark, 0, 40), epoch_id=0)
+    all_docs = table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staging = tmp_path / "stage"
+    all_docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 350)
+    ).coalesce(1).write.mode("overwrite").parquet(str(staging / "f1"))
+
+    decontam_stream_screen(
+        read_document_stream(spark, str(staging) + "/*", DOC_SCHEMA),
+        store,
+        "bench",
+        "verdicts",
+        str(tmp_path / "ck1"),
+    )
+    n1 = store.read("verdicts").count()
+    assert n1 == 50
+
+    # new file lands, then a FRESH checkpoint drains the directory
+    all_docs.filter(
+        (F.col("doc_id") >= 350) & (F.col("doc_id") < 400)
+    ).coalesce(1).write.mode("overwrite").parquet(str(staging / "f2"))
+    decontam_stream_screen(
+        read_document_stream(spark, str(staging) + "/*", DOC_SCHEMA),
+        store,
+        "bench",
+        "verdicts",
+        str(tmp_path / "ck_fresh"),
+    )
+    verdicts = store.read("verdicts")
+    assert verdicts.count() == 100, "new file was skipped by a stale watermark"
+    assert (
+        verdicts.groupBy("doc").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_stream_screen_common_path_appends_delta_segments(
+    spark, store, tmp_path
+):
+    """O(delta) discipline: all-new doc batches APPEND verdict
+    segments (manifest segment list grows), never rewrite the
+    accumulated ledger — and a re-send whose verdict CHANGED (gram
+    store grew between runs) takes the keyed-rewrite fallback,
+    keeping ``doc`` unique with the updated verdict."""
+    from databridge_etl_tools_spark.streaming.curation import (
+        DOC_SCHEMA,
+        decontam_stream_screen,
+        read_document_stream,
+    )
+
+    register_benchmark_epoch(store, "bench", _bench(spark, 0, 10), epoch_id=0)
+    all_docs = table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staging = tmp_path / "stage"
+    for i, (lo, hi) in enumerate([(300, 330), (330, 360)]):
+        all_docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(staging / f"f{i}")
+        )
+        decontam_stream_screen(
+            read_document_stream(spark, str(staging) + "/*", DOC_SCHEMA),
+            store,
+            "bench",
+            "verdicts",
+            str(tmp_path / f"ck{i}"),
+        )
+    segs = store._segments("verdicts")
+    assert len(segs) >= 2, "second batch rewrote the ledger instead of appending"
+    assert store.read("verdicts").count() == 60
+
+    # grow the gram store so a re-sent doc's verdict changes → the
+    # rare keyed-rewrite fallback fires and updates in place
+    before = {
+        r["doc"]: r["clean"] for r in store.read("verdicts").collect()
+    }
+    register_benchmark_epoch(
+        store,
+        "bench",
+        all_docs.filter(
+            (F.col("doc_id") >= 300) & (F.col("doc_id") < 330)
+        ).select("doc_id", "text"),
+        epoch_id=1,
+    )
+    decontam_stream_screen(
+        read_document_stream(spark, str(staging) + "/*", DOC_SCHEMA),
+        store,
+        "bench",
+        "verdicts",
+        str(tmp_path / "ck_rescreen"),
+    )
+    verdicts = store.read("verdicts")
+    assert verdicts.count() == 60
+    assert (
+        verdicts.groupBy("doc").count().filter(F.col("count") > 1).count() == 0
+    )
+    after = {r["doc"]: r["clean"] for r in verdicts.collect()}
+    flipped = {d for d in before if before[d] and not after[d]}
+    assert flipped, "re-screen against the grown gram store changed no verdict"

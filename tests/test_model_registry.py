@@ -118,3 +118,104 @@ def test_lid_stream_equals_batch(spark, tmp_path, fitted):
     truth = {r["doc_id"]: r["lang"] for r in docs.collect()}
     agree = sum(1 for k, (p, _) in got.items() if p == truth[k])
     assert agree / len(got) >= 0.95
+
+
+def test_lid_stream_preserves_subtrigram_docs_as_abstain(
+    spark, tmp_path, fitted
+):
+    """Row-preservation contract (r12 advice): documents too short to
+    carry a trigram must NOT vanish from the scored stream — they
+    come through with pred_lang NULL / confident false so the
+    abstain/quarantine path sees them."""
+    docs = spark.createDataFrame(
+        [
+            (1, "ab", "en", "s", 2),
+            (2, None, "en", "s", 0),
+            (3, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    staging = str(tmp_path / "stage")
+    docs.coalesce(1).write.mode("overwrite").parquet(staging)
+    store = TableStore(spark, str(tmp_path / "reg"))
+    save_models(store, "models", "lid_v1", fitted)
+    models = load_models(store, "models", "lid_v1")
+
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["confident"])
+        for r in C.lid_score_stream(
+            docs, models, margin_threshold=0.25
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}, "short/null docs dropped from scored stream"
+    assert got[1] == (None, False)
+    assert got[2] == (None, False)
+    assert got[3][0] is not None
+
+    # no-margin variant: short docs still present, pred NULL
+    got2 = {
+        r["doc_id"]: r["pred_lang"]
+        for r in C.lid_score_stream(docs, models).collect()
+    }
+    assert set(got2) == {1, 2, 3} and got2[1] is None
+
+
+def test_loaded_models_score_identically_across_session_boundary(
+    spark, tmp_path, fitted
+):
+    """The registry's reason to exist: a model saved in THIS session
+    must score bit-identically when loaded by a DIFFERENT process
+    with its own fresh SparkSession (train-offline/score-online).
+    The subprocess loads the heads from the on-disk store, scores a
+    fixed doc slice, and writes its predictions; we compare against
+    the fitted heads' predictions here."""
+    import subprocess
+    import sys
+
+    store = TableStore(spark, str(tmp_path / "reg"))
+    save_models(store, "models", "lid_v1", fitted)
+    cols = [f"_s_{lg}" for lg in LANGS]
+    docs = plant_markers(
+        table(spark, SF, "documents").filter(F.col("doc_id") < 100)
+    ).select("doc_id", "text")
+    want = {
+        r["doc_id"]: r["p"]
+        for r in char_trigram_features(docs)
+        .select("doc_id", *lid_score_cols(fitted))
+        .select("doc_id", lid_predict_col(cols).alias("p"))
+        .collect()
+    }
+    out = tmp_path / "preds"
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+spark = SparkSession.builder.master("local[4]").getOrCreate()
+from databridge_etl_tools_spark.operators.lid import (
+    LANGS, char_trigram_features, lid_predict_col, lid_score_cols,
+    plant_markers,
+)
+from databridge_etl_tools_spark.operators.models import load_models
+from databridge_etl_tools_spark.registry import table
+from databridge_etl_tools_spark.sources.table_store import TableStore
+
+models = load_models(TableStore(spark, {str(tmp_path / "reg")!r}), "models", "lid_v1")
+docs = plant_markers(
+    table(spark, {SF!r}, "documents").filter(F.col("doc_id") < 100)
+).select("doc_id", "text")
+cols = [f"_s_{{lg}}" for lg in LANGS]
+(
+    char_trigram_features(docs)
+    .select("doc_id", *lid_score_cols(models))
+    .select("doc_id", lid_predict_col(cols).alias("p"))
+    .write.mode("overwrite").parquet({str(out)!r})
+)
+"""
+    subprocess.run(
+        [sys.executable, "-c", script], check=True, capture_output=True
+    )
+    got = {
+        r["doc_id"]: r["p"] for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want and len(got) == 100

@@ -83,18 +83,53 @@ def test_replay_and_restart_never_double_insert(spark, tmp_path):
     # same checkpoint, no new files: no batches fire at all
     minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck1"))
     assert store.read("sigs").count() == n1
-
-    # FRESH checkpoint, same staged files: epoch ids restart at 0,
-    # the store watermark rejects them before any write
-    minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck2"))
-    assert store.read("sigs").count() == n1
     assert store.properties("sigs")["last_epoch"] == last
 
-    # new files under the original checkpoint continue the epochs and
-    # are screened against the existing survivors
+    # FRESH checkpoint, same staged files: epoch ids restart at 0
+    # under a NEW scope, so the batches process (never mistaken for
+    # replays) — and the content screen makes them no-ops: every doc
+    # is dup-of-store, nothing re-inserts
+    kept_before = _kept_ids(store, "sigs")
+    minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck2"))
+    assert _kept_ids(store, "sigs") == kept_before
+    assert store.read("sigs").count() == n1
+
+    # new files under the original checkpoint continue its epochs
+    # (scope flips back to ck1's identity) and are screened against
+    # the existing survivors
     _stage(spark, stage, 100, 200, "f2")
     minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck1"))
     n2 = store.read("sigs").count()
     assert n2 > n1
     ids = _kept_ids(store, "sigs")
     assert all(0 <= i < 200 for i in ids)
+
+
+def test_fresh_checkpoint_with_new_files_is_not_data_loss(spark, tmp_path):
+    """THE r12-advice scenario: a fresh checkpoint pointed at a
+    staging dir that accumulated NEW files since the last run. Epoch
+    ids restart at 0, so an UNSCOPED watermark would satisfy
+    last_epoch >= epoch_id and silently drop the new files — data
+    loss, not replay suppression. The checkpoint-scoped watermark
+    processes them; the replayed old files are fenced by content."""
+    stage = tmp_path / "stage"
+    _stage(spark, stage, 0, 100, "f1")
+    store = TableStore(spark, str(tmp_path / "store"))
+    src = read_document_stream(spark, str(stage) + "/*", DOC_SCHEMA)
+
+    minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck1"))
+    n1 = store.read("sigs").count()
+    assert n1 > 0
+
+    # new docs staged, then a DIFFERENT (fresh) checkpoint drains
+    _stage(spark, stage, 100, 200, "f2")
+    minhash_stream_into_store(src, store, "sigs", str(tmp_path / "ck_fresh"))
+    ids = _kept_ids(store, "sigs")
+    assert any(i >= 100 for i in ids), (
+        "new files staged before a fresh-checkpoint run were "
+        "silently skipped by a stale epoch watermark"
+    )
+    # and the replayed f1 docs did not double-insert
+    assert store.read("sigs").groupBy("doc").count().filter(
+        F.col("count") > 1
+    ).count() == 0
