@@ -51,6 +51,7 @@ def link_records(
     block_suffix: int = 2,
     max_edit: int = 1,
     iters: int = 6,
+    max_block: "int | None" = 10_000,
 ) -> DataFrame:
     """Rule-based linkage over a record table: returns the match-pair
     transitive closure as ``(node, label)`` (label = entity id = the
@@ -68,7 +69,15 @@ def link_records(
 
     Scale shape: one map-side block projection, one (block, attrs)
     equi-join whose condition embeds the edit-distance test, then
-    the component fixpoint's one join + one min-agg per round."""
+    the component fixpoint's one join + one min-agg per round.
+
+    HOT-BLOCK GUARD (``max_block``): the pair join is quadratic
+    WITHIN a block, so one skewed block (a dominant name prefix — an
+    empty/placeholder name, a franchise brand) silently turns the
+    bounded Σ block² cost into ~n²/2 comparisons. A bounded probe
+    (one (block, attrs)-keyed count, top-1 collected) raises with
+    remediation before the join runs; ``max_block=None`` opts out
+    when the skew is intended."""
     if max_edit < 0 or block_suffix < 1:
         raise ValueError(
             f"link_records: need max_edit >= 0 and block_suffix >= 1, "
@@ -82,6 +91,26 @@ def link_records(
             ),
         )
     )
+    if max_block is not None:
+        hot = (
+            blocked.groupBy("block", *[F.col(at) for at in attrs])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("block"))
+            .limit(1)
+            .collect()
+        )
+        if hot and hot[0]["n"] > max_block:
+            h = hot[0]
+            raise ValueError(
+                f"link_records: hot block {h['block']!r} x "
+                f"{ {at: h[at] for at in attrs} } holds {h['n']} records "
+                f"(> max_block={max_block}); the in-block pair join is "
+                f"quadratic (~{h['n'] * (h['n'] - 1) // 2} candidate "
+                f"comparisons). Remediate: lower block_suffix (keeps more "
+                f"of the name in the blocking prefix), add discriminating "
+                f"attrs, pre-split/salt the hot block, or raise max_block "
+                f"if the skew is intended."
+            )
     a, b = blocked.alias("a"), blocked.alias("b")
     cond = (F.col("a.block") == F.col("b.block"))
     for at in attrs:

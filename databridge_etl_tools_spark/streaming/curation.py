@@ -355,3 +355,61 @@ def decontam_stream_screen(
         .start()
     )
     q.awaitTermination()
+
+
+def lid_stream_into_store(
+    stream: DataFrame,
+    models: "list[dict]",
+    store,
+    scored_table: str,
+    quarantine_table: str,
+    checkpoint_dir: str,
+    *,
+    margin_threshold: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming LID scoring with abstain TRIAGE: confident
+    predictions land in ``scored_table``; low-margin and sub-trigram
+    documents land in ``quarantine_table`` instead of being dropped —
+    the K7 error-row pattern (don't guess, don't lose: stage the
+    abstained rows for human or better-model triage, exactly what
+    production pipelines do with fastText low-confidence scores).
+
+    Each micro-batch commits BOTH tables under the checkpoint-scoped
+    exactly-once epoch contract, independently fenced: a crash
+    between the two commits replays the epoch, the already-committed
+    table skips, the lagging one catches up — and the doc-keyed
+    upsert makes any cross-run re-send overwrite rather than
+    duplicate. ``availableNow`` drain == batch split, pinned in
+    ``tests/test_model_registry.py``."""
+    from ..operators.merge import upsert
+    from .events import checkpoint_identity
+
+    scored = lid_score_stream(
+        stream, models, text_col=text_col, margin_threshold=margin_threshold
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        scope = checkpoint_identity(checkpoint_dir)
+        batch = batch_df.localCheckpoint()
+        parts = [
+            (scored_table, batch.filter(F.col("confident"))),
+            (quarantine_table, batch.filter(~F.col("confident"))),
+        ]
+        for tbl, part in parts:
+            if store.epoch_seen(tbl, epoch_id, scope):
+                continue
+            if not store.exists(tbl):
+                store.commit_epoch(tbl, part, epoch_id, scope=scope)
+                continue
+            merged = upsert(store.read(tbl), part, [id_col])
+            store.commit_epoch(tbl, merged, epoch_id, scope=scope)
+
+    q = (
+        scored.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

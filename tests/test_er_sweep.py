@@ -108,3 +108,24 @@ def test_knob_trade_on_planted_duplicates(spark):
     p2, r2 = _prf(loose, recs, truth)
     assert r2 == 1.0
     assert p2 <= p1  # looser rule can only lose precision
+
+
+def test_hot_block_guard_raises_actionably(spark):
+    """A planted dominant block (one name prefix × identical attrs)
+    must raise BEFORE the quadratic pair join runs, naming the block
+    and the remediation knobs; normal paths are untouched."""
+    import pytest
+
+    rows = [(i, "Customer#0001", "AUTO", "US") for i in range(50)] + [
+        (100 + i, f"Distinct#{i:04d}", "AUTO", "US") for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, name string, seg string, nat string"
+    )
+    with pytest.raises(ValueError, match="hot block"):
+        link_records(df, max_block=20)
+    # same data under the default threshold (or opted out): runs fine
+    out = link_records(df, max_block=None)
+    assert out.count() > 0
+    labels = {r["node"]: r["label"] for r in out.collect()}
+    assert all(v == 0 for k, v in labels.items() if k < 100)

@@ -219,3 +219,70 @@ cols = [f"_s_{{lg}}" for lg in LANGS]
         r["doc_id"]: r["p"] for r in spark.read.parquet(str(out)).collect()
     }
     assert got == want and len(got) == 100
+
+
+def test_lid_stream_quarantines_abstained_rows_exactly_once(
+    spark, tmp_path, fitted
+):
+    """Abstain telemetry (K7 pattern): low-margin + sub-trigram docs
+    land in the quarantine store table, confident docs in the scored
+    table, the split is exhaustive, and a fresh-checkpoint replay
+    never duplicates either side."""
+    store = TableStore(spark, str(tmp_path / "reg"))
+    save_models(store, "models", "lid_v1", fitted)
+    models = load_models(store, "models", "lid_v1")
+
+    docs = plant_markers(
+        table(spark, SF, "documents").filter(F.col("doc_id") < 150)
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    shorts = spark.createDataFrame(
+        [(9001, "ab", "en", "s", 2), (9002, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    staged = docs.unionByName(shorts)
+    staging = str(tmp_path / "stage")
+    staged.coalesce(2).write.mode("overwrite").parquet(staging)
+
+    # a high margin forces a real abstained population
+    thr = 0.5
+    C.lid_stream_into_store(
+        C.read_document_stream(spark, staging),
+        models,
+        store,
+        "lid_scored",
+        "lid_quarantine",
+        str(tmp_path / "ck1"),
+        margin_threshold=thr,
+    )
+    scored = {r["doc_id"] for r in store.read("lid_scored").collect()}
+    quar = {r["doc_id"] for r in store.read("lid_quarantine").collect()}
+    assert scored | quar == {r["doc_id"] for r in staged.collect()}
+    assert scored.isdisjoint(quar)
+    assert {9001, 9002} <= quar, "sub-trigram docs must be quarantined"
+    q_rows = {
+        r["doc_id"]: (r["pred_lang"], r["confident"])
+        for r in store.read("lid_quarantine").collect()
+    }
+    assert q_rows[9001] == (None, False)
+    # batch twin: same split
+    want = C.lid_score_stream(staged, models, margin_threshold=thr)
+    want_q = {
+        r["doc_id"] for r in want.filter(~F.col("confident")).collect()
+    }
+    assert quar == want_q
+
+    # fresh checkpoint, same files: content-keyed upsert, no dupes
+    n_s, n_q = store.read("lid_scored").count(), store.read(
+        "lid_quarantine"
+    ).count()
+    C.lid_stream_into_store(
+        C.read_document_stream(spark, staging),
+        models,
+        store,
+        "lid_scored",
+        "lid_quarantine",
+        str(tmp_path / "ck2"),
+        margin_threshold=thr,
+    )
+    assert store.read("lid_scored").count() == n_s
+    assert store.read("lid_quarantine").count() == n_q
