@@ -77,96 +77,82 @@ DRIVER_GATE_WINDOW = 50
 #: registration so the per-query ``gate=`` default stays the stable
 #: tier and this overlay stays one auditable per-round edit.
 #:
-#: r12 cohort — GENERATED, not hand-counted: run
+#: r13 cohort — GENERATED, not hand-counted: run
 #:   python tools/gate_coverage.py --suggest
 #: which ranks the oracle catalog by (never-driver-green first, then
 #: ascending last_green_round, green_count, name) from the actual
-#: CORRECTNESS_r*.json records, and emits exactly this window. The r12
-#: window = the 15 never-driver-verified r11 entries (quality classifier
-#: + curation v6/v7, incremental dedup, k-center coreset, the five new
-#: graph members, entity resolution, audio near-dup, CCNet terciles,
-#: zipf/entropy) + the aging greens=1 last-green-r8 cohort plus the
-#: last-green-r7 stragglers (greens ascending). IN holds the members of
-#: that window whose registration default is overflow; OUT parks every
-#: stable-tier (gate=True) query not in the window. Both sets verified
-#: programmatically:
-#: (oracle − ((default_overflow − IN) ∪ OUT)) == suggest() window.
-#: New r12 queries register gate=False and queue for r13.
+#: CORRECTNESS_r*.json records, and emits exactly this window. The r13
+#: window = the 8 never-driver-verified entries (the seven r12 builds —
+#: LID eval + confidence bands, curation v8/v9/v10, incremental
+#: decontam, waterfall quotas — plus this round's registry-backed v10)
+#: + the aging last-green-r8 cohort + the last-green-r9 tail (greens
+#: ascending). IN holds the members of that window whose registration
+#: default is overflow; OUT parks every stable-tier (gate=True) query
+#: not in the window. Both sets verified programmatically:
+#: (oracle − ((default_overflow − IN) ∪ OUT)) == suggest() window
+#: (computed from _QUERY_MODULES imports BEFORE the overlay mutates
+#: OVERFLOW — the r12 pitfall). New r13 queries register gate=False
+#: and queue for r14.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        "ann_topk_vectorized",
-        "contamination_report",
-        "coreset_kcenter_embeddings",
-        "corpus_curation_v3",
-        "corpus_curation_v6",
-        "corpus_curation_v7",
-        "dedup_incremental_vs_store",
-        "dedup_keep_best",
-        "dedup_shared_spans",
-        "dedup_spans_removed",
-        "doc_gram_novelty",
-        "documents_column_profile",
-        "emb_standardize_dims",
-        "epoch_shuffle_shards",
-        "er_customer_entities",
-        "events_daily_delta_trend",
-        "events_trending_types",
-        "events_value_winsorized_by_type",
-        "gram_duplication_census",
-        "graph_coreness_census",
-        "graph_harmonic_sampled",
-        "graph_kcore_suppliers",
-        "graph_score_suppliers",
-        "graph_trustrank_seeded",
-        "length_percentile_filter",
-        "max_concurrent_sessions",
-        "mixture_epoch_plan",
-        "mm_audio_neardup",
-        "paired_text_embedding",
-        "quality_classifier_score",
-        "reranker_training_triplets",
-        "sample_weighted_length",
-        "scd2_point_in_time",
-        "sketch_countmin_topk",
-        "source_dup_matrix",
-        "source_token_entropy",
-        "source_zipf_alpha",
-        "text_ccnet_perplexity_buckets",
-        "text_clean_normalize",
-        "text_heavy_hitters_by_lang",
-        "theil_sen_daily_trend",
-        "token_budget_shards_by_source",
-        "token_lang_chi2_topk",
-        "tokenizer_fertility_by_source",
-        "ttr_length_correlation_by_source",
-        "user_daily_features",
-        "user_event_sequences",
-        "vocab_encode_documents",
-        "volume_shipping",
+        "ann_ivf_kmeans",
+        "ann_pq_adc",
+        "asof_attribution_window",
+        "boilerplate_prefix_clusters",
+        "bpe_learn_merges",
+        "bpe_learn_merges_words",
+        "bracket_revenue",
+        "chunk_dedup_reassembled",
+        "chunk_dedup_segments",
+        "chunk_documents_windows",
+        "corpus_curation_v10",
+        "corpus_curation_v10_registry",
+        "corpus_curation_v8",
+        "corpus_curation_v9",
+        "curriculum_schedule",
+        "decontam_incremental_vs_store",
+        "events_markov_transitions",
+        "events_value_equidepth",
+        "geom_kind_census",
+        "join_cardinality_estimate",
+        "join_skew_diagnostics",
+        "kwic_concordance",
+        "layout_curve_codes",
+        "layout_hilbert3_codes",
+        "lid_confidence_bands",
+        "lid_predict_eval",
+        "median_doc_length",
+        "prepare_cell_cleanup",
+        "prepare_header_normalize",
+        "quota_waterfall_sources",
+        "sketch_kmv_distinct",
+        "sketch_quantile_rollup",
+        "stratified_split_exact",
+        "text_keywords_tfidf",
+        "text_lm_bigram_score",
+        "text_pmi_collocations",
+        "token_odds_ratio_langs",
+        "tz_carto_midnight",
+        "user_activity_anomalies",
+        "user_activity_anomalies_mad",
+        "user_retention_cohorts",
+        "vocab_growth_curve",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
-        "above_customer_average",
         "ann_cosine_topk",
         "ann_ivf_label",
-        "ann_lsh_bucketed",
         "asof_purchase_last_view",
-        "cube_flag_status",
         "customer_order_distribution",
         "dedup_components",
         "dedup_exact",
-        "dedup_fuzzy_levenshtein",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs",
         "dedupe_events_by_user",
         "delete_stale",
-        "emb_neardup_pairs",
-        "events_hourly_rollup",
-        "events_json_props",
         "events_sessionize",
-        "exact_percentiles",
         "filter_project",
         "forecast_revenue",
         "forest_part_suppliers",
@@ -187,6 +173,7 @@ GATE_ROTATE_OUT: frozenset[str] = frozenset(
         "region_revenue",
         "rollup_region_nation",
         "scan_probes",
+        "semdedup_keep",
         "set_ops",
         "shipping_priority",
         "skew_salted_agg",
