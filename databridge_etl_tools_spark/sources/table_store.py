@@ -433,6 +433,58 @@ class TableStore:
         )
         return True
 
+    def upsert_epoch(
+        self,
+        table: str,
+        batch: DataFrame,
+        keys: "list[str]",
+        epoch_id: int,
+        scope: "str | None" = None,
+        staging_order: "list | None" = None,
+    ) -> bool:
+        """Keyed exactly-once upsert with the O(delta) fast path — the
+        commit every keyed streaming sink should use. When the batch
+        carries only NEW keys (the common ingest case) and no
+        intra-batch key collisions, only the batch's rows append as a
+        delta segment (:meth:`append_epoch` — per-batch cost = the
+        batch, not the table). A re-sent key whose row CHANGED, an
+        intra-batch duplicate key, or a ``staging_order`` tiebreak
+        falls back to the full keyed rewrite (``merge.upsert``), so
+        key uniqueness and last-write-wins semantics are identical to
+        the rewrite path in every case; an identical re-send
+        contributes no delta at all. Returns False on a replayed
+        ``(scope, epoch_id)``."""
+        from pyspark.sql import functions as F
+
+        from ..operators.merge import upsert
+
+        if self.epoch_seen(table, epoch_id, scope):
+            return False
+        if not self.exists(table):
+            return self.commit_epoch(table, batch, epoch_id, scope=scope)
+        existing = self.read(table)
+        batch = batch.select(*existing.columns).localCheckpoint()
+        slow = staging_order is not None
+        if not slow:
+            slow = (
+                batch.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+                > 0
+            )
+        if not slow:
+            changed = batch.exceptAll(existing).join(
+                existing, keys, "left_semi"
+            )
+            slow = not changed.isEmpty()
+        if slow:
+            merged = upsert(existing, batch, keys, staging_order)
+            return self.commit_epoch(table, merged, epoch_id, scope=scope)
+        delta = batch.join(existing, keys, "left_anti")
+        return self.append_epoch(table, delta, epoch_id, scope=scope)
+
     def enforce_privacy(self, table: str) -> str:
         """Carto privacy enforcement (carto_.py:461-492): derive the
         dataset privacy from the recorded SELECT grants — PUBLIC only

@@ -318,7 +318,6 @@ def decontam_stream_screen(
     rare keyed-rewrite fallback so ``doc`` stays unique; an identical
     re-send contributes no delta at all."""
     from ..operators.dedup import decontaminate_vs_store
-    from ..operators.merge import upsert
     from .events import checkpoint_identity
 
     grams = store.read(gram_table)
@@ -330,23 +329,7 @@ def decontam_stream_screen(
         verdicts = decontaminate_vs_store(
             batch_df, grams, text_col, id_col, n=n
         )
-        if not store.exists(verdict_table):
-            store.commit_epoch(verdict_table, verdicts, epoch_id, scope=scope)
-            return
-        existing = store.read(verdict_table)
-        verdicts = verdicts.select(*existing.columns).localCheckpoint()
-        # rows for already-verdicted docs whose VALUES changed — the
-        # only case needing a rewrite (gram-store growth between runs
-        # plus a re-sent file); identical re-sends cancel in exceptAll
-        changed = verdicts.exceptAll(existing).join(
-            existing, ["doc"], "left_semi"
-        )
-        if changed.isEmpty():
-            delta = verdicts.join(existing, ["doc"], "left_anti")
-            store.append_epoch(verdict_table, delta, epoch_id, scope=scope)
-        else:
-            merged = upsert(existing, verdicts, ["doc"])
-            store.commit_epoch(verdict_table, merged, epoch_id, scope=scope)
+        store.upsert_epoch(verdict_table, verdicts, ["doc"], epoch_id, scope=scope)
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -383,7 +366,6 @@ def lid_stream_into_store(
     upsert makes any cross-run re-send overwrite rather than
     duplicate. ``availableNow`` drain == batch split, pinned in
     ``tests/test_model_registry.py``."""
-    from ..operators.merge import upsert
     from .events import checkpoint_identity
 
     scored = lid_score_stream(
@@ -398,13 +380,7 @@ def lid_stream_into_store(
             (quarantine_table, batch.filter(~F.col("confident"))),
         ]
         for tbl, part in parts:
-            if store.epoch_seen(tbl, epoch_id, scope):
-                continue
-            if not store.exists(tbl):
-                store.commit_epoch(tbl, part, epoch_id, scope=scope)
-                continue
-            merged = upsert(store.read(tbl), part, [id_col])
-            store.commit_epoch(tbl, merged, epoch_id, scope=scope)
+            store.upsert_epoch(tbl, part, [id_col], epoch_id, scope=scope)
 
     q = (
         scored.writeStream.foreachBatch(handle)

@@ -292,17 +292,18 @@ def stream_upsert_into_store(
     versioned store.
 
     Runs with availableNow (drain-what-is-staged, then stop): the
-    batch-ish mode an S3-staging ingest job uses."""
-    from ..operators.merge import upsert
+    batch-ish mode an S3-staging ingest job uses. Commits through
+    ``TableStore.upsert_epoch``: all-new-key batches append O(delta)
+    segments; re-sent/changed keys take the keyed-rewrite fallback."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         scope = checkpoint_identity(checkpoint_dir)
         if not store.exists(table):
             store.create_table(table, batch_df.schema)
-        if store.epoch_seen(table, epoch_id, scope):
-            return  # replayed epoch: already fully committed
-        merged = upsert(store.read(table), batch_df, keys, staging_order)
-        store.commit_epoch(table, merged, epoch_id, scope=scope)
+        store.upsert_epoch(
+            table, batch_df, keys, epoch_id, scope=scope,
+            staging_order=staging_order,
+        )
 
     q = (
         stream.writeStream.foreachBatch(handle)

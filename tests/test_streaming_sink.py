@@ -338,3 +338,43 @@ def test_dedupe_stream_drops_cross_batch_duplicates(spark, tmp_path):
         for r in b0.unionByName(b1).dropDuplicates(["event_id"]).collect()
     }
     assert set(got) == want
+
+
+def test_upsert_epoch_appends_delta_and_falls_back_on_change(spark, tmp_path):
+    """TableStore.upsert_epoch O(delta) contract: all-new-key batches
+    append segments (cost = the batch, not the table); identical
+    re-sends add nothing; a changed row or intra-batch duplicate key
+    takes the keyed-rewrite fallback with identical final state."""
+    store = TableStore(spark, str(tmp_path / "store"))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert store.upsert_epoch("t", b1, ["k"], 0, scope="s1") is True
+
+    # new keys only: delta segment appended
+    b2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    assert store.upsert_epoch("t", b2, ["k"], 1, scope="s1") is True
+    assert len(store._segments("t")) == 2
+    assert store.read("t").count() == 3
+
+    # replayed (scope, epoch): rejected before any write
+    assert store.upsert_epoch("t", b2, ["k"], 1, scope="s1") is False
+    # same epoch id under a DIFFERENT scope: processed (identical
+    # re-send -> no delta rows, but the watermark advances)
+    assert store.upsert_epoch("t", b2, ["k"], 1, scope="s2") is True
+    assert store.read("t").count() == 3
+
+    # changed value for an existing key: keyed-rewrite fallback
+    b3 = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    assert store.upsert_epoch("t", b3, ["k"], 2, scope="s2") is True
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    # intra-batch duplicate key: routed to the rewrite path, where
+    # staging_order defines deterministic first-wins (the house
+    # upsert contract — without an order, duplicates pass through
+    # exactly as merge.upsert documents)
+    b4 = spark.createDataFrame([(5, "e"), (5, "E")], "k long, v string")
+    store.upsert_epoch("t", b4, ["k"], 3, scope="s2", staging_order=["v"])
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[5] == "E" and len(got) == 5
+    dup = store.read("t").groupBy("k").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
