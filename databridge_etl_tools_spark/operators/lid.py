@@ -175,17 +175,30 @@ def lid_fit(
     cap: int = DEFAULT_CAP,
     lam: int = 1,
     holdout_mod: int = 5,
+    feats: "DataFrame | None" = None,
 ) -> list[dict]:
     """Fit the L one-vs-rest heads on the TRAINING slice (``doc_id %
     holdout_mod != 0`` — the held-out complement is the honest eval
     set): plant markers → char-trigram features → one shared Arrow
     moments pass → one shared integer elimination. Returns one model
     dict per language in ``LANGS`` order (broadcast-safe plain
-    Python values)."""
-    train = plant_markers(
-        docs.filter(F.col(id_col) % holdout_mod != 0), text_col, lang_col
-    )
-    feats = char_trigram_features(train, text_col, d=d, cap=cap)
+    Python values).
+
+    ``feats``: optionally the PRE-FEATURIZED planted corpus
+    (``char_trigram_features(plant_markers(docs), d=d, cap=cap)``,
+    ideally materialized) so fit and whole-corpus scoring SHARE one
+    featurize pass — the featurizer is per-row map work, so filtering
+    the shared frame to the train slice is row-identical to
+    featurizing the filtered slice; callers that fit AND score
+    (curation v9/v10, the LID report queries) halve the interpreted-
+    HOF hashing cost this way."""
+    if feats is not None:
+        feats = feats.filter(F.col(id_col) % holdout_mod != 0)
+    else:
+        train = plant_markers(
+            docs.filter(F.col(id_col) % holdout_mod != 0), text_col, lang_col
+        )
+        feats = char_trigram_features(train, text_col, d=d, cap=cap)
     for lg in LANGS:
         feats = feats.withColumn(
             f"_y_{lg}", (F.col(lang_col) == lg).cast("double")

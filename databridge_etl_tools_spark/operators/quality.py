@@ -157,16 +157,41 @@ def quality_classifier_fit(
     lam: int = 1,
     neg_mod: int = 7,
     min_words: int = 10,
+    feats: "DataFrame | None" = None,
 ) -> dict:
     """Fit the quality model: labeled slice → hashed features → one
     Arrow moments pass → integer ridge solve. Returns the
     ``ridge_fit`` model dict (``b_int`` q30 integer weights +
-    intercept + train rmse) — broadcast-safe plain Python values."""
-    sl = labeled_slice(
-        docs, text_col, id_col, neg_mod=neg_mod, min_words=min_words
+    intercept + train rmse) — broadcast-safe plain Python values.
+
+    ``feats``: optionally the PRE-FEATURIZED raw corpus
+    (``hashed_tf_features(docs, d=d)``, ideally materialized) so fit
+    and scoring SHARE one featurize pass. Positives reuse its rows
+    directly (their text is unmodified — the featurizer is per-row
+    map work, so filtering the shared frame is row-identical to
+    featurizing the filtered slice); negatives (``id % neg_mod = 0``
+    with the junk suffix planted INTO the text) are featurized
+    separately — they must be, the degradation is the training
+    signal. Same rows as the unshared path either way."""
+    if feats is None:
+        sl = labeled_slice(
+            docs, text_col, id_col, neg_mod=neg_mod, min_words=min_words
+        )
+        f = hashed_tf_features(sl, text_col, d=d)
+        return ridge_fit(f, "label", "feat", lam=lam)
+    i = F.col(id_col)
+    g = TS.gopher_rules(text_col, min_words=min_words, min_required_hits=1)
+    pos = feats.filter((i % neg_mod != 0) & g["passes"]).select(
+        F.lit(1.0).alias("label"), "feat"
     )
-    feats = hashed_tf_features(sl, text_col, d=d)
-    return ridge_fit(feats, "label", "feat", lam=lam)
+    neg_docs = docs.filter(i % neg_mod == 0).select(
+        i.alias(id_col),
+        F.concat(F.col(text_col), F.lit(JUNK_SUFFIX)).alias(text_col),
+    )
+    neg = hashed_tf_features(neg_docs, text_col, d=d).select(
+        F.lit(0.0).alias("label"), "feat"
+    )
+    return ridge_fit(neg.unionByName(pos), "label", "feat", lam=lam)
 
 
 def quality_pq_col(model: dict) -> Column:

@@ -237,11 +237,18 @@ def lid_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lid_score_cols,
         plant_markers,
     )
+    from ..operators.materialize import materialize
 
     docs = table(spark, sf_dir, "documents")
-    models = lid_fit(docs, d=D, cap=CAP, lam=LAM, holdout_mod=HOLDOUT_MOD)
-    held = plant_markers(docs.filter(F.col("doc_id") % HOLDOUT_MOD == 0))
-    feats = char_trigram_features(held, d=D, cap=CAP)
+    # one shared featurize pass: the fit slice and the held-out eval
+    # slice are complementary filters of the same planted frame
+    planted = materialize(
+        char_trigram_features(plant_markers(docs), d=D, cap=CAP)
+    )
+    models = lid_fit(
+        docs, d=D, cap=CAP, lam=LAM, holdout_mod=HOLDOUT_MOD, feats=planted
+    )
+    feats = planted.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
     scored = feats.select("lang", *lid_score_cols(models))
     pred = lid_predict_col([f"_s_{lg}" for lg in LANGS])
     return (
@@ -312,10 +319,17 @@ def lid_confidence_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         lid_score_cols,
         plant_markers,
     )
+    from ..operators.materialize import materialize
 
     docs = table(spark, sf_dir, "documents")
-    models = lid_fit(docs, d=D, cap=CAP, lam=LAM, holdout_mod=HOLDOUT_MOD)
-    feats = char_trigram_features(plant_markers(docs), d=D, cap=CAP)
+    # shared featurize: fit reads the train filter of the same
+    # materialized planted frame the whole-corpus scoring reads
+    feats = materialize(
+        char_trigram_features(plant_markers(docs), d=D, cap=CAP)
+    )
+    models = lid_fit(
+        docs, d=D, cap=CAP, lam=LAM, holdout_mod=HOLDOUT_MOD, feats=feats
+    )
     cols = [f"_s_{lg}" for lg in LANGS]
     scored = feats.select("doc_id", *lid_score_cols(models))
     arr = F.array_sort(F.array(*[F.col(c) for c in cols]))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize
 from ..registry import query, table
 from .similarity import _ridge_row_renorm, _tdiv_sql
 from .textops import _TOK
@@ -241,9 +242,14 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    # shared featurize: the fit's positive slice reuses the SAME
+    # materialized corpus features the scoring pass reads (negatives
+    # featurize their degraded text separately - see
+    # quality_classifier_fit)
+    qfeats = materialize(hashed_tf_features(docs, d=D))
+    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     ic = float(model["intercept"])
-    scored = hashed_tf_features(docs, d=D).select(
+    scored = qfeats.select(
         "source", quality_pq_col(model).alias("_pq")
     )
     pred = F.lit(ic) + F.col("_pq").cast("double") / F.lit(_Q50F)
@@ -327,7 +333,12 @@ def corpus_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    # shared featurize: the fit's positive slice reuses the SAME
+    # materialized corpus features the scoring pass reads (negatives
+    # featurize their degraded text separately - see
+    # quality_classifier_fit)
+    qfeats = materialize(hashed_tf_features(docs, d=D))
+    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     ic = float(model["intercept"])
     keepers = (
         docs.groupBy(TS.fingerprint("text").alias("_fp"))
@@ -335,7 +346,7 @@ def corpus_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("u"))
     )
     g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
-    feats = hashed_tf_features(docs, d=D).select(
+    feats = qfeats.select(
         "doc_id",
         "source",
         "lang",
@@ -442,7 +453,6 @@ def corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed-selection descent (no per-language sort) exactly as in
     ``text_ccnet_perplexity_buckets``."""
     from ..operators import textstats as TS
-    from ..operators.materialize import materialize
     from ..operators.orderstats import equi_depth_boundaries_by
     from ..operators.quality import (
         hashed_tf_features,
@@ -452,7 +462,12 @@ def corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import _kn_doc_scores
 
     docs = table(spark, sf_dir, "documents")
-    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    # shared featurize: the fit's positive slice reuses the SAME
+    # materialized corpus features the scoring pass reads (negatives
+    # featurize their degraded text separately - see
+    # quality_classifier_fit)
+    qfeats = materialize(hashed_tf_features(docs, d=D))
+    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     ic = float(model["intercept"])
     keepers = (
         docs.groupBy(TS.fingerprint("text").alias("_fp"))
@@ -460,7 +475,7 @@ def corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("u"))
     )
     g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
-    feats = hashed_tf_features(docs, d=D).select(
+    feats = qfeats.select(
         "doc_id",
         "source",
         "lang",
@@ -660,7 +675,12 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import kmv_minhashes_by, kmv_pair_overlap
 
     docs = table(spark, sf_dir, "documents")
-    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    # shared featurize: the fit's positive slice reuses the SAME
+    # materialized corpus features the scoring pass reads (negatives
+    # featurize their degraded text separately - see
+    # quality_classifier_fit)
+    qfeats = materialize(hashed_tf_features(docs, d=D))
+    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     ic = float(model["intercept"])
     keepers = (
         docs.groupBy(TS.fingerprint("text").alias("_fp"))
@@ -668,7 +688,7 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("u"))
     )
     g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
-    feats = hashed_tf_features(docs, d=D).select(
+    feats = qfeats.select(
         "doc_id",
         "source",
         F.col("_n").alias("n"),
@@ -676,7 +696,6 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_pq_col(model).alias("pq"),
     )
     pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
-    from ..operators.materialize import materialize
 
     flags = materialize(
         feats.join(keepers, "doc_id", "left")
@@ -873,7 +892,6 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         lid_score_cols,
         plant_markers,
     )
-    from ..operators.materialize import materialize
     from ..operators.orderstats import equi_depth_boundaries_by
     from ..operators.quality import (
         hashed_tf_features,
@@ -883,17 +901,29 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import _kn_doc_scores
 
     docs = table(spark, sf_dir, "documents")
-    lid_models = lid_fit(docs, d=16, cap=240, lam=1, holdout_mod=5)
+    # shared featurize: LID fit reads the train filter of the SAME
+    # materialized planted frame the whole-corpus prediction reads
+    # (featurize is per-row map work — row-identical either way)
+    planted = materialize(
+        char_trigram_features(plant_markers(docs), d=16, cap=240)
+    )
+    lid_models = lid_fit(
+        docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
+    )
     pred_tbl = materialize(
-        char_trigram_features(plant_markers(docs))
-        .select("doc_id", *lid_score_cols(lid_models))
+        planted.select("doc_id", *lid_score_cols(lid_models))
         .withColumn(
             "pred_lang",
             lid_predict_col([f"_s_{lg}" for lg in LANGS]),
         )
         .select("doc_id", "pred_lang")
     )
-    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    # shared featurize: the fit's positive slice reuses the SAME
+    # materialized corpus features the scoring pass reads (negatives
+    # featurize their degraded text separately - see
+    # quality_classifier_fit)
+    qfeats = materialize(hashed_tf_features(docs, d=D))
+    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     ic = float(model["intercept"])
     keepers = (
         docs.groupBy(TS.fingerprint("text").alias("_fp"))
@@ -901,7 +931,7 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("u"))
     )
     g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
-    feats = hashed_tf_features(docs, d=D).select(
+    feats = qfeats.select(
         "doc_id",
         "source",
         "lang",
@@ -1119,7 +1149,6 @@ def _curation_v10_impl(
         lid_score_cols,
         plant_markers,
     )
-    from ..operators.materialize import materialize
     from ..operators.orderstats import (
         equi_depth_boundaries_by,
         kth_smallest_by,
@@ -1134,8 +1163,20 @@ def _curation_v10_impl(
     from .textops import _kn_doc_scores
 
     docs = table(spark, sf_dir, "documents")
-    lid_models = lid_fit(docs, d=16, cap=240, lam=1, holdout_mod=5)
-    model = quality_classifier_fit(docs, d=D, lam=LAM)
+    # shared featurize (see corpus_curation_v9): one materialized
+    # planted frame serves the LID fit AND the corpus prediction
+    planted = materialize(
+        char_trigram_features(plant_markers(docs), d=16, cap=240)
+    )
+    lid_models = lid_fit(
+        docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
+    )
+    # shared featurize: the fit's positive slice reuses the SAME
+    # materialized corpus features the scoring pass reads (negatives
+    # featurize their degraded text separately - see
+    # quality_classifier_fit)
+    qfeats = materialize(hashed_tf_features(docs, d=D))
+    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     if use_registry:
         import tempfile
 
@@ -1150,8 +1191,7 @@ def _curation_v10_impl(
         lid_models = load_models(reg, "models", "lid_v10")
         model = load_models(reg, "models", "quality_v10")[0]
     pred_tbl = materialize(
-        char_trigram_features(plant_markers(docs))
-        .select("doc_id", *lid_score_cols(lid_models))
+        planted.select("doc_id", *lid_score_cols(lid_models))
         .withColumn(
             "pred_lang", lid_predict_col([f"_s_{lg}" for lg in LANGS])
         )
@@ -1164,7 +1204,7 @@ def _curation_v10_impl(
         .select("doc_id", F.lit(1).alias("u"))
     )
     g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
-    feats = hashed_tf_features(docs, d=D).select(
+    feats = qfeats.select(
         "doc_id",
         "source",
         F.col("_n").alias("n"),
