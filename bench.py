@@ -197,6 +197,8 @@ HEADLINE = [
     "lid_confidence_bands",
     "quota_waterfall_sources",
     "corpus_curation_v10",
+    # r13 addition: the registry-backed v10 (train-offline/score-online)
+    "corpus_curation_v10_registry",
 ]
 
 
