@@ -378,3 +378,21 @@ def test_upsert_epoch_appends_delta_and_falls_back_on_change(spark, tmp_path):
     assert got[5] == "E" and len(got) == 5
     dup = store.read("t").groupBy("k").count().filter(F.col("count") > 1)
     assert dup.count() == 0
+
+
+def test_checkpoint_identity_reads_query_id_with_path_fallback(tmp_path):
+    """The epoch-scope source: Spark's persisted query id when the
+    checkpoint metadata exists (stable across restarts, regenerated
+    for fresh checkpoints), the absolute path otherwise."""
+    import json
+    import os
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    # no metadata yet -> path fallback
+    assert SE.checkpoint_identity(str(ck)) == os.path.abspath(str(ck))
+    (ck / "metadata").write_text(json.dumps({"id": "abc-123"}))
+    assert SE.checkpoint_identity(str(ck)) == "abc-123"
+    # unreadable/garbage metadata -> path fallback, never an exception
+    (ck / "metadata").write_text("{not json")
+    assert SE.checkpoint_identity(str(ck)) == os.path.abspath(str(ck))
