@@ -396,3 +396,39 @@ def test_checkpoint_identity_reads_query_id_with_path_fallback(tmp_path):
     # unreadable/garbage metadata -> path fallback, never an exception
     (ck / "metadata").write_text("{not json")
     assert SE.checkpoint_identity(str(ck)) == os.path.abspath(str(ck))
+
+
+def test_upsert_epoch_property_sweep_matches_dict_replay(spark, tmp_path):
+    """Deterministic operation-sequence sweep: upsert_epoch over a
+    scripted mix of new keys, identical re-sends, changed rows,
+    scope changes, and replays must equal a python dict replay of
+    the same sequence (last committed write per key wins), with
+    replays — same (scope, epoch) — contributing nothing."""
+    store = TableStore(spark, str(tmp_path / "store"))
+    # (scope, epoch, rows); replays repeat a (scope, epoch) pair
+    script = [
+        ("s1", 0, [(1, "a"), (2, "b")]),
+        ("s1", 1, [(3, "c")]),                     # delta append
+        ("s1", 1, [(3, "XXX")]),                   # replay: ignored
+        ("s1", 2, [(1, "a"), (4, "d")]),           # identical + new
+        ("s2", 0, [(5, "e")]),                     # fresh scope, epoch reset
+        ("s2", 1, [(2, "B2"), (6, "f")]),          # changed row -> rewrite
+        ("s2", 1, [(7, "never")]),                 # replay under s2
+        ("s2", 2, [(2, "B2")]),                    # identical re-send
+    ]
+    oracle: dict[int, str] = {}
+    applied: set[tuple[str, int]] = set()
+    for scope, epoch, rows in script:
+        df = spark.createDataFrame(rows, "k long, v string")
+        committed = store.upsert_epoch("t", df, ["k"], epoch, scope=scope)
+        if (scope, epoch) in applied:
+            assert committed is False, (scope, epoch)
+            continue
+        assert committed is True, (scope, epoch)
+        applied.add((scope, epoch))
+        for k, v in rows:
+            oracle[k] = v
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got == oracle
+    dup = store.read("t").groupBy("k").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
