@@ -92,8 +92,16 @@ def link_records(
         )
     )
     if max_block is not None:
+        # NULL-keyed rows can never pair (the equi-join condition
+        # evaluates NULL), so they are not a quadratic hazard — drop
+        # them from the probe or a large optional-name population
+        # would raise spuriously
+        nn = F.col("block").isNotNull()
+        for at in attrs:
+            nn = nn & F.col(at).isNotNull()
         hot = (
-            blocked.groupBy("block", *[F.col(at) for at in attrs])
+            blocked.where(nn)
+            .groupBy("block", *[F.col(at) for at in attrs])
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("block"))
             .limit(1)

@@ -54,6 +54,15 @@ from .linear import ridge_fit_multi, ridge_pq_col
 #: class list — the corpus's language inventory. Static so the
 #: DuckDB twin's per-class CTE unroll is static SQL.
 LANGS = ("de", "en", "es", "fr", "zh")
+# load_models returns heads ORDER BY label, and lid_score_cols zips
+# the loaded list against LANGS positionally — that round-trip is
+# only order-preserving while LANGS is lexicographically sorted.
+# Adding a language out of alphabetical order would silently assign
+# every head to the wrong language column; fail loudly instead.
+assert tuple(LANGS) == tuple(sorted(LANGS)), (
+    "LANGS must stay lexicographically sorted: the model registry "
+    "orders multiclass heads by label on load"
+)
 
 #: per-language marker: a run of the language's top function words
 #: (the char-trigram signature real text carries organically).
@@ -110,6 +119,17 @@ def plant_markers(
     )
 
 
+def trigram_keep_cond(text_col: str = "text", cap: int = DEFAULT_CAP):
+    """The exact row-keep predicate :func:`char_trigram_features`
+    applies (rows failing it carry no trigram to hash and are
+    dropped; NULL text evaluates NULL = dropped). Exported as the
+    single source of truth so row-preserving consumers
+    (``lid_score_stream``'s abstain complement) derive their
+    complement from THE SAME rule instead of restating it — the two
+    silently desync otherwise."""
+    return F.length(F.substring(F.col(text_col), 1, cap)) >= NGRAM
+
+
 def char_trigram_features(
     df: DataFrame,
     text_col: str = "text",
@@ -142,7 +162,7 @@ def char_trigram_features(
         # row): fan a byte-small scan out to cluster parallelism
         # first (no-op-ish once the input is already many partitions)
         spread(df).withColumn("_t", t)
-        .filter(F.length("_t") >= NGRAM)
+        .filter(trigram_keep_cond(text_col, cap))
         .withColumn(
             "_grams",
             F.transform(

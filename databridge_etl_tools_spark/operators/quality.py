@@ -133,19 +133,42 @@ def labeled_slice(
     here, which would empty the positive class. Pure column
     expressions; the oracle rebuilds the identical slice from the
     same predicates."""
+    neg = _neg_docs(docs, text_col, id_col, neg_mod, junk).select(
+        id_col, text_col, F.lit(0.0).alias("label")
+    )
+    pos = docs.filter(
+        _pos_cond(text_col, id_col, neg_mod, min_words, min_required_hits)
+    ).select(F.col(id_col), F.col(text_col), F.lit(1.0).alias("label"))
+    return neg.unionByName(pos)
+
+
+def _neg_docs(
+    docs: DataFrame, text_col: str, id_col: str, neg_mod: int, junk: str
+) -> DataFrame:
+    """The negative-class construction (id % neg_mod = 0, junk suffix
+    planted INTO the text) — the single definition both the plain
+    labeled_slice path and the shared-featurize fit path read, so the
+    labeling scheme cannot silently desync between them."""
     i = F.col(id_col)
-    neg = docs.filter(i % neg_mod == 0).select(
+    return docs.filter(i % neg_mod == 0).select(
         i.alias(id_col),
         F.concat(F.col(text_col), F.lit(junk)).alias(text_col),
-        F.lit(0.0).alias("label"),
     )
+
+
+def _pos_cond(
+    text_col: str,
+    id_col: str,
+    neg_mod: int,
+    min_words: int,
+    min_required_hits: int,
+):
+    """The positive-class predicate (non-negative slice passing the
+    Gopher conjunction) — shared for the same reason as _neg_docs."""
     g = TS.gopher_rules(
         text_col, min_words=min_words, min_required_hits=min_required_hits
     )
-    pos = docs.filter((i % neg_mod != 0) & g["passes"]).select(
-        i.alias(id_col), F.col(text_col), F.lit(1.0).alias("label")
-    )
-    return neg.unionByName(pos)
+    return (F.col(id_col) % neg_mod != 0) & g["passes"]
 
 
 def quality_classifier_fit(
@@ -179,18 +202,14 @@ def quality_classifier_fit(
         )
         f = hashed_tf_features(sl, text_col, d=d)
         return ridge_fit(f, "label", "feat", lam=lam)
-    i = F.col(id_col)
-    g = TS.gopher_rules(text_col, min_words=min_words, min_required_hits=1)
-    pos = feats.filter((i % neg_mod != 0) & g["passes"]).select(
-        F.lit(1.0).alias("label"), "feat"
-    )
-    neg_docs = docs.filter(i % neg_mod == 0).select(
-        i.alias(id_col),
-        F.concat(F.col(text_col), F.lit(JUNK_SUFFIX)).alias(text_col),
-    )
-    neg = hashed_tf_features(neg_docs, text_col, d=d).select(
-        F.lit(0.0).alias("label"), "feat"
-    )
+    pos = feats.filter(
+        _pos_cond(text_col, id_col, neg_mod, min_words, 1)
+    ).select(F.lit(1.0).alias("label"), "feat")
+    neg = hashed_tf_features(
+        _neg_docs(docs, text_col, id_col, neg_mod, JUNK_SUFFIX),
+        text_col,
+        d=d,
+    ).select(F.lit(0.0).alias("label"), "feat")
     return ridge_fit(neg.unionByName(pos), "label", "feat", lam=lam)
 
 

@@ -1178,6 +1178,7 @@ def _curation_v10_impl(
     qfeats = materialize(hashed_tf_features(docs, d=D))
     model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     if use_registry:
+        import shutil
         import tempfile
 
         from ..operators.models import load_models, save_models
@@ -1185,11 +1186,18 @@ def _curation_v10_impl(
 
         for m, lg in zip(lid_models, LANGS):
             m["label"] = lg
-        reg = TableStore(spark, tempfile.mkdtemp(prefix="dbt_model_reg_"))
-        save_models(reg, "models", "lid_v10", lid_models)
-        save_models(reg, "models", "quality_v10", [model])
-        lid_models = load_models(reg, "models", "lid_v10")
-        model = load_models(reg, "models", "quality_v10")[0]
+        reg_dir = tempfile.mkdtemp(prefix="dbt_model_reg_")
+        try:
+            reg = TableStore(spark, reg_dir)
+            save_models(reg, "models", "lid_v10", lid_models)
+            save_models(reg, "models", "quality_v10", [model])
+            # load_models collects to plain Python values, so nothing
+            # downstream reads the store files after this block
+            lid_models = load_models(reg, "models", "lid_v10")
+            model = load_models(reg, "models", "quality_v10")[0]
+        finally:
+            # the query runs inside bench/gate loops — leak-free
+            shutil.rmtree(reg_dir, ignore_errors=True)
     pred_tbl = materialize(
         planted.select("doc_id", *lid_score_cols(lid_models))
         .withColumn(

@@ -461,6 +461,10 @@ class TableStore:
         if self.epoch_seen(table, epoch_id, scope):
             return False
         if not self.exists(table):
+            if staging_order is not None:
+                from ..operators.merge import dedupe_by_key
+
+                batch = dedupe_by_key(batch, keys, staging_order)
             return self.commit_epoch(table, batch, epoch_id, scope=scope)
         existing = self.read(table)
         batch = batch.select(*existing.columns).localCheckpoint()

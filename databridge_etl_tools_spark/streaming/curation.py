@@ -260,10 +260,10 @@ def lid_score_stream(
     path sees them instead of silently losing them."""
     from ..operators.lid import (
         LANGS,
-        NGRAM,
         char_trigram_features,
         lid_predict_col,
         lid_score_cols,
+        trigram_keep_cond,
     )
 
     cols = [f"_s_{lg}" for lg in LANGS]
@@ -272,8 +272,10 @@ def lid_score_stream(
         *[c for c in stream.columns], *lid_score_cols(models)
     )
     out = scored.withColumn("pred_lang", lid_predict_col(cols))
+    # exact complement of the featurizer's keep rule (single source
+    # of truth — trigram_keep_cond; NULL text coalesces to kept-false)
     short = stream.where(
-        F.coalesce(F.length(F.col(text_col)), F.lit(0)) < NGRAM
+        ~F.coalesce(trigram_keep_cond(text_col), F.lit(False))
     ).withColumn("pred_lang", F.lit(None).cast("string"))
     if margin_threshold is not None:
         arr = F.array_sort(F.array(*[F.col(c) for c in cols]))
@@ -364,7 +366,11 @@ def lid_stream_into_store(
     between the two commits replays the epoch, the already-committed
     table skips, the lagging one catches up — and the doc-keyed
     upsert makes any cross-run re-send overwrite rather than
-    duplicate. ``availableNow`` drain == batch split, pinned in
+    duplicate. The split stays DISJOINT across runs: a re-sent
+    document whose confidence FLIPPED (fuller text, better model) is
+    evicted from its old side in the same epoch it lands on the new
+    side, so scored ∪ quarantine never double-counts a doc.
+    ``availableNow`` drain == batch split, pinned in
     ``tests/test_model_registry.py``."""
     from .events import checkpoint_identity
 
@@ -379,8 +385,32 @@ def lid_stream_into_store(
             (scored_table, batch.filter(F.col("confident"))),
             (quarantine_table, batch.filter(~F.col("confident"))),
         ]
-        for tbl, part in parts:
-            store.upsert_epoch(tbl, part, [id_col], epoch_id, scope=scope)
+        for (tbl, part), (_, other) in (
+            (parts[0], parts[1]),
+            (parts[1], parts[0]),
+        ):
+            if store.epoch_seen(tbl, epoch_id, scope):
+                continue
+            if not store.exists(tbl):
+                store.upsert_epoch(tbl, part, [id_col], epoch_id, scope=scope)
+                continue
+            existing = store.read(tbl)
+            # confidence-flip eviction: rows of THIS table whose doc
+            # re-arrived on the OTHER side leave here in the same
+            # epoch (rare; forces the keyed-rewrite path)
+            flipped = existing.join(
+                other.select(id_col), [id_col], "left_semi"
+            )
+            if flipped.isEmpty():
+                store.upsert_epoch(tbl, part, [id_col], epoch_id, scope=scope)
+            else:
+                kept = existing.join(
+                    other.select(id_col), [id_col], "left_anti"
+                )
+                from ..operators.merge import upsert
+
+                merged = upsert(kept, part.select(*existing.columns), [id_col])
+                store.commit_epoch(tbl, merged, epoch_id, scope=scope)
 
     q = (
         scored.writeStream.foreachBatch(handle)

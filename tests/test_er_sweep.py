@@ -129,3 +129,16 @@ def test_hot_block_guard_raises_actionably(spark):
     assert out.count() > 0
     labels = {r["node"]: r["label"] for r in out.collect()}
     assert all(v == 0 for k, v in labels.items() if k < 100)
+
+
+def test_hot_block_guard_ignores_null_keyed_groups(spark):
+    """NULL blocks/attrs can never pair in the equi-join, so a large
+    optional-name population must NOT trip the guard."""
+    rows = [(i, None, "AUTO", "US") for i in range(200)] + [
+        (1000 + i, f"Distinct#{i:04d}", "AUTO", "US") for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, name string, seg string, nat string"
+    )
+    out = link_records(df, max_block=50)  # no raise despite 200 NULLs
+    assert out.count() >= 0

@@ -286,3 +286,41 @@ def test_lid_stream_quarantines_abstained_rows_exactly_once(
     )
     assert store.read("lid_scored").count() == n_s
     assert store.read("lid_quarantine").count() == n_q
+
+
+def test_lid_stream_confidence_flip_evicts_old_side(spark, tmp_path, fitted):
+    """Cross-run disjointness: a re-sent document whose confidence
+    FLIPPED must leave its old table in the same epoch it lands on
+    the new side — scored and quarantine never both hold a doc."""
+    store = TableStore(spark, str(tmp_path / "reg"))
+    save_models(store, "models", "lid_v1", fitted)
+    models = load_models(store, "models", "lid_v1")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    # run 1: doc 9001 is sub-trigram -> quarantine
+    r1 = spark.createDataFrame(
+        [(9001, "ab", "en", "s", 2), (1, "the quick brown fox jumps", "en", "s", 25)],
+        schema,
+    )
+    s1 = str(tmp_path / "stage1")
+    r1.coalesce(1).write.mode("overwrite").parquet(s1)
+    C.lid_stream_into_store(
+        C.read_document_stream(spark, s1), models, store,
+        "sc", "quar", str(tmp_path / "ck1"), margin_threshold=0.0,
+    )
+    assert 9001 in {r["doc_id"] for r in store.read("quar").collect()}
+
+    # run 2: doc 9001 re-sent with real text -> confident
+    long_text = " ".join(["the quick brown fox jumps over the lazy dog"] * 3)
+    r2 = spark.createDataFrame([(9001, long_text, "en", "s", 120)], schema)
+    s2 = str(tmp_path / "stage2")
+    r2.coalesce(1).write.mode("overwrite").parquet(s2)
+    C.lid_stream_into_store(
+        C.read_document_stream(spark, s2), models, store,
+        "sc", "quar", str(tmp_path / "ck2"), margin_threshold=0.0,
+    )
+    sc_ids = {r["doc_id"] for r in store.read("sc").collect()}
+    quar_ids = {r["doc_id"] for r in store.read("quar").collect()}
+    assert 9001 in sc_ids
+    assert 9001 not in quar_ids, "flipped doc left a stale quarantine row"
+    assert sc_ids.isdisjoint(quar_ids)
