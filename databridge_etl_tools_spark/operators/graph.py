@@ -886,3 +886,102 @@ def coreness(
     for col in flags:
         core = core + F.coalesce(F.col(col), F.lit(0))
     return out.select("node", core.cast("int").alias("coreness"))
+
+
+def pagerank_py(
+    edges,
+    *,
+    iters: int = 8,
+    damping: "tuple[int, int]" = (85, 100),
+    rank_bits: int = 40,
+    seeds=None,
+    max_edges: int = 100_000,
+) -> "dict[object, int]":
+    """Exact driver-side replica of :func:`pagerank`'s integer
+    fixpoint for BOUNDED graphs — returns ``{node: rank_q}``
+    bit-identical to the distributed operator (parity-pinned in
+    ``tests/test_graph_ops.py``).
+
+    The curation queries rank a **|sources|-bounded** affinity graph
+    (tens of nodes at ANY corpus size — the strata table, not the
+    corpus) and already ``collect()`` the resulting rank dict; running
+    the walk itself on the collected edge list deletes ``iters``
+    join+aggregate rounds of per-iteration fixed overhead from the
+    plan (measured ~3 s at sf0.1 for a 20-node graph) while keeping
+    the DuckDB oracle's unrolled-level replay valid unchanged. The
+    ``max_edges`` guard keeps the helper honest: anything larger
+    belongs on the distributed operator (raise, never silently chew
+    driver memory).
+
+    Semantics replicated exactly: duplicate unweighted edges count
+    once / duplicate weighted pairs sum; contributions are the trunc
+    divisions ``rank // outdeg`` (unweighted) or ``(rank·w) //
+    out_strength`` per deduplicated pair; dangling mass redistributes
+    uniformly (or over the seed set); damping, teleport and the
+    per-iteration floors match the Spark/DuckDB arithmetic
+    line-for-line (Python ``//`` on non-negative ints == trunc)."""
+    num, den = damping
+    q = rank_bits
+    pairs: dict = {}
+    weighted = False
+    n_in = 0
+    for t in edges:
+        n_in += 1
+        if n_in > max_edges:
+            raise ValueError(
+                f"pagerank_py: more than {max_edges} edges — this "
+                "helper is for bounded (strata-sized) graphs; use the "
+                "distributed pagerank operator"
+            )
+        if len(t) == 3:
+            s, d, w = t
+            weighted = True
+            w = int(w)
+            if w <= 0:
+                raise ValueError(
+                    f"pagerank_py: weights must be positive integers, got {w}"
+                )
+            pairs[(s, d)] = pairs.get((s, d), 0) + w
+        else:
+            s, d = t
+            pairs[(s, d)] = 1
+    if not pairs:
+        raise ValueError("pagerank_py: empty graph")
+    nodes = set()
+    out: dict = {}
+    for (s, d), w in pairs.items():
+        nodes.add(s)
+        nodes.add(d)
+        out[s] = out.get(s, 0) + w
+    seeded = seeds is not None
+    if seeded:
+        seedset = {s for s in seeds if s in nodes}
+        if not seedset:
+            raise ValueError("pagerank_py: none of the seed ids occur in the graph")
+        n_seeds = len(seedset)
+    teleport = ((den - num) * (1 << q)) // den
+    rank = {
+        n: (1 << q) if (not seeded or n in seedset) else 0 for n in nodes
+    }
+    dangling = [n for n in nodes if n not in out]
+    n_nodes = len(nodes)
+    for _ in range(iters):
+        in_q = {n: 0 for n in nodes}
+        for (s, d), w in pairs.items():
+            in_q[d] += (rank[s] * w) // out[s] if weighted else rank[s] // out[s]
+        dang_q = sum(rank[n] for n in dangling)
+        nxt = {}
+        for n in nodes:
+            if dangling:
+                share = (
+                    (dang_q // n_seeds if (seeded and n in seedset) else 0)
+                    if seeded
+                    else dang_q // n_nodes
+                )
+                new_rank = (num * (in_q[n] + share)) // den
+            else:
+                new_rank = (num * in_q[n]) // den
+            tele = teleport if (not seeded or n in seedset) else 0
+            nxt[n] = tele + new_rank
+        rank = nxt
+    return rank

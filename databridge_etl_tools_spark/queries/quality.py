@@ -664,7 +664,7 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classifier fit, every PageRank level, the quota
     apportionment, and the per-source selection bit-for-bit."""
     from ..operators import textstats as TS
-    from ..operators.graph import pagerank
+    from ..operators.graph import pagerank_py
     from ..operators.orderstats import kth_smallest_by
     from ..operators.quality import (
         hashed_tf_features,
@@ -714,22 +714,17 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ovl") > 0)
         .select("ga", "gb", "ovl")
     )
-    sid = lambda c: F.substring(F.col(c), 4, 16).cast("int")  # noqa: E731
-    edges = ovl.select(
-        sid("ga").alias("src"), sid("gb").alias("dst"), F.col("ovl").alias("w")
-    ).unionByName(
-        ovl.select(
-            sid("gb").alias("src"),
-            sid("ga").alias("dst"),
-            F.col("ovl").alias("w"),
-        )
-    )
-    ranks = {
-        int(r["node"]): int(r["rank_q"])
-        for r in pagerank(edges, iters=8, weight_col="w")
-        .select("node", "rank_q")
-        .collect()
-    }  # bounded: |sources| rows (kmv_pair_overlap guards the fan-out)
+    # the affinity graph is |sources|-bounded BY CONSTRUCTION
+    # (kmv_pair_overlap guards the fan-out), and the rank dict was
+    # always collected — run the 8-round integer walk driver-side on
+    # the collected pair list (pagerank_py: bit-identical replica,
+    # parity-pinned) instead of paying 8 join+agg rounds of fixed
+    # plan overhead (~3 s at sf0.1 for a 20-node graph)
+    elist = []
+    for r in ovl.collect():  # bounded: |sources|^2 pairs
+        a, b, w = int(r["ga"][3:]), int(r["gb"][3:]), int(r["ovl"])
+        elist += [(a, b, w), (b, a, w)]
+    ranks = pagerank_py(elist, iters=8)
     sources = sorted(
         r["source"] for r in docs.select("source").distinct().collect()
     )
@@ -1140,7 +1135,7 @@ def _curation_v10_impl(
     train-offline/score-online production shape, hash-gated because
     the integer round-trip is bit-exact."""
     from ..operators import textstats as TS
-    from ..operators.graph import pagerank
+    from ..operators.graph import pagerank_py
     from ..operators.lid import (
         LANGS,
         char_trigram_features,
@@ -1260,22 +1255,12 @@ def _curation_v10_impl(
         .filter(F.col("ovl") > 0)
         .select("ga", "gb", "ovl")
     )
-    sid = lambda c: F.substring(F.col(c), 4, 16).cast("int")  # noqa: E731
-    edges = ovl.select(
-        sid("ga").alias("src"), sid("gb").alias("dst"),
-        F.col("ovl").alias("w"),
-    ).unionByName(
-        ovl.select(
-            sid("gb").alias("src"), sid("ga").alias("dst"),
-            F.col("ovl").alias("w"),
-        )
-    )
-    ranks = {
-        int(r["node"]): int(r["rank_q"])
-        for r in pagerank(edges, iters=8, weight_col="w")
-        .select("node", "rank_q")
-        .collect()
-    }
+    # bounded driver-side integer walk — see corpus_curation_v8
+    elist = []
+    for r in ovl.collect():  # bounded: |sources|^2 pairs
+        a, b, w = int(r["ga"][3:]), int(r["gb"][3:]), int(r["ovl"])
+        elist += [(a, b, w), (b, a, w)]
+    ranks = pagerank_py(elist, iters=8)
     sources = sorted(
         r["source"] for r in docs.select("source").distinct().collect()
     )
