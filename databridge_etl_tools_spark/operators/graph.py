@@ -924,6 +924,7 @@ def pagerank_py(
     q = rank_bits
     pairs: dict = {}
     weighted = False
+    unweighted = False
     n_in = 0
     for t in edges:
         n_in += 1
@@ -944,7 +945,16 @@ def pagerank_py(
             pairs[(s, d)] = pairs.get((s, d), 0) + w
         else:
             s, d = t
+            unweighted = True
             pairs[(s, d)] = 1
+        if weighted and unweighted:
+            # a mixed list has no distributed counterpart (the Spark
+            # operator is all-weighted or all-unweighted) and would
+            # silently clobber summed weights with 1s here — refuse
+            raise ValueError(
+                "pagerank_py: mixed 2- and 3-tuple edges — pass an "
+                "all-weighted or all-unweighted edge list"
+            )
     if not pairs:
         raise ValueError("pagerank_py: empty graph")
     nodes = set()

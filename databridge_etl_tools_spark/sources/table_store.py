@@ -363,14 +363,49 @@ class TableStore:
         ``streaming.events.checkpoint_identity``): a batch whose scope
         differs from the stored one is never a replay, exactly why
         Delta's recipe keys ``txnVersion`` by ``txnAppId``.
-        ``scope=None`` keeps the legacy unscoped compare for batch
+
+        Watermarks are kept PER SCOPE (``epoch_marks`` map, one slot
+        per checkpoint identity — Delta keeps one version per
+        txnAppId for the same reason): if a table is fed from two
+        checkpoints over its life (failover back to an old checkpoint
+        after a new one committed), a genuine replay from the earlier
+        scope still fences, because the earlier scope's own high-water
+        mark was never overwritten by the later writer.
+        ``scope=None`` keeps the legacy unscoped compare (against the
+        LATEST writer's watermark, whatever its scope) for batch
         orchestrators that manage their own epoch sequence."""
         if not self.exists(table):
             return False
+        if scope is None:
+            return self.properties(table).get("last_epoch", -1) >= epoch_id
+        return self._epoch_marks(table).get(scope, -1) >= epoch_id
+
+    def _epoch_marks(self, table: str) -> dict:
+        """Per-scope epoch high-water marks ``{scope: last_epoch}``
+        (scope '' = unscoped/legacy). Tables written before the map
+        existed migrate read-side from the single
+        ``(epoch_scope, last_epoch)`` slot — never a rewrite."""
         props = self.properties(table)
-        if scope is not None and props.get("epoch_scope") != scope:
-            return False
-        return props.get("last_epoch", -1) >= epoch_id
+        marks = props.get("epoch_marks")
+        if marks is not None:
+            return dict(marks)
+        if "last_epoch" in props:
+            return {props.get("epoch_scope") or "": props["last_epoch"]}
+        return {}
+
+    def _epoch_props(
+        self, table: str, epoch_id: int, scope: "str | None"
+    ) -> dict:
+        """Property delta for an epoch commit: the per-scope map plus
+        the legacy latest-writer slot (kept for observability — tests
+        and ops read ``last_epoch`` as 'how far has this sink got')."""
+        marks = self._epoch_marks(table) if self.exists(table) else {}
+        marks[scope or ""] = epoch_id
+        return {
+            "epoch_marks": marks,
+            "last_epoch": epoch_id,
+            "epoch_scope": scope,
+        }
 
     def commit_epoch(
         self,
@@ -378,6 +413,7 @@ class TableStore:
         df: DataFrame,
         epoch_id: int,
         scope: "str | None" = None,
+        extra_props: "dict | None" = None,
     ) -> bool:
         """Exactly-once commit point for streaming ``foreachBatch``:
         the new data version and the epoch watermark flip in ONE
@@ -391,12 +427,26 @@ class TableStore:
         This is the same idempotent-sink recipe Delta's
         ``txnAppId``/``txnVersion`` implements on a lakehouse; the
         versioned store makes it a property check. Creates the table
-        when absent (first epoch of a fresh sink)."""
+        when absent (first epoch of a fresh sink). ``extra_props``
+        ride the SAME atomic flip — the hook content fences (e.g. the
+        SCD2 max-applied-date) use so fence and data can never
+        diverge."""
         if self.epoch_seen(table, epoch_id, scope):
             return False
         v = self._write_version(table, df)
-        self._flip(table, v, {"last_epoch": epoch_id, "epoch_scope": scope})
+        self._flip(
+            table,
+            v,
+            {**self._epoch_props(table, epoch_id, scope), **(extra_props or {})},
+        )
         return True
+
+    #: auto-compaction threshold for epoch appends: once a sink table
+    #: accretes this many delta segments, the NEXT epoch commit folds
+    #: them into one (read amplification stays bounded — every read
+    #: merges parquet footers per segment, so unbounded accretion
+    #: turns O(delta) writes into O(segments) reads).
+    SEGMENT_BUDGET = 32
 
     def append_epoch(
         self,
@@ -404,6 +454,7 @@ class TableStore:
         delta: DataFrame,
         epoch_id: int,
         scope: "str | None" = None,
+        segment_budget: "int | None" = None,
     ) -> bool:
         """O(delta) exactly-once append: write ONLY the delta rows as
         a fresh segment and flip old-segments+[delta] together with
@@ -411,13 +462,20 @@ class TableStore:
         :meth:`append` cost model under the :meth:`commit_epoch`
         replay contract. At 100 TB a growing sink table (signature
         store, verdict ledger) must pay per batch what the batch
-        brought, never a full-table rewrite; ``compact`` bin-packs
-        the accumulated segments on maintenance."""
+        brought, never a full-table rewrite.
+
+        Segment accretion is BOUNDED: when the table already holds
+        ``segment_budget`` (default :attr:`SEGMENT_BUDGET`) segments,
+        this commit compacts them together with the delta into one
+        segment inside the same atomic flip — amortized O(delta) per
+        batch (each row is rewritten once per ``budget`` appends),
+        worst-case read amplification capped at ``budget`` footer
+        merges. ``vacuum`` reclaims the folded-away directories."""
         if self.epoch_seen(table, epoch_id, scope):
             return False
         if not self.exists(table):
             v = self._write_version(table, delta)
-            self._flip(table, v, {"last_epoch": epoch_id, "epoch_scope": scope})
+            self._flip(table, v, self._epoch_props(table, epoch_id, scope))
             return True
         cols = self.read(table).columns
         missing = set(cols) - set(delta.columns)
@@ -425,11 +483,18 @@ class TableStore:
             raise ValueError(
                 f"append_epoch to {table} missing columns: {sorted(missing)}"
             )
+        budget = self.SEGMENT_BUDGET if segment_budget is None else segment_budget
+        segs = self._segments(table)
+        if len(segs) >= budget:
+            merged = self.read(table).unionByName(delta.select(*cols))
+            v = self._write_version(table, merged)
+            self._flip(table, v, self._epoch_props(table, epoch_id, scope))
+            return True
         v = self._write_version(table, delta.select(*cols))
         self._flip(
             table,
-            self._segments(table) + [v],
-            {"last_epoch": epoch_id, "epoch_scope": scope},
+            segs + [v],
+            self._epoch_props(table, epoch_id, scope),
         )
         return True
 
@@ -442,43 +507,58 @@ class TableStore:
         scope: "str | None" = None,
         staging_order: "list | None" = None,
     ) -> bool:
-        """Keyed exactly-once upsert with the O(delta) fast path — the
-        commit every keyed streaming sink should use. When the batch
-        carries only NEW keys (the common ingest case) and no
-        intra-batch key collisions, only the batch's rows append as a
-        delta segment (:meth:`append_epoch` — per-batch cost = the
-        batch, not the table). A re-sent key whose row CHANGED, an
-        intra-batch duplicate key, or a ``staging_order`` tiebreak
-        falls back to the full keyed rewrite (``merge.upsert``), so
-        key uniqueness and last-write-wins semantics are identical to
-        the rewrite path in every case; an identical re-send
-        contributes no delta at all. Returns False on a replayed
-        ``(scope, epoch_id)``."""
+        """Keyed exactly-once upsert with the O(delta) WRITE fast
+        path — the commit every keyed streaming sink should use. When
+        the batch carries only NEW keys (the common ingest case) and
+        no intra-batch key collisions, only the batch's rows append as
+        a delta segment (:meth:`append_epoch` — per-batch WRITE cost =
+        the batch, not the table; the changed-row PROBE still joins
+        the batch against the full existing ledger, so per-batch read
+        cost is O(ledger) — the write amplification, not the scan, is
+        what the fast path eliminates). A re-sent key whose row
+        CHANGED or a ``staging_order`` tiebreak falls back to the full
+        keyed rewrite (``merge.upsert``); an identical re-send
+        contributes no delta at all. An intra-batch duplicate key with
+        no ``staging_order`` RAISES — Postgres ON CONFLICT parity:
+        with no tiebreak there is no well-defined winner, and silently
+        landing both rows would break the key-uniqueness invariant.
+        Returns False on a replayed ``(scope, epoch_id)``."""
         from pyspark.sql import functions as F
 
         from ..operators.merge import upsert
 
         if self.epoch_seen(table, epoch_id, scope):
             return False
+
+        def _check_unique(df: DataFrame) -> None:
+            dup = (
+                df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                k = {c: dup[0][c] for c in keys}
+                raise ValueError(
+                    f"upsert_epoch to {table}: intra-batch duplicate key "
+                    f"{k} with no staging_order — no well-defined winner "
+                    "(ON CONFLICT parity); pass staging_order to break ties"
+                )
+
         if not self.exists(table):
             if staging_order is not None:
                 from ..operators.merge import dedupe_by_key
 
                 batch = dedupe_by_key(batch, keys, staging_order)
+            else:
+                _check_unique(batch)
             return self.commit_epoch(table, batch, epoch_id, scope=scope)
         existing = self.read(table)
         batch = batch.select(*existing.columns).localCheckpoint()
         slow = staging_order is not None
         if not slow:
-            slow = (
-                batch.groupBy(*keys)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1)
-                .limit(1)
-                .count()
-                > 0
-            )
-        if not slow:
+            _check_unique(batch)
             changed = batch.exceptAll(existing).join(
                 existing, keys, "left_semi"
             )

@@ -259,19 +259,45 @@ def checkpoint_identity(checkpoint_dir: str) -> str:
     must be scoped by: epoch ids are checkpoint-relative (a fresh
     checkpoint renumbers from 0), so an unscoped watermark would
     silently skip new micro-batches after a checkpoint reset — the
-    ``txnAppId`` half of Delta's idempotent-sink recipe. Falls back
-    to the absolute path when the metadata file isn't readable
-    (non-local checkpoint stores)."""
-    import json as _json
+    ``txnAppId`` half of Delta's idempotent-sink recipe.
 
+    A NON-LOCAL checkpoint dir (``s3a://``, ``hdfs://``, …) RAISES:
+    its metadata can't be read through the local filesystem, and the
+    path fallback would be a silent downgrade — a checkpoint recreated
+    fresh at the same remote path would reuse the old scope and
+    reintroduce exactly the skip-new-batches data loss scoping exists
+    to prevent. Callers on a real cluster must derive the identity
+    through their checkpoint store's API and pass it explicitly. A
+    LOCAL dir whose metadata is missing/garbled falls back to the
+    absolute path with a warning (still never silent)."""
+    import json as _json
+    import re as _re
+    import warnings as _warnings
+
+    scheme = _re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", checkpoint_dir)
+    if scheme and scheme.group(1) != "file":
+        raise ValueError(
+            f"checkpoint_identity: non-local checkpoint dir "
+            f"{checkpoint_dir!r} — read the query id through the "
+            "checkpoint store's API; the path-fallback scope would "
+            "silently survive a checkpoint reset (data loss)"
+        )
+    local_dir = checkpoint_dir[len("file://"):] if scheme else checkpoint_dir
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        with open(os.path.join(local_dir, "metadata")) as f:
             qid = _json.load(f).get("id")
         if qid:
             return str(qid)
     except (OSError, ValueError):
         pass
-    return os.path.abspath(checkpoint_dir)
+    _warnings.warn(
+        f"checkpoint_identity: {checkpoint_dir!r} has no readable "
+        "metadata; falling back to the path — a checkpoint recreated "
+        "fresh at this path will REUSE the old epoch scope",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return os.path.abspath(local_dir)
 
 
 def stream_upsert_into_store(
@@ -387,7 +413,20 @@ def stream_scd2_into_store(
 
     The batch date comes from ``date_col``, which must be constant
     within a batch (asserted — a mixed batch means two snapshots were
-    staged into one trigger, which would break version ordering)."""
+    staged into one trigger, which would break version ordering).
+
+    Two independent replay fences, because SCD2 re-application is NOT
+    idempotent (re-applying an old snapshot onto the evolved history
+    closes/reopens rows with stale dates): the checkpoint-scoped
+    epoch watermark fences same-checkpoint replays, and a CONTENT
+    fence — the max applied snapshot date, committed in the same
+    atomic flip as the history (``scd2_max_date``) — fences a
+    checkpoint RESET, where a fresh checkpoint re-lists every staged
+    snapshot under a new scope and the epoch fence alone would re-run
+    history from the start. Any snapshot dated <= the stored max is
+    skipped (its watermark still advances so the replay never
+    re-probes); snapshots must therefore arrive in date order, which
+    the one-snapshot-per-trigger staging contract already implies."""
     from pyspark.sql import types as T
 
     from ..operators.merge import scd2_apply
@@ -408,6 +447,17 @@ def stream_scd2_into_store(
         if store.exists(table):
             if store.epoch_seen(table, epoch_id, scope):
                 return  # replayed epoch: already committed
+            applied_max = store.properties(table).get("scd2_max_date")
+            if applied_max is not None and batch_date <= applied_max:
+                # content fence: an already-applied snapshot re-listed
+                # by a RESET checkpoint (new scope, epochs from 0) —
+                # advance this scope's watermark without touching the
+                # history (empty-delta commit of the current state
+                # would rewrite the table; a property flip is enough)
+                store.set_properties(
+                    table, **store._epoch_props(table, epoch_id, scope)
+                )
+                return
             hist = store.read(table)
         else:
             spark = batch_df.sparkSession
@@ -421,7 +471,13 @@ def stream_scd2_into_store(
             hist = spark.createDataFrame([], hist_schema)
             store.create_table(table, hist_schema)
         evolved = scd2_apply(hist, snap, keys, track_cols, batch_date)
-        store.commit_epoch(table, evolved, epoch_id, scope=scope)
+        store.commit_epoch(
+            table,
+            evolved,
+            epoch_id,
+            scope=scope,
+            extra_props={"scd2_max_date": batch_date},
+        )
 
     q = (
         stream.writeStream.foreachBatch(handle)
