@@ -199,6 +199,9 @@ HEADLINE = [
     "corpus_curation_v10",
     # r13 addition: the registry-backed v10 (train-offline/score-online)
     "corpus_curation_v10_registry",
+    # r14 addition: two-wave screen/finalize decomposition (the
+    # streaming funnel's batch twin)
+    "corpus_curation_v10_incremental",
 ]
 
 

@@ -1129,189 +1129,84 @@ def _v10_oracle() -> str:
 def _curation_v10_impl(
     spark: SparkSession, sf_dir: str, *, use_registry: bool
 ) -> DataFrame:
-    """Shared v10 body; ``use_registry=True`` routes BOTH trained
-    models through the persistent registry (``operators.models``:
-    save → load from a versioned store) before scoring — the
-    train-offline/score-online production shape, hash-gated because
-    the integer round-trip is bit-exact."""
-    from ..operators import textstats as TS
-    from ..operators.graph import pagerank_py
-    from ..operators.lid import (
-        LANGS,
-        char_trigram_features,
-        lid_fit,
-        lid_predict_col,
-        lid_score_cols,
-        plant_markers,
+    """Shared v10 body, now composed from the SCREEN / FINALIZE
+    split in ``operators.curation`` (the same stages the streaming
+    funnel runs incrementally — one code path, so batch ≡ funnel
+    parity holds by construction). ``use_registry=True`` routes BOTH
+    trained models through the persistent registry
+    (``operators.models``: save → load from a versioned store) before
+    scoring — the train-offline/score-online production shape,
+    hash-gated because the integer round-trip is bit-exact."""
+    from ..operators.curation import (
+        curation_finalize,
+        curation_screen,
+        doc_identity,
+        source_token_sketch,
     )
-    from ..operators.orderstats import (
-        equi_depth_boundaries_by,
-        kth_smallest_by,
-    )
-    from ..operators.quality import (
-        hashed_tf_features,
-        quality_classifier_fit,
-        quality_pq_col,
-    )
-    from ..operators.sampling import capped_weighted_quotas
-    from ..operators.sketch import kmv_minhashes_by, kmv_pair_overlap
+    from ..operators.lid import char_trigram_features, lid_fit, plant_markers
+    from ..operators.quality import hashed_tf_features, quality_classifier_fit
     from .textops import _kn_doc_scores
 
     docs = table(spark, sf_dir, "documents")
     # shared featurize (see corpus_curation_v9): one materialized
-    # planted frame serves the LID fit AND the corpus prediction
+    # planted frame serves the LID fit AND the corpus prediction; the
+    # quality fit's positive slice reuses the scoring featurize the
+    # same way (negatives featurize their degraded text separately)
     planted = materialize(
         char_trigram_features(plant_markers(docs), d=16, cap=240)
     )
     lid_models = lid_fit(
         docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
     )
-    # shared featurize: the fit's positive slice reuses the SAME
-    # materialized corpus features the scoring pass reads (negatives
-    # featurize their degraded text separately - see
-    # quality_classifier_fit)
     qfeats = materialize(hashed_tf_features(docs, d=D))
     model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     if use_registry:
-        import shutil
-        import tempfile
-
-        from ..operators.models import load_models, save_models
-        from ..sources.table_store import TableStore
-
-        for m, lg in zip(lid_models, LANGS):
-            m["label"] = lg
-        reg_dir = tempfile.mkdtemp(prefix="dbt_model_reg_")
-        try:
-            reg = TableStore(spark, reg_dir)
-            save_models(reg, "models", "lid_v10", lid_models)
-            save_models(reg, "models", "quality_v10", [model])
-            # load_models collects to plain Python values, so nothing
-            # downstream reads the store files after this block
-            lid_models = load_models(reg, "models", "lid_v10")
-            model = load_models(reg, "models", "quality_v10")[0]
-        finally:
-            # the query runs inside bench/gate loops — leak-free
-            shutil.rmtree(reg_dir, ignore_errors=True)
-    pred_tbl = materialize(
-        planted.select("doc_id", *lid_score_cols(lid_models))
-        .withColumn(
-            "pred_lang", lid_predict_col([f"_s_{lg}" for lg in LANGS])
-        )
-        .select("doc_id", "pred_lang")
-    )
-    ic = float(model["intercept"])
-    keepers = (
-        docs.groupBy(TS.fingerprint("text").alias("_fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.lit(1).alias("u"))
-    )
-    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
-    feats = qfeats.select(
-        "doc_id",
-        "source",
-        F.col("_n").alias("n"),
-        g["passes"].cast("int").alias("gp"),
-        quality_pq_col(model).alias("pq"),
-    )
-    kn = materialize(
-        _kn_doc_scores(spark, sf_dir)
-        .join(pred_tbl, "doc_id")
-        .selectExpr(
-            "doc_id",
-            "pred_lang",
-            "CAST(CAST(-lq_sum AS DECIMAL(38,0)) * 1048576"
-            " DIV n_bigrams AS BIGINT) AS ppl_q",
-        )
-    )
-    bnds = equi_depth_boundaries_by(kn, "pred_lang", "ppl_q", 3)
-    bounds = spark.createDataFrame(
-        [(grp[0], int(bs[1])) for grp, bs in bnds.items()],
-        "pred_lang string, _b2 bigint",
-    )
-    px_tbl = kn.join(F.broadcast(bounds), "pred_lang").select(
-        "doc_id", (F.col("ppl_q") <= F.col("_b2")).cast("int").alias("px")
-    )
-    pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
+        lid_models, model = _registry_roundtrip(spark, lid_models, model)
     flags = materialize(
-        feats.join(pred_tbl.select("doc_id"), "doc_id")
-        .join(keepers, "doc_id", "left")
-        .join(px_tbl, "doc_id", "left")
-        .withColumn("u", F.coalesce(F.col("u"), F.lit(0)))
-        .withColumn("px", F.coalesce(F.col("px"), F.lit(0)))
-        .withColumn("sc", (pred >= F.lit(0.5)).cast("int"))
-        .withColumn(
-            "surv",
-            F.col("u") * F.col("gp") * F.col("sc") * F.col("px"),
-        )
-        .drop("pq")
-    )
-    tok = docs.select(
-        "source", F.explode(TS.tokens(F.col("text"))).alias("token")
-    )
-    sk = kmv_minhashes_by(tok, "source", "token", k=64)
-    ovl = (
-        kmv_pair_overlap(sk, "source", k=64)
-        .filter(F.col("ovl") > 0)
-        .select("ga", "gb", "ovl")
-    )
-    # bounded driver-side integer walk — see corpus_curation_v8
-    elist = []
-    for r in ovl.collect():  # bounded: |sources|^2 pairs
-        a, b, w = int(r["ga"][3:]), int(r["gb"][3:]), int(r["ovl"])
-        elist += [(a, b, w), (b, a, w)]
-    ranks = pagerank_py(elist, iters=8)
-    sources = sorted(
-        r["source"] for r in docs.select("source").distinct().collect()
-    )
-    n_surv = {
-        r["source"]: int(r["n"])
-        for r in flags.filter(F.col("surv") == 1)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    weights = {s: ranks.get(int(s[3:]), 0) for s in sources}
-    caps = {s: n_surv.get(s, 0) for s in sources}
-    budget = sum(caps.values()) // 2
-    alloc = capped_weighted_quotas(weights, caps, budget, rounds=8)
-    surv = flags.filter(F.col("surv") == 1)
-    ranks_arg = {(s,): [alloc[s]] for s in sources if alloc[s] >= 1}
-    thr = {}
-    if ranks_arg:
-        vals, _ = kth_smallest_by(
-            surv.select("source", "doc_id"), "source", "doc_id", ranks_arg
-        )
-        thr = {grp[0]: int(ks[alloc[grp[0]]]) for grp, ks in vals.items()}
-    meta = spark.createDataFrame(
-        [(s, weights[s], alloc[s], thr.get(s)) for s in sources],
-        "source string, rank_q long, alloc long, _thr long",
-    )
-    kept = (
-        (F.col("surv") == 1)
-        & F.col("_thr").isNotNull()
-        & (F.col("doc_id") <= F.col("_thr"))
-    ).cast("int")
-    return (
-        flags.join(F.broadcast(meta), "source")
-        .withColumn("kp", kept)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("u").cast("bigint").alias("n_unique"),
-            F.sum(F.col("u") * F.col("gp")).cast("bigint").alias("n_gopher"),
-            F.sum(F.col("u") * F.col("gp") * F.col("sc"))
-            .cast("bigint")
-            .alias("n_classifier"),
-            F.sum("surv").cast("bigint").alias("n_survivors"),
-            F.max("rank_q").cast("bigint").alias("rank_q"),
-            F.max("alloc").cast("bigint").alias("alloc"),
-            F.sum("kp").cast("bigint").alias("n_kept"),
-            F.sum(F.when(F.col("kp") == 1, F.col("n")).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias("kept_tokens"),
+        curation_screen(
+            docs, lid_models, model, planted=planted, qfeats=qfeats
         )
     )
+    return curation_finalize(
+        spark,
+        flags,
+        doc_identity(docs),
+        _kn_doc_scores(spark, sf_dir),
+        source_token_sketch(docs, k=64),
+    )
+
+
+def _registry_roundtrip(
+    spark: SparkSession, lid_models: "list[dict]", model: dict
+) -> "tuple[list[dict], dict]":
+    """Route the two trained curation models through the persistent
+    registry (save → load from a throwaway versioned store) so every
+    downstream score runs on LOADED dicts — the production
+    train-offline/score-online boundary, exercised in-query because
+    the integer round-trip is bit-exact."""
+    import shutil
+    import tempfile
+
+    from ..operators.lid import LANGS
+    from ..operators.models import load_models, save_models
+    from ..sources.table_store import TableStore
+
+    for m, lg in zip(lid_models, LANGS):
+        m["label"] = lg
+    reg_dir = tempfile.mkdtemp(prefix="dbt_model_reg_")
+    try:
+        reg = TableStore(spark, reg_dir)
+        save_models(reg, "models", "lid_v10", lid_models)
+        save_models(reg, "models", "quality_v10", [model])
+        # load_models collects to plain Python values, so nothing
+        # downstream reads the store files after this block
+        return (
+            load_models(reg, "models", "lid_v10"),
+            load_models(reg, "models", "quality_v10")[0],
+        )
+    finally:
+        # the query runs inside bench/gate loops — leak-free
+        shutil.rmtree(reg_dir, ignore_errors=True)
 
 @query("corpus_curation_v10", oracle=_v10_oracle(), gate=False)
 def corpus_curation_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,3 +1243,70 @@ def corpus_curation_v10_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted ones (round-trip pinned in ``tests/test_model_registry.py``,
     including across a real session boundary)."""
     return _curation_v10_impl(spark, sf_dir, use_registry=True)
+
+
+@query("corpus_curation_v10_incremental", oracle=_v10_oracle(), gate=False)
+def corpus_curation_v10_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation v10 in its CONTINUOUS-INGEST decomposition (r13
+    verdict item 1): the corpus arrives in TWO waves (``doc_id % 2``
+    slices playing two staged ingest batches), each wave runs only
+    the per-document SCREEN with registry-LOADED models
+    (``operators.curation.curation_screen`` — trained LID, Gopher,
+    trained classifier; never fit in-stream) plus the per-doc dedup
+    identity and the wave's per-source KMV sketch delta; accumulated
+    state is the union of wave screens, the union of identity rows,
+    and the MERGED sketch (``kmv_merge_by`` — top-k of a union equals
+    the top-k of the union of top-ks, so truncated sketches merge
+    losslessly). One FINALIZE pass then runs the corpus-global
+    selection (keep-first MIN over accumulated identities, perplexity
+    terciles, affinity PageRank over the merged sketch, waterfall,
+    thresholds) over the corpus at rest.
+
+    The oracle is ``corpus_curation_v10``'s UNCHANGED one-shot SQL —
+    hash-green means two-wave ingest ≡ one-shot batch bit-for-bit,
+    which is the decomposition proof: screens are pure per-row
+    functions of (doc, models), identity keep-first is an associative
+    MIN, and the KMV sketch is mergeable. The actual exactly-once
+    stream mechanics (checkpoint-scoped epochs, availableNow drain,
+    restart/replay) are engine-tested over the SAME operators in
+    ``tests/test_streaming_funnel.py`` via
+    ``streaming.funnel.curation_funnel_stream_into_store``."""
+    from ..operators.curation import (
+        curation_finalize,
+        curation_screen,
+        doc_identity,
+        kmv_merge_by,
+        source_token_sketch,
+    )
+    from ..operators.lid import char_trigram_features, lid_fit, plant_markers
+    from ..operators.quality import hashed_tf_features, quality_classifier_fit
+    from .textops import _kn_doc_scores
+
+    docs = table(spark, sf_dir, "documents")
+    # offline training job (identical fit to v10 — the oracle's):
+    # shared featurize, then the registry round-trip so the waves
+    # score with LOADED models only
+    planted = materialize(
+        char_trigram_features(plant_markers(docs), d=16, cap=240)
+    )
+    lid_models = lid_fit(
+        docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
+    )
+    qfeats = materialize(hashed_tf_features(docs, d=D))
+    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
+    lid_models, model = _registry_roundtrip(spark, lid_models, model)
+    waves = [docs.filter(F.col("doc_id") % 2 == w) for w in (0, 1)]
+    flags = materialize(
+        curation_screen(waves[0], lid_models, model).unionByName(
+            curation_screen(waves[1], lid_models, model)
+        )
+    )
+    fps = doc_identity(waves[0]).unionByName(doc_identity(waves[1]))
+    sketch = kmv_merge_by(
+        [source_token_sketch(w, k=64) for w in waves], "source", k=64
+    )
+    return curation_finalize(
+        spark, flags, fps, _kn_doc_scores(spark, sf_dir), sketch
+    )

@@ -3883,18 +3883,24 @@ def _kneser_ney_oracle() -> str:
 
 
 def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-document Kneser-Ney bigram scoring pipeline over
+    the sf-dir documents table — see :func:`_kn_doc_scores_df`."""
+    return _kn_doc_scores_df(table(spark, sf_dir, "documents", access="scan"))
+
+
+def _kn_doc_scores_df(docs: DataFrame) -> DataFrame:
     """Shared per-document Kneser-Ney bigram scoring pipeline:
     returns ``(doc_id, n_bigrams, lq_sum)`` where ``lq_sum`` is the
     exact BIGINT sum of q30-quantized per-bigram log-probabilities
     (see ``text_kneser_ney_bigram`` for the model; magnitude is
     bounded by n_bigrams · 60·ln2·2^30 ≈ 2^45 for the q40 ladder's
     p ≥ 2^-60 domain, far inside int64). Consumed by the per-doc
-    typicality report AND the CCNet-style perplexity bucketer."""
+    typicality report, the CCNet-style perplexity bucketer, and the
+    curation funnel's finalize job (which scores a corpus at rest in
+    a TableStore, hence the frame-parameterized form)."""
     from ..operators.collocations import _pair_stream, _tok_base
     from ..operators.fixtrig import StepBuilder, apply_steps_spark, dlit
     from ..operators.materialize import materialize
-
-    docs = table(spark, sf_dir, "documents", access="scan")
     # Bigram construction is adjacency WITHIN a token array, so it is
     # pure map work: zip the materialized array with its own 1-shifted
     # tail and explode once (``collocations._pair_stream``, which also
