@@ -81,6 +81,38 @@ def save_models(
     return len(models)
 
 
+def roundtrip_models(spark, named: "dict[str, list | dict]") -> dict:
+    """Route freshly-fitted models through a throwaway registry store
+    (save → load) so every downstream score runs on LOADED dicts —
+    the in-query form of the train-offline/score-online production
+    boundary, safe to gate on because the integer round-trip is
+    bit-exact. ``named`` maps registry name → model dict (single
+    head) or list of head dicts (multiclass; heads must carry their
+    ``label``). Returns the loaded models in the same shape. The
+    temp store is removed in ``finally`` (queries run inside
+    bench/gate loops — leak-free)."""
+    import shutil
+    import tempfile
+
+    from ..sources.table_store import TableStore
+
+    reg_dir = tempfile.mkdtemp(prefix="dbt_model_reg_")
+    try:
+        reg = TableStore(spark, reg_dir)
+        for name, m in named.items():
+            save_models(reg, "models", name, m)
+        return {
+            name: (
+                load_models(reg, "models", name)
+                if isinstance(m, list)
+                else load_models(reg, "models", name)[0]
+            )
+            for name, m in named.items()
+        }
+    finally:
+        shutil.rmtree(reg_dir, ignore_errors=True)
+
+
 def load_models(store, table: str, name: str) -> "list[dict]":
     """Load the heads saved under ``name`` in their original order
     (sorted by label — LANGS order for the LID model, '' for

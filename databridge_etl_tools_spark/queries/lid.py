@@ -248,6 +248,7 @@ def lid_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     models = lid_fit(
         docs, d=D, cap=CAP, lam=LAM, holdout_mod=HOLDOUT_MOD, feats=planted
     )
+    models = _roundtrip_lid(spark, models)
     feats = planted.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
     scored = feats.select("lang", *lid_score_cols(models))
     pred = lid_predict_col([f"_s_{lg}" for lg in LANGS])
@@ -256,6 +257,18 @@ def lid_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def _roundtrip_lid(spark: SparkSession, models: "list[dict]") -> "list[dict]":
+    """Registry boundary (r13 verdict item 3): label the five heads
+    and save→load them through ``operators.models.roundtrip_models``
+    so every LID report scores from LOADED state — no gate query
+    trains at score time. Bit-exact, oracle unchanged."""
+    from ..operators.models import roundtrip_models
+
+    for m, lg in zip(models, LANGS):
+        m["label"] = lg
+    return roundtrip_models(spark, {"lid": models})["lid"]
 
 
 #: abstain threshold: predictions whose top-two score margin falls
@@ -330,6 +343,7 @@ def lid_confidence_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     models = lid_fit(
         docs, d=D, cap=CAP, lam=LAM, holdout_mod=HOLDOUT_MOD, feats=feats
     )
+    models = _roundtrip_lid(spark, models)
     cols = [f"_s_{lg}" for lg in LANGS]
     scored = feats.select("doc_id", *lid_score_cols(models))
     arr = F.array_sort(F.array(*[F.col(c) for c in cols]))

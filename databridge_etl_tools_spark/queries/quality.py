@@ -235,6 +235,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. The DuckDB oracle replays the slice, the moments,
     all 15 elimination pivots, back-substitution, the intercept, the
     RMSE, and every per-document score bit-for-bit."""
+    from ..operators.models import roundtrip_models
     from ..operators.quality import (
         hashed_tf_features,
         quality_classifier_fit,
@@ -248,6 +249,10 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality_classifier_fit)
     qfeats = materialize(hashed_tf_features(docs, d=D))
     model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
+    # registry boundary (r13 verdict item 3): scoring runs on the
+    # LOADED head, never the in-session fit — bit-exact round-trip,
+    # oracle unchanged
+    model = roundtrip_models(spark, {"quality": model})["quality"]
     ic = float(model["intercept"])
     scored = qfeats.select(
         "source", quality_pq_col(model).alias("_pq")
@@ -905,6 +910,15 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     lid_models = lid_fit(
         docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
     )
+    # shared featurize: the fit's positive slice reuses the SAME
+    # materialized corpus features the scoring pass reads (negatives
+    # featurize their degraded text separately - see
+    # quality_classifier_fit)
+    qfeats = materialize(hashed_tf_features(docs, d=D))
+    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
+    # registry boundary (r13 verdict item 3): both heads score from
+    # LOADED state — no gate query trains at score time
+    lid_models, model = _registry_roundtrip(spark, lid_models, model)
     pred_tbl = materialize(
         planted.select("doc_id", *lid_score_cols(lid_models))
         .withColumn(
@@ -913,12 +927,6 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pred_lang")
     )
-    # shared featurize: the fit's positive slice reuses the SAME
-    # materialized corpus features the scoring pass reads (negatives
-    # featurize their degraded text separately - see
-    # quality_classifier_fit)
-    qfeats = materialize(hashed_tf_features(docs, d=D))
-    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     ic = float(model["intercept"])
     keepers = (
         docs.groupBy(TS.fingerprint("text").alias("_fp"))
@@ -1184,29 +1192,15 @@ def _registry_roundtrip(
     downstream score runs on LOADED dicts — the production
     train-offline/score-online boundary, exercised in-query because
     the integer round-trip is bit-exact."""
-    import shutil
-    import tempfile
-
     from ..operators.lid import LANGS
-    from ..operators.models import load_models, save_models
-    from ..sources.table_store import TableStore
+    from ..operators.models import roundtrip_models
 
     for m, lg in zip(lid_models, LANGS):
         m["label"] = lg
-    reg_dir = tempfile.mkdtemp(prefix="dbt_model_reg_")
-    try:
-        reg = TableStore(spark, reg_dir)
-        save_models(reg, "models", "lid_v10", lid_models)
-        save_models(reg, "models", "quality_v10", [model])
-        # load_models collects to plain Python values, so nothing
-        # downstream reads the store files after this block
-        return (
-            load_models(reg, "models", "lid_v10"),
-            load_models(reg, "models", "quality_v10")[0],
-        )
-    finally:
-        # the query runs inside bench/gate loops — leak-free
-        shutil.rmtree(reg_dir, ignore_errors=True)
+    loaded = roundtrip_models(
+        spark, {"lid": lid_models, "quality": model}
+    )
+    return loaded["lid"], loaded["quality"]
 
 @query("corpus_curation_v10", oracle=_v10_oracle(), gate=False)
 def corpus_curation_v10(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -419,3 +419,62 @@ def lid_stream_into_store(
         .start()
     )
     q.awaitTermination()
+
+
+def requalify_quarantine(
+    store,
+    models: "list[dict]",
+    scored_table: str,
+    quarantine_table: str,
+    *,
+    epoch_id: int,
+    scope: str = "requalify",
+    margin_threshold: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Drain the LID abstain quarantine with a BETTER model (r13
+    verdict item 7): re-score every quarantined document (typically
+    with a newer registry version than the one that abstained),
+    promote the now-confident ones into ``scored_table``, and keep
+    the still-abstained rows quarantined with their refreshed
+    prediction — so the quarantine is a triage queue with a consumer,
+    not a write-only graveyard.
+
+    Exactly-once across the two tables without a checkpoint: both
+    commits fence on the caller-supplied ``(scope, epoch_id)`` (one
+    requalification pass = one epoch; re-running the same pass after
+    a crash between the commits re-derives the SAME promotion set —
+    everything is computed from the quarantine table, which the
+    lagging commit still sees unchanged — so the committed table
+    skips and the lagging one catches up). Disjointness is preserved
+    by construction: promoted ids leave quarantine in the same pass
+    they enter scored. Returns ``{"promoted": n, "remaining": m}``."""
+    from ..operators.merge import upsert
+
+    q = store.read(quarantine_table)
+    inputs = q.drop("pred_lang", "confident")
+    rescored = lid_score_stream(
+        inputs, models, text_col=text_col, margin_threshold=margin_threshold
+    ).localCheckpoint()
+    promoted = rescored.filter(F.col("confident"))
+    remaining = rescored.filter(~F.col("confident"))
+    n_promoted = promoted.count()
+    n_remaining = remaining.count()
+    if not store.epoch_seen(scored_table, epoch_id, scope):
+        if n_promoted and store.exists(scored_table):
+            existing = store.read(scored_table)
+            merged = upsert(
+                existing, promoted.select(*existing.columns), [id_col]
+            )
+            store.commit_epoch(scored_table, merged, epoch_id, scope=scope)
+        elif n_promoted:
+            store.commit_epoch(scored_table, promoted, epoch_id, scope=scope)
+    if not store.epoch_seen(quarantine_table, epoch_id, scope):
+        store.commit_epoch(
+            quarantine_table,
+            remaining.select(*q.columns),
+            epoch_id,
+            scope=scope,
+        )
+    return {"promoted": int(n_promoted), "remaining": int(n_remaining)}

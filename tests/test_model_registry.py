@@ -324,3 +324,73 @@ def test_lid_stream_confidence_flip_evicts_old_side(spark, tmp_path, fitted):
     assert 9001 in sc_ids
     assert 9001 not in quar_ids, "flipped doc left a stale quarantine row"
     assert sc_ids.isdisjoint(quar_ids)
+
+
+def test_requalify_quarantine_promotes_with_better_model(
+    spark, tmp_path, fitted
+):
+    """The quarantine drain (r14): after a better/relaxed model lands
+    in the registry, ``requalify_quarantine`` re-scores the abstained
+    docs, promotes the now-confident ones into the scored table
+    exactly-once, keeps the rest quarantined, and preserves
+    scored/quarantine disjointness. A replayed pass (same scope+epoch)
+    changes nothing."""
+    store = TableStore(spark, str(tmp_path / "reg"))
+    save_models(store, "models", "lid_v1", fitted)
+    models = load_models(store, "models", "lid_v1")
+
+    docs = plant_markers(
+        table(spark, SF, "documents").filter(F.col("doc_id") < 150)
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    shorts = spark.createDataFrame(
+        [(9001, "ab", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    staged = docs.unionByName(shorts)
+    staging = str(tmp_path / "stage")
+    staged.coalesce(1).write.mode("overwrite").parquet(staging)
+
+    # strict first pass: large abstained population
+    C.lid_stream_into_store(
+        C.read_document_stream(spark, staging),
+        models,
+        store,
+        "sc",
+        "quar",
+        str(tmp_path / "ck"),
+        margin_threshold=0.5,
+    )
+    all_ids = {r["doc_id"] for r in staged.collect()}
+    quar0 = {r["doc_id"] for r in store.read("quar").collect()}
+    assert quar0, "test needs a non-empty quarantine"
+
+    # "better model lands": same heads, production-calibrated margin
+    # — the drain mechanism under test is identical for a re-fit
+    stats = C.requalify_quarantine(
+        store, models, "sc", "quar", epoch_id=0, margin_threshold=0.25
+    )
+    sc1 = {r["doc_id"] for r in store.read("sc").collect()}
+    quar1 = {r["doc_id"] for r in store.read("quar").collect()}
+    assert stats["promoted"] == len(quar0 - quar1) > 0
+    assert stats["remaining"] == len(quar1)
+    assert 9001 in quar1, "sub-trigram doc can never be promoted"
+    assert sc1 | quar1 == all_ids and sc1.isdisjoint(quar1)
+    # promoted rows carry their refreshed prediction
+    preds = {
+        r["doc_id"]: r["pred_lang"] for r in store.read("sc").collect()
+    }
+    assert all(preds[d] is not None for d in quar0 - quar1)
+
+    # replayed pass: same (scope, epoch) — both tables fenced
+    stats2 = C.requalify_quarantine(
+        store, models, "sc", "quar", epoch_id=0, margin_threshold=0.0
+    )
+    assert {r["doc_id"] for r in store.read("quar").collect()} == quar1
+    assert {r["doc_id"] for r in store.read("sc").collect()} == sc1
+    # a NEW pass with threshold 0 drains everything scoreable
+    C.requalify_quarantine(
+        store, models, "sc", "quar", epoch_id=1, margin_threshold=0.0
+    )
+    quar2 = {r["doc_id"] for r in store.read("quar").collect()}
+    assert quar2 == {9001}
+    assert stats2  # shape sanity: dict returned on the fenced path
