@@ -77,113 +77,89 @@ DRIVER_GATE_WINDOW = 50
 #: registration so the per-query ``gate=`` default stays the stable
 #: tier and this overlay stays one auditable per-round edit.
 #:
-#: r13 cohort — GENERATED, not hand-counted: run
+#: r14 cohort — GENERATED, not hand-counted: run
 #:   python tools/gate_coverage.py --suggest
 #: which ranks the oracle catalog by (never-driver-green first, then
 #: ascending last_green_round, green_count, name) from the actual
-#: CORRECTNESS_r*.json records, and emits exactly this window. The r13
-#: window = the 8 never-driver-verified entries (the seven r12 builds —
-#: LID eval + confidence bands, curation v8/v9/v10, incremental
-#: decontam, waterfall quotas — plus this round's registry-backed v10)
-#: + the aging last-green-r8 cohort + the last-green-r9 tail (greens
-#: ascending). IN holds the members of that window whose registration
-#: default is overflow; OUT parks every stable-tier (gate=True) query
-#: not in the window. Both sets verified programmatically:
+#: CORRECTNESS_r*.json records, and emits exactly this window. The r14
+#: window = the 1 never-driver-verified entry (this round's
+#: corpus_curation_v10_incremental) + the full 27-member
+#: last-green-r9 cohort (the r13 verdict's aging watchlist) + the
+#: last-green-r10 tail (greens ascending). IN holds the members of
+#: that window whose registration default is overflow; OUT parks
+#: every stable-tier (gate=True) query not in the window. Both sets
+#: verified programmatically:
 #: (oracle − ((default_overflow − IN) ∪ OUT)) == suggest() window
 #: (computed from _QUERY_MODULES imports BEFORE the overlay mutates
-#: OVERFLOW — the r12 pitfall). New r13 queries register gate=False
-#: and queue for r14.
+#: OVERFLOW — the r12 pitfall). New r14 queries register gate=False
+#: and queue for r15.
 GATE_ROTATE_IN: frozenset[str] = frozenset(
     {
-        "ann_ivf_kmeans",
-        "ann_pq_adc",
-        "asof_attribution_window",
-        "boilerplate_prefix_clusters",
-        "bpe_learn_merges",
-        "bpe_learn_merges_words",
-        "bracket_revenue",
-        "chunk_dedup_reassembled",
-        "chunk_dedup_segments",
-        "chunk_documents_windows",
-        "corpus_curation_v10",
-        "corpus_curation_v10_registry",
-        "corpus_curation_v8",
-        "corpus_curation_v9",
-        "curriculum_schedule",
-        "decontam_incremental_vs_store",
-        "events_markov_transitions",
-        "events_value_equidepth",
-        "geom_kind_census",
-        "join_cardinality_estimate",
-        "join_skew_diagnostics",
-        "kwic_concordance",
-        "layout_curve_codes",
-        "layout_hilbert3_codes",
-        "lid_confidence_bands",
-        "lid_predict_eval",
-        "median_doc_length",
-        "prepare_cell_cleanup",
-        "prepare_header_normalize",
-        "quota_waterfall_sources",
-        "sketch_kmv_distinct",
-        "sketch_quantile_rollup",
-        "stratified_split_exact",
-        "text_keywords_tfidf",
-        "text_lm_bigram_score",
-        "text_pmi_collocations",
-        "token_odds_ratio_langs",
-        "tz_carto_midnight",
-        "user_activity_anomalies",
-        "user_activity_anomalies_mad",
-        "user_retention_cohorts",
-        "vocab_growth_curve",
+        "ann_pca_prefilter",
+        "approx_sketches",
+        "contrastive_negatives",
+        "corpus_curation",
+        "corpus_curation_v10_incremental",
+        "corpus_curation_v2",
+        "corpus_curation_v4",
+        "corpus_curation_v5",
+        "decontaminate_train_eval",
+        "dedup_containment",
+        "dedup_internal_cleaned",
+        "dedup_internal_spans",
+        "dedup_minhash_estimate_quality",
+        "dedup_tfidf_cosine",
+        "dedup_winnow_overlap",
+        "emb_quantize_int8",
+        "events_value_histogram",
+        "graph_bfs_supplier_radius",
+        "graph_pagerank_suppliers",
+        "graph_pagerank_weighted",
+        "idle_customer_balance",
+        "kfold_documents",
+        "knn_label_vote",
+        "mm_image_neardup",
+        "pca_embeddings_project",
+        "pii_card_audit",
+        "retrieval_eval_knn",
+        "ridge_probe_embeddings",
+        "text_textrank_keywords",
+        "text_word_communities",
     }
 )
 GATE_ROTATE_OUT: frozenset[str] = frozenset(
     {
+        "above_customer_average",
         "ann_cosine_topk",
         "ann_ivf_label",
+        "ann_lsh_bucketed",
         "asof_purchase_last_view",
+        "cube_flag_status",
         "customer_order_distribution",
         "dedup_components",
         "dedup_exact",
+        "dedup_fuzzy_levenshtein",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
-        "dedup_simhash_pairs",
         "dedupe_events_by_user",
         "delete_stale",
+        "emb_neardup_pairs",
+        "events_hourly_rollup",
+        "events_json_props",
         "events_sessionize",
+        "exact_percentiles",
         "filter_project",
-        "forecast_revenue",
-        "forest_part_suppliers",
-        "geom_normalize",
-        "important_nation_stock",
-        "min_cost_supplier",
-        "mm_binary_stats",
         "order_priority_check",
         "ordered_collect",
-        "pivot_priority_status",
         "prepare_synthetic_objectid",
-        "pricing_summary",
         "proj_webmercator",
-        "qa_report",
         "range_join_interval_counts",
-        "range_join_left_outer",
         "record_diff",
-        "region_revenue",
-        "rollup_region_nation",
-        "scan_probes",
         "semdedup_keep",
-        "set_ops",
-        "shipping_priority",
-        "skew_salted_agg",
-        "text_quality_language",
         "text_token_stats",
-        "text_vocabulary_topk",
         "topk_per_group",
         "tz_policies",
         "upsert_orders",
-        "waiting_sole_late_supplier",
     }
 )
 
