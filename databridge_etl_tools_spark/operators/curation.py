@@ -43,9 +43,9 @@ from pyspark.sql.window import Window
 from . import textstats as TS
 from .materialize import materialize
 
-#: quality-classifier feature width / ridge lambda (queries.quality)
+#: quality-classifier feature width (queries.quality fits with the
+#: matching D; the lambda lives with the fit, not the screen)
 QD = 16
-QLAM = 1
 _Q50F = float(1 << 50)
 
 
@@ -222,12 +222,20 @@ def curation_finalize(
         .filter(F.col("ovl") > 0)
         .select("ga", "gb", "ovl")
     )
-    # bounded driver-side integer walk — see corpus_curation_v8
+    # bounded driver-side integer walk — see corpus_curation_v8.
+    # Nodes are the raw source STRINGS (pagerank_py keys by any
+    # hashable; rank values depend only on topology, so the DuckDB
+    # oracle's integer-id replay stays bit-identical). An EMPTY
+    # affinity graph (single source, or no token overlap between
+    # sources yet — the mid-ingest finalize case) degrades to
+    # all-zero weights, which is exactly what the batch stack gives
+    # edgeless sources: the waterfall allocates nothing without an
+    # affinity signal, it never crashes the selection job.
     elist = []
     for r in ovl.collect():  # bounded: |sources|^2 pairs
-        a, b, w = int(r["ga"][3:]), int(r["gb"][3:]), int(r["ovl"])
+        a, b, w = r["ga"], r["gb"], int(r["ovl"])
         elist += [(a, b, w), (b, a, w)]
-    ranks = pagerank_py(elist, iters=iters)
+    ranks = pagerank_py(elist, iters=iters) if elist else {}
     sources = sorted(
         r["source"] for r in fps.select("source").distinct().collect()
     )
@@ -238,7 +246,7 @@ def curation_finalize(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    weights = {s: ranks.get(int(s[3:]), 0) for s in sources}
+    weights = {s: ranks.get(s, 0) for s in sources}
     caps = {s: n_surv.get(s, 0) for s in sources}
     budget = sum(caps.values()) // 2
     alloc = capped_weighted_quotas(weights, caps, budget, rounds=rounds)

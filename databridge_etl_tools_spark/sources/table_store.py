@@ -393,14 +393,29 @@ class TableStore:
             return {props.get("epoch_scope") or "": props["last_epoch"]}
         return {}
 
+    #: retention cap on per-scope epoch watermarks: scopes beyond the
+    #: most recent N are forgotten (Delta bounds txnAppId state by
+    #: retention the same way). A sink restarted with fresh
+    #: checkpoints accretes one scope per reset; without a cap the
+    #: marks map grows with operational history in every manifest.
+    EPOCH_SCOPE_RETENTION = 16
+
     def _epoch_props(
         self, table: str, epoch_id: int, scope: "str | None"
     ) -> dict:
         """Property delta for an epoch commit: the per-scope map plus
         the legacy latest-writer slot (kept for observability — tests
-        and ops read ``last_epoch`` as 'how far has this sink got')."""
+        and ops read ``last_epoch`` as 'how far has this sink got').
+        The map keeps insertion order (JSON/dict order is stable), so
+        re-inserting the committing scope last makes eviction
+        least-recently-WRITTEN-first — a replay fence is only ever
+        needed for scopes that can still replay, i.e. recent ones."""
         marks = self._epoch_marks(table) if self.exists(table) else {}
+        marks.pop(scope or "", None)
         marks[scope or ""] = epoch_id
+        while len(marks) > self.EPOCH_SCOPE_RETENTION:
+            oldest = next(iter(marks))
+            del marks[oldest]
         return {
             "epoch_marks": marks,
             "last_epoch": epoch_id,
@@ -518,11 +533,14 @@ class TableStore:
         what the fast path eliminates). A re-sent key whose row
         CHANGED or a ``staging_order`` tiebreak falls back to the full
         keyed rewrite (``merge.upsert``); an identical re-send
-        contributes no delta at all. An intra-batch duplicate key with
-        no ``staging_order`` RAISES — Postgres ON CONFLICT parity:
-        with no tiebreak there is no well-defined winner, and silently
-        landing both rows would break the key-uniqueness invariant.
-        Returns False on a replayed ``(scope, epoch_id)``."""
+        contributes no delta at all. Intra-batch duplicates with no
+        ``staging_order``: IDENTICAL duplicate rows collapse (the
+        winner is well defined — at-least-once redelivery landing the
+        same row twice in one micro-batch must not kill the sink),
+        but CONFLICTING rows for one key RAISE — Postgres ON CONFLICT
+        parity: with no tiebreak there is no well-defined winner, and
+        silently landing either would break the key-uniqueness
+        invariant. Returns False on a replayed ``(scope, epoch_id)``."""
         from pyspark.sql import functions as F
 
         from ..operators.merge import upsert
@@ -530,21 +548,37 @@ class TableStore:
         if self.epoch_seen(table, epoch_id, scope):
             return False
 
-        def _check_unique(df: DataFrame) -> None:
-            dup = (
+        def _resolve_unique(df: DataFrame) -> DataFrame:
+            """Collapse identical duplicate rows; raise on a key with
+            two DIFFERENT rows. The distinct() runs only on the rare
+            dup path — unique batches pay one count probe."""
+            has_dup = (
                 df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not has_dup:
+                return df
+            dd = df.distinct().localCheckpoint()
+            conflict = (
+                dd.groupBy(*keys)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .filter(F.col("n") > 1)
                 .limit(1)
                 .collect()
             )
-            if dup:
-                k = {c: dup[0][c] for c in keys}
+            if conflict:
+                k = {c: conflict[0][c] for c in keys}
                 raise ValueError(
-                    f"upsert_epoch to {table}: intra-batch duplicate key "
-                    f"{k} with no staging_order — no well-defined winner "
-                    "(ON CONFLICT parity); pass staging_order to break ties"
+                    f"upsert_epoch to {table}: conflicting intra-batch "
+                    f"rows for key {k} with no staging_order — no "
+                    "well-defined winner (ON CONFLICT parity); pass "
+                    "staging_order to break ties"
                 )
+            return dd
 
         if not self.exists(table):
             if staging_order is not None:
@@ -552,13 +586,13 @@ class TableStore:
 
                 batch = dedupe_by_key(batch, keys, staging_order)
             else:
-                _check_unique(batch)
+                batch = _resolve_unique(batch)
             return self.commit_epoch(table, batch, epoch_id, scope=scope)
         existing = self.read(table)
         batch = batch.select(*existing.columns).localCheckpoint()
         slow = staging_order is not None
         if not slow:
-            _check_unique(batch)
+            batch = _resolve_unique(batch)
             changed = batch.exceptAll(existing).join(
                 existing, keys, "left_semi"
             )

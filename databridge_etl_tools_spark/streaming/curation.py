@@ -442,39 +442,62 @@ def requalify_quarantine(
     not a write-only graveyard.
 
     Exactly-once across the two tables without a checkpoint: both
-    commits fence on the caller-supplied ``(scope, epoch_id)`` (one
-    requalification pass = one epoch; re-running the same pass after
-    a crash between the commits re-derives the SAME promotion set —
-    everything is computed from the quarantine table, which the
-    lagging commit still sees unchanged — so the committed table
-    skips and the lagging one catches up). Disjointness is preserved
-    by construction: promoted ids leave quarantine in the same pass
-    they enter scored. Returns ``{"promoted": n, "remaining": m}``."""
+    commits fence on the caller-supplied ``(scope, epoch_id)`` — one
+    requalification pass = one epoch. Crash recovery is
+    MODEL-INDEPENDENT: the quarantine commit keeps only rows NOT
+    already present in the scored table (an id-anti-join against the
+    post-promotion scored state), so a re-run of a half-committed
+    pass preserves disjointness even if the re-run scores with a
+    different model or threshold — a doc promoted by the crashed
+    attempt can never reappear in quarantine. Returns honest stats:
+    ``promoted``/``remaining`` reflect what this call actually
+    COMMITTED (a fully-fenced replay reports ``promoted: 0`` and the
+    stored remaining count, plus ``replayed: True``)."""
     from ..operators.merge import upsert
 
     q = store.read(quarantine_table)
+    scored_fenced = store.epoch_seen(scored_table, epoch_id, scope)
+    quar_fenced = store.epoch_seen(quarantine_table, epoch_id, scope)
+    if scored_fenced and quar_fenced:
+        return {
+            "promoted": 0,
+            "remaining": int(q.count()),
+            "replayed": True,
+        }
     inputs = q.drop("pred_lang", "confident")
     rescored = lid_score_stream(
         inputs, models, text_col=text_col, margin_threshold=margin_threshold
     ).localCheckpoint()
     promoted = rescored.filter(F.col("confident"))
-    remaining = rescored.filter(~F.col("confident"))
     n_promoted = promoted.count()
-    n_remaining = remaining.count()
-    if not store.epoch_seen(scored_table, epoch_id, scope):
-        if n_promoted and store.exists(scored_table):
+    if not scored_fenced and n_promoted:
+        if store.exists(scored_table):
             existing = store.read(scored_table)
             merged = upsert(
                 existing, promoted.select(*existing.columns), [id_col]
             )
             store.commit_epoch(scored_table, merged, epoch_id, scope=scope)
-        elif n_promoted:
+        else:
             store.commit_epoch(scored_table, promoted, epoch_id, scope=scope)
-    if not store.epoch_seen(quarantine_table, epoch_id, scope):
-        store.commit_epoch(
-            quarantine_table,
-            remaining.select(*q.columns),
-            epoch_id,
-            scope=scope,
+    remaining = rescored.filter(~F.col("confident")).select(*q.columns)
+    if store.exists(scored_table):
+        # the disjointness fence: whatever the scored table holds NOW
+        # (this pass's promotions AND any crashed prior attempt's)
+        # never stays quarantined
+        remaining = remaining.join(
+            store.read(scored_table).select(id_col), [id_col], "left_anti"
         )
-    return {"promoted": int(n_promoted), "remaining": int(n_remaining)}
+    remaining = remaining.localCheckpoint()
+    n_remaining = remaining.count()
+    if not quar_fenced:
+        store.commit_epoch(
+            quarantine_table, remaining, epoch_id, scope=scope
+        )
+    return {
+        # committed-by-THIS-call accounting: a recovery run whose
+        # scored commit was fenced reports 0 promotions (the crashed
+        # attempt's commit already carried them)
+        "promoted": int(n_promoted) if not scored_fenced else 0,
+        "remaining": int(n_remaining),
+        "replayed": False,
+    }

@@ -67,13 +67,13 @@ def test_epoch_marks_migrates_legacy_single_slot(spark, tmp_path):
 def test_upsert_epoch_intra_batch_dup_raises_without_order(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "store"))
     dup = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
-    with pytest.raises(ValueError, match="intra-batch duplicate key"):
+    with pytest.raises(ValueError, match="conflicting intra-batch"):
         store.upsert_epoch("t", dup, ["k"], 0, scope="s")
     # nothing half-committed: table absent, watermark unset
     assert not store.exists("t")
     ok = spark.createDataFrame([(1, "a")], "k long, v string")
     assert store.upsert_epoch("t", ok, ["k"], 0, scope="s") is True
-    with pytest.raises(ValueError, match="intra-batch duplicate key"):
+    with pytest.raises(ValueError, match="conflicting intra-batch"):
         store.upsert_epoch("t", dup, ["k"], 1, scope="s")
     # staging_order resolves the tie deterministically instead
     # (first-wins in staging_order's ascending sort: "a" < "b")
@@ -82,6 +82,45 @@ def test_upsert_epoch_intra_batch_dup_raises_without_order(spark, tmp_path):
     ) is True
     got = {r["k"]: r["v"] for r in store.read("t").collect()}
     assert got == {1: "a"}
+
+
+def test_upsert_epoch_identical_dup_rows_collapse(spark, tmp_path):
+    """At-least-once redelivery landing the SAME row twice in one
+    micro-batch has a well-defined winner — it must collapse, not
+    kill the sink (r14 review finding)."""
+    store = TableStore(spark, str(tmp_path / "store"))
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, v string"
+    )
+    assert store.upsert_epoch("t", dup, ["k"], 0, scope="s") is True
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got == {1: "a", 2: "b"}
+    # same on the table-exists path
+    dup2 = spark.createDataFrame(
+        [(3, "c"), (3, "c")], "k long, v string"
+    )
+    assert store.upsert_epoch("t", dup2, ["k"], 1, scope="s") is True
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_epoch_scope_retention_cap(spark, tmp_path):
+    """The per-scope watermark map is bounded: scopes beyond the most
+    recent EPOCH_SCOPE_RETENTION are forgotten (Delta's txnAppId
+    retention shape), least-recently-written evicted first."""
+    store = TableStore(spark, str(tmp_path / "store"))
+    cap = TableStore.EPOCH_SCOPE_RETENTION
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    for i in range(cap + 5):
+        store.commit_epoch("t", df, 0, scope=f"s{i}")
+    marks = store.properties("t")["epoch_marks"]
+    assert len(marks) == cap
+    # the oldest five evicted, the newest retained
+    assert f"s{cap + 4}" in marks and "s0" not in marks
+    # an evicted scope's replay is no longer fenced (documented
+    # retention trade — same as Delta past the retention window)
+    assert store.epoch_seen("t", 0, scope="s0") is False
+    assert store.epoch_seen("t", 0, scope=f"s{cap + 4}") is True
 
 
 def test_append_epoch_segment_budget_bounds_accretion(spark, tmp_path):

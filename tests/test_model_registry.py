@@ -394,3 +394,62 @@ def test_requalify_quarantine_promotes_with_better_model(
     quar2 = {r["doc_id"] for r in store.read("quar").collect()}
     assert quar2 == {9001}
     assert stats2  # shape sanity: dict returned on the fenced path
+
+
+def test_requalify_crash_recovery_is_model_independent(
+    spark, tmp_path, fitted
+):
+    """Crash between the two requalify commits, then a re-run with a
+    DIFFERENT threshold (the operator deployed a newer model in
+    between): disjointness must survive, because the quarantine
+    commit anti-joins against the post-promotion scored state rather
+    than trusting the re-run's promotion set to match."""
+    store = TableStore(spark, str(tmp_path / "reg"))
+    save_models(store, "models", "lid_v1", fitted)
+    models = load_models(store, "models", "lid_v1")
+    docs = plant_markers(
+        table(spark, SF, "documents").filter(F.col("doc_id") < 80)
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    staging = str(tmp_path / "stage")
+    docs.coalesce(1).write.mode("overwrite").parquet(staging)
+    C.lid_stream_into_store(
+        C.read_document_stream(spark, staging), models, store,
+        "sc", "quar", str(tmp_path / "ck"), margin_threshold=0.6,
+    )
+    quar0 = {r["doc_id"] for r in store.read("quar").collect()}
+    assert quar0
+
+    # simulate the crash: run the SCORED half of epoch 0 by hand
+    # (margin 0.25 promotes a set P), leaving quarantine uncommitted
+    from databridge_etl_tools_spark.operators.merge import upsert as _up
+
+    rescored = C.lid_score_stream(
+        store.read("quar").drop("pred_lang", "confident"),
+        models,
+        margin_threshold=0.25,
+    ).localCheckpoint()
+    promoted = rescored.filter(F.col("confident"))
+    assert promoted.count() > 0
+    existing = store.read("sc")
+    store.commit_epoch(
+        "sc",
+        _up(existing, promoted.select(*existing.columns), ["doc_id"]),
+        0,
+        scope="requalify",
+    )
+
+    # recovery re-run with a DIFFERENT (stricter) threshold: some of
+    # P would not be promoted under it — they must still leave quar
+    stats = C.requalify_quarantine(
+        store, models, "sc", "quar", epoch_id=0, margin_threshold=0.45
+    )
+    sc_ids = {r["doc_id"] for r in store.read("sc").collect()}
+    quar_ids = {r["doc_id"] for r in store.read("quar").collect()}
+    assert sc_ids.isdisjoint(quar_ids), "recovery broke disjointness"
+    assert stats["promoted"] == 0  # scored commit was fenced
+    assert stats["replayed"] is False
+    # fully-fenced replay reports honestly
+    stats2 = C.requalify_quarantine(
+        store, models, "sc", "quar", epoch_id=0, margin_threshold=0.0
+    )
+    assert stats2["replayed"] is True and stats2["promoted"] == 0

@@ -161,3 +161,26 @@ def test_funnel_requires_registered_models(spark, tmp_path, corpus):
             stream, store, empty_reg, str(tmp_path / "ck")
         )
     shutil.rmtree(str(tmp_path / "ck"), ignore_errors=True)
+
+
+def test_funnel_finalize_single_source_empty_affinity(
+    spark, tmp_path_factory, corpus, registry
+):
+    """Mid-ingest finalize with ONE source drained so far: the
+    affinity graph is empty (no source pairs), which must degrade to
+    the batch stack's edgeless-source semantics (zero weights, zero
+    allocation) — never crash the selection job (r14 review
+    finding)."""
+    store = TableStore(spark, str(tmp_path_factory.mktemp("store")))
+    one_src = corpus.limit(1).select("source").collect()[0]["source"]
+    sub = corpus.filter(F.col("source") == one_src)
+    stage = tmp_path_factory.mktemp("stage1src")
+    sub.coalesce(1).write.parquet(str(stage / "only"))
+    ck = tmp_path_factory.mktemp("ck") / "ck"
+    _drain(spark, store, registry, stage, ck)
+    got = curation_funnel_finalize(spark, store, sub).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["source"] == one_src
+    assert row["rank_q"] == 0 and row["alloc"] == 0 and row["n_kept"] == 0
+    assert row["n_docs"] == sub.count()

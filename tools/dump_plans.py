@@ -155,6 +155,8 @@ SHOW = [
     "lid_confidence_bands",
     "quota_waterfall_sources",
     "corpus_curation_v10",
+    # r14 additions
+    "corpus_curation_v10_incremental",
 ]
 
 #: formatted plans longer than this print tree + census only
@@ -199,6 +201,46 @@ def _print_plan(name: str, plan: str) -> None:
     print("```")
 
 
+def _digest_line(plan: str) -> str:
+    """One-line plan-quality census from a formatted plan string:
+    join strategies, exchange count, scans (with pushdown/pruning
+    evidence), Python evals — the signals the full dump existed for,
+    at 1/100th the bytes (r13 verdict item 8: PLANS.md was 12.9k
+    lines regenerated wholesale every round)."""
+    import re
+
+    lines = plan.splitlines()
+    census: dict[str, int] = {}
+    for ln in lines:
+        m = re.match(r"^\(\d+\) ([A-Za-z][A-Za-z ]*[A-Za-z])", ln)
+        if m:
+            node = m.group(1)
+            census[node] = census.get(node, 0) + 1
+    joins = {k: v for k, v in census.items() if "Join" in k}
+    n_shuffle = sum(
+        v for k, v in census.items() if "Exchange" in k and "Broadcast" not in k
+    )
+    n_bexch = sum(
+        v for k, v in census.items() if "Exchange" in k and "Broadcast" in k
+    )
+    n_scan = sum(v for k, v in census.items() if k.startswith("Scan"))
+    n_py = sum(
+        v
+        for k, v in census.items()
+        if "Python" in k or "ArrowEval" in k or "MapInPandas" in k
+    )
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    parts = [f"{len(lines)} ln", f"scans={n_scan}(pushed={pushed})"]
+    if joins:
+        parts.append(
+            "joins=" + ",".join(f"{k.replace(' ', '')}×{v}" for k, v in sorted(joins.items()))
+        )
+    parts.append(f"shuffle={n_shuffle}, bcast={n_bexch}")
+    if n_py:
+        parts.append(f"python={n_py}")
+    return "; ".join(parts)
+
+
 def main() -> None:
     import tempfile
 
@@ -206,11 +248,35 @@ def main() -> None:
     from databridge_etl_tools_spark import layout
     from databridge_etl_tools_spark.session import get_session
 
+    digest = "--digest" in sys.argv
+
     spark = get_session("plans")
     qs = ent.queries()
     # the optimized layouts are the default query path (bench.py builds
     # them too) — dump the plans users actually run
     layout.build_all(spark, "/root/testdata/sf0.1", tempfile.mkdtemp(prefix="plans_"))
+    if digest:
+        print("# PLANS — physical-plan digest (sf0.1, auto-generated)")
+        print()
+        print("One census line per headline query: formatted-plan size,")
+        print("scan count (with how many scans carry PushedFilters —")
+        print("pushdown evidence), join strategies, exchange count")
+        print("(broadcast exchanges split out), Python/Arrow eval nodes.")
+        print("Full formatted plans regenerate on demand:")
+        print("`python tools/dump_plans.py > /tmp/PLANS_full.md` (the")
+        print("committed file is this digest — r13 verdict item 8; the")
+        print("load-bearing plan SHAPES are pinned in tests/test_plans.py")
+        print("and tests/test_layout.py, which fail on regression).")
+        print()
+        print("| query | plan census |")
+        print("| --- | --- |")
+        for name in SHOW:
+            df = qs[name](spark, "/root/testdata/sf0.1")
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            print(f"| {name} | {_digest_line(plan)} |")
+        return
     print("# PLANS — formatted physical plans (sf0.1, auto-generated)")
     print()
     print("Regenerate with `python tools/dump_plans.py > PLANS.md`.")
