@@ -3897,7 +3897,18 @@ def _kn_doc_scores_df(docs: DataFrame) -> DataFrame:
     p ≥ 2^-60 domain, far inside int64). Consumed by the per-doc
     typicality report, the CCNet-style perplexity bucketer, and the
     curation funnel's finalize job (which scores a corpus at rest in
-    a TableStore, hence the frame-parameterized form)."""
+    a TableStore, hence the frame-parameterized form).
+
+    Scale note (r14 `--step2` adjudication, SCALE.md): the ``bg``
+    materialize below storage-checkpoints the corpus-sized bigram
+    stream. Measured crossover: at ≤ sf~1 it WINS (4.3 s vs 6.8 s —
+    the interpreted-HOF token zip is expensive to recompute), at
+    sf~3 in one 48 g JVM the checkpointed stream exceeds the storage
+    budget and thrashes. On a cluster keep the materialize (executor
+    storage scales with data); in a memory-bounded single process
+    wrap the call in ``materialize.strategy("none")`` to trade one
+    extra map recompute for zero storage pressure — both paths are
+    linear; the difference is constant-factor configuration."""
     from ..operators.collocations import _pair_stream, _tok_base
     from ..operators.fixtrig import StepBuilder, apply_steps_spark, dlit
     from ..operators.materialize import materialize
