@@ -463,6 +463,24 @@ class TableStore:
     #: turns O(delta) writes into O(segments) reads).
     SEGMENT_BUDGET = 32
 
+    #: adaptive data-skipping threshold for :meth:`upsert_epoch`:
+    #: below this many accumulated rows the classic full-ledger
+    #: probes run (on a small ledger the scans cost less than the
+    #: stats build/probe jobs); at or above it, per-segment zone maps
+    #: + key blooms prune the probes to the segments that might share
+    #: a key. Measured (tools/bloom_bench.py, local[32]): at a
+    #: 5k-row ledger the stats path LOSES (~1.1x per-batch cost); at
+    #: 2M rows it wins 4.1x (classic 3.78 s/batch vs 0.93) and at
+    #: 20M rows 5.4x (5.43 vs 1.01 — the stats cost is
+    #: ledger-size-INDEPENDENT, the measured O(delta) claim). The
+    #: default sits at the geometric middle of the measured wash
+    #: band; on a real cluster ledger scans are remote IO, so this is
+    #: conservative. Segments committed below the threshold are
+    #: simply stat-less — the first over-threshold commit that must
+    #: read them re-covers them, so crossing the threshold
+    #: self-heals.
+    BLOOM_MIN_ROWS = 100_000
+
     def append_epoch(
         self,
         table: str,
@@ -513,6 +531,240 @@ class TableStore:
         )
         return True
 
+    def _segment_stats(self, table: str, keys: "list[str]") -> dict:
+        """Per-segment key statistics recorded for exactly ``keys``,
+        pruned to segments the manifest still references (compaction
+        or blue/green flips leave stale entries behind; they are
+        ignored here and rewritten away on the next keyed commit).
+        Returns ``{segment: {"bloom": sparse-dict | None,
+        "range": (lo, hi) | None}}`` — the two prunable statistics:
+
+        - ``range``: the key's min/max zone map (single-column keys;
+          exact aggregates, never parquet-stat truncation). Monotone
+          ingest — the common 100 TB shape, ever-growing ids — is
+          pruned ENTIRELY by ranges: a new batch is beyond every
+          segment's max, no bloom machinery needed at all.
+        - ``bloom``: a fixed-width key bloom for interleaved keys
+          (``sources.bloom``). Only stored for segments small enough
+          not to saturate it (:attr:`BLOOM_MAX_KEYS`) — a saturated
+          bloom flags everything and only adds cost; an over-sized
+          segment keeps its zone map and is otherwise a candidate.
+
+        A probe ANDs whatever is present; a segment with neither
+        statistic is always a candidate."""
+        from .bloom import bloom_from_json
+
+        props = self.properties(table)
+        if props.get("bloom_keys") != list(keys):
+            return {}
+        blooms = props.get("key_blooms") or {}
+        ranges = props.get("key_ranges") or {}
+        out = {}
+        for s in self._segments(table):
+            b = bloom_from_json(blooms[s]) if s in blooms else None
+            r = tuple(ranges[s]) if s in ranges else None
+            if b is not None or r is not None:
+                out[s] = {"bloom": b, "range": r}
+        return out
+
+    def _live_blooms(self, table: str, keys: "list[str]") -> dict:
+        """Back-compat view of :meth:`_segment_stats`: just the
+        blooms."""
+        return {
+            s: st["bloom"]
+            for s, st in self._segment_stats(table, keys).items()
+            if st["bloom"] is not None
+        }
+
+    def _read_segments(self, table: str, segs: "list[str]") -> DataFrame:
+        """Read a SUBSET of a table's segments (the data-skipping
+        read: only the segments a key probe could not rule out)."""
+        base = self._dir(table)
+        paths = [os.path.join(base, s) for s in segs]
+        if len(paths) == 1:
+            return self.spark.read.parquet(paths[0])
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _table_rows(self, table: str) -> int:
+        """Row count of the current table state from parquet footer
+        metadata, driver-side — no Spark job. Drives the adaptive
+        bloom threshold below; a streaming sink calls it every
+        micro-batch, so it must stay a metadata read."""
+        import pyarrow.parquet as pq
+
+        base = self._dir(table)
+        total = 0
+        for seg in self._segments(table):
+            seg_dir = os.path.join(base, seg)
+            for f in os.listdir(seg_dir):
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(
+                        os.path.join(seg_dir, f)
+                    ).num_rows
+        return total
+
+    def _table_columns(self, table: str) -> "list[str]":
+        """Column names of the table under additive evolution:
+        union of per-segment parquet schemas, first-seen order — what
+        a mergeSchema read reports, computed DRIVER-SIDE from one
+        footer per segment (a streaming sink calls this every
+        micro-batch; a Spark mergeSchema job just for names is pure
+        scheduler floor)."""
+        import pyarrow.parquet as pq
+
+        base = self._dir(table)
+        cols: "list[str]" = []
+        seen = set()
+        for seg in self._segments(table):
+            seg_dir = os.path.join(base, seg)
+            part = next(
+                (
+                    f
+                    for f in sorted(os.listdir(seg_dir))
+                    if f.endswith(".parquet")
+                ),
+                None,
+            )
+            if part is None:
+                continue
+            for name in pq.read_schema(os.path.join(seg_dir, part)).names:
+                if name not in seen:
+                    seen.add(name)
+                    cols.append(name)
+        return cols
+
+    #: saturation guard: a segment with more keys than this (an
+    #: eighth of the bloom's bits) would saturate the fixed-width
+    #: bloom — every probe would flag it, paying the bloom jobs for
+    #: zero pruning. Such segments store only their zone map.
+    BLOOM_MAX_KEYS = 16_384
+
+    @staticmethod
+    def _range_union(*ranges):
+        """Driver-side union of key zone maps; None if any side is
+        unknown (a missing statistic can only widen, never prune)."""
+        known = [r for r in ranges]
+        if any(r is None for r in known) or not known:
+            return None
+        return (
+            min(r[0] for r in known),
+            max(r[1] for r in known),
+        )
+
+    def _commit_keyed_segments(
+        self,
+        table: str,
+        keep: "list[str]",
+        new_df: DataFrame,
+        epoch_id: int,
+        scope: "str | None",
+        keys: "list[str]",
+        keep_stats: dict,
+        segment_budget: "int | None" = None,
+        new_df_materialized: bool = False,
+        new_range=None,
+        new_rows: "int | None" = None,
+    ) -> bool:
+        """Commit a keyed epoch as ``keep`` segments + one new
+        segment holding ``new_df``, threading both per-segment key
+        statistics (see :meth:`_segment_stats`):
+
+        - the new segment's zone map is ``new_range`` — the caller
+          computed it inside the probe aggregation it already ran
+          (a conservative superset is fine: the batch's range bounds
+          any delta derived from it);
+        - the new segment's bloom is built from the data ALREADY
+          WRITTEN (one read of the new segment only — never a
+          recompute of the plan that produced it; when the caller
+          knows ``new_df`` is materialized, pass
+          ``new_df_materialized=True`` to build it straight off the
+          frame and skip the read-back), SKIPPED when ``new_rows``
+          says it would saturate (:attr:`BLOOM_MAX_KEYS`);
+        - untouched segments' statistics carry over verbatim.
+
+        Folds everything into one segment once ``keep`` reaches the
+        segment budget — same amortized O(delta) contract as
+        :meth:`append_epoch`. The folded segment's zone map is the
+        driver-side union of the folded maps (exact — fold unions key
+        sets); its bloom is only built when the fold is small enough
+        not to saturate (parquet footer row count, no job)."""
+        from .bloom import bloom_build, bloom_to_json
+
+        budget = (
+            self.SEGMENT_BUDGET if segment_budget is None else segment_budget
+        )
+        base = self._dir(table)
+        props = self._epoch_props(table, epoch_id, scope)
+
+        def _stats_props(blooms: dict, ranges: dict) -> dict:
+            return {
+                **props,
+                "key_blooms": {
+                    s: bloom_to_json(b) for s, b in blooms.items()
+                },
+                "key_ranges": {s: list(r) for s, r in ranges.items()},
+                "bloom_keys": list(keys),
+            }
+
+        if keep and len(keep) >= budget:
+            merged = self._read_segments(table, keep).unionByName(new_df)
+            v = self._write_version(table, merged)
+            fold_range = self._range_union(
+                *[keep_stats.get(s, {}).get("range") for s in keep],
+                new_range,
+            )
+            blooms = {}
+            if self._segment_rows(table, v) <= self.BLOOM_MAX_KEYS:
+                folded = self.spark.read.parquet(os.path.join(base, v))
+                blooms[v] = bloom_build(folded, keys)
+            ranges = {v: fold_range} if fold_range is not None else {}
+            self._flip(table, v, _stats_props(blooms, ranges))
+            return True
+
+        v = self._write_version(table, new_df)
+        blooms = {
+            s: st["bloom"]
+            for s, st in keep_stats.items()
+            if st.get("bloom") is not None
+        }
+        ranges = {
+            s: st["range"]
+            for s, st in keep_stats.items()
+            if st.get("range") is not None
+        }
+        n_new = (
+            new_rows
+            if new_rows is not None
+            else self._segment_rows(table, v)
+        )
+        if n_new <= self.BLOOM_MAX_KEYS:
+            bloom_src = (
+                new_df
+                if new_df_materialized
+                else self.spark.read.parquet(os.path.join(base, v))
+            )
+            blooms[v] = bloom_build(bloom_src, keys)
+        if new_range is not None:
+            ranges[v] = new_range
+        self._flip(
+            table,
+            keep + [v] if keep else v,
+            _stats_props(blooms, ranges),
+        )
+        return True
+
+    def _segment_rows(self, table: str, seg: str) -> int:
+        """Row count of one segment from parquet footers (driver-
+        side, no job)."""
+        import pyarrow.parquet as pq
+
+        seg_dir = os.path.join(self._dir(table), seg)
+        return sum(
+            pq.read_metadata(os.path.join(seg_dir, f)).num_rows
+            for f in os.listdir(seg_dir)
+            if f.endswith(".parquet")
+        )
+
     def upsert_epoch(
         self,
         table: str,
@@ -522,18 +774,34 @@ class TableStore:
         scope: "str | None" = None,
         staging_order: "list | None" = None,
     ) -> bool:
-        """Keyed exactly-once upsert with the O(delta) WRITE fast
-        path — the commit every keyed streaming sink should use. When
-        the batch carries only NEW keys (the common ingest case) and
-        no intra-batch key collisions, only the batch's rows append as
-        a delta segment (:meth:`append_epoch` — per-batch WRITE cost =
-        the batch, not the table; the changed-row PROBE still joins
-        the batch against the full existing ledger, so per-batch read
-        cost is O(ledger) — the write amplification, not the scan, is
-        what the fast path eliminates). A re-sent key whose row
-        CHANGED or a ``staging_order`` tiebreak falls back to the full
-        keyed rewrite (``merge.upsert``); an identical re-send
-        contributes no delta at all. Intra-batch duplicates with no
+        """Keyed exactly-once upsert with O(delta) WRITE **and
+        bloom-pruned READ** — the commit every keyed streaming sink
+        should use. Once the ledger passes :attr:`BLOOM_MIN_ROWS`
+        (below it the full-ledger probes are cheaper than the bloom
+        jobs — the adaptive crossover, measured in SCALE.md), each
+        committed segment carries a bloom of its keys in the manifest
+        (``sources.bloom``; the Delta/Iceberg file-statistics
+        data-skipping pattern), so the new-key probe tests the batch
+        against broadcast blooms first and touches only the segments
+        that MIGHT share a key:
+
+        - batch of all-new keys (the common ingest case): no segment
+          can match — zero ledger reads, the batch appends as a delta
+          segment. Per-batch cost is O(delta) for write AND read.
+        - re-sent keys: only the bloom-candidate segments are read
+          for the exact changed-row probe; an identical re-send
+          contributes no delta, a CHANGED row (or a ``staging_order``
+          tiebreak) rewrites ONLY the candidate segments merged with
+          the batch — the untouched segments provably share no key
+          with the batch (blooms have no false negatives), so the
+          partial rewrite preserves key uniqueness exactly.
+        - segments without a recorded bloom (pre-bloom tables,
+          ``compact()``/blue-green flips) are always candidates; the
+          commit that reads them re-covers the table with fresh
+          blooms.
+
+        False positives only cost a segment read; exactness never
+        depends on the bloom. Intra-batch duplicates with no
         ``staging_order``: IDENTICAL duplicate rows collapse (the
         winner is well defined — at-least-once redelivery landing the
         same row twice in one micro-batch must not kill the sink),
@@ -544,24 +812,14 @@ class TableStore:
         from pyspark.sql import functions as F
 
         from ..operators.merge import upsert
+        from .bloom import packed_lookup, with_candidate_mask
 
         if self.epoch_seen(table, epoch_id, scope):
             return False
 
-        def _resolve_unique(df: DataFrame) -> DataFrame:
-            """Collapse identical duplicate rows; raise on a key with
-            two DIFFERENT rows. The distinct() runs only on the rare
-            dup path — unique batches pay one count probe."""
-            has_dup = (
-                df.groupBy(*keys)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1)
-                .limit(1)
-                .count()
-                > 0
-            )
-            if not has_dup:
-                return df
+        def _collapse_or_raise(df: DataFrame) -> DataFrame:
+            """The rare dup path: collapse identical duplicate rows;
+            raise on a key with two DIFFERENT rows."""
             dd = df.distinct().localCheckpoint()
             conflict = (
                 dd.groupBy(*keys)
@@ -580,6 +838,22 @@ class TableStore:
                 )
             return dd
 
+        def _resolve_unique(df: DataFrame) -> DataFrame:
+            """Collapse identical duplicate rows; raise on a key with
+            two DIFFERENT rows. The distinct() runs only on the rare
+            dup path — unique batches pay one count probe."""
+            has_dup = (
+                df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not has_dup:
+                return df
+            return _collapse_or_raise(df)
+
         if not self.exists(table):
             if staging_order is not None:
                 from ..operators.merge import dedupe_by_key
@@ -588,20 +862,197 @@ class TableStore:
             else:
                 batch = _resolve_unique(batch)
             return self.commit_epoch(table, batch, epoch_id, scope=scope)
-        existing = self.read(table)
-        batch = batch.select(*existing.columns).localCheckpoint()
-        slow = staging_order is not None
-        if not slow:
-            batch = _resolve_unique(batch)
-            changed = batch.exceptAll(existing).join(
-                existing, keys, "left_semi"
-            )
-            slow = not changed.isEmpty()
-        if slow:
+
+        if self._table_rows(table) < self.BLOOM_MIN_ROWS:
+            # small ledger: the classic full-ledger probes (one
+            # changed-row probe + one anti-join) cost less than the
+            # bloom machinery; segments stay bloom-less until the
+            # table grows past the threshold
+            existing = self.read(table)
+            batch = batch.select(*existing.columns).localCheckpoint()
+            if staging_order is None:
+                batch = _resolve_unique(batch)
+                changed = batch.exceptAll(existing).join(
+                    existing, keys, "left_semi"
+                )
+                if changed.isEmpty():
+                    delta = batch.join(existing, keys, "left_anti")
+                    return self.append_epoch(
+                        table, delta, epoch_id, scope=scope
+                    )
             merged = upsert(existing, batch, keys, staging_order)
             return self.commit_epoch(table, merged, epoch_id, scope=scope)
-        delta = batch.join(existing, keys, "left_anti")
-        return self.append_epoch(table, delta, epoch_id, scope=scope)
+
+        cols = self._table_columns(table)  # driver-side footer read
+        batch = batch.select(*cols).localCheckpoint()
+        if staging_order is not None:
+            # intra-batch tiebreak up front: the all-new fast path
+            # appends the batch verbatim, so key uniqueness must
+            # already hold (merge.upsert would dedupe again on the
+            # rewrite path — deterministic, so double-dedupe is a
+            # no-op)
+            from ..operators.merge import dedupe_by_key
+
+            batch = dedupe_by_key(batch, keys, staging_order)
+
+        segs = self._segments(table)
+        stats = self._segment_stats(table, keys)
+        single_key = len(keys) == 1
+        covered, uncovered = [], []
+        for s in segs:
+            st = stats.get(s)
+            usable = st is not None and (
+                st["bloom"] is not None
+                or (st["range"] is not None and single_key)
+            )
+            (covered if usable else uncovered).append(s)
+        bloomed = [s for s in covered if stats[s]["bloom"] is not None]
+        probe = batch
+        if bloomed:
+            lookup = packed_lookup(
+                self.spark, [stats[s]["bloom"] for s in bloomed]
+            )
+            probe = with_candidate_mask(batch, lookup, list(keys))
+        bloom_pos = {s: i for i, s in enumerate(bloomed)}
+        # per-segment candidacy: AND of whatever statistics the
+        # segment carries — the zone-map range test is a pure literal
+        # comparison (no join at all; monotone ingest is pruned
+        # entirely by it), the bloom test indexes the packed mask
+        flag_cols = []
+        for j, s in enumerate(covered):
+            parts = []
+            r = stats[s]["range"]
+            if r is not None and single_key:
+                parts.append(
+                    F.col(keys[0]).between(F.lit(r[0]), F.lit(r[1]))
+                )
+            if s in bloom_pos:
+                parts.append(F.col("__bloom_mask")[bloom_pos[s]])
+            cond = parts[0]
+            for p in parts[1:]:
+                cond = cond & p
+            flag_cols.append(F.max(cond.cast("int")).alias(f"s{j}"))
+        # ONE aggregation job serves the intra-batch duplicate probe
+        # (count vs distinct-key count; a null key can't be counted
+        # distinct, so it routes to the careful path too), the
+        # per-segment candidacy flags, AND the batch's own key range
+        # (the new segment's zone map — free here, a superset bound
+        # for any delta derived from the batch) — a streaming sink
+        # runs this every micro-batch, and each extra job is pure
+        # scheduler floor at that cadence.
+        dup_cols = (
+            [
+                F.count(F.lit(1)).alias("__n"),
+                F.count_distinct(*[F.col(k) for k in keys]).alias("__nk"),
+            ]
+            if staging_order is None
+            else []
+        )
+        range_cols = (
+            [
+                F.min(keys[0]).alias("__kmin"),
+                F.max(keys[0]).alias("__kmax"),
+            ]
+            if single_key
+            else []
+        )
+        row = None
+        if dup_cols or flag_cols or range_cols:
+            row = probe.agg(*dup_cols, *flag_cols, *range_cols).collect()[0]
+        if dup_cols and (row["__n"] or 0) > (row["__nk"] or 0):
+            batch = _collapse_or_raise(batch)
+        batch_rows = row["__n"] if dup_cols else None
+        new_range = None
+        if (
+            range_cols
+            and row["__kmin"] is not None
+            and isinstance(row["__kmin"], (int, float, str))
+        ):
+            new_range = (row["__kmin"], row["__kmax"])
+        cand_covered = [
+            covered[j]
+            for j in range(len(covered))
+            if (row[f"s{j}"] or 0) > 0
+        ] if covered else []
+        subset = uncovered + cand_covered
+
+        if not subset:
+            # provably all-new keys: zero ledger reads, pure append
+            keep_stats = {s: stats[s] for s in covered}
+            return self._commit_keyed_segments(
+                table, segs, batch, epoch_id, scope, keys, keep_stats,
+                new_df_materialized=staging_order is None,
+                new_range=new_range,
+                new_rows=batch_rows,
+            )
+
+        existing_sub = self._read_segments(table, subset)
+        missing_cols = [c for c in cols if c not in existing_sub.columns]
+        for c in missing_cols:  # pre-evolution segments: NULL-pad
+            existing_sub = existing_sub.withColumn(
+                c, F.lit(None).cast(batch.schema[c].dataType)
+            )
+        existing_sub = existing_sub.select(*cols)
+        slow = staging_order is not None
+        if not slow:
+            changed = batch.exceptAll(existing_sub).join(
+                existing_sub, keys, "left_semi"
+            )
+            slow = not changed.isEmpty()
+        keep = [s for s in segs if s not in subset]
+        keep_stats = {s: stats[s] for s in keep if s in stats}
+        if slow:
+            # partial keyed rewrite: only the segments that might
+            # share a key merge with the batch; `keep` provably
+            # doesn't (zone maps and blooms have no false negatives).
+            # Statistic-less segments are in the subset, so the
+            # rewrite re-covers them; the merged segment's zone map
+            # is the driver-side union of what it absorbed.
+            merged = upsert(existing_sub, batch, keys, staging_order)
+            merged_range = self._range_union(
+                *[stats.get(s, {}).get("range") for s in subset],
+                new_range,
+            )
+            return self._commit_keyed_segments(
+                table, keep, merged, epoch_id, scope, keys, keep_stats,
+                new_range=merged_range,
+            )
+        delta = batch.join(existing_sub, keys, "left_anti")
+        # identical re-send: every segment stays; re-cover any
+        # statistic-less segment while we're here (a zone-map agg —
+        # and a bloom when it wouldn't saturate — per uncovered
+        # segment, one-time) so a compacted table regains skipping
+        # even on a path that never rewrites segments.
+        from .bloom import bloom_build
+
+        keep_all_stats = dict(stats)
+        for s in uncovered:
+            seg_range = None
+            if single_key:
+                r = (
+                    self._read_segments(table, [s])
+                    .agg(
+                        F.min(keys[0]).alias("lo"),
+                        F.max(keys[0]).alias("hi"),
+                    )
+                    .collect()[0]
+                )
+                if r["lo"] is not None and isinstance(
+                    r["lo"], (int, float, str)
+                ):
+                    seg_range = (r["lo"], r["hi"])
+            seg_bloom = None
+            if self._segment_rows(table, s) <= self.BLOOM_MAX_KEYS:
+                seg_bloom = bloom_build(
+                    self._read_segments(table, [s]), keys
+                )
+            if seg_range is not None or seg_bloom is not None:
+                keep_all_stats[s] = {"bloom": seg_bloom, "range": seg_range}
+        return self._commit_keyed_segments(
+            table, segs, delta, epoch_id, scope, keys, keep_all_stats,
+            new_range=new_range,
+            new_rows=batch_rows,
+        )
 
     def enforce_privacy(self, table: str) -> str:
         """Carto privacy enforcement (carto_.py:461-492): derive the
