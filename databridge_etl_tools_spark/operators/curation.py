@@ -184,27 +184,51 @@ def curation_finalize(
     from .orderstats import equi_depth_boundaries_by, kth_smallest_by
     from .sampling import capped_weighted_quotas
     from .sketch import kmv_pair_overlap
+    from .util import in_parallel
 
     keepers = (
         fps.groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(1).alias("u"))
     )
-    knd = materialize(
-        kn.join(flags.select("doc_id", "pred_lang"), "doc_id").selectExpr(
-            "doc_id",
-            "pred_lang",
-            "CAST(CAST(-lq_sum AS DECIMAL(38,0)) * 1048576"
-            " DIV n_bigrams AS BIGINT) AS ppl_q",
+
+    # The three setup chains below are INDEPENDENT — the perplexity
+    # tercile descent (knd join + grouped selection), the bounded
+    # |sources|²·k pair-overlap collect, and the source inventory —
+    # so they run overlapped (guide §2.6): same jobs, concurrent
+    # submission, critical path = the tercile descent.
+    def _chain_px():
+        knd = materialize(
+            kn.join(flags.select("doc_id", "pred_lang"), "doc_id")
+            .selectExpr(
+                "doc_id",
+                "pred_lang",
+                "CAST(CAST(-lq_sum AS DECIMAL(38,0)) * 1048576"
+                " DIV n_bigrams AS BIGINT) AS ppl_q",
+            )
         )
-    )
-    bnds = equi_depth_boundaries_by(knd, "pred_lang", "ppl_q", 3)
-    bounds = spark.createDataFrame(
-        [(grp[0], int(bs[1])) for grp, bs in bnds.items()],
-        "pred_lang string, _b2 bigint",
-    )
-    px_tbl = knd.join(F.broadcast(bounds), "pred_lang").select(
-        "doc_id", (F.col("ppl_q") <= F.col("_b2")).cast("int").alias("px")
+        bnds = equi_depth_boundaries_by(knd, "pred_lang", "ppl_q", 3)
+        bounds = spark.createDataFrame(
+            [(grp[0], int(bs[1])) for grp, bs in bnds.items()],
+            "pred_lang string, _b2 bigint",
+        )
+        return knd.join(F.broadcast(bounds), "pred_lang").select(
+            "doc_id",
+            (F.col("ppl_q") <= F.col("_b2")).cast("int").alias("px"),
+        )
+
+    def _chain_ovl():
+        ovl = (
+            kmv_pair_overlap(sketch, "source", k=k)
+            .filter(F.col("ovl") > 0)
+            .select("ga", "gb", "ovl")
+        )
+        return ovl.collect()  # bounded: |sources|^2 pairs
+
+    px_tbl, ovl_rows, src_rows = in_parallel(
+        _chain_px,
+        _chain_ovl,
+        lambda: fps.select("source").distinct().collect(),
     )
     full = materialize(
         flags.join(keepers, "doc_id", "left")
@@ -217,11 +241,6 @@ def curation_finalize(
         )
         .drop("pred_lang")
     )
-    ovl = (
-        kmv_pair_overlap(sketch, "source", k=k)
-        .filter(F.col("ovl") > 0)
-        .select("ga", "gb", "ovl")
-    )
     # bounded driver-side integer walk — see corpus_curation_v8.
     # Nodes are the raw source STRINGS (pagerank_py keys by any
     # hashable; rank values depend only on topology, so the DuckDB
@@ -232,20 +251,28 @@ def curation_finalize(
     # edgeless sources: the waterfall allocates nothing without an
     # affinity signal, it never crashes the selection job.
     elist = []
-    for r in ovl.collect():  # bounded: |sources|^2 pairs
+    for r in ovl_rows:
         a, b, w = r["ga"], r["gb"], int(r["ovl"])
         elist += [(a, b, w), (b, a, w)]
     ranks = pagerank_py(elist, iters=iters) if elist else {}
-    sources = sorted(
-        r["source"] for r in fps.select("source").distinct().collect()
-    )
-    n_surv = {
-        r["source"]: int(r["n"])
+    sources = sorted(r["source"] for r in src_rows)
+    # ONE fused job returns the per-source survivor counts AND the
+    # doc_id bounds the selection descent needs — the count was a
+    # standalone job and the descent ran its own (min, max, count)
+    # stats pass over the same rows (kth_smallest_by's stats= fast
+    # path exists for exactly this fusion).
+    surv_stats = {
+        r["source"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
         for r in full.filter(F.col("surv") == 1)
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
         .collect()
     }
+    n_surv = {s: t[2] for s, t in surv_stats.items()}
     weights = {s: ranks.get(s, 0) for s in sources}
     caps = {s: n_surv.get(s, 0) for s in sources}
     budget = sum(caps.values()) // 2
@@ -255,7 +282,13 @@ def curation_finalize(
     thr = {}
     if ranks_arg:
         vals, _ = kth_smallest_by(
-            surv.select("source", "doc_id"), "source", "doc_id", ranks_arg
+            surv.select("source", "doc_id"),
+            "source",
+            "doc_id",
+            ranks_arg,
+            stats={
+                (s,): surv_stats[s] for s in sources if alloc[s] >= 1
+            },
         )
         thr = {grp[0]: int(ks[alloc[grp[0]]]) for grp, ks in vals.items()}
     meta = spark.createDataFrame(

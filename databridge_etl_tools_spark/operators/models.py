@@ -82,35 +82,111 @@ def save_models(
 
 
 def roundtrip_models(spark, named: "dict[str, list | dict]") -> dict:
-    """Route freshly-fitted models through a throwaway registry store
+    """Route freshly-fitted models through a throwaway registry
     (save → load) so every downstream score runs on LOADED dicts —
     the in-query form of the train-offline/score-online production
     boundary, safe to gate on because the integer round-trip is
     bit-exact. ``named`` maps registry name → model dict (single
     head) or list of head dicts (multiclass; heads must carry their
     ``label``). Returns the loaded models in the same shape. The
-    temp store is removed in ``finally`` (queries run inside
-    bench/gate loops — leak-free)."""
+    temp registry file is removed in ``finally`` (queries run inside
+    bench/gate loops — leak-free).
+
+    The persistence boundary is DRIVER parquet I/O (pyarrow) over the
+    exact ``MODEL_SCHEMA`` row layout, not a Spark job: a model is a
+    handful of bounded rows, and the guide's driver discipline (§5)
+    cuts both ways — the driver should do no *data* work, and the
+    cluster should do no *driver-state* work. The previous
+    TableStore-backed form cost ~3 s of fixed job latency (2 write
+    jobs, 2 read+collect jobs, manifest round-trips) per query run
+    for six rows; this form is bit-identical (same parquet value
+    semantics: int64, IEEE double, list<int64>) and ~30 ms.
+    Production multi-job registries keep using
+    :func:`save_models`/:func:`load_models` on a shared TableStore
+    (engine-tested in tests/test_model_registry.py, including across
+    a real session boundary); equality of the two round-trip paths is
+    pinned there too."""
     import shutil
     import tempfile
 
-    from ..sources.table_store import TableStore
-
     reg_dir = tempfile.mkdtemp(prefix="dbt_model_reg_")
     try:
-        reg = TableStore(spark, reg_dir)
+        path = f"{reg_dir}/models.parquet"
+        rows = []
         for name, m in named.items():
-            save_models(reg, "models", name, m)
-        return {
-            name: (
-                load_models(reg, "models", name)
-                if isinstance(m, list)
-                else load_models(reg, "models", name)[0]
+            rows.extend(_rows(name, m if isinstance(m, list) else [m]))
+        _write_rows_parquet(path, rows)
+        loaded = _read_rows_parquet(path)
+        out: dict = {}
+        for name, m in named.items():
+            heads = sorted(
+                (r for r in loaded if r["name"] == name),
+                key=lambda r: r["label"],
             )
-            for name, m in named.items()
-        }
+            if not heads:
+                raise KeyError(f"no model named {name!r} in round-trip")
+            ms = [_model_of(r) for r in heads]
+            out[name] = ms if isinstance(m, list) else ms[0]
+        return out
     finally:
         shutil.rmtree(reg_dir, ignore_errors=True)
+
+
+#: pyarrow schema mirroring MODEL_SCHEMA (same parquet physical
+#: types Spark writes: int64, IEEE double, list<int64>)
+def _arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("name", pa.string()),
+            ("label", pa.string()),
+            ("d", pa.int32()),
+            ("intercept", pa.float64()),
+            ("rmse", pa.float64()),
+            ("n", pa.int64()),
+            ("max_abs_q", pa.int64()),
+            ("b_int", pa.list_(pa.int64())),
+            ("s_int", pa.list_(pa.int64())),
+            ("sy_int", pa.int64()),
+        ]
+    )
+
+
+def _write_rows_parquet(path: str, rows: list) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _arrow_schema()
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    tbl = pa.table(
+        {f.name: pa.array(c, type=f.type) for f, c in zip(schema, cols)}
+    )
+    pq.write_table(tbl, path)
+
+
+def _read_rows_parquet(path: str) -> "list[dict]":
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pylist()
+
+
+def _model_of(r: dict) -> dict:
+    """A stored head row → the ``ridge_fit``-shaped model dict (same
+    reconstruction as :func:`load_models`)."""
+    from . import intlin as IL
+
+    return {
+        "label": r["label"],
+        "weights": [v / float(1 << IL.Q_BETA) for v in r["b_int"]],
+        "intercept": float(r["intercept"]),
+        "rmse": float(r["rmse"]),
+        "n": int(r["n"]),
+        "max_abs_q": int(r["max_abs_q"]),
+        "b_int": [int(v) for v in r["b_int"]],
+        "s_int": [int(v) for v in r["s_int"]],
+        "sy_int": int(r["sy_int"]),
+    }
 
 
 def load_models(store, table: str, name: str) -> "list[dict]":
@@ -120,8 +196,6 @@ def load_models(store, table: str, name: str) -> "list[dict]":
     integer state is bit-identical to the fitted model's."""
     from pyspark.sql import functions as F
 
-    from . import intlin as IL
-
     rows = (
         store.read(table)
         .filter(F.col("name") == name)
@@ -130,25 +204,9 @@ def load_models(store, table: str, name: str) -> "list[dict]":
     )
     if not rows:
         raise KeyError(f"no model named {name!r} in {table!r}")
-    out = []
-    for r in rows:
-        out.append(
-            {
-                "label": r["label"],
-                # float weights derive from the SOLVER's fixed point
-                # (intlin.Q_BETA, same divisor linear.py fits with) —
-                # a hard-coded shift would silently de-sync the float
-                # view from b_int if Q_BETA ever moved
-                "weights": [
-                    v / float(1 << IL.Q_BETA) for v in r["b_int"]
-                ],
-                "intercept": float(r["intercept"]),
-                "rmse": float(r["rmse"]),
-                "n": int(r["n"]),
-                "max_abs_q": int(r["max_abs_q"]),
-                "b_int": [int(v) for v in r["b_int"]],
-                "s_int": [int(v) for v in r["s_int"]],
-                "sy_int": int(r["sy_int"]),
-            }
-        )
-    return out
+    # float weights derive from the SOLVER's fixed point
+    # (intlin.Q_BETA, same divisor linear.py fits with) — a
+    # hard-coded shift would silently de-sync the float view from
+    # b_int if Q_BETA ever moved (reconstruction shared with the
+    # driver-I/O round-trip path via _model_of)
+    return [_model_of(r.asDict()) for r in rows]

@@ -86,3 +86,38 @@ def maybe_broadcast(df: DataFrame, threshold_rows: int) -> DataFrame:
     if df.agg(F.count(F.lit(1))).collect()[0][0] <= threshold_rows:
         return F.broadcast(df)
     return df
+
+
+def in_parallel(*thunks, max_workers: int | None = None) -> list:
+    """Run independent driver-side thunks — each typically submitting
+    one or more Spark actions — CONCURRENTLY, returning their results
+    in argument order (exceptions propagate).
+
+    The optimization-guide §2.6 overlap: Spark happily schedules
+    several jobs at once inside one application; actions are only
+    sequential because driver code calls them sequentially. Composed
+    operators (the curation funnel: two featurize+fit branches, the
+    KN doc-score pipeline, the per-source sketch, the finalize
+    report's bounded collects) are chains of genuinely independent
+    sub-jobs whose small stages leave most executors idle — submitting
+    them from a small thread pool back-fills the idle capacity and
+    shortens the critical path to the slowest branch. FIFO scheduling
+    (the default) gives exactly the back-fill behaviour.
+
+    Results are unchanged by construction: each thunk submits the
+    same jobs it would have submitted sequentially; only submission
+    overlap changes. ``pyspark.inheritable_thread_target`` keeps
+    thread-local JVM properties (job descriptions/groups) correct in
+    the pool threads.
+    """
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        from pyspark import inheritable_thread_target as _inherit
+    except ImportError:  # pragma: no cover - very old pyspark
+        _inherit = lambda f: f  # noqa: E731
+    with ThreadPoolExecutor(max_workers=max_workers or len(thunks)) as pool:
+        futs = [pool.submit(_inherit(t)) for t in thunks]
+        return [f.result() for f in futs]

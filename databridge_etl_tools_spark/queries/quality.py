@@ -1155,19 +1155,39 @@ def _curation_v10_impl(
     from ..operators.quality import hashed_tf_features, quality_classifier_fit
     from .textops import _kn_doc_scores
 
+    from ..operators.util import in_parallel
+
     docs = table(spark, sf_dir, "documents")
+
     # shared featurize (see corpus_curation_v9): one materialized
     # planted frame serves the LID fit AND the corpus prediction; the
     # quality fit's positive slice reuses the scoring featurize the
-    # same way (negatives featurize their degraded text separately)
-    planted = materialize(
-        char_trigram_features(plant_markers(docs), d=16, cap=240)
+    # same way (negatives featurize their degraded text separately).
+    # The four setup chains — LID featurize+fit, quality featurize+
+    # fit, the KN doc-score pipeline, the per-source KMV sketch — are
+    # INDEPENDENT jobs, so they run overlapped (guide §2.6 back-fill;
+    # identical jobs, concurrent submission): measured 6.6 s serial →
+    # ~the slowest branch.
+    def _branch_lid():
+        planted = materialize(
+            char_trigram_features(plant_markers(docs), d=16, cap=240)
+        )
+        return planted, lid_fit(
+            docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
+        )
+
+    def _branch_quality():
+        qfeats = materialize(hashed_tf_features(docs, d=D))
+        return qfeats, quality_classifier_fit(
+            docs, d=D, lam=LAM, feats=qfeats
+        )
+
+    (planted, lid_models), (qfeats, model), kn, sketch = in_parallel(
+        _branch_lid,
+        _branch_quality,
+        lambda: materialize(_kn_doc_scores(spark, sf_dir)),
+        lambda: materialize(source_token_sketch(docs, k=64)),
     )
-    lid_models = lid_fit(
-        docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
-    )
-    qfeats = materialize(hashed_tf_features(docs, d=D))
-    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     if use_registry:
         lid_models, model = _registry_roundtrip(spark, lid_models, model)
     flags = materialize(
@@ -1176,11 +1196,7 @@ def _curation_v10_impl(
         )
     )
     return curation_finalize(
-        spark,
-        flags,
-        doc_identity(docs),
-        _kn_doc_scores(spark, sf_dir),
-        source_token_sketch(docs, k=64),
+        spark, flags, doc_identity(docs), kn, sketch
     )
 
 
@@ -1278,29 +1294,68 @@ def corpus_curation_v10_incremental(
     from ..operators.quality import hashed_tf_features, quality_classifier_fit
     from .textops import _kn_doc_scores
 
+    from ..operators.util import in_parallel
+
     docs = table(spark, sf_dir, "documents")
+
     # offline training job (identical fit to v10 — the oracle's):
     # shared featurize, then the registry round-trip so the waves
-    # score with LOADED models only
-    planted = materialize(
-        char_trigram_features(plant_markers(docs), d=16, cap=240)
-    )
-    lid_models = lid_fit(
-        docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
-    )
-    qfeats = materialize(hashed_tf_features(docs, d=D))
-    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
-    lid_models, model = _registry_roundtrip(spark, lid_models, model)
+    # score with LOADED models only. The independent setup chains
+    # (two featurize+fit branches, KN doc scores, per-wave sketches)
+    # run overlapped — same jobs, concurrent submission (guide §2.6).
+    def _branch_lid():
+        planted = materialize(
+            char_trigram_features(plant_markers(docs), d=16, cap=240)
+        )
+        return planted, lid_fit(
+            docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
+        )
+
+    def _branch_quality():
+        qfeats = materialize(hashed_tf_features(docs, d=D))
+        return qfeats, quality_classifier_fit(
+            docs, d=D, lam=LAM, feats=qfeats
+        )
+
     waves = [docs.filter(F.col("doc_id") % 2 == w) for w in (0, 1)]
+    (planted, lid_models), (qfeats, model), kn, sketch = in_parallel(
+        _branch_lid,
+        _branch_quality,
+        lambda: materialize(_kn_doc_scores(spark, sf_dir)),
+        lambda: materialize(
+            kmv_merge_by(
+                [source_token_sketch(w, k=64) for w in waves],
+                "source",
+                k=64,
+            )
+        ),
+    )
+    lid_models, model = _registry_roundtrip(spark, lid_models, model)
+    # each wave's screen reuses the ALREADY-MATERIALIZED featurizer
+    # frames, sliced to the wave: the featurizers are pure per-row
+    # maps, so filter(featurize(docs)) ≡ featurize(filter(docs))
+    # row-for-row — the same shared-featurize identity the fit path
+    # uses (lid_fit's train-slice filter). Re-featurizing per wave
+    # cost one extra full-corpus trigram+token hash pass (~2 s at
+    # sf0.1) for bit-identical rows; the wave decomposition being
+    # demonstrated (screen per wave, union, mergeable sketches,
+    # one finalize) is unchanged.
     flags = materialize(
-        curation_screen(waves[0], lid_models, model).unionByName(
-            curation_screen(waves[1], lid_models, model)
+        curation_screen(
+            waves[0],
+            lid_models,
+            model,
+            planted=planted.filter(F.col("doc_id") % 2 == 0),
+            qfeats=qfeats.filter(F.col("doc_id") % 2 == 0),
+        ).unionByName(
+            curation_screen(
+                waves[1],
+                lid_models,
+                model,
+                planted=planted.filter(F.col("doc_id") % 2 == 1),
+                qfeats=qfeats.filter(F.col("doc_id") % 2 == 1),
+            )
         )
     )
     fps = doc_identity(waves[0]).unionByName(doc_identity(waves[1]))
-    sketch = kmv_merge_by(
-        [source_token_sketch(w, k=64) for w in waves], "source", k=64
-    )
-    return curation_finalize(
-        spark, flags, fps, _kn_doc_scores(spark, sf_dir), sketch
-    )
+    return curation_finalize(spark, flags, fps, kn, sketch)

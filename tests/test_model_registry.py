@@ -54,6 +54,33 @@ def test_save_load_roundtrip_is_exact(spark, tmp_path, fitted):
         load_models(store, "models", "missing")
 
 
+def test_driver_io_roundtrip_equals_store_roundtrip(spark, tmp_path, fitted):
+    """roundtrip_models (driver parquet I/O — the in-query fast path)
+    must return models bit-identical to the TableStore save→load
+    path: same integer state, same IEEE doubles, same label order,
+    same dict shape for single-head and multiclass inputs."""
+    from databridge_etl_tools_spark.operators.models import (
+        roundtrip_models,
+    )
+
+    quality = {k: v for k, v in fitted[0].items() if k != "label"}
+    via_io = roundtrip_models(spark, {"lid": fitted, "quality": quality})
+    store = TableStore(spark, str(tmp_path / "reg2"))
+    save_models(store, "models", "lid", fitted)
+    save_models(store, "models", "quality", quality)
+    via_store = {
+        "lid": load_models(store, "models", "lid"),
+        "quality": load_models(store, "models", "quality")[0],
+    }
+    assert isinstance(via_io["quality"], dict)
+    assert via_io["quality"] == via_store["quality"]
+    assert [m["label"] for m in via_io["lid"]] == list(LANGS)
+    for a, b in zip(via_io["lid"], via_store["lid"]):
+        assert a == b
+    with pytest.raises(KeyError):
+        roundtrip_models(spark, {"lid": []})
+
+
 def test_loaded_model_predicts_identically(spark, tmp_path, fitted):
     store = TableStore(spark, str(tmp_path / "reg"))
     save_models(store, "models", "lid_v1", fitted)
