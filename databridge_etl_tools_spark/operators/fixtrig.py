@@ -238,31 +238,84 @@ class StepBuilder:
         return self.exp_unit(arg) if unit else self.exp(arg)
 
 
-def apply_steps_spark(df, sb: StepBuilder):
-    """Apply a step list to a Spark DataFrame as ONE selectExpr using
-    lateral column aliases — one py4j round-trip and one analysis pass
-    instead of len(steps) chained projections (measured: the chained
-    form cost ~2.5 s construct + ~3 s codegen at 196 levels).  The
-    analyzer resolves one alias-chain level per Resolution iteration,
-    so raise its iteration cap to the step depth first (runtime conf —
-    works under the driver's vanilla session)."""
+def apply_steps_spark(df, sb: StepBuilder, keep: "list[str] | None" = None,
+                      prune_batch: int = 12):
+    """Apply a step list to a Spark DataFrame as selectExpr levels
+    using lateral column aliases — one py4j round-trip per batch and
+    one analysis pass instead of len(steps) chained withColumns
+    (measured: the chained form cost ~2.5 s construct + ~3 s codegen
+    at 196 levels).  The analyzer resolves one alias-chain level per
+    Resolution iteration, so raise its iteration cap to the step
+    depth first (runtime conf — works under the driver's vanilla
+    session).
+
+    ``keep``: the step names the CALLER still needs after the chain.
+    When given, emission is batched (``prune_batch`` lateral-alias
+    steps per selectExpr) and every batch boundary projects away dead
+    intermediates — names no later step expression references and the
+    caller did not ask to keep.  Why this matters (guide §2.3/§5,
+    measured r14): the analyzer rewrites an N-step lateral-alias chain
+    into N nested Projects, and WITHOUT pruning each level carries
+    every column born so far, so one output row pays O(N · width) =
+    O(N²) column copies through the chain — the 104-level datum
+    pipeline spent 5.1 s of its 5.5 s total moving dead DECIMAL(38,0)
+    columns through UnsafeRow writers (15 k input rows!).  With
+    liveness pruning the per-level width stays at the live frontier
+    (~5–10 for a linear pipeline): same expressions, same evaluation
+    order, bit-identical output — only dead columns leave the row
+    earlier.  Default (keep=None) preserves the legacy contract:
+    every step column present in the result."""
     spark = df.sparkSession
-    # measured: resolution needs a bit over one analyzer iteration
-    # per alias-chain level; 3× + slack is comfortably above
-    need = 3 * len(sb.steps) + 100
+    if keep is None:
+        need = 3 * len(sb.steps) + 100
+        cur = int(spark.conf.get("spark.sql.analyzer.maxIterations", "100"))
+        if cur >= need:
+            return df.selectExpr("*", *[f"({e}) AS {n}" for n, e in sb.steps])
+        # raise the cap only for THIS analysis: selectExpr analyzes
+        # the plan eagerly, and the lateral aliases are rewritten into
+        # nested Projects during that pass, so downstream re-analysis
+        # never needs the deep iteration count again — restore the
+        # session value (r10 advice: the cap used to leak)
+        spark.conf.set("spark.sql.analyzer.maxIterations", str(need))
+        try:
+            return df.selectExpr("*", *[f"({e}) AS {n}" for n, e in sb.steps])
+        finally:
+            spark.conf.set("spark.sql.analyzer.maxIterations", str(cur))
+
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(sb.prefix)}\d+\b")
+    step_names = [n for n, _ in sb.steps]
+    name_set = set(step_names)
+    missing = set(keep) - name_set
+    if missing:
+        raise ValueError(f"apply_steps_spark: keep names not in steps: {sorted(missing)}")
+    # last index at which each step name is still referenced
+    last_use = {n: (len(sb.steps) if n in keep else -1) for n in step_names}
+    for i, (_, e) in enumerate(sb.steps):
+        for r in set(pat.findall(e)) & name_set:
+            last_use[r] = max(last_use[r], i)
+    base_cols = [c for c in df.columns]  # caller's columns: always carried
+    need = 3 * prune_batch + 100
     cur = int(spark.conf.get("spark.sql.analyzer.maxIterations", "100"))
-    if cur >= need:
-        return df.selectExpr("*", *[f"({e}) AS {n}" for n, e in sb.steps])
-    # raise the cap only for THIS analysis: selectExpr analyzes the
-    # plan eagerly, and the lateral aliases are rewritten into nested
-    # Projects during that pass, so downstream re-analysis never needs
-    # the deep iteration count again — restore the session value
-    # (r10 advice: the raised cap used to leak for the session's life)
-    spark.conf.set("spark.sql.analyzer.maxIterations", str(need))
+    raised = cur < need
+    if raised:
+        spark.conf.set("spark.sql.analyzer.maxIterations", str(need))
     try:
-        return df.selectExpr("*", *[f"({e}) AS {n}" for n, e in sb.steps])
+        out = df
+        born: list[str] = []
+        for lo in range(0, len(sb.steps), prune_batch):
+            batch = sb.steps[lo : lo + prune_batch]
+            hi = lo + len(batch)
+            live = [n for n in born if last_use[n] >= lo]
+            out = out.selectExpr(
+                *base_cols, *live, *[f"({e}) AS {n}" for n, e in batch]
+            )
+            born = [n for n in born + [n for n, _ in batch] if last_use[n] >= hi]
+        return out.selectExpr(*base_cols, *born)
     finally:
-        spark.conf.set("spark.sql.analyzer.maxIterations", str(cur))
+        if raised:
+            spark.conf.set("spark.sql.analyzer.maxIterations", str(cur))
 
 
 # --- Python twin (bit-exact replay of the emitted arithmetic) ---------

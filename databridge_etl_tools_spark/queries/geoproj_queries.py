@@ -99,11 +99,28 @@ def proj_pa_south_datum_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_fixtrig.py; at 100 TB this is a pure
     per-row projection inside the scan — no shuffle, no Python, no
     driver state."""
+    from ..operators.util import spread
+
     cust = table(spark, sf_dir, "customer", access="scan")
+    # the Q40 chain is ~2000 int128 ops per row — compute-dense, so a
+    # byte-small scan must not serialize it onto one core (guide §2.5
+    # input skew: Spark sizes scan partitions by BYTES; the few-MB
+    # customer file arrives as ONE partition). spread() is a no-op-ish
+    # rebalance once the input is already many partitions at scale.
+    cust = spread(cust)
     df = cust.selectExpr("c_custkey", f"{_PTS_E} AS e_ft", f"{_PTS_N} AS n_ft")
     sb = StepBuilder("spark")
     cols = GP.pa_south_fixed_steps(sb, "e_ft", "n_ft")
-    df = apply_steps_spark(df, sb)
+    df = apply_steps_spark(
+        df,
+        sb,
+        keep=[
+            cols["lon"],
+            cols["lat"],
+            cols["merc_x_nudged"],
+            cols["merc_y_nudged"],
+        ],
+    )
     return df.select(
         "c_custkey",
         "e_ft",

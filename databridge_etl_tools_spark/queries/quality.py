@@ -466,13 +466,38 @@ def corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .textops import _kn_doc_scores
 
+    from ..operators.util import in_parallel
+
     docs = table(spark, sf_dir, "documents")
-    # shared featurize: the fit's positive slice reuses the SAME
-    # materialized corpus features the scoring pass reads (negatives
-    # featurize their degraded text separately - see
-    # quality_classifier_fit)
-    qfeats = materialize(hashed_tf_features(docs, d=D))
-    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
+
+    # the two setup chains — (shared-featurize → classifier fit) and
+    # the KN doc-score pipeline — are independent jobs; overlap their
+    # submission (guide §2.6 back-fill, the corpus_curation_v10
+    # pattern): identical jobs, concurrent submission, critical path
+    # = the slower branch instead of the sum.
+    def _branch_quality():
+        # shared featurize: the fit's positive slice reuses the SAME
+        # materialized corpus features the scoring pass reads
+        # (negatives featurize their degraded text separately - see
+        # quality_classifier_fit)
+        qfeats = materialize(hashed_tf_features(docs, d=D))
+        return qfeats, quality_classifier_fit(
+            docs, d=D, lam=LAM, feats=qfeats
+        )
+
+    (qfeats, model), kn = in_parallel(
+        _branch_quality,
+        lambda: materialize(
+            _kn_doc_scores(spark, sf_dir)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .selectExpr(
+                "doc_id",
+                "lang",
+                "CAST(CAST(-lq_sum AS DECIMAL(38,0)) * 1048576"
+                " DIV n_bigrams AS BIGINT) AS ppl_q",
+            )
+        ),
+    )
     ic = float(model["intercept"])
     keepers = (
         docs.groupBy(TS.fingerprint("text").alias("_fp"))
@@ -487,16 +512,6 @@ def corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_n").alias("n"),
         g["passes"].cast("int").alias("gp"),
         quality_pq_col(model).alias("pq"),
-    )
-    kn = materialize(
-        _kn_doc_scores(spark, sf_dir)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .selectExpr(
-            "doc_id",
-            "lang",
-            "CAST(CAST(-lq_sum AS DECIMAL(38,0)) * 1048576"
-            " DIV n_bigrams AS BIGINT) AS ppl_q",
-        )
     )
     bnds = equi_depth_boundaries_by(kn, "lang", "ppl_q", 3)
     bounds = spark.createDataFrame(
@@ -679,45 +694,62 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_quotas
     from ..operators.sketch import kmv_minhashes_by, kmv_pair_overlap
 
-    docs = table(spark, sf_dir, "documents")
-    # shared featurize: the fit's positive slice reuses the SAME
-    # materialized corpus features the scoring pass reads (negatives
-    # featurize their degraded text separately - see
-    # quality_classifier_fit)
-    qfeats = materialize(hashed_tf_features(docs, d=D))
-    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
-    ic = float(model["intercept"])
-    keepers = (
-        docs.groupBy(TS.fingerprint("text").alias("_fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.lit(1).alias("u"))
-    )
-    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
-    feats = qfeats.select(
-        "doc_id",
-        "source",
-        F.col("_n").alias("n"),
-        g["passes"].cast("int").alias("gp"),
-        quality_pq_col(model).alias("pq"),
-    )
-    pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
+    from ..operators.util import in_parallel
 
-    flags = materialize(
-        feats.join(keepers, "doc_id", "left")
-        .withColumn("u", F.coalesce(F.col("u"), F.lit(0)))
-        .withColumn("sc", (pred >= F.lit(0.5)).cast("int"))
-        .withColumn("surv", F.col("u") * F.col("gp") * F.col("sc"))
-        .drop("pq")
-    )
-    # source-affinity graph: KMV vocab-overlap counts as edge weights
-    tok = docs.select(
-        "source", F.explode(TS.tokens(F.col("text"))).alias("token")
-    )
-    sk = kmv_minhashes_by(tok, "source", "token", k=64)
-    ovl = (
-        kmv_pair_overlap(sk, "source", k=64)
-        .filter(F.col("ovl") > 0)
-        .select("ga", "gb", "ovl")
+    docs = table(spark, sf_dir, "documents")
+
+    # the three setup chains — (shared-featurize → classifier fit →
+    # materialized flags), the |sources|²·k sketch-overlap collect,
+    # and the source inventory — are independent jobs; overlap their
+    # submission (guide §2.6 back-fill, the corpus_curation_v10
+    # pattern).
+    def _branch_flags():
+        # shared featurize: the fit's positive slice reuses the SAME
+        # materialized corpus features the scoring pass reads
+        # (negatives featurize their degraded text separately - see
+        # quality_classifier_fit)
+        qfeats = materialize(hashed_tf_features(docs, d=D))
+        model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
+        ic = float(model["intercept"])
+        keepers = (
+            docs.groupBy(TS.fingerprint("text").alias("_fp"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", F.lit(1).alias("u"))
+        )
+        g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
+        feats = qfeats.select(
+            "doc_id",
+            "source",
+            F.col("_n").alias("n"),
+            g["passes"].cast("int").alias("gp"),
+            quality_pq_col(model).alias("pq"),
+        )
+        pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
+        return materialize(
+            feats.join(keepers, "doc_id", "left")
+            .withColumn("u", F.coalesce(F.col("u"), F.lit(0)))
+            .withColumn("sc", (pred >= F.lit(0.5)).cast("int"))
+            .withColumn("surv", F.col("u") * F.col("gp") * F.col("sc"))
+            .drop("pq")
+        )
+
+    def _branch_ovl():
+        # source-affinity graph: KMV vocab-overlap counts as weights
+        tok = docs.select(
+            "source", F.explode(TS.tokens(F.col("text"))).alias("token")
+        )
+        sk = kmv_minhashes_by(tok, "source", "token", k=64)
+        return (
+            kmv_pair_overlap(sk, "source", k=64)
+            .filter(F.col("ovl") > 0)
+            .select("ga", "gb", "ovl")
+            .collect()  # bounded: |sources|^2 pairs
+        )
+
+    flags, ovl_rows, src_rows = in_parallel(
+        _branch_flags,
+        _branch_ovl,
+        lambda: docs.select("source").distinct().collect(),
     )
     # the affinity graph is |sources|-bounded BY CONSTRUCTION
     # (kmv_pair_overlap guards the fan-out), and the rank dict was
@@ -726,20 +758,27 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parity-pinned) instead of paying 8 join+agg rounds of fixed
     # plan overhead (~3 s at sf0.1 for a 20-node graph)
     elist = []
-    for r in ovl.collect():  # bounded: |sources|^2 pairs
+    for r in ovl_rows:
         a, b, w = int(r["ga"][3:]), int(r["gb"][3:]), int(r["ovl"])
         elist += [(a, b, w), (b, a, w)]
     ranks = pagerank_py(elist, iters=8)
-    sources = sorted(
-        r["source"] for r in docs.select("source").distinct().collect()
-    )
-    n_surv = {
-        r["source"]: int(r["n"])
+    sources = sorted(r["source"] for r in src_rows)
+    # ONE fused job returns the per-source survivor counts AND the
+    # (min, max, count) stats the selection descent needs
+    # (kth_smallest_by's stats= fast path — the curation_finalize
+    # fusion), deleting the descent's standalone stats job.
+    surv_stats = {
+        r["source"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
         for r in flags.filter(F.col("surv") == 1)
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
         .collect()
     }
+    n_surv = {s: t[2] for s, t in surv_stats.items()}
     weights = {s: ranks.get(int(s[3:]), 0) for s in sources}
     budget = sum(n_surv.values()) // 2
     quotas = weighted_quotas(weights, budget)
@@ -749,7 +788,13 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = {}
     if ranks_arg:
         vals, _ = kth_smallest_by(
-            surv.select("source", "doc_id"), "source", "doc_id", ranks_arg
+            surv.select("source", "doc_id"),
+            "source",
+            "doc_id",
+            ranks_arg,
+            stats={
+                (s,): surv_stats[s] for s in sources if target[s] >= 1
+            },
         )
         thr = {grp[0]: int(ks[target[grp[0]]]) for grp, ks in vals.items()}
     meta = spark.createDataFrame(
@@ -900,22 +945,41 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .textops import _kn_doc_scores
 
+    from ..operators.util import in_parallel
+
     docs = table(spark, sf_dir, "documents")
-    # shared featurize: LID fit reads the train filter of the SAME
-    # materialized planted frame the whole-corpus prediction reads
-    # (featurize is per-row map work — row-identical either way)
-    planted = materialize(
-        char_trigram_features(plant_markers(docs), d=16, cap=240)
+
+    # the three setup chains — (planted featurize → LID fit),
+    # (shared-featurize → quality fit) and the KN doc-score pipeline —
+    # are independent jobs; overlap their submission (guide §2.6
+    # back-fill, the corpus_curation_v10 pattern): identical jobs,
+    # concurrent submission, critical path = the slowest branch.
+    def _branch_lid():
+        # shared featurize: LID fit reads the train filter of the
+        # SAME materialized planted frame the whole-corpus prediction
+        # reads (featurize is per-row map work — row-identical)
+        planted = materialize(
+            char_trigram_features(plant_markers(docs), d=16, cap=240)
+        )
+        return planted, lid_fit(
+            docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
+        )
+
+    def _branch_quality():
+        # shared featurize: the fit's positive slice reuses the SAME
+        # materialized corpus features the scoring pass reads
+        # (negatives featurize their degraded text separately - see
+        # quality_classifier_fit)
+        qfeats = materialize(hashed_tf_features(docs, d=D))
+        return qfeats, quality_classifier_fit(
+            docs, d=D, lam=LAM, feats=qfeats
+        )
+
+    (planted, lid_models), (qfeats, model), kn_raw = in_parallel(
+        _branch_lid,
+        _branch_quality,
+        lambda: materialize(_kn_doc_scores(spark, sf_dir)),
     )
-    lid_models = lid_fit(
-        docs, d=16, cap=240, lam=1, holdout_mod=5, feats=planted
-    )
-    # shared featurize: the fit's positive slice reuses the SAME
-    # materialized corpus features the scoring pass reads (negatives
-    # featurize their degraded text separately - see
-    # quality_classifier_fit)
-    qfeats = materialize(hashed_tf_features(docs, d=D))
-    model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     # registry boundary (r13 verdict item 3): both heads score from
     # LOADED state — no gate query trains at score time
     lid_models, model = _registry_roundtrip(spark, lid_models, model)
@@ -943,8 +1007,7 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_pq_col(model).alias("pq"),
     )
     kn = materialize(
-        _kn_doc_scores(spark, sf_dir)
-        .join(pred_tbl, "doc_id")
+        kn_raw.join(pred_tbl, "doc_id")
         .selectExpr(
             "doc_id",
             "pred_lang",
