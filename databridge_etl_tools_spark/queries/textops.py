@@ -2286,12 +2286,24 @@ def bpe_learn_merges_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq-weighted pair recount + argmax + sentinel-wrapped greedy
     replace); the gate data exercises a real count TIE resolved by
     the (a asc, b asc) total order on both engines."""
-    from ..operators.bpe import bpe_apply_words, bpe_fit_words
+    from ..operators.bpe import bpe_fit_words
 
     docs = table(spark, sf_dir, "documents")
-    merges, _words = bpe_fit_words(docs, n_merges=12)
-    enc = bpe_apply_words(docs, merges)
-    n_after = enc.agg(F.sum(F.size("_toks"))).collect()[0][0]
+    merges, words = bpe_fit_words(docs, n_merges=12)
+    # corpus token count after the merges, WITHOUT an encode pass:
+    # bpe_apply_words replays the same rules over the same corpus's
+    # distinct-word table, so per word its subword split equals the
+    # fit's finished ``_toks`` — hence
+    #   Σ_docs |encode(doc)| = Σ_w freq(w)·|_toks(w)|
+    # exactly (empty docs contribute 0 to both sides). The fit's own
+    # word table already carries (freq, _toks); one bounded aggregate
+    # replaces the distinct+12-merge-pass+posexplode-join encode
+    # pipeline (~15 jobs at sf0.1). Document-level reassembly stays
+    # covered by bpe_apply_words itself (vocab_encode_documents, the
+    # OOV tests).
+    n_after = words.agg(
+        F.sum(F.col("freq") * F.size("_toks"))
+    ).collect()[0][0]
     return spark.createDataFrame(
         [(s, a, b, c, int(n_after)) for s, a, b, c in merges],
         "step int, a string, b string, count bigint, corpus_tokens_after bigint",

@@ -164,3 +164,17 @@ def test_bpe_apply_words_reassembles_in_order(spark):
             seq = out
         return seq
     assert enc9[9] == replay("lowly") + replay("zzz")
+
+
+def test_bpe_fit_words_driver_matches_distributed(spark):
+    """The driver-side delta-update replica (vocab within budget) and
+    the distributed per-round loop must be bit-identical: same merge
+    list (incl. tie-breaks), same finished word table."""
+    docs = spark.createDataFrame(WORD_CORPUS, "doc_id bigint, text string")
+    m_drv, w_drv = bpe_fit_words(docs, n_merges=8)
+    m_dist, w_dist = bpe_fit_words(docs, n_merges=8, driver_vocab_budget=0)
+    assert m_drv == m_dist
+    as_dict = lambda df: {  # noqa: E731
+        r["w"]: (int(r["freq"]), list(r["_toks"])) for r in df.collect()
+    }
+    assert as_dict(w_drv) == as_dict(w_dist)
