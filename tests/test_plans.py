@@ -286,10 +286,22 @@ def test_textrank_top20_compiles_to_take_ordered(spark):
 def test_datum_pipeline_is_pure_projection_zero_exchange(spark):
     """proj_pa_south_datum_pipeline is the fixtrig mega-projection:
     one parquet scan feeding a chain of whole-stage-codegen Projects
-    — no Exchange, no Python, ever (the per-row transcendental path
-    must stay map-side at any scale)."""
+    — no Python, and no DATA-DEPENDENT exchange, ever (the per-row
+    transcendental path must stay map-side at any scale). The r14
+    spread() fan-out is the one allowed exchange: a keyless
+    round-robin rebalance of the byte-small scan so ~2000 int128
+    ops/row don't serialize onto one core (guide §2.5 input skew);
+    it moves the scan bytes once and never keys on data."""
+    import re
+
     plan = _plan(spark, "proj_pa_south_datum_pipeline")
-    assert "Exchange" not in plan
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert exchanges in (
+        [],
+        ["Exchange RoundRobinPartitioning"],
+    ), exchanges
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
     assert "Scan parquet" in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
