@@ -67,6 +67,46 @@ def _require_integral(df: DataFrame, col: str, op: str) -> None:
         )
 
 
+def _driver_route_arrays(
+    e: DataFrame, cols: "list[str]", n_edges: "int | None" = None
+):
+    """Size-probe + Arrow collect for the numpy driver route (see
+    ``operators.graph_np``): ONE bounded count on the (materialized)
+    edge table decides — at or under ``graph_np.edge_budget()`` the
+    columns come back as numpy arrays and the caller runs the exact
+    fixpoint driver-side; past it (or numpy missing, or NULLs in any
+    column) returns None and the distributed loop proceeds untouched.
+    The count is the same eager-guard-probe tax every bounded routing
+    decision in this repo pays (``maybe_broadcast``,
+    ``bpe._fit_words_py``)."""
+    from . import graph_np
+
+    budget = graph_np.edge_budget()
+    if budget <= 0:
+        return None
+    try:
+        import numpy  # noqa: F401
+    except ImportError:  # pragma: no cover - numpy ships with pyspark
+        return None
+    if (e.count() if n_edges is None else n_edges) > budget:
+        return None
+    return graph_np.collect_cols(e, cols)
+
+
+def _np_result_df(spark, fields):
+    """Build the routed result DataFrame from ``(name, dataType,
+    numpy values)`` triples with an explicit schema, so the routed
+    and distributed paths return identical column names AND types."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(n, dt, True) for n, dt, _ in fields]
+    )
+    pdf = pd.DataFrame({n: v for n, _, v in fields})
+    return spark.createDataFrame(pdf, schema)
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -154,17 +194,104 @@ def pagerank(
     # edges_ready callers skip this: their table is already distinct
     # and a (bucketed) scan per iteration is the cheaper re-read.
     if weight_col is None:
-        e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        raw = edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        )
+    else:
+        raw = edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+    # numpy driver route (guide §1.2/§2.4 — see operators.graph_np):
+    # bounded graphs run the exact fixpoint driver-side instead of
+    # paying iters × (join + agg + checkpoint) of per-job fixed cost.
+    # The route probes the RAW edge selection, BEFORE the distributed
+    # dedup/group normalization — numpy normalizes for free on the
+    # collected arrays, deleting the distinct/groupBy shuffle AND its
+    # checkpoint from the routed path. Over budget / NULLs /
+    # uncertifiable int64 headroom → the distributed loop below,
+    # untouched.
+    route = _driver_route_arrays(
+        raw, ["_src", "_dst"] + ([] if weight_col is None else ["_w"])
+    )
+    if route is not None:
+        from pyspark.sql import types as T
+
+        from . import graph_np
+
+        node_t = raw.schema["_src"].dataType
+        seed_vals = None
+        routable = True
+        if seeds is not None:
+            if isinstance(
+                node_t,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            ):
+                seed_vals = [
+                    r[0]
+                    for r in seeds.select(
+                        F.col(seed_col).cast("long").alias("node")
+                    )
+                    .distinct()
+                    .collect()
+                    if r[0] is not None
+                ]
+            else:
+                # seeded walks compare long-cast seed ids against the
+                # node column; replicate only for integral node types
+                routable = False
+        if routable:
+            try:
+                if weight_col is None:
+                    s_a, d_a = graph_np.dedup_pairs(route[0], route[1])
+                    w_a = None
+                else:
+                    s_a, d_a, w_a = graph_np.group_pairs(
+                        route[0], route[1], route[2]
+                    )
+                    if (
+                        not weights_checked
+                        and w_a.size
+                        and int(w_a.min()) <= 0
+                    ):
+                        raise ValueError(
+                            f"pagerank: weights must be positive "
+                            f"integers, found {int(w_a.min())}"
+                        )
+                nd, rq = graph_np.pagerank_np(
+                    s_a,
+                    d_a,
+                    w_a,
+                    iters=iters,
+                    num=num,
+                    den=den,
+                    q=q,
+                    seed_ids=seed_vals,
+                )
+            except graph_np.NpOverflow:
+                pass
+            else:
+                out = _np_result_df(
+                    raw.sparkSession,
+                    [("node", node_t, nd), ("rank_q", T.LongType(), rq)],
+                )
+                return out.select(
+                    "node",
+                    "rank_q",
+                    (
+                        F.col("rank_q").cast("double")
+                        / F.lit(float(1 << q))
+                    ).alias("rank"),
+                )
+    if weight_col is None:
+        e = raw
         if not edges_ready:
             e = materialize(e.distinct())
         outdeg_agg = F.count(F.lit(1)).cast("long").alias("outdeg")
     else:
         if edges_ready:
-            e = edges.select(
-                F.col(src).alias("_src"),
-                F.col(dst).alias("_dst"),
-                F.col(weight_col).cast("long").alias("_w"),
-            )
+            e = raw
         else:
             e = materialize(
                 edges.groupBy(
@@ -408,13 +535,56 @@ def label_propagation(
     from .materialize import materialize
 
     if weight_col is None:
-        e = materialize(
-            edges.select(
-                F.col(src).alias("_src"), F.col(dst).alias("_dst")
-            ).distinct()
+        raw = edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
         )
     else:
         _require_integral(edges, weight_col, "label_propagation")
+        raw = edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+    # numpy driver route — the exact vote/argmax rounds on the
+    # collected RAW edge list (normalization happens on the arrays,
+    # deleting the distinct/groupBy shuffle; operators.graph_np)
+    route = _driver_route_arrays(
+        raw, ["_src", "_dst"] + ([] if weight_col is None else ["_w"])
+    )
+    if route is not None:
+        from . import graph_np
+
+        try:
+            if weight_col is None:
+                s_a, d_a = graph_np.dedup_pairs(route[0], route[1])
+                w_a = None
+            else:
+                s_a, d_a, w_a = graph_np.group_pairs(
+                    route[0], route[1], route[2]
+                )
+                if w_a.size and int(w_a.min()) <= 0:
+                    raise ValueError(
+                        "label_propagation: weights must be positive "
+                        f"integers, found {int(w_a.min())}"
+                    )
+            nd, lab = graph_np.label_propagation_np(
+                s_a,
+                d_a,
+                w_a,
+                iters=iters,
+                self_weight=self_weight,
+            )
+        except graph_np.NpOverflow:
+            pass
+        else:
+            node_t = raw.schema["_src"].dataType
+            return _np_result_df(
+                raw.sparkSession,
+                [("node", node_t, nd), ("label", node_t, lab)],
+            )
+    if weight_col is None:
+        e = materialize(raw.distinct())
+    else:
         e = materialize(
             edges.groupBy(
                 F.col(src).alias("_src"), F.col(dst).alias("_dst")
@@ -507,11 +677,24 @@ def connected_components(
     ``(node, label)``."""
     from .materialize import materialize
 
-    e = materialize(
-        edges.select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst")
-        ).distinct()
-    )
+    raw = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # numpy driver route — min-label fixpoint on the index universe
+    # (order-isomorphic to node values; duplicate edges are harmless
+    # to a MIN fixpoint, so the raw selection routes directly and the
+    # distinct shuffle is deleted from the routed path)
+    route = _driver_route_arrays(raw, ["_src", "_dst"])
+    if route is not None:
+        from . import graph_np
+
+        nd, lab = graph_np.connected_components_np(
+            route[0], route[1], iters=iters
+        )
+        node_t = raw.schema["_src"].dataType
+        return _np_result_df(
+            raw.sparkSession,
+            [("node", node_t, nd), ("label", node_t, lab)],
+        )
+    e = materialize(raw.distinct())
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
@@ -572,6 +755,35 @@ def bfs_distances(
     from .materialize import materialize
 
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # numpy driver route — frontier BFS on the collected RAW edge
+    # list (duplicate edges are harmless to BFS, so the distinct
+    # shuffle is deleted from the routed path); sources must be
+    # bounded and share the edge node type (the union of the two
+    # columns would otherwise coerce, which only the distributed
+    # path owns)
+    route = _driver_route_arrays(e, ["_src", "_dst"])
+    if route is not None and (
+        e.schema["_src"].dataType
+        == sources.schema[node_col].dataType
+    ):
+        from . import graph_np
+
+        s_df = sources.select(F.col(node_col).alias("node")).distinct()
+        if s_df.count() <= graph_np.edge_budget():
+            s_cols = graph_np.collect_cols(s_df, ["node"])
+            if s_cols is not None:
+                from pyspark.sql import types as T
+
+                nd, dv = graph_np.bfs_np(
+                    route[0], route[1], s_cols[0], max_hops=max_hops
+                )
+                return _np_result_df(
+                    e.sparkSession,
+                    [
+                        ("node", e.schema["_src"].dataType, nd),
+                        ("dist", T.IntegerType(), dv.astype("int32")),
+                    ],
+                )
     if not edges_ready:
         # dedup + lineage-cut the edge build; edges_ready callers
         # (a deduped catalog/bucketed table) re-scan per hop instead
@@ -621,11 +833,32 @@ def triangle_counts(
     triangle-free)."""
     from .materialize import materialize
 
-    e = materialize(
-        edges.select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst")
-        ).where(F.col(src) != F.col(dst)).distinct()
-    )
+    raw = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).where(F.col(src) != F.col(dst))
+    # numpy driver route — degree-ordered wedge enumeration on the
+    # collected RAW edge list (dedup on the arrays; falls back past
+    # the wedge-volume budget; operators.graph_np)
+    route = _driver_route_arrays(raw, ["_src", "_dst"])
+    if route is not None:
+        from pyspark.sql import types as T
+
+        from . import graph_np
+
+        try:
+            s_a, d_a = graph_np.dedup_pairs(route[0], route[1])
+            nd, tv = graph_np.triangle_counts_np(s_a, d_a)
+        except graph_np.NpOverflow:
+            pass
+        else:
+            return _np_result_df(
+                raw.sparkSession,
+                [
+                    ("node", raw.schema["_src"].dataType, nd),
+                    ("n_triangles", T.LongType(), tv),
+                ],
+            )
+    e = materialize(raw.distinct())
     deg = e.groupBy(F.col("_src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
@@ -692,6 +925,53 @@ def shortest_paths_bounded(
     from .materialize import materialize
 
     _require_integral(edges, weight_col, "shortest_paths_bounded")
+    raw = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    # numpy driver route — bounded min-plus relaxation driver-side
+    # (per-pair MIN normalization happens on the collected arrays)
+    route = _driver_route_arrays(raw, ["_src", "_dst", "_w"])
+    if route is not None and (
+        raw.schema["_src"].dataType
+        == sources.schema[node_col].dataType
+    ):
+        from . import graph_np
+
+        s_df = sources.select(F.col(node_col).alias("node")).distinct()
+        if s_df.count() <= graph_np.edge_budget():
+            s_cols = graph_np.collect_cols(s_df, ["node"])
+            if s_cols is not None:
+                from pyspark.sql import types as T
+
+                try:
+                    s_a, d_a, w_a = graph_np.group_pairs(
+                        route[0], route[1], route[2], reduce="min"
+                    )
+                    if w_a.size and int(w_a.min()) <= 0:
+                        raise ValueError(
+                            "shortest_paths_bounded: weights must be "
+                            "positive integers, found "
+                            f"{int(w_a.min())}"
+                        )
+                    nd, dv = graph_np.shortest_paths_np(
+                        s_a,
+                        d_a,
+                        w_a,
+                        s_cols[0],
+                        max_hops=max_hops,
+                    )
+                except graph_np.NpOverflow:
+                    pass
+                else:
+                    return _np_result_df(
+                        raw.sparkSession,
+                        [
+                            ("node", raw.schema["_src"].dataType, nd),
+                            ("dist", T.LongType(), dv),
+                        ],
+                    )
     e = materialize(
         edges.groupBy(
             F.col(src).alias("_src"), F.col(dst).alias("_dst")
@@ -783,6 +1063,47 @@ def kcore(
         raise ValueError(f"kcore: k must be >= 1, got {k}")
     if weight_col is not None:
         _require_integral(edges, weight_col, "kcore")
+        raw = edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+    else:
+        raw = edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        )
+    cols = ["_src", "_dst"] + (["_w"] if weight_col is not None else [])
+    # numpy driver route — the same peel rounds + early exit on the
+    # collected RAW edge list (normalization on the arrays;
+    # operators.graph_np)
+    route = _driver_route_arrays(raw, cols)
+    if route is not None:
+        from pyspark.sql import types as T
+
+        from . import graph_np
+
+        try:
+            if weight_col is None:
+                s_a, d_a = graph_np.dedup_pairs(route[0], route[1])
+                w_a = None
+            else:
+                s_a, d_a, w_a = graph_np.group_pairs(
+                    route[0], route[1], route[2]
+                )
+            nd, dv = graph_np.kcore_np(
+                s_a, d_a, w_a, k=k, rounds=rounds
+            )
+        except graph_np.NpOverflow:
+            pass
+        else:
+            return _np_result_df(
+                raw.sparkSession,
+                [
+                    ("node", raw.schema["_src"].dataType, nd),
+                    ("deg", T.LongType(), dv),
+                ],
+            )
+    if weight_col is not None:
         e = materialize(
             edges.groupBy(
                 F.col(src).alias("_src"), F.col(dst).alias("_dst")
@@ -790,13 +1111,8 @@ def kcore(
         )
         deg_agg = F.sum("_w").cast("long").alias("deg")
     else:
-        e = materialize(
-            edges.select(
-                F.col(src).alias("_src"), F.col(dst).alias("_dst")
-            ).distinct()
-        )
+        e = materialize(raw.distinct())
         deg_agg = F.count(F.lit(1)).cast("long").alias("deg")
-    cols = ["_src", "_dst"] + (["_w"] if weight_col is not None else [])
     # monotone-fixpoint early exit: the edge set only shrinks, and a
     # round that removes NO edge removed no node either (every node
     # has edges by construction), so all later rounds are identities
@@ -851,14 +1167,30 @@ def coreness(
 
     if k_max < 1:
         raise ValueError(f"coreness: k_max must be >= 1, got {k_max}")
-    e = materialize(
-        edges.select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst")
-        ).distinct()
-    )
+    raw = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # numpy driver route — successive peeling driver-side (dedup on
+    # the collected arrays; operators.graph_np)
+    route = _driver_route_arrays(raw, ["_src", "_dst"])
+    if route is not None:
+        from pyspark.sql import types as T
+
+        from . import graph_np
+
+        s_a, d_a = graph_np.dedup_pairs(route[0], route[1])
+        nd, cv = graph_np.coreness_np(
+            s_a, d_a, k_max=k_max, rounds=rounds
+        )
+        return _np_result_df(
+            raw.sparkSession,
+            [
+                ("node", raw.schema["_src"].dataType, nd),
+                ("coreness", T.IntegerType(), cv.astype("int32")),
+            ],
+        )
+    e = materialize(raw.distinct())
+    n_edges = e.count()
     out = e.select(F.col("_src").alias("node")).distinct()
     flags = []
-    n_edges = e.count()
     for k in range(2, k_max + 1):
         for _ in range(rounds):
             # same edge-count monotone-fixpoint early exit as kcore:

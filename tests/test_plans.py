@@ -229,13 +229,15 @@ def test_curriculum_decile_tag_is_map_side(spark):
     assert "SinglePartition" not in plan
 
 
-def test_pagerank_contrib_join_broadcasts_below_node_budget(spark):
+def test_pagerank_contrib_join_broadcasts_below_node_budget(spark, monkeypatch):
     """The per-iteration contrib join must broadcast the rank side
     when the node count fits the budget (checkpointed iterates lose
     size stats, so without the hint Spark plans sort-merge with both
     sides shuffled — measured ~40% of iteration cost). Pinned on the
     uncut plan (materialize strategy 'none' keeps the iteration
     lineage visible)."""
+    # pin the DISTRIBUTED plan shape: disable the numpy driver route
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "0")
     from databridge_etl_tools_spark.operators.graph import pagerank
     from databridge_etl_tools_spark.operators.materialize import strategy
 
@@ -251,11 +253,13 @@ def test_pagerank_contrib_join_broadcasts_below_node_budget(spark):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_bfs_expands_frontier_delta_only(spark):
+def test_bfs_expands_frontier_delta_only(spark, monkeypatch):
     """Each BFS hop must join ONLY the previous hop's frontier
     (dist == hop-1) against edges — the uncut 2-hop plan carries the
     hop-2 frontier filter (hop 1's folds away against the literal
     source distance)."""
+    # pin the DISTRIBUTED plan shape: disable the numpy driver route
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "0")
     import re
 
     from databridge_etl_tools_spark.operators.graph import bfs_distances
@@ -359,10 +363,12 @@ def test_components_round_shape(spark):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_minplus_round_costs_stay_long(spark):
+def test_minplus_round_costs_stay_long(spark, monkeypatch):
     """One min-plus relaxation round: relax join + dst-keyed MIN +
     full-outer merge, costs exact int64 end-to-end (no doubles in the
     distance arithmetic), no single-partition exchange."""
+    # pin the DISTRIBUTED plan shape: disable the numpy driver route
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "0")
     from pyspark.sql import functions as F
 
     from databridge_etl_tools_spark.operators.graph import (
@@ -384,10 +390,12 @@ def test_minplus_round_costs_stay_long(spark):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_weighted_lpa_argmax_window_partitions_by_node(spark):
+def test_weighted_lpa_argmax_window_partitions_by_node(spark, monkeypatch):
     """The weighted-LPA vote argmax must be a node-PARTITIONED window
     (≤ degree+1 rows per partition) with the exact decimal weight
     sum — never a global window, never a double sum."""
+    # pin the DISTRIBUTED plan shape: disable the numpy driver route
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "0")
     from pyspark.sql import functions as F
 
     from databridge_etl_tools_spark.operators.graph import label_propagation
