@@ -405,6 +405,107 @@ def kth_smallest_by(
             vals.unpersist(blocking=False)
 
 
+def _driver_rows_budget() -> int:
+    """Row threshold for the numpy driver route: at or under it the
+    whole (group, value[, weight]) projection collects via Arrow and
+    every requested rank resolves in ONE job (np.sort per group)
+    instead of the descent's stats/histogram/resolve job chain. The
+    probe is free — per-group row counts are already in the stats the
+    descent needs anyway. 4M rows ≈ 100 MB collected; past it (or for
+    exotic value types / NULL group keys) the bucketed descent runs
+    untouched — at 100 TB a corpus-sized value column must never land
+    on the driver. Env-tunable; 0 disables (the tests' A/B lever)."""
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_ORDERSTATS_DRIVER_ROWS", "4000000")
+    )
+
+
+def _resolve_driver_np(vals, gcols, want, weighted):
+    """Exact per-group k-th smallest on the collected projection —
+    bit-identical to the descent's resolution: unweighted rank k is
+    the k-th value in ascending order (1-based); weighted rank k is
+    the smallest value whose cumulative weight reaches k (weights
+    summed per distinct value, so tie order is immaterial). Returns
+    ``{group: {k: value}}`` with plain Python scalars, or None when
+    the route cannot certify exactness (numpy missing, NULL group
+    keys)."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover
+        return None
+    tbl = vals.toArrow().combine_chunks()
+    for g in gcols:
+        if tbl.column(g).null_count:
+            return None  # NULL group keys: descent owns that grouping
+    v = tbl.column("_v").to_numpy(zero_copy_only=False)
+    n = len(v)
+    if n == 0:
+        return {}
+    w = (
+        tbl.column("_w").to_numpy(zero_copy_only=False)
+        if weighted
+        else None
+    )
+    # group rows WITHOUT per-row Python objects: dictionary-encode
+    # each key column (arrow-side, vectorized), compose a mixed-radix
+    # int64 group code, and decode codes back to PYTHON-NATIVE key
+    # tuples only once per distinct group (to_pylist of the small
+    # dictionaries — datetime.date for DATE keys, str, int: the
+    # returned dict keys must compare equal to Spark Row values)
+    radices: list[int] = []
+    keymaps: list[list] = []
+    gid = np.zeros(n, np.int64)
+    for g in gcols:
+        enc = tbl.column(g).dictionary_encode().combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = enc.dictionary.to_pylist()
+        if not keys:
+            return {}
+        combos = len(keys)
+        for r in radices:
+            combos *= r
+        if combos >= (1 << 62):
+            return None
+        radices.append(len(keys))
+        keymaps.append(keys)
+        gid = gid * len(keys) + idx
+    order = np.lexsort((v, gid))
+    gs, vs = gid[order], v[order]
+    ws = w[order] if weighted else None
+    newg = np.empty(n, dtype=bool)
+    newg[0] = True
+    newg[1:] = gs[1:] != gs[:-1]
+    starts = np.flatnonzero(newg)
+    ends = np.append(starts[1:], n)
+    out: dict[tuple, dict] = {}
+    for s, e in zip(starts, ends):
+        code = int(gs[s])
+        digits = []
+        for r in reversed(radices):
+            code, d = divmod(code, r)
+            digits.append(d)
+        gkey = tuple(
+            keymaps[i][d] for i, d in enumerate(reversed(digits))
+        )
+        ks = want.get(gkey)
+        if not ks:
+            continue
+        seg = vs[s:e]
+        got: dict[int, object] = {}
+        if weighted:
+            cw = np.cumsum(ws[s:e])
+            for k in ks:
+                i = int(np.searchsorted(cw, k, side="left"))
+                got[k] = seg[i].item()
+        else:
+            for k in ks:
+                got[k] = seg[k - 1].item()
+        out[gkey] = got
+    return out
+
+
 def _descend(
     vals, gcols, gfields, vtype, spark, ranks, col, *,
     buckets, max_rows_exact, weighted, max_groups, stats_in, return_stats,
@@ -494,6 +595,36 @@ def _descend(
             )
         out[g] = {}
         pending.extend((g, k, lo, hi, k, nrows, max_rows_exact) for k in ks)
+    # numpy driver route (guide §1.2 — same size-aware pattern as
+    # operators.graph_np): when the WHOLE projection fits the row
+    # budget, one Arrow collect + np.sort per group resolves every
+    # rank exactly, replacing the descent's job chain. The probe is
+    # free (row counts already in gstats); value types beyond
+    # int/float, NULL group keys, or an over-budget projection fall
+    # through to the descent unchanged.
+    if pending and isinstance(
+        vtype,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+        ),
+    ):
+        total_rows = sum(nr for (_, _, _, nr) in gstats.values())
+        if 0 < total_rows <= _driver_rows_budget():
+            want: dict[tuple, list] = {}
+            for g, k, _, _, _, _, _ in pending:
+                want.setdefault(g, []).append(k)
+            routed = _resolve_driver_np(vals, gcols, want, weighted)
+            if routed is not None:
+                for g, got in routed.items():
+                    out[g].update(got)
+                if return_stats:
+                    return out, counts, gstats
+                return out, counts
     while pending:
         nxt, resolve = [], []
         for g, k, lo, hi, rank, cnt, cap in pending:
