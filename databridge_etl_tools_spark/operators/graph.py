@@ -1220,6 +1220,58 @@ def coreness(
     return out.select("node", core.cast("int").alias("coreness"))
 
 
+def shared_item_pairs(
+    df: DataFrame,
+    item_col: str,
+    member_col: str,
+    *,
+    min_shared: int,
+) -> DataFrame:
+    """Pairs of members sharing at least ``min_shared`` distinct
+    items — the co-occurrence graph builder (co-purchase edges,
+    blocking candidates). Returns ``(a, b)`` with ``a < b``, one row
+    per qualifying unordered pair. Distributed plan: distinct
+    (item, member) → item-keyed self-join with ``a < b`` → pair count
+    → threshold (fan-out bounded by Σ n_item² — the honest shuffle at
+    scale); under the driver budget the numpy twin enumerates the
+    same pairs on the collected arrays
+    (``graph_np.shared_item_pairs_np``, same pair-volume guard as
+    the wedge route)."""
+    from .materialize import materialize
+
+    raw = df.select(
+        F.col(item_col).alias("_i"), F.col(member_col).alias("_m")
+    )
+    route = _driver_route_arrays(raw, ["_i", "_m"])
+    if route is not None:
+        from . import graph_np
+
+        try:
+            a, b = graph_np.shared_item_pairs_np(
+                route[0], route[1], min_shared=min_shared
+            )
+        except graph_np.NpOverflow:
+            pass
+        else:
+            m_t = raw.schema["_m"].dataType
+            return _np_result_df(
+                raw.sparkSession, [("a", m_t, a), ("b", m_t, b)]
+            )
+    cp = materialize(raw.distinct())
+    x, y = cp.alias("x"), cp.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x._i") == F.col("y._i"))
+            & (F.col("x._m") < F.col("y._m")),
+        )
+        .groupBy(F.col("x._m").alias("a"), F.col("y._m").alias("b"))
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .where(F.col("_k") >= min_shared)
+        .select("a", "b")
+    )
+
+
 def pagerank_py(
     edges,
     *,

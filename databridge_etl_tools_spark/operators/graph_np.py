@@ -387,6 +387,53 @@ def coreness_np(src, dst, *, k_max: int, rounds: int):
 WEDGE_BUDGET = 50_000_000
 
 
+def shared_item_pairs_np(item, member, *, min_shared: int):
+    """Pairs of members sharing ≥ ``min_shared`` distinct items —
+    the numpy twin of the (member, item) self-join + pair count +
+    threshold plan (the co-purchase/blocking primitive). Returns
+    ``(a, b)`` member-value arrays with ``a < b``; raises
+    :class:`NpOverflow` past the pair-volume budget (the same
+    quadratic-fan-out guard as the wedge route)."""
+    np = _np()
+    items = np.unique(item)
+    members = np.unique(member)
+    n_i, n_m = int(items.size), int(members.size)
+    if n_i * n_m >= (1 << 62) or n_m * n_m >= (1 << 62):
+        raise NpOverflow
+    ii = np.searchsorted(items, item)
+    mi = np.searchsorted(members, member)
+    # distinct (item, member) — the join plan's .distinct()
+    keys = np.unique(ii * n_m + mi)
+    gi = keys // n_m
+    gm = keys % n_m
+    # per-item member lists are contiguous and ascending in gm
+    E = len(keys)
+    if E == 0:
+        return members[:0], members[:0]
+    newg = np.empty(E, dtype=bool)
+    newg[0] = True
+    newg[1:] = gi[1:] != gi[:-1]
+    gstart = np.flatnonzero(newg)
+    gcnt = np.diff(np.append(gstart, E))
+    start_of = np.repeat(gstart, gcnt)
+    local_end = start_of + np.repeat(gcnt, gcnt)
+    rep = local_end - np.arange(E) - 1
+    P = int(rep.sum())
+    if P > WEDGE_BUDGET:
+        raise NpOverflow
+    first = np.repeat(np.arange(E), rep)
+    csum = np.concatenate(([0], np.cumsum(rep)))
+    second = first + 1 + (np.arange(P) - np.repeat(csum[:-1], rep))
+    # gm ascending within each item group → a-idx < b-idx, and the
+    # member encoding is order-isomorphic to values, so a < b holds
+    # by VALUE exactly as the join's a.c < b.c predicate
+    pk = gm[first] * n_m + gm[second]
+    uk, cnt = np.unique(pk, return_counts=True)
+    keep = cnt >= min_shared
+    uk = uk[keep]
+    return members[uk // n_m], members[uk % n_m]
+
+
 def triangle_counts_np(src, dst):
     """Degree-ordered wedge enumeration + closing-edge membership —
     the exact distributed plan, vectorized. Input edge list must be

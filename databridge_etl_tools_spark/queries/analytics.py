@@ -3257,31 +3257,26 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers by triangle membership."""
     from pyspark.sql import Window
 
-    from ..operators.graph import triangle_counts
-
-    from ..operators.materialize import materialize
+    from ..operators.graph import shared_item_pairs, triangle_counts
 
     ord_ = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # both sides of the pair self-join consume cp — materialize it
-    # once or the orders⋈lineitem+distinct upstream runs twice
-    # (measured: pair build 5.6 → 3.7 s at sf0.1)
-    cp = materialize(
-        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = cp.alias("a"), cp.alias("b")
-    co = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
-        .groupBy(F.col("a.c").alias("x"), F.col("b.c").alias("y"))
-        .agg(F.count(F.lit(1)).alias("_k"))
-        .where(F.col("_k") >= 4)
-        .select("x", "y")
+    # co-purchase pairs: customers sharing >= 4 distinct parts — the
+    # shared_item_pairs operator (distributed: materialized distinct
+    # (part, customer) + part-keyed self-join + count >= 4, the exact
+    # plan this query used to inline; driver-routed under the edge
+    # budget — r14, the join was 2.7 s of the query's 4 s at sf0.1)
+    co = shared_item_pairs(
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"]).select(
+            F.col("l_partkey").alias("p"), F.col("o_custkey").alias("c")
+        ),
+        "p",
+        "c",
+        min_shared=4,
     )
     edges = co.select(
-        F.col("x").alias("src"), F.col("y").alias("dst")
-    ).unionByName(co.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(co.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     counts = triangle_counts(edges)
     w = Window.orderBy(F.desc("n_triangles"), F.asc("c_custkey"))
     return (

@@ -206,3 +206,34 @@ def test_budget_zero_disables_route(spark, monkeypatch):
     )
     out = G.pagerank(edges, iters=2).collect()
     assert len(out) == 3
+
+
+def test_shared_item_pairs_parity(spark):
+    rows = [
+        (1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10), (3, 11),
+        (4, 10), (4, 11), (5, 10), (5, 12), (1, 10),  # dup row
+    ]
+    df = spark.createDataFrame(rows, "p long, c long")
+    dist, routed = _both(
+        None, lambda: G.shared_item_pairs(df, "p", "c", min_shared=2)
+    )
+    assert dist == routed
+    # (10, 11) share items 1..4; (10, 12) share 1 and 5
+    assert (10, 11) in routed and (10, 12) in routed
+
+
+def test_shared_item_pairs_parity_real(spark):
+    from pyspark.sql import functions as F
+
+    from databridge_etl_tools_spark.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    ord_ = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("l_partkey").alias("p"), F.col("o_custkey").alias("c")
+    )
+    dist, routed = _both(
+        None, lambda: G.shared_item_pairs(cp, "p", "c", min_shared=2)
+    )
+    assert dist == routed
