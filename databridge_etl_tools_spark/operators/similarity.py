@@ -262,6 +262,104 @@ def _audit_q40_sum(rows, where: str) -> None:
             )
 
 
+def _ann_driver_rows() -> int:
+    """Row budget for the ANN driver routes (kmeans_fit /
+    kcenter_greedy): at or under it the (id, vector) projection
+    collects once via Arrow and the iteration loop runs vectorized on
+    the driver — replacing iters × (Arrow assign pass + mean collect)
+    jobs of fixed latency. 500k × 64-dim float64 ≈ 256 MB; past it
+    (or NULLs) the distributed loop is untouched. Env-tunable
+    ``SPARK_GRAFT_ANN_DRIVER_ROWS``; 0 disables (the tests' A/B
+    lever)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_ANN_DRIVER_ROWS", "500000"))
+
+
+def _collect_id_vecs(emb: DataFrame, id_col: str, vec_col: str):
+    """Size-probed Arrow collect of (id, vector) → (ids int64 array,
+    vecs float64 matrix) sorted by id ascending, or None (over
+    budget / NULLs / numpy missing)."""
+    budget = _ann_driver_rows()
+    if budget <= 0:
+        return None
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover
+        return None
+    if emb.count() > budget:
+        return None
+    tbl = emb.select(id_col, vec_col).toArrow()
+    if tbl.column(id_col).null_count or tbl.column(vec_col).null_count:
+        return None
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        return None  # empty input: distributed error paths own it
+    vecs = np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], vecs[order]
+
+
+def _np_assign_codes(vecs, cents, np):
+    """The numpy twin of one `_pq_assign` single-subspace pass: exact
+    int64 squared L2 over q20-quantized coordinates, first-min
+    tie-break. Chunked so the n × k × dim diff tensor stays bounded."""
+    cb = np.floor(
+        np.asarray(cents, dtype=np.float64) * float(1 << 20)
+    ).astype(np.int64)
+    q = np.floor(vecs * float(1 << 20)).astype(np.int64)
+    n = q.shape[0]
+    codes = np.empty(n, dtype=np.int32)
+    step = max(1, (1 << 22) // max(1, cb.shape[0] * cb.shape[1]))
+    for s in range(0, n, step):
+        diff = q[s : s + step, None, :] - cb[None, :, :]
+        codes[s : s + step] = (diff * diff).sum(axis=2).argmin(axis=1)
+    return q, codes
+
+
+def _kmeans_np(ids, vecs, k, iters, np):
+    """Exact driver replica of the distributed Lloyd loop below —
+    same deterministic seeding (k lowest ids), same q20 integer
+    argmin assignment, same q40 fixed-point means with the identical
+    overflow audit, same empty-cell carry and early exit."""
+    dim = vecs.shape[1]
+    cents = [[float(x) for x in vecs[i]] for i in range(min(k, len(ids)))]
+    codes = None
+    for _ in range(iters):
+        _, codes = _np_assign_codes(vecs, cents, np)
+        s40 = np.floor(vecs * float(1 << 40)).astype(np.int64)
+        kk = len(cents)
+        sums = np.zeros((kk, dim), np.int64)
+        np.add.at(sums, codes, s40)
+        ma = np.zeros((kk, dim), np.int64)
+        np.maximum.at(ma, codes, np.abs(s40))
+        counts = np.bincount(codes, minlength=kk)
+        for c in range(kk):
+            if counts[c] and int(counts[c]) * int(ma[c].max()) >= 1 << 63:
+                raise ValueError(
+                    f"kmeans_fit: fixed-point mean group (count="
+                    f"{int(counts[c])}, max|q40|={int(ma[c].max())}) "
+                    "could exceed int64 — the q40 sum may have "
+                    "wrapped. Fit on a sample (bounded per-cell "
+                    "count) or pre-aggregate hierarchically at a "
+                    "coarser fixed point before the global mean."
+                )
+        new_cents = [list(c) for c in cents]
+        for c in range(kk):
+            if counts[c]:
+                new_cents[c] = [
+                    float(int(sums[c][p]))
+                    / float(int(counts[c]))
+                    / float(1 << 40)
+                    for p in range(dim)
+                ]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    _, codes = _np_assign_codes(vecs, cents, np)
+    return cents, codes
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -287,6 +385,30 @@ def kmeans_fit(
 
     Returns (centroids, assignments df[id, cell]).
     """
+    # driver route (the graph_np/orderstats pattern): under the row
+    # budget the whole Lloyd loop runs vectorized on the collected
+    # (id, vector) arrays — same seeding, same q20 integer argmin,
+    # same q40 means + audit — replacing iters × 2 jobs with one
+    # collect. Past the budget the distributed loop below is
+    # untouched.
+    route = _collect_id_vecs(emb, id_col, vec_col)
+    if route is not None:
+        import numpy as np
+
+        ids_a, vecs_a = route
+        cents, codes = _kmeans_np(ids_a, vecs_a, k, iters, np)
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        pdf = pd.DataFrame({id_col: ids_a, "cell": codes})
+        schema = T.StructType(
+            [
+                T.StructField(id_col, emb.schema[id_col].dataType),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        )
+        return cents, emb.sparkSession.createDataFrame(pdf, schema)
     seeds = (
         emb.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -1249,6 +1371,26 @@ def kcenter_greedy(
 
     if k < 1:
         raise ValueError(f"kcenter_greedy: k must be >= 1, got {k}")
+    # driver route: the greedy traversal is k rounds × (argmax +
+    # min-distance update) of exact int64 arithmetic — one Arrow
+    # collect replaces k × (materialize + TakeOrdered) jobs under the
+    # row budget; ids sorted ascending so np.argmax's first-max ==
+    # the distributed (desc _mind, asc _id) tie-break.
+    route = _collect_id_vecs(df, id_col, vec_col)
+    if route is not None:
+        import numpy as np
+
+        ids_a, vecs_a = route
+        q = np.floor(vecs_a * float(1 << scale_bits)).astype(np.int64)
+        chosen = [(0, int(ids_a[0]), 0)]
+        mind = ((q - q[0]) ** 2).sum(axis=1)
+        for t in range(1, k):
+            i = int(np.argmax(mind))
+            chosen.append((t, int(ids_a[i]), int(mind[i])))
+            mind = np.minimum(mind, ((q - q[i]) ** 2).sum(axis=1))
+        return df.sparkSession.createDataFrame(
+            chosen, f"sel_round int, {id_col} long, mind_q long"
+        )
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(1 << scale_bits))).cast(
