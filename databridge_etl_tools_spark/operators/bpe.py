@@ -289,6 +289,19 @@ def _fit_words_py(
 DRIVER_VOCAB_BUDGET = 1_000_000
 
 
+def _driver_vocab_budget() -> int:
+    """Resolve the routing budget at call time so the distributed
+    bench lane (``SPARK_GRAFT_BPE_DRIVER_VOCAB=0``) and the parity
+    tests can toggle it per process; unset keeps the module default."""
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_BPE_DRIVER_VOCAB", str(DRIVER_VOCAB_BUDGET)
+        )
+    )
+
+
 def bpe_fit_words(
     docs: DataFrame,
     *,
@@ -296,7 +309,7 @@ def bpe_fit_words(
     n_merges: int = 10,
     min_count: int = 2,
     sep: str = "▁",
-    driver_vocab_budget: int = DRIVER_VOCAB_BUDGET,
+    driver_vocab_budget: "int | None" = None,
 ) -> "tuple[list[tuple[int, str, str, int]], DataFrame]":
     """Standard subword BPE over the distinct-word frequency table
     (the construction every real tokenizer trainer uses — Sennrich et
@@ -331,7 +344,13 @@ def bpe_fit_words(
     # tests/test_bpe.py) and rebuild the finished word table; past
     # the budget the distributed per-round loop below is the honest
     # path. One bounded count probe decides.
-    if words.agg(F.count(F.lit(1))).collect()[0][0] <= driver_vocab_budget:
+    if driver_vocab_budget is None:
+        driver_vocab_budget = _driver_vocab_budget()
+    if (
+        driver_vocab_budget > 0
+        and words.agg(F.count(F.lit(1))).collect()[0][0]
+        <= driver_vocab_budget
+    ):
         rows = [
             (r["w"], int(r["freq"]))
             for r in words.select("w", "freq").collect()

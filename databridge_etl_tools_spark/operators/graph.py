@@ -71,14 +71,15 @@ def _driver_route_arrays(
     e: DataFrame, cols: "list[str]", n_edges: "int | None" = None
 ):
     """Size-probe + Arrow collect for the numpy driver route (see
-    ``operators.graph_np``): ONE bounded count on the (materialized)
-    edge table decides — at or under ``graph_np.edge_budget()`` the
-    columns come back as numpy arrays and the caller runs the exact
-    fixpoint driver-side; past it (or numpy missing, or NULLs in any
-    column) returns None and the distributed loop proceeds untouched.
-    The count is the same eager-guard-probe tax every bounded routing
-    decision in this repo pays (``maybe_broadcast``,
-    ``bpe._fit_words_py``)."""
+    ``operators.graph_np``): at or under ``graph_np.edge_budget()``
+    the columns come back as numpy arrays and the caller runs the
+    exact fixpoint driver-side; past it (or numpy missing, or NULLs
+    in any column) returns None and the distributed loop proceeds
+    untouched. Probe and collect are ONE pass (r14 advisor/verdict
+    item): ``limit(budget+1).toArrow()`` executes the upstream edge
+    build exactly once on the routed path, and an over-budget
+    fallback pays only a bounded CollectLimit partial scan — never a
+    full count followed by a full re-execution."""
     from . import graph_np
 
     budget = graph_np.edge_budget()
@@ -88,9 +89,17 @@ def _driver_route_arrays(
         import numpy  # noqa: F401
     except ImportError:  # pragma: no cover - numpy ships with pyspark
         return None
-    if (e.count() if n_edges is None else n_edges) > budget:
-        return None
-    return graph_np.collect_cols(e, cols)
+    # node columns concatenated into one index universe must share a
+    # dtype: the routed result declares _src's type while distributed
+    # unionByName coerces to the wider one (r14 advisor item)
+    if "_src" in cols and "_dst" in cols:
+        if e.schema["_src"].dataType != e.schema["_dst"].dataType:
+            return None
+    if n_edges is not None:
+        if n_edges > budget:
+            return None
+        return graph_np.collect_cols(e, cols)
+    return graph_np.collect_cols_bounded(e, cols, budget)
 
 
 def _np_result_df(spark, fields):

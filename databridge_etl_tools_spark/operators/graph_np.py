@@ -68,7 +68,24 @@ def collect_cols(df, names):
     """Collect ``names`` columns via Arrow → list of numpy arrays.
     Returns None when any column carries NULLs (the route refuses;
     distributed semantics own that case)."""
-    tbl = df.toArrow()
+    return _cols_of(df.toArrow(), names)
+
+
+def collect_cols_bounded(df, names, budget: int):
+    """Probe-and-collect in ONE pass: ``limit(budget+1)`` executes
+    the upstream once; more than ``budget`` rows back means the
+    caller must take the distributed path (None), having paid only a
+    bounded partial scan (CollectLimit grows its partition sample
+    incrementally) instead of a full count. Row order is whatever the
+    limit returned — every routed fixpoint normalizes on the arrays
+    (np.unique / lexsort), so order never matters."""
+    tbl = df.limit(budget + 1).toArrow()
+    if tbl.num_rows > budget:
+        return None
+    return _cols_of(tbl, names)
+
+
+def _cols_of(tbl, names):
     out = []
     for n in names:
         col = tbl.column(n)

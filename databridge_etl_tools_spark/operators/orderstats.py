@@ -619,7 +619,16 @@ def _descend(
             for g, k, _, _, _, _, _ in pending:
                 want.setdefault(g, []).append(k)
             routed = _resolve_driver_np(vals, gcols, want, weighted)
-            if routed is not None:
+            # completeness gate (r14 advisor): the routed dict's keys
+            # come from Arrow to_pylist() while want's come from
+            # collected Rows — representations can diverge (tz-aware
+            # UTC vs naive local TIMESTAMP, NaN float keys that never
+            # compare equal). A partial or empty match must fall
+            # through to the descent, never return missing ranks.
+            if routed is not None and all(
+                not set(ks) - set(routed.get(g, ()))
+                for g, ks in want.items()
+            ):
                 for g, got in routed.items():
                     out[g].update(got)
                 if return_stats:

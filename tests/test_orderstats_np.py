@@ -119,6 +119,23 @@ def test_date_group_keys_stay_python_native(spark):
     ), list(r[0])
 
 
+def test_timestamp_group_keys_complete_or_fallback(spark):
+    """Regression (r14 advisor): TIMESTAMP group keys decode tz-aware
+    from Arrow but naive from collected Rows, so the driver route's
+    key lookup can miss every group. The completeness gate must then
+    fall back to the descent — never return empty rank dicts."""
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + (i % 3), 12, 0), i % 13)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    d, r = _both(lambda: kth_smallest_by(df, "ts", "v", lambda n: {1, n}))
+    assert d == r
+    assert all(got for got in r[0].values()), r[0]
+
+
 def test_nan_and_null_rows_excluded_parity(spark):
     rows = [("a", 1.0), ("a", float("nan")), ("a", None), ("a", 2.0),
             ("b", 5.0), ("b", 4.0)]
