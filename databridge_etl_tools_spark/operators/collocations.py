@@ -139,6 +139,8 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     broadcast_threshold: int = BROADCAST_VOCAB_MAX_ROWS,
     train_docs: DataFrame | None = None,
+    base: DataFrame | None = None,
+    train_base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document likelihood under an add-one-smoothed bigram LM
     fit on ``train_docs`` (default: the corpus itself — the CCNet
@@ -165,10 +167,20 @@ def bigram_lm_scores(
     Plan: transition stream joined against the bigram-count table on
     (a, b) and the context table on (a) — both corpus-derived and
     joined size-aware; V is a 1-row broadcast; final reduce is one
-    doc-keyed shuffle."""
-    base = _tok_base(docs, text_col, id_col)
+    doc-keyed shuffle.
+
+    ``base`` / ``train_base``: optionally PRE-TOKENIZED (id, toks)
+    frames (``_tok_base`` output, already materialized) replacing
+    the internal tokenize+checkpoint of ``docs`` / ``train_docs`` —
+    a caller scoring one corpus under several models (the DSIR
+    ratio) tokenizes ONCE and hands the shared frame to every call
+    instead of paying a checkpointed tokenize pass per model."""
+    if base is None:
+        base = _tok_base(docs, text_col, id_col)
     stream = _pair_stream(base, id_col)
-    if train_docs is None:
+    if train_base is not None:
+        t_base, t_stream = train_base, _pair_stream(train_base, id_col)
+    elif train_docs is None:
         t_base, t_stream = base, stream
     else:
         t_base = _tok_base(train_docs, text_col, id_col)

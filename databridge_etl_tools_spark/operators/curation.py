@@ -83,24 +83,44 @@ def curation_screen(
             char_trigram_features(plant_markers(docs), d=d, cap=cap)
         )
     if qfeats is None:
-        qfeats = materialize(hashed_tf_features(docs, d=qd))
-    pred_tbl = materialize(
+        qfeats = materialize(
+            hashed_tf_features(
+                docs,
+                d=qd,
+                gopher=dict(
+                    min_words=min_words,
+                    min_required_hits=min_required_hits,
+                ),
+            ).drop("text")
+        )
+    # pred_tbl stays LAZY: it is map-only work over the already-
+    # materialized planted frame with exactly one consumer (the join
+    # below) — checkpointing it was a full extra eager job per screen
+    # for zero reuse (r15: the join reads it once either way).
+    pred_tbl = (
         planted.select("doc_id", *lid_score_cols(lid_models))
         .withColumn(
             "pred_lang", lid_predict_col([f"_s_{lg}" for lg in LANGS])
         )
         .select("doc_id", "pred_lang")
     )
-    g = TS.gopher_rules(
-        "text", min_words=min_words, min_required_hits=min_required_hits
-    )
+    if "gp" in qfeats.columns:
+        # gate precomputed in the featurize pass (hashed_tf_features
+        # gopher=...) — the checkpointed frame no longer carries text
+        gcol = F.col("gp")
+    else:
+        gcol = TS.gopher_rules(
+            "text",
+            min_words=min_words,
+            min_required_hits=min_required_hits,
+        )["passes"].cast("int")
     ic = float(qmodel["intercept"])
     pred = F.lit(ic) + quality_pq_col(qmodel).cast("double") / F.lit(_Q50F)
     base = qfeats.select(
         "doc_id",
         "source",
         F.col("_n").alias("n"),
-        g["passes"].cast("int").alias("gp"),
+        gcol.alias("gp"),
         (pred >= F.lit(0.5)).cast("int").alias("sc"),
     )
     return base.join(pred_tbl, "doc_id")

@@ -72,6 +72,7 @@ def hashed_tf_features(
     *,
     d: int = DEFAULT_DIMS,
     salt: str = SALT,
+    gopher: "dict | None" = None,
 ) -> DataFrame:
     """Append ``_n`` (token count) and ``feat`` (dense length-``d``
     ``array<double>`` of normalized hashed term frequencies) to
@@ -83,7 +84,16 @@ def hashed_tf_features(
     double) / cast(n as double)`` — one correctly-rounded IEEE
     division, so quantization downstream is engine-exact. Cost is
     O(d·n_tokens) comparisons per document, all inside JVM column
-    expressions — map-side only, no shuffle at any scale."""
+    expressions — map-side only, no shuffle at any scale.
+
+    ``gopher``: optionally kwargs for ``textstats.gopher_rules``;
+    when given, a ``gp`` int column (the gate conjunction) is
+    computed HERE, from the in-flight ``_toks`` column, before the
+    token array is dropped. The curation consumers all gate on
+    Gopher after materializing this frame — computing the gate in
+    the featurize pass means the checkpoint can drop ``text``
+    entirely (guide §2.3: project before the expensive boundary) and
+    no consumer ever re-splits the stored text per sub-rule."""
     from .util import spread
 
     dim_of = lambda t: (  # noqa: E731
@@ -100,6 +110,13 @@ def hashed_tf_features(
         .withColumn("_n", F.size("_toks"))
         .withColumn("_dims", F.transform(F.col("_toks"), dim_of))
     )
+    if gopher is not None:
+        out = out.withColumn(
+            "gp",
+            TS.gopher_rules(text_col, toks=F.col("_toks"), **gopher)[
+                "passes"
+            ].cast("int"),
+        )
     feat = F.transform(
         F.sequence(F.lit(0), F.lit(d - 1)),
         lambda j: F.size(F.filter(F.col("_dims"), lambda x: x == j)).cast(
@@ -195,16 +212,27 @@ def quality_classifier_fit(
     featurizing the filtered slice); negatives (``id % neg_mod = 0``
     with the junk suffix planted INTO the text) are featurized
     separately — they must be, the degradation is the training
-    signal. Same rows as the unshared path either way."""
+    signal. Same rows as the unshared path either way.
+
+    When ``feats`` carries a precomputed ``gp`` column
+    (``hashed_tf_features(..., gopher=...)``), the positive filter
+    reads it instead of re-deriving the Gopher conjunction from text
+    — the caller owns the contract that ``gp`` was computed with the
+    SAME (min_words, min_required_hits=1) parameters this fit uses
+    (every curation query builds both from one constant)."""
     if feats is None:
         sl = labeled_slice(
             docs, text_col, id_col, neg_mod=neg_mod, min_words=min_words
         )
         f = hashed_tf_features(sl, text_col, d=d)
         return ridge_fit(f, "label", "feat", lam=lam)
-    pos = feats.filter(
-        _pos_cond(text_col, id_col, neg_mod, min_words, 1)
-    ).select(F.lit(1.0).alias("label"), "feat")
+    if "gp" in feats.columns:
+        pos_cond = (F.col(id_col) % neg_mod != 0) & (F.col("gp") == 1)
+    else:
+        pos_cond = _pos_cond(text_col, id_col, neg_mod, min_words, 1)
+    pos = feats.filter(pos_cond).select(
+        F.lit(1.0).alias("label"), "feat"
+    )
     neg = hashed_tf_features(
         _neg_docs(docs, text_col, id_col, neg_mod, JUNK_SUFFIX),
         text_col,

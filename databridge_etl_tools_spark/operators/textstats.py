@@ -118,6 +118,7 @@ def gopher_rules(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.8,
     min_required_hits: int = 2,
+    toks: Column | None = None,
 ) -> Column:
     """Gopher quality-filter rules (Rae et al. 2021, App. A1.1) as one
     struct of per-rule booleans plus the conjunction — the standard
@@ -132,18 +133,35 @@ def gopher_rules(
     The paper's two line-level rules (bullet-start / ellipsis-end line
     fractions) are omitted: the synthetic corpus is single-line, so
     they are vacuous here; they'd be the same per-line array exprs.
-    Pure Column expressions — codegen'd, zero Python in the hot path.
+    Pure Column expressions — codegen'd except the array lambdas.
+
+    ``toks``: optionally a PRE-COMPUTED token-array column for the
+    same text (``textstats.tokens(col)`` materialized into a real
+    column upstream). The tokenize split is referenced by several
+    sub-rules, and HOF lambdas are interpreted (CodegenFallback) — so
+    without this, every referencing expression re-splits the text per
+    row. A pipeline that already carries the token array (the hashed
+    featurizers do) hands it in and the gate costs zero extra splits.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
+    toks = tokens(c) if toks is None else toks
     n = F.size(toks)
-    wl = avg_word_len(c)
+    # mean word length = non-whitespace chars / token count — same
+    # value as avg_word_len(c), reusing n instead of re-splitting
+    _total = F.length(F.regexp_replace(c, r"\s+", ""))
+    wl = F.when(n > 0, _total.cast("double") / n).otherwise(F.lit(0.0))
     symbols = F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\.|…"))
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    def _has(word: str) -> Column:
-        return F.exists(toks, lambda t: F.lower(t) == F.lit(word)).cast("int")
-
-    req_hits = sum(_has(w) for w in GOPHER_REQUIRED_WORDS)
+    # distinct required function words present: |lower(toks) ∩ REQ| —
+    # one interpreted transform + one native array_intersect, replacing
+    # eight per-word exists() traversals (identical count: both sides
+    # tally DISTINCT required words found)
+    req_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )
+    )
     words_ok = (n >= min_words) & (n <= max_words)
     word_len_ok = (wl >= min_word_len) & (wl <= max_word_len)
     symbol_ok = F.when(n > 0, symbols.cast("double") / n <= max_symbol_ratio).otherwise(

@@ -2429,30 +2429,33 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching session pair never counts as concurrent — identical on
     both engines by the shared total order. The peak instant is the
     earliest timestamp achieving the max (deterministic)."""
-    from ..operators.materialize import materialize
     from ..operators.prefixsum import running_sum
     from ..streaming.events import sessionize_batch
 
     ev = table(spark, sf_dir, "events")
-    # materialized: both delta branches read it (one window pass)
-    sess = materialize(
-        sessionize_batch(ev, gap_minutes=30).select(
-            "user_id", "session_seq", "session_start", "session_end"
-        )
+    sess = sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_seq", "session_start", "session_end"
     )
+    # ±1 sweep deltas as ONE map-side explode of a 2-element array
+    # per session — the former union of two selects read the session
+    # table twice and needed it checkpointed; this reads the window
+    # output once and deletes that materialize job (r15, guide §2.4)
     d = sess.select(
-        F.col("session_start").alias("ts"),
-        F.lit(1).cast("bigint").alias("delta"),
         "user_id",
         "session_seq",
-    ).unionByName(
-        sess.select(
-            F.col("session_end").alias("ts"),
-            F.lit(-1).cast("bigint").alias("delta"),
-            "user_id",
-            "session_seq",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("ts"),
+                    F.lit(1).cast("bigint").alias("delta"),
+                ),
+                F.struct(
+                    F.col("session_end").alias("ts"),
+                    F.lit(-1).cast("bigint").alias("delta"),
+                ),
+            )
+        ).alias("_d"),
+    ).select("_d.ts", "_d.delta", "user_id", "session_seq")
     run = running_sum(
         d, ["ts", "delta", "user_id", "session_seq"], "delta", out_col="c"
     )

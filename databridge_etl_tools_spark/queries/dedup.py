@@ -822,17 +822,23 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry at least one shared gram (the eval-side rate is what
     benchmark cards quote; the train-side count is the removal cost
     of a hard filter). Tokens materialize ONCE (checkpointed — the
-    interpreted-HOF discipline of operators/dedup.py); each n re-
-    shingles from that column map-side, the per-n overlap is a
-    gram-keyed join of distinct gram sets (never docs × docs), and
-    the five counts per n are scalar aggregates (SinglePartition on
-    one-row sides only). At corpus scale the eval side broadcasts
-    (benchmark-sized) while train-side gram sets stay shuffle-joined
-    — same shape as ``decontaminate``."""
+    interpreted-HOF discipline of operators/dedup.py).
+
+    Plan (r15, guide §2.3/§2.4/§3.2): ONE tagged (n, gram) stream
+    over all three sizes feeds ONE (n, gram)-keyed aggregate whose
+    per-gram side-presence flags answer ``shared_grams`` directly —
+    a gram is shared iff both sides saw it, so the per-n
+    distinct-set joins of the old plan collapse into the aggregate.
+    Doc-level contamination is then a SEMI JOIN of the same tagged
+    stream against the (materialized, eval-bounded, size-aware
+    broadcast) shared-gram set: an eval doc is contaminated iff it
+    carries a shared gram — the exact-semantics form of the §3.2
+    prefilter, counted per side in one distinct aggregate. Two big
+    shuffles total (gram agg + distinct-doc agg) instead of the old
+    per-n distinct/join cascade (~5 shuffles × 3 sizes)."""
     from ..operators import textstats as TS
     from ..operators.dedup import word_shingles
     from ..operators.materialize import materialize
-
     docs = table(spark, sf_dir, "documents")
     toks = materialize(
         docs.select(
@@ -842,47 +848,75 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cut_lineage=True,
     )
-    out = None
+    g_all = None
     for n in (3, 5, 7):
-        grams = toks.select(
-            "doc_id", "is_eval", F.explode(word_shingles("toks", n)).alias("gram")
+        s = toks.select(
+            F.lit(n).cast("int").alias("n"),
+            "doc_id",
+            "is_eval",
+            F.explode(word_shingles("toks", n)).alias("gram"),
         )
-        tg = grams.where(~F.col("is_eval")).select("doc_id", "gram").distinct()
-        eg = grams.where(F.col("is_eval")).select("doc_id", "gram").distinct()
-        tset = tg.select("gram").distinct()
-        eset = eg.select("gram").distinct()
-        shared = tset.join(eset, "gram").agg(
-            F.count(F.lit(1)).cast("bigint").alias("shared_grams")
+        g_all = s if g_all is None else g_all.unionByName(s)
+    # (n, gram) → which sides contain it; shared ⟺ both flags set
+    shared = materialize(
+        g_all.groupBy("n", "gram")
+        .agg(
+            F.max(F.col("is_eval").cast("int")).alias("_e"),
+            F.max((~F.col("is_eval")).cast("int")).alias("_t"),
         )
-        ev_total = toks.where(F.col("is_eval")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("eval_docs")
+        .where((F.col("_e") == 1) & (F.col("_t") == 1))
+        .select("n", "gram")
+    )
+    shared_cnt = shared.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shared_grams")
+    )
+    # a doc is contaminated iff it carries a shared gram (its own
+    # gram is on its own side by construction, so gram ∈ other side
+    # ⟺ gram ∈ intersection); the shared set is eval-gram-bounded.
+    # No broadcast probe job: the planner sizes the MATERIALIZED
+    # frame itself — under the auto threshold the semi join is a
+    # map-side broadcast, past it it degrades to a shuffle join
+    # (the same size-aware behavior, zero extra driver round-trip)
+    cont = (
+        g_all.join(shared, ["n", "gram"], "left_semi")
+        # explicit distinct then plain sums: two count_distincts with
+        # different filters would plan an Expand (doubling the stream
+        # into the distinct aggregate); one (n, side, doc) distinct +
+        # a tiny follow-up aggregate shuffles each row once
+        .select("n", "is_eval", "doc_id")
+        .distinct()
+        .groupBy("n")
+        .agg(
+            F.sum(F.col("is_eval").cast("int"))
+            .cast("bigint")
+            .alias("eval_docs_contaminated"),
+            F.sum((~F.col("is_eval")).cast("int"))
+            .cast("bigint")
+            .alias("train_docs_contaminated"),
         )
-        ev_cont = (
-            eg.join(tset, "gram", "left_semi")
-            .agg(F.count_distinct("doc_id").cast("bigint").alias(
-                "eval_docs_contaminated"
-            ))
+    )
+    ev_total = toks.where(F.col("is_eval")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("eval_docs")
+    )
+    ns = spark.createDataFrame([(3,), (5,), (7,)], "n int")
+    return (
+        ns.join(F.broadcast(shared_cnt), "n", "left")
+        .join(F.broadcast(cont), "n", "left")
+        .crossJoin(F.broadcast(ev_total))
+        .select(
+            "n",
+            F.coalesce("shared_grams", F.lit(0)).cast("bigint").alias(
+                "shared_grams"
+            ),
+            "eval_docs",
+            F.coalesce("eval_docs_contaminated", F.lit(0))
+            .cast("bigint")
+            .alias("eval_docs_contaminated"),
+            F.coalesce("train_docs_contaminated", F.lit(0))
+            .cast("bigint")
+            .alias("train_docs_contaminated"),
         )
-        tr_cont = (
-            tg.join(eset, "gram", "left_semi")
-            .agg(F.count_distinct("doc_id").cast("bigint").alias(
-                "train_docs_contaminated"
-            ))
-        )
-        row = (
-            shared.crossJoin(ev_total)
-            .crossJoin(ev_cont)
-            .crossJoin(tr_cont)
-            .select(
-                F.lit(n).cast("int").alias("n"),
-                "shared_grams",
-                "eval_docs",
-                "eval_docs_contaminated",
-                "train_docs_contaminated",
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 @query(

@@ -27,6 +27,27 @@ from .textops import _TOK
 
 D = 16  # classifier feature width (see operators/quality.py)
 LAM = 1
+
+#: the one Gopher parameterization every curation gate in this module
+#: uses (corpus adaptation of the published rules — see
+#: operators.quality.labeled_slice). The classifier fit's positive
+#: slice and the funnel's gp gate must agree on it by construction.
+_GOPHER = dict(min_words=10, min_required_hits=1)
+
+
+def _qfeats_gated(docs: DataFrame) -> DataFrame:
+    """The shared materialized featurize frame for the curation
+    family: hashed TF features + the Gopher gate ``gp`` computed in
+    the SAME pass (from the in-flight token array — zero extra text
+    splits), with ``text`` projected out before the checkpoint
+    (guide §2.3: the stored frame is doc_id/source/lang/_n/gp/feat —
+    no megabyte text column in the checkpoint, and no consumer ever
+    re-derives the five-sub-rule gate from stored text)."""
+    from ..operators.quality import hashed_tf_features
+
+    return materialize(
+        hashed_tf_features(docs, d=D, gopher=_GOPHER).drop("text")
+    )
 _Q20F = float(1 << 20)
 _Q40 = 1 << 40
 _Q50F = float(1 << 50)
@@ -246,8 +267,9 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared featurize: the fit's positive slice reuses the SAME
     # materialized corpus features the scoring pass reads (negatives
     # featurize their degraded text separately - see
-    # quality_classifier_fit)
-    qfeats = materialize(hashed_tf_features(docs, d=D))
+    # quality_classifier_fit); gp rides along so the positive filter
+    # never re-derives the Gopher gate from stored text
+    qfeats = _qfeats_gated(docs)
     model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     # registry boundary (r13 verdict item 3): scoring runs on the
     # LOADED head, never the in-session fit — bit-exact round-trip,
@@ -341,8 +363,8 @@ def corpus_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared featurize: the fit's positive slice reuses the SAME
     # materialized corpus features the scoring pass reads (negatives
     # featurize their degraded text separately - see
-    # quality_classifier_fit)
-    qfeats = materialize(hashed_tf_features(docs, d=D))
+    # quality_classifier_fit); gp precomputed in the featurize pass
+    qfeats = _qfeats_gated(docs)
     model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
     ic = float(model["intercept"])
     keepers = (
@@ -350,13 +372,12 @@ def corpus_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(1).alias("u"))
     )
-    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
     feats = qfeats.select(
         "doc_id",
         "source",
         "lang",
         F.col("_n").alias("n"),
-        g["passes"].cast("int").alias("gp"),
+        "gp",
         quality_pq_col(model).alias("pq"),
     )
     pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
@@ -479,8 +500,8 @@ def corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared featurize: the fit's positive slice reuses the SAME
         # materialized corpus features the scoring pass reads
         # (negatives featurize their degraded text separately - see
-        # quality_classifier_fit)
-        qfeats = materialize(hashed_tf_features(docs, d=D))
+        # quality_classifier_fit); gp precomputed in the featurize
+        qfeats = _qfeats_gated(docs)
         return qfeats, quality_classifier_fit(
             docs, d=D, lam=LAM, feats=qfeats
         )
@@ -504,13 +525,12 @@ def corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(1).alias("u"))
     )
-    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
     feats = qfeats.select(
         "doc_id",
         "source",
         "lang",
         F.col("_n").alias("n"),
-        g["passes"].cast("int").alias("gp"),
+        "gp",
         quality_pq_col(model).alias("pq"),
     )
     bnds = equi_depth_boundaries_by(kn, "lang", "ppl_q", 3)
@@ -707,8 +727,8 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared featurize: the fit's positive slice reuses the SAME
         # materialized corpus features the scoring pass reads
         # (negatives featurize their degraded text separately - see
-        # quality_classifier_fit)
-        qfeats = materialize(hashed_tf_features(docs, d=D))
+        # quality_classifier_fit); gp precomputed in the featurize
+        qfeats = _qfeats_gated(docs)
         model = quality_classifier_fit(docs, d=D, lam=LAM, feats=qfeats)
         ic = float(model["intercept"])
         keepers = (
@@ -716,12 +736,11 @@ def corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id", F.lit(1).alias("u"))
         )
-        g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
         feats = qfeats.select(
             "doc_id",
             "source",
             F.col("_n").alias("n"),
-            g["passes"].cast("int").alias("gp"),
+            "gp",
             quality_pq_col(model).alias("pq"),
         )
         pred = F.lit(ic) + F.col("pq").cast("double") / F.lit(_Q50F)
@@ -969,8 +988,8 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared featurize: the fit's positive slice reuses the SAME
         # materialized corpus features the scoring pass reads
         # (negatives featurize their degraded text separately - see
-        # quality_classifier_fit)
-        qfeats = materialize(hashed_tf_features(docs, d=D))
+        # quality_classifier_fit); gp precomputed in the featurize
+        qfeats = _qfeats_gated(docs)
         return qfeats, quality_classifier_fit(
             docs, d=D, lam=LAM, feats=qfeats
         )
@@ -983,7 +1002,12 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registry boundary (r13 verdict item 3): both heads score from
     # LOADED state — no gate query trains at score time
     lid_models, model = _registry_roundtrip(spark, lid_models, model)
-    pred_tbl = materialize(
+    # two consumers (the kn join and the flags join) read pred_tbl,
+    # but it is map-only work over the already-materialized planted
+    # frame — two lazy re-derivations are cheaper than the eager
+    # checkpoint job the materialize cost here (r15, guide §5
+    # caching-only-when-recompute-is-expensive)
+    pred_tbl = (
         planted.select("doc_id", *lid_score_cols(lid_models))
         .withColumn(
             "pred_lang",
@@ -997,13 +1021,12 @@ def corpus_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(1).alias("u"))
     )
-    g = TS.gopher_rules("text", min_words=10, min_required_hits=1)
     feats = qfeats.select(
         "doc_id",
         "source",
         "lang",
         F.col("_n").alias("n"),
-        g["passes"].cast("int").alias("gp"),
+        "gp",
         quality_pq_col(model).alias("pq"),
     )
     kn = materialize(
@@ -1240,7 +1263,7 @@ def _curation_v10_impl(
         )
 
     def _branch_quality():
-        qfeats = materialize(hashed_tf_features(docs, d=D))
+        qfeats = _qfeats_gated(docs)
         return qfeats, quality_classifier_fit(
             docs, d=D, lam=LAM, feats=qfeats
         )
@@ -1375,7 +1398,7 @@ def corpus_curation_v10_incremental(
         )
 
     def _branch_quality():
-        qfeats = materialize(hashed_tf_features(docs, d=D))
+        qfeats = _qfeats_gated(docs)
         return qfeats, quality_classifier_fit(
             docs, d=D, lam=LAM, feats=qfeats
         )

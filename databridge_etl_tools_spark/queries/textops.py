@@ -1276,6 +1276,13 @@ def source_vocab_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gb").alias("source_b"),
         "est_jaccard",
     )
+    # examined r15, left as-is: the three vocab consumers (counts +
+    # both self-join sides) canonicalize to ONE token-keyed exchange
+    # (ReusedExchange), and the KMV path never needs the full
+    # distinct at all (its threshold prefilter reads the raw stream
+    # map-side) — a shared materialize of tok.distinct() was measured
+    # SLOWER (checkpoint overhead for sharing that exchange reuse
+    # already provides; guide §1.1 empirical loop).
     vocab = tok.distinct()
     v = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
     a, b = vocab.alias("a"), vocab.alias("b")
@@ -2895,15 +2902,28 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_tgt/s_raw, a likelihood ratio that only nears int64 when the
     two LMs disagree by 10¹³ — not a reachable score gap)."""
     from ..operators.collocations import bigram_lm_scores
+    from ..operators.materialize import materialize
     from ..operators.sampling import sample_weighted
+    from ..operators.util import in_parallel
 
     docs = table(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    raw = bigram_lm_scores(docs).select(
-        "doc_id", "n_trans", F.col("score_nano").alias("s_raw")
+    # ONE tokenize+checkpoint serves both LM fits (r15, guide §2.3):
+    # the raw-corpus model, the target-slice model (a lang filter of
+    # the same frame), and the scored transition stream all read it —
+    # the per-call _tok_base used to tokenize the corpus three times.
+    # The two model builds (grams+ctx materializes each) are
+    # independent; overlap their submission (guide §2.6).
+    toksb = materialize(
+        docs.select("doc_id", "lang", TS.tokens(F.col("text")).alias("toks"))
     )
-    tgt = bigram_lm_scores(docs, train_docs=target).select(
-        "doc_id", F.col("score_nano").alias("s_tgt")
+    tgt_base = toksb.where(F.col("lang") == "en")
+    raw, tgt = in_parallel(
+        lambda: bigram_lm_scores(docs, base=toksb).select(
+            "doc_id", "n_trans", F.col("score_nano").alias("s_raw")
+        ),
+        lambda: bigram_lm_scores(
+            docs, base=toksb, train_base=tgt_base
+        ).select("doc_id", F.col("score_nano").alias("s_tgt")),
     )
     w = (
         raw.join(tgt, "doc_id")
