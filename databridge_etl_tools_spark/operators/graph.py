@@ -76,10 +76,13 @@ def _driver_route_arrays(
     exact fixpoint driver-side; past it (or numpy missing, or NULLs
     in any column) returns None and the distributed loop proceeds
     untouched. Probe and collect are ONE pass (r14 advisor/verdict
-    item): ``limit(budget+1).toArrow()`` executes the upstream edge
-    build exactly once on the routed path, and an over-budget
-    fallback pays only a bounded CollectLimit partial scan — never a
-    full count followed by a full re-execution."""
+    item): a single plain parallel Arrow collect, bounded after the
+    fact by the row budget and by Spark's own
+    ``spark.driver.maxResultSize`` abort (caught → fallback) — see
+    ``graph_np.collect_cols_bounded`` for why the former
+    ``limit(budget+1)`` probe was replaced (CollectLimit's
+    incremental partition ramp serialized the routed collect; r15
+    measured 3.08 s → 0.67 s on a 3.6M-edge lineage)."""
     from . import graph_np
 
     budget = graph_np.edge_budget()

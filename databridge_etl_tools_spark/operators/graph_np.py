@@ -72,14 +72,32 @@ def collect_cols(df, names):
 
 
 def collect_cols_bounded(df, names, budget: int):
-    """Probe-and-collect in ONE pass: ``limit(budget+1)`` executes
-    the upstream once; more than ``budget`` rows back means the
-    caller must take the distributed path (None), having paid only a
-    bounded partial scan (CollectLimit grows its partition sample
-    incrementally) instead of a full count. Row order is whatever the
-    limit returned — every routed fixpoint normalizes on the arrays
-    (np.unique / lexsort), so order never matters."""
-    tbl = df.limit(budget + 1).toArrow()
+    """Probe-and-collect in ONE pass: a single plain parallel Arrow
+    collect, guarded two ways — rows over ``budget`` return None (the
+    caller takes the distributed path), and a collect whose serialized
+    results blow past ``spark.driver.maxResultSize`` (1g default) is
+    aborted BY SPARK and caught here, so a wildly over-budget input
+    costs one partial scan and never OOMs the driver.
+
+    Why not ``limit(budget+1)``: CollectLimit executes via
+    ``executeTake``'s incremental partition ramp (1, 4, 16, ...
+    partitions per job — ``spark.sql.limit.initialNumPartitions``),
+    which serializes what should be one fully parallel pass; measured
+    3.08 s vs 0.67 s for a 3.6M-edge union-of-joins lineage (r15,
+    median-of-3), i.e. the r14 bounded probe DOUBLED the routed path
+    over even the old count+collect shape (1.41 s). Raising the
+    initial-partition count would instead let every task ship up to
+    budget rows to the driver at once — unbounded driver memory at
+    scale. The maxResultSize guard keeps the one-pass collect
+    memory-safe without either cost. Row order is whatever the
+    collect returned — every routed fixpoint normalizes on the
+    arrays (np.unique / lexsort), so order never matters."""
+    try:
+        tbl = df.toArrow()
+    except Exception as exc:  # over-size abort → distributed path
+        if "maxResultSize" in str(exc) or "bigger than" in str(exc):
+            return None
+        raise
     if tbl.num_rows > budget:
         return None
     return _cols_of(tbl, names)

@@ -281,12 +281,14 @@ def _collect_id_vecs(emb: DataFrame, id_col: str, vec_col: str):
     vecs float64 matrix) sorted by id ascending, or None (over
     budget / NULLs at any nesting level / ragged vectors / numpy
     missing). Probe and collect are ONE pass (r14 advisor/verdict
-    item): ``limit(budget+1)`` executes the upstream exactly once on
-    the routed path and a bounded partial scan on the fallback —
-    never a full count plus a full re-execution. Child-level NULLs
-    (NaN under np.asarray — argmax-divergent from the distributed
-    null ordering) and ragged lengths fall back instead of silently
-    diverging or raising (r14 advisor item)."""
+    item): a single plain parallel Arrow collect, bounded after the
+    fact by the row budget and by Spark's ``maxResultSize`` abort
+    (caught → fallback) — the former ``limit(budget+1)`` probe
+    serialized the collect through CollectLimit's incremental
+    partition ramp (see ``graph_np.collect_cols_bounded``).
+    Child-level NULLs (NaN under np.asarray — argmax-divergent from
+    the distributed null ordering) and ragged lengths fall back
+    instead of silently diverging or raising (r14 advisor item)."""
     budget = _ann_driver_rows()
     if budget <= 0:
         return None
@@ -296,7 +298,12 @@ def _collect_id_vecs(emb: DataFrame, id_col: str, vec_col: str):
         return None
     import pyarrow.compute as pc
 
-    tbl = emb.select(id_col, vec_col).limit(budget + 1).toArrow()
+    try:
+        tbl = emb.select(id_col, vec_col).toArrow()
+    except Exception as exc:  # over-size abort → distributed path
+        if "maxResultSize" in str(exc) or "bigger than" in str(exc):
+            return None
+        raise
     if tbl.num_rows > budget:
         return None
     if tbl.column(id_col).null_count or tbl.column(vec_col).null_count:

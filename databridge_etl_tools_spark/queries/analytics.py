@@ -2429,17 +2429,22 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching session pair never counts as concurrent — identical on
     both engines by the shared total order. The peak instant is the
     earliest timestamp achieving the max (deterministic)."""
+    from ..operators.materialize import materialize
     from ..operators.prefixsum import running_sum
     from ..streaming.events import sessionize_batch
 
     ev = table(spark, sf_dir, "events")
-    sess = sessionize_batch(ev, gap_minutes=30).select(
-        "user_id", "session_seq", "session_start", "session_end"
+    # still checkpointed: running_sum's repartitionByRange SAMPLES its
+    # input before the real pass, so an unmaterialized sessionize
+    # window would execute twice (measured: 1.8 s → 3.0 s without it)
+    sess = materialize(
+        sessionize_batch(ev, gap_minutes=30).select(
+            "user_id", "session_seq", "session_start", "session_end"
+        )
     )
     # ±1 sweep deltas as ONE map-side explode of a 2-element array
-    # per session — the former union of two selects read the session
-    # table twice and needed it checkpointed; this reads the window
-    # output once and deletes that materialize job (r15, guide §2.4)
+    # per session — the former union of two selects read the
+    # checkpointed session table twice; this reads it once (guide §2.4)
     d = sess.select(
         "user_id",
         "session_seq",

@@ -208,6 +208,33 @@ def test_budget_zero_disables_route(spark, monkeypatch):
     assert len(out) == 3
 
 
+def test_bounded_collect_maxresultsize_falls_back(spark):
+    """The one-pass bounded collect must treat Spark's
+    driver.maxResultSize abort as an over-budget signal (return None
+    → distributed path), not an error — that abort is the memory
+    guard that replaced the CollectLimit probe (r15)."""
+    from databridge_etl_tools_spark.operators import graph_np
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+
+    class _Boom:
+        def select(self, *a):
+            return self
+
+        def toArrow(self):
+            raise Exception(
+                "Total size of serialized results of 3 tasks (1126.0 "
+                "MiB) is bigger than spark.driver.maxResultSize"
+            )
+
+    assert graph_np.collect_cols_bounded(_Boom(), ["src"], 10) is None
+    # a genuine over-budget row count still falls back post-collect
+    assert graph_np.collect_cols_bounded(df, ["src", "dst"], 0) is None
+    # and an in-budget collect routes
+    got = graph_np.collect_cols_bounded(df, ["src", "dst"], 10)
+    assert got is not None and list(got[0]) == [1]
+
+
 def test_shared_item_pairs_parity(spark):
     rows = [
         (1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10), (3, 11),
