@@ -247,6 +247,125 @@ def pca_project(
     return df.select("*", *pca_project_cols(model, vec_col))
 
 
+def _pca_prefilter_np(
+    emb: DataFrame,
+    model: dict,
+    k: int,
+    shortlist: int,
+    query_pred,
+    id_col: str,
+    vec_col: str,
+):
+    """Driver route for the coarse-then-rerank ANN: one Arrow collect
+    of (id, full vector, JVM-computed ``_pc`` projection, query
+    flag), then the exact fold arithmetic for BOTH stages in numpy —
+    coarse top-``shortlist`` in PCA space (self excluded, cosine
+    desc / neighbor asc), exact full-vector cosine rerank of exactly
+    that shortlist, top-``k``. Same guards and fallback conditions as
+    ``similarity._cosine_topk_np``."""
+    from .similarity import _ann_driver_rows, _fold_dot_rows, _fold_norms
+
+    budget = _ann_driver_rows()
+    if budget <= 0:
+        return None
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover
+        return None
+    import pyarrow.compute as pc
+    from pyspark.sql import types as T
+
+    id_t = emb.schema[id_col].dataType
+    if not isinstance(
+        id_t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        return None
+    flag = query_pred if query_pred is not None else F.lit(True)
+    sel = emb.select(
+        id_col,
+        vec_col,
+        F.array(*pca_project_cols(model, vec_col)).alias("_pc"),
+        flag.alias("_isq"),
+    )
+    try:
+        tbl = sel.toArrow()
+    except Exception as exc:  # over-size abort → distributed path
+        if "maxResultSize" in str(exc) or "bigger than" in str(exc):
+            return None
+        raise
+    if tbl.num_rows > budget or tbl.num_rows == 0:
+        return None
+    for name in (id_col, vec_col, "_pc", "_isq"):
+        if tbl.column(name).null_count:
+            return None
+
+    def _mat(col):
+        flat = pc.list_flatten(col)
+        if flat.null_count:
+            return None
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if int(lens.min()) != int(lens.max()) or int(lens[0]) == 0:
+            return None
+        m = (
+            flat.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(tbl.num_rows, int(lens[0]))
+        )
+        return m if np.all(np.isfinite(m)) else None
+
+    X = _mat(tbl.column(vec_col))
+    P = _mat(tbl.column("_pc"))
+    if X is None or P is None:
+        return None
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    isq = tbl.column("_isq").to_numpy(zero_copy_only=False).astype(bool)
+    xn = _fold_norms(np, X)
+    pn = _fold_norms(np, P)
+    if (
+        not np.all(np.isfinite(xn))
+        or not np.all(np.isfinite(pn))
+        or np.any(xn == 0.0)
+        or np.any(pn == 0.0)
+    ):
+        return None
+
+    q_idx = np.nonzero(isq)[0]
+    out_q, out_n, out_c, out_r = [], [], [], []
+    if q_idx.size:
+        coarse = _fold_dot_rows(np, P[q_idx], P) / (
+            pn[q_idx][:, None] * pn[None, :]
+        )
+        for r, qg in enumerate(q_idx):
+            mask = ids != ids[qg]  # exclude self
+            cand_id, cand_cos = ids[mask], coarse[r][mask]
+            if cand_id.size == 0:
+                continue
+            short = np.nonzero(mask)[0][
+                np.lexsort((cand_id, -cand_cos))[:shortlist]
+            ]
+            ex = _fold_dot_rows(np, X[qg : qg + 1], X[short])[0] / (
+                xn[qg] * xn[short]
+            )
+            order = np.lexsort((ids[short], -ex))[:k]
+            for rk, oi in enumerate(order, start=1):
+                out_q.append(int(ids[qg]))
+                out_n.append(int(ids[short][oi]))
+                out_c.append(float(ex[oi]))
+                out_r.append(rk)
+
+    from .graph import _np_result_df
+
+    return _np_result_df(
+        emb.sparkSession,
+        [
+            ("query_id", id_t, np.asarray(out_q, dtype=np.int64)),
+            ("neighbor_id", id_t, np.asarray(out_n, dtype=np.int64)),
+            ("cosine", T.DoubleType(), np.asarray(out_c, dtype=np.float64)),
+            ("rank", T.IntegerType(), np.asarray(out_r, dtype=np.int32)),
+        ],
+    )
+
+
 def pca_prefilter_topk(
     emb: DataFrame,
     model: dict,
@@ -271,6 +390,17 @@ def pca_prefilter_topk(
     from pyspark.sql import Window
 
     from .similarity import dot_fold, with_norm
+
+    # bounded inputs: coarse ranking AND rerank run driver-side from
+    # ONE Arrow collect (the _pc projections stay JVM-computed inside
+    # that collect, so every coarse score is the identical IEEE
+    # value); routing only the coarse half was measured SLOWER — the
+    # local coarse table still fed two distributed rerank joins.
+    routed = _pca_prefilter_np(
+        emb, model, k, shortlist, query_pred, id_col, vec_col
+    )
+    if routed is not None:
+        return routed
 
     pcs = pca_project_cols(model, vec_col)
     # keep the original columns so query_pred can reference any of

@@ -43,6 +43,151 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return spread(df).withColumn("_norm", norm_fold(F.col(vec_col)))
 
 
+def _fold_dot_rows(np, Q, C):
+    """Pairwise dot products replicating the JVM ``dot_fold`` op
+    sequence bit-for-bit: per-element double products first, then a
+    LEFT fold of double additions over dimensions. numpy's matmul /
+    sum use pairwise summation (different rounding), so the fold is
+    an explicit sequential loop over dimensions — vectorized across
+    the |Q|·|C| pair grid, sequential in j exactly like
+    ``aggregate(prods, 0.0, acc + v)``."""
+    acc = np.zeros((Q.shape[0], C.shape[0]))
+    for j in range(Q.shape[1]):
+        acc = acc + Q[:, j, None] * C[None, :, j]
+    return acc
+
+
+def _fold_norms(np, X):
+    """Row norms via the same sequential double fold + one sqrt —
+    the exact ``norm_fold`` sequence."""
+    P = X * X
+    acc = np.zeros(X.shape[0])
+    for j in range(X.shape[1]):
+        acc = acc + P[:, j]
+    return np.sqrt(acc)
+
+
+def _cosine_topk_np(
+    emb: DataFrame,
+    k: int,
+    query_pred,
+    id_col: str,
+    vec_col: str,
+    cell_col,
+    max_query_rows,
+):
+    """Driver route for the bounded exact cosine top-k (brute-force
+    and cell-restricted modes): ONE Arrow collect of (id, vec[,
+    cell], query-flag) — the flag is ``query_pred`` evaluated BY
+    SPARK, so the query subset is definitionally identical — then the
+    exact IEEE fold arithmetic and the (cosine desc, neighbor asc)
+    row_number cut in numpy. Returns None (distributed path) when:
+    budget disabled / exceeded, collect aborted by maxResultSize,
+    NULLs anywhere, ragged or non-finite vectors, zero norms (their
+    division semantics belong to the distributed plan), non-integral
+    id columns, or an over-``max_query_rows`` query set (the
+    distributed guard owns that error)."""
+    budget = _ann_driver_rows()
+    if budget <= 0:
+        return None
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover
+        return None
+    import pyarrow.compute as pc
+    import pyarrow.types as pat
+    from pyspark.sql import types as T
+
+    id_t = emb.schema[id_col].dataType
+    if not isinstance(
+        id_t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        return None
+    cols = [id_col, vec_col] + ([cell_col] if cell_col else [])
+    flag = query_pred if query_pred is not None else F.lit(True)
+    try:
+        tbl = emb.select(*cols, flag.alias("_isq")).toArrow()
+    except Exception as exc:  # over-size abort → distributed path
+        if "maxResultSize" in str(exc) or "bigger than" in str(exc):
+            return None
+        raise
+    if tbl.num_rows > budget or tbl.num_rows == 0:
+        return None
+    for name in cols + ["_isq"]:
+        if tbl.column(name).null_count:
+            return None
+    vec_a = tbl.column(vec_col)
+    flat = pc.list_flatten(vec_a)
+    if flat.null_count:
+        return None
+    lens = pc.list_value_length(vec_a).to_numpy(zero_copy_only=False)
+    if int(lens.min()) != int(lens.max()) or int(lens[0]) == 0:
+        return None
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    X = (
+        flat.to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(ids), int(lens[0]))
+    )
+    if not np.all(np.isfinite(X)):
+        return None
+    isq = tbl.column("_isq").to_numpy(zero_copy_only=False).astype(bool)
+    if max_query_rows is not None and int(isq.sum()) > max_query_rows:
+        return None  # the distributed guard raises the canonical error
+    if cell_col:
+        cell_a = tbl.column(cell_col)
+        if not (
+            pat.is_integer(cell_a.type) or pat.is_string(cell_a.type)
+        ):
+            return None
+        cells = cell_a.to_numpy(zero_copy_only=False)
+    norms = _fold_norms(np, X)
+    if not np.all(np.isfinite(norms)) or np.any(norms == 0.0):
+        return None  # inf/NaN ordering belongs to the distributed plan
+
+    out_q, out_n, out_c, out_r = [], [], [], []
+
+    def _rank_block(qi_idx, ci_idx):
+        """Top-k per query over one candidate block, exact tie order."""
+        if len(qi_idx) == 0 or len(ci_idx) == 0:
+            return
+        dots = _fold_dot_rows(np, X[qi_idx], X[ci_idx])
+        cos = dots / (norms[qi_idx][:, None] * norms[ci_idx][None, :])
+        cid = ids[ci_idx]
+        for r, qg in enumerate(qi_idx):
+            row = cos[r]
+            mask = cid != ids[qg]  # exclude self
+            sub_id, sub_cos = cid[mask], row[mask]
+            if sub_id.size == 0:
+                continue
+            order = np.lexsort((sub_id, -sub_cos))[:k]
+            for rk, oi in enumerate(order, start=1):
+                out_q.append(int(ids[qg]))
+                out_n.append(int(sub_id[oi]))
+                out_c.append(float(sub_cos[oi]))
+                out_r.append(rk)
+
+    if cell_col:
+        uniq = np.unique(cells)
+        for cv in uniq:
+            m = np.nonzero(cells == cv)[0]
+            _rank_block(m[isq[m]], m)
+    else:
+        _rank_block(np.nonzero(isq)[0], np.arange(len(ids)))
+
+    from .graph import _np_result_df
+
+    return _np_result_df(
+        emb.sparkSession,
+        [
+            ("query_id", id_t, np.asarray(out_q, dtype=np.int64)),
+            ("neighbor_id", id_t, np.asarray(out_n, dtype=np.int64)),
+            ("cosine", T.DoubleType(), np.asarray(out_c, dtype=np.float64)),
+            ("rank", T.IntegerType(), np.asarray(out_r, dtype=np.int32)),
+        ],
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     k: int = 5,
@@ -74,6 +219,16 @@ def cosine_topk(
     scaling, ``cosine_topk_vectorized``'s cogrouped GEMM, or SemDeDup
     -style per-cell dedup that never leaves the cell).
     """
+    # bounded inputs route through the exact numpy twin (brute and
+    # cell modes; multi-probe keeps the distributed plan): one Arrow
+    # collect + the same IEEE fold arithmetic, under
+    # SPARK_GRAFT_ANN_DRIVER_ROWS like every ANN route here
+    if probe_cells is None:
+        routed = _cosine_topk_np(
+            emb, k, query_pred, id_col, vec_col, cell_col, max_query_rows
+        )
+        if routed is not None:
+            return routed
     base = with_norm(emb, vec_col)
     q = base.where(query_pred) if query_pred is not None else base
     if max_query_rows is not None:
